@@ -1,0 +1,77 @@
+"""Headline benchmark: runs representative queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is materialized with the noop sink (full plan execution, no
+driver collect). Per-query time = best of N_RUNS to damp JIT/IO noise.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+_REPO_ROOT = str(Path(__file__).resolve().parent)
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from binance_etl_clickhouse_spark.queries import QUERIES  # noqa: E402
+from binance_etl_clickhouse_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_RUNS = int(os.environ.get("BENCH_RUNS", "2"))
+
+#: headline set — one per operator family (agg, join, window-dedup, top-k,
+#: month rollup, event-time resample, running window, anti-join)
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "broadcast_dim_join",
+    "keep_last_dedup",
+    "topk_per_group",
+    "month_bucket_agg",
+    "tumbling_resample_1h",
+    "window_running_sum",
+    "anti_join_completed",
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    m = re.search(r"sf([0-9.]+)", d)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    # warmup: JVM / codegen / filesystem cache
+    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        entry = QUERIES[name]
+        best = float("inf")
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            entry.spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""SparkSession bootstrap tuned for both local testing and cluster scale.
+
+The reference configures its engines by hand (ClickHouse session knobs at
+``app/src/utils_clickhouse.py:22-26``: ``use_numpy``, 16 GiB
+``max_memory_usage``, ``max_threads <= 8``). Here the equivalents are Spark
+confs: Arrow-enabled pandas interop, AQE, shuffle-partition sizing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that matter at 100 TB as much as at sf0.001:
+# - AQE: runtime coalescing of shuffle partitions + skew-join splitting.
+# - Arrow: every mapInPandas/pandas_udf stage moves columnar batches, not rows.
+# - UTC session TZ: serving tables store second-precision UTC timestamps
+#   (ClickHouse DateTime semantics) and the DuckDB oracle is UTC-naive.
+_BASE_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # parquet writes: preserve dictionary encoding (LowCardinality analogue)
+    # and emit min/max page stats so sorted layout gives PK-index-like skipping.
+    "spark.sql.parquet.compression.codec": "snappy",
+    # Avoid driver-side OOM from accidental wide collects in tests.
+    "spark.driver.maxResultSize": "4g",
+    "spark.ui.enabled": "false",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+
+
+def get_spark(
+    app_name: str = "binance_etl_clickhouse_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``shuffle_partitions`` defaults to the local core count — on a real
+    cluster this should instead be sized so that ``input_bytes /
+    shuffle_partitions`` lands in the 100-200 MB per-task sweet spot
+    (at 100 TB: tens of thousands of partitions, then let AQE coalesce).
+    """
+    cores = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cores}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions if shuffle_partitions is not None else cores),
+        )
+    )
+    for k, v in _BASE_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

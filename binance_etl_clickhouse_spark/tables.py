@@ -1,0 +1,60 @@
+"""Testdata table loaders + temp-view registration.
+
+The driver's synthetic TPC-H-ish tables (TESTDATA.md) are the correctness
+corpus; the reference-shaped tables (klines/symbols/rates) are produced by
+``sources.synthetic``. Loading is a plain partitioned parquet scan so
+Catalyst's pushdown/pruning applies — the per-file pandas loop the reference
+uses (`crypto_data_pipeline_clickhouse.py:642-649`) is subsumed by
+``spark.read.parquet`` over the whole directory (SURVEY.md S7/U2).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark 4 refuses
+    to read natively — read it as long (legacy conf) and truncate to
+    microseconds (Spark timestamp precision). All other tables are plain
+    scans with full pushdown.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(path)
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view for ``spark.sql``."""
+    dfs = load_all(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,54 @@
+"""Every registered query must hash-match its DuckDB oracle (driver mirror).
+
+Runs at sf0.001 for speed; ``RUN_SF001=1 pytest`` upshifts to sf0.01 (the
+driver's correctness scale).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from binance_etl_clickhouse_spark.queries import QUERIES
+from binance_etl_clickhouse_spark.testing import compare_frames, run_oracle
+
+SF_DIR = (
+    "/root/testdata/sf0.01" if os.environ.get("RUN_SF001") else "/root/testdata/sf0.001"
+)
+
+ORACLE_QUERIES = sorted(n for n, e in QUERIES.items() if e.oracle is not None)
+ROWS_ONLY_QUERIES = sorted(n for n, e in QUERIES.items() if e.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, name):
+    entry = QUERIES[name]
+    spark_pdf = entry.spark(spark, SF_DIR).toPandas()
+    oracle_pdf = run_oracle(entry.oracle, SF_DIR)
+    problems = compare_frames(spark_pdf, oracle_pdf, name)
+    assert not problems, "\n".join(problems)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_query_runs(spark, name):
+    df = QUERIES[name].spark(spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as mod
+
+    df = mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"month", "event_type", "n_latest", "total_value"} == set(df.columns)
+
+
+def test_queries_oracle_keys_consistent():
+    import __spark_entry__ as mod
+
+    q, o = mod.queries(), mod.oracle_sql()
+    assert set(o) <= set(q)
+    assert q, "registry must not be empty"
