@@ -1,0 +1,211 @@
+"""Pipeline orchestration — the reference's ``update_all`` DAG, Spark jobs.
+
+Reference control flow (run_pipeline.py:19-57 -> update_all at
+crypto_data_pipeline_clickhouse.py:722-737):
+
+    init DDL -> update_symbols -> per interval: update_klines
+             -> update_funding_rates -> update_margin_rates
+    (+ run logged to pipeline_logs; loop with sleep / --once)
+
+Here each ``update_*`` is one declarative Spark job:
+symbol-dim snapshot -> predicate + anti-join progress skip -> distributed
+paginated fetch (mapInPandas) -> clean transforms -> versioned append to the
+serving table. Tables are ServingTable parquet dirs under ``base_dir``
+(≙ the ClickHouse database); DDL is implicit in first write + the schemas
+module.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binance_etl_clickhouse_spark import schemas
+from binance_etl_clickhouse_spark.operators.etl import (
+    clean_funding_rates,
+    clean_klines,
+    clean_margin_rates,
+)
+from binance_etl_clickhouse_spark.sources import synthetic
+from binance_etl_clickhouse_spark.sources.fetcher import (
+    FetchConfig,
+    PageFn,
+    fetch_historical_klines,
+    synthetic_page_fn,
+)
+from binance_etl_clickhouse_spark.sources.synthetic import INTERVAL_MS
+from binance_etl_clickhouse_spark.storage.state import ProgressTable
+from binance_etl_clickhouse_spark.storage.table import INGEST_SEQ, ServingTable
+
+
+@dataclass
+class PipelineConfig:
+    """≙ config.json (reference :1-36): intervals, quote filter, workers."""
+
+    intervals: list[str] = field(default_factory=lambda: ["1h"])
+    quote_assets: list[str] = field(default_factory=lambda: ["USDT", "USDC"])
+    start_ms: int = 1704067200000  # 2024-01-01
+    end_ms: int = 1706745600000  # 2024-02-01
+    fetch_partitions: int = 8
+    n_spot_symbols: int = 8
+    n_perp_symbols: int = 6
+
+
+class Pipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        config: PipelineConfig | None = None,
+        page_fn: PageFn | None = None,
+    ):
+        self.spark = spark
+        self.base_dir = base_dir
+        self.cfg = config or PipelineConfig()
+        self.page_fn = page_fn  # None -> synthetic backend per interval
+
+        mk = lambda name, keys, time_col, sort: ServingTable(  # noqa: E731
+            path=os.path.join(base_dir, name), keys=keys, time_col=time_col, sort_cols=sort
+        )
+        self.spot_symbols = mk("bn_spot_symbols", schemas.SPOT_SYMBOLS_PK, None, ["symbol"])
+        self.perp_symbols = mk("bn_perp_symbols", schemas.PERP_SYMBOLS_PK, None, ["symbol"])
+        self.klines = mk(
+            "bn_klines", schemas.KLINES_PK, "timestamp", ["symbol", "type", "interval", "timestamp"]
+        )
+        self.funding_rates = mk(
+            "bn_funding_rates",
+            schemas.FUNDING_RATES_PK,
+            "fundingTime",
+            ["symbol", "fundingTime"],
+        )
+        self.margin_rates = mk(
+            "bn_margin_rates", schemas.MARGIN_RATES_PK, "timestamp", ["asset", "timestamp"]
+        )
+        self.logs_path = os.path.join(base_dir, "pipeline_logs")
+
+    # -- sequencing -------------------------------------------------------
+
+    def _next_seq(self, table: ServingTable) -> int:
+        if not table.exists():
+            return 1
+        row = table.read_raw(self.spark).agg(F.max(INGEST_SEQ).alias("m")).collect()[0]
+        return int(row.m or 0) + 1
+
+    # -- stages (≙ update_symbols :612-624, update_klines :661-692, ...) --
+
+    def update_symbols(self) -> None:
+        spot = synthetic.synthetic_spot_symbols(self.spark, self.cfg.n_spot_symbols)
+        perp = synthetic.synthetic_perp_symbols(self.spark, self.cfg.n_perp_symbols)
+        self.spot_symbols.append(spot, self._next_seq(self.spot_symbols))
+        self.perp_symbols.append(perp, self._next_seq(self.perp_symbols))
+
+    def _select_symbols(self, market_type: str) -> DataFrame:
+        """Symbol-dimension scan + predicates (P4/P5, reference :324-336)."""
+        if market_type == "SPOT":
+            dim = self.spot_symbols.read(self.spark)
+            return dim.filter(F.col("quote_asset").isin(self.cfg.quote_assets)).select(
+                "symbol"
+            )
+        dim = self.perp_symbols.read(self.spark)
+        start_ts = F.timestamp_millis(F.lit(self.cfg.start_ms))
+        return dim.filter(F.col("delivery_date") >= start_ts).select(
+            "symbol", F.unix_millis("delivery_date").alias("delivery_date_ms")
+        )
+
+    def update_klines(self, market_type: str, interval: str) -> int:
+        cfg = self.cfg
+        progress = ProgressTable(
+            os.path.join(self.base_dir, f"progress_klines_{market_type}_{interval}")
+        )
+        symbols = self._select_symbols(market_type)
+        pending = progress.pending(symbols, self.spark)
+        if pending.isEmpty():
+            return 0
+        fetch_cfg = FetchConfig(
+            interval=interval,
+            page_limit=1000 if market_type == "SPOT" else 499,
+            budget_calls=2750 if market_type == "SPOT" else 1150,
+        )
+        page_fn = self.page_fn or synthetic_page_fn(
+            interval_ms=INTERVAL_MS[interval], origin_ms=cfg.start_ms
+        )
+        raw = fetch_historical_klines(
+            pending, page_fn, cfg.start_ms, cfg.end_ms, fetch_cfg, cfg.fetch_partitions
+        )
+        cleaned = clean_klines(raw, market_type=market_type, interval=interval)
+        self.klines.append(cleaned, self._next_seq(self.klines))
+        progress.mark_done(pending)
+        n = int(
+            self.klines.read_raw(self.spark)
+            .filter((F.col("type") == market_type) & (F.col("interval") == interval))
+            .count()
+        )
+        return n
+
+    def update_funding_rates(self) -> int:
+        raw = synthetic.synthetic_funding_raw(
+            self.spark, n_symbols=self.cfg.n_perp_symbols, start_ms=self.cfg.start_ms
+        )
+        cleaned = clean_funding_rates(raw)
+        self.funding_rates.append(cleaned, self._next_seq(self.funding_rates))
+        return int(cleaned.count())
+
+    def update_margin_rates(self) -> int:
+        # seeded by DISTINCT margin-enabled base assets (A1, additional_data:218-219)
+        assets = (
+            self.spot_symbols.read(self.spark)
+            .filter(F.col("is_margin_trading_allowed") == 1)
+            .select("base_asset")
+            .distinct()
+        )
+        raw = synthetic.synthetic_margin_raw(self.spark, start_ms=self.cfg.start_ms)
+        raw = raw.join(
+            F.broadcast(assets.withColumnRenamed("base_asset", "asset")), "asset", "inner"
+        )
+        cleaned = clean_margin_rates(raw)
+        self.margin_rates.append(cleaned, self._next_seq(self.margin_rates))
+        return int(cleaned.count())
+
+    # -- run loop (≙ run_pipeline.py:19-57, :83-96) -----------------------
+
+    def log_run(self, status: str, comment: str) -> None:
+        """K4: append one audit row (timestamp DEFAULT now())."""
+        row = self.spark.createDataFrame(
+            [(dt.datetime.now(dt.timezone.utc).replace(tzinfo=None), status, comment)],
+            schemas.PIPELINE_LOGS,
+        )
+        row.write.mode("append").parquet(self.logs_path)
+
+    def update_all(self) -> dict[str, int]:
+        t0 = time.monotonic()
+        try:
+            self.update_symbols()
+            counts: dict[str, int] = {}
+            for interval in self.cfg.intervals:
+                counts[f"spot_klines_{interval}"] = self.update_klines("SPOT", interval)
+                counts[f"perp_klines_{interval}"] = self.update_klines("PERPETUAL", interval)
+            counts["funding_rates"] = self.update_funding_rates()
+            counts["margin_rates"] = self.update_margin_rates()
+        except Exception as e:
+            self.log_run("failure", f"{type(e).__name__}: {e}")
+            raise
+        self.log_run("success", f"update_all finished in {time.monotonic() - t0:.1f}s")
+        return counts
+
+    def run(self, once: bool = True, update_interval_s: float = 3600.0) -> None:
+        """``--once`` vs scheduler loop (reference run_pipeline.py:83-105).
+
+        The continuous mode is the batch twin of a Structured Streaming
+        ``trigger(processingTime=...)``; streaming/jobs.py provides the
+        stream-native version.
+        """
+        while True:
+            self.update_all()
+            if once:
+                return
+            time.sleep(update_interval_s)

@@ -56,7 +56,10 @@ KLINES = T.StructType(
         _f("taker_buy_quote_volume", D),
     ]
 )
-KLINES_PK = ["symbol", "interval", "timestamp"]  # ORDER BY key (:569)
+# ORDER BY key (:569) — the reference's per-(market,interval) table split
+# contributes (type) to row identity; with klines unified into one table the
+# dedup key must carry it explicitly.
+KLINES_PK = ["symbol", "type", "interval", "timestamp"]
 
 # Raw 12-element kline API page (strings + epoch-ms longs) before cleaning
 # (crypto_data_pipeline_clickhouse.py:238-242).

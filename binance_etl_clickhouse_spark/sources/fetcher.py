@@ -1,0 +1,238 @@
+"""Paginated historical fetch as a distributed Spark source.
+
+The reference fans out a ThreadPool over symbols, each thread running a
+watermark-pagination loop against the Binance REST API
+(crypto_data_pipeline_clickhouse.py:249-302, :412-423). Here the same loop
+runs inside ``mapInPandas`` partitions: the symbol dimension is repartitioned
+across the cluster, each task paginates its symbols with a partition-local
+token bucket (global budget divided), retry-with-backoff, and the
+``least(end, delivery_date)`` bound — yielding Arrow batches of raw kline
+pages. Spark's task scheduler replaces the thread pool; a failed task is
+retried by Spark (``spark.task.maxFailures``) on top of in-loop retries.
+
+Two fetch backends share the pagination loop via the ``page_fn`` seam:
+
+- :func:`synthetic_page_fn` — deterministic offline pages (tests/bench);
+- :func:`binance_rest_page_fn` — real REST GET via stdlib urllib, with the
+  reference's retry/backoff/ban handling (C3/C4). Untestable offline; kept
+  import-light and clearly gated.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from binance_etl_clickhouse_spark.sources.ratelimit import TokenBucket
+
+#: raw page row: 12 kline fields (strings + ms longs) as the API returns them
+RAW_PAGE_COLUMNS = [
+    "timestamp",
+    "open",
+    "high",
+    "low",
+    "close",
+    "volume",
+    "close_time",
+    "quote_volume",
+    "trades_count",
+    "taker_buy_volume",
+    "taker_buy_quote_volume",
+    "ignore",
+]
+
+RAW_FETCH_SCHEMA = (
+    "symbol string, src_order long, timestamp long, open string, high string, "
+    "low string, close string, volume string, close_time long, "
+    "quote_volume string, trades_count long, taker_buy_volume string, "
+    "taker_buy_quote_volume string, ignore string"
+)
+
+# page_fn(symbol, start_ms, end_ms, limit) -> list of 12-element kline rows
+PageFn = Callable[[str, int, int, int], list[list]]
+
+
+@dataclass
+class FetchConfig:
+    interval: str = "1h"
+    page_limit: int = 1000  # 1000 spot / 499 perp (reference :272)
+    weight_per_call: int = 2
+    budget_calls: int = 2750  # per period across the whole job (reference :48-52)
+    budget_period_s: float = 60.0
+    max_retries: int = 3  # reference @retry(stop_after_attempt(3))
+    backoff_base_s: float = 0.5
+
+
+def paginate_symbol(
+    symbol: str,
+    start_ms: int,
+    end_ms: int,
+    page_fn: PageFn,
+    cfg: FetchConfig,
+    bucket: TokenBucket | None = None,
+) -> Iterator[pd.DataFrame]:
+    """Watermark-pagination loop for one symbol (reference :275-289).
+
+    Fetch a page, advance ``current = last_ts + 1``, stop when past end or
+    the page comes back short/empty. Each yielded page carries ``src_order``
+    (its position in arrival order) so downstream keep-last dedup preserves
+    the last-page-wins semantic for overlaps.
+    """
+    current = start_ms
+    page_i = 0
+    while current <= end_ms:
+        if bucket is not None:
+            bucket.acquire(cfg.weight_per_call)
+        rows = _with_retry(page_fn, symbol, current, end_ms, cfg)
+        if not rows:
+            break
+        pdf = pd.DataFrame(rows, columns=RAW_PAGE_COLUMNS)
+        pdf.insert(0, "src_order", page_i)
+        pdf.insert(0, "symbol", symbol)
+        yield pdf
+        last_ts = int(pdf["timestamp"].iloc[-1])
+        if last_ts + 1 <= current:  # no forward progress -> stop
+            break
+        current = last_ts + 1
+        page_i += 1
+        if len(rows) < cfg.page_limit:
+            break
+
+
+def _with_retry(page_fn: PageFn, symbol: str, start: int, end: int, cfg: FetchConfig):
+    """Exponential-backoff retry ≙ @retry(stop_after_attempt(3),
+    wait_exponential) (reference :110 etc., SURVEY.md C3)."""
+    err: Exception | None = None
+    for attempt in range(cfg.max_retries):
+        try:
+            return page_fn(symbol, start, end, cfg.page_limit)
+        except Exception as e:  # noqa: BLE001 — source-edge tolerance
+            err = e
+            time.sleep(cfg.backoff_base_s * (2**attempt))
+    raise RuntimeError(f"fetch failed for {symbol} after {cfg.max_retries} tries") from err
+
+
+def fetch_historical_klines(
+    symbols: DataFrame,
+    page_fn: PageFn,
+    start_ms: int,
+    end_ms: int,
+    cfg: FetchConfig,
+    n_partitions: int = 8,
+) -> DataFrame:
+    """Distributed S4: symbol dimension -> raw kline pages.
+
+    ``symbols`` needs a ``symbol`` column; an optional ``delivery_date_ms``
+    column caps each symbol's fetch range (≙ min(end, delivery_date),
+    reference :268-270). The global call budget is divided across
+    ``n_partitions`` partition-local token buckets (C2).
+    """
+    cols = ["symbol"]
+    if "delivery_date_ms" in symbols.columns:
+        cols.append("delivery_date_ms")
+    sym = symbols.select(*cols).repartition(n_partitions, "symbol")
+    per_part_calls = max(1, cfg.budget_calls // max(1, n_partitions))
+
+    def fetch_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bucket = TokenBucket(per_part_calls, cfg.budget_period_s)
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                sym_end = end_ms
+                dd = getattr(row, "delivery_date_ms", None)
+                if dd is not None and not (isinstance(dd, float) and math.isnan(dd)):
+                    sym_end = min(end_ms, int(dd))  # F9 least() bound
+                yield from paginate_symbol(
+                    row.symbol, start_ms, sym_end, page_fn, cfg, bucket
+                )
+
+    return sym.mapInPandas(fetch_partition, schema=RAW_FETCH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Offline backend: deterministic pages, same value model as
+# sources.synthetic (arithmetic on bar index, no RNG).
+# ---------------------------------------------------------------------------
+
+
+def synthetic_page_fn(
+    interval_ms: int = 3_600_000, origin_ms: int = 1704067200000
+) -> PageFn:
+    def page(symbol: str, start_ms: int, end_ms: int, limit: int) -> list[list]:
+        sym_i = int(symbol[3:6]) if symbol[3:6].isdigit() else 0
+        first_bar = max(0, (start_ms - origin_ms + interval_ms - 1) // interval_ms)
+        rows: list[list] = []
+        for k in range(limit):
+            bar_i = first_bar + k
+            ts = origin_ms + bar_i * interval_ms
+            if ts > end_ms:
+                break
+            px = 100.0 + sym_i * 10.0 + math.sin(bar_i / 20.0) * 5.0
+            vol = 1000.0 + (bar_i % 100) * 7.0
+            rows.append(
+                [
+                    ts,
+                    f"{px:.8f}",
+                    f"{px * 1.01:.8f}",
+                    f"{px * 0.99:.8f}",
+                    f"{px * 1.005:.8f}",
+                    f"{vol:.8f}",
+                    ts + interval_ms - 1,
+                    f"{vol * px:.8f}",
+                    bar_i % 500 + 1,
+                    f"{vol * 0.4:.8f}",
+                    f"{vol * px * 0.4:.8f}",
+                    "0",
+                ]
+            )
+        return rows
+
+    return page
+
+
+# ---------------------------------------------------------------------------
+# Online backend: Binance REST klines endpoint (public market-data API).
+# Uses only stdlib urllib; retry/backoff handled by the shared loop, HTTP
+# 418/429 ban handling mirrored from reference :86-108 (C4). Not exercised
+# in tests (no network in the build environment).
+# ---------------------------------------------------------------------------
+
+
+def binance_rest_page_fn(
+    market: str = "spot", interval: str = "1h", base_url: str | None = None
+) -> PageFn:
+    import json
+    import re
+    import urllib.request
+
+    url = base_url or (
+        "https://api.binance.com/api/v3/klines"
+        if market == "spot"
+        else "https://fapi.binance.com/fapi/v1/klines"
+    )
+
+    def page(symbol: str, start_ms: int, end_ms: int, limit: int) -> list[list]:
+        q = (
+            f"{url}?symbol={symbol}&interval={interval}"
+            f"&startTime={start_ms}&endTime={end_ms}&limit={limit}"
+        )
+        try:
+            with urllib.request.urlopen(q, timeout=30) as resp:
+                return json.loads(resp.read())
+        except urllib.error.HTTPError as e:  # pragma: no cover — network only
+            if e.code in (418, 429):
+                # ban/backoff: parse "banned until <ms>" and sleep it off
+                body = e.read().decode("utf-8", "replace")
+                m = re.search(r"banned until (\d+)", body)
+                wait_s = (
+                    max(0.0, int(m.group(1)) / 1000.0 - time.time()) if m else 60.0
+                )
+                time.sleep(min(wait_s, 300.0))
+            raise
+
+    return page

@@ -1,0 +1,115 @@
+"""Serving-table storage layer — the ClickHouse MergeTree analogue.
+
+The reference relies on ClickHouse for four storage semantics (SURVEY.md §1.1,
+§4); each maps to an explicit Spark/parquet mechanism here:
+
+| ClickHouse                                  | here |
+|---------------------------------------------|------|
+| ``PARTITION BY toYYYYMM(ts)`` (:570)        | parquet dir partition ``month=yyyyMM`` -> partition pruning |
+| ``ORDER BY (symbol, interval, ts)`` (:569)  | ``sortWithinPartitions`` on write -> row-group min/max skipping |
+| ReplacingMergeTree keep-last dedup (:541)   | ``ingest_seq`` version column + window dedup on read; ``compact()`` ≙ OPTIMIZE FINAL |
+| ``LowCardinality(String)`` (:445)           | parquet dictionary encoding (automatic) |
+
+Scale design: appends only touch the months present in the batch; the dedup
+window shuffles on the dedup key only when reading un-compacted data, and
+``compact()`` rewrites months into exactly-one-version files so steady-state
+reads skip the window entirely.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binance_etl_clickhouse_spark.functions.scalars import month_bucket
+from binance_etl_clickhouse_spark.operators.dedup import keep_last
+from binance_etl_clickhouse_spark.schemas import MONTH_COL
+
+INGEST_SEQ = "ingest_seq"
+
+
+@dataclass
+class ServingTable:
+    """A monthly-partitioned, sorted, version-deduped parquet table."""
+
+    path: str
+    keys: list[str]  # ReplacingMergeTree ORDER BY key (dedup identity)
+    time_col: str | None  # event-time column driving the month partition
+    sort_cols: list[str] = field(default_factory=list)  # physical sort (defaults to keys)
+
+    # -- write path -------------------------------------------------------
+
+    def append(self, df: DataFrame, ingest_seq: int) -> None:
+        """Append one ingest batch with a version stamp.
+
+        Layout per batch: one dir per month; files sorted by the table key so
+        parquet page stats give PK-index-like skipping (≙ index_granularity
+        sparse index, reference :544). ``repartition(month, keys)`` keeps each
+        output file single-month and key-clustered — at cluster scale this is
+        the shuffle that buys co-located, pruned reads forever after.
+        """
+        out = df.withColumn(INGEST_SEQ, F.lit(ingest_seq))
+        sort_cols = self.sort_cols or self.keys
+        if self.time_col is not None:
+            out = out.withColumn(MONTH_COL, month_bucket(self.time_col))
+            out = out.repartition(MONTH_COL, *self.keys[:1])
+            out = out.sortWithinPartitions(*sort_cols)
+            out.write.mode("append").partitionBy(MONTH_COL).parquet(self.path)
+        else:
+            # dimension tables: small, unpartitioned
+            out.sortWithinPartitions(*sort_cols).write.mode("append").parquet(self.path)
+
+    # -- read path --------------------------------------------------------
+
+    def read_raw(self, spark: SparkSession) -> DataFrame:
+        """All versions, no dedup (≙ SELECT without FINAL)."""
+        return spark.read.parquet(self.path)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Current snapshot: newest version per key (≙ SELECT ... FINAL).
+
+        Keep-last over (keys) ordered by ingest_seq; within one batch the
+        writer has already deduped, so ingest_seq is a total enough order.
+        """
+        return keep_last(self.read_raw(spark), self.keys, INGEST_SEQ)
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            not n.startswith(("_", ".")) for n in os.listdir(self.path)
+        )
+
+    # -- maintenance ------------------------------------------------------
+
+    def compact(self, spark: SparkSession) -> None:
+        """Rewrite to exactly one version per key (≙ OPTIMIZE TABLE FINAL).
+
+        Reads the deduped snapshot and atomically replaces the table dir.
+        Partition-parallel: each month rewrites independently; at 100 TB this
+        runs as a per-month (or per-month-bucket) job rather than whole-table.
+        """
+        snap = self.read(spark)
+        tmp = self.path.rstrip("/") + ".compact.tmp"
+        sort_cols = self.sort_cols or self.keys
+        w = snap.repartition(MONTH_COL, *self.keys[:1]) if self.time_col else snap
+        w = w.sortWithinPartitions(*sort_cols)
+        if self.time_col is not None:
+            w.write.mode("overwrite").partitionBy(MONTH_COL).parquet(tmp)
+        else:
+            w.write.mode("overwrite").parquet(tmp)
+        # atomic-ish swap (single-FS rename; object stores would use a manifest)
+        import shutil
+
+        bak = self.path.rstrip("/") + ".compact.bak"
+        shutil.move(self.path, bak)
+        shutil.move(tmp, self.path)
+        shutil.rmtree(bak)
+
+    def max_watermark(self, spark: SparkSession, per: str | None = None) -> DataFrame:
+        """Resume offsets (SURVEY.md A5/T1): max(time_col) overall or per key."""
+        df = self.read_raw(spark)
+        if per:
+            return df.groupBy(per).agg(F.max(self.time_col).alias("last_ts"))
+        return df.agg(F.max(self.time_col).alias("last_ts"))

@@ -1,0 +1,111 @@
+"""End-to-end pipeline tests: fetch -> clean -> versioned append -> dedup
+snapshot, progress-skip idempotence, rates coercion, run logging."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from binance_etl_clickhouse_spark.pipeline import Pipeline, PipelineConfig
+from binance_etl_clickhouse_spark.sources.fetcher import (
+    FetchConfig,
+    fetch_historical_klines,
+    paginate_symbol,
+    synthetic_page_fn,
+)
+from binance_etl_clickhouse_spark.sources.ratelimit import TokenBucket
+
+
+def _cfg() -> PipelineConfig:
+    return PipelineConfig(
+        intervals=["1h"],
+        start_ms=1704067200000,  # 2024-01-01
+        end_ms=1704067200000 + 99 * 3_600_000,  # 100 hourly bars inclusive
+        fetch_partitions=4,
+        n_spot_symbols=4,
+        n_perp_symbols=4,
+    )
+
+
+def test_paginate_symbol_watermark_loop():
+    cfg = FetchConfig(interval="1h", page_limit=30)
+    pages = list(
+        paginate_symbol(
+            "SYM001USDT",
+            1704067200000,
+            1704067200000 + 99 * 3_600_000,
+            synthetic_page_fn(),
+            cfg,
+        )
+    )
+    # 100 bars in pages of 30 -> 4 pages (30+30+30+10), watermark advances
+    assert [len(p) for p in pages] == [30, 30, 30, 10]
+    assert [int(p["src_order"].iloc[0]) for p in pages] == [0, 1, 2, 3]
+    first_ts = [int(p["timestamp"].iloc[0]) for p in pages]
+    assert first_ts == sorted(first_ts)
+
+
+def test_fetch_historical_klines_distributed(spark):
+    symbols = spark.createDataFrame([("SYM000USDT",), ("SYM001USDT",)], ["symbol"])
+    cfg = FetchConfig(interval="1h", page_limit=1000)
+    raw = fetch_historical_klines(
+        symbols, synthetic_page_fn(), 1704067200000, 1704067200000 + 49 * 3_600_000, cfg, 2
+    )
+    assert raw.count() == 2 * 50
+    assert raw.select("symbol").distinct().count() == 2
+
+
+def test_delivery_date_caps_fetch_range(spark):
+    # delivered symbol stops at its delivery date (least(end, delivery_date))
+    cap_ms = 1704067200000 + 9 * 3_600_000
+    symbols = spark.createDataFrame(
+        [("SYM000USDT", cap_ms), ("SYM001USDT", None)],
+        "symbol string, delivery_date_ms long",
+    )
+    cfg = FetchConfig(interval="1h")
+    raw = fetch_historical_klines(
+        symbols, synthetic_page_fn(), 1704067200000, 1704067200000 + 49 * 3_600_000, cfg, 2
+    )
+    counts = {r.symbol: r["count"] for r in raw.groupBy("symbol").count().collect()}
+    assert counts == {"SYM000USDT": 10, "SYM001USDT": 50}
+
+
+def test_token_bucket_throttles():
+    t = [0.0]
+    slept = []
+    bucket = TokenBucket(2, 1.0, clock=lambda: t[0], sleeper=lambda s: (slept.append(s), t.__setitem__(0, t[0] + s)))
+    bucket.acquire()
+    bucket.acquire()
+    bucket.acquire()  # third call must wait ~0.5s for a token
+    assert slept and abs(sum(slept) - 0.5) < 1e-6
+
+
+def test_update_all_end_to_end(spark, tmp_path):
+    p = Pipeline(spark, str(tmp_path / "db"), _cfg())
+    counts = p.update_all()
+    # only quote_asset USDT/USDC symbols pass the P5 filter: i%4 in {0,1} -> 2 of 4
+    assert counts["spot_klines_1h"] == 2 * 100
+    assert counts["perp_klines_1h"] > 0
+    assert counts["funding_rates"] > 0
+    assert counts["margin_rates"] > 0
+
+    snap = p.klines.read(spark)
+    spot = snap.filter(F.col("type") == "SPOT")
+    assert spot.count() == 2 * 100
+    # funding rates: unparseable strings coerced to 0, never null (F4)
+    fr = p.funding_rates.read(spark)
+    assert fr.filter(F.col("fundingRate").isNull()).count() == 0
+    assert fr.filter(F.col("markPrice") == 0.0).count() > 0
+    # run log captured
+    logs = spark.read.parquet(p.logs_path)
+    assert logs.filter(F.col("status") == "success").count() == 1
+
+
+def test_rerun_skips_completed_symbols(spark, tmp_path):
+    p = Pipeline(spark, str(tmp_path / "db"), _cfg())
+    p.update_all()
+    rows_after_first = p.klines.read_raw(spark).count()
+    # second run: all symbols in progress tables -> no new kline versions
+    p.update_all()
+    assert p.klines.read_raw(spark).count() == rows_after_first
+    # but the dedup snapshot is unchanged and correct
+    assert p.klines.read(spark).filter(F.col("type") == "SPOT").count() == 2 * 100

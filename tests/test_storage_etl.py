@@ -1,0 +1,91 @@
+"""Storage layer + ETL transform tests: ReplacingMergeTree semantics,
+monthly partitioning, compaction, raw-page cleaning."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from binance_etl_clickhouse_spark.operators.etl import clean_klines
+from binance_etl_clickhouse_spark.schemas import KLINES, KLINES_PK
+from binance_etl_clickhouse_spark.sources.synthetic import synthetic_klines_raw
+from binance_etl_clickhouse_spark.storage import ServingTable
+
+
+def _table(tmp_path) -> ServingTable:
+    return ServingTable(
+        path=str(tmp_path / "klines"),
+        keys=KLINES_PK,
+        time_col="timestamp",
+        sort_cols=["symbol", "type", "interval", "timestamp"],
+    )
+
+
+def _clean(spark, **kw):
+    raw = synthetic_klines_raw(spark, **kw)
+    return clean_klines(raw, market_type="SPOT", interval="1h")
+
+
+def test_clean_klines_schema_and_keep_last(spark):
+    raw = synthetic_klines_raw(spark, n_symbols=3, bars_per_symbol=100, overlap_bars=10)
+    out = clean_klines(raw, market_type="SPOT", interval="1h")
+    assert [f.name for f in out.schema.fields] == [f.name for f in KLINES.fields]
+    # exactly one row per (symbol, timestamp); overlap resolved
+    assert out.count() == 3 * 100
+    # the re-fetched (src_order=1) values must win: bar_i=95 is in the
+    # overlap tail, so volume = 1000 + (95%100)*7 + 10 (the +10 re-fetch mark)
+    tail = out.filter(F.col("timestamp") == F.to_timestamp(F.lit("2024-01-04 23:00:00")))
+    vols = [r.volume for r in tail.collect()]
+    assert vols == [1675.0] * 3
+
+
+def test_serving_table_append_read_dedup(spark, tmp_path):
+    t = _table(tmp_path)
+    batch1 = _clean(spark, n_symbols=2, bars_per_symbol=48, overlap_bars=0)
+    t.append(batch1, ingest_seq=1)
+    # second ingest: same rows re-fetched with different volume -> must win
+    batch2 = batch1.withColumn("volume", F.col("volume") + 10000.0).limit(20)
+    t.append(batch2, ingest_seq=2)
+
+    raw = t.read_raw(spark)
+    assert raw.count() == 2 * 48 + 20  # all versions on disk
+    snap = t.read(spark)
+    assert snap.count() == 2 * 48  # dedup to newest per key
+    assert snap.filter(F.col("volume") > 10000.0).count() == 20
+
+    # month partition dirs exist (toYYYYMM analogue)
+    parts = [d for d in os.listdir(t.path) if d.startswith("month=")]
+    assert parts, "expected month= partition dirs"
+
+
+def test_serving_table_compact(spark, tmp_path):
+    t = _table(tmp_path)
+    b = _clean(spark, n_symbols=2, bars_per_symbol=48, overlap_bars=0)
+    t.append(b, ingest_seq=1)
+    t.append(b.withColumn("volume", F.col("volume") * 2), ingest_seq=2)
+    before_files = t.read_raw(spark).count()
+    t.compact(spark)
+    after = t.read_raw(spark)
+    assert after.count() == 2 * 48 < before_files  # one version per key on disk
+    # post-compaction snapshot identical to pre-compaction dedup view
+    assert t.read(spark).count() == 2 * 48
+
+
+def test_partition_pruning_on_month(spark, tmp_path):
+    t = _table(tmp_path)
+    # 1500 hourly bars ≈ 2+ months -> several month partitions
+    t.append(_clean(spark, n_symbols=2, bars_per_symbol=1500, overlap_bars=0), ingest_seq=1)
+    snap = t.read_raw(spark).filter(F.col("month") == 202401)
+    plan = snap._jdf.queryExecution().executedPlan().toString()
+    assert snap.count() == 2 * 31 * 24  # January only
+    # the parquet scan must carry a partition filter, not a post-scan filter
+    assert "PartitionFilters: [isnotnull(month" in plan or "month#" in plan
+
+
+def test_max_watermark(spark, tmp_path):
+    t = _table(tmp_path)
+    t.append(_clean(spark, n_symbols=2, bars_per_symbol=48, overlap_bars=0), ingest_seq=1)
+    wm = {r.symbol: r.last_ts for r in t.max_watermark(spark, per="symbol").collect()}
+    assert len(wm) == 2
+    assert all(ts.hour == 23 for ts in wm.values())
