@@ -1,0 +1,117 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure built-in expressions (JVM-side, codegen'd, no UDFs): per-document
+features compute in one narrow projection pass — at 100 TB this runs at scan
+speed with full column pruning, no shuffle.
+
+Operators: token counting (whitespace + BPE-ish regex chunks), quality
+scoring (length / uniqueness / stopword ratios), language-ID heuristic
+(stopword hit-rate), document fingerprinting (md5 content hash + min-shingle
+rolling fingerprint), SimHash (16-bit, frequency-weighted).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from binance_etl_clickhouse_spark.operators.texthash import hash31, hash60, tokens
+
+#: tiny English-ish stopword list; the heuristic's signal, not linguistics
+STOPWORDS = ["the", "a"]
+
+#: BPE-ish chunking: greedy runs of up to 4 word chars — a cheap stand-in for
+#: subword token counting ("how many ~4-char pieces is this text")
+BPE_CHUNK_RE = "[a-zA-Z0-9]{1,4}"
+
+SIMHASH_BITS = 16
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_chunk_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_CHUNK_RE))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality metrics + a composite keep/drop score.
+
+    distinct_ratio (vocabulary richness) and stopword_ratio are the classic
+    cheap quality signals; quality_score is a simple calibrated blend.
+    """
+    w = tokens(text_col)
+    n_tok = F.size(w)
+    n_chars = F.length(F.col(text_col))
+    distinct_ratio = F.size(F.array_distinct(w)) / n_tok
+    stop_hits = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    stopword_ratio = stop_hits / n_tok
+    avg_token_len = (n_chars - (n_tok - 1)) / n_tok  # chars minus separators
+    score = (
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
+        + distinct_ratio * 0.4
+        + (1 - stopword_ratio) * 0.2
+    )
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        bpe_chunk_count(text_col).alias("n_bpe_chunks"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(stopword_ratio, 6).alias("stopword_ratio"),
+        F.round(avg_token_len, 6).alias("avg_token_len"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def langid_heuristic(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit-rate language ID: 'en' when the English stopword ratio
+    clears a threshold, else 'other'. (Real n-gram models plug in the same
+    shape: per-language score columns -> greatest().)"""
+    w = tokens(text_col)
+    ratio = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))) / F.size(w)
+    return df.select(
+        "doc_id",
+        "lang",
+        F.round(ratio, 6).alias("en_stopword_ratio"),
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("other")).alias("lang_pred"),
+    )
+
+
+def content_fingerprint(col: Column | str) -> Column:
+    """Exact-dup fingerprint: md5 of the normalized (lower/trim) content."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.lower(F.trim(c)))
+
+
+def min_shingle_fingerprint(shingle_col: Column) -> Column:
+    """Rolling-hash-style fingerprint: minimum 60-bit hash over the document's
+    shingle set (a 1-permutation MinHash). Equal fingerprints => high overlap
+    candidates; used as a cheap near-dup pre-cluster key at scale."""
+    return F.array_min(F.transform(shingle_col, lambda s: hash60(s)))
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """16-bit frequency-weighted SimHash per document.
+
+    explode tokens -> per-bit +/-1 sums -> sign bits reassembled. One shuffle
+    on the doc id with partial (map-side) aggregation; at scale this is a
+    plain mergeable agg, no state.
+    """
+    tok = df.select(id_col, F.explode(tokens(text_col)).alias("tok"))
+    h = tok.withColumn("h", hash31("tok") % F.lit(1 << SIMHASH_BITS))
+    bit_sums = h.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    val = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        val = term if val is None else val + term
+    return bit_sums.select(id_col, val.alias("simhash"))

@@ -1,0 +1,313 @@
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal — over the documents/embeddings tables, each with a DuckDB oracle
+generated from the same hash constants (operators.texthash) so the engine
+and oracle cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binance_etl_clickhouse_spark.operators import neardup, similarity, text
+from binance_etl_clickhouse_spark.operators.multimodal import (
+    attach_binary_content,
+    extract_media_features,
+)
+from binance_etl_clickhouse_spark.operators.neardup import LSH_BANDS
+from binance_etl_clickhouse_spark.operators.texthash import (
+    M31,
+    hash31_sql,
+    minhash_perm_sql,
+    shingles_sql,
+)
+from binance_etl_clickhouse_spark.queries.registry import register
+from binance_etl_clickhouse_spark.tables import load_table as _t
+
+# ---------------------------------------------------------------------------
+# Shared oracle CTE fragments (DuckDB). sh = distinct 3-shingle inverted
+# index; sizes/common = Jaccard machinery — mirrors operators.neardup.
+# ---------------------------------------------------------------------------
+
+_SH_CTE = f"""
+  docs AS (SELECT doc_id, text FROM documents),
+  sh AS (
+    SELECT doc_id, unnest({shingles_sql("text", 3)}) AS s FROM docs
+  ),
+  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+  common AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ),
+  jac AS (
+    SELECT d1, d2, c * 1.0 / (s1.n + s2.n - c) AS j
+    FROM common
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: md5 content fingerprint -> canonical id per group.
+# ---------------------------------------------------------------------------
+@register(
+    "exact_dedup_canonical",
+    """
+    SELECT md5(lower(trim(text))) AS fingerprint,
+           min(doc_id) AS canonical_id, count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+    survey_ref="dedup: exact hash-groupBy",
+)
+def exact_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return neardup.exact_dup_canonical(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (k=3, tau=0.5).
+# ---------------------------------------------------------------------------
+@register(
+    "ngram_jaccard_neardup",
+    f"""
+    WITH {_SH_CTE}
+    SELECT d1, d2, round(j, 6) AS jaccard FROM jac WHERE j >= 0.5
+    """,
+    survey_ref="dedup: n-gram Jaccard",
+)
+def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return neardup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.5
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup: 24 perms, 12 bands x 2 rows, exact-Jaccard verified.
+# ---------------------------------------------------------------------------
+
+
+def _minhash_oracle() -> str:
+    mh_exprs = ",\n      ".join(
+        f"min({minhash_perm_sql(j, 'hv')}) AS mh{j}" for j in range(2 * LSH_BANDS)
+    )
+    band_list = ", ".join(
+        f"md5(concat_ws(',', {t}, mh{2 * t}, mh{2 * t + 1}))" for t in range(LSH_BANDS)
+    )
+    return f"""
+    WITH {_SH_CTE},
+    h AS (SELECT doc_id, {hash31_sql("s")} AS hv FROM sh),
+    mh AS (SELECT doc_id,
+      {mh_exprs}
+      FROM h GROUP BY doc_id),
+    bands AS (SELECT doc_id, unnest([{band_list}]) AS bv FROM mh),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b ON a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT d1, d2, round(j, 6) AS jaccard
+    FROM cand JOIN jac USING (d1, d2) WHERE j >= 0.5
+    """
+
+
+@register(
+    "minhash_lsh_neardup",
+    _minhash_oracle(),
+    survey_ref="dedup: MinHash+LSH (shingle -> minhash -> band -> bucket-join)",
+)
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return neardup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# SimHash signatures (16-bit, frequency-weighted).
+# ---------------------------------------------------------------------------
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ",\n      ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(text.SIMHASH_BITS)
+    )
+    val = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(text.SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    h AS (SELECT doc_id, {hash31_sql("t")} % {1 << text.SIMHASH_BITS} AS h FROM tok),
+    bits AS (SELECT doc_id,
+      {bit_sums}
+      FROM h GROUP BY doc_id)
+    SELECT doc_id, {val} AS simhash FROM bits
+    """
+
+
+@register(
+    "simhash_signatures",
+    _simhash_oracle(),
+    survey_ref="dedup: SimHash",
+)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.simhash(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup pairs (exact baseline, tau=0.45).
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_cosine_neardup",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS v1, b.vec_id AS v2,
+             round(list_inner_product(a.v, b.v)
+                   / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6)
+               AS cos_sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT v1, v2, cos_sim FROM p WHERE cos_sim >= 0.45
+    """,
+    survey_ref="dedup: embedding-cosine near-dup",
+)
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return neardup.embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k vs the vec_id=0 query vector (ANN exact baseline).
+# ---------------------------------------------------------------------------
+@register(
+    "ann_bruteforce_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_inner_product(v, qv)
+                 / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))), 6)
+             AS cos_sim
+    FROM e CROSS JOIN q WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    survey_ref="similarity: brute-force cosine top-k",
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = v.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    sim = similarity.cosine_expr(F.col("v"), F.col("qv"))
+    return (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(sim, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (the scale path) — rows-only check: the bucket prefilter
+# is deterministic but its oracle would duplicate the engine, not test it.
+# ---------------------------------------------------------------------------
+@register(
+    "ann_lsh_topk",
+    None,
+    survey_ref="similarity: sign-LSH bucketed ANN",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.lsh_topk(emb, qv, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: quality features, language ID, token counts, fingerprints.
+# ---------------------------------------------------------------------------
+@register(
+    "text_quality_scores",
+    f"""
+    WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(toks) AS n_tokens,
+           len(regexp_extract_all(text, '{text.BPE_CHUNK_RE}')) AS n_bpe_chunks,
+           round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS distinct_ratio,
+           round(len(list_filter(toks, t -> t IN ('the', 'a'))) * 1.0 / len(toks), 6)
+             AS stopword_ratio,
+           round((length(text) - (len(toks) - 1)) * 1.0 / len(toks), 6) AS avg_token_len,
+           round(least(len(toks) / 100.0, 1.0) * 0.4
+                 + (len(list_distinct(toks)) * 1.0 / len(toks)) * 0.4
+                 + (1 - len(list_filter(toks, t -> t IN ('the', 'a'))) * 1.0 / len(toks)) * 0.2,
+                 6) AS quality_score
+    FROM w
+    """,
+    survey_ref="text: quality scoring + token counting",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_features(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "langid_heuristic",
+    """
+    WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id, lang,
+           round(len(list_filter(toks, t -> t IN ('the', 'a'))) * 1.0 / len(toks), 6)
+             AS en_stopword_ratio,
+           CASE WHEN len(list_filter(toks, t -> t IN ('the', 'a'))) * 1.0 / len(toks) >= 0.05
+                THEN 'en' ELSE 'other' END AS lang_pred
+    FROM w
+    """,
+    survey_ref="text: language-ID heuristic",
+)
+def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.langid_heuristic(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprints",
+    f"""
+    WITH d AS (
+      SELECT doc_id, md5(lower(trim(text))) AS content_fp,
+             {shingles_sql("text", 3)} AS sh
+      FROM documents
+    )
+    SELECT doc_id, content_fp,
+           list_min([('0x' || substr(md5(s), 1, 15))::BIGINT for s in sh]) AS shingle_fp
+    FROM d
+    """,
+    survey_ref="text: document fingerprinting (content md5 + min-shingle)",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    from binance_etl_clickhouse_spark.operators.texthash import shingles
+
+    return docs.select(
+        "doc_id",
+        text.content_fingerprint("text").alias("content_fp"),
+        text.min_shingle_fingerprint(shingles("text", 3)).alias("shingle_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary plumbing: binary column + metadata struct + Arrow-batched
+# feature extraction (fake decoder; real decode is a stubbed seam).
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_binary_features",
+    """
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS digest,
+           CAST(octet_length(encode(text)) % 1920 AS INTEGER) AS fake_width,
+           CAST(octet_length(encode(text)) % 1080 AS INTEGER) AS fake_height
+    FROM documents
+    """,
+    survey_ref="multimodal: binary column + mapInPandas feature extraction",
+)
+def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_binary_content(_t(spark, sf_dir, "documents"))
+    return extract_media_features(media)

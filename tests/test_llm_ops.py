@@ -1,0 +1,61 @@
+"""Unit tests for LLM-pipeline operators beyond the oracle parity suite:
+LSH recall vs brute force, multimodal stub seam, signature properties."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from binance_etl_clickhouse_spark.operators.multimodal import (
+    attach_binary_content,
+    extract_media_features,
+)
+from binance_etl_clickhouse_spark.operators.similarity import brute_force_topk, lsh_topk
+from binance_etl_clickhouse_spark.operators.text import simhash
+from binance_etl_clickhouse_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark):
+    emb = load_table(spark, SF, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    exact = {r.vec_id for r in brute_force_topk(emb, qv, k=10).collect()}
+    approx = {r.vec_id for r in lsh_topk(emb, qv, k=10).collect()}
+    # probabilistic structure but deterministic planes+data: 6 planes with
+    # 2-bit multiprobe probes ~22/64 of the space; measured recall 5/10 here
+    assert len(approx & exact) >= 4
+    # the query vector itself (vec_id=7, cos=1) must be found
+    assert 7 in approx
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    media = attach_binary_content(load_table(spark, SF, "documents").limit(5))
+    feats = extract_media_features(media, real_decode=True)
+    with pytest.raises(Exception, match="NotImplementedError|media decoding"):
+        feats.collect()
+
+
+def test_multimodal_fake_decode_features(spark):
+    docs = load_table(spark, SF, "documents").limit(20)
+    media = attach_binary_content(docs)
+    feats = extract_media_features(media).collect()
+    n_chars = {r.doc_id: r.n_chars for r in docs.select("doc_id", "n_chars").collect()}
+    for r in feats:
+        assert r.n_bytes == n_chars[r.media_id]  # ascii text: bytes == chars
+        assert len(r.digest) == 32
+
+
+def test_simhash_similar_docs_close(spark):
+    # a doc is hamming-close to itself with a word changed, far from random
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy cat again and again"),
+            (3, "completely unrelated words about spark shuffles and parquet files"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(sh[1], sh[2]) < ham(sh[1], sh[3])
