@@ -209,3 +209,24 @@ class Pipeline:
             if once:
                 return
             time.sleep(update_interval_s)
+
+
+def main() -> None:  # pragma: no cover — thin CLI (≙ run_pipeline.py:99-105)
+    import argparse
+
+    from binance_etl_clickhouse_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description="Run the ETL pipeline")
+    ap.add_argument("--base-dir", default="./spark_warehouse")
+    ap.add_argument("--once", action="store_true", help="single run, then exit")
+    ap.add_argument("--interval-seconds", type=float, default=3600.0)
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="pipeline")
+    Pipeline(spark, args.base_dir).run(
+        once=args.once, update_interval_s=args.interval_seconds
+    )
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

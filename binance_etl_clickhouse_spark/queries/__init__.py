@@ -17,3 +17,4 @@ from binance_etl_clickhouse_spark.queries.registry import (  # noqa: F401
 # Importing these modules populates the registry.
 from binance_etl_clickhouse_spark.queries import relational  # noqa: F401,E402
 from binance_etl_clickhouse_spark.queries import llm  # noqa: F401,E402
+from binance_etl_clickhouse_spark.queries import analytics  # noqa: F401,E402

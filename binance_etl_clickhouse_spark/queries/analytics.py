@@ -1,0 +1,138 @@
+"""Analytics extension queries (SURVEY.md §7): as-of join, OHLC resampling,
+sessionization — the operators the reference's schema exists to serve but
+delegates to its serving engine. Oracles use the identical window
+constructions so semantics (tie-breaks, gap boundaries) are pinned exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from binance_etl_clickhouse_spark.operators.asof import asof_join
+from binance_etl_clickhouse_spark.operators.sessionize import session_stats
+from binance_etl_clickhouse_spark.queries.registry import register
+from binance_etl_clickhouse_spark.tables import load_table as _t
+
+
+# ---------------------------------------------------------------------------
+# As-of join: each purchase gets the most recent prior-or-equal click value
+# of the same user. One shuffle on user_id (union-window construction).
+# ---------------------------------------------------------------------------
+@register(
+    "asof_join_purchase_click",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT user_id, ts AS rts, value AS rvalue FROM events WHERE event_type = 'click'
+    ),
+    merged AS (
+      SELECT user_id, ts AS __ts, 1 AS __side, event_id, ts, value,
+             NULL::DOUBLE AS rv
+      FROM l
+      UNION ALL
+      SELECT user_id, rts, 0, NULL, NULL, NULL, rvalue FROM r
+    ),
+    wv AS (
+      SELECT *,
+             last_value(rv IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY __ts, __side
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS click_value_asof
+      FROM merged
+    )
+    SELECT event_id, user_id, ts, value, click_value_asof FROM wv WHERE __side = 1
+    """,
+    survey_ref="§2.4/§7 as-of join (klines<->funding alignment shape)",
+)
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    return asof_join(left, right, on="ts", by=["user_id"], value_cols=["click_value"])
+
+
+# ---------------------------------------------------------------------------
+# OHLC resample of the per-user value series into hourly bars with explicit
+# row_number endpoints (deterministic tie-break (ts, event_id) in BOTH
+# engines; DuckDB's arg_min can't take composite keys).
+# ---------------------------------------------------------------------------
+@register(
+    "resample_ohlc_hourly",
+    """
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket_start, ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT user_id, bucket_start,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high, min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           round(sum(value), 4) AS volume, count(*) AS n_events
+    FROM b GROUP BY user_id, bucket_start
+    """,
+    survey_ref="T5/§7 OHLC bar resampling",
+)
+def resample_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", F.col("ts"))
+    wa = Window.partitionBy("user_id", bucket).orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", bucket).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    b = ev.select(
+        "user_id",
+        bucket.alias("bucket_start"),
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return b.groupBy("user_id", "bucket_start").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.round(F.sum("value"), 4).alias("volume"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: 30-minute inactivity gap, per-session stats.
+# ---------------------------------------------------------------------------
+@register(
+    "sessionization_stats",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM g
+    )
+    SELECT user_id, session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM s GROUP BY user_id, session_id
+    """,
+    survey_ref="§7 sessionization (lag + gap cumsum)",
+)
+def sessionization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_stats(_t(spark, sf_dir, "events"), gap="30 minutes")

@@ -1,0 +1,135 @@
+"""Streaming jobs + klines-shaped analytics operators (as-of, OHLC resample)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from binance_etl_clickhouse_spark.operators.asof import asof_join
+from binance_etl_clickhouse_spark.operators.etl import clean_funding_rates, clean_klines
+from binance_etl_clickhouse_spark.operators.resample import resample_ohlcv
+from binance_etl_clickhouse_spark.schemas import KLINES, KLINES_PK
+from binance_etl_clickhouse_spark.sources.synthetic import (
+    synthetic_funding_raw,
+    synthetic_klines_raw,
+)
+from binance_etl_clickhouse_spark.storage.table import INGEST_SEQ, ServingTable
+from binance_etl_clickhouse_spark.streaming.jobs import (
+    stream_ingest_staging,
+    stream_resample_bars,
+)
+from binance_etl_clickhouse_spark.tables import load_table
+
+
+def _klines(spark, n_symbols=2, bars=72):
+    raw = synthetic_klines_raw(spark, n_symbols=n_symbols, bars_per_symbol=bars, overlap_bars=0)
+    return clean_klines(raw, market_type="SPOT", interval="1h")
+
+
+def test_resample_ohlcv_1d(spark):
+    k = _klines(spark, n_symbols=2, bars=72)  # 3 days of hourly bars
+    daily = resample_ohlcv(k, "1 day")
+    rows = daily.collect()
+    assert len(rows) == 2 * 3
+    one = [r for r in rows if r.symbol == "SYM000USDT" and r.bucket_start.day == 1][0]
+    assert one.n_bars == 24
+    hourly = {
+        r.timestamp.hour: r
+        for r in k.filter(
+            (F.col("symbol") == "SYM000USDT") & (F.dayofmonth("timestamp") == 1)
+        ).collect()
+    }
+    assert one.open == hourly[0].open  # first bar's open
+    assert one.close == hourly[23].close  # last bar's close
+    assert abs(one.volume - sum(h.volume for h in hourly.values())) < 1e-6
+
+
+def test_asof_join_klines_funding(spark):
+    k = _klines(spark, n_symbols=2, bars=48)
+    funding = clean_funding_rates(
+        synthetic_funding_raw(spark, n_symbols=2, n_periods=6, overlap=0)
+    )
+    joined = asof_join(
+        k,
+        funding.select("symbol", "fundingTime", "fundingRate"),
+        on="timestamp",
+        right_on="fundingTime",
+        by=["symbol"],
+        value_cols=["fundingRate"],
+    )
+    assert joined.count() == k.count()
+    # a kline at 07:00 sees the 00:00 funding rate; at 08:00 the 08:00 one
+    r7 = joined.filter(
+        (F.col("symbol") == "SYM000USDT") & (F.hour("timestamp") == 7) & (F.dayofmonth("timestamp") == 1)
+    ).first()
+    r8 = joined.filter(
+        (F.col("symbol") == "SYM000USDT") & (F.hour("timestamp") == 8) & (F.dayofmonth("timestamp") == 1)
+    ).first()
+    fr = {
+        r.fundingTime.hour: r.fundingRate
+        for r in funding.filter(
+            (F.col("symbol") == "SYM000USDT") & (F.dayofmonth("fundingTime") == 1)
+        ).collect()
+    }
+    assert r7.fundingRate_asof == fr[0]
+    assert r8.fundingRate_asof == fr[8]
+
+
+def test_stream_ingest_staging_available_now(spark, tmp_path):
+    staging = str(tmp_path / "staging")
+    k = _klines(spark)
+    k.write.mode("append").parquet(staging)
+    table = ServingTable(
+        path=str(tmp_path / "serving"),
+        keys=KLINES_PK,
+        time_col="timestamp",
+        sort_cols=["symbol", "type", "interval", "timestamp"],
+    )
+    q = stream_ingest_staging(
+        spark, staging, KLINES, table, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    snap = table.read(spark)
+    assert snap.count() == k.count()
+    # restart with no new files -> checkpoint prevents re-ingest
+    q2 = stream_ingest_staging(
+        spark, staging, KLINES, table, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(120)
+    assert table.read_raw(spark).count() == k.count()  # no duplicate versions
+
+
+def test_stream_resample_with_watermark(spark):
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    # drive the streaming agg with a bounded memory source: use the batch df
+    # through the same builder to validate plan + results parity
+    agg = stream_resample_bars(ev)  # batch DataFrame flows through identically
+    batch_equiv = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("bucket_start"), "user_id", "n", "total_value")
+    )
+    assert sorted(map(tuple, agg.collect())) == sorted(map(tuple, batch_equiv.collect()))
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    staging = str(tmp_path / "staging")
+    k = _klines(spark, n_symbols=1, bars=24)
+    dup = k.unionByName(k.limit(10))  # 10 duplicate rows in the same batch
+    dup.write.mode("append").parquet(staging)
+    table = ServingTable(
+        path=str(tmp_path / "serving"),
+        keys=KLINES_PK,
+        time_col="timestamp",
+        sort_cols=["symbol", "type", "interval", "timestamp"],
+    )
+    q = stream_ingest_staging(
+        spark,
+        staging,
+        KLINES,
+        table,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        dedup_keys=["symbol", "type", "interval", "timestamp"],
+        watermark=("timestamp", "1 hour"),
+    )
+    q.awaitTermination(120)
+    assert table.read_raw(spark).count() == 24  # dups dropped in-stream
