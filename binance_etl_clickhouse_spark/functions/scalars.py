@@ -44,3 +44,19 @@ def month_bucket(col: Column | str) -> Column:
     (crypto_data_pipeline_clickhouse.py:570). Returns int like 202401."""
     c = F.col(col) if isinstance(col, str) else col
     return F.date_format(c, "yyyyMM").cast("int")
+
+
+def extract_nested_filter(
+    filters_col: Column | str, filter_type: str, field: str
+) -> Column:
+    """S1: pull one field out of an exchange-info style array<struct> filter
+    list ≙ ``next(f for f in filters if f['filterType'] == X)[field]``
+    (reference crypto_data_pipeline_clickhouse.py:118-137) as a pure
+    expression: filter(array, pred) -> try_element_at(1) -> field. NULL when
+    the filter type is absent (the reference's missing-filter case;
+    try_element_at because Spark 4's ANSI mode makes element_at throw on
+    empty arrays).
+    """
+    c = F.col(filters_col) if isinstance(filters_col, str) else filters_col
+    matched = F.filter(c, lambda f: f["filterType"] == filter_type)
+    return F.try_element_at(matched, F.lit(1))[field]
