@@ -1,0 +1,69 @@
+"""AnalyticsEngine — the ad-hoc query entry point (SURVEY.md §3.3).
+
+The reference's ``clickhouse_query(client, sql)`` ships a SQL string to the
+server and wraps rows + server column names into a DataFrame with a
+wall-clock print (utils_clickhouse.py:36-43). Here the engine IS Spark:
+``sql()`` runs against registered temp views (serving-table dedup snapshots
+and/or testdata tables), Catalyst does parse/analyze/optimize/execute, and
+the same timing hook is preserved.
+
+Parameters are bound server-side via ``spark.sql(..., args=...)`` — unlike
+the reference's f-string interpolation (crypto_data_pipeline_clickhouse.py
+:326-328), values never splice into SQL text.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from binance_etl_clickhouse_spark.pipeline import Pipeline
+
+
+class AnalyticsEngine:
+    def __init__(self, spark: SparkSession, verbose: bool = True):
+        self.spark = spark
+        self.verbose = verbose
+
+    def register_pipeline_tables(self, pipeline: Pipeline) -> None:
+        """Expose every serving table's dedup SNAPSHOT as a view (≙ querying
+        ClickHouse, where ReplacingMergeTree dedup is the served state)."""
+        views = {
+            "bn_spot_symbols": pipeline.spot_symbols,
+            "bn_perp_symbols": pipeline.perp_symbols,
+            "bn_klines": pipeline.klines,
+            "bn_funding_rates": pipeline.funding_rates,
+            "bn_margin_rates": pipeline.margin_rates,
+        }
+        for name, table in views.items():
+            if table.exists():
+                table.read(self.spark).createOrReplaceTempView(name)
+        import os
+
+        if os.path.isdir(pipeline.logs_path):
+            self.spark.read.parquet(pipeline.logs_path).createOrReplaceTempView(
+                "pipeline_logs"
+            )
+
+    def register_testdata(self, sf_dir: str) -> None:
+        from binance_etl_clickhouse_spark.tables import register_views
+
+        register_views(self.spark, sf_dir)
+
+    def sql(self, query: str, args: dict | list | None = None) -> DataFrame:
+        """Run SQL with the reference's per-query wall-clock hook."""
+        t0 = time.perf_counter()
+        df = self.spark.sql(query, args=args) if args else self.spark.sql(query)
+        if self.verbose:
+            # plan time only; execution is lazy — time the action too
+            print(f"[engine] planned in {time.perf_counter() - t0:.3f}s: {query[:80]!r}")
+        return df
+
+    def sql_pandas(self, query: str, args: dict | list | None = None):
+        """≙ clickhouse_query's DataFrame return: execute AND fetch, timed."""
+        t0 = time.perf_counter()
+        out = self.sql(query, args).toPandas()
+        if self.verbose:
+            print(f"[engine] executed in {time.perf_counter() - t0:.3f}s, {len(out)} rows")
+        return out

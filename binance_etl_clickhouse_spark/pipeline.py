@@ -43,6 +43,14 @@ from binance_etl_clickhouse_spark.storage.state import ProgressTable
 from binance_etl_clickhouse_spark.storage.table import INGEST_SEQ, ServingTable
 
 
+#: F10 — legacy per-interval table-name suffixes (reference :560, :668);
+#: kept only for importing/exporting data laid out the reference's way.
+INTERVAL_TABLE_SUFFIX = {
+    "1m": "1min", "5m": "5min", "15m": "15min", "30m": "30min",
+    "1h": "1hour", "4h": "4hour", "1d": "1day",
+}
+
+
 @dataclass
 class PipelineConfig:
     """≙ config.json (reference :1-36): intervals, quote filter, workers."""
@@ -54,6 +62,18 @@ class PipelineConfig:
     fetch_partitions: int = 8
     n_spot_symbols: int = 8
     n_perp_symbols: int = 6
+
+    @classmethod
+    def from_json(cls, path: str) -> "PipelineConfig":
+        """S9: config scan — accepts both this engine's field names and the
+        reference's config.json keys (intervals / quote_assets)."""
+        import json
+
+        with open(path) as f:
+            raw = json.load(f)
+        known = {f_.name for f_ in __import__("dataclasses").fields(cls)}
+        kw = {k: v for k, v in raw.items() if k in known}
+        return cls(**kw)
 
 
 class Pipeline:

@@ -19,3 +19,4 @@ from binance_etl_clickhouse_spark.queries import relational  # noqa: F401,E402
 from binance_etl_clickhouse_spark.queries import llm  # noqa: F401,E402
 from binance_etl_clickhouse_spark.queries import analytics  # noqa: F401,E402
 from binance_etl_clickhouse_spark.queries import extended  # noqa: F401,E402
+from binance_etl_clickhouse_spark.queries import windows  # noqa: F401,E402
