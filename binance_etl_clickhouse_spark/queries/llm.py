@@ -311,3 +311,70 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_binary_content(_t(spark, sf_dir, "documents"))
     return extract_media_features(media)
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs: signature self-join on hamming distance <= 3.
+# At scale the join prefilters on signature bands (split the 16 bits into
+# 4 nibbles; pairs within hamming<=3 share at least one nibble) — here the
+# 500-doc all-pairs form is exact and oracle-matched.
+# ---------------------------------------------------------------------------
+
+
+def _simhash_pairs_oracle() -> str:
+    inner = _simhash_oracle().strip()
+    return f"""
+    WITH sig AS ({inner})
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) <= 3
+    """
+
+
+@register(
+    "simhash_neardup_pairs",
+    _simhash_pairs_oracle(),
+    survey_ref="dedup: SimHash hamming pairs",
+)
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = text.simhash(_t(spark, sf_dir, "documents"))
+    a = sig.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("s1"))
+    b = sig.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("s2"))
+    ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .select("d1", "d2", ham.alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed embedding near-dup (the 100 TB path for
+# embedding_cosine_neardup): candidate pairs only within a shared sign-LSH
+# bucket, then exact cosine. Rows-only check (recall is probabilistic; the
+# exact variant above is the oracle-matched baseline).
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_lsh_neardup",
+    None,
+    survey_ref="dedup: embedding near-dup, LSH-bucketed scale path",
+)
+def embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_clickhouse_spark.operators.similarity import (
+        cosine_expr,
+        random_hyperplane_buckets,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bucketed = random_hyperplane_buckets(emb, n_planes=4)
+    v = bucketed.select(
+        "vec_id", "bucket", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = v.select(F.col("vec_id").alias("v1"), F.col("bucket"), F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("v2"), F.col("bucket"), F.col("v").alias("vb"))
+    pair = a.join(b, ["bucket"]).filter(F.col("v1") < F.col("v2"))
+    sim = cosine_expr(F.col("va"), F.col("vb"))
+    return pair.select(
+        "v1", "v2", F.round(sim, 6).alias("cos_sim")
+    ).filter(F.col("cos_sim") >= 0.45)

@@ -1,0 +1,70 @@
+"""Physical-plan regression tests: the plan properties that matter at 100 TB
+must survive refactors — filter/column pushdown to the scan, broadcast
+joins for small dims, partial top-1 before the dedup shuffle, top-n without
+a full sort, partition pruning on the month key."""
+
+from __future__ import annotations
+
+from binance_etl_clickhouse_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name].spark(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "filter_range_ts")
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = _plan(spark, "project_literals")
+    assert (
+        "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,"
+        "l_quantity:double,l_extendedprice:double>" in plan
+    )
+
+
+def test_small_dim_join_broadcasts(spark):
+    assert "BroadcastHashJoin" in _plan(spark, "broadcast_dim_join")
+
+
+def test_anti_join_broadcasts(spark):
+    plan = _plan(spark, "anti_join_completed")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_keep_last_dedup_partial_limit_before_shuffle(spark):
+    # Spark's WindowGroupLimit: per-partition top-1 BEFORE the exchange, so
+    # the shuffle moves at most one row per (key, input-partition)
+    plan = _plan(spark, "keep_last_dedup")
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert "Exchange hashpartitioning" in plan
+
+
+def test_topn_avoids_global_sort(spark):
+    assert "TakeOrderedAndProject" in _plan(spark, "orderby_limit_topn")
+
+
+def test_partition_pruning_on_serving_table(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from binance_etl_clickhouse_spark.operators.etl import clean_klines
+    from binance_etl_clickhouse_spark.schemas import KLINES_PK
+    from binance_etl_clickhouse_spark.sources.synthetic import synthetic_klines_raw
+    from binance_etl_clickhouse_spark.storage.table import ServingTable
+
+    t = ServingTable(
+        path=str(tmp_path / "k"),
+        keys=KLINES_PK,
+        time_col="timestamp",
+        sort_cols=["symbol", "type", "interval", "timestamp"],
+    )
+    raw = synthetic_klines_raw(spark, n_symbols=2, bars_per_symbol=1500, overlap_bars=0)
+    t.append(clean_klines(raw, "SPOT", "1h"), ingest_seq=1)
+    q = t.read_raw(spark).filter(F.col("month") == 202401)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(month" in plan
