@@ -157,8 +157,16 @@ class Pipeline:
         raw = fetch_historical_klines(
             pending, page_fn, cfg.start_ms, cfg.end_ms, fetch_cfg, cfg.fetch_partitions
         )
-        cleaned = clean_klines(raw, market_type=market_type, interval=interval)
+        from pyspark.sql import Observation
+
+        obs = Observation(f"ingest_{market_type}_{interval}")
+        cleaned = clean_klines(raw, market_type=market_type, interval=interval).observe(
+            # DISTINCT aggs are disallowed in observed metrics -> HLL estimate
+            obs, F.count(F.lit(1)).alias("rows"), F.approx_count_distinct("symbol").alias("symbols")
+        )
         self.klines.append(cleaned, self._next_seq(self.klines))
+        # A2: pipeline metrics ride the write job itself (no second scan)
+        self.last_ingest_metrics = dict(obs.get)
         progress.mark_done(pending)
         n = int(
             self.klines.read_raw(self.spark)

@@ -204,9 +204,16 @@ def synthetic_page_fn(
 
 
 def binance_rest_page_fn(
-    market: str = "spot", interval: str = "1h", base_url: str | None = None
+    market: str = "spot",
+    interval: str = "1h",
+    base_url: str | None = None,
+    proxies: list[str] | None = None,
 ) -> PageFn:
+    """``proxies``: optional proxy-pool URLs; one is chosen per process
+    (≙ the reference's random rotation at fetcher init, C5 — here keyed on
+    pid so each executor worker pins a different pool member)."""
     import json
+    import os
     import re
     import urllib.request
 
@@ -215,6 +222,12 @@ def binance_rest_page_fn(
         if market == "spot"
         else "https://fapi.binance.com/fapi/v1/klines"
     )
+    opener = urllib.request.build_opener()
+    if proxies:
+        chosen = proxies[os.getpid() % len(proxies)]
+        opener = urllib.request.build_opener(
+            urllib.request.ProxyHandler({"http": chosen, "https": chosen})
+        )
 
     def page(symbol: str, start_ms: int, end_ms: int, limit: int) -> list[list]:
         q = (
@@ -222,7 +235,7 @@ def binance_rest_page_fn(
             f"&startTime={start_ms}&endTime={end_ms}&limit={limit}"
         )
         try:
-            with urllib.request.urlopen(q, timeout=30) as resp:
+            with opener.open(q, timeout=30) as resp:
                 return json.loads(resp.read())
         except urllib.error.HTTPError as e:  # pragma: no cover — network only
             if e.code in (418, 429):

@@ -64,3 +64,38 @@ def test_config_from_json(tmp_path):
     assert cfg.quote_assets == ["USDT"]
     assert cfg.n_spot_symbols == 3
     assert INTERVAL_TABLE_SUFFIX["1m"] == "1min"  # F10 mapping retained
+
+
+def test_observe_metrics_ride_ingest(spark, tmp_path):
+    cfg = PipelineConfig(
+        intervals=["1h"], end_ms=1704067200000 + 23 * 3_600_000,
+        n_spot_symbols=4, n_perp_symbols=2, fetch_partitions=2,
+    )
+    p = Pipeline(spark, str(tmp_path / "db"), cfg)
+    p.update_symbols()
+    p.update_klines("SPOT", "1h")
+    # A2: counts observed on the write job itself, no second scan
+    assert p.last_ingest_metrics == {"rows": 48, "symbols": 2}
+
+
+def test_progress_clear_after_load(spark, tmp_path):
+    from binance_etl_clickhouse_spark.storage.state import ProgressTable
+
+    pt = ProgressTable(str(tmp_path / "progress"))
+    syms = spark.createDataFrame([("A",), ("B",)], ["symbol"])
+    pt.mark_done(syms)
+    assert pt.read(spark).count() == 2
+    pt.clear()  # K3: reset checkpoint after successful serving load
+    assert pt.read(spark).count() == 0
+    assert pt.pending(syms, spark).count() == 2
+
+
+def test_jdbc_sink_dry_run_configures_writer(spark):
+    from binance_etl_clickhouse_spark.sinks import write_jdbc
+
+    df = spark.range(5)
+    writer = write_jdbc(
+        df, url="jdbc:postgresql://db:5432/x", table="t",
+        num_partitions=4, options={"user": "u"}, dry_run=True,
+    )
+    assert writer is not None  # configured plan returned, nothing executed
