@@ -56,9 +56,10 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return df.select(
         "doc_id",
-        n_chars.alias("n_chars"),
-        n_tok.alias("n_tokens"),
-        bpe_chunk_count(text_col).alias("n_bpe_chunks"),
+        # long: DuckDB length()/len() are BIGINT; match widths exactly
+        n_chars.cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        bpe_chunk_count(text_col).cast("long").alias("n_bpe_chunks"),
         F.round(distinct_ratio, 6).alias("distinct_ratio"),
         F.round(stopword_ratio, 6).alias("stopword_ratio"),
         F.round(avg_token_len, 6).alias("avg_token_len"),

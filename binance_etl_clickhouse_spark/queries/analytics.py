@@ -122,9 +122,9 @@ def resample_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT user_id, ts, value,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_id
+                  AS BIGINT) AS session_id
       FROM g
     )
     SELECT user_id, session_id,

@@ -326,7 +326,7 @@ def _simhash_pairs_oracle() -> str:
     return f"""
     WITH sig AS ({inner})
     SELECT a.doc_id AS d1, b.doc_id AS d2,
-           bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) AS hamming
+           CAST(bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) AS INTEGER) AS hamming
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) <= 3
     """

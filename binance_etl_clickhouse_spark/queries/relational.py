@@ -354,7 +354,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         _t(spark, sf_dir, "orders")
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
     )
@@ -531,7 +531,8 @@ def array_join_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.array_join(F.slice(words, 1, 3), ",").alias("first3"),
-        F.size(words).alias("n_words"),
+        # long: DuckDB len() is BIGINT; avoid int32-vs-int64 schema drift
+        F.size(words).cast("long").alias("n_words"),
     )
 
 
