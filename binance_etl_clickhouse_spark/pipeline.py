@@ -175,6 +175,50 @@ class Pipeline:
         )
         return n
 
+    def update_klines_incremental(self, market_type: str, interval: str) -> int:
+        """T1 incremental resume: per-symbol fetch restarts at the serving
+        table's watermark + 1 ms (≙ the reference's `last_ts + 1` pagination
+        resume, derived batch-side via groupBy(symbol).agg(max(timestamp))).
+
+        Unlike the backfill path there is no progress gate — re-runs always
+        top up the newest bars; overlap is absorbed by keep-last dedup
+        (idempotent upsert, T4). Symbols with no data yet start from the
+        configured start.
+        """
+        cfg = self.cfg
+        symbols = self._select_symbols(market_type)
+        if symbols.isEmpty():
+            return 0
+        wm = (
+            self.klines.read_raw(self.spark)
+            .filter((F.col("type") == market_type) & (F.col("interval") == interval))
+            .groupBy("symbol")
+            .agg((F.unix_millis(F.max("timestamp")) + 1).alias("start_ms"))
+        ) if self.klines.exists() else None
+        if wm is not None:
+            symbols = symbols.join(F.broadcast(wm), "symbol", "left")
+        fetch_cfg = FetchConfig(
+            interval=interval,
+            page_limit=1000 if market_type == "SPOT" else 499,
+            budget_calls=2750 if market_type == "SPOT" else 1150,
+        )
+        page_fn = self.page_fn or synthetic_page_fn(
+            interval_ms=INTERVAL_MS[interval], origin_ms=cfg.start_ms
+        )
+        raw = fetch_historical_klines(
+            symbols, page_fn, cfg.start_ms, cfg.end_ms, fetch_cfg, cfg.fetch_partitions
+        )
+        from pyspark.sql import Observation
+
+        obs = Observation(f"incr_{market_type}_{interval}")
+        cleaned = clean_klines(raw, market_type=market_type, interval=interval).observe(
+            obs, F.count(F.lit(1)).alias("rows")
+        )
+        # single evaluation: the fetch runs exactly once (the write job);
+        # an empty delta writes no partition files, so the append is a no-op
+        self.klines.append(cleaned, self._next_seq(self.klines))
+        return int(obs.get["rows"])
+
     def update_funding_rates(self) -> int:
         raw = synthetic.synthetic_funding_raw(
             self.spark, n_symbols=self.cfg.n_perp_symbols, start_ms=self.cfg.start_ms

@@ -128,30 +128,63 @@ def fetch_historical_klines(
 ) -> DataFrame:
     """Distributed S4: symbol dimension -> raw kline pages.
 
-    ``symbols`` needs a ``symbol`` column; an optional ``delivery_date_ms``
-    column caps each symbol's fetch range (≙ min(end, delivery_date),
-    reference :268-270). The global call budget is divided across
-    ``n_partitions`` partition-local token buckets (C2).
+    ``symbols`` needs a ``symbol`` column. Optional per-row columns refine
+    each row's range:
+
+    - ``delivery_date_ms`` caps the end (≙ min(end, delivery_date), :268-270);
+    - ``start_ms`` overrides the global start — the incremental-resume hook
+      (T1: resume at watermark+1) and the hot-symbol range-sharding hook
+      (one symbol split into several rows, each a sub-range, so no single
+      task owns a huge symbol).
+
+    The global call budget is divided across ``n_partitions``
+    partition-local token buckets (C2).
     """
     cols = ["symbol"]
-    if "delivery_date_ms" in symbols.columns:
-        cols.append("delivery_date_ms")
+    for opt in ("delivery_date_ms", "start_ms"):
+        if opt in symbols.columns:
+            cols.append(opt)
     sym = symbols.select(*cols).repartition(n_partitions, "symbol")
     per_part_calls = max(1, cfg.budget_calls // max(1, n_partitions))
+
+    def _opt_int(row, name):
+        v = getattr(row, name, None)
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return None
+        return int(v)
 
     def fetch_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bucket = TokenBucket(per_part_calls, cfg.budget_period_s)
         for pdf in batches:
             for row in pdf.itertuples(index=False):
-                sym_end = end_ms
-                dd = getattr(row, "delivery_date_ms", None)
-                if dd is not None and not (isinstance(dd, float) and math.isnan(dd)):
-                    sym_end = min(end_ms, int(dd))  # F9 least() bound
+                dd = _opt_int(row, "delivery_date_ms")
+                sym_end = min(end_ms, dd) if dd is not None else end_ms  # F9
+                row_start = _opt_int(row, "start_ms")
+                sym_start = row_start if row_start is not None else start_ms
                 yield from paginate_symbol(
-                    row.symbol, start_ms, sym_end, page_fn, cfg, bucket
+                    row.symbol, sym_start, sym_end, page_fn, cfg, bucket
                 )
 
     return sym.mapInPandas(fetch_partition, schema=RAW_FETCH_SCHEMA)
+
+
+def shard_symbol_ranges(
+    symbols: DataFrame, start_ms: int, end_ms: int, max_range_ms: int
+) -> DataFrame:
+    """Hot-symbol mitigation: split each symbol's [start, end] into
+    sub-ranges of at most ``max_range_ms`` so the fetch fan-out is bounded
+    per task. Output: (symbol, start_ms, delivery_date_ms) rows ready for
+    :func:`fetch_historical_klines`."""
+    n_shards = F.lit(int(max(1, -(-(end_ms - start_ms) // max_range_ms))))
+    shard = F.explode(F.sequence(F.lit(0), n_shards - 1)).alias("shard_i")
+    out = symbols.select("symbol", shard)
+    shard_start = F.lit(start_ms) + F.col("shard_i") * F.lit(max_range_ms)
+    shard_end = F.least(shard_start + F.lit(max_range_ms - 1), F.lit(end_ms))
+    return out.select(
+        "symbol",
+        shard_start.cast("long").alias("start_ms"),
+        shard_end.cast("long").alias("delivery_date_ms"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -9,6 +9,9 @@ SF_CORRECTNESS = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
-    spark = get_spark(app_name="tests")
+def spark(tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    spark = get_spark(
+        app_name="tests", extra_confs={"spark.sql.warehouse.dir": wh}
+    )
     yield spark

@@ -109,3 +109,42 @@ def test_rerun_skips_completed_symbols(spark, tmp_path):
     assert p.klines.read_raw(spark).count() == rows_after_first
     # but the dedup snapshot is unchanged and correct
     assert p.klines.read(spark).filter(F.col("type") == "SPOT").count() == 2 * 100
+
+
+def test_incremental_update_fetches_only_delta(spark, tmp_path):
+    cfg = _cfg()
+    p = Pipeline(spark, str(tmp_path / "db"), cfg)
+    p.update_all()
+    raw_before = p.klines.read_raw(spark).count()
+
+    # time advances: 20 more hourly bars become available
+    cfg.end_ms += 20 * 3_600_000
+    n = p.update_klines_incremental("SPOT", "1h")
+    # 2 eligible spot symbols x 20 new bars — no full-range refetch
+    assert n == 2 * 20
+    assert p.klines.read_raw(spark).count() == raw_before + 2 * 20
+    snap = p.klines.read(spark).filter(F.col("type") == "SPOT")
+    assert snap.count() == 2 * 120
+    # re-running with no new data appends nothing
+    assert p.update_klines_incremental("SPOT", "1h") == 0
+    assert p.klines.read_raw(spark).count() == raw_before + 2 * 20
+
+
+def test_shard_symbol_ranges_bounds_fetch(spark):
+    from binance_etl_clickhouse_spark.sources.fetcher import (
+        FetchConfig,
+        fetch_historical_klines,
+        shard_symbol_ranges,
+        synthetic_page_fn,
+    )
+
+    symbols = spark.createDataFrame([("SYM000USDT",)], ["symbol"])
+    start, end = 1704067200000, 1704067200000 + 99 * 3_600_000
+    shards = shard_symbol_ranges(symbols, start, end, max_range_ms=25 * 3_600_000)
+    assert shards.count() == 4  # 100h split into 4 sub-ranges
+    raw = fetch_historical_klines(
+        shards, synthetic_page_fn(), start, end, FetchConfig(interval="1h"), 2
+    )
+    # sharded fetch covers exactly the full range, no dup bars
+    assert raw.count() == 100
+    assert raw.select("timestamp").distinct().count() == 100
