@@ -24,13 +24,21 @@ class TokenBucket:
         self._sleep = sleeper
 
     def acquire(self, n: int = 1) -> None:
-        """Block until ``n`` tokens are available, then consume them."""
+        """Block until ``n`` tokens are available, then consume them.
+
+        The epsilon in the availability check matters: replenishment is
+        ``elapsed * rate`` and the sleep is ``deficit / rate`` — the
+        round-trip through floating point can come back a hair short of the
+        deficit, and without the epsilon the loop degenerates into
+        ever-smaller sleeps that never reach ``n`` (a Zeno loop; found by
+        the hypothesis property test with a simulated clock).
+        """
         while True:
             now = self._clock()
             self.tokens = min(self.capacity, self.tokens + (now - self.updated) * self.rate)
             self.updated = now
-            if self.tokens >= n:
-                self.tokens -= n
+            if self.tokens + 1e-9 >= n:
+                self.tokens = max(0.0, self.tokens - n)
                 return
             self._sleep((n - self.tokens) / self.rate)
 

@@ -78,3 +78,73 @@ def stream_resample_bars(
         )
         .select(F.col("w.start").alias("bucket_start"), key_col, "n", "total_value")
     )
+
+
+def stream_session_windows(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Streaming sessionization via ``session_window`` (the stream-native
+    twin of operators.sessionize): sessions close when the watermark passes
+    start + gap."""
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_per_key_watermark(
+    events: DataFrame,
+    key_col: str = "symbol",
+    ts_col: str = "timestamp",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: tracks each
+    key's running max event time + row count across micro-batches (the
+    streaming twin of the T1 resume-offset table). State survives between
+    batches in the state store; emits one row per key per batch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = f"{key_col} string, last_ts timestamp, total_rows long"
+    state_schema = "last_ms long, total_rows long"
+
+    def update(key, pdfs, state: GroupState):
+        last_ms, total = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            if len(pdf):
+                # datetime64[ns] -> epoch ms
+                batch_max_ms = int(pdf[ts_col].astype("int64").max() // 1_000_000)
+                last_ms = max(last_ms, batch_max_ms)
+                total += len(pdf)
+        state.update((last_ms, total))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "last_ts": [pd.Timestamp(last_ms, unit="ms")],
+                "total_rows": [total],
+            }
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", "NoTimeout"
+        )
+    )

@@ -1,0 +1,110 @@
+"""Semantics pinned against independent references.
+
+Hypothesis drives only pure-Python components (a failing Spark-backed
+property would shrink with one Spark job per step — pathological). The
+Spark operators get deterministic adversarial tables checked against pandas
+references instead: ties, duplicates, empty matches, single elements.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from binance_etl_clickhouse_spark.operators.asof import asof_join
+from binance_etl_clickhouse_spark.operators.dedup import keep_last
+from binance_etl_clickhouse_spark.sources.ratelimit import TokenBucket
+
+# ---------------------------------------------------------------------------
+# keep-last vs pandas drop_duplicates(keep='last') — adversarial cases:
+# all-same-key, version ties broken by arrival, interleaved keys, singletons.
+# ---------------------------------------------------------------------------
+KEEP_LAST_CASES = [
+    # (key, version, arrival, payload)
+    [(1, 0, 0, 10), (1, 0, 1, 11), (1, 0, 2, 12)],  # pure ties -> arrival wins
+    [(1, 5, 0, 10), (1, 1, 1, 11)],  # later arrival, older version -> version wins
+    [(1, 0, 0, 1), (2, 0, 1, 2), (1, 1, 2, 3), (2, 1, 3, 4), (3, 9, 4, 5)],
+    [(7, 3, 0, 42)],  # singleton
+    [(1, 2, 0, 1), (1, 2, 1, 2), (2, 2, 2, 3), (2, 3, 3, 4), (1, 0, 4, 5)],
+]
+
+
+@pytest.mark.parametrize("data", KEEP_LAST_CASES)
+def test_keep_last_matches_pandas_reference(spark, data):
+    df = spark.createDataFrame(data, "k long, v long, arrival long, payload long")
+    got = {
+        r.k: (r.v, r.arrival, r.payload)
+        for r in keep_last(df, ["k"], ["v", "arrival"]).collect()
+    }
+    pdf = pd.DataFrame(data, columns=["k", "v", "arrival", "payload"])
+    expect = {
+        r.k: (r.v, r.arrival, r.payload)
+        for r in pdf.sort_values(["v", "arrival"])
+        .drop_duplicates(subset=["k"], keep="last")
+        .itertuples()
+    }
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# as-of join vs pd.merge_asof (backward, inclusive) — adversarial cases:
+# left before any right (no match), exact-equal timestamps, right after all
+# left, dense/sparse interleavings.
+# ---------------------------------------------------------------------------
+ASOF_CASES = [
+    # (left_ts_seconds, right_ts_seconds)
+    ([5, 10, 15], [0, 10, 20]),  # exact match at 10 must be taken (inclusive)
+    ([1, 2], [10, 20]),  # no match for any left row
+    ([30, 40], [0, 1, 2]),  # all rights old: last one wins for both
+    ([7], [7]),  # single exact equality
+    ([0, 50, 100], [0, 49, 50, 99]),
+]
+
+
+@pytest.mark.parametrize("left_ts,right_ts", ASOF_CASES)
+def test_asof_join_matches_merge_asof(spark, left_ts, right_ts):
+    lpdf = pd.DataFrame(
+        {"k": 1, "ts": pd.to_datetime(sorted(left_ts), unit="s"), "lv": range(len(left_ts))}
+    )
+    rpdf = pd.DataFrame({"k": 1, "ts": pd.to_datetime(sorted(right_ts), unit="s")})
+    rpdf["rv"] = rpdf["ts"].astype("int64")
+    left = spark.createDataFrame(lpdf)
+    right = spark.createDataFrame(rpdf)
+    got = (
+        asof_join(left, right, on="ts", by=["k"], value_cols=["rv"]).orderBy("lv").collect()
+    )
+    expect = pd.merge_asof(lpdf, rpdf, on="ts", by="k")  # backward, inclusive
+    assert len(got) == len(expect)
+    for row, (_, erow) in zip(got, expect.iterrows()):
+        ev = erow["rv"]
+        if pd.isna(ev):
+            assert row.rv_asof is None
+        else:
+            assert row.rv_asof == int(ev)
+
+
+# ---------------------------------------------------------------------------
+# Token bucket: pure Python -> full hypothesis treatment.
+# ---------------------------------------------------------------------------
+@given(
+    calls=st.integers(1, 20),
+    period=st.floats(0.1, 10.0),
+    n_acquires=st.integers(1, 60),
+)
+@settings(max_examples=50, deadline=None)
+def test_token_bucket_never_exceeds_budget(calls, period, n_acquires):
+    t = [0.0]
+    bucket = TokenBucket(
+        calls, period, clock=lambda: t[0], sleeper=lambda s: t.__setitem__(0, t[0] + s)
+    )
+    stamps = []
+    for _ in range(n_acquires):
+        bucket.acquire()
+        stamps.append(t[0])
+    # in any window starting at an acquisition, at most `calls` further
+    # acquisitions complete within `period` (+1 boundary tolerance)
+    for s in stamps:
+        in_window = [x for x in stamps if s < x <= s + period]
+        assert len(in_window) <= calls + 1

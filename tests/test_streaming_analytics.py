@@ -133,3 +133,50 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert table.read_raw(spark).count() == 24  # dups dropped in-stream
+
+
+def test_stream_session_windows(spark, tmp_path):
+    from binance_etl_clickhouse_spark.streaming.jobs import stream_session_windows
+
+    staging = str(tmp_path / "ev")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev.write.mode("append").parquet(staging)
+    src = spark.readStream.schema(ev.schema).parquet(staging)
+    agg = stream_session_windows(src)
+    qname = "sess_out"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName(qname)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql(f"SELECT * FROM {qname}")
+    assert got.count() > 0
+    # session invariant: span never exceeds events*gap; counts sum to input
+    assert got.agg(F.sum("n_events")).first()[0] == ev.count()
+
+
+def test_stream_per_key_watermark_state(spark, tmp_path):
+    from binance_etl_clickhouse_spark.streaming.jobs import stream_per_key_watermark
+
+    staging = str(tmp_path / "k")
+    k = _klines(spark, n_symbols=2, bars=48)
+    k.write.mode("append").parquet(staging)
+    src = spark.readStream.schema(k.schema).parquet(staging)
+    out = stream_per_key_watermark(src, key_col="symbol", ts_col="timestamp")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory").queryName("wm_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {r.symbol: r for r in spark.sql("SELECT * FROM wm_out").collect()}
+    assert len(got) == 2
+    batch_wm = {
+        r.symbol: r.last_ts
+        for r in k.groupBy("symbol").agg(F.max("timestamp").alias("last_ts")).collect()
+    }
+    for sym, row in got.items():
+        assert row.total_rows == 48
+        assert row.last_ts == batch_wm[sym]
