@@ -156,18 +156,47 @@ class Pipeline:
         )
         raw = fetch_historical_klines(
             pending, page_fn, cfg.start_ms, cfg.end_ms, fetch_cfg, cfg.fetch_partitions
-        )
-        from pyspark.sql import Observation
+        ).cache()  # one fetch, consumed twice (data + failed symbols)
+        try:
+            failed = [
+                (r.symbol, r.fetch_error)
+                for r in raw.filter(F.col("fetch_error").isNotNull())
+                .select("symbol", "fetch_error")
+                .collect()
+            ]
+            ok_raw = raw.filter(F.col("fetch_error").isNull()).drop("fetch_error")
 
-        obs = Observation(f"ingest_{market_type}_{interval}")
-        cleaned = clean_klines(raw, market_type=market_type, interval=interval).observe(
-            # DISTINCT aggs are disallowed in observed metrics -> HLL estimate
-            obs, F.count(F.lit(1)).alias("rows"), F.approx_count_distinct("symbol").alias("symbols")
-        )
-        self.klines.append(cleaned, self._next_seq(self.klines))
-        # A2: pipeline metrics ride the write job itself (no second scan)
-        self.last_ingest_metrics = dict(obs.get)
-        progress.mark_done(pending)
+            from pyspark.sql import Observation
+
+            obs = Observation(f"ingest_{market_type}_{interval}")
+            cleaned = clean_klines(ok_raw, market_type=market_type, interval=interval).observe(
+                # DISTINCT aggs are disallowed in observed metrics -> HLL estimate
+                obs, F.count(F.lit(1)).alias("rows"), F.approx_count_distinct("symbol").alias("symbols")
+            )
+            self.klines.append(cleaned, self._next_seq(self.klines))
+            # A2: pipeline metrics ride the write job itself (no second scan)
+            self.last_ingest_metrics = dict(obs.get)
+        finally:
+            raw.unpersist()
+
+        # failed symbols stay OUT of progress so the next run retries them
+        # (reference :349, :425-432: collect, report first 10, continue)
+        self.last_failed_symbols = failed
+        if failed:
+            preview = ", ".join(s for s, _ in failed[:10])
+            self.log_run(
+                "partial",
+                f"{len(failed)} symbols failed for {market_type}/{interval}: {preview}",
+            )
+            failed_df = self.spark.createDataFrame(
+                [(s,) for s, _ in failed], "symbol string"
+            )
+            done = pending.join(F.broadcast(failed_df), "symbol", "left_anti")
+        else:
+            done = pending
+        progress.mark_done(done)
+        if not self.klines.exists():  # every symbol failed -> nothing written
+            return 0
         n = int(
             self.klines.read_raw(self.spark)
             .filter((F.col("type") == market_type) & (F.col("interval") == interval))
@@ -207,7 +236,7 @@ class Pipeline:
         )
         raw = fetch_historical_klines(
             symbols, page_fn, cfg.start_ms, cfg.end_ms, fetch_cfg, cfg.fetch_partitions
-        )
+        ).filter(F.col("fetch_error").isNull()).drop("fetch_error")
         from pyspark.sql import Observation
 
         obs = Observation(f"incr_{market_type}_{interval}")

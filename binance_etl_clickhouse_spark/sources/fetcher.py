@@ -51,7 +51,7 @@ RAW_FETCH_SCHEMA = (
     "symbol string, src_order long, timestamp long, open string, high string, "
     "low string, close string, volume string, close_time long, "
     "quote_volume string, trades_count long, taker_buy_volume string, "
-    "taker_buy_quote_volume string, ignore string"
+    "taker_buy_quote_volume string, ignore string, fetch_error string"
 )
 
 # page_fn(symbol, start_ms, end_ms, limit) -> list of 12-element kline rows
@@ -95,6 +95,7 @@ def paginate_symbol(
         pdf = pd.DataFrame(rows, columns=RAW_PAGE_COLUMNS)
         pdf.insert(0, "src_order", page_i)
         pdf.insert(0, "symbol", symbol)
+        pdf["fetch_error"] = None
         yield pdf
         last_ts = int(pdf["timestamp"].iloc[-1])
         if last_ts + 1 <= current:  # no forward progress -> stop
@@ -161,9 +162,19 @@ def fetch_historical_klines(
                 sym_end = min(end_ms, dd) if dd is not None else end_ms  # F9
                 row_start = _opt_int(row, "start_ms")
                 sym_start = row_start if row_start is not None else start_ms
-                yield from paginate_symbol(
-                    row.symbol, sym_start, sym_end, page_fn, cfg, bucket
-                )
+                try:
+                    yield from paginate_symbol(
+                        row.symbol, sym_start, sym_end, page_fn, cfg, bucket
+                    )
+                except Exception as e:  # noqa: BLE001 — per-symbol tolerance
+                    # failed-symbol semantics (reference :349, :408-410):
+                    # one symbol's failure must not kill the batch; emit a
+                    # sentinel row so the driver side can report + retry it
+                    sentinel = {c: [None] for c in RAW_PAGE_COLUMNS}
+                    sentinel["symbol"] = [row.symbol]
+                    sentinel["src_order"] = [-1]
+                    sentinel["fetch_error"] = [f"{type(e).__name__}: {e}"[:500]]
+                    yield pd.DataFrame(sentinel)
 
     return sym.mapInPandas(fetch_partition, schema=RAW_FETCH_SCHEMA)
 

@@ -148,3 +148,43 @@ def test_shard_symbol_ranges_bounds_fetch(spark):
     # sharded fetch covers exactly the full range, no dup bars
     assert raw.count() == 100
     assert raw.select("timestamp").distinct().count() == 100
+
+
+def test_failed_symbols_reported_and_retried(spark, tmp_path):
+    """One symbol's fetch failure must not kill the batch (reference
+    :408-410): others load, the failure is logged, and the failed symbol
+    stays pending so the next run retries it."""
+    from binance_etl_clickhouse_spark.sources.fetcher import synthetic_page_fn
+
+    inner = synthetic_page_fn()
+    # closure state doesn't survive pickling to executor tasks, so the
+    # outage switch lives on the (shared, local-mode) filesystem
+    marker = str(tmp_path / "outage_on")
+    open(marker, "w").close()
+
+    def flaky(symbol, start, end, limit):
+        import os
+
+        if symbol == "SYM000USDT" and os.path.exists(marker):
+            raise ConnectionError("symbol outage")
+        return inner(symbol, start, end, limit)
+
+    cfg = _cfg()
+    p = Pipeline(spark, str(tmp_path / "db"), cfg, page_fn=flaky)
+    p.update_symbols()
+    p.update_klines("SPOT", "1h")
+    # SYM001USDT loaded, SYM000USDT failed but didn't kill the job
+    snap = p.klines.read(spark)
+    assert snap.filter(F.col("symbol") == "SYM001USDT").count() == 100
+    assert snap.filter(F.col("symbol") == "SYM000USDT").count() == 0
+    assert [s for s, _ in p.last_failed_symbols] == ["SYM000USDT"]
+    logs = spark.read.parquet(p.logs_path)
+    assert logs.filter(F.col("status") == "partial").count() == 1
+
+    # run 2: the outage is over; only the failed symbol is pending
+    import os
+
+    os.remove(marker)
+    p.update_klines("SPOT", "1h")
+    assert p.klines.read(spark).filter(F.col("symbol") == "SYM000USDT").count() == 100
+    assert p.last_failed_symbols == []
