@@ -1,0 +1,173 @@
+"""Wide scalar-function + conditional-aggregation coverage: string, date,
+and null-handling families, plus CASE-WHEN aggregates (TPC-H Q6/Q12/Q14
+shapes). All single-pass projections/aggregations — codegen'd, no shuffle
+beyond the final agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binance_etl_clickhouse_spark.queries.registry import register
+from binance_etl_clickhouse_spark.tables import load_table as _t
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1996-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    survey_ref="§2.5 selective filter + agg (TPC-H Q6 shape)",
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "conditional_agg_priority_mix",
+    """
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS low_line_count,
+           round(100.0 * sum(CASE WHEN o_orderpriority = '1-URGENT'
+                                  THEN l_extendedprice ELSE 0 END)
+                 / sum(l_extendedprice), 4) AS urgent_revenue_pct
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_linestatus
+    """,
+    survey_ref="§2.5 conditional aggregation (TPC-H Q12/Q14 shape)",
+)
+def conditional_agg_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    urgent_rev = F.when(
+        F.col("o_orderpriority") == "1-URGENT", F.col("l_extendedprice")
+    ).otherwise(0.0)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+            F.round(
+                100.0 * F.sum(urgent_rev) / F.sum("l_extendedprice"), 4
+            ).alias("urgent_revenue_pct"),
+        )
+    )
+
+
+@register(
+    "string_function_family",
+    """
+    SELECT c_custkey,
+           upper(c_name)                            AS name_upper,
+           lower(c_mktsegment)                      AS seg_lower,
+           length(c_name)                           AS name_len,
+           substr(c_name, 1, 8)                     AS name_prefix,
+           replace(c_name, '#', '-')                AS name_dashed,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+           concat_ws('|', c_mktsegment, c_name)     AS seg_name,
+           CAST(contains(c_name, '1') AS INTEGER)   AS has_one,
+           reverse(c_mktsegment)                    AS seg_rev
+    FROM customer
+    """,
+    survey_ref="§2.9 string function family",
+)
+def string_function_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dashed"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("seg_name"),
+        F.contains(F.col("c_name"), F.lit("1")).cast("int").alias("has_one"),
+        F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
+    )
+
+
+@register(
+    "date_function_family",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER)       AS yr,
+           CAST(month(o_orderdate) AS INTEGER)      AS mon,
+           CAST(dayofmonth(o_orderdate) AS INTEGER) AS dom,
+           CAST(extract(quarter FROM o_orderdate) AS INTEGER) AS qtr,
+           date_trunc('month', o_orderdate)         AS month_start,
+           last_day(o_orderdate)                    AS month_end,
+           o_orderdate + INTERVAL 30 DAY            AS due_date,
+           CAST(datediff('day', o_orderdate, TIMESTAMP '1999-01-01') AS BIGINT)
+             AS days_to_cutoff
+    FROM orders
+    """,
+    survey_ref="§2.9 date/time function family",
+)
+def date_function_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mon"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        # Spark's last_day returns DATE; cast back for timestamp parity
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+        F.datediff(F.lit("1999-01-01").cast("timestamp"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days_to_cutoff"),
+    )
+
+
+@register(
+    "null_semantics_family",
+    """
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'REDACTED') AS seg_or_redacted,
+           CAST(c_acctbal IS NOT DISTINCT FROM 0.0 AS INTEGER)    AS is_exactly_zero,
+           CAST(c_acctbal IS NULL AS INTEGER)                     AS bal_is_null,
+           ifnull(try_cast(c_name AS DOUBLE), -1.0)               AS name_as_num
+    FROM customer
+    """,
+    survey_ref="§2.9 null semantics (nullif/coalesce/null-safe equality)",
+)
+def null_semantics_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("REDACTED")
+        ).alias("seg_or_redacted"),
+        F.col("c_acctbal").eqNullSafe(F.lit(0.0)).cast("int").alias("is_exactly_zero"),
+        F.isnull("c_acctbal").cast("int").alias("bal_is_null"),
+        F.coalesce(F.col("c_name").try_cast("double"), F.lit(-1.0)).alias("name_as_num"),
+    )
