@@ -171,3 +171,102 @@ def null_semantics_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.isnull("c_acctbal").cast("int").alias("bal_is_null"),
         F.coalesce(F.col("c_name").try_cast("double"), F.lit(-1.0)).alias("name_as_num"),
     )
+
+
+@register(
+    "except_users",
+    """
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    EXCEPT
+    SELECT user_id FROM events
+    WHERE event_type = 'signup' AND ts < TIMESTAMP '2024-01-03'
+    """,
+    survey_ref="§2.8 except",
+)
+def except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the signup side is time-bounded so the difference is non-empty at
+    # sf0.01 (otherwise every purchaser has signed up -> a trivially-matching
+    # 0-row result that can't falsify anything)
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(
+        (F.col("event_type") == "signup")
+        & (F.col("ts") < F.lit("2024-01-03").cast("timestamp"))
+    ).select("user_id")
+    return a.subtract(b)  # set EXCEPT (distinct semantics)
+
+
+@register(
+    "stats_family",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6)        AS median_value,
+           round(quantile_cont(value, 0.9), 6)        AS p90_value,
+           round(stddev_samp(value), 6)               AS sd_value,
+           round(var_samp(value), 6)                  AS var_value,
+           round(corr(value, CAST(user_id AS DOUBLE)), 6)       AS corr_user,
+           round(covar_samp(value, CAST(user_id AS DOUBLE)), 6) AS covar_user
+    FROM events GROUP BY event_type
+    """,
+    survey_ref="§2.5 exact percentiles + moments (median/stddev/corr)",
+)
+def stats_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("median_value"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90_value"),
+        F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+        F.round(F.var_samp("value"), 6).alias("var_value"),
+        F.round(F.corr(F.col("value"), uid), 6).alias("corr_user"),
+        F.round(F.covar_samp(F.col("value"), uid), 6).alias("covar_user"),
+    )
+
+
+@register(
+    "scalar_subquery_above_global_avg",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS totalprice FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    """,
+    survey_ref="§4 uncorrelated scalar subquery",
+)
+def scalar_subquery_above_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, round(o_totalprice, 2) AS totalprice FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        """
+    )
+
+
+@register(
+    "array_function_family",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           array_to_string(list_sort(list_distinct(toks))[1:5], ',') AS first5_sorted,
+           CAST(list_contains(toks, 'spark') AS INTEGER)             AS has_spark,
+           CAST(coalesce(list_position(toks, 'data'), 0) AS BIGINT)  AS data_pos,
+           list_min(toks)                                            AS min_tok,
+           list_max(toks)                                            AS max_tok
+    FROM w
+    """,
+    survey_ref="§2.9 array function family",
+)
+def array_function_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.array_join(F.slice(F.sort_array(F.array_distinct(toks)), 1, 5), ",").alias(
+            "first5_sorted"
+        ),
+        F.array_contains(toks, "spark").cast("int").alias("has_spark"),
+        # Spark's array_position already yields 0 when absent; DuckDB's
+        # list_position yields NULL -> coalesce on the oracle side
+        F.array_position(toks, "data").cast("long").alias("data_pos"),
+        F.array_min(toks).alias("min_tok"),
+        F.array_max(toks).alias("max_tok"),
+    )
