@@ -1,0 +1,113 @@
+"""IVF-style ANN: coarse k-means quantization + probe-nearest-cells search.
+
+The second scale path for similarity search (alongside sign-LSH): a small
+k-means codebook is trained with pure DataFrame ops — assignment is a
+broadcast-codebook argmin projection, centroid update is a
+posexplode -> groupBy(cluster, dim) -> avg -> re-assemble aggregation — so
+every iteration is one shuffle over (k x dim) cells regardless of table
+size. Deterministic: initial centroids are the first k vectors by id, and
+every step is exact arithmetic (no RNG).
+
+At 100 TB: train on a sample, write the table partitioned by ``cell``, and
+a query touches only ``nprobe`` partitions. The iterative loop is the
+classic Spark pattern — cache the working set, loop on the driver, keep
+each iteration a single job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from binance_etl_clickhouse_spark.operators.similarity import cosine_expr, dot_expr
+
+
+def _as_double(vec_col):
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def _assign_cell(v, centroids: list[list[float]]):
+    """argmin_c squared-L2(v, centroid_c) as a pure expression tree."""
+    best_cell, best_dist = None, None
+    for ci, cent in enumerate(centroids):
+        cv = F.array(*[F.lit(float(x)) for x in cent])
+        diff = F.zip_with(v, cv, lambda a, b: (a - b) * (a - b))
+        dist = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+        if best_cell is None:
+            best_cell, best_dist = F.lit(ci), dist
+        else:
+            cond = dist < best_dist
+            best_cell = F.when(cond, F.lit(ci)).otherwise(best_cell)
+            best_dist = F.when(cond, dist).otherwise(best_dist)
+    return best_cell
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic coarse codebook: init = first k vectors by id; each
+    iteration assigns (projection) and re-averages per (cell, dim)."""
+    vecs = df.select(id_col, _as_double(vec_col).alias("v")).cache()
+    try:
+        init = vecs.orderBy(id_col).limit(k).collect()
+        centroids = [list(r.v) for r in init]
+        for _ in range(n_iters):
+            assigned = vecs.withColumn("cell", _assign_cell(F.col("v"), centroids))
+            per_dim = (
+                assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+                .groupBy("cell", "dim")
+                .agg(F.avg("x").alias("m"))
+            )
+            rows = per_dim.collect()  # k x dim rows — tiny
+            new = {}
+            for r in rows:
+                new.setdefault(r.cell, {})[r.dim] = r.m
+            centroids = [
+                [new[c][d] for d in sorted(new[c])] if c in new else centroids[c]
+                for c in range(k)
+            ]
+        return centroids
+    finally:
+        vecs.unpersist()
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add the IVF ``cell`` column (at scale: the partition key)."""
+    return df.withColumn("cell", _assign_cell(_as_double(vec_col), centroids))
+
+
+def ivf_topk(
+    df: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the ``nprobe`` nearest cells to the query, exact-rerank inside."""
+    dists = [
+        (ci, sum((q - c) ** 2 for q, c in zip(query_vec, cent)))
+        for ci, cent in enumerate(centroids)
+    ]
+    probe = [ci for ci, _ in sorted(dists, key=lambda t: t[1])[:nprobe]]
+    cand = assign_cells(df, centroids, id_col, vec_col).filter(
+        F.col("cell").isin(probe)
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_expr(_as_double(vec_col), q)
+    return (
+        cand.select(F.col(id_col), F.round(sim, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -25,7 +25,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from binance_etl_clickhouse_spark.operators.texthash import (
-    M31,
     hash31,
     minhash_perm,
     shingles,

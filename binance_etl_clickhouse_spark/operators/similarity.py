@@ -17,8 +17,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from binance_etl_clickhouse_spark.operators.texthash import hash31
-
 M31 = 2_147_483_647
 
 

@@ -16,7 +16,6 @@ from binance_etl_clickhouse_spark.operators.multimodal import (
 )
 from binance_etl_clickhouse_spark.operators.neardup import LSH_BANDS
 from binance_etl_clickhouse_spark.operators.texthash import (
-    M31,
     hash31_sql,
     minhash_perm_sql,
     shingles_sql,
@@ -378,3 +377,23 @@ def embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair.select(
         "v1", "v2", F.round(sim, 6).alias("cos_sim")
     ).filter(F.col("cos_sim") >= 0.45)
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (second scale path): deterministic coarse k-means codebook ->
+# probe nearest cells -> exact rerank. Iterative training is not
+# SQL-expressible -> rows-only check; brute-force top-k is the oracle-matched
+# baseline.
+# ---------------------------------------------------------------------------
+@register(
+    "ann_ivf_topk",
+    None,
+    survey_ref="similarity: IVF coarse-quantization ANN (iterative k-means)",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_clickhouse_spark.operators.ivf import ivf_topk, kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codebook = kmeans_fit(emb, k=8, n_iters=2)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ivf_topk(emb, codebook, qv, k=10, nprobe=3)

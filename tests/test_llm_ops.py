@@ -59,3 +59,27 @@ def test_simhash_similar_docs_close(spark):
     sh = {r.doc_id: r.simhash for r in simhash(docs).collect()}
     ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
     assert ham(sh[1], sh[2]) < ham(sh[1], sh[3])
+
+
+def test_ivf_ann_recall_and_determinism(spark):
+    from binance_etl_clickhouse_spark.operators.ivf import (
+        assign_cells,
+        ivf_topk,
+        kmeans_fit,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    cb1 = kmeans_fit(emb, k=8, n_iters=2)
+    cb2 = kmeans_fit(emb, k=8, n_iters=2)
+    assert cb1 == cb2  # fully deterministic training
+
+    # every vector lands in a cell; cells partition the data
+    cells = assign_cells(emb, cb1)
+    assert cells.count() == emb.count()
+    assert cells.select("cell").distinct().count() <= 8
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    exact = {r.vec_id for r in brute_force_topk(emb, qv, k=10).collect()}
+    approx = {r.vec_id for r in ivf_topk(emb, cb1, qv, k=10, nprobe=3).collect()}
+    assert 7 in approx  # the query vector itself is always found
+    assert len(approx & exact) >= 4  # probing 3/8 cells keeps most neighbors
