@@ -22,3 +22,4 @@ from binance_etl_clickhouse_spark.queries import extended  # noqa: F401,E402
 from binance_etl_clickhouse_spark.queries import windows  # noqa: F401,E402
 from binance_etl_clickhouse_spark.queries import functions_wide  # noqa: F401,E402
 from binance_etl_clickhouse_spark.queries import tpch_suite  # noqa: F401,E402
+from binance_etl_clickhouse_spark.queries import dataset  # noqa: F401,E402

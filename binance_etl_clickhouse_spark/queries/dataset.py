@@ -1,0 +1,144 @@
+"""Dataset-engineering queries for a training-data pipeline.
+
+The operations a 100 TB pretraining-corpus build needs beyond dedup /
+similarity (queries/llm.py): deterministic train/val/test splitting,
+stratified per-group sampling, and the composed filter→dedup→split prep
+pipeline. All are *hash-deterministic* (cross-engine md5, see
+operators/texthash.py) rather than RNG-sampled, so every one is
+oracle-checkable and — more importantly at scale — reproducible and
+re-runnable: a re-ingested document lands in the same split on every run,
+with no sampling-state to persist.
+
+Scale notes: the split is a stateless per-row projection (no shuffle);
+stratified sampling is one window shuffle on the stratum key; the prep
+pipeline is two shuffles (dedup key, then final rollup) regardless of
+corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from binance_etl_clickhouse_spark.operators.texthash import hash60, hash60_sql
+from binance_etl_clickhouse_spark.queries.registry import register
+from binance_etl_clickhouse_spark.tables import load_table as _t
+
+
+def _split_col(key):
+    """Deterministic 80/10/10 split from a 60-bit key hash."""
+    b = hash60(key.cast("string")) % 100
+    return (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    )
+
+
+def _split_sql(expr: str) -> str:
+    return (
+        f"CASE WHEN {hash60_sql(f'CAST({expr} AS VARCHAR)')} % 100 < 80 THEN 'train' "
+        f"WHEN {hash60_sql(f'CAST({expr} AS VARCHAR)')} % 100 < 90 THEN 'val' "
+        "ELSE 'test' END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hash-based train/val/test split: stateless, shuffle-free, stable under
+# re-ingestion (same doc_id -> same split forever).
+# ---------------------------------------------------------------------------
+@register(
+    "dataset_split_hash",
+    f"""
+    SELECT {_split_sql('doc_id')} AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY split
+    """,
+    survey_ref="training-data: deterministic hash split (projection, no shuffle)",
+)
+def dataset_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", _split_col(F.col("doc_id")))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling: deterministic top-N per stratum ordered by content
+# hash (uniform within stratum, no RNG). One window shuffle on the stratum.
+# ---------------------------------------------------------------------------
+@register(
+    "stratified_sample_per_lang",
+    f"""
+    SELECT doc_id, lang, rn
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY {hash60_sql('text')}, doc_id
+             ) AS rn
+      FROM documents
+    ) t WHERE rn <= 20
+    """,
+    survey_ref="training-data: stratified per-group sample (deterministic)",
+)
+def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(hash60("text"), "doc_id")
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composed prep pipeline: quality gate -> exact dedup (keep lowest doc_id
+# per canonical text) -> hash split -> per-(split, lang) corpus stats.
+# The end-to-end shape of a pretraining-corpus build, in one plan.
+# ---------------------------------------------------------------------------
+@register(
+    "training_data_prep_pipeline",
+    f"""
+    WITH gated AS (
+      SELECT doc_id, lang, text, n_chars FROM documents
+      WHERE n_chars BETWEEN 40 AND 4000
+        AND len(string_split(text, ' ')) >= 8
+    ),
+    deduped AS (
+      SELECT doc_id, lang, n_chars FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM gated
+      ) WHERE rn = 1
+    )
+    SELECT {_split_sql('doc_id')} AS split, lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM deduped
+    GROUP BY split, lang
+    """,
+    survey_ref="training-data: filter -> exact-dedup -> split -> stats, one plan",
+)
+def training_data_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    gated = docs.filter(
+        F.col("n_chars").between(40, 4000)
+        & (F.size(F.split(F.col("text"), " ")) >= 8)
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_chars")
+    )
+    return (
+        deduped.withColumn("split", _split_col(F.col("doc_id")))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
