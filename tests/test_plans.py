@@ -68,3 +68,48 @@ def test_partition_pruning_on_serving_table(spark, tmp_path):
     q = t.read_raw(spark).filter(F.col("month") == 202401)
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(month" in plan
+
+
+def test_q4_exists_stays_semi_join(spark):
+    # EXISTS must compile to a semi-join (never a count-based rewrite or
+    # nested loop); at test SF the build side fits a broadcast
+    plan = _plan(spark, "tpch_q4_order_priority")
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q8_seven_table_join_broadcasts_dims_single_shuffle(spark):
+    # all six dimension-side joins broadcast; the only hash exchange is the
+    # final per-year aggregate (at 100 TB the fact-fact joins would flip to
+    # sort-merge by stats, but dims must always stay broadcast)
+    plan = _plan(spark, "tpch_q8_market_share")
+    assert plan.count("BroadcastHashJoin") == 7
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q17_correlated_avg_is_agg_then_join(spark):
+    # the per-part correlated average must run as aggregate-then-join (one
+    # shuffle on the correlation key), never a per-row subquery loop
+    plan = _plan(spark, "tpch_q17_small_qty_revenue")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_q21_double_correlation_semi_plus_anti(spark):
+    plan = _plan(spark, "tpch_q21_waiting_supplier")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dataset_split_is_shuffle_free_projection(spark):
+    # the split itself is a stateless projection; the single exchange is the
+    # 3-group rollup
+    plan = _plan(spark, "dataset_split_hash")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_prep_pipeline_two_shuffles(spark):
+    # dedup window (md5 key) + final (split, lang) rollup — nothing else
+    plan = _plan(spark, "training_data_prep_pipeline")
+    assert plan.count("Exchange hashpartitioning") == 2
