@@ -136,3 +136,41 @@ def resample_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sessionization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(_t(spark, sf_dir, "events"), gap="30 minutes")
+
+
+# ---------------------------------------------------------------------------
+# Range join: overlapping price bands x orders, via the bin-bucketed
+# construction (operators/rangejoin.py) — an equi-join Catalyst can shuffle,
+# never a BroadcastNestedLoopJoin. Each order lands in exactly 2 of the 20
+# overlapping bands.
+# ---------------------------------------------------------------------------
+@register(
+    "range_join_price_bands",
+    """
+    WITH bands AS (
+      SELECT i AS band_id, i * 25000.0 AS lo, i * 25000.0 + 50000.0 AS hi
+      FROM range(0, 20) t(i)
+    )
+    SELECT band_id, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+    FROM bands b
+    JOIN orders o ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY band_id
+    """,
+    survey_ref="§2.4/§7 range join (bin-bucketed, no nested loop)",
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_clickhouse_spark.operators.rangejoin import range_join
+
+    bands = spark.range(0, 20).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 25000.0).alias("lo"),
+        (F.col("id") * 25000.0 + 50000.0).alias("hi"),
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    joined = range_join(
+        orders, bands, "o_totalprice", "lo", "hi", bin_width=25000.0, closed="left"
+    )
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
