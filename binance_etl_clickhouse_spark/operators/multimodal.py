@@ -9,9 +9,10 @@ from the raw bytes (size, digest, fake dimensions) through the exact same
 batch path a real decoder would use.
 
 Design for 100 TB of media: binary blobs ride in parquet with the metadata
-struct alongside; feature extraction is embarrassingly parallel over
-partitions (mapInPandas, no shuffle); resize/frame-sample stages would
-write back new binary columns the same way.
+struct alongside; feature extraction, resize, and frame sampling are all
+embarrassingly parallel over partitions (mapInPandas, no shuffle) —
+binary-in/binary-out stages preserve MEDIA_SCHEMA so they compose into one
+pipelined pass over the data.
 """
 
 from __future__ import annotations
@@ -91,3 +92,91 @@ def extract_media_features(media: DataFrame, real_decode: bool = False) -> DataF
             yield _fake_decode_batch(pdf)
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def resize_media(
+    media: DataFrame, width: int, height: int, real_decode: bool = False
+) -> DataFrame:
+    """Resize stage: binary in -> binary out, MEDIA_SCHEMA preserved, so
+    stages compose (``resize |> frame-sample |> features``) with no shuffle.
+
+    The pixel work is stubbed (no PIL here): the fake "resize" is a
+    deterministic byte truncation/pad to ``width*height`` bytes through the
+    same Arrow batch path a real resampler would use, and the metadata
+    struct is updated for real — downstream stages must see the new dims.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = width * height
+        for pdf in batches:
+            if real_decode:
+                raise NotImplementedError(
+                    "image resize requires a decoder not present in this "
+                    "environment; plug PIL/opencv into this seam"
+                )
+            out = pd.DataFrame()
+            out["media_id"] = pdf["media_id"]
+            out["content"] = pdf["content"].map(
+                lambda b: bytes(b)[:n].ljust(n, b"\0")
+            )
+            out["meta"] = [
+                {
+                    "mime": (m or {}).get("mime"),
+                    "width": width,
+                    "height": height,
+                    "duration_s": (m or {}).get("duration_s"),
+                }
+                for m in pdf["meta"]
+            ]
+            yield out
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("meta", MEDIA_META),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8,
+    real_decode: bool = False,
+) -> DataFrame:
+    """Frame-sampling stage: one input row fans out to ≤ ``max_frames`` rows
+    (a flat-map, which is why this is ``mapInPandas`` and not a scalar UDF).
+
+    Stub semantics: every ``every_n_bytes``-th slice of the blob stands in
+    for a decoded video frame; a real implementation would seek keyframes
+    with ffmpeg in exactly this batch loop. Row-explosion stays inside the
+    partition — no shuffle until something downstream groups.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if real_decode:
+                raise NotImplementedError(
+                    "frame extraction requires ffmpeg-style decoding not "
+                    "present in this environment; plug it into this seam"
+                )
+            rows = []
+            for mid, blob, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
+                b = bytes(blob)
+                for i in range(min(max_frames, max(1, len(b) // every_n_bytes))):
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": i,
+                            "frame": b[i * every_n_bytes : (i + 1) * every_n_bytes],
+                            "meta": meta,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "frame", "meta"]
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

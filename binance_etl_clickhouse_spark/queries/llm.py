@@ -13,6 +13,7 @@ from binance_etl_clickhouse_spark.operators import neardup, similarity, text
 from binance_etl_clickhouse_spark.operators.multimodal import (
     attach_binary_content,
     extract_media_features,
+    sample_frames,
 )
 from binance_etl_clickhouse_spark.operators.neardup import LSH_BANDS
 from binance_etl_clickhouse_spark.operators.texthash import (
@@ -310,6 +311,39 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_binary_content(_t(spark, sf_dir, "documents"))
     return extract_media_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling: one media row fans out to <=4 frame rows inside the
+# partition (mapInPandas flat-map, no shuffle). The stub "frames" are byte
+# slices of the blob; documents.text is pure ASCII so the DuckDB twin can
+# express the identical slicing on VARCHAR (byte == char offsets) and both
+# engines md5 the same byte sequence.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_frame_samples",
+    """
+    WITH idx AS (
+      SELECT doc_id AS media_id, text,
+             unnest(range(0, least(4, greatest(1, length(text) // 16)))) AS frame_idx
+      FROM documents
+    )
+    SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(length(substring(text, frame_idx * 16 + 1, 16)) AS INT) AS n_bytes,
+           md5(substring(text, frame_idx * 16 + 1, 16)) AS digest
+    FROM idx
+    """,
+    survey_ref="multimodal: frame-sample fan-out stage (mapInPandas flat-map)",
+)
+def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_binary_content(_t(spark, sf_dir, "documents"))
+    frames = sample_frames(media, every_n_bytes=16, max_frames=4)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.length("frame").cast("int").alias("n_bytes"),
+        F.md5("frame").alias("digest"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -83,3 +83,45 @@ def test_ivf_ann_recall_and_determinism(spark):
     approx = {r.vec_id for r in ivf_topk(emb, cb1, qv, k=10, nprobe=3).collect()}
     assert 7 in approx  # the query vector itself is always found
     assert len(approx & exact) >= 4  # probing 3/8 cells keeps most neighbors
+
+
+def test_resize_preserves_schema_and_updates_meta(spark):
+    from binance_etl_clickhouse_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_media,
+    )
+
+    docs = load_table(spark, SF, "documents").limit(10)
+    media = attach_binary_content(docs)
+    out = resize_media(media, width=8, height=4)
+    assert out.schema == MEDIA_SCHEMA  # stages compose: binary in, binary out
+    rows = out.collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert len(r.content) == 32  # 8*4 stub bytes
+        assert r.meta.width == 8 and r.meta.height == 4
+        assert r.meta.mime == "text/plain"  # untouched meta fields survive
+
+    with pytest.raises(Exception, match="NotImplementedError|resize"):
+        resize_media(media, 8, 4, real_decode=True).collect()
+
+
+def test_frame_sampling_fans_out_rows(spark):
+    from binance_etl_clickhouse_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, SF, "documents").limit(10)
+    media = attach_binary_content(docs)
+    frames = sample_frames(media, every_n_bytes=16, max_frames=4)
+    pdf = frames.toPandas()
+    assert set(pdf.columns) == {"media_id", "frame_idx", "frame", "meta"}
+    per = pdf.groupby("media_id").frame_idx.agg(["min", "max", "count"])
+    assert (per["min"] == 0).all()
+    assert (per["count"] <= 4).all() and (per["count"] >= 1).all()
+    # frames are contiguous slices of the source blob
+    sizes = {r.media_id: len(r.content) for r in media.collect()}
+    for _, row in pdf.iterrows():
+        assert len(row["frame"]) <= 16
+        assert len(row["frame"]) > 0 or sizes[row["media_id"]] == 0
+
+    with pytest.raises(Exception, match="NotImplementedError|frame"):
+        sample_frames(media, real_decode=True).collect()
