@@ -28,19 +28,22 @@ def _as_double(vec_col):
 
 
 def _assign_cell(v, centroids: list[list[float]]):
-    """argmin_c squared-L2(v, centroid_c) as a pure expression tree."""
-    best_cell, best_dist = None, None
-    for ci, cent in enumerate(centroids):
+    """argmin_c squared-L2(v, centroid_c) as a pure expression tree.
+
+    Each distance is built exactly once into an array and the argmin is
+    ``array_position(dists, array_min(dists))`` — linear expression size in
+    k. (A fold of ``when(dist < best, ...)`` chains duplicates the running
+    best-distance subtree at every step: exponential expression growth that
+    made codegen, not the data, the bottleneck.) Ties pick the lowest
+    centroid index (array_position returns the first occurrence).
+    """
+    dists = []
+    for cent in centroids:
         cv = F.array(*[F.lit(float(x)) for x in cent])
         diff = F.zip_with(v, cv, lambda a, b: (a - b) * (a - b))
-        dist = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
-        if best_cell is None:
-            best_cell, best_dist = F.lit(ci), dist
-        else:
-            cond = dist < best_dist
-            best_cell = F.when(cond, F.lit(ci)).otherwise(best_cell)
-            best_dist = F.when(cond, dist).otherwise(best_dist)
-    return best_cell
+        dists.append(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x))
+    darr = F.array(*dists)
+    return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
 
 
 def kmeans_fit(
