@@ -125,3 +125,23 @@ def test_frame_sampling_fans_out_rows(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|frame"):
         sample_frames(media, real_decode=True).collect()
+
+
+def test_ivf_cell_partitioned_table_prunes_probes(spark, tmp_path):
+    """The IVF scale path: table written partitionBy('cell'), a probe query
+    reads only the nprobe cell directories (PartitionFilters, not a full
+    scan)."""
+    from binance_etl_clickhouse_spark.operators.ivf import assign_cells, kmeans_fit
+
+    emb = load_table(spark, SF, "embeddings")
+    cb = kmeans_fit(emb, k=8, n_iters=1)
+    path = str(tmp_path / "ivf_table")
+    assign_cells(emb, cb).write.partitionBy("cell").parquet(path)
+
+    table = spark.read.parquet(path)
+    probe = table.filter(F.col("cell").isin([0, 1, 2]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan
+    # pruning is real: only the probed cells' rows are read
+    cells = {r.cell for r in probe.select("cell").distinct().collect()}
+    assert cells <= {0, 1, 2}
