@@ -19,6 +19,7 @@ from binance_etl_clickhouse_spark.operators.neardup import LSH_BANDS
 from binance_etl_clickhouse_spark.operators.texthash import (
     hash31_sql,
     minhash_perm_sql,
+    shingles,
     shingles_sql,
 )
 from binance_etl_clickhouse_spark.queries.registry import register
@@ -431,3 +432,45 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook = kmeans_fit(emb, k=8, n_iters=2)
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     return ivf_topk(emb, codebook, qv, k=10, nprobe=3)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: corpus documents sharing any 4-token shingle
+# with a held-out eval set (deterministic cohort doc_id % 11 = 0). The
+# canonical pretraining hygiene op: explode shingles on both sides, hash
+# equi-join, count distinct collisions per (corpus, eval) pair. At corpus
+# scale the eval side is tiny -> broadcast, and the same document-frequency
+# cap used for n-gram Jaccard (neardup.stop_shingle_df) bounds hot-shingle
+# fan-out.
+# ---------------------------------------------------------------------------
+@register(
+    "benchmark_decontamination",
+    f"""
+    WITH ev AS (
+      SELECT doc_id AS eval_id, unnest({shingles_sql("text", 4)}) AS sh
+      FROM documents WHERE doc_id % 11 = 0
+    ),
+    corpus AS (
+      SELECT doc_id, unnest({shingles_sql("text", 4)}) AS sh FROM documents
+    )
+    SELECT doc_id, eval_id, count(DISTINCT sh) AS n_shared
+    FROM corpus c JOIN ev e USING (sh)
+    WHERE doc_id <> eval_id
+    GROUP BY doc_id, eval_id
+    """,
+    survey_ref="training-data: eval-set decontamination (shingle collision join)",
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles("text", 4)
+    ev = (
+        docs.filter(F.col("doc_id") % 11 == 0)
+        .select(F.col("doc_id").alias("eval_id"), F.explode(sh).alias("sh"))
+    )
+    corpus = docs.select("doc_id", F.explode(sh).alias("sh"))
+    return (
+        corpus.join(F.broadcast(ev), "sh")
+        .filter(F.col("doc_id") != F.col("eval_id"))
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count_distinct("sh").alias("n_shared"))
+    )
