@@ -270,3 +270,42 @@ def array_function_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(toks).alias("min_tok"),
         F.array_max(toks).alias("max_tok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Map function family: build a per-user event_type -> count map
+# (map_from_entries over a sorted entry list for determinism), then probe it
+# with try_element_at (ANSI-safe missing-key lookup), size, map_keys. The
+# oracle computes the same scalars without a map type — what is pinned is
+# the values, the Spark side is what exercises the map surface.
+# ---------------------------------------------------------------------------
+@register(
+    "map_function_family",
+    """
+    SELECT user_id,
+           CAST(count(DISTINCT event_type) AS INTEGER) AS n_types,
+           CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0)
+                AS BIGINT) AS n_clicks,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_csv
+    FROM events GROUP BY user_id
+    """,
+    survey_ref="§2.9 map function family (map_from_entries/try_element_at/map_keys)",
+)
+def map_function_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    m = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.size("m").alias("n_types"),
+        F.coalesce(F.try_element_at("m", F.lit("click")), F.lit(0))
+        .cast("long")
+        .alias("n_clicks"),
+        F.array_join(F.map_keys("m"), ",").alias("types_csv"),
+    )
