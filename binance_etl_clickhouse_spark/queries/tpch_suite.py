@@ -156,7 +156,7 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
       JOIN region r   ON n1.n_regionkey = r.r_regionkey
       JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
-      WHERE r.r_name = 'REGION_1'
+      WHERE r.r_name = 'ASIA'
         AND p.p_type = 'ECONOMY'
         AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
     ) all_nations
@@ -178,7 +178,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
     )
-    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_1")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     vol = (
         F.broadcast(p)
         .join(li, F.col("p_partkey") == li.l_partkey)
@@ -572,7 +572,10 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c_acctbal > 0
           AND substr(c_name, -1, 1) IN ('1','3','5','7','9')
       )
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+      )
     GROUP BY cntrycode
     """,
     survey_ref="§2.4/§2.5 scalar-avg subquery + NOT EXISTS (TPC-H Q22 shape)",
@@ -586,7 +589,14 @@ def tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_bal = cohort.filter(F.col("c_acctbal") > 0).agg(
         F.avg("c_acctbal").alias("ab")
     )
-    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    # "no recent orders" (canonical Q22 restricts the anti side too); an
+    # unrestricted NOT EXISTS is degenerate here — every cohort customer has
+    # some order, which would make the query trivially empty at every SF
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= _ts("1999-01-01"))
+        .select("o_custkey")
+    )
     return (
         cohort.join(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("ab"))
