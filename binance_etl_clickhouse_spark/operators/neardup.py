@@ -171,3 +171,62 @@ def embedding_cosine_pairs(
         F.col(f"b.{id_col}").alias("v2"),
         F.round(sim, 6).alias("cos_sim"),
     ).filter(F.col("cos_sim") >= threshold)
+
+
+def simhash_banded_pairs(
+    sig: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    sig_bits: int = 16,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+) -> DataFrame:
+    """SimHash near-dup pairs via band-bucketed candidate generation.
+
+    Pigeonhole: a pair within ``max_hamming <= n_bands - 1`` bit flips can
+    touch at most ``n_bands - 1`` of the bands, so it collides in at least
+    one (band, band-value) bucket — the candidate join is a hash equi-join
+    on that key and the result is EXACTLY the all-pairs semantics
+    (equivalence pinned by test).
+
+    Regime note (measured, see queries/llm.py): with narrow signatures a
+    band has few distinct values (16-bit / 4 bands -> 16 buckets) and the
+    bucketing prunes little; the construction pays off with wide signatures
+    (64-bit -> 65k buckets per 16-bit band) and low dup density — the
+    real-corpus regime this operator exists for.
+    """
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"banding is only exact for max_hamming <= n_bands-1 "
+            f"(got {max_hamming} with {n_bands} bands)"
+        )
+    if sig_bits % n_bands:
+        raise ValueError("sig_bits must divide evenly into n_bands")
+    w = sig_bits // n_bands
+    mask = (1 << w) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("band"),
+                F.shiftright(F.col(sig_col), w * t).bitwiseAND(mask).alias("bv"),
+            )
+            for t in range(n_bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col), F.col(sig_col), F.explode(bands).alias("k")
+    ).select(id_col, sig_col, "k.band", "k.bv")
+    a = banded.select(
+        "band", "bv", F.col(id_col).alias("d1"), F.col(sig_col).alias("s1")
+    )
+    b = banded.select(
+        "band", "bv", F.col(id_col).alias("d2"), F.col(sig_col).alias("s2")
+    )
+    ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair may collide in several bands
+    )

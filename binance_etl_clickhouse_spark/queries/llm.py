@@ -372,6 +372,13 @@ def _simhash_pairs_oracle() -> str:
     survey_ref="dedup: SimHash hamming pairs",
 )
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Measured choice (sf0.1, warm): all-pairs 2.2s vs nibble-banded 6.9s —
+    # with 16-bit signatures a band has only 16 buckets (prunes ~nothing)
+    # and ~21% of ALL pairs qualify on this corpus, so the banded variant
+    # just adds an explode + 2.6M-row distinct. The banded construction
+    # lives in neardup.simhash_banded_pairs (equivalence-tested); it wins
+    # when signatures are wide (64-bit -> 65k buckets/band) and dup density
+    # is low — the real-corpus regime. See SCALE.md.
     sig = text.simhash(_t(spark, sf_dir, "documents"))
     a = sig.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("s1"))
     b = sig.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("s2"))

@@ -145,3 +145,36 @@ def test_ivf_cell_partitioned_table_prunes_probes(spark, tmp_path):
     # pruning is real: only the probed cells' rows are read
     cells = {r.cell for r in probe.select("cell").distinct().collect()}
     assert cells <= {0, 1, 2}
+
+
+def test_simhash_banded_equals_allpairs(spark):
+    """Band-bucketed candidate generation is exactly the all-pairs result."""
+    from binance_etl_clickhouse_spark.operators.neardup import simhash_banded_pairs
+    from binance_etl_clickhouse_spark.operators.text import simhash
+
+    sig = simhash(load_table(spark, SF, "documents"))
+    banded = {
+        (r.d1, r.d2, r.hamming) for r in simhash_banded_pairs(sig).collect()
+    }
+    a = sig.selectExpr("doc_id AS d1", "simhash AS s1")
+    b = sig.selectExpr("doc_id AS d2", "simhash AS s2")
+    ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    allpairs = {
+        (r.d1, r.d2, r.hamming)
+        for r in a.join(b, F.col("d1") < F.col("d2"))
+        .select("d1", "d2", ham.alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == allpairs and len(banded) > 0
+
+
+def test_simhash_banded_rejects_unsound_params(spark):
+    from binance_etl_clickhouse_spark.operators.neardup import simhash_banded_pairs
+    from binance_etl_clickhouse_spark.operators.text import simhash
+
+    sig = simhash(load_table(spark, SF, "documents"))
+    with pytest.raises(ValueError):
+        simhash_banded_pairs(sig, max_hamming=4, n_bands=4)  # pigeonhole broken
+    with pytest.raises(ValueError):
+        simhash_banded_pairs(sig, sig_bits=16, n_bands=3)
