@@ -56,7 +56,12 @@ class ServingTable:
         if self.time_col is not None:
             out = out.withColumn(MONTH_COL, month_bucket(self.time_col))
             out = out.repartition(MONTH_COL, *self.keys[:1])
-            out = out.sortWithinPartitions(*sort_cols)
+            # month leads the sort: a task's rows stream one partition dir at
+            # a time, so the dynamic-partition write keeps a single parquet
+            # writer open (instead of one per month seen — the row-group
+            # memory-scaling spiral at wide batches); within each single-month
+            # file the remaining keys still give the sorted page-stats layout
+            out = out.sortWithinPartitions(MONTH_COL, *sort_cols)
             out.write.mode("append").partitionBy(MONTH_COL).parquet(self.path)
         else:
             # dimension tables: small, unpartitioned
