@@ -89,3 +89,27 @@ def test_max_watermark(spark, tmp_path):
     wm = {r.symbol: r.last_ts for r in t.max_watermark(spark, per="symbol").collect()}
     assert len(wm) == 2
     assert all(ts.hour == 23 for ts in wm.values())
+
+
+def test_serving_files_are_key_sorted_on_disk(spark, tmp_path):
+    """Physical layout claim behind the sparse-index analogue: every parquet
+    file written by append() is internally sorted by the table sort key, so
+    row-group/page min-max stats can skip like ClickHouse's PK index
+    (reference crypto_data_pipeline_clickhouse.py:543-544)."""
+    import glob
+
+    import pandas as pd
+
+    t = _table(tmp_path)
+    t.append(_clean(spark, n_symbols=4, bars_per_symbol=200, overlap_bars=0), ingest_seq=1)
+    files = glob.glob(str(tmp_path / "klines" / "month=*" / "*.parquet"))
+    assert files
+    checked = 0
+    for f in files:
+        pdf = pd.read_parquet(f)
+        if len(pdf) < 2:
+            continue
+        key = list(zip(pdf["symbol"], pdf["type"], pdf["interval"], pdf["timestamp"]))
+        assert key == sorted(key), f"unsorted file {f}"
+        checked += 1
+    assert checked > 0
