@@ -1,1 +1,2 @@
+from binance_etl_clickhouse_spark.storage.rollup import RollupTable  # noqa: F401
 from binance_etl_clickhouse_spark.storage.table import ServingTable  # noqa: F401
