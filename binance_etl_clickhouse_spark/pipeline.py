@@ -39,6 +39,7 @@ from binance_etl_clickhouse_spark.sources.fetcher import (
     synthetic_page_fn,
 )
 from binance_etl_clickhouse_spark.sources.synthetic import INTERVAL_MS
+from binance_etl_clickhouse_spark.storage.rollup import RollupTable
 from binance_etl_clickhouse_spark.storage.state import ProgressTable
 from binance_etl_clickhouse_spark.storage.table import INGEST_SEQ, ServingTable
 
@@ -105,6 +106,24 @@ class Pipeline:
         )
         self.margin_rates = mk(
             "bn_margin_rates", schemas.MARGIN_RATES_PK, "timestamp", ["asset", "timestamp"]
+        )
+        # continuous aggregate kept warm by update_all: daily OHLCV bars per
+        # (symbol, market, source interval); refresh cost ∝ months touched
+        # by the ingest just performed, not klines-table size
+        self.klines_daily = RollupTable(
+            path=os.path.join(base_dir, "bn_klines_daily"),
+            source=self.klines,
+            granularity="day",
+            group_cols=["symbol", "type", "interval"],
+            aggs=lambda: [
+                F.min_by("open", "timestamp").alias("open"),
+                F.max("high").alias("high"),
+                F.min("low").alias("low"),
+                F.max_by("close", "timestamp").alias("close"),
+                F.sum("volume").alias("volume"),
+                F.sum("trades_count").alias("trades_count"),
+                F.count(F.lit(1)).alias("n_bars"),
+            ],
         )
         self.logs_path = os.path.join(base_dir, "pipeline_logs")
 
@@ -292,6 +311,7 @@ class Pipeline:
                 counts[f"perp_klines_{interval}"] = self.update_klines("PERPETUAL", interval)
             counts["funding_rates"] = self.update_funding_rates()
             counts["margin_rates"] = self.update_margin_rates()
+            counts["klines_daily_months"] = len(self.klines_daily.refresh(self.spark))
         except Exception as e:
             self.log_run("failure", f"{type(e).__name__}: {e}")
             raise

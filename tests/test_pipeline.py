@@ -98,6 +98,15 @@ def test_update_all_end_to_end(spark, tmp_path):
     # run log captured
     logs = spark.read.parquet(p.logs_path)
     assert logs.filter(F.col("status") == "success").count() == 1
+    # continuous aggregate refreshed as part of the run and consistent
+    assert counts["klines_daily_months"] > 0
+    daily = p.klines_daily.read(spark)
+    spot_daily = daily.filter(F.col("type") == "SPOT")
+    assert spot_daily.agg(F.sum("n_bars")).collect()[0][0] == 2 * 100
+    assert (
+        spot_daily.agg(F.round(F.sum("volume"), 4)).collect()[0][0]
+        == spot.agg(F.round(F.sum("volume"), 4)).collect()[0][0]
+    )
 
 
 def test_rerun_skips_completed_symbols(spark, tmp_path):
