@@ -178,3 +178,27 @@ def test_simhash_banded_rejects_unsound_params(spark):
         simhash_banded_pairs(sig, max_hamming=4, n_bands=4)  # pigeonhole broken
     with pytest.raises(ValueError):
         simhash_banded_pairs(sig, sig_bits=16, n_bands=3)
+
+
+def test_gemm_cosine_pairs_equal_expression_form(spark):
+    """Block-pair GEMM all-pairs cosine == nested-loop expression baseline."""
+    from binance_etl_clickhouse_spark.operators.neardup import (
+        embedding_cosine_pairs,
+        embedding_cosine_pairs_gemm,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    ref = {
+        (r.v1, r.v2): r.cos_sim
+        for r in embedding_cosine_pairs(emb, threshold=0.45).collect()
+    }
+    for n_blocks in (1, 3, 8):
+        got = {
+            (r.v1, r.v2): r.cos_sim
+            for r in embedding_cosine_pairs_gemm(
+                emb, threshold=0.45, n_blocks=n_blocks
+            ).collect()
+        }
+        assert set(got) == set(ref), f"pair set differs at n_blocks={n_blocks}"
+        worst = max(abs(got[k] - ref[k]) for k in ref) if ref else 0.0
+        assert worst <= 1e-6, f"sims drifted {worst} at n_blocks={n_blocks}"
