@@ -227,8 +227,11 @@ def embedding_cosine_pairs_gemm(
         ia = a["id"].to_numpy()
         ib = b["id"].to_numpy()
         # tolerance superset — the exact HALF_UP round + threshold happens
-        # JVM-side below so tie behavior matches the SQL oracle bit-for-bit
-        mask = sims >= threshold - 1e-9
+        # JVM-side below so tie behavior matches the SQL oracle bit-for-bit.
+        # The margin must cover the round(·, 6) half-ulp (5e-7): a raw cosine
+        # in [threshold - 5e-7, threshold) rounds UP to the threshold and is
+        # kept by the JVM filter, so the pre-mask may not drop it.
+        mask = sims >= threshold - 5e-7 - 1e-9
         if i == j:
             # same block on both sides: strict upper triangle by id, else
             # every pair shows up twice plus the self-pairs once

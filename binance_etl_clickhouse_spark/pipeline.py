@@ -41,7 +41,7 @@ from binance_etl_clickhouse_spark.sources.fetcher import (
 from binance_etl_clickhouse_spark.sources.synthetic import INTERVAL_MS
 from binance_etl_clickhouse_spark.storage.rollup import RollupTable
 from binance_etl_clickhouse_spark.storage.state import ProgressTable
-from binance_etl_clickhouse_spark.storage.table import INGEST_SEQ, ServingTable
+from binance_etl_clickhouse_spark.storage.table import ServingTable
 
 
 #: F10 — legacy per-interval table-name suffixes (reference :560, :668);
@@ -130,10 +130,9 @@ class Pipeline:
     # -- sequencing -------------------------------------------------------
 
     def _next_seq(self, table: ServingTable) -> int:
-        if not table.exists():
-            return 1
-        row = table.read_raw(self.spark).agg(F.max(INGEST_SEQ).alias("m")).collect()[0]
-        return int(row.m or 0) + 1
+        # O(1): the table maintains a _seq.json sidecar (falls back to one
+        # footer-only max(ingest_seq) scan for pre-sidecar tables)
+        return table.max_ingest_seq(self.spark) + 1
 
     # -- stages (≙ update_symbols :612-624, update_klines :661-692, ...) --
 
@@ -214,14 +213,9 @@ class Pipeline:
         else:
             done = pending
         progress.mark_done(done)
-        if not self.klines.exists():  # every symbol failed -> nothing written
-            return 0
-        n = int(
-            self.klines.read_raw(self.spark)
-            .filter((F.col("type") == market_type) & (F.col("interval") == interval))
-            .count()
-        )
-        return n
+        # A2: the row count already rode the write job via observe() — no
+        # second full-table scan per ingest
+        return int(self.last_ingest_metrics.get("rows", 0))
 
     def update_klines_incremental(self, market_type: str, interval: str) -> int:
         """T1 incremental resume: per-symbol fetch restarts at the serving

@@ -6,8 +6,12 @@ Derived from the reference DDL constants (see SURVEY.md §1.2; reference
 
 - ``LowCardinality(String)`` -> StringType (parquet dictionary encoding is
   automatic and gives the identical storage effect).
-- ``DateTime`` (second precision, UTC) -> TimestampType; writers truncate to
-  seconds so hash comparisons against second-precision engines match.
+- ``DateTime`` (second precision, UTC) -> TimestampType. Deliberate
+  deviation: writers KEEP millisecond precision (e.g. ``close_time`` ends in
+  .999, straight from the API) — the reference's DDL rounds to seconds only
+  because ClickHouse ``DateTime`` can't hold ms. Anything exported back to a
+  second-precision layout (INTERVAL_TABLE_SUFFIX path) must apply
+  ``date_trunc('second', ...)`` at that export boundary.
 - ``Float64`` -> DoubleType (README's Decimal64(8) claim is wrong; the DDL
   uses Float64 — SURVEY.md §1.2).
 - ``UInt32`` -> LongType (no unsigned type in Spark; int would overflow).

@@ -33,6 +33,13 @@ class TokenBucket:
         ever-smaller sleeps that never reach ``n`` (a Zeno loop; found by
         the hypothesis property test with a simulated clock).
         """
+        if n > self.capacity:
+            # A weight larger than the bucket could otherwise never be
+            # satisfied (tokens cap at capacity -> infinite sleep loop, e.g.
+            # weight_per_call=2 against a budget_calls//n_partitions == 1
+            # bucket). Widen the burst size to the weight; the refill RATE is
+            # untouched, so long-run throughput still honors the budget.
+            self.capacity = float(n)
         while True:
             now = self._clock()
             self.tokens = min(self.capacity, self.tokens + (now - self.updated) * self.rate)

@@ -29,6 +29,7 @@ from binance_etl_clickhouse_spark.operators.dedup import keep_last
 from binance_etl_clickhouse_spark.schemas import MONTH_COL
 
 INGEST_SEQ = "ingest_seq"
+SEQ_SIDECAR = "_seq.json"  # leading "_" -> invisible to Spark's parquet reader
 
 
 @dataclass
@@ -39,6 +40,69 @@ class ServingTable:
     keys: list[str]  # ReplacingMergeTree ORDER BY key (dedup identity)
     time_col: str | None  # event-time column driving the month partition
     sort_cols: list[str] = field(default_factory=list)  # physical sort (defaults to keys)
+
+    # -- crash recovery ---------------------------------------------------
+
+    def _recover(self) -> None:
+        """Heal an interrupted :meth:`compact` swap.
+
+        The swap is live -> .bak, tmp -> live, rm .bak. A crash between the
+        two moves leaves the live path missing with a complete .bak (and
+        possibly a complete tmp). Recovery restores the .bak — the
+        pre-compact state, which is always safe because compact() only
+        rewrites existing data. Leftover tmp/bak dirs from completed swaps
+        are cleared.
+        """
+        import shutil
+
+        bak = self.path.rstrip("/") + ".compact.bak"
+        tmp = self.path.rstrip("/") + ".compact.tmp"
+        if not os.path.isdir(self.path) and os.path.isdir(bak):
+            shutil.move(bak, self.path)
+        if os.path.isdir(self.path):
+            # live dir resolves -> any leftover swap debris is stale
+            for d in (bak, tmp):
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
+
+    # -- version sequencing -----------------------------------------------
+
+    def _sidecar_path(self) -> str:
+        return os.path.join(self.path, SEQ_SIDECAR)
+
+    def _read_sidecar(self) -> int | None:
+        import json
+
+        try:
+            with open(self._sidecar_path()) as f:
+                return int(json.load(f)["max_ingest_seq"])
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def _write_sidecar(self, max_seq: int) -> None:
+        import json
+
+        tmp = self._sidecar_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"max_ingest_seq": int(max_seq)}, f)
+        os.replace(tmp, self._sidecar_path())
+
+    def max_ingest_seq(self, spark: SparkSession) -> int:
+        """Highest version stamp ever appended (0 for an empty table).
+
+        O(1) via the ``_seq.json`` sidecar each append maintains; a missing
+        sidecar (pre-sidecar table) falls back to one ``max(ingest_seq)``
+        parquet-footer scan and then self-heals by writing the sidecar.
+        """
+        if not self.exists():
+            return 0
+        cached = self._read_sidecar()
+        if cached is not None:
+            return cached
+        row = self.read_raw(spark).agg(F.max(INGEST_SEQ).alias("m")).first()
+        v = int(row.m or 0)
+        self._write_sidecar(v)
+        return v
 
     # -- write path -------------------------------------------------------
 
@@ -66,11 +130,13 @@ class ServingTable:
         else:
             # dimension tables: small, unpartitioned
             out.sortWithinPartitions(*sort_cols).write.mode("append").parquet(self.path)
+        self._write_sidecar(max(self._read_sidecar() or 0, ingest_seq))
 
     # -- read path --------------------------------------------------------
 
     def read_raw(self, spark: SparkSession) -> DataFrame:
         """All versions, no dedup (≙ SELECT without FINAL)."""
+        self._recover()
         return spark.read.parquet(self.path)
 
     def read(self, spark: SparkSession) -> DataFrame:
@@ -82,6 +148,7 @@ class ServingTable:
         return keep_last(self.read_raw(spark), self.keys, INGEST_SEQ)
 
     def exists(self) -> bool:
+        self._recover()
         return os.path.isdir(self.path) and any(
             not n.startswith(("_", ".")) for n in os.listdir(self.path)
         )
@@ -95,6 +162,8 @@ class ServingTable:
         Partition-parallel: each month rewrites independently; at 100 TB this
         runs as a per-month (or per-month-bucket) job rather than whole-table.
         """
+        self._recover()
+        cur_seq = self._read_sidecar()
         snap = self.read(spark)
         tmp = self.path.rstrip("/") + ".compact.tmp"
         sort_cols = self.sort_cols or self.keys
@@ -111,6 +180,10 @@ class ServingTable:
         shutil.move(self.path, bak)
         shutil.move(tmp, self.path)
         shutil.rmtree(bak)
+        # compaction preserves versions (it keeps max-per-key), so the
+        # sidecar's max carries over unchanged
+        if cur_seq is not None:
+            self._write_sidecar(cur_seq)
 
     def max_watermark(self, spark: SparkSession, per: str | None = None) -> DataFrame:
         """Resume offsets (SURVEY.md A5/T1): max(time_col) overall or per key."""

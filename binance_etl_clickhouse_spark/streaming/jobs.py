@@ -48,9 +48,17 @@ def stream_ingest_staging(
         if dedup_keys:
             src = src.dropDuplicatesWithinWatermark(dedup_keys)
 
+    # Version stamps must stay monotonic even if batch appends happened on
+    # this table before (or between) stream runs: epoch ids restart relative
+    # to the checkpoint, so raw `epoch_id + 1` could collide with (or fall
+    # below) existing batch seqs and keep-last dedup would prefer stale rows.
+    # Offsetting by the table's max seq at stream start keeps every streamed
+    # batch strictly newer than anything already at rest.
+    base_seq = table.max_ingest_seq(spark)
+
     def sink(batch: DataFrame, epoch_id: int) -> None:
         if not batch.isEmpty():
-            table.append(batch, ingest_seq=epoch_id + 1)
+            table.append(batch, ingest_seq=base_seq + epoch_id + 1)
 
     writer = src.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_dir)
     if available_now:

@@ -202,3 +202,30 @@ def test_gemm_cosine_pairs_equal_expression_form(spark):
         assert set(got) == set(ref), f"pair set differs at n_blocks={n_blocks}"
         worst = max(abs(got[k] - ref[k]) for k in ref) if ref else 0.0
         assert worst <= 1e-6, f"sims drifted {worst} at n_blocks={n_blocks}"
+
+
+def test_gemm_cosine_keeps_round_up_boundary_pairs(spark):
+    """A raw cosine in [threshold-5e-7, threshold) HALF_UP-rounds to the
+    threshold and is kept by the expression/oracle filter — the GEMM
+    pre-mask must not drop it (its margin covers the round(·,6) half-ulp)."""
+    import math
+
+    from binance_etl_clickhouse_spark.operators.neardup import (
+        embedding_cosine_pairs,
+        embedding_cosine_pairs_gemm,
+    )
+
+    c = 0.44999999  # rounds to 0.450000 at 6 digits
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [c, math.sqrt(1 - c * c)]),  # cos(v1, v2) == c exactly
+        (3, [-1.0, 0.0]),  # anti-similar to both -> below threshold
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ref = sorted(map(tuple, embedding_cosine_pairs(emb, threshold=0.45).collect()))
+    assert ref == [(1, 2, 0.45)]  # the boundary pair is in the baseline
+    for n_blocks in (1, 2):
+        got = sorted(
+            map(tuple, embedding_cosine_pairs_gemm(emb, threshold=0.45, n_blocks=n_blocks).collect())
+        )
+        assert got == ref, f"boundary pair lost at n_blocks={n_blocks}"

@@ -79,6 +79,21 @@ def test_token_bucket_throttles():
     assert slept and abs(sum(slept) - 0.5) < 1e-6
 
 
+def test_token_bucket_weight_above_capacity_terminates():
+    # weight_per_call=2 against a budget_calls//n_partitions == 1 bucket
+    # used to spin forever (tokens cap at capacity < n); now the burst size
+    # widens to the weight while the refill rate keeps honoring the budget
+    t = [0.0]
+    slept = []
+    bucket = TokenBucket(
+        1, 1.0, clock=lambda: t[0], sleeper=lambda s: (slept.append(s), t.__setitem__(0, t[0] + s))
+    )
+    bucket.acquire(2)  # must not hang
+    assert abs(sum(slept) - 1.0) < 1e-6  # waited for the 2nd token at 1 tok/s
+    bucket.acquire(2)
+    assert abs(sum(slept) - 3.0) < 1e-6  # long-run rate still 1 token/sec
+
+
 def test_update_all_end_to_end(spark, tmp_path):
     p = Pipeline(spark, str(tmp_path / "db"), _cfg())
     counts = p.update_all()

@@ -113,3 +113,40 @@ def test_serving_files_are_key_sorted_on_disk(spark, tmp_path):
         assert key == sorted(key), f"unsorted file {f}"
         checked += 1
     assert checked > 0
+
+
+def test_compact_crash_recovery(spark, tmp_path):
+    """A crash between the two swap moves must not lose the table: on next
+    open the .compact.bak is restored (pre-compact state, always safe)."""
+    import shutil
+
+    t = _table(tmp_path)
+    b = _clean(spark, n_symbols=2, bars_per_symbol=48, overlap_bars=0)
+    t.append(b, ingest_seq=1)
+    t.append(b.withColumn("volume", F.col("volume") * 2), ingest_seq=2)
+    expected = t.read(spark).count()
+    # simulate the crash window: live moved to .bak, tmp never moved in
+    shutil.move(t.path, t.path + ".compact.bak")
+    assert not os.path.isdir(t.path)
+    # any entry point heals it
+    assert t.exists()
+    assert os.path.isdir(t.path)
+    assert not os.path.isdir(t.path + ".compact.bak")
+    assert t.read(spark).count() == expected
+    assert t.max_ingest_seq(spark) == 2
+
+
+def test_max_ingest_seq_sidecar(spark, tmp_path):
+    t = _table(tmp_path)
+    assert t.max_ingest_seq(spark) == 0
+    b = _clean(spark, n_symbols=1, bars_per_symbol=10, overlap_bars=0)
+    t.append(b, ingest_seq=1)
+    t.append(b, ingest_seq=7)
+    assert t.max_ingest_seq(spark) == 7
+    # sidecar survives compaction (versions are preserved by keep-max)
+    t.compact(spark)
+    assert t.max_ingest_seq(spark) == 7
+    # self-heals from parquet footers if the sidecar is missing (legacy table)
+    os.remove(os.path.join(t.path, "_seq.json"))
+    assert t.max_ingest_seq(spark) == 7
+    assert os.path.isfile(os.path.join(t.path, "_seq.json"))

@@ -98,6 +98,35 @@ def test_stream_ingest_staging_available_now(spark, tmp_path):
     assert table.read_raw(spark).count() == k.count()  # no duplicate versions
 
 
+def test_stream_seq_monotonic_after_batch_appends(spark, tmp_path):
+    """Mixing batch appends and streamed batches on one table must keep
+    version stamps monotonic: the streamed rows (newer arrivals) have to win
+    keep-last dedup over the earlier batch rows."""
+    k = _klines(spark, n_symbols=1, bars=24)
+    table = ServingTable(
+        path=str(tmp_path / "serving"),
+        keys=KLINES_PK,
+        time_col="timestamp",
+        sort_cols=["symbol", "type", "interval", "timestamp"],
+    )
+    # batch writer got there first, several times
+    table.append(k, ingest_seq=1)
+    table.append(k.withColumn("volume", F.lit(111.0)), ingest_seq=5)
+    # now the same keys arrive via the stream (a re-fetch) with volume=999
+    staging = str(tmp_path / "staging")
+    k.withColumn("volume", F.lit(999.0)).write.mode("append").parquet(staging)
+    q = stream_ingest_staging(
+        spark, staging, KLINES, table, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    snap = table.read(spark)
+    assert snap.count() == 24
+    # epoch 0 alone would have stamped seq=1 (colliding with the first batch
+    # and losing to seq=5); the base offset makes the stream rows newest
+    assert {r.volume for r in snap.select("volume").distinct().collect()} == {999.0}
+    assert table.max_ingest_seq(spark) >= 6
+
+
 def test_stream_resample_with_watermark(spark):
     ev = load_table(spark, "/root/testdata/sf0.001", "events")
     # drive the streaming agg with a bounded memory source: use the batch df
