@@ -89,6 +89,25 @@ def assign_cells(
     return df.withColumn("cell", _assign_cell(_as_double(vec_col), centroids))
 
 
+def probe_cells(centroids: list[list[float]], query_vec: list[float], nprobe: int) -> list[int]:
+    """The ``nprobe`` cells nearest to the query (ties -> lowest cell id)."""
+    dists = [
+        (ci, sum((q - c) ** 2 for q, c in zip(query_vec, cent)))
+        for ci, cent in enumerate(centroids)
+    ]
+    return [ci for ci, _ in sorted(dists, key=lambda t: t[1])[:nprobe]]
+
+
+def _rerank(cand: DataFrame, query_vec: list[float], k: int, id_col: str, vec_col: str) -> DataFrame:
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_expr(_as_double(vec_col), q)
+    return (
+        cand.select(F.col(id_col), F.round(sim, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     centroids: list[list[float]],
@@ -98,19 +117,52 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Probe the ``nprobe`` nearest cells to the query, exact-rerank inside."""
-    dists = [
-        (ci, sum((q - c) ** 2 for q, c in zip(query_vec, cent)))
-        for ci, cent in enumerate(centroids)
-    ]
-    probe = [ci for ci, _ in sorted(dists, key=lambda t: t[1])[:nprobe]]
+    """Probe the ``nprobe`` nearest cells to the query, exact-rerank inside.
+
+    This form re-assigns cells over the full table at query time (k distance
+    expressions per row) — fine for one-off scans; a standing index should
+    use :func:`write_ivf_table` + :func:`ivf_topk_from_table`, where the
+    parquet scan itself prunes to the probed cells.
+    """
+    probe = probe_cells(centroids, query_vec, nprobe)
     cand = assign_cells(df, centroids, id_col, vec_col).filter(
         F.col("cell").isin(probe)
     )
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    sim = cosine_expr(_as_double(vec_col), q)
-    return (
-        cand.select(F.col(id_col), F.round(sim, 6).alias("cos_sim"))
-        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
-        .limit(k)
-    )
+    return _rerank(cand, query_vec, k, id_col, vec_col)
+
+
+def write_ivf_table(
+    df: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index layout: the table partitioned by ``cell``.
+
+    The assignment projection runs ONCE here; every subsequent query is a
+    partition-pruned read of ``nprobe`` cell dirs — at 100 TB that is the
+    entire point of IVF (scan nprobe/k of the data, no per-row math outside
+    the probed cells)."""
+    assign_cells(df, centroids, id_col, vec_col).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
+
+
+def ivf_topk_from_table(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k over a :func:`write_ivf_table` layout.
+
+    The ``cell IN probe`` filter lands in the scan's PartitionFilters
+    (plan-pinned by test) — only the probed cell directories are read."""
+    probe = probe_cells(centroids, query_vec, nprobe)
+    cand = spark.read.parquet(path).filter(F.col("cell").isin(probe))
+    return _rerank(cand, query_vec, k, id_col, vec_col)

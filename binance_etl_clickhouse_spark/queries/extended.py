@@ -108,10 +108,15 @@ def pandas_zscore_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
+    # one scalar column per quantile (NOT one array column: array cells are
+    # unhashable in pandas and crash order-insensitive canonicalization —
+    # and scalar columns are what a consumer joins/filters on anyway)
     return li.agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99]).alias("price_quantiles"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("p50_price"),
+        F.percentile_approx("l_extendedprice", 0.95).alias("p95_price"),
+        F.percentile_approx("l_extendedprice", 0.99).alias("p99_price"),
     )
 
 

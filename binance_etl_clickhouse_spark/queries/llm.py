@@ -214,12 +214,45 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# LSH-bucketed ANN (the scale path) — rows-only check: the bucket prefilter
-# is deterministic but its oracle would duplicate the engine, not test it.
+# LSH-bucketed ANN (the scale path). The hyperplanes are deterministic
+# md5-seeded constants (similarity.hyperplanes), so the oracle inlines them
+# as literal arrays and recomputes the identical bucket bits in SQL; the
+# multiprobe set {qbits ^ mask : popcount(mask) <= h} is equivalently
+# bit_count(xor(bucket, qbucket)) <= h.
 # ---------------------------------------------------------------------------
+
+_EMB_DIM = 64  # embeddings.embedding is array<float>[64] at every SF
+
+
+def _lsh_bucket_sql(n_planes: int, vcol: str = "v") -> str:
+    """DuckDB twin of similarity.random_hyperplane_buckets' bucket column."""
+    terms = []
+    for p, plane in enumerate(similarity.hyperplanes(n_planes, _EMB_DIM)):
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_inner_product({vcol}, {lit}) >= 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _ann_lsh_oracle() -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {_lsh_bucket_sql(6)} AS bucket FROM e),
+    q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_inner_product(v, qv)
+                 / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))), 6)
+             AS cos_sim
+    FROM b CROSS JOIN q
+    WHERE bit_count(xor(bucket::BIGINT, qb::BIGINT)) <= 2
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """
+
+
 @register(
     "ann_lsh_topk",
-    None,
+    _ann_lsh_oracle(),
     survey_ref="similarity: sign-LSH bucketed ANN",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -397,12 +430,30 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # LSH-bucketed embedding near-dup (the 100 TB path for
 # embedding_cosine_neardup): candidate pairs only within a shared sign-LSH
-# bucket, then exact cosine. Rows-only check (recall is probabilistic; the
-# exact variant above is the oracle-matched baseline).
+# bucket, then exact cosine. The oracle recomputes the same deterministic
+# buckets from the inlined hyperplanes, so recall (which pairs the buckets
+# catch) is itself pinned, not just precision.
 # ---------------------------------------------------------------------------
+
+
+def _embedding_lsh_oracle() -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {_lsh_bucket_sql(4)} AS bucket FROM e)
+    SELECT a.vec_id AS v1, c.vec_id AS v2,
+           round(list_inner_product(a.v, c.v)
+                 / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(c.v, c.v))), 6)
+             AS cos_sim
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE round(list_inner_product(a.v, c.v)
+                / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(c.v, c.v))), 6)
+          >= 0.45
+    """
+
+
 @register(
     "embedding_lsh_neardup",
-    None,
+    _embedding_lsh_oracle(),
     survey_ref="dedup: embedding near-dup, LSH-bucketed scale path",
 )
 def embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -427,22 +478,113 @@ def embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # IVF ANN (second scale path): deterministic coarse k-means codebook ->
-# probe nearest cells -> exact rerank. Iterative training is not
-# SQL-expressible -> rows-only check; brute-force top-k is the oracle-matched
-# baseline.
+# cell-partitioned index layout -> partition-pruned probe of the nprobe
+# nearest cells -> exact rerank. The training loop is deterministic (init =
+# first k vectors by id, exact arithmetic, fixed iteration count), so the
+# oracle UNROLLS the same k-means in SQL — init, two assign/update rounds,
+# probe selection, rerank — rather than treating the iteration as
+# inexpressible.
 # ---------------------------------------------------------------------------
+
+_IVF_K, _IVF_ITERS, _IVF_NPROBE = 8, 2, 3
+
+
+def _sqdist_sql(a: str, b: str) -> str:
+    # same elementwise (a-b)^2 sequential fold as ivf._assign_cell
+    return (
+        f"list_sum(list_transform(range(1, {_EMB_DIM + 1}),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+def _kmeans_assign_cte(name: str, cent: str) -> str:
+    # nearest centroid per vector; tie -> lowest cell (ivf._assign_cell
+    # takes array_position's FIRST minimum)
+    return f"""
+    {name} AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, {cent}.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_sqdist_sql('e.v', f'{cent}.v')}, {cent}.cell) AS rn
+        FROM e CROSS JOIN {cent}
+      ) WHERE rn = 1
+    )"""
+
+
+def _kmeans_update_cte(assigned: str, prev: str, out: str) -> str:
+    # per-(cell, dim) mean, empty cells keep the previous centroid —
+    # mirrors ivf.kmeans_fit's update step
+    return f"""
+    {out}_m AS (
+      SELECT cell, i, avg(v[i]) AS m FROM {assigned}, range(1, {_EMB_DIM + 1}) t(i)
+      GROUP BY cell, i
+    ),
+    {out}_arr AS (SELECT cell, list(m ORDER BY i) AS v FROM {out}_m GROUP BY cell),
+    {out} AS (
+      SELECT {prev}.cell, coalesce({out}_arr.v, {prev}.v) AS v
+      FROM {prev} LEFT JOIN {out}_arr USING (cell)
+    )"""
+
+
+def _ann_ivf_oracle() -> str:
+    iters = []
+    prev = "c0"
+    for it in range(1, _IVF_ITERS + 1):
+        iters.append(_kmeans_assign_cte(f"a{it}", prev) + ",")
+        iters.append(_kmeans_update_cte(f"a{it}", prev, f"c{it}") + ",")
+        prev = f"c{it}"
+    body = "\n".join(iters)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_IVF_K})
+    ),
+    {body}
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    probe AS (
+      SELECT cell FROM {prev} CROSS JOIN q
+      ORDER BY {_sqdist_sql('qv', f'{prev}.v')}, cell LIMIT {_IVF_NPROBE}
+    ),
+    {_kmeans_assign_cte('af', prev)}
+    SELECT vec_id,
+           round(list_inner_product(v, qv)
+                 / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))), 6)
+             AS cos_sim
+    FROM af CROSS JOIN q
+    WHERE cell IN (SELECT cell FROM probe)
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """
+
+
 @register(
     "ann_ivf_topk",
-    None,
+    _ann_ivf_oracle(),
     survey_ref="similarity: IVF coarse-quantization ANN (iterative k-means)",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from binance_etl_clickhouse_spark.operators.ivf import ivf_topk, kmeans_fit
+    import hashlib
+    import tempfile
+
+    from binance_etl_clickhouse_spark.operators.ivf import (
+        ivf_topk_from_table,
+        kmeans_fit,
+        write_ivf_table,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    codebook = kmeans_fit(emb, k=8, n_iters=2)
+    codebook = kmeans_fit(emb, k=_IVF_K, n_iters=_IVF_ITERS)
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return ivf_topk(emb, codebook, qv, k=10, nprobe=3)
+    # index build: write the cell-partitioned layout once per (dataset,
+    # codebook); the query itself is then a partition-PRUNED read of the
+    # nprobe probed cells — the scan never touches the other cells' files
+    key = hashlib.md5(f"{sf_dir}:{codebook}".encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/spark_graft_ivf_{key}"
+    import os
+
+    if not os.path.isdir(path):
+        write_ivf_table(emb, codebook, path)
+    return ivf_topk_from_table(spark, path, codebook, qv, k=10, nprobe=_IVF_NPROBE)
 
 
 # ---------------------------------------------------------------------------
