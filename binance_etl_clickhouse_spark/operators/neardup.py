@@ -12,8 +12,10 @@ Four escalating strategies, each designed for the 100 TB shape:
   per-row projection (no shuffle); candidate generation shuffles only on
   band-bucket keys; exact Jaccard verifies candidates. At 100 TB this is the
   workhorse: cost ~ O(docs x K) + O(colliding pairs).
-- SimHash: see operators.text.simhash — constant-size signature, pairs via
-  hamming distance on a 16-bit value.
+- SimHash: see operators.text.simhash_wide — constant-size 60-bit
+  signature; pairs via the banded equi-join (simhash_banded_pairs), which
+  is pigeonhole-exact for the hamming threshold and shuffles on ~32k-value
+  band buckets instead of forming the O(n^2) pair join.
 
 Every operator has a DuckDB-oracle twin generated from the same hash
 constants (operators.texthash), so correctness is pinned end-to-end.
@@ -272,9 +274,9 @@ def simhash_banded_pairs(
 
     Regime note (measured, see queries/llm.py): with narrow signatures a
     band has few distinct values (16-bit / 4 bands -> 16 buckets) and the
-    bucketing prunes little; the construction pays off with wide signatures
-    (64-bit -> 65k buckets per 16-bit band) and low dup density — the
-    real-corpus regime this operator exists for.
+    bucketing prunes little; with the production 60-bit signature
+    (text.simhash_wide) each 15-bit band has ~32k values and almost no
+    non-dup pairs collide — that width is the registered default.
     """
     if max_hamming > n_bands - 1:
         raise ValueError(

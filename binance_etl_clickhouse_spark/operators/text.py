@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 
 from binance_etl_clickhouse_spark.operators.texthash import hash31, hash60, tokens
 
+SIMHASH_WIDE_BITS = 60  # hash60-backed; 60 bits keeps BIGINT signed-safe in both engines
+
 #: tiny English-ish stopword list; the heuristic's signal, not linguistics
 STOPWORDS = ["the", "a"]
 
@@ -116,3 +118,30 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         val = term if val is None else val + term
     return bit_sums.select(id_col, val.alias("simhash"))
+
+
+def simhash_wide(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """60-bit frequency-weighted SimHash — the production-width signature.
+
+    Same mergeable-agg shape as :func:`simhash`, but the signature is wide
+    enough that band-bucketing actually prunes: 4 bands of 15 bits give 32k
+    buckets per band (vs 16 for the 16-bit toy width), which is what makes
+    neardup.simhash_banded_pairs the scale path instead of the all-pairs
+    join. Bits come straight from hash60, so a DuckDB oracle reproduces the
+    signature bit-for-bit.
+    """
+    tok = df.select(id_col, F.explode(tokens(text_col)).alias("tok"))
+    h = tok.withColumn("h", hash60("tok"))
+    bit_sums = h.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(SIMHASH_WIDE_BITS)
+        ]
+    )
+    val = None
+    for b in range(SIMHASH_WIDE_BITS):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        val = term if val is None else val + term
+    return bit_sums.select(id_col, val.cast("long").alias("simhash"))

@@ -18,6 +18,7 @@ from binance_etl_clickhouse_spark.operators.multimodal import (
 from binance_etl_clickhouse_spark.operators.neardup import LSH_BANDS
 from binance_etl_clickhouse_spark.operators.texthash import (
     hash31_sql,
+    hash60_sql,
     minhash_perm_sql,
     shingles,
     shingles_sql,
@@ -385,45 +386,63 @@ def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash near-dup pairs: signature self-join on hamming distance <= 3.
-# At scale the join prefilters on signature bands (split the 16 bits into
-# 4 nibbles; pairs within hamming<=3 share at least one nibble) — here the
-# 500-doc all-pairs form is exact and oracle-matched.
+# SimHash near-dup pairs: 60-bit signatures + banded candidate generation.
+# Pigeonhole-exact: a pair within hamming <= 3 collides in at least one of
+# the 4 15-bit bands, so the banded equi-join returns EXACTLY the all-pairs
+# semantics (pinned by equivalence test) — but shuffles on (band, value)
+# buckets (~32k per band) instead of building the O(n^2) nested-loop join.
+# The oracle recomputes the identical signature from hash60 and takes the
+# all-pairs form (fine at oracle scale, and structurally independent of the
+# engine's banding).
 # ---------------------------------------------------------------------------
 
 
-def _simhash_pairs_oracle() -> str:
-    inner = _simhash_oracle().strip()
+def _simhash_wide_oracle() -> str:
+    bit_sums = ",\n      ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(text.SIMHASH_WIDE_BITS)
+    )
+    val = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(text.SIMHASH_WIDE_BITS)
+    )
     return f"""
-    WITH sig AS ({inner})
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    h AS (SELECT doc_id, {hash60_sql("t")} AS h FROM tok),
+    bits AS (SELECT doc_id,
+      {bit_sums}
+      FROM h GROUP BY doc_id)
+    SELECT doc_id, {val} AS simhash FROM bits
+    """
+
+
+def _simhash_pairs_oracle() -> str:
+    return f"""
+    WITH sig AS ({_simhash_wide_oracle().strip()})
     SELECT a.doc_id AS d1, b.doc_id AS d2,
-           CAST(bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) AS INTEGER) AS hamming
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) <= 3
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """
 
 
 @register(
     "simhash_neardup_pairs",
     _simhash_pairs_oracle(),
-    survey_ref="dedup: SimHash hamming pairs",
+    survey_ref="dedup: SimHash hamming pairs (banded equi-join)",
 )
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Measured choice (sf0.1, warm): all-pairs 2.2s vs nibble-banded 6.9s —
-    # with 16-bit signatures a band has only 16 buckets (prunes ~nothing)
-    # and ~21% of ALL pairs qualify on this corpus, so the banded variant
-    # just adds an explode + 2.6M-row distinct. The banded construction
-    # lives in neardup.simhash_banded_pairs (equivalence-tested); it wins
-    # when signatures are wide (64-bit -> 65k buckets/band) and dup density
-    # is low — the real-corpus regime. See SCALE.md.
-    sig = text.simhash(_t(spark, sf_dir, "documents"))
-    a = sig.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("s1"))
-    b = sig.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("s2"))
-    ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
-    return (
-        a.join(b, F.col("d1") < F.col("d2"))
-        .select("d1", "d2", ham.alias("hamming"))
-        .filter(F.col("hamming") <= 3)
+    # With the toy 16-bit signature a band had 16 distinct values and banding
+    # pruned nothing (measured round 1: all-pairs 2.2s vs banded 6.9s at
+    # sf0.1). At production width the regime flips: 60-bit signatures give
+    # ~32k buckets per 15-bit band and ~0.03% of pairs collide, so the
+    # banded equi-join IS the registered (and scale-safe) default; no
+    # BroadcastNestedLoopJoin anywhere in this plan (pinned in test_plans).
+    sig = text.simhash_wide(_t(spark, sf_dir, "documents"))
+    return neardup.simhash_banded_pairs(
+        sig, max_hamming=3, n_bands=4, sig_bits=text.SIMHASH_WIDE_BITS
     )
 
 

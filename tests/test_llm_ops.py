@@ -169,6 +169,31 @@ def test_simhash_banded_equals_allpairs(spark):
     assert banded == allpairs and len(banded) > 0
 
 
+def test_simhash_wide_banded_equals_allpairs(spark):
+    """The registered 60-bit production form: banded == all-pairs exactly."""
+    from binance_etl_clickhouse_spark.operators.neardup import simhash_banded_pairs
+    from binance_etl_clickhouse_spark.operators.text import SIMHASH_WIDE_BITS, simhash_wide
+
+    sig = simhash_wide(load_table(spark, SF, "documents"))
+    banded = {
+        (r.d1, r.d2, r.hamming)
+        for r in simhash_banded_pairs(
+            sig, max_hamming=3, n_bands=4, sig_bits=SIMHASH_WIDE_BITS
+        ).collect()
+    }
+    a = sig.selectExpr("doc_id AS d1", "simhash AS s1")
+    b = sig.selectExpr("doc_id AS d2", "simhash AS s2")
+    ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    allpairs = {
+        (r.d1, r.d2, r.hamming)
+        for r in a.join(b, F.col("d1") < F.col("d2"))
+        .select("d1", "d2", ham.alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == allpairs and len(banded) > 0
+
+
 def test_simhash_banded_rejects_unsound_params(spark):
     from binance_etl_clickhouse_spark.operators.neardup import simhash_banded_pairs
     from binance_etl_clickhouse_spark.operators.text import simhash

@@ -113,3 +113,19 @@ def test_prep_pipeline_two_shuffles(spark):
     # dedup window (md5 key) + final (split, lang) rollup — nothing else
     plan = _plan(spark, "training_data_prep_pipeline")
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_simhash_pairs_banded_no_nested_loop(spark):
+    # the registered 60-bit banded form must never degenerate into the
+    # all-pairs BroadcastNestedLoopJoin (the one scale-killer flagged in r1)
+    plan = _plan(spark, "simhash_neardup_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_ivf_query_partition_pruned(spark):
+    # the IVF query must answer from the cell-partitioned layout: the probe
+    # filter lands in the scan's PartitionFilters, so only nprobe cell dirs
+    # are read
+    plan = _plan(spark, "ann_ivf_topk")
+    assert "PartitionFilters: [cell" in plan, plan[:2000]
