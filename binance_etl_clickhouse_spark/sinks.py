@@ -6,15 +6,17 @@ ServingTable (storage/table.py); when an external DB is the destination the
 same DataFrame goes through the JDBC batch writer below, or — exactly-once —
 through ``foreachBatch`` in the streaming layer.
 
-No database (or JDBC driver jar) exists in this environment, so
-``write_jdbc`` is a thin, clearly-gated configuration seam: it builds the
-writer and either executes or returns the fully-configured plan for
-inspection (``dry_run``), keeping the option surface testable offline.
+No ClickHouse (or its JDBC driver jar) exists in this environment, but the
+writer is exercised against a REAL database offline: Spark bundles embedded
+Derby, and the round-trip test (tests/test_sinks.py) inserts a pipeline
+batch through ``write_jdbc`` and hash-compares the ``read_jdbc`` read-back.
+``dry_run`` additionally exposes the fully-configured writer for option
+inspection without a database.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 
 def write_jdbc(
@@ -45,3 +47,18 @@ def write_jdbc(
         return writer
     writer.save()
     return None
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Read an external DB table back (the verification half of K2; at
+    cluster scale add partitionColumn/lowerBound/upperBound to parallelize
+    the scan instead of single-connection reads)."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()

@@ -242,8 +242,8 @@ def synthetic_page_fn(
 # ---------------------------------------------------------------------------
 # Online backend: Binance REST klines endpoint (public market-data API).
 # Uses only stdlib urllib; retry/backoff handled by the shared loop, HTTP
-# 418/429 ban handling mirrored from reference :86-108 (C4). Not exercised
-# in tests (no network in the build environment).
+# 418/429 ban handling mirrored from reference :86-108 (C4). Exercised
+# offline against a recorded-response HTTP fixture (tests/test_rest_fixture.py).
 # ---------------------------------------------------------------------------
 
 
@@ -281,7 +281,7 @@ def binance_rest_page_fn(
         try:
             with opener.open(q, timeout=30) as resp:
                 return json.loads(resp.read())
-        except urllib.error.HTTPError as e:  # pragma: no cover — network only
+        except urllib.error.HTTPError as e:
             if e.code in (418, 429):
                 # ban/backoff: parse "banned until <ms>" and sleep it off
                 body = e.read().decode("utf-8", "replace")

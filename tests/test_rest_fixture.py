@@ -1,0 +1,129 @@
+"""C4 end-to-end: the real REST page_fn against a recorded-response HTTP
+fixture — canned Binance-style JSON plus scripted 429/418 ban responses —
+so the retry/ban/backoff path runs for real instead of by inspection.
+
+Driver-side pure-Python tests (no Spark session needed): the same page_fn
+object is what mapInPandas tasks call inside fetch partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+
+from binance_etl_clickhouse_spark.sources.fetcher import (
+    FetchConfig,
+    binance_rest_page_fn,
+    paginate_symbol,
+)
+
+H = 3_600_000
+T0 = 1704067200000
+
+
+def _kline_row(bar_i: int) -> list:
+    ts = T0 + bar_i * H
+    return [ts, "100.0", "101.0", "99.0", "100.5", "10.0", ts + H - 1,
+            "1000.0", 5, "4.0", "400.0", "0"]
+
+
+@pytest.fixture()
+def scripted_server():
+    """HTTP server that replays a script of (status, body) responses."""
+    script: list[tuple[int, str]] = []
+    seen: list[str] = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 — http.server API
+            seen.append(self.path)
+            status, body = script.pop(0) if script else (200, "[]")
+            payload = body.encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):  # silence
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        yield f"http://127.0.0.1:{srv.server_port}/klines", script, seen
+    finally:
+        srv.shutdown()
+
+
+@pytest.fixture()
+def recorded_sleeps(monkeypatch):
+    """Capture every sleep (ban waits + retry backoff) without waiting."""
+    calls: list[float] = []
+    monkeypatch.setattr(time, "sleep", lambda s: calls.append(s))
+    return calls
+
+
+def test_rest_fetch_parses_pages_and_paginates(scripted_server, recorded_sleeps):
+    url, script, seen = scripted_server
+    # two full pages then a short page -> pagination stops itself
+    script += [
+        (200, json.dumps([_kline_row(i) for i in range(3)])),
+        (200, json.dumps([_kline_row(i) for i in range(3, 5)])),
+    ]
+    page_fn = binance_rest_page_fn(base_url=url, interval="1h")
+    cfg = FetchConfig(interval="1h", page_limit=3, backoff_base_s=0.0)
+    pages = list(paginate_symbol("BTCUSDT", T0, T0 + 10 * H, page_fn, cfg))
+    assert [len(p) for p in pages] == [3, 2]
+    assert list(pages[0]["src_order"].unique()) == [0]
+    assert list(pages[1]["src_order"].unique()) == [1]
+    # watermark resume: second request starts at last bar's open ts + 1
+    assert f"startTime={T0 + 2 * H + 1}" in seen[1]
+    assert "symbol=BTCUSDT" in seen[0] and "interval=1h" in seen[0]
+
+
+def test_rest_429_ban_parse_sleeps_until_ban_end(scripted_server, recorded_sleeps):
+    url, script, seen = scripted_server
+    ban_until_ms = int(time.time() * 1000) + 30_000  # 30s from now
+    script += [
+        (429, json.dumps({"code": -1003, "msg": f"Way too much request weight used; IP banned until {ban_until_ms}."})),
+        (200, json.dumps([_kline_row(0)])),
+    ]
+    page_fn = binance_rest_page_fn(base_url=url)
+    cfg = FetchConfig(page_limit=5, backoff_base_s=0.25)
+    pages = list(paginate_symbol("ETHUSDT", T0, T0 + H, page_fn, cfg))
+    assert len(pages) == 1 and len(pages[0]) == 1  # recovered after the ban
+    assert len(seen) == 2  # one banned attempt + one retry
+    # first sleep is the parsed ban wait (~30s), second the retry backoff
+    assert 25.0 <= recorded_sleeps[0] <= 30.0
+    assert recorded_sleeps[1] == 0.25
+
+
+def test_rest_418_without_ban_body_uses_default_backoff(scripted_server, recorded_sleeps):
+    url, script, seen = scripted_server
+    script += [
+        (418, json.dumps({"code": -1003, "msg": "teapot"})),
+        (200, json.dumps([_kline_row(0)])),
+    ]
+    page_fn = binance_rest_page_fn(base_url=url)
+    cfg = FetchConfig(page_limit=5, backoff_base_s=0.5)
+    pages = list(paginate_symbol("BNBUSDT", T0, T0 + H, page_fn, cfg))
+    assert len(pages) == 1
+    assert recorded_sleeps[0] == 60.0  # unparseable ban -> default wait
+    assert recorded_sleeps[1] == 0.5
+
+
+def test_rest_persistent_failure_raises_after_retries(scripted_server, recorded_sleeps):
+    url, script, seen = scripted_server
+    script += [(500, "{}")] * 3
+    page_fn = binance_rest_page_fn(base_url=url)
+    cfg = FetchConfig(page_limit=5, max_retries=3, backoff_base_s=0.1)
+    with pytest.raises(RuntimeError, match="after 3 tries"):
+        list(paginate_symbol("XRPUSDT", T0, T0 + H, page_fn, cfg))
+    assert len(seen) == 3
+    # exponential backoff: 0.1, 0.2, 0.4
+    assert recorded_sleeps == [0.1, 0.2, 0.4]
