@@ -26,7 +26,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_RUNS = int(os.environ.get("BENCH_RUNS", "2"))
 
 #: headline set — one per operator family (agg, join, window-dedup, top-k,
-#: month rollup, event-time resample, running window, anti-join)
+#: month rollup, event-time resample, running window, anti-join), plus the
+#: expensive families where regressions would actually hurt at scale:
+#: LSH dedup, GEMM embedding pairs, decontamination, as-of join, the
+#: 7-table TPC-H join, banded SimHash, and the multi-stage prep pipeline
 HEADLINE = [
     "tpch_q1_pricing_summary",
     "broadcast_dim_join",
@@ -36,6 +39,13 @@ HEADLINE = [
     "tumbling_resample_1h",
     "window_running_sum",
     "anti_join_completed",
+    "minhash_lsh_neardup",
+    "embedding_cosine_neardup",
+    "benchmark_decontamination",
+    "asof_join_purchase_click",
+    "tpch_q8_market_share",
+    "simhash_neardup_pairs",
+    "training_data_prep_pipeline",
 ]
 
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from binance_etl_clickhouse_spark.operators.parallel import ensure_min_parallelism
 from binance_etl_clickhouse_spark.operators.texthash import (
     hash31,
     minhash_perm,
@@ -54,7 +55,9 @@ def _shingle_index(
     df: DataFrame, id_col: str, text_col: str, k: int, stop_shingle_df: int | None
 ) -> DataFrame:
     """(id, shingle) inverted index, optionally dropping hot shingles."""
-    sh = df.select(id_col, F.explode(shingles(text_col, k)).alias("s"))
+    sh = ensure_min_parallelism(df).select(
+        id_col, F.explode(shingles(text_col, k)).alias("s")
+    )
     if stop_shingle_df is not None:
         hot = (
             sh.groupBy("s")
@@ -110,7 +113,7 @@ def minhash_signatures(
     array, no explode/shuffle): signature cost is O(shingles x K) in one
     codegen stage.
     """
-    out = df.select(id_col, shingles(text_col, k).alias("sh"))
+    out = ensure_min_parallelism(df).select(id_col, shingles(text_col, k).alias("sh"))
     hashed = out.withColumn("hv", F.transform(F.col("sh"), lambda s: hash31(s)))
     cols = [
         F.array_min(F.transform(F.col("hv"), lambda x: minhash_perm(j, x))).alias(f"mh{j}")
@@ -147,8 +150,25 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, id_col, text_col, k, threshold)
-    return cand.join(exact, ["d1", "d2"]).select("d1", "d2", "jaccard")
+    # Exact-Jaccard verify on the CANDIDATES ONLY: join each pair back to its
+    # two (distinct-)shingle arrays and intersect per row. The full
+    # inverted-index self-join — the very cost LSH exists to avoid — never
+    # runs; verification work is O(candidate pairs x shingles), and the
+    # arithmetic (|A∩B| / (|A|+|B|-|A∩B|) on the same integers) is identical
+    # to ngram_jaccard_pairs, so precision stays exact.
+    sh_sets = ensure_min_parallelism(df).select(
+        F.col(id_col), shingles(text_col, k).alias("sh")
+    )
+    s1 = sh_sets.select(F.col(id_col).alias("d1"), F.col("sh").alias("sh1"))
+    s2 = sh_sets.select(F.col(id_col).alias("d2"), F.col("sh").alias("sh2"))
+    inter = F.size(F.array_intersect(F.col("sh1"), F.col("sh2")))
+    jac = inter / (F.size("sh1") + F.size("sh2") - inter)
+    return (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .filter(jac >= threshold)
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+    )
 
 
 def embedding_cosine_pairs(

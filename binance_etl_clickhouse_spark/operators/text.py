@@ -103,7 +103,9 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     on the doc id with partial (map-side) aggregation; at scale this is a
     plain mergeable agg, no state.
     """
-    tok = df.select(id_col, F.explode(tokens(text_col)).alias("tok"))
+    from binance_etl_clickhouse_spark.operators.parallel import ensure_min_parallelism
+
+    tok = ensure_min_parallelism(df).select(id_col, F.explode(tokens(text_col)).alias("tok"))
     h = tok.withColumn("h", hash31("tok") % F.lit(1 << SIMHASH_BITS))
     bit_sums = h.groupBy(id_col).agg(
         *[
@@ -130,7 +132,9 @@ def simhash_wide(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     join. Bits come straight from hash60, so a DuckDB oracle reproduces the
     signature bit-for-bit.
     """
-    tok = df.select(id_col, F.explode(tokens(text_col)).alias("tok"))
+    from binance_etl_clickhouse_spark.operators.parallel import ensure_min_parallelism
+
+    tok = ensure_min_parallelism(df).select(id_col, F.explode(tokens(text_col)).alias("tok"))
     h = tok.withColumn("h", hash60("tok"))
     bit_sums = h.groupBy(id_col).agg(
         *[

@@ -633,7 +633,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="training-data: eval-set decontamination (shingle collision join)",
 )
 def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    from binance_etl_clickhouse_spark.operators.parallel import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(_t(spark, sf_dir, "documents"))
     sh = shingles("text", 4)
     ev = (
         docs.filter(F.col("doc_id") % 11 == 0)
