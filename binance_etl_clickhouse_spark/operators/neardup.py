@@ -276,6 +276,69 @@ def embedding_cosine_pairs_gemm(
     )
 
 
+def neardup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Connected components over near-dup pairs: every document labeled with
+    the minimum id reachable through the pair graph (its canonical id).
+
+    The standard dedup follow-on — pair detection says "these two match";
+    clustering turns matches into keep/drop decisions (keep doc ==
+    cluster_id, drop the rest) that are consistent across chains
+    (a~b, b~c => one cluster even if a,c never compared).
+
+    Algorithm: iterative min-label propagation to a fixpoint. Each round is
+    one equi-join (edges x labels) + one groupBy(min) — bounded shuffles on
+    the node key, no driver-side graph. Rounds needed = component diameter,
+    which for near-dup clusters is tiny (chains of re-posts, not long
+    paths); a cap guards the pathological case. At extreme scale swap the
+    loop body for the large-star/small-star contraction (same fixpoint,
+    O(log n) rounds); the interface and result are unchanged.
+
+    Deterministic: the fixpoint (min reachable id) is unique regardless of
+    iteration order, so a DuckDB recursive-CTE twin hash-matches exactly.
+    """
+    nodes = df.select(F.col(id_col).alias("node")).distinct()
+    edges = (
+        pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+        .union(pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b")))
+        .distinct()
+        .cache()
+    )
+    labels = nodes.select("node", F.col("node").alias("lbl")).cache()
+    try:
+        for _ in range(20):  # diameter cap; near-dup components are shallow
+            prop = edges.join(
+                labels.select(F.col("node").alias("b"), F.col("lbl")), "b"
+            ).select(F.col("a").alias("node"), "lbl")
+            new_labels = (
+                labels.union(prop).groupBy("node").agg(F.min("lbl").alias("lbl")).cache()
+            )
+            changed = (
+                new_labels.join(labels.withColumnRenamed("lbl", "old"), "node")
+                .filter(F.col("lbl") != F.col("old"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
+        return (
+            labels.join(F.broadcast(sizes), "lbl")
+            .select(
+                F.col("node").alias(id_col),
+                F.col("lbl").alias("cluster_id"),
+                F.col("cluster_size"),
+            )
+        )
+    finally:
+        edges.unpersist()
+
+
 def simhash_banded_pairs(
     sig: DataFrame,
     max_hamming: int = 3,

@@ -607,6 +607,41 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over the Jaccard pair graph —
+# pair detection -> transitive keep/drop groups (canonical id = min id
+# reachable). The Spark side iterates min-label propagation to a fixpoint;
+# the oracle computes the same fixpoint as a recursive transitive-closure
+# CTE. Both are exact, so the hash must match.
+# ---------------------------------------------------------------------------
+@register(
+    "neardup_clusters",
+    f"""
+    WITH RECURSIVE {_SH_CTE.strip().rstrip()},
+    pairs AS (SELECT d1, d2 FROM jac WHERE j >= 0.5),
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION
+      SELECT d2 AS a, d1 AS b FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS lbl FROM documents
+      UNION
+      SELECT e.a AS node, r.lbl FROM reach r JOIN edges e ON e.b = r.node
+    ),
+    canon AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+    SELECT node AS doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM canon
+    """,
+    survey_ref="dedup: connected-component clustering (transitive canonicalization)",
+)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = neardup.ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    return neardup.neardup_clusters(docs, pairs)
+
+
+# ---------------------------------------------------------------------------
 # Benchmark decontamination: corpus documents sharing any 4-token shingle
 # with a held-out eval set (deterministic cohort doc_id % 11 = 0). The
 # canonical pretraining hygiene op: explode shingles on both sides, hash

@@ -205,6 +205,28 @@ def test_simhash_banded_rejects_unsound_params(spark):
         simhash_banded_pairs(sig, sig_bits=16, n_bands=3)
 
 
+def test_neardup_clusters_chain_cycle_singleton(spark):
+    """Transitive closure semantics: chains merge (a~b, b~c => one cluster
+    even though a,c never compared), cycles converge, isolated docs stay
+    singletons, and every label is the component's min id."""
+    from binance_etl_clickhouse_spark.operators.neardup import neardup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 9)], "doc_id long")
+    # chain 1-2-3-4; cycle 5-6-7-5; 8 isolated
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (5, 7)], "d1 long, d2 long"
+    )
+    got = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in neardup_clusters(docs, pairs).collect()
+    }
+    assert got == {
+        1: (1, 4), 2: (1, 4), 3: (1, 4), 4: (1, 4),
+        5: (5, 3), 6: (5, 3), 7: (5, 3),
+        8: (8, 1),
+    }
+
+
 def test_gemm_cosine_pairs_equal_expression_form(spark):
     """Block-pair GEMM all-pairs cosine == nested-loop expression baseline."""
     from binance_etl_clickhouse_spark.operators.neardup import (
