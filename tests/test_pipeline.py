@@ -94,6 +94,29 @@ def test_token_bucket_weight_above_capacity_terminates():
     assert abs(sum(slept) - 3.0) < 1e-6  # long-run rate still 1 token/sec
 
 
+def test_update_klines_job_count_constant(spark, tmp_path):
+    """The ingest stage runs a FIXED number of Spark jobs — none of them a
+    table-size-dependent re-scan. (r1 re-counted the serving table after
+    every ingest; the count now rides the write job via observe(), and
+    version sequencing reads the O(1) _seq.json sidecar.)"""
+    p = Pipeline(spark, str(tmp_path / "db"), _cfg())
+    p.update_symbols()
+    sc = spark.sparkContext
+
+    sc.setJobGroup("uk1", "first ingest")
+    n1 = p.update_klines("SPOT", "1h")
+    jobs1 = len(sc.statusTracker().getJobIdsForGroup("uk1"))
+
+    sc.setJobGroup("uk2", "second ingest, table now exists")
+    n2 = p.update_klines("PERPETUAL", "1h")
+    jobs2 = len(sc.statusTracker().getJobIdsForGroup("uk2"))
+    sc.setJobGroup(None, None)
+
+    assert n1 > 0 and n2 > 0
+    assert jobs2 == jobs1  # growing table must not add jobs
+    assert jobs1 <= 16  # measured constant; a re-scan regression adds jobs
+
+
 def test_update_all_end_to_end(spark, tmp_path):
     p = Pipeline(spark, str(tmp_path / "db"), _cfg())
     counts = p.update_all()
