@@ -96,6 +96,101 @@ def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Token-budget packing: fill each language's training-mixture budget with
+# documents in deterministic (content-hash) order — the "sample X tokens
+# from source Y" mixture op. A doc is kept iff its running token total
+# still fits the budget. One window shuffle on the stratum key; the
+# running sum is a streaming frame within sorted partitions.
+# ---------------------------------------------------------------------------
+TOKEN_BUDGET = 2000
+
+
+@register(
+    "token_budget_pack",
+    f"""
+    SELECT doc_id, lang, n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+               PARTITION BY lang ORDER BY {hash60_sql('text')}, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens
+      FROM documents
+    ) t WHERE cum_tokens <= {TOKEN_BUDGET}
+    """,
+    survey_ref="training-data: per-source token-budget mixture packing",
+)
+def token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(hash60("text"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            n_tok.alias("n_tokens"),
+            F.sum(n_tok).over(w).cast("long").alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe split: hash the near-dup CLUSTER id, not the doc id, so
+# near-duplicates always land in the same split — the standard guard
+# against train/test contamination through paraphrases/re-posts. Costs the
+# clustering (bounded label-propagation rounds) + one equi-join of the
+# label table back to the corpus.
+# ---------------------------------------------------------------------------
+
+
+def _leakage_safe_oracle() -> str:
+    # same recursive transitive-closure clusters as the neardup_clusters
+    # oracle, then the shared hash-split expression over the cluster id
+    from binance_etl_clickhouse_spark.queries.llm import _SH_CTE
+
+    return f"""
+    WITH RECURSIVE {_SH_CTE.strip()},
+    pairs AS (SELECT d1, d2 FROM jac WHERE j >= 0.5),
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION
+      SELECT d2 AS a, d1 AS b FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS lbl FROM documents
+      UNION
+      SELECT e.a AS node, r.lbl FROM reach r JOIN edges e ON e.b = r.node
+    ),
+    canon AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node)
+    SELECT doc_id, cluster_id, {_split_sql('cluster_id')} AS split
+    FROM canon
+    """
+
+
+@register(
+    "leakage_safe_split",
+    _leakage_safe_oracle(),
+    survey_ref="training-data: contamination-safe split (near-dups co-travel)",
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_clickhouse_spark.operators import neardup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = neardup.ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    clusters = neardup.neardup_clusters(docs, pairs)
+    return clusters.select(
+        "doc_id", "cluster_id", _split_col(F.col("cluster_id")).alias("split")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Composed prep pipeline: quality gate -> exact dedup (keep lowest doc_id
 # per canonical text) -> hash split -> per-(split, lang) corpus stats.
 # The end-to-end shape of a pretraining-corpus build, in one plan.

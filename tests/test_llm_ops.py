@@ -276,3 +276,25 @@ def test_gemm_cosine_keeps_round_up_boundary_pairs(spark):
             map(tuple, embedding_cosine_pairs_gemm(emb, threshold=0.45, n_blocks=n_blocks).collect())
         )
         assert got == ref, f"boundary pair lost at n_blocks={n_blocks}"
+
+
+def test_leakage_safe_split_neardups_cotravel(spark):
+    """The contamination guard: every near-dup pair must land in ONE split
+    (hashing the cluster id, not the doc id, makes this structural)."""
+    from binance_etl_clickhouse_spark.queries.dataset import leakage_safe_split
+    from binance_etl_clickhouse_spark.operators.neardup import ngram_jaccard_pairs
+
+    split = leakage_safe_split(spark, SF)
+    docs = load_table(spark, SF, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    s1 = split.select(F.col("doc_id").alias("d1"), F.col("split").alias("split1"))
+    s2 = split.select(F.col("doc_id").alias("d2"), F.col("split").alias("split2"))
+    crossed = (
+        pairs.join(s1, "d1").join(s2, "d2")
+        .filter(F.col("split1") != F.col("split2"))
+        .count()
+    )
+    assert crossed == 0
+    assert pairs.count() > 0  # the property is non-vacuous on this corpus
+    # and the split still covers every document exactly once
+    assert split.count() == docs.count()
