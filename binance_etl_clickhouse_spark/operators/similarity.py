@@ -95,6 +95,38 @@ def random_hyperplane_buckets(
     return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
 
 
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: q_i = floor(x_i·s + 0.5) with
+    s = 127 / max|x| — the storage format that cuts a float32 embedding
+    corpus 4× (parquet int8 + the per-row scale). Pure projection, no
+    shuffle; dequantized dot products differ from exact by the returned
+    per-vector reconstruction error, which downstream ANN can use to widen
+    rerank margins.
+
+    ``floor(x + 0.5)`` (not round()) so engine and oracle share one
+    deterministic tie rule.
+    """
+    v = _as_double(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.lit(127.0) / amax
+    q = F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("int"))
+    # dequantize + per-dim squared error, folded sequentially (same order as
+    # the DuckDB list_sum twin)
+    err = F.zip_with(v, q, lambda x, qi: (x - qi / scale) * (x - qi / scale))
+    mse = F.aggregate(err, F.lit(0.0), lambda acc, e: acc + e) / F.size(v)
+    return df.select(
+        F.col(id_col),
+        F.array_min(q).alias("q_min"),
+        F.array_max(q).alias("q_max"),
+        F.round(scale, 6).alias("scale"),
+        F.round(mse, 12).alias("recon_mse"),
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: list[float],

@@ -607,6 +607,41 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Embedding int8 quantization: the 4x storage format for a 100 TB vector
+# corpus (int8 codes + per-row scale). Scalar outputs only (codes summarized
+# by min/max + reconstruction MSE) so the result canonicalizes; floor(x+0.5)
+# is the shared deterministic tie rule.
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_int8_quantize",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+      SELECT vec_id, v,
+             127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+      FROM e
+    ),
+    q AS (
+      SELECT vec_id, v, scale,
+             list_transform(v, x -> CAST(floor(x * scale + 0.5) AS INTEGER)) AS qv
+      FROM s
+    )
+    SELECT vec_id,
+           list_min(qv) AS q_min,
+           list_max(qv) AS q_max,
+           round(scale, 6) AS scale,
+           round(list_sum(list_transform(range(1, len(v) + 1),
+                          i -> (v[i] - qv[i] / scale) * (v[i] - qv[i] / scale)))
+                 / len(v), 12) AS recon_mse
+    FROM q
+    """,
+    survey_ref="similarity: int8 embedding quantization (vector storage path)",
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.quantize_int8(_t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
 # Near-dup clustering: connected components over the Jaccard pair graph —
 # pair detection -> transitive keep/drop groups (canonical id = min id
 # reachable). The Spark side iterates min-label propagation to a fixpoint;

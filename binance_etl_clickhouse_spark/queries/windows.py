@@ -38,6 +38,33 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_distribution_family",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6)    AS cume,
+           first_value(o_totalprice) OVER w AS top_price,
+           nth_value(o_totalprice, 3) OVER w AS third_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    survey_ref="§2.6 distribution/positional window functions",
+)
+def window_distribution_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_totalprice").over(w).alias("top_price"),
+        F.nth_value("o_totalprice", 3).over(w).alias("third_price"),
+    )
+
+
+@register(
     "window_range_rolling_7d",
     """
     SELECT event_id,
