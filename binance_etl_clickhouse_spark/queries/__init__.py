@@ -77,18 +77,21 @@ DRIVER_WINDOW = [
     "embedding_lsh_neardup",
     "ann_ivf_topk",
     "embedding_cosine_neardup",
-    # (c) green representatives, one per family
-    "tpch_q1_pricing_summary",
-    "broadcast_dim_join",
-    "anti_join_completed",
+    # (b) new this round — never driver-checked
+    "window_distribution_family",
+    "token_budget_pack",
+    "leakage_safe_split",
+    "embedding_int8_quantize",
+    "neardup_clusters",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_value_concentration",
+    "tpch_q16_supplier_cnt",
+    "tpch_q20_excess_share_supplier",
+    # (c) green representatives (every other family is already in the window
+    # via its (a)/(b) rows; the rest of the r1-green set is pytest-pinned and
+    # rotates back in next round)
     "keep_last_dedup",
-    "max_watermark",
-    "topk_per_group",
-    "tumbling_resample_1h",
-    "month_bucket_agg",
-    "exact_dedup_canonical",
-    "minhash_lsh_neardup",
-    "benchmark_decontamination",
     "asof_join_purchase_click",
     "pandas_zscore_per_user",
 ]
