@@ -129,3 +129,32 @@ def test_ann_ivf_query_partition_pruned(spark):
     # are read
     plan = _plan(spark, "ann_ivf_topk")
     assert "PartitionFilters: [cell" in plan, plan[:2000]
+
+
+def test_q2_correlated_min_no_nested_loop(spark):
+    # the per-part correlated MIN must stay a window over the joined cohort
+    # (one hash exchange on p_partkey), never a per-row nested loop
+    plan = _plan(spark, "tpch_q2_min_cost_supplier")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # part + supplier sides
+
+
+def test_q9_broadcasts_all_dims_single_fact_shuffle(spark):
+    # part/supplier/nation broadcast; the only shuffle joins lineitem with
+    # orders on the fact key (plus the final 2-key agg exchange)
+    plan = _plan(spark, "tpch_q9_product_profit")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q20_nested_in_semi_joins_no_cartesian(spark):
+    plan = _plan(spark, "tpch_q20_excess_share_supplier")
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_exclusion_is_broadcast_anti(spark):
+    plan = _plan(spark, "tpch_q16_supplier_cnt")
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
