@@ -47,3 +47,50 @@ def resample_ohlcv(
             ]
         ])
     )
+
+
+def gapfill_locf(
+    bars: DataFrame,
+    ts_col: str,
+    by: tuple[str, ...],
+    value_cols: tuple[str, ...],
+    step: str = "1 hour",
+) -> DataFrame:
+    """Dense per-key time grid with last-observation-carried-forward fill
+    (the TimescaleDB ``time_bucket_gapfill`` + ``locf`` shape; for klines:
+    re-materialize missing bars from the most recent observed bar).
+
+    ``bars`` must already be bucketed to the grid step (one row per
+    (by, ts_col)). Missing buckets between each key's min and max are
+    generated with ``sequence`` + ``explode`` — a per-key projection whose
+    output is bounded by keys x buckets, never a cross join — then values
+    forward-fill via ``last(ignorenulls)`` over the ordered key partition.
+    ``is_gap`` = 1 marks synthesized rows.
+
+    Scale: one shuffle for the bounds agg (partial map-side), one for the
+    grid<-bars left join and window, both keyed ``by`` — skewed keys cost
+    no more than the underlying series length, and the fill frame is a
+    running (streaming) frame, never a re-sort per row.
+    """
+    bounds = bars.groupBy(*by).agg(
+        F.min(ts_col).alias("__h0"), F.max(ts_col).alias("__h1")
+    )
+    grid = bounds.select(
+        *by,
+        F.explode(
+            F.sequence(F.col("__h0"), F.col("__h1"), F.expr(f"interval {step}"))
+        ).alias(ts_col),
+    )
+    joined = grid.join(bars, [*by, ts_col], "left")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    probe = value_cols[0]
+    out = joined.withColumn("is_gap", F.col(probe).isNull().cast("int"))
+    for c in value_cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out

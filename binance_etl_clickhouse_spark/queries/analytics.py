@@ -174,3 +174,50 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-filled hourly series with LOCF: dense per-user hourly grid, missing
+# buckets carry the last observed hourly sum forward (TimescaleDB
+# time_bucket_gapfill + locf shape; for klines: synthesize missing bars).
+# The hourly sum is rounded BEFORE the fill so carried values are bit-equal
+# across engines.
+# ---------------------------------------------------------------------------
+@register(
+    "gapfill_hourly_locf",
+    """
+    WITH agg AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+             round(sum(value), 2) AS v
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT user_id, min(bucket_start) AS h0, max(bucket_start) AS h1
+      FROM agg GROUP BY 1
+    ), grid AS (
+      SELECT b.user_id, g.g AS bucket_start
+      FROM bounds b, unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS g(g)
+    ), j AS (
+      SELECT g.user_id, g.bucket_start, a.v
+      FROM grid g
+      LEFT JOIN agg a ON a.user_id = g.user_id AND a.bucket_start = g.bucket_start
+    )
+    SELECT user_id, bucket_start,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS v,
+           CAST(v IS NULL AS INT) AS is_gap
+    FROM j
+    """,
+    survey_ref="T5/§7 gap-filled resample (time_bucket_gapfill + locf shape)",
+)
+def gapfill_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_clickhouse_spark.operators.resample import gapfill_locf
+
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket_start")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    return gapfill_locf(
+        agg, ts_col="bucket_start", by=("user_id",), value_cols=("v",)
+    ).select("user_id", "bucket_start", "v", "is_gap")

@@ -158,3 +158,12 @@ def test_q20_nested_in_semi_joins_no_cartesian(spark):
 def test_q16_exclusion_is_broadcast_anti(spark):
     plan = _plan(spark, "tpch_q16_supplier_cnt")
     assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+
+
+def test_gapfill_grid_is_bounded_projection(spark):
+    # the dense grid comes from sequence+explode per key — bounded by
+    # keys x buckets; never a cross join of keys against a global calendar
+    plan = _plan(spark, "gapfill_hourly_locf")
+    assert "Generate explode" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
