@@ -149,3 +149,52 @@ def simhash_wide(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         val = term if val is None else val + term
     return bit_sums.select(id_col, val.cast("long").alias("simhash"))
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 2
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021 §A1.1
+    quality filters): the share of token k-grams consumed by the single most
+    frequent k-gram and by duplicated k-grams. High values mark boilerplate /
+    degenerate documents a training corpus should drop.
+
+    Non-distinct k-gram instances are built as a per-row projection
+    (sequence + slice, no shuffle), then one partial-aggregated shuffle on
+    (doc, gram) and a per-doc fold — scales like any word-count. Documents
+    shorter than k tokens produce no k-grams and drop out (same in the
+    DuckDB twin, whose unnest of an empty list emits no rows).
+    """
+    w = tokens(text_col)
+    n = F.size(w)
+    idx = F.sequence(F.lit(1), n - F.lit(k - 1))
+    grams = F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, k))),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = df.select(id_col, F.explode(grams).alias("gram"))
+    per = ex.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    return per.groupBy(id_col).agg(
+        F.sum("c").alias("n_grams"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_gram_ratio"),
+        F.round((F.sum("c") - F.count(F.lit(1))) / F.sum("c"), 6).alias("dup_gram_ratio"),
+    )
+
+
+#: redaction patterns valid in both Java regex (Spark) and RE2 (DuckDB)
+EMAIL_RE = "[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+"
+PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact email / phone spans with typed placeholders and count the
+    replacements per document. Pure per-row projection (regexp_replace +
+    regexp_count, codegen'd) — runs at scan speed, no shuffle, trivially
+    partition-parallel at any scale."""
+    c = F.col(text_col)
+    red = F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return df.withColumn("n_emails", F.regexp_count(c, F.lit(EMAIL_RE)).cast("long")) \
+        .withColumn("n_phones", F.regexp_count(c, F.lit(PHONE_RE)).cast("long")) \
+        .withColumn(text_col, red)

@@ -718,3 +718,71 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "eval_id")
         .agg(F.count_distinct("sh").alias("n_shared"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition signals (Gopher-style quality filters).
+# ---------------------------------------------------------------------------
+@register(
+    "repetition_signals",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             unnest([array_to_string(string_split(text, ' ')[i:i+1], ' ')
+                     for i in range(1, len(string_split(text, ' ')))]) AS gram
+      FROM documents
+    ), per AS (
+      SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2
+    )
+    SELECT doc_id, sum(c)::BIGINT AS n_grams,
+           round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) AS top_gram_ratio,
+           round((sum(c) - count(*))::DOUBLE / sum(c)::DOUBLE, 6) AS dup_gram_ratio
+    FROM per GROUP BY doc_id
+    """,
+    survey_ref="LLM text analysis: repetition/boilerplate quality signals",
+)
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction. The synthetic corpus contains no organic PII (a blanket
+# 0-redactions result would pass trivially), so each doc gets a
+# deterministic email+phone suffix appended IN the query — identically in
+# both engines — and the redactor must then find exactly those spans.
+# ---------------------------------------------------------------------------
+@register(
+    "pii_redaction",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             text || printf(' contact user%d@example.com call 555-%04d now',
+                            doc_id, doc_id % 10000) AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+'))::BIGINT AS n_emails,
+           len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(text, '[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+                 '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+    FROM aug
+    """,
+    survey_ref="LLM text analysis: PII scrubbing (regexp_replace/count projection)",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.format_string(
+                " contact user%d@example.com call 555-%04d now",
+                F.col("doc_id"),
+                F.col("doc_id") % 10000,
+            ),
+        ).alias("text"),
+    )
+    red = text.redact_pii(docs)
+    return red.select(
+        "doc_id", "n_emails", "n_phones", F.md5("text").alias("redacted_md5")
+    )
