@@ -237,3 +237,45 @@ def training_data_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window chunking: each document becomes overlapping fixed-width
+# token windows (the standard context-window prep for LLM training samples).
+# Pure JVM-side projection — sequence of window starts, slice per start,
+# posexplode — no UDF and no shuffle: output scales with tokens, not docs²,
+# and each task chunks only its own partition's documents.
+# ---------------------------------------------------------------------------
+_CHUNK_WIDTH = 64
+_CHUNK_STRIDE = 48
+
+
+@register(
+    "chunk_sliding_windows",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    )
+    SELECT doc_id,
+           (gs - 1) // {_CHUNK_STRIDE} AS span_id,
+           array_to_string(w[gs:gs + {_CHUNK_WIDTH - 1}], ' ') AS span_text,
+           len(w[gs:gs + {_CHUNK_WIDTH - 1}]) AS n_span_tokens
+    FROM t, unnest(range(1, len(w) + 1, {_CHUNK_STRIDE})) AS g(gs)
+    """,
+    survey_ref="dataset engineering: sliding context-window chunking",
+)
+def chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_clickhouse_spark.operators.texthash import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    w = tokens("text")
+    starts = F.sequence(F.lit(1), F.size(w), F.lit(_CHUNK_STRIDE))
+    spans = F.transform(starts, lambda s: F.concat_ws(" ", F.slice(w, s, _CHUNK_WIDTH)))
+    return docs.select(
+        "doc_id", F.posexplode(spans).alias("span_id", "span_text")
+    ).select(
+        "doc_id",
+        F.col("span_id").cast("long").alias("span_id"),
+        "span_text",
+        F.size(F.split("span_text", " ")).cast("long").alias("n_span_tokens"),
+    )
