@@ -298,3 +298,68 @@ def test_leakage_safe_split_neardups_cotravel(spark):
     assert pairs.count() > 0  # the property is non-vacuous on this corpus
     # and the split still covers every document exactly once
     assert split.count() == docs.count()
+
+
+def test_repetition_signals_degenerate_doc_scores_one(spark):
+    from binance_etl_clickhouse_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "all words here differ now"), (3, "x")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_signals(df).collect()}
+    # all-identical tokens: the single 2-gram takes every slot
+    assert out[1].top_gram_ratio == 1.0 and out[1].dup_gram_ratio > 0.5
+    # all-distinct tokens: no duplicated 2-gram at all
+    assert out[2].dup_gram_ratio == 0.0
+    # sub-k docs emit no grams and drop out (same as the DuckDB twin)
+    assert 3 not in out
+
+
+def test_redact_pii_masks_and_counts(spark):
+    from binance_etl_clickhouse_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b@x.io and c@y.z or call 555-1234"), (2, "clean text")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert out[1].n_emails == 2 and out[1].n_phones == 1
+    assert "<EMAIL>" in out[1].text and "<PHONE>" in out[1].text
+    assert "@" not in out[1].text and "555" not in out[1].text
+    assert out[2].n_emails == 0 and out[2].text == "clean text"
+
+
+def test_gapfill_locf_fills_interior_holes_only(spark):
+    from binance_etl_clickhouse_spark.operators.resample import gapfill_locf
+
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:00:00", 1.0),
+            ("a", "2024-01-01 03:00:00", 4.0),  # 2 interior gaps
+            ("b", "2024-01-01 05:00:00", 9.0),  # single bucket: no grid growth
+        ],
+        "k string, ts string, v double",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+    out = gapfill_locf(df, ts_col="ts", by=("k",), value_cols=("v",))
+    rows = {(r.k, str(r.ts)): (r.v, r.is_gap) for r in out.collect()}
+    assert len(rows) == 5  # 4 hourly buckets for a, 1 for b
+    assert rows[("a", "2024-01-01 01:00:00")] == (1.0, 1)
+    assert rows[("a", "2024-01-01 02:00:00")] == (1.0, 1)
+    assert rows[("a", "2024-01-01 03:00:00")] == (4.0, 0)
+    assert rows[("b", "2024-01-01 05:00:00")] == (9.0, 0)
+
+
+def test_chunking_short_doc_single_span(spark):
+    from binance_etl_clickhouse_spark.queries.dataset import (
+        _CHUNK_STRIDE,
+        _CHUNK_WIDTH,
+    )
+    from binance_etl_clickhouse_spark.operators.texthash import tokens
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    w = tokens("text")
+    starts = F.sequence(F.lit(1), F.size(w), F.lit(_CHUNK_STRIDE))
+    spans = F.transform(starts, lambda s: F.concat_ws(" ", F.slice(w, s, _CHUNK_WIDTH)))
+    out = df.select("doc_id", F.posexplode(spans).alias("span_id", "span_text")).collect()
+    assert len(out) == 1 and out[0].span_text == "a b c"
