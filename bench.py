@@ -46,6 +46,12 @@ HEADLINE = [
     "tpch_q8_market_share",
     "simhash_neardup_pairs",
     "training_data_prep_pipeline",
+    # round-2 additions: correlated-min over the part-supplier bridge,
+    # grid-generating gapfill, shuffle-keyed repetition, projection chunking
+    "tpch_q2_min_cost_supplier",
+    "gapfill_hourly_locf",
+    "repetition_signals",
+    "chunk_sliding_windows",
 ]
 
 

@@ -26,6 +26,10 @@ _BASE_CONFS: dict[str, str] = {
     # parquet writes: preserve dictionary encoding (LowCardinality analogue)
     # and emit min/max page stats so sorted layout gives PK-index-like skipping.
     "spark.sql.parquet.compression.codec": "snappy",
+    # Spark's legacy INT96 timestamp encoding writes NO min/max statistics,
+    # silently disabling every time-range file/row-group skip over the
+    # serving tables' sort/z-order layout. TIMESTAMP_MICROS restores stats.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # Avoid driver-side OOM from accidental wide collects in tests.
     "spark.driver.maxResultSize": "4g",
     "spark.ui.enabled": "false",

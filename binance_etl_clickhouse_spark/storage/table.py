@@ -155,20 +155,52 @@ class ServingTable:
 
     # -- maintenance ------------------------------------------------------
 
-    def compact(self, spark: SparkSession) -> None:
+    def _zdim(self, df: DataFrame, name: str):
+        """Scale an arbitrary column into z-order's non-negative int domain:
+        timestamps bucket to hours, strings hash, ints pass through."""
+        dt = dict(df.dtypes)[name]
+        c = F.col(name)
+        if dt == "timestamp":
+            return F.floor(F.unix_timestamp(c) / 3600).cast("long")
+        if dt == "string":
+            return F.abs(F.xxhash64(c))
+        return c.cast("long")
+
+    def compact(self, spark: SparkSession, zorder: tuple[str, str] | None = None) -> None:
         """Rewrite to exactly one version per key (≙ OPTIMIZE TABLE FINAL).
 
         Reads the deduped snapshot and atomically replaces the table dir.
         Partition-parallel: each month rewrites independently; at 100 TB this
         runs as a per-month (or per-month-bucket) job rather than whole-table.
+
+        ``zorder=(dim_a, dim_b)`` switches the rewrite from the lexicographic
+        key sort to a Morton z-value layout over the two dimensions (Delta
+        ``OPTIMIZE ZORDER BY`` analogue, ``storage/zorder.py``): files become
+        axis-aligned tiles so a predicate on EITHER dimension alone prunes
+        file footers, where the lexicographic sort serves only its leading
+        key. Same single shuffle as the sorted rewrite.
         """
         self._recover()
         cur_seq = self._read_sidecar()
         snap = self.read(spark)
         tmp = self.path.rstrip("/") + ".compact.tmp"
         sort_cols = self.sort_cols or self.keys
-        w = snap.repartition(MONTH_COL, *self.keys[:1]) if self.time_col else snap
-        w = w.sortWithinPartitions(*sort_cols)
+        if zorder is not None:
+            from binance_etl_clickhouse_spark.storage.zorder import with_zorder_key
+
+            w = with_zorder_key(
+                snap, self._zdim(snap, zorder[0]), self._zdim(snap, zorder[1])
+            )
+            if self.time_col is not None:
+                w = w.repartitionByRange(MONTH_COL, "__z").sortWithinPartitions(
+                    MONTH_COL, "__z"
+                )
+            else:
+                w = w.repartitionByRange("__z").sortWithinPartitions("__z")
+            w = w.drop("__z")
+        else:
+            w = snap.repartition(MONTH_COL, *self.keys[:1]) if self.time_col else snap
+            w = w.sortWithinPartitions(*sort_cols)
         if self.time_col is not None:
             w.write.mode("overwrite").partitionBy(MONTH_COL).parquet(tmp)
         else:

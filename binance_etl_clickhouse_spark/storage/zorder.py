@@ -41,19 +41,44 @@ def z_interleave(a: Column, b: Column, bits: int = 16) -> Column:
     return z
 
 
-def zorder_key(dim_a: Column, dim_b: Column, bits: int = 16) -> Column:
-    """Bucket two arbitrary-scale dimensions to ``bits`` and interleave.
+def with_zorder_key(
+    df: DataFrame,
+    dim_a: Column,
+    dim_b: Column,
+    bits: int = 16,
+    out: str = "__z",
+) -> DataFrame:
+    """Attach a Morton z-key with both dimensions NORMALIZED to the full
+    ``bits`` range before interleaving.
 
-    Callers pre-scale each dimension to a non-negative int (e.g.
-    ``unix_timestamp/3600`` hours, ``abs(hash(symbol))``); this clamps both
-    into the bits-wide domain by masking — collisions only coarsen the
-    curve, never break correctness (the z-key is a layout hint, not an
-    identity)."""
-    mask = F.lit((1 << bits) - 1).cast("long")
-    return z_interleave(
-        dim_a.cast("long").bitwiseAND(mask),
-        dim_b.cast("long").bitwiseAND(mask),
-        bits,
+    Normalization is the load-bearing step (it is what Delta's
+    ``range_partition_id`` per z-column provides): raw interleaving only
+    tiles when both dimensions' *varying* bits align — interleave a 63-bit
+    hash with a 9-bit-span hour counter and the hash's high bits dominate
+    the curve, degenerating back to a single-dimension sort. Min/max
+    scaling maps each dimension onto [0, 2^bits) so their bits zip
+    meaningfully. Cost: one tiny 1-row bounds agg, broadcast — no extra
+    pass over the data (double rounding in the scale is harmless: the
+    z-key is a layout hint, never an identity)."""
+    a0, a1, b0, b1 = "__za0", "__za1", "__zb0", "__zb1"
+    bounds = df.agg(
+        F.min(dim_a).alias(a0),
+        F.max(dim_a).alias(a1),
+        F.min(dim_b).alias(b0),
+        F.max(dim_b).alias(b1),
+    )
+    n = F.lit(float(1 << bits))
+    top = F.lit((1 << bits) - 1).cast("long")
+
+    def scale(x: Column, lo: str, hi: str) -> Column:
+        span = (F.col(hi) - F.col(lo) + 1).cast("double")
+        s = F.floor((x - F.col(lo)).cast("double") / span * n).cast("long")
+        return F.least(s, top)
+
+    return (
+        df.join(F.broadcast(bounds))
+        .withColumn(out, z_interleave(scale(dim_a, a0, a1), scale(dim_b, b0, b1), bits))
+        .drop(a0, a1, b0, b1)
     )
 
 
@@ -71,9 +96,8 @@ def write_zordered(
     contiguous z-range (a rectangle-ish tile in dimension space);
     ``sortWithinPartitions`` tightens every file's per-column min/max to
     its tile."""
-    zk = zorder_key(dim_a, dim_b, bits).alias("__z")
     (
-        df.withColumn("__z", zk)
+        with_zorder_key(df, dim_a, dim_b, bits)
         .repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
         .drop("__z")
@@ -91,6 +115,14 @@ def file_overlap_fraction(path: str, column: str, lo, hi) -> float:
 
     import pyarrow.parquet as pq
 
+    import datetime
+
+    def _naive(v):
+        if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+            return v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v
+
+    lo, hi = _naive(lo), _naive(hi)
     files = glob.glob(os.path.join(path, "*.parquet"))
     hit = 0
     for f in files:
@@ -101,8 +133,9 @@ def file_overlap_fraction(path: str, column: str, lo, hi) -> float:
                 col = md.row_group(rg).column(ci)
                 if col.path_in_schema == column and col.statistics is not None:
                     s = col.statistics
-                    fmin = s.min if fmin is None else min(fmin, s.min)
-                    fmax = s.max if fmax is None else max(fmax, s.max)
+                    smin, smax = _naive(s.min), _naive(s.max)
+                    fmin = smin if fmin is None else min(fmin, smin)
+                    fmax = smax if fmax is None else max(fmax, smax)
         if fmin is None or (fmax >= lo and fmin <= hi):
             hit += 1
     return hit / max(len(files), 1)

@@ -61,3 +61,54 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
         == spark.read.parquet(lexpath).filter("hour between 8 and 15").count()
         == 8 * 64
     )
+
+
+def test_compact_zorder_tiles_time_dimension(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from binance_etl_clickhouse_spark.storage.table import ServingTable
+    from binance_etl_clickhouse_spark.storage.zorder import file_overlap_fraction
+
+    # 8 symbols x 512 hours in one month
+    df = spark.range(8 * 512).select(
+        F.concat(F.lit("SYM"), (F.col("id") % 8)).alias("symbol"),
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(hours=(F.col("id") / 8).cast("int") % 512)
+        ).alias("timestamp"),
+        (F.col("id") * 1.0).alias("value"),
+    )
+    t = ServingTable(
+        path=str(tmp_path / "k"),
+        keys=["symbol", "timestamp"],
+        time_col="timestamp",
+        sort_cols=["symbol", "timestamp"],
+    )
+    t.append(df, ingest_seq=1)
+    before = sorted(t.read(spark).collect())
+
+    # at test volume AQE would coalesce the range shuffle to one file,
+    # hiding the tiling this test observes (at real scale ~64 MB tiles are
+    # exactly what AQE should produce)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        t.compact(spark, zorder=("symbol", "timestamp"))
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.conf.unset("spark.sql.shuffle.partitions")
+    after = sorted(t.read(spark).collect())
+    assert before == after  # layout change must not change the data
+
+    month_dir = glob.glob(str(tmp_path / "k" / "month=*"))[0]
+    n_files = len(glob.glob(month_dir + "/*.parquet"))
+    assert n_files >= 4
+    # a 1/8 time slice must NOT touch every file (symbol-sorted layout would)
+    import datetime
+
+    lo = datetime.datetime(2024, 1, 1)
+    hi = datetime.datetime(2024, 1, 3, 16)  # 64 of 512 hours
+    frac = file_overlap_fraction(month_dir, "timestamp", lo, hi)
+    assert frac < 0.8, f"time slice touched {frac:.0%} of z-ordered files"
