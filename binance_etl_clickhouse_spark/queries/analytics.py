@@ -221,3 +221,85 @@ def gapfill_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gapfill_locf(
         agg, ts_col="bucket_start", by=("user_id",), value_cols=("v",)
     ).select("user_id", "bucket_start", "v", "is_gap")
+
+
+# ---------------------------------------------------------------------------
+# Rolling cross-series correlation: click vs purchase hourly volumes over a
+# trailing 7-day RANGE frame — the klines-domain "rolling correlation of two
+# symbols" shape. Frame is keyed on an epoch-hour long so both engines see
+# the identical RANGE semantics; windows need >= 2 points (Spark yields NaN
+# where DuckDB yields NULL on degenerate windows — mapped explicitly).
+# ---------------------------------------------------------------------------
+@register(
+    "rolling_corr_click_purchase",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END), 4) AS x,
+             round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 4) AS y
+      FROM events GROUP BY 1
+    ), h AS (
+      SELECT hour, x, y,
+             CAST(epoch(hour) / 3600 AS BIGINT) AS hour_idx
+      FROM hourly
+    ), s AS (
+      SELECT hour,
+             count(*)   OVER w AS n,
+             sum(x)     OVER w AS sx,
+             sum(y)     OVER w AS sy,
+             sum(x * y) OVER w AS sxy,
+             sum(x * x) OVER w AS sxx,
+             sum(y * y) OVER w AS syy
+      FROM h
+      WINDOW w AS (ORDER BY hour_idx RANGE BETWEEN 167 PRECEDING AND CURRENT ROW)
+    ), c AS (
+      SELECT hour, n,
+             (sxy - sx * sy / n)
+               / nullif(sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 0) AS r
+      FROM s
+    )
+    SELECT hour, round(r, 6) AS corr_7d FROM c WHERE n >= 2 AND r IS NOT NULL
+    """,
+    survey_ref="§2.6/§7 rolling cross-series correlation (RANGE frame)",
+)
+def rolling_corr_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = ev.groupBy(hour.alias("hour")).agg(
+        F.round(
+            F.sum(F.when(F.col("event_type") == "click", F.col("value")).otherwise(0.0)), 4
+        ).alias("x"),
+        F.round(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)),
+            4,
+        ).alias("y"),
+    )
+    h = hourly.withColumn(
+        "hour_idx", (F.unix_timestamp("hour") / 3600).cast("long")
+    )
+    # corr from explicit window moments with a null-guarded denominator:
+    # ANSI-mode corr() throws DIVIDE_BY_ZERO on degenerate (n=1 /
+    # zero-variance) trailing windows, and this way both engines evaluate
+    # the bit-identical formula. One global series -> one unpartitioned
+    # window is fine (hours, not rows); per-symbol-pair at scale this
+    # partitions by the pair key.
+    w = Window.orderBy("hour_idx").rangeBetween(-167, 0)
+    x, y = F.col("x"), F.col("y")
+    s = h.select(
+        "hour",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(x).over(w).alias("sx"),
+        F.sum(y).over(w).alias("sy"),
+        F.sum(x * y).over(w).alias("sxy"),
+        F.sum(x * x).over(w).alias("sxx"),
+        F.sum(y * y).over(w).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    denom = F.nullif(F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), F.lit(0.0))
+    r = (sxy - sx * sy / n) / denom
+    return (
+        s.withColumn("r", r)
+        .filter((n >= 2) & F.col("r").isNotNull())
+        .select("hour", F.round("r", 6).alias("corr_7d"))
+    )

@@ -309,3 +309,43 @@ def map_function_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_clicks"),
         F.array_join(F.map_keys("m"), ",").alias("types_csv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorization: clip each value into its group's [p05, p95] band — the
+# standard outlier treatment before training-statistics aggregation. The
+# percentile bounds are rounded BEFORE clipping so boundary decisions are
+# bit-identical across engines; the bounds frame is tiny and broadcast.
+# ---------------------------------------------------------------------------
+@register(
+    "winsorize_per_type",
+    """
+    WITH b AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.05), 6) AS lo,
+             round(quantile_cont(value, 0.95), 6) AS hi
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type,
+           round(least(greatest(e.value, b.lo), b.hi), 6) AS value_winsorized,
+           CAST(e.value < b.lo OR e.value > b.hi AS INT) AS clipped
+    FROM events e JOIN b USING (event_type)
+    """,
+    survey_ref="§2.5 per-group percentile bounds + clip (outlier winsorization)",
+)
+def winsorize_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.05)), 6).alias("lo"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("hi"),
+    )
+    j = ev.join(F.broadcast(b), "event_type")
+    clipped = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+    return j.select(
+        "event_id",
+        "event_type",
+        F.round(F.least(F.greatest("value", F.col("lo")), F.col("hi")), 6).alias(
+            "value_winsorized"
+        ),
+        clipped.cast("int").alias("clipped"),
+    )
