@@ -156,3 +156,85 @@ def stream_per_key_watermark(
             update, out_schema, state_schema, "update", "NoTimeout"
         )
     )
+
+
+def stream_running_candles(
+    events: DataFrame,
+    key_col: str = "symbol",
+    ts_col: str = "timestamp",
+    price_col: str = "close",
+) -> DataFrame:
+    """Running per-key OHLC candle across micro-batches via Spark 4's
+    ``transformWithStateInPandas`` (StatefulProcessor) — the successor API
+    to ``applyInPandasWithState`` (``stream_per_key_watermark`` keeps the
+    GroupState form; both state surfaces stay covered). The candle
+    accumulates forever: open/close track the min/max event time seen, so
+    late or re-ordered batches fold in correctly without reprocessing.
+
+    Environment note: the StatefulProcessor worker protocol needs
+    ``google.protobuf`` (not in this sandbox — the paired test skips when
+    absent; the GroupState twin covers stateful semantics in CI here).
+    Requires the RocksDB state store provider.
+
+    Scale: state is one fixed-width row per key in the (RocksDB) state
+    store; each micro-batch shuffles only on the key — the same
+    one-partitioning-per-batch cost as any keyed stateful op.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = (
+        f"{key_col} string, open double, high double, low double, "
+        "close double, n_rows long"
+    )
+
+    class RunningCandle(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "candle",
+                "first_ms long, open double, high double, low double, "
+                "last_ms long, close double, n_rows long",
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._state.exists():
+                first_ms, op, hi, lo, last_ms, cl, n = self._state.get()
+            else:
+                first_ms, op, hi, lo, last_ms, cl, n = (None,) * 7
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                ms = pdf[ts_col].astype("int64") // 1_000_000
+                px = pdf[price_col].astype("float64")
+                bmin, bmax = int(ms.idxmin()), int(ms.idxmax())
+                if first_ms is None or int(ms.loc[bmin]) < first_ms:
+                    first_ms, op = int(ms.loc[bmin]), float(px.loc[bmin])
+                if last_ms is None or int(ms.loc[bmax]) >= last_ms:
+                    last_ms, cl = int(ms.loc[bmax]), float(px.loc[bmax])
+                hi = float(px.max()) if hi is None else max(hi, float(px.max()))
+                lo = float(px.min()) if lo is None else min(lo, float(px.min()))
+                n = (n or 0) + len(pdf)
+            self._state.update((first_ms, op, hi, lo, last_ms, cl, n))
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "open": [op],
+                    "high": [hi],
+                    "low": [lo],
+                    "close": [cl],
+                    "n_rows": [n],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=RunningCandle(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from binance_etl_clickhouse_spark.operators.asof import asof_join
@@ -209,3 +210,50 @@ def test_stream_per_key_watermark_state(spark, tmp_path):
     for sym, row in got.items():
         assert row.total_rows == 48
         assert row.last_ts == batch_wm[sym]
+
+
+def test_stream_running_candles_transform_with_state(spark, tmp_path):
+    # transformWithStateInPandas' worker protocol is protobuf-based; without
+    # google.protobuf the driver worker crashes at init. The GroupState twin
+    # (test_stream_per_key_watermark_state) covers stateful semantics here.
+    pytest.importorskip("google.protobuf")
+    from binance_etl_clickhouse_spark.streaming.jobs import stream_running_candles
+
+    staging = str(tmp_path / "k")
+    k = _klines(spark, n_symbols=2, bars=48)
+    k.write.mode("append").parquet(staging)
+    src = spark.readStream.schema(k.schema).parquet(staging)
+    # the StatefulProcessor API requires the RocksDB state store
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = stream_running_candles(src, key_col="symbol", ts_col="timestamp")
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory").queryName("candle_out")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    got = {r.symbol: r for r in spark.sql("SELECT * FROM candle_out").collect()}
+    assert len(got) == 2
+    exp = {
+        r.symbol: r
+        for r in k.groupBy("symbol").agg(
+            F.min_by("close", "timestamp").alias("open"),
+            F.max("close").alias("high"),
+            F.min("close").alias("low"),
+            F.max_by("close", "timestamp").alias("close"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ).collect()
+    }
+    for sym, row in got.items():
+        e = exp[sym]
+        assert row.n_rows == e.n_rows == 48
+        assert (row.open, row.high, row.low, row.close) == (
+            e.open, e.high, e.low, e.close,
+        )
