@@ -88,12 +88,12 @@ DRIVER_WINDOW = [
     "tpch_q11_value_concentration",
     "tpch_q16_supplier_cnt",
     "tpch_q20_excess_share_supplier",
-    # (c) green representatives (every other family is already in the window
+    "gapfill_hourly_locf",
+    "repetition_signals",
+    # (c) green representative (every other family is already in the window
     # via its (a)/(b) rows; the rest of the r1-green set is pytest-pinned and
     # rotates back in next round)
     "keep_last_dedup",
-    "asof_join_purchase_click",
-    "pandas_zscore_per_user",
 ]
 
 

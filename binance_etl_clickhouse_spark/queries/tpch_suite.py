@@ -18,7 +18,8 @@ shipped quantity for ps_availqty), preserving the canonical operator shape:
 per-part correlated min (Q2), profit expression over a 5-way join (Q9),
 HAVING-vs-global-scalar value concentration (Q11), distinct-supplier counts
 with NOT IN exclusion (Q16), nested-IN over a correlated share threshold
-(Q20).
+(Q20). Q12 adapts l_shipmode to l_returnflag (CASE-split priority counts).
+With those, all 22 TPC-H query shapes are registered.
 
 Scale notes (100 TB): every join below is either a broadcast (dimension
 sides: nation/region/supplier/part at <1% of fact size — Catalyst picks
@@ -879,4 +880,43 @@ def tpch_q20_excess_share_supplier(spark: SparkSession, sf_dir: str) -> DataFram
         s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_name", F.col("n_name").alias("nation"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12-shape: shipping-mode priority counts — conditional aggregation split
+# by order priority over a date-windowed fact scan (l_shipmode and the
+# commit/receipt dates are out of corpus; l_returnflag groups and l_shipdate
+# windows the scan, preserving the CASE-split count shape).
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q12_shipmode_priority",
+    """
+    SELECT l.l_returnflag AS ship_group,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_returnflag
+    """,
+    survey_ref="§2.5 CASE-split conditional counts over a date window (TPC-H Q12 shape)",
+)
+def tpch_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("l_returnflag").alias("ship_group"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
     )
