@@ -656,11 +656,18 @@ def tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    cost = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.round(F.sum("l_extendedprice") / F.sum("l_quantity"), 4).alias("unit_cost")
-    )
     p = _t(spark, sf_dir, "part").filter(
         F.col("p_size").between(10, 20) & (F.col("p_type") == "ECONOMY")
+    )
+    # cohort semi-join BELOW the bridge agg: unit cost is a per-(part,
+    # supplier) aggregate, so pre-filtering lineitem to the part cohort
+    # yields identical pairs while shrinking the bridge shuffle to the
+    # cohort's share of the fact table (the pushdown that matters at 100 TB;
+    # the SQL twin leaves the filter above the CTE — same result, and the
+    # hash compare proves the commute)
+    li = li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.sum("l_extendedprice") / F.sum("l_quantity"), 4).alias("unit_cost")
     )
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
