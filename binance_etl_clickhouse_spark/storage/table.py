@@ -157,10 +157,21 @@ class ServingTable:
 
     def _zdim(self, df: DataFrame, name: str):
         """Scale an arbitrary column into z-order's non-negative int domain:
-        timestamps bucket to hours, strings hash, ints pass through."""
+        timestamps bucket to hours, strings hash, ints pass through.
+
+        The table's own time column becomes hour-OF-MONTH, not absolute
+        hour: files are laid out inside month partitions, where the
+        absolute hour's varying bits are the low ones — normalized globally
+        they sit above every within-month variation, so the curve
+        degenerates to a symbol-major sort inside each month and time
+        slices stop pruning. Position-within-partition restores a full-range
+        time dimension per month."""
         dt = dict(df.dtypes)[name]
         c = F.col(name)
         if dt == "timestamp":
+            if name == self.time_col and self.time_col is not None:
+                month_start = F.unix_timestamp(F.date_trunc("month", c))
+                return F.floor((F.unix_timestamp(c) - month_start) / 3600).cast("long")
             return F.floor(F.unix_timestamp(c) / 3600).cast("long")
         if dt == "string":
             return F.abs(F.xxhash64(c))

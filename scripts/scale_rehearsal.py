@@ -96,6 +96,45 @@ def main() -> None:
         table.compact(spark)
         return {}
 
+    def compact_zorder():
+        # at production scale AQE's ~64 MB coalesce target yields many tiles
+        # per month on its own; at rehearsal volume it would collapse a month
+        # to 1-2 files and hide the tiling, so pin the tile count explicitly
+        months = table.read_raw(spark).select(F.col("month")).distinct().count()
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", str(months * 16))
+        try:
+            table.compact(spark, zorder=("symbol", "timestamp"))
+        finally:
+            spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        return {}
+
+    def layout_audit():
+        """Fraction of one month's files a 7-day time slice must read —
+        the footer-pruning cost of a time-only query under the current
+        layout (symbol-sorted: ~1.0; z-ordered: tiles prune)."""
+        import datetime
+        import glob
+
+        from binance_etl_clickhouse_spark.storage.zorder import (
+            file_overlap_fraction,
+        )
+
+        t0 = table.read_raw(spark).agg(F.min("timestamp").alias("t0")).first().t0
+        lo = t0 + datetime.timedelta(days=40)  # inside the 2nd month
+        hi = lo + datetime.timedelta(days=7)
+        month = f"{lo.year:04d}{lo.month:02d}"
+        d = glob.glob(f"{table.path}/month={month}")[0]
+        n = len(glob.glob(d + "/*.parquet"))
+        return {
+            "time_slice_file_fraction": round(
+                file_overlap_fraction(d, "timestamp", lo, hi), 3
+            ),
+            "files_in_month": n,
+        }
+
     phase("ingest", ingest)
     phase("reingest_overlap", reingest_overlap)
     phase("dedup_read_uncompacted", dedup_read)
@@ -103,6 +142,10 @@ def main() -> None:
     phase("compact", compact)
     phase("dedup_read_compacted", dedup_read)
     phase("rollup_refresh_noop", rollup_refresh)  # nothing new -> ~free
+    phase("layout_audit_sorted", layout_audit)
+    phase("compact_zorder", compact_zorder)
+    phase("dedup_read_zordered", dedup_read)
+    phase("layout_audit_zordered", layout_audit)
     shutil.rmtree(base, ignore_errors=True)
 
 
