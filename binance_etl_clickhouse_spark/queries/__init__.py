@@ -30,9 +30,15 @@ from binance_etl_clickhouse_spark.queries import dataset  # noqa: F401,E402
 # budget. This round's window: (a) everything that has never had a driver
 # CORRECTNESS row (the TPC-H suite, function families, window frames,
 # dataset ops — r1 checked only indices 0-49 of the old order), (b) queries
-# whose implementation changed this round, (c) one already-green
-# representative per operator family as regression canaries. Rotate
-# remaining green queries in as coverage accumulates.
+# whose implementation changed or were added this round, (c) one
+# already-green representative as regression canary.
+#
+# NEXT-ROUND ROTATION: still driver-unchecked after r2 (pytest-oracle only)
+# and first in line for the next window: pii_redaction,
+# chunk_sliding_windows, winsorize_per_type, rolling_corr_click_purchase,
+# tpch_q12_shipmode_priority — plus re-proving a sample of the r1-green
+# block rotated out this round (relational/scalar/set/window basics,
+# ngram/simhash/ann families, multimodal, sessionization, rollup/cube).
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW = [
     # (a) never driver-checked: windows / grouping
