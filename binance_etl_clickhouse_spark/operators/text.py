@@ -151,6 +151,67 @@ def simhash_wide(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     return bit_sums.select(id_col, val.cast("long").alias("simhash"))
 
 
+def _grams(text_col: str, k: int):
+    w = tokens(text_col)
+    n = F.size(w)
+    idx = F.sequence(F.lit(1), n - F.lit(k - 1))
+    return F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, k))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals_fold(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 2
+) -> DataFrame:
+    """Zero-shuffle form of :func:`repetition_signals`: each row sorts its
+    own gram array and folds run-lengths with ``aggregate`` — max run =
+    top-gram count, number of runs = distinct count. Pure projection, no
+    exchange (plan-pinned), equivalence to the grouped form test-pinned.
+
+    Measured at sf0.1: 4.5 s vs 2.0 s for the grouped form — higher-order
+    ``aggregate`` with a struct accumulator stays interpreted per element
+    while the word-count shuffle is fully codegen'd with map-side partial
+    aggregation, so the grouped form is the registered default. This form
+    exists for shuffle-constrained contexts (e.g. composing into a plan
+    that must stay a projection).
+    """
+    gs = F.array_sort(_grams(text_col, k))
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("maxrun"),
+        F.lit(0).cast("long").alias("distinct"),
+    )
+
+    def merge(acc, x):
+        return F.when(
+            acc.prev == x,  # null prev -> null -> false: first gram starts a run
+            F.struct(
+                x.alias("prev"),
+                (acc.run + 1).alias("run"),
+                F.greatest(acc.maxrun, acc.run + 1).alias("maxrun"),
+                acc.distinct.alias("distinct"),
+            ),
+        ).otherwise(
+            F.struct(
+                x.alias("prev"),
+                F.lit(1).cast("long").alias("run"),
+                F.greatest(acc.maxrun, F.lit(1).cast("long")).alias("maxrun"),
+                (acc.distinct + 1).alias("distinct"),
+            )
+        )
+
+    acc = F.aggregate(gs, init, merge)
+    ng = F.size(gs).cast("long")
+    return df.select(
+        id_col,
+        ng.alias("n_grams"),
+        F.round(acc.maxrun / ng, 6).alias("top_gram_ratio"),
+        F.round((ng - acc.distinct) / ng, 6).alias("dup_gram_ratio"),
+    ).filter(ng > 0)
+
+
 def repetition_signals(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 2
 ) -> DataFrame:
@@ -159,20 +220,14 @@ def repetition_signals(
     frequent k-gram and by duplicated k-grams. High values mark boilerplate /
     degenerate documents a training corpus should drop.
 
-    Non-distinct k-gram instances are built as a per-row projection
-    (sequence + slice, no shuffle), then one partial-aggregated shuffle on
-    (doc, gram) and a per-doc fold — scales like any word-count. Documents
-    shorter than k tokens produce no k-grams and drop out (same in the
-    DuckDB twin, whose unnest of an empty list emits no rows).
-    """
-    w = tokens(text_col)
-    n = F.size(w)
-    idx = F.sequence(F.lit(1), n - F.lit(k - 1))
-    grams = F.when(
-        n >= k,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, k))),
-    ).otherwise(F.array().cast("array<string>"))
-    ex = df.select(id_col, F.explode(grams).alias("gram"))
+    Word-count shape: non-distinct k-gram instances are built as a per-row
+    projection (sequence + slice), then one partial-aggregated shuffle on
+    (doc, gram) and a per-doc fold — fully codegen'd, measured 2x faster
+    than the zero-shuffle expression fold (:func:`repetition_signals_fold`)
+    at sf0.1. Documents shorter than k tokens produce no k-grams and drop
+    out (same in the DuckDB twin, whose unnest of an empty list emits no
+    rows)."""
+    ex = df.select(id_col, F.explode(_grams(text_col, k)).alias("gram"))
     per = ex.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
     return per.groupBy(id_col).agg(
         F.sum("c").alias("n_grams"),

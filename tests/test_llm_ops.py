@@ -363,3 +363,28 @@ def test_chunking_short_doc_single_span(spark):
     spans = F.transform(starts, lambda s: F.concat_ws(" ", F.slice(w, s, _CHUNK_WIDTH)))
     out = df.select("doc_id", F.posexplode(spans).alias("span_id", "span_text")).collect()
     assert len(out) == 1 and out[0].span_text == "a b c"
+
+
+def test_repetition_fold_equals_grouped_form(spark):
+    from binance_etl_clickhouse_spark.operators.text import (
+        repetition_signals,
+        repetition_signals_fold,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    fold = {r.doc_id: r for r in repetition_signals_fold(docs).collect()}
+    grouped = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    assert fold.keys() == grouped.keys()
+    for d, r in fold.items():
+        g = grouped[d]
+        assert (r.n_grams, r.top_gram_ratio, r.dup_gram_ratio) == (
+            g.n_grams, g.top_gram_ratio, g.dup_gram_ratio,
+        )
+
+
+def test_repetition_fold_is_shuffle_free(spark):
+    from binance_etl_clickhouse_spark.operators.text import repetition_signals_fold
+
+    docs = load_table(spark, SF, "documents")
+    plan = repetition_signals_fold(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
