@@ -308,6 +308,7 @@ def neardup_clusters(
         .cache()
     )
     labels = nodes.select("node", F.col("node").alias("lbl")).cache()
+    converged = False
     try:
         for _ in range(20):  # diameter cap; near-dup components are shallow
             prop = edges.join(
@@ -325,7 +326,19 @@ def neardup_clusters(
             labels.unpersist()
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            # returning part-propagated labels would silently split one
+            # component into several cluster_ids — and leakage_safe_split
+            # would then scatter those docs across train/test, breaking the
+            # very guarantee it exists for. Fail loudly instead.
+            raise RuntimeError(
+                "neardup_clusters: min-label propagation did not reach the "
+                "fixpoint within 20 rounds (component diameter exceeds the "
+                "cap); raise the cap or switch the loop body to "
+                "large-star/small-star contraction"
+            )
         sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
         return (
             labels.join(F.broadcast(sizes), "lbl")
@@ -336,7 +349,13 @@ def neardup_clusters(
             )
         )
     finally:
+        # release BOTH caches: leaving the final labels persisted leaked one
+        # cached table per invocation for the session's lifetime. The
+        # returned plan recomputes the (rounds-deep, linear) propagation
+        # lineage on consumption — callers that will read the result
+        # repeatedly at scale should persist it themselves.
         edges.unpersist()
+        labels.unpersist()
 
 
 def simhash_banded_pairs(

@@ -112,7 +112,10 @@ def quantize_int8(
     """
     v = _as_double(vec_col)
     amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = F.lit(127.0) / amax
+    # all-zero vectors (padding / failed-encode rows) have amax = 0:
+    # unguarded division throws under ANSI mode and diverges from the
+    # oracle otherwise — nullif yields NULL scale/metrics in BOTH engines
+    scale = F.lit(127.0) / F.nullif(amax, F.lit(0.0))
     q = F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("int"))
     # dequantize + per-dim squared error, folded sequentially (same order as
     # the DuckDB list_sum twin)

@@ -596,12 +596,18 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     # index build: write the cell-partitioned layout once per (dataset,
     # codebook); the query itself is then a partition-PRUNED read of the
-    # nprobe probed cells — the scan never touches the other cells' files
-    key = hashlib.md5(f"{sf_dir}:{codebook}".encode()).hexdigest()[:12]
-    path = f"{tempfile.gettempdir()}/spark_graft_ivf_{key}"
+    # nprobe probed cells — the scan never touches the other cells' files.
+    # Reuse only a COMPLETE index: a bare isdir() would treat a crashed
+    # half-write as built forever — Spark's _SUCCESS marker is the
+    # completeness witness, and a rebuild's overwrite mode heals partial
+    # dirs. The uid in the path keeps multi-user machines from colliding
+    # in the shared tempdir.
     import os
 
-    if not os.path.isdir(path):
+    key = hashlib.md5(f"{sf_dir}:{codebook}".encode()).hexdigest()[:12]
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    path = f"{tempfile.gettempdir()}/spark_graft_ivf_{uid}_{key}"
+    if not os.path.isfile(os.path.join(path, "_SUCCESS")):
         write_ivf_table(emb, codebook, path)
     return ivf_topk_from_table(spark, path, codebook, qv, k=10, nprobe=_IVF_NPROBE)
 
@@ -618,7 +624,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     s AS (
       SELECT vec_id, v,
-             127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+             -- nullif: all-zero vectors get NULL scale/metrics (matches the
+             -- engine's ANSI-safe guard)
+             127.0 / nullif(list_max(list_transform(v, x -> abs(x))), 0.0) AS scale
       FROM e
     ),
     q AS (

@@ -115,6 +115,19 @@ class ServingTable:
         output file single-month and key-clustered — at cluster scale this is
         the shuffle that buys co-located, pruned reads forever after.
         """
+        # heal an interrupted compact FIRST: writing into a missing live dir
+        # while .compact.bak still holds the table would make the next
+        # _recover() treat the bak as stale debris and delete the pre-compact
+        # data
+        self._recover()
+        # legacy (pre-sidecar) tables must seed the sidecar from the real
+        # footer max BEFORE this write, not from this batch's seq — else a
+        # low ingest_seq would understate max forever and keep-last dedup
+        # would prefer stale rows
+        prior = self._read_sidecar()
+        if prior is None and self.exists():
+            row = self.read_raw(df.sparkSession).agg(F.max(INGEST_SEQ).alias("m")).first()
+            prior = int(row.m or 0)
         out = df.withColumn(INGEST_SEQ, F.lit(ingest_seq))
         sort_cols = self.sort_cols or self.keys
         if self.time_col is not None:
@@ -130,7 +143,7 @@ class ServingTable:
         else:
             # dimension tables: small, unpartitioned
             out.sortWithinPartitions(*sort_cols).write.mode("append").parquet(self.path)
-        self._write_sidecar(max(self._read_sidecar() or 0, ingest_seq))
+        self._write_sidecar(max(prior or 0, ingest_seq))
 
     # -- read path --------------------------------------------------------
 

@@ -49,16 +49,23 @@ def stream_ingest_staging(
             src = src.dropDuplicatesWithinWatermark(dedup_keys)
 
     # Version stamps must stay monotonic even if batch appends happened on
-    # this table before (or between) stream runs: epoch ids restart relative
-    # to the checkpoint, so raw `epoch_id + 1` could collide with (or fall
-    # below) existing batch seqs and keep-last dedup would prefer stale rows.
-    # Offsetting by the table's max seq at stream start keeps every streamed
-    # batch strictly newer than anything already at rest.
+    # this table before, between, or DURING stream runs: epoch ids restart
+    # relative to the checkpoint, so raw `epoch_id + 1` could collide with
+    # (or fall below) existing batch seqs and keep-last dedup would prefer
+    # stale rows. Each micro-batch therefore stamps
+    # max(start-offset + epoch, current table max + 1) — the sidecar read is
+    # O(1), and a batch writer landing mid-stream bumps the sidecar so the
+    # next epoch clears it. Checkpoint-replayed epochs re-stamp the same
+    # keys with a newer seq, which keep-last dedup absorbs (idempotent).
     base_seq = table.max_ingest_seq(spark)
 
     def sink(batch: DataFrame, epoch_id: int) -> None:
         if not batch.isEmpty():
-            table.append(batch, ingest_seq=base_seq + epoch_id + 1)
+            next_seq = max(
+                base_seq + epoch_id + 1,
+                table.max_ingest_seq(batch.sparkSession) + 1,
+            )
+            table.append(batch, ingest_seq=next_seq)
 
     writer = src.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_dir)
     if available_now:

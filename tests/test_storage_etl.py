@@ -150,3 +150,48 @@ def test_max_ingest_seq_sidecar(spark, tmp_path):
     os.remove(os.path.join(t.path, "_seq.json"))
     assert t.max_ingest_seq(spark) == 7
     assert os.path.isfile(os.path.join(t.path, "_seq.json"))
+
+
+def test_append_heals_crashed_compact_first(spark, tmp_path):
+    """Appending into the crashed-compact state must restore the .bak BEFORE
+    writing — otherwise the write recreates the live dir and the next
+    _recover() deletes the .bak holding the whole pre-compact table."""
+    import shutil
+
+    t = _table(tmp_path)
+    b = _clean(spark, n_symbols=2, bars_per_symbol=48, overlap_bars=0)
+    t.append(b, ingest_seq=1)
+    shutil.move(t.path, t.path + ".compact.bak")  # crash window
+    extra = _clean(spark, n_symbols=1, bars_per_symbol=5, overlap_bars=0)
+    t.append(extra, ingest_seq=2)  # straight into append, no read first
+    assert not os.path.isdir(t.path + ".compact.bak")
+    # pre-compact rows AND the new batch both survive
+    assert t.read_raw(spark).count() == 2 * 48 + 5
+
+
+def test_append_seeds_sidecar_from_legacy_footers(spark, tmp_path):
+    """First append to a pre-sidecar table must seed max_ingest_seq from the
+    parquet footers, not this batch's (possibly lower) seq — else keep-last
+    dedup prefers stale rows forever."""
+    t = _table(tmp_path)
+    b = _clean(spark, n_symbols=1, bars_per_symbol=10, overlap_bars=0)
+    t.append(b, ingest_seq=7)
+    os.remove(os.path.join(t.path, "_seq.json"))  # legacy table state
+    t.append(b.limit(3), ingest_seq=1)  # direct append with a low seq
+    assert t.max_ingest_seq(spark) == 7
+    # pipeline-style next-seq now clears the legacy max
+    nxt = t.max_ingest_seq(spark) + 1
+    assert nxt == 8
+
+
+def test_quantize_int8_zero_vector_null_metrics(spark):
+    from binance_etl_clickhouse_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in quantize_int8(df).collect()}
+    # all-zero embedding: NULL scale/metrics, never DIVIDE_BY_ZERO
+    assert out[1].scale is None and out[1].recon_mse is None
+    assert out[2].scale == 63.5 and out[2].q_min == -127
