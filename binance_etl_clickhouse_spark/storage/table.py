@@ -132,7 +132,12 @@ class ServingTable:
         sort_cols = self.sort_cols or self.keys
         if self.time_col is not None:
             out = out.withColumn(MONTH_COL, month_bucket(self.time_col))
-            out = out.repartition(MONTH_COL, *self.keys[:1])
+            # REBALANCE (not plain repartition): AQE splits a hot
+            # (month, symbol) group across tasks instead of funneling it into
+            # one giant writer — the skewed-ingest case at 100 TB — and
+            # coalesces tiny groups; a split group just yields several files
+            # for that key, each still internally sorted
+            out = out.hint("rebalance", MONTH_COL, *self.keys[:1])
             # month leads the sort: a task's rows stream one partition dir at
             # a time, so the dynamic-partition write keeps a single parquet
             # writer open (instead of one per month seen — the row-group
@@ -223,7 +228,11 @@ class ServingTable:
                 w = w.repartitionByRange("__z").sortWithinPartitions("__z")
             w = w.drop("__z")
         else:
-            w = snap.repartition(MONTH_COL, *self.keys[:1]) if self.time_col else snap
+            w = (
+                snap.hint("rebalance", MONTH_COL, *self.keys[:1])
+                if self.time_col
+                else snap
+            )
             w = w.sortWithinPartitions(*sort_cols)
         if self.time_col is not None:
             w.write.mode("overwrite").partitionBy(MONTH_COL).parquet(tmp)

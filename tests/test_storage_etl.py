@@ -195,3 +195,24 @@ def test_quantize_int8_zero_vector_null_metrics(spark):
     # all-zero embedding: NULL scale/metrics, never DIVIDE_BY_ZERO
     assert out[1].scale is None and out[1].recon_mse is None
     assert out[2].scale == 63.5 and out[2].q_min == -127
+
+
+def test_append_write_uses_rebalance_exchange(spark, tmp_path):
+    """The append shuffle must be an AQE REBALANCE (splits hot
+    (month, symbol) writer tasks), not a plain hash repartition."""
+    t = _table(tmp_path)
+    b = _clean(spark, n_symbols=2, bars_per_symbol=48, overlap_bars=0)
+    from binance_etl_clickhouse_spark.schemas import MONTH_COL
+    from binance_etl_clickhouse_spark.functions.scalars import month_bucket
+    from pyspark.sql import functions as F
+
+    out = (
+        b.withColumn("ingest_seq", F.lit(1))
+        .withColumn(MONTH_COL, month_bucket("timestamp"))
+        .hint("rebalance", MONTH_COL, "symbol")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "REBALANCE_PARTITIONS_BY_COL" in plan
+    # end-to-end write still correct
+    t.append(b, ingest_seq=1)
+    assert t.read(spark).count() == 2 * 48
