@@ -280,6 +280,7 @@ def neardup_clusters(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    max_rounds: int = 20,
 ) -> DataFrame:
     """Connected components over near-dup pairs: every document labeled with
     the minimum id reachable through the pair graph (its canonical id).
@@ -310,7 +311,7 @@ def neardup_clusters(
     labels = nodes.select("node", F.col("node").alias("lbl")).cache()
     converged = False
     try:
-        for _ in range(20):  # diameter cap; near-dup components are shallow
+        for _ in range(max_rounds):  # diameter cap; near-dup components are shallow
             prop = edges.join(
                 labels.select(F.col("node").alias("b"), F.col("lbl")), "b"
             ).select(F.col("a").alias("node"), "lbl")
@@ -334,10 +335,10 @@ def neardup_clusters(
             # would then scatter those docs across train/test, breaking the
             # very guarantee it exists for. Fail loudly instead.
             raise RuntimeError(
-                "neardup_clusters: min-label propagation did not reach the "
-                "fixpoint within 20 rounds (component diameter exceeds the "
-                "cap); raise the cap or switch the loop body to "
-                "large-star/small-star contraction"
+                f"neardup_clusters: min-label propagation did not reach the "
+                f"fixpoint within {max_rounds} rounds (component diameter "
+                "exceeds the cap); raise max_rounds or switch the loop body "
+                "to large-star/small-star contraction"
             )
         sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
         return (

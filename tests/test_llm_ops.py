@@ -388,3 +388,20 @@ def test_repetition_fold_is_shuffle_free(spark):
     docs = load_table(spark, SF, "documents")
     plan = repetition_signals_fold(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_neardup_clusters_raises_when_cap_too_small(spark):
+    import pytest as _pytest
+
+    from binance_etl_clickhouse_spark.operators.neardup import neardup_clusters
+
+    # chain 0-1-2-3-4-5: min-label needs 5 rounds to reach the far end
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "d1 long, d2 long"
+    )
+    with _pytest.raises(RuntimeError, match="did not reach the fixpoint"):
+        neardup_clusters(docs, pairs, max_rounds=2).collect()
+    # with a sufficient cap the same chain converges to one cluster
+    out = neardup_clusters(docs, pairs, max_rounds=10).collect()
+    assert {r.cluster_id for r in out} == {0} and len(out) == 6
