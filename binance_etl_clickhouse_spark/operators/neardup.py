@@ -122,6 +122,23 @@ def minhash_signatures(
     return hashed.select(id_col, *cols)
 
 
+def minhash_band_values(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, bv) band-bucket rows from an ``mh0..mh{K-1}`` signature frame.
+
+    Band t's bucket value is md5(t, mh_{2t}, mh_{2t+1}) — the same keys
+    :func:`minhash_lsh_pairs` buckets on, factored out so an incremental
+    consumer (the streaming corpus dedup) can bucket NEW signatures against
+    a persisted signature index without recomputing shingles.
+    """
+    band_cols = [
+        F.md5(
+            F.concat_ws(",", F.lit(t), F.col(f"mh{2 * t}"), F.col(f"mh{2 * t + 1}"))
+        ).alias(f"band{t}")
+        for t in range(LSH_BANDS)
+    ]
+    return sig.select(id_col, F.explode(F.array(*band_cols)).alias("bv"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -137,13 +154,7 @@ def minhash_lsh_pairs(
     precision is exact; only recall is probabilistic.
     """
     sig = minhash_signatures(df, id_col, text_col, k)
-    band_cols = [
-        F.md5(
-            F.concat_ws(",", F.lit(t), F.col(f"mh{2 * t}"), F.col(f"mh{2 * t + 1}"))
-        ).alias(f"band{t}")
-        for t in range(LSH_BANDS)
-    ]
-    bands = sig.select(id_col, F.explode(F.array(*band_cols)).alias("bv"))
+    bands = minhash_band_values(sig, id_col)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.bv") == F.col("b.bv")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))

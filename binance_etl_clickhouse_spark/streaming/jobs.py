@@ -245,3 +245,120 @@ def stream_running_candles(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stream_dedup_corpus(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 3,
+    jaccard_threshold: float = 0.5,
+    available_now: bool = True,
+    processing_time: str = "1 hour",
+) -> StreamingQuery:
+    """Incremental corpus dedup: a JSONL document feed streams in, and each
+    micro-batch is near-dup-checked against everything already ACCEPTED
+    before any new row lands in the corpus.
+
+    The batch near-dup queries (`minhash_lsh_neardup` etc.) answer "which
+    pairs exist in this static corpus"; a training-data ingest needs the
+    incremental form — "is this NEW document a dup of anything seen so
+    far" — without rescanning (or even storing the text of) the accepted
+    corpus. The state carried between batches is a parquet signature index
+    of 24 MinHash ints per accepted doc (~200 B/doc: 1 B docs ≈ 200 GB,
+    a plain equi-join-able table — no driver-side state).
+
+    Per micro-batch (foreachBatch):
+      1. quarantine malformed lines (same PERMISSIVE contract as the batch
+         reader in ``sources/files.py``);
+      2. within-batch dedup via :func:`minhash_lsh_pairs` — exact-Jaccard
+         verified (text is in hand), greedy keep-lowest-id per pair;
+      3. cross-batch dedup: band the new signatures with
+         :func:`minhash_band_values`, equi-join against the banded index
+         (shuffle on band value only — never all-pairs), then verify
+         candidates by signature agreement: matching components / K is an
+         unbiased Jaccard estimate, so >= threshold drops the newcomer.
+         No text is read back from the corpus;
+      4. append survivors to ``out_dir`` and their signatures to the index.
+
+    Crash ordering: corpus append before index append — a failure between
+    the two can only leave an accepted doc unindexed (its future dups slip
+    through: bounded recall loss), never a doc indexed-but-missing (silent
+    data loss). Checkpoint replay of the batch re-drops the same dups and
+    re-appends the same survivors; the downstream keep-last read absorbs
+    the repeated append.
+
+    Scale: every join here is an equi-join on band value or id; index
+    growth is linear in accepted docs; the only state Spark itself holds is
+    stream offsets in the checkpoint.
+    """
+    import os
+
+    from binance_etl_clickhouse_spark.operators.neardup import (
+        LSH_BANDS,
+        LSH_ROWS,
+        minhash_band_values,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+    from binance_etl_clickhouse_spark.sources.files import (
+        DOCUMENTS_JSONL_SCHEMA,
+        partition_corrupt,
+    )
+
+    n_perm = LSH_BANDS * LSH_ROWS
+    src = spark.readStream.schema(DOCUMENTS_JSONL_SCHEMA).json(input_dir)
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        clean, _quarantined = partition_corrupt(batch)
+        # (2) within-batch: drop the higher id of every verified near-dup pair
+        losers = (
+            minhash_lsh_pairs(clean, k=k, threshold=jaccard_threshold)
+            .select(F.col("d2").alias("doc_id"))
+            .distinct()
+        )
+        clean = clean.join(losers, "doc_id", "left_anti")
+        sigs = minhash_signatures(clean, k=k)
+        if os.path.isdir(index_dir):
+            # (3) cross-batch: band-bucket equi-join then signature-agreement
+            # verify — candidates only, no all-pairs, no text reads
+            idx = batch.sparkSession.read.parquet(index_dir)
+            new_b = minhash_band_values(sigs).withColumnRenamed("doc_id", "new_id")
+            old_b = minhash_band_values(idx).withColumnRenamed("doc_id", "old_id")
+            cand = new_b.join(old_b, "bv").select("new_id", "old_id").distinct()
+            new_sig = sigs.select(
+                F.col("doc_id").alias("new_id"),
+                *[F.col(f"mh{j}").alias(f"n{j}") for j in range(n_perm)],
+            )
+            old_sig = idx.select(
+                F.col("doc_id").alias("old_id"),
+                *[F.col(f"mh{j}").alias(f"o{j}") for j in range(n_perm)],
+            )
+            agree = sum(
+                F.when(F.col(f"n{j}") == F.col(f"o{j}"), 1).otherwise(0)
+                for j in range(n_perm)
+            )
+            dup_ids = (
+                cand.join(new_sig, "new_id")
+                .join(old_sig, "old_id")
+                .filter(agree / F.lit(n_perm) >= jaccard_threshold)
+                .select(F.col("new_id").alias("doc_id"))
+                .distinct()
+            )
+            clean = clean.join(dup_ids, "doc_id", "left_anti")
+            sigs = sigs.join(dup_ids, "doc_id", "left_anti")
+        # (4) corpus first, index second (see crash ordering above)
+        clean.write.mode("append").parquet(out_dir)
+        sigs.write.mode("append").parquet(index_dir)
+        batch.unpersist()
+
+    writer = src.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

@@ -257,3 +257,52 @@ def test_stream_running_candles_transform_with_state(spark, tmp_path):
         assert (row.open, row.high, row.low, row.close) == (
             e.open, e.high, e.low, e.close,
         )
+
+
+def test_stream_dedup_corpus_incremental(spark, tmp_path):
+    """Cross-batch near-dups are dropped at ingest against the signature
+    index; within-batch dups are dropped too; distinct docs all land."""
+    import json
+
+    from binance_etl_clickhouse_spark.streaming.jobs import stream_dedup_corpus
+
+    in_dir = tmp_path / "drop"
+    in_dir.mkdir()
+    index_dir = str(tmp_path / "index")
+    out_dir = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten eleven twelve"
+    third = "red orange yellow green blue indigo violet ultra maroon cyan"
+
+    def drop(fname, docs):
+        with open(in_dir / fname, "w") as f:
+            for i, text in docs:
+                f.write(
+                    json.dumps(
+                        {"doc_id": i, "lang": "en", "text": text, "n_chars": len(text)}
+                    )
+                    + "\n"
+                )
+
+    # batch 1: doc 2 is a within-batch exact dup of doc 1
+    drop("b1.jsonl", [(1, base), (2, base), (3, other)])
+    q = stream_dedup_corpus(spark, str(in_dir), index_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    q.stop()
+    got1 = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert got1 == {1, 3}
+
+    # batch 2: doc 11 near-dups accepted doc 1 (one token changed), doc 12
+    # is new — only 12 should land, caught via the index (no text rescans)
+    drop("b2.jsonl", [(11, base.replace("kappa", "lambda")), (12, third)])
+    q2 = stream_dedup_corpus(spark, str(in_dir), index_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+    q2.stop()
+    got2 = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert got2 == {1, 3, 12}
+    # index holds exactly the accepted docs' signatures
+    idx = spark.read.parquet(index_dir)
+    assert {r.doc_id for r in idx.select("doc_id").collect()} == {1, 3, 12}
+    assert len(idx.columns) == 1 + 24
