@@ -34,11 +34,12 @@ from binance_etl_clickhouse_spark.queries import dataset  # noqa: F401,E402
 # already-green representative as regression canary.
 #
 # NEXT-ROUND ROTATION: still driver-unchecked after r2 (pytest-oracle only)
-# and first in line for the next window: pii_redaction,
+# and first in line for the next window: ann_ivf_pq_topk, pii_redaction,
 # chunk_sliding_windows, winsorize_per_type, rolling_corr_click_purchase,
 # tpch_q12_shipmode_priority — plus re-proving a sample of the r1-green
 # block rotated out this round (relational/scalar/set/window basics,
-# ngram/simhash/ann families, multimodal, sessionization, rollup/cube).
+# keep_last_dedup, ngram/simhash/ann families, multimodal, sessionization,
+# rollup/cube).
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW = [
     # (a) never driver-checked: windows / grouping
@@ -96,10 +97,11 @@ DRIVER_WINDOW = [
     "tpch_q20_excess_share_supplier",
     "gapfill_hourly_locf",
     "repetition_signals",
-    # (c) green representative (every other family is already in the window
-    # via its (a)/(b) rows; the rest of the r1-green set is pytest-pinned and
-    # rotates back in next round)
-    "keep_last_dedup",
+    # (b) new this session — PQ ANN (ADC shortlist + exact rerank). Takes
+    # the canary slot: every family already has an (a)/(b) row in the
+    # window, and the r1-green set (incl. keep_last_dedup, driver-proven in
+    # r1) stays pytest-pinned and rotates back in next round.
+    "ann_pq_topk",
 ]
 
 

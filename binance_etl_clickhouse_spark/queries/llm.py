@@ -613,6 +613,213 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ANN via product quantization (PQ): vectors compress to m per-subspace
+# codes; the query scans codes + a literal lookup table (ADC), shortlists,
+# and exact-reranks only the survivors. Like the IVF oracle, the per-
+# subspace k-means training is deterministic, so the oracle UNROLLS it —
+# per subspace: slice -> init -> assign/update rounds -> final codes ->
+# query-subvector LUT — then replays the same rounded-ADC shortlist and
+# exact rerank.
+# ---------------------------------------------------------------------------
+
+_PQ_M, _PQ_KSUB, _PQ_ITERS, _PQ_SHORTLIST = 4, 16, 2, 50
+_PQ_DSUB = _EMB_DIM // _PQ_M
+
+
+def _sqdist_sub_sql(a: str, b: str) -> str:
+    # subspace-width twin of _sqdist_sql
+    return (
+        f"list_sum(list_transform(range(1, {_PQ_DSUB + 1}),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+def _pq_assign_cte(name: str, src: str, cent: str) -> str:
+    # nearest subspace centroid; tie -> lowest code (argmin first-minimum)
+    return f"""
+    {name} AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT {src}.vec_id, {src}.v, {cent}.cell,
+               row_number() OVER (PARTITION BY {src}.vec_id
+                                  ORDER BY {_sqdist_sub_sql(f'{src}.v', f'{cent}.v')}, {cent}.cell) AS rn
+        FROM {src} CROSS JOIN {cent}
+      ) WHERE rn = 1
+    )"""
+
+
+def _pq_update_cte(assigned: str, prev: str, out: str) -> str:
+    # per-(code, dim) mean over the subspace; empty codes keep the previous
+    # centroid — mirrors ivf.kmeans_fit's update step
+    return f"""
+    {out}_m AS (
+      SELECT cell, i, avg(v[i]) AS m FROM {assigned}, range(1, {_PQ_DSUB + 1}) t(i)
+      GROUP BY cell, i
+    ),
+    {out}_arr AS (SELECT cell, list(m ORDER BY i) AS v FROM {out}_m GROUP BY cell),
+    {out} AS (
+      SELECT {prev}.cell, coalesce({out}_arr.v, {prev}.v) AS v
+      FROM {prev} LEFT JOIN {out}_arr USING (cell)
+    )"""
+
+
+def _pq_ctes() -> tuple[str, str, str, str]:
+    """(body, code_joins, lut_joins, adc_sum): the per-subspace training +
+    code + LUT CTEs shared by the PQ and IVF-PQ oracles."""
+    parts = []
+    finals = []
+    for s in range(_PQ_M):
+        lo = s * _PQ_DSUB + 1
+        hi = (s + 1) * _PQ_DSUB
+        parts.append(f"sub{s} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM e),")
+        parts.append(
+            f"""c{s}_0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+      FROM (SELECT vec_id, v FROM sub{s} ORDER BY vec_id LIMIT {_PQ_KSUB})
+    ),"""
+        )
+        prev = f"c{s}_0"
+        for it in range(1, _PQ_ITERS + 1):
+            parts.append(_pq_assign_cte(f"a{s}_{it}", f"sub{s}", prev) + ",")
+            parts.append(_pq_update_cte(f"a{s}_{it}", prev, f"c{s}_{it}") + ",")
+            prev = f"c{s}_{it}"
+        finals.append(prev)
+        parts.append(
+            _pq_assign_cte(f"af{s}_full", f"sub{s}", prev)
+            + f", af{s} AS (SELECT vec_id, cell AS cell{s} FROM af{s}_full),"
+        )
+        parts.append(f"qsub{s} AS (SELECT qv[{lo}:{hi}] AS qv FROM q),")
+        parts.append(
+            f"""lut{s} AS (
+      SELECT cell, {_sqdist_sub_sql(f'{finals[s]}.v', 'qsub' + str(s) + '.qv')} AS d
+      FROM {finals[s]} CROSS JOIN qsub{s}
+    ),"""
+        )
+    body = "\n".join(parts)
+    code_joins = " ".join(f"JOIN af{s} USING (vec_id)" for s in range(1, _PQ_M))
+    lut_joins = " ".join(f"JOIN lut{s} l{s} ON l{s}.cell = af{s}.cell{s}" for s in range(_PQ_M))
+    # left-to-right sum, matching the engine's adc expression order
+    adc_sum = "l0.d"
+    for s in range(1, _PQ_M):
+        adc_sum = f"({adc_sum} + l{s}.d)"
+    return body, code_joins, lut_joins, adc_sum
+
+
+_RERANK_SQL = """
+    SELECT e.vec_id,
+           round(list_inner_product(v, qv)
+                 / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))), 6)
+             AS cos_sim
+    FROM e JOIN short USING (vec_id) CROSS JOIN q
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """
+
+
+def _ann_pq_oracle() -> str:
+    body, code_joins, lut_joins, adc_sum = _pq_ctes()
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    {body}
+    adc AS (
+      SELECT af0.vec_id, round({adc_sum}, 6) AS adc_dist
+      FROM af0 {code_joins} {lut_joins}
+    ),
+    short AS (SELECT vec_id FROM adc ORDER BY adc_dist, vec_id LIMIT {_PQ_SHORTLIST})
+    {_RERANK_SQL}
+    """
+
+
+@register(
+    "ann_pq_topk",
+    _ann_pq_oracle(),
+    survey_ref="similarity: product-quantization ANN (ADC shortlist + exact rerank)",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_clickhouse_spark.operators.pq import pq_encode, pq_fit, pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_fit(emb, m=_PQ_M, ksub=_PQ_KSUB, n_iters=_PQ_ITERS, dim=_EMB_DIM)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    codes = pq_encode(emb, books)
+    return pq_topk(codes, emb, books, qv, k=10, shortlist=_PQ_SHORTLIST)
+
+
+# ---------------------------------------------------------------------------
+# Combined IVF-PQ: the billion-vector read path — partition-pruned probe of
+# the coarse cells, ADC over the stored byte codes inside them, exact
+# rerank of the shortlist only. The oracle composes the two unrolled
+# trainings (coarse k-means + m subspace k-means) and replays probe ->
+# in-probe ADC -> rerank.
+# ---------------------------------------------------------------------------
+
+
+def _ann_ivf_pq_oracle() -> str:
+    iters = []
+    prev = "c0"
+    for it in range(1, _IVF_ITERS + 1):
+        iters.append(_kmeans_assign_cte(f"ca{it}", prev) + ",")
+        iters.append(_kmeans_update_cte(f"ca{it}", prev, f"c{it}") + ",")
+        prev = f"c{it}"
+    coarse_body = "\n".join(iters)
+    pq_body, code_joins, lut_joins, adc_sum = _pq_ctes()
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_IVF_K})
+    ),
+    {coarse_body}
+    probe AS (
+      SELECT cell FROM {prev} CROSS JOIN q
+      ORDER BY {_sqdist_sql('qv', f'{prev}.v')}, cell LIMIT {_IVF_NPROBE}
+    ),
+    {_kmeans_assign_cte('afc', prev)},
+    inprobe AS (SELECT vec_id FROM afc WHERE cell IN (SELECT cell FROM probe)),
+    {pq_body}
+    adc AS (
+      SELECT af0.vec_id, round({adc_sum}, 6) AS adc_dist
+      FROM af0 {code_joins} {lut_joins}
+      JOIN inprobe ON inprobe.vec_id = af0.vec_id
+    ),
+    short AS (SELECT vec_id FROM adc ORDER BY adc_dist, vec_id LIMIT {_PQ_SHORTLIST})
+    {_RERANK_SQL}
+    """
+
+
+@register(
+    "ann_ivf_pq_topk",
+    _ann_ivf_pq_oracle(),
+    survey_ref="similarity: combined IVF-PQ (partition-pruned probe + ADC + exact rerank)",
+)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from binance_etl_clickhouse_spark.operators.ivf import kmeans_fit
+    from binance_etl_clickhouse_spark.operators.pq import (
+        ivf_pq_topk_from_table,
+        pq_fit,
+        write_ivf_pq_table,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    coarse = kmeans_fit(emb, k=_IVF_K, n_iters=_IVF_ITERS)
+    books = pq_fit(emb, m=_PQ_M, ksub=_PQ_KSUB, n_iters=_PQ_ITERS, dim=_EMB_DIM)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    # same build-once / _SUCCESS-gated reuse discipline as the IVF index
+    key = hashlib.md5(f"{sf_dir}:{coarse}:{books}".encode()).hexdigest()[:12]
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    path = f"{tempfile.gettempdir()}/spark_graft_ivfpq_{uid}_{key}"
+    if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+        write_ivf_pq_table(emb, coarse, books, path)
+    return ivf_pq_topk_from_table(
+        spark, path, coarse, books, qv, k=10, nprobe=_IVF_NPROBE, shortlist=_PQ_SHORTLIST
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding int8 quantization: the 4x storage format for a 100 TB vector
 # corpus (int8 codes + per-row scale). Scalar outputs only (codes summarized
 # by min/max + reconstruction MSE) so the result canonicalizes; floor(x+0.5)

@@ -167,3 +167,11 @@ def test_gapfill_grid_is_bounded_projection(spark):
     assert "Generate explode" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ann_ivf_pq_query_partition_pruned(spark):
+    # the combined IVF-PQ query reads the cell-partitioned codes layout:
+    # probe filter in PartitionFilters (only nprobe cell dirs scanned), ADC
+    # + rerank above it
+    plan = _plan(spark, "ann_ivf_pq_topk")
+    assert "PartitionFilters: [cell" in plan, plan[:2000]
