@@ -1,0 +1,177 @@
+"""Corpus-level statistics operators: TF-IDF, unigram-LM quality scoring,
+and target-mixture sampling.
+
+These are the corpus-wide passes of a training-data pipeline (the per-row
+passes live in ``operators/text.py``): each one aggregates a statistic over
+the WHOLE corpus (document frequency, unigram counts, per-source counts) and
+then joins it back against the documents. The reference delegates every
+analytical pass of this kind to its warehouse (ClickHouse); here each is a
+first-class DataFrame plan.
+
+Scale shape (the part that matters at 100 TB):
+
+- the corpus-statistic side of each join is vocabulary- or source-sized,
+  orders of magnitude smaller than the corpus — term stats are an ordinary
+  equi-join (AQE broadcasts them when they fit), per-source rates are an
+  explicit ``F.broadcast``;
+- everything aggregates with map-side partial aggregation (groupBy on
+  (doc, term) / term / source), no windows over unpartitioned data;
+- the only driver-side values are single scalars (corpus size, token
+  total) obtained from one count()/first() job each — never a per-row
+  collect.
+
+Cross-engine determinism: token counts and frequencies are exact integers;
+log/division results are rounded at 6 dp before any ordering or output so
+libm last-ulp drift between the JVM and DuckDB cannot reorder rows (same
+policy as the rest of the repo; ties then break on the term/id string).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from binance_etl_clickhouse_spark.operators.parallel import ensure_min_parallelism
+from binance_etl_clickhouse_spark.operators.texthash import hash60, tokens
+
+#: 2^60 as a float divisor: hash60(x) / HASH60_SPAN is a deterministic
+#: uniform in [0, 1) identical in Spark and DuckDB (single IEEE division)
+HASH60_SPAN = float(1 << 60)
+
+
+def term_frequencies(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, term, tf): occurrence count of each term within each document.
+
+    One explode + one groupBy on the composite (doc, term) key — partial
+    aggregation collapses repeats map-side, so the shuffle carries distinct
+    doc-term rows, not raw token occurrences.
+    """
+    tok = ensure_min_parallelism(df).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    return tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    n_docs: int,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document.
+
+    score = tf * (ln((N+1)/(df+1)) + 1)  (smoothed idf, sklearn-style).
+
+    ``n_docs`` is the corpus size, passed in as a scalar (one metadata-cheap
+    count job; at scale, parquet footer statistics). The document-frequency
+    side of the join is vocabulary-sized — AQE broadcasts it when it fits.
+    The per-doc top-k is a row_number window ordered by the ROUNDED score
+    (then term), so the ordering is identical in both engines, and Spark
+    plans it as a WindowGroupLimit pushdown, never a full per-doc sort spill.
+    """
+    tf = term_frequencies(df, id_col, text_col)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df_count") + F.lit(1.0))) + F.lit(1.0)
+    scored = tf.join(dfreq, "term").select(
+        F.col(id_col),
+        F.col("term"),
+        F.col("tf"),
+        F.round(F.col("tf") * idf, 6).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "tf", "tfidf", "rnk")
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    total_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean unigram log-probability — the CCNet-style
+    language-model quality proxy (docs of common words score high; rare-token
+    soup scores low), with a corpus-unigram model in place of KenLM.
+
+    avg_logp(d) = sum_t tf(d,t) * ln(cnt(t) / total) / n_tokens(d)
+
+    Weighted by the per-doc term frequency so the join input is distinct
+    doc-term rows (not raw occurrences); ``total_tokens`` is the one scalar
+    (single agg job). Output rounded at 6 dp (summation-order ULPs).
+    """
+    tf = term_frequencies(df, id_col, text_col)
+    cnt = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    logp = F.log(F.col("cnt").cast("double") / F.lit(float(total_tokens)))
+    return (
+        tf.join(cnt, "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("tf") * logp) / F.sum("tf"), 6).alias("avg_logp"),
+        )
+    )
+
+
+def source_mixture_rates(
+    df: DataFrame, target: dict[str, float], source_col: str = "source"
+) -> DataFrame:
+    """(source, n_docs, keep_rate): per-source acceptance rates that hit a
+    target mixture exactly, keeping 100% of the binding (scarcest) source.
+
+    With per-source counts n_s and target weights w_s, the largest corpus
+    consistent with the mixture keeps ``scale = min_s(n_s / w_s)`` total
+    docs; source s keeps ``w_s * scale / n_s`` of its rows (1.0 for the
+    binding source). Sources absent from the target get rate 0. All on a
+    source-cardinality frame — two tiny aggregations, no window.
+    """
+    w_expr = F.lit(0.0)
+    for src, wt in target.items():
+        w_expr = F.when(F.col(source_col) == src, F.lit(float(wt))).otherwise(w_expr)
+    counts = (
+        df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("w", w_expr)
+    )
+    scale = counts.filter(F.col("w") > 0).agg(
+        F.min(F.col("n_docs") / F.col("w")).alias("scale")
+    )
+    return counts.crossJoin(F.broadcast(scale)).select(
+        source_col,
+        F.col("n_docs"),
+        F.round(
+            F.when(F.col("w") > 0, F.col("w") * F.col("scale") / F.col("n_docs")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("keep_rate"),
+    )
+
+
+def source_mixture_sample(
+    df: DataFrame,
+    target: dict[str, float],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministic mixture sample: keep doc d of source s iff
+    u(d) < keep_rate(s), with u(d) = hash60('mix:' || d) / 2^60.
+
+    The rates frame is source-cardinality and explicitly broadcast, so the
+    corpus side never shuffles — the sample is a single filtered scan. The
+    md5-based u() reproduces bit-identically in any engine, so the selected
+    row SET (not just its size) is stable across runs, engines, and
+    cluster sizes — resumable sampling for free.
+    """
+    rates = source_mixture_rates(df, target, source_col)
+    u = hash60(F.concat(F.lit("mix:"), F.col(id_col).cast("string"))) / F.lit(HASH60_SPAN)
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(u < F.col("keep_rate"))
+        .select(F.col(id_col), F.col(source_col), F.col("keep_rate"))
+    )

@@ -23,6 +23,7 @@ from binance_etl_clickhouse_spark.queries import windows  # noqa: F401,E402
 from binance_etl_clickhouse_spark.queries import functions_wide  # noqa: F401,E402
 from binance_etl_clickhouse_spark.queries import tpch_suite  # noqa: F401,E402
 from binance_etl_clickhouse_spark.queries import dataset  # noqa: F401,E402
+from binance_etl_clickhouse_spark.queries import corpus  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver verification window. The correctness driver checks the FIRST 50
@@ -34,7 +35,8 @@ from binance_etl_clickhouse_spark.queries import dataset  # noqa: F401,E402
 # already-green representative as regression canary.
 #
 # NEXT-ROUND ROTATION: still driver-unchecked after r2 (pytest-oracle only)
-# and first in line for the next window: ann_ivf_pq_topk, pii_redaction,
+# and first in line for the next window: ann_ivf_pq_topk, tfidf_top_terms,
+# unigram_logprob_quality, source_mixture_sample, pii_redaction,
 # chunk_sliding_windows, winsorize_per_type, rolling_corr_click_purchase,
 # tpch_q12_shipmode_priority — plus re-proving a sample of the r1-green
 # block rotated out this round (relational/scalar/set/window basics,

@@ -1,0 +1,91 @@
+"""Behavioral tests for corpus-statistics operators (operators/corpus.py).
+
+Oracle parity at the driver scale is covered by test_oracle_parity.py; these
+pin the operator-level semantics: top-k bounds, probability invariants,
+mixture-rate arithmetic, and determinism of the hash-based sample.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from binance_etl_clickhouse_spark.operators.corpus import (
+    source_mixture_rates,
+    source_mixture_sample,
+    tfidf_top_terms,
+    unigram_logprob,
+)
+from binance_etl_clickhouse_spark.operators.texthash import tokens
+from binance_etl_clickhouse_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_tfidf_topk_bounds_and_scores(spark):
+    docs = load_table(spark, SF, "documents")
+    n = docs.count()
+    out = tfidf_top_terms(docs, n_docs=n, k=5)
+    rows = out.collect()
+    assert rows, "empty result would make parity vacuous"
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert len(per_doc) == n  # every doc keeps at least one term
+    for doc_rows in per_doc.values():
+        assert 1 <= len(doc_rows) <= 5
+        assert sorted(r.rnk for r in doc_rows) == list(range(1, len(doc_rows) + 1))
+        # ranks follow (score desc, term asc)
+        ordered = sorted(doc_rows, key=lambda r: (-r.tfidf, r.term))
+        assert [r.rnk for r in ordered] == list(range(1, len(doc_rows) + 1))
+    # smoothed idf >= ln((N+1)/(N+1)) + 1 = 1, tf >= 1 => score > 0
+    assert all(r.tfidf > 0 for r in rows)
+
+
+def test_unigram_logprob_invariants(spark):
+    docs = load_table(spark, SF, "documents")
+    total = docs.select(F.sum(F.size(tokens("text")))).first()[0]
+    out = unigram_logprob(docs, total_tokens=int(total)).collect()
+    assert len(out) == docs.count()
+    assert all(r.n_tokens > 0 for r in out)
+    # every unigram prob < 1 => every mean log-prob < 0; and no term is
+    # rarer than 1/total => avg_logp >= ln(1/total)
+    floor = math.log(1.0 / total)
+    assert all(floor - 1e-6 <= r.avg_logp < 0 for r in out)
+
+
+def test_mixture_rates_binding_source_keeps_all(spark):
+    docs = load_table(spark, SF, "documents")
+    target = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+    rates = {r.source: r for r in source_mixture_rates(docs, target).collect()}
+    assert set(rates) == {f"src{i}" for i in range(20)}
+    in_target = {s: rates[s] for s in target}
+    # the binding source (min n/w) keeps everything; others keep less
+    binding = min(in_target, key=lambda s: in_target[s].n_docs / target[s])
+    assert in_target[binding].keep_rate == 1.0
+    assert all(0 < r.keep_rate <= 1.0 for r in in_target.values())
+    # outside the target: dropped entirely
+    assert all(rates[s].keep_rate == 0.0 for s in rates if s not in target)
+    # rates reproduce the target mixture: expected kept docs proportional to w
+    kept = {s: in_target[s].n_docs * in_target[s].keep_rate for s in target}
+    total_kept = sum(kept.values())
+    for s, w in target.items():
+        assert abs(kept[s] / total_kept - w) < 1e-4
+
+
+def test_mixture_sample_deterministic_and_on_target(spark):
+    docs = load_table(spark, SF, "documents")
+    target = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+    s1 = {(r.doc_id, r.source) for r in source_mixture_sample(docs, target).collect()}
+    s2 = {(r.doc_id, r.source) for r in source_mixture_sample(docs, target).collect()}
+    assert s1 and s1 == s2  # hash-deterministic: identical row SET on rerun
+    assert {src for _, src in s1} <= set(target)
+    # kept fraction per source tracks its keep_rate (exact sample is
+    # hash-thresholded, so only statistical at tiny SF — loose band)
+    rates = {r.source: r.keep_rate for r in source_mixture_rates(docs, target).collect()}
+    n_by_src = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for src in target:
+        kept = sum(1 for _, s in s1 if s == src)
+        expected = rates[src] * n_by_src[src]
+        assert abs(kept - expected) <= max(3.0, 0.6 * expected)

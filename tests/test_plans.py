@@ -175,3 +175,12 @@ def test_ann_ivf_pq_query_partition_pruned(spark):
     # + rerank above it
     plan = _plan(spark, "ann_ivf_pq_topk")
     assert "PartitionFilters: [cell" in plan, plan[:2000]
+
+
+def test_tfidf_topk_uses_window_group_limit(spark):
+    # per-doc top-k must plan as a WindowGroupLimit pushdown (partial limit
+    # before the doc_id shuffle), never a full per-group sort; the
+    # document-frequency join-back stays broadcast, no nested loop
+    plan = _plan(spark, "tfidf_top_terms")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
