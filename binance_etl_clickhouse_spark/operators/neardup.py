@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from binance_etl_clickhouse_spark.operators.parallel import ensure_min_parallelism
 from binance_etl_clickhouse_spark.operators.texthash import (
@@ -35,6 +36,21 @@ from binance_etl_clickhouse_spark.operators.texthash import (
 
 LSH_BANDS = 12
 LSH_ROWS = 2  # K = bands * rows = 24 permutations
+
+
+def _pin(df: DataFrame, persist: bool) -> DataFrame:
+    """Persist a frame that a self-join consumes from BOTH sides.
+
+    Self-join diamonds defeat ReuseExchange (the build side becomes a
+    broadcast exchange, the probe side a plain pipeline — nothing matches),
+    so without this the md5-heavy signature projection runs once per side,
+    re-scanning the corpus each time. Persisting mirrors what production
+    dedup systems do anyway — the signature index is materialized, never
+    recomputed per lookup (the streaming corpus dedup persists the same
+    frame to parquet). MEMORY_AND_DISK: signatures are a few ints per doc,
+    orders of magnitude narrower than the text they summarize.
+    """
+    return df.persist(StorageLevel.MEMORY_AND_DISK) if persist else df
 
 
 def exact_dup_canonical(
@@ -76,6 +92,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     stop_shingle_df: int | None = None,
+    persist_index: bool = True,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard >= threshold.
 
@@ -83,7 +100,8 @@ def ngram_jaccard_pairs(
     inverted-index self-join, set sizes from a pre-agg — no array materialized
     across the join.
     """
-    sh = _shingle_index(df, id_col, text_col, k, stop_shingle_df)
+    # three consumers (sizes + both self-join sides) — pin the inverted index
+    sh = _pin(_shingle_index(df, id_col, text_col, k, stop_shingle_df), persist_index)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -145,6 +163,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
+    persist_index: bool = True,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs, verified with exact Jaccard.
 
@@ -153,7 +172,7 @@ def minhash_lsh_pairs(
     Candidates then verified against the true shingle Jaccard so output
     precision is exact; only recall is probabilistic.
     """
-    sig = minhash_signatures(df, id_col, text_col, k)
+    sig = _pin(minhash_signatures(df, id_col, text_col, k), persist_index)
     bands = minhash_band_values(sig, id_col)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -167,8 +186,9 @@ def minhash_lsh_pairs(
     # runs; verification work is O(candidate pairs x shingles), and the
     # arithmetic (|A∩B| / (|A|+|B|-|A∩B|) on the same integers) is identical
     # to ngram_jaccard_pairs, so precision stays exact.
-    sh_sets = ensure_min_parallelism(df).select(
-        F.col(id_col), shingles(text_col, k).alias("sh")
+    sh_sets = _pin(
+        ensure_min_parallelism(df).select(F.col(id_col), shingles(text_col, k).alias("sh")),
+        persist_index,
     )
     s1 = sh_sets.select(F.col(id_col).alias("d1"), F.col("sh").alias("sh1"))
     s2 = sh_sets.select(F.col(id_col).alias("d2"), F.col("sh").alias("sh2"))
@@ -377,6 +397,7 @@ def simhash_banded_pairs(
     sig_bits: int = 16,
     id_col: str = "doc_id",
     sig_col: str = "simhash",
+    persist_index: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs via band-bucketed candidate generation.
 
@@ -410,9 +431,14 @@ def simhash_banded_pairs(
             for t in range(n_bands)
         ]
     )
-    banded = sig.select(
-        F.col(id_col), F.col(sig_col), F.explode(bands).alias("k")
-    ).select(id_col, sig_col, "k.band", "k.bv")
+    # both join sides read this frame; pinning it keeps the upstream
+    # signature aggregation (one corpus scan + shuffle) from running twice
+    banded = _pin(
+        sig.select(F.col(id_col), F.col(sig_col), F.explode(bands).alias("k")).select(
+            id_col, sig_col, "k.band", "k.bv"
+        ),
+        persist_index,
+    )
     a = banded.select(
         "band", "bv", F.col(id_col).alias("d1"), F.col(sig_col).alias("s1")
     )

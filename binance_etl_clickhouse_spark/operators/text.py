@@ -227,7 +227,12 @@ def repetition_signals(
     at sf0.1. Documents shorter than k tokens produce no k-grams and drop
     out (same in the DuckDB twin, whose unnest of an empty list emits no
     rows)."""
-    ex = df.select(id_col, F.explode(_grams(text_col, k)).alias("gram"))
+    from binance_etl_clickhouse_spark.operators.parallel import ensure_min_parallelism
+
+    # gram construction is an interpreted higher-order-function projection
+    # (transform/slice don't codegen) — the parallelism guard matters more
+    # here than anywhere: a single-file input would run it on one core
+    ex = ensure_min_parallelism(df).select(id_col, F.explode(_grams(text_col, k)).alias("gram"))
     per = ex.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
     return per.groupBy(id_col).agg(
         F.sum("c").alias("n_grams"),
