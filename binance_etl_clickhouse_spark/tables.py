@@ -14,6 +14,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TESTDATA_TABLES = (
     "region",
@@ -34,17 +35,23 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark 4 refuses
-    to read natively — read it as long (legacy conf) and truncate to
-    microseconds (Spark timestamp precision). All other tables are plain
-    scans with full pushdown.
+    ``events.ts`` has shipped as either parquet TIMESTAMP(NANOS) — which
+    Spark 4 refuses to read natively, so it arrives as long under the legacy
+    conf and gets truncated to microseconds (Spark timestamp precision) —
+    or as TIMESTAMP(MICROS) with isAdjustedToUTC=false, which Spark reads as
+    TIMESTAMP_NTZ. Branch on the type actually read, and normalize both to a
+    session-TZ TIMESTAMP (session TZ is pinned to UTC, so the NTZ cast is a
+    type change, not a value change — and matches the UTC-naive DuckDB
+    oracle). Downstream epoch/unix_* functions require plain TIMESTAMP.
+    All other tables are plain scans with full pushdown.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        df = spark.read.parquet(path)
+        if isinstance(df.schema["ts"].dataType, LongType):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(path)
 
 
