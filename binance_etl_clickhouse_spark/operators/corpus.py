@@ -118,6 +118,80 @@ def unigram_logprob(
     )
 
 
+def doc_spans(
+    df: DataFrame, k: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, pos, span): non-overlapping ``k``-token spans of each document.
+
+    The span unit for corpus-level span dedup (the line/paragraph analog for
+    a corpus without line structure — C4 dedups three-sentence spans the same
+    way). Pure per-row projection: sequence + slice + posexplode, no UDF; the
+    only shuffle is whatever the consumer does with the spans. The final span
+    of a document may be shorter than ``k``.
+    """
+    w = tokens(text_col)
+    n_spans = F.ceil(F.size(w) / F.lit(float(k))).cast("int")
+    span_list = F.transform(
+        F.sequence(F.lit(0), n_spans - F.lit(1)),
+        lambda p: F.concat_ws(" ", F.slice(w, p * k + 1, k)),
+    )
+    return ensure_min_parallelism(df).select(
+        F.col(id_col), F.posexplode(span_list).alias("pos", "span")
+    )
+
+
+def span_dedup(
+    df: DataFrame, k: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level span dedup with first-occurrence retention and document
+    reassembly — the C4-style "remove any duplicated span, keep one copy"
+    pass, over ``k``-token spans.
+
+    A span occurrence survives iff it is the globally FIRST occurrence of
+    that exact span text, ordered by (doc id, position) — a total order, so
+    the kept set is deterministic across engines and cluster sizes (and
+    within-document repeats dedup too). Survivors are stitched back into
+    ``text_deduped`` in position order; documents whose every span was seen
+    earlier come back with empty text rather than vanishing, so downstream
+    length filters see them.
+
+    Scale shape: the first-occurrence pass is a row_number window partitioned
+    by the span TEXT itself — span values hash-distribute evenly (they are
+    near-unique), so no hot partition; reassembly is one groupBy on the doc
+    id. Two shuffles total, both on high-cardinality keys, no self-join and
+    nothing all-pairs.
+    """
+    spans = doc_spans(df, k, id_col, text_col)
+    first = Window.partitionBy("span").orderBy(id_col, "pos")
+    kept = (
+        spans.withColumn("rn", F.row_number().over(first))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "span"))),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("text_deduped"),
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.ceil(F.size(tokens(text_col)) / F.lit(float(k))).cast("long").alias(
+            "n_spans_total"
+        ),
+    )
+    return totals.join(reassembled, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_spans_total"),
+        F.coalesce(F.col("n_spans_kept"), F.lit(0).cast("long")).alias("n_spans_kept"),
+        F.coalesce(F.col("text_deduped"), F.lit("")).alias("text_deduped"),
+    )
+
+
 def source_mixture_rates(
     df: DataFrame, target: dict[str, float], source_col: str = "source"
 ) -> DataFrame:

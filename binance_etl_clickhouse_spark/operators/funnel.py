@@ -1,0 +1,143 @@
+"""Ordered-funnel and cohort-retention analytics over an event stream.
+
+The two classic event-analytics passes a warehouse user runs on a table
+shaped like ``events`` (ClickHouse ships ``windowFunnel`` / ``retention``
+aggregate combinators for exactly these; the reference's serving store
+delegates them there). Both are plain DataFrame plans here:
+
+- :func:`funnel_stages` — strictly-ordered funnel: a user converts to stage
+  *i* iff their earliest qualifying stage-*i* event is strictly later than
+  their earliest qualifying stage-*(i-1)* event (the ``windowFunnel(strict
+  order)`` semantic, without the time-window cap).
+- :func:`cohort_retention` — day-granular cohort × offset retention matrix
+  (users grouped by first-activity date; retention(d) = share of the cohort
+  active exactly *d* days later).
+
+Scale shape: every join is on the user key against a per-user aggregate
+(one row per user — orders of magnitude smaller than the event stream), so
+each stage is a shuffle on ``user_id`` that AQE can plan as a broadcast when
+the converted-user set is small. Per-stage survivor frames are combined with
+one union + groupBy, not per-stage ``count()`` jobs, so the whole funnel is
+ONE Spark job. The only window runs over the stage-count frame (``len(
+stages)`` rows) — trivially tiny by construction.
+
+Cross-engine determinism: counts are exact integers; rates are rounded at
+6 dp before output (summation-order ULPs cannot reorder anything — there is
+no ordering on rates).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_stages(
+    df: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """(stage_idx, stage, n_users, conv_from_prev, conv_from_first).
+
+    Stage 0 admits every user with at least one ``stages[0]`` event; stage i
+    admits the subset whose earliest qualifying stage-i event STRICTLY
+    follows their stage-(i-1) entry time — and, when ``within_seconds`` is
+    set, falls inside that conversion window (the ``windowFunnel`` cap).
+    Equal timestamps do not convert (strict order).
+    """
+    if len(stages) < 2:
+        raise ValueError("a funnel needs at least two stages")
+    entered = (
+        df.filter(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t_prev"))
+    )
+    survivor_frames = [entered]
+    for stage in stages[1:]:
+        qualifies = F.col(ts_col) > F.col("t_prev")
+        if within_seconds is not None:
+            cap = F.col("t_prev") + F.expr(f"INTERVAL {int(within_seconds)} SECONDS")
+            qualifies = qualifies & (F.col(ts_col) <= cap)
+        entered = (
+            df.filter(F.col(type_col) == stage)
+            .join(survivor_frames[-1].select(user_col, "t_prev"), user_col)
+            .filter(qualifies)
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("t_prev"))
+        )
+        survivor_frames.append(entered)
+    tagged = [
+        f.select(
+            F.lit(i).cast("int").alias("stage_idx"),
+            F.lit(stages[i]).alias("stage"),
+            F.col(user_col),
+        )
+        for i, f in enumerate(survivor_frames)
+    ]
+    counts = (
+        reduce(DataFrame.unionByName, tagged)
+        .groupBy("stage_idx", "stage")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    # stage-count frame has exactly len(stages) rows — a global window here
+    # is a deliberate single-partition pass over a constant-size frame
+    w = Window.orderBy("stage_idx").rowsBetween(Window.unboundedPreceding, 0)
+    return counts.select(
+        "stage_idx",
+        "stage",
+        "n_users",
+        F.round(
+            F.col("n_users") / F.lag("n_users", 1).over(Window.orderBy("stage_idx")), 6
+        ).alias("conv_from_prev"),
+        F.round(F.col("n_users") / F.first("n_users").over(w), 6).alias(
+            "conv_from_first"
+        ),
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(cohort_date, day_offset, n_active, n_cohort, retention_rate).
+
+    cohort_date = a user's first active calendar date; a (cohort, offset)
+    row counts the cohort's users active exactly ``day_offset`` days after
+    that date. Offset 0 always covers the full cohort (rate 1.0).
+
+    The activity frame is pre-collapsed to distinct (user, date) BEFORE any
+    join — at 100 TB that drops the event stream to at most users × days
+    rows, and every later stage works on that reduced key set.
+
+    ``cohort_date`` stays a midnight TIMESTAMP (date_trunc), not a DATE —
+    both engines and the driver canonicalizer agree on timestamp values,
+    while Spark DATE surfaces as ``datetime.date`` vs DuckDB's datetime64.
+    """
+    active = df.select(
+        F.col(user_col), F.date_trunc("day", F.col(ts_col)).alias("active_date")
+    ).distinct()
+    first = active.groupBy(user_col).agg(F.min("active_date").alias("cohort_date"))
+    cohort_sizes = first.groupBy("cohort_date").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cohort")
+    )
+    activity = (
+        active.join(first, user_col)
+        .groupBy(
+            "cohort_date",
+            F.datediff(F.col("active_date"), F.col("cohort_date")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    return activity.join(F.broadcast(cohort_sizes), "cohort_date").select(
+        "cohort_date",
+        F.col("day_offset").cast("int").alias("day_offset"),
+        "n_active",
+        "n_cohort",
+        F.round(F.col("n_active") / F.col("n_cohort"), 6).alias("retention_rate"),
+    )

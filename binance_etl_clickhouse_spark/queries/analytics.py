@@ -303,3 +303,92 @@ def rolling_corr_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((n >= 2) & F.col("r").isNotNull())
         .select("hour", F.round("r", 6).alias("corr_7d"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel + cohort retention — the two event-analytics passes the
+# serving warehouse answers with dedicated combinators (ClickHouse
+# windowFunnel / retention); here they are ordinary user-keyed plans.
+# ---------------------------------------------------------------------------
+_FUNNEL_STAGES = ["signup", "click", "purchase"]
+#: conversion window (windowFunnel cap): next stage within 24h of the prior
+_FUNNEL_WITHIN_S = 86400
+
+
+@register(
+    "funnel_signup_click_purchase",
+    f"""
+    WITH s0 AS (
+      SELECT user_id, min(ts) AS t_prev FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s1 AS (
+      SELECT e.user_id, min(e.ts) AS t_prev
+      FROM events e JOIN s0 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s0.t_prev
+        AND e.ts <= s0.t_prev + INTERVAL {_FUNNEL_WITHIN_S} SECOND
+      GROUP BY e.user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t_prev
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s1.t_prev
+        AND e.ts <= s1.t_prev + INTERVAL {_FUNNEL_WITHIN_S} SECOND
+      GROUP BY e.user_id
+    ),
+    counts AS (
+      SELECT 0 AS stage_idx, 'signup' AS stage, count(*)::BIGINT AS n_users FROM s0
+      UNION ALL
+      SELECT 1, 'click', count(*)::BIGINT FROM s1
+      UNION ALL
+      SELECT 2, 'purchase', count(*)::BIGINT FROM s2
+    )
+    SELECT stage_idx, stage, n_users,
+           round(n_users / lag(n_users) OVER (ORDER BY stage_idx), 6)
+             AS conv_from_prev,
+           round(n_users / first_value(n_users) OVER (
+                   ORDER BY stage_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS conv_from_first
+    FROM counts
+    """,
+    survey_ref="event analytics: strictly-ordered funnel (windowFunnel shape)",
+)
+def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_clickhouse_spark.operators.funnel import funnel_stages
+
+    return funnel_stages(
+        _t(spark, sf_dir, "events"), _FUNNEL_STAGES, within_seconds=_FUNNEL_WITHIN_S
+    )
+
+
+@register(
+    "cohort_retention_daily",
+    """
+    WITH active AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS active_date FROM events
+    ),
+    first AS (
+      SELECT user_id, min(active_date) AS cohort_date FROM active GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT cohort_date, count(*)::BIGINT AS n_cohort FROM first GROUP BY cohort_date
+    ),
+    activity AS (
+      SELECT f.cohort_date,
+             CAST(date_diff('day', f.cohort_date, a.active_date) AS INTEGER)
+               AS day_offset,
+             count(*)::BIGINT AS n_active
+      FROM active a JOIN first f USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT a.cohort_date, a.day_offset, a.n_active, s.n_cohort,
+           round(a.n_active / s.n_cohort, 6) AS retention_rate
+    FROM activity a JOIN sizes s USING (cohort_date)
+    """,
+    survey_ref="event analytics: day-cohort retention matrix (retention shape)",
+)
+def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_clickhouse_spark.operators.funnel import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"))

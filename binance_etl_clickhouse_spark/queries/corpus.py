@@ -82,6 +82,54 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.unigram_logprob(docs, total_tokens=int(total))
 
 
+_SPAN_K = 8
+
+
+@register(
+    "span_dedup_corpus",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    span_lists AS (
+      SELECT doc_id,
+             [array_to_string(w[i*{_SPAN_K}+1 : i*{_SPAN_K}+{_SPAN_K}], ' ')
+              for i in range(0, CAST(ceil(len(w) / {float(_SPAN_K)}) AS BIGINT))]
+               AS spans
+      FROM toks
+    ),
+    spans AS (
+      SELECT doc_id,
+             generate_subscripts(spans, 1) - 1 AS pos,
+             unnest(spans) AS span
+      FROM span_lists
+    ),
+    kept AS (
+      SELECT doc_id, pos, span FROM (
+        SELECT doc_id, pos, span,
+               row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+        FROM spans
+      ) WHERE rn = 1
+    ),
+    agg AS (
+      SELECT doc_id, count(*)::BIGINT AS n_spans_kept,
+             string_agg(span, ' ' ORDER BY pos) AS text_deduped
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(ceil(len(string_split(d.text, ' ')) / {float(_SPAN_K)}) AS BIGINT)
+             AS n_spans_total,
+           coalesce(a.n_spans_kept, 0)::BIGINT AS n_spans_kept,
+           coalesce(a.text_deduped, '') AS text_deduped
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    survey_ref="corpus dedup: C4-style duplicated-span removal with reassembly",
+)
+def span_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.span_dedup(docs, k=_SPAN_K)
+
+
 def _mixture_case_sql() -> str:
     whens = " ".join(
         f"WHEN '{s}' THEN CAST({w} AS DOUBLE)" for s, w in MIXTURE_TARGET.items()

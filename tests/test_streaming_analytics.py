@@ -306,3 +306,85 @@ def test_stream_dedup_corpus_incremental(spark, tmp_path):
     idx = spark.read.parquet(index_dir)
     assert {r.doc_id for r in idx.select("doc_id").collect()} == {1, 3, 12}
     assert len(idx.columns) == 1 + 24
+
+
+# ---------------------------------------------------------------------------
+# Funnel + cohort retention (operators/funnel.py)
+# ---------------------------------------------------------------------------
+def test_funnel_strict_order_and_window(spark):
+    from binance_etl_clickhouse_spark.operators.funnel import funnel_stages
+
+    rows = [
+        # u1 converts fully: signup 00:00, click 01:00, purchase 02:00
+        (1, "signup", "2024-01-01 00:00:00"),
+        (1, "click", "2024-01-01 01:00:00"),
+        (1, "purchase", "2024-01-01 02:00:00"),
+        # u2: click BEFORE signup only -> stalls at stage 0
+        (2, "click", "2024-01-01 00:00:00"),
+        (2, "signup", "2024-01-01 01:00:00"),
+        # u3: click at the exact signup instant -> strict order rejects it
+        (3, "signup", "2024-01-01 00:00:00"),
+        (3, "click", "2024-01-01 00:00:00"),
+        # u4: click outside the 1h conversion window
+        (4, "signup", "2024-01-01 00:00:00"),
+        (4, "click", "2024-01-01 02:00:01"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, ts) for u, t, ts in rows], "user_id long, event_type string, ts string"
+    ).selectExpr("user_id", "event_type", "CAST(ts AS TIMESTAMP) AS ts")
+    out = {
+        r.stage: r
+        for r in funnel_stages(
+            ev, ["signup", "click", "purchase"], within_seconds=3600
+        ).collect()
+    }
+    assert out["signup"].n_users == 4
+    assert out["click"].n_users == 1  # only u1
+    assert out["purchase"].n_users == 1
+    assert out["signup"].conv_from_prev is None
+    assert out["click"].conv_from_prev == 0.25
+    assert out["purchase"].conv_from_first == 0.25
+
+
+def test_funnel_min_qualifying_not_min_global(spark):
+    """Conversion anchors on the earliest QUALIFYING event: u1's first click
+    precedes signup (doesn't qualify) but a later one converts."""
+    from binance_etl_clickhouse_spark.operators.funnel import funnel_stages
+
+    ev = spark.createDataFrame(
+        [
+            (1, "click", "2024-01-01 00:00:00"),
+            (1, "signup", "2024-01-01 01:00:00"),
+            (1, "click", "2024-01-01 02:00:00"),
+        ],
+        "user_id long, event_type string, ts string",
+    ).selectExpr("user_id", "event_type", "CAST(ts AS TIMESTAMP) AS ts")
+    out = {r.stage: r.n_users for r in funnel_stages(ev, ["signup", "click"]).collect()}
+    assert out == {"signup": 1, "click": 1}
+
+
+def test_cohort_retention_matrix(spark):
+    from binance_etl_clickhouse_spark.operators.funnel import cohort_retention
+
+    ev = spark.createDataFrame(
+        [
+            # u1 cohort Jan 1, active days 0 and 2; u2 same cohort, day 0 only
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-03 09:00:00"),
+            (2, "2024-01-01 23:59:59"),
+            # u3 cohort Jan 2, active days 0 and 1 (two events same day dedup)
+            (3, "2024-01-02 05:00:00"),
+            (3, "2024-01-02 06:00:00"),
+            (3, "2024-01-03 05:00:00"),
+        ],
+        "user_id long, ts string",
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts")
+    out = {
+        (r.cohort_date.strftime("%m-%d"), r.day_offset): (r.n_active, r.n_cohort, r.retention_rate)
+        for r in cohort_retention(ev).collect()
+    }
+    assert out[("01-01", 0)] == (2, 2, 1.0)
+    assert out[("01-01", 2)] == (1, 2, 0.5)
+    assert out[("01-02", 0)] == (1, 1, 1.0)
+    assert out[("01-02", 1)] == (1, 1, 1.0)
+    assert set(out) == {("01-01", 0), ("01-01", 2), ("01-02", 0), ("01-02", 1)}
