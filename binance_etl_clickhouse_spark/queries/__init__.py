@@ -39,7 +39,8 @@ from binance_etl_clickhouse_spark.queries import corpus  # noqa: F401,E402
 # unigram_logprob_quality, source_mixture_sample, pii_redaction,
 # chunk_sliding_windows, winsorize_per_type, rolling_corr_click_purchase,
 # tpch_q12_shipmode_priority, span_dedup_corpus,
-# funnel_signup_click_purchase, cohort_retention_daily — plus re-proving a
+# funnel_signup_click_purchase, cohort_retention_daily,
+# hopping_window_counts, price_histogram_fixed_bins — plus re-proving a
 # sample of the r1-green
 # block rotated out this round (relational/scalar/set/window basics,
 # keep_last_dedup, ngram/simhash/ann families, multimodal, sessionization,

@@ -615,3 +615,79 @@ def count_rows_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "events").groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hopping (sliding) event-time window: 1h width, 15min slide — every event
+# lands in width/slide = 4 overlapping windows. Spark's window() generates
+# the replication JVM-side (no explode written by hand); the oracle derives
+# the same 4 epoch-aligned starts per event arithmetically. The streaming
+# twin is the same groupBy on readStream (T5's tumbling case generalized).
+# ---------------------------------------------------------------------------
+@register(
+    "hopping_window_counts",
+    """
+    WITH hop AS (
+      SELECT make_timestamp(((CAST(floor(epoch(ts) / 900) AS BIGINT) - i) * 900)
+                            * 1000000) AS window_start,
+             event_type, value
+      FROM events, unnest(range(0, 4)) AS t(i)
+    )
+    SELECT window_start,
+           window_start + INTERVAL 3600 SECOND AS window_end,
+           event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM hop GROUP BY 1, 2, 3
+    """,
+    survey_ref="T5 generalized: hopping window (width 1h, slide 15min)",
+)
+def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram (width_bucket semantics with literal bounds, so the
+# whole pass is ONE scan + one small agg — no min/max pre-pass). Bin
+# assignment is identical integer arithmetic in both engines.
+# ---------------------------------------------------------------------------
+_HIST_BIN_W = 5000.0
+
+
+@register(
+    "price_histogram_fixed_bins",
+    f"""
+    SELECT CAST(floor(l_extendedprice / {_HIST_BIN_W}) AS INTEGER) AS bin,
+           CAST(floor(l_extendedprice / {_HIST_BIN_W}) AS INTEGER) * {_HIST_BIN_W}
+             AS bin_lo,
+           count(*) AS n_items,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem GROUP BY 1, 2
+    """,
+    survey_ref="§2.5 histogram / width_bucket aggregation",
+)
+def price_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    bin_col = F.floor(F.col("l_extendedprice") / F.lit(_HIST_BIN_W)).cast("int")
+    return (
+        li.groupBy(
+            bin_col.alias("bin"),
+            (bin_col * F.lit(_HIST_BIN_W)).alias("bin_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )

@@ -81,12 +81,21 @@ def stream_resample_bars(
     key_col: str = "user_id",
     window_len: str = "1 hour",
     watermark_delay: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Event-time tumbling aggregation with a watermark (late data beyond
-    the delay is finalized out) — the streaming twin of resample/T5."""
+    """Event-time windowed aggregation with a watermark (late data beyond
+    the delay is finalized out) — the streaming twin of resample/T5.
+    ``slide`` < ``window_len`` makes the windows hopping (each event lands
+    in window_len/slide overlapping windows, replicated JVM-side by
+    ``window()`` itself); None keeps them tumbling."""
+    w = (
+        F.window(F.col(ts_col), window_len, slide)
+        if slide is not None
+        else F.window(F.col(ts_col), window_len)
+    )
     return (
         events.withWatermark(ts_col, watermark_delay)
-        .groupBy(F.window(F.col(ts_col), window_len).alias("w"), F.col(key_col))
+        .groupBy(w.alias("w"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 4).alias("total_value"),

@@ -141,6 +141,21 @@ def test_stream_resample_with_watermark(spark):
     assert sorted(map(tuple, agg.collect())) == sorted(map(tuple, batch_equiv.collect()))
 
 
+def test_stream_resample_hopping_windows(spark):
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    agg = stream_resample_bars(ev, window_len="1 hour", slide="15 minutes")
+    batch_equiv = (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("bucket_start"), "user_id", "n", "total_value")
+    )
+    got, want = agg.collect(), batch_equiv.collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # hopping replicates: ~4x the tumbling row count (edges excepted)
+    n_tumbling = stream_resample_bars(ev).count()
+    assert len(got) > 3 * n_tumbling
+
+
 def test_stream_dedup_within_watermark(spark, tmp_path):
     staging = str(tmp_path / "staging")
     k = _klines(spark, n_symbols=1, bars=24)
