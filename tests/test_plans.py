@@ -184,3 +184,37 @@ def test_tfidf_topk_uses_window_group_limit(spark):
     plan = _plan(spark, "tfidf_top_terms")
     assert "WindowGroupLimit" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_span_dedup_no_nested_loop_two_exchanges(spark):
+    plan = _plan(spark, "span_dedup_corpus")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    # first-occurrence window shuffles on span text; reassembly on doc_id —
+    # high-cardinality keys only (plus AQE's small-side broadcast for the
+    # totals join)
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_funnel_single_union_aggregate_no_cartesian(spark):
+    plan = _plan(spark, "funnel_signup_click_purchase")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Union" in plan  # stage counts combine in one job, not N count() jobs
+
+
+def test_cohort_retention_broadcasts_cohort_sizes(spark):
+    plan = _plan(spark, "cohort_retention_daily")
+    assert "BroadcastHashJoin" in plan  # sizes frame is cohort-cardinality
+
+
+def test_hopping_window_partial_agg_before_shuffle(spark):
+    plan = _plan(spark, "hopping_window_counts")
+    # overlap replication must stay inside the partial-aggregate stage:
+    # the shuffle carries (window, type) groups, not 4x replicated events
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_histogram_single_pass_partial_agg(spark):
+    plan = _plan(spark, "price_histogram_fixed_bins")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Scan parquet" in plan and plan.count("Scan parquet") == 1  # no min/max pre-pass
