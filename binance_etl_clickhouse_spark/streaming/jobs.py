@@ -371,3 +371,46 @@ def stream_dedup_corpus(
     else:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def stream_stream_interval_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    lookback: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition: each
+    purchase pairs with the same user's clicks inside
+    ``[purchase_ts - lookback, purchase_ts]``.
+
+    The canonical watermarked interval join: BOTH sides carry a watermark
+    and the join condition time-bounds one side against the other, which is
+    exactly what lets Spark size and evict the buffered join state — without
+    the interval bound a stream-stream join would buffer forever. On batch
+    inputs ``withWatermark`` is a no-op and the same plan becomes an
+    equi+range sort-merge join, so one builder serves both modes.
+
+    Scale shape: the equi key (user) drives the shuffle; the range predicate
+    is evaluated within the matched key group, so there is no nested-loop
+    product. State per key is bounded by lookback + watermark delay.
+    """
+    c = clicks.alias("c")
+    p = purchases.alias("p")
+    if clicks.isStreaming or purchases.isStreaming:
+        c = clicks.withWatermark(ts_col, watermark_delay).alias("c")
+        p = purchases.withWatermark(ts_col, watermark_delay).alias("p")
+    cts, pts = F.col(f"c.{ts_col}"), F.col(f"p.{ts_col}")
+    cond = (
+        (F.col(f"c.{user_col}") == F.col(f"p.{user_col}"))
+        & (cts <= pts)
+        & (cts >= pts - F.expr(f"INTERVAL {lookback}"))
+    )
+    return p.join(c, cond, "inner").select(
+        F.col(f"p.{user_col}").alias(user_col),
+        pts.alias("purchase_ts"),
+        F.col("p.value").alias("purchase_value"),
+        cts.alias("click_ts"),
+        F.col("c.value").alias("click_value"),
+    )

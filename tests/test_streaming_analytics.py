@@ -403,3 +403,38 @@ def test_cohort_retention_matrix(spark):
     assert out[("01-02", 0)] == (1, 1, 1.0)
     assert out[("01-02", 1)] == (1, 1, 1.0)
     assert set(out) == {("01-01", 0), ("01-01", 2), ("01-02", 0), ("01-02", 1)}
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    from binance_etl_clickhouse_spark.streaming.jobs import stream_stream_interval_join
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    clicks.write.parquet(cdir)
+    purchases.write.parquet(pdir)
+
+    c_src = spark.readStream.schema(clicks.schema).parquet(cdir)
+    p_src = spark.readStream.schema(purchases.schema).parquet(pdir)
+    joined = stream_stream_interval_join(c_src, p_src)
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory").queryName("ssj_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM ssj_out")
+
+    batch = stream_stream_interval_join(clicks, purchases)
+    assert not batch.isStreaming and joined.isStreaming
+    want = batch.collect()
+    assert len(want) > 0
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want))
+    # interval semantics: clicks strictly inside the 1h lookback
+    for r in want[:50]:
+        delta = (r.purchase_ts - r.click_ts).total_seconds()
+        assert 0 <= delta <= 3600
