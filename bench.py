@@ -52,6 +52,10 @@ HEADLINE = [
     "gapfill_hourly_locf",
     "repetition_signals",
     "chunk_sliding_windows",
+    # corpus span dedup (explode + global first-occurrence window) and the
+    # 4x-replicating hopping window — the two new shuffle-heavy shapes
+    "span_dedup_corpus",
+    "hopping_window_counts",
 ]
 
 

@@ -1001,3 +1001,44 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return red.select(
         "doc_id", "n_emails", "n_phones", F.md5("text").alias("redacted_md5")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mean-pooled centroid per label — the embedding aggregation every
+# clustering/retrieval pipeline needs (class prototypes, per-source drift
+# monitoring). Output is the EXPLODED (label, dim, mean) form: arrays in a
+# result column would crash order-insensitive canonicalization (the
+# approx_aggregates lesson), and the long form joins/filters better anyway.
+# Scale: posexplode widens rows x dim, but partial aggregation collapses to
+# labels x dims per map task before the single shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_centroid_per_label",
+    """
+    SELECT label,
+           CAST(dim - 1 AS INTEGER) AS dim,
+           round(avg(x), 6) AS mean_val,
+           count(*) AS n_vecs
+    FROM (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    )
+    GROUP BY 1, 2
+    """,
+    survey_ref="embedding ops: per-group mean pooling (class centroids)",
+)
+def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+        )
+        .groupBy("label", F.col("dim").cast("int").alias("dim"))
+        .agg(
+            F.round(F.avg("x"), 6).alias("mean_val"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )
