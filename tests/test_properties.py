@@ -108,3 +108,42 @@ def test_token_bucket_never_exceeds_budget(calls, period, n_acquires):
     for s in stamps:
         in_window = [x for x in stamps if s < x <= s + period]
         assert len(in_window) <= calls + 1
+
+
+# ---------------------------------------------------------------------------
+# span_dedup vs a sequential pure-Python reference: global first-occurrence
+# over (doc_id, pos) with within-doc repeats, ragged tails, whole-doc dups.
+# ---------------------------------------------------------------------------
+def _span_dedup_ref(docs: list[tuple[int, str]], k: int) -> dict[int, tuple[int, int, str]]:
+    seen: set[str] = set()
+    out = {}
+    for doc_id, text in sorted(docs):
+        w = text.split(" ")
+        spans = [" ".join(w[i : i + k]) for i in range(0, len(w), k)]
+        kept = [s for s in spans if s not in seen and not seen.add(s)]
+        out[doc_id] = (len(spans), len(kept), " ".join(kept))
+    return out
+
+
+SPAN_CASES = [
+    # ragged tail is its own span; "c" tail != "c d" span
+    [(0, "a b c"), (1, "a b c d")],
+    # whole-doc duplicate + within-doc repetition
+    [(0, "x y x y x y"), (1, "x y"), (2, "p q x y")],
+    # single tokens, all distinct vs all same
+    [(0, "a"), (1, "a"), (2, "b")],
+    # interleaved overlap: doc order decides the winner
+    [(2, "m n o p"), (0, "m n"), (1, "o p m n")],
+]
+
+
+@pytest.mark.parametrize("docs", SPAN_CASES)
+def test_span_dedup_matches_sequential_reference(spark, docs):
+    from binance_etl_clickhouse_spark.operators.corpus import span_dedup
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_spans_total, r.n_spans_kept, r.text_deduped)
+        for r in span_dedup(df, k=2).collect()
+    }
+    assert got == _span_dedup_ref(docs, k=2)
