@@ -62,3 +62,72 @@ def read_jdbc(
     for k, v in (options or {}).items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def stream_to_jdbc(
+    src: DataFrame,
+    url: str,
+    table: str,
+    checkpoint_dir: str,
+    driver: str | None = None,
+    batch_size: int = 10_000,
+    available_now: bool = True,
+    processing_time: str = "1 hour",
+):
+    """Exactly-once streaming JDBC sink (K2 for streams).
+
+    ``foreachBatch`` stamps every micro-batch with its epoch id, DELETEs any
+    rows of that epoch already in the table, then appends — so an epoch
+    replayed after a crash mid-write (Spark's at-least-once contract for
+    foreachBatch) overwrites its own partial output instead of duplicating
+    it. Delete+insert keyed on the epoch is the standard idempotent-sink
+    recipe for DBs without MERGE.
+
+    The DELETE runs on the driver over a plain JDBC connection (one
+    statement per epoch — negligible next to the batch insert); the insert
+    itself is the distributed ``write_jdbc`` path.
+    """
+    from pyspark.sql import functions as F
+
+    opts = {"driver": driver} if driver else {}
+
+    def _delete_epoch(spark_session, epoch_id: int) -> None:
+        jvm = spark_session._jvm
+        if driver:
+            jvm.java.lang.Class.forName(driver)
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            st = conn.createStatement()
+            try:
+                # Spark's JDBC writer creates columns QUOTED (exact-case
+                # "epoch_id"); an unquoted identifier would fold to EPOCH_ID
+                # and miss it
+                st.executeUpdate(
+                    f'DELETE FROM {table} WHERE "epoch_id" = {int(epoch_id)}'
+                )
+            finally:
+                st.close()
+        finally:
+            conn.close()
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        stamped = batch.withColumn("epoch_id", F.lit(int(epoch_id)))
+        try:
+            _delete_epoch(batch.sparkSession, epoch_id)
+        except Exception:
+            # first epoch: table does not exist yet — the append creates it
+            pass
+        write_jdbc(
+            stamped, url, table, mode="append", batch_size=batch_size, options=opts
+        )
+
+    writer = src.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
