@@ -150,6 +150,33 @@ class ServingTable:
             out.sortWithinPartitions(*sort_cols).write.mode("append").parquet(self.path)
         self._write_sidecar(max(prior or 0, ingest_seq))
 
+    def expire(self, before_month: int) -> list[int]:
+        """TTL retention ≙ ClickHouse ``ALTER TABLE ... DROP PARTITION`` /
+        partition-granular ``TTL ... DELETE``: removes whole month
+        directories strictly older than ``before_month`` (yyyyMM int).
+
+        A pure filesystem/metadata operation — no Spark job, no data
+        rewrite. At 100 TB this is the ONLY affordable delete shape;
+        row-level TTL would rewrite every file it touches. Month dirs are
+        the partition unit, so the cutoff is month-granular by design
+        (same contract as the reference's backing store). Returns the
+        dropped months, oldest first.
+        """
+        import shutil
+
+        self._recover()
+        dropped: list[int] = []
+        if not os.path.isdir(self.path):
+            return dropped
+        prefix = f"{MONTH_COL}="
+        for d in sorted(os.listdir(self.path)):
+            if d.startswith(prefix):
+                month = int(d[len(prefix):])
+                if month < before_month:
+                    shutil.rmtree(os.path.join(self.path, d))
+                    dropped.append(month)
+        return dropped
+
     # -- read path --------------------------------------------------------
 
     def read_raw(self, spark: SparkSession) -> DataFrame:

@@ -216,3 +216,34 @@ def test_append_write_uses_rebalance_exchange(spark, tmp_path):
     # end-to-end write still correct
     t.append(b, ingest_seq=1)
     assert t.read(spark).count() == 2 * 48
+
+
+def test_expire_drops_old_month_partitions(spark, tmp_path):
+    """TTL retention (DROP PARTITION analogue): whole-month dirs older than
+    the cutoff vanish without a Spark job; newer months are untouched and
+    reads/pruning keep working."""
+    t = _table(tmp_path)
+    # ~3 months of hourly bars (Jan-Mar 2024)
+    t.append(_clean(spark, n_symbols=2, bars_per_symbol=2000, overlap_bars=0), ingest_seq=1)
+    months_before = sorted(
+        r.month for r in t.read_raw(spark).select("month").distinct().collect()
+    )
+    assert len(months_before) >= 3
+    cutoff = months_before[1]  # drop only the oldest month
+    dropped = t.expire(before_month=cutoff)
+    assert dropped == [months_before[0]]
+    remaining = sorted(
+        r.month for r in t.read_raw(spark).select("month").distinct().collect()
+    )
+    assert remaining == months_before[1:]
+    # dedup read still works and holds no expired rows
+    snap = t.read(spark)
+    assert snap.filter(F.col("month") < cutoff).count() == 0
+    assert snap.count() == t.read_raw(spark).count()  # single version per key
+    # idempotent: nothing left below the cutoff
+    assert t.expire(before_month=cutoff) == []
+
+
+def test_expire_on_missing_table_is_noop(tmp_path):
+    t = _table(tmp_path / "never_written")
+    assert t.expire(before_month=999999) == []
