@@ -179,18 +179,28 @@ class ServingTable:
 
     # -- read path --------------------------------------------------------
 
-    def read_raw(self, spark: SparkSession) -> DataFrame:
-        """All versions, no dedup (≙ SELECT without FINAL)."""
-        self._recover()
-        return spark.read.parquet(self.path)
+    def read_raw(self, spark: SparkSession, merge_schema: bool = False) -> DataFrame:
+        """All versions, no dedup (≙ SELECT without FINAL).
 
-    def read(self, spark: SparkSession) -> DataFrame:
+        ``merge_schema=True`` unions the schemas of every batch ever written
+        (≙ the state after ``ALTER TABLE ADD COLUMN``): rows from batches
+        that predate a column read back NULL there. Opt-in because schema
+        merging reads every file's footer — steady-state pipelines pin their
+        schemas and take the single-footer fast path.
+        """
+        self._recover()
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(self.path)
+
+    def read(self, spark: SparkSession, merge_schema: bool = False) -> DataFrame:
         """Current snapshot: newest version per key (≙ SELECT ... FINAL).
 
         Keep-last over (keys) ordered by ingest_seq; within one batch the
         writer has already deduped, so ingest_seq is a total enough order.
         """
-        return keep_last(self.read_raw(spark), self.keys, INGEST_SEQ)
+        return keep_last(self.read_raw(spark, merge_schema), self.keys, INGEST_SEQ)
 
     def exists(self) -> bool:
         self._recover()

@@ -247,3 +247,25 @@ def test_expire_drops_old_month_partitions(spark, tmp_path):
 def test_expire_on_missing_table_is_noop(tmp_path):
     t = _table(tmp_path / "never_written")
     assert t.expire(before_month=999999) == []
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """ALTER TABLE ADD COLUMN analogue: a later batch carries a new column;
+    merge_schema reads union the schemas, with NULLs for pre-evolution rows,
+    and keep-last dedup still resolves versions across the schema change."""
+    t = _table(tmp_path)
+    b1 = _clean(spark, n_symbols=1, bars_per_symbol=24, overlap_bars=0)
+    t.append(b1, ingest_seq=1)
+    # evolved batch: same keys (a re-fetch) plus a brand-new column
+    b2 = b1.withColumn("funding_adj", F.lit(0.25))
+    t.append(b2, ingest_seq=2)
+
+    merged = t.read_raw(spark, merge_schema=True)
+    assert "funding_adj" in merged.columns
+    assert merged.filter(F.col("funding_adj").isNull()).count() == 24  # seq-1 rows
+    # dedup keeps the evolved (newer) versions
+    snap = t.read(spark, merge_schema=True)
+    assert snap.count() == 24
+    assert snap.filter(F.col("funding_adj") == 0.25).count() == 24
+    # default read stays the pinned-schema fast path and still dedups
+    assert t.read(spark).count() == 24
