@@ -20,6 +20,30 @@ from pyspark.sql import DataFrame, SparkSession
 
 from binance_etl_clickhouse_spark.pipeline import Pipeline
 
+#: ClickHouse scalar-function names -> Spark SQL-UDF definitions (Spark 4
+#: SQL scalar functions: the RETURN expression inlines into the plan at
+#: analysis time — JVM expressions, zero Python). Scope: the scalar idioms a
+#: user migrating ClickHouse SQL types reflexively; the reference's own DDL
+#: uses toYYYYMM (crypto_data_pipeline_clickhouse.py:570). Aggregate
+#: combinators (argMax/uniq/quantile) already have first-class Spark
+#: equivalents (max_by / approx_count_distinct / percentile_approx).
+CLICKHOUSE_COMPAT_FUNCTIONS: dict[str, str] = {
+    "toYYYYMM": "(ts TIMESTAMP) RETURNS INT RETURN CAST(date_format(ts, 'yyyyMM') AS INT)",
+    "toStartOfHour": "(ts TIMESTAMP) RETURNS TIMESTAMP RETURN date_trunc('hour', ts)",
+    "toStartOfDay": "(ts TIMESTAMP) RETURNS TIMESTAMP RETURN date_trunc('day', ts)",
+    "toStartOfMonth": "(ts TIMESTAMP) RETURNS TIMESTAMP RETURN date_trunc('month', ts)",
+    "toDateTime": "(sec BIGINT) RETURNS TIMESTAMP RETURN timestamp_seconds(sec)",
+    "toUnixTimestamp": "(ts TIMESTAMP) RETURNS BIGINT RETURN unix_timestamp(ts)",
+    "intDiv": "(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a DIV b",
+}
+
+
+def register_clickhouse_compat(spark: SparkSession) -> None:
+    """Register ClickHouse-style scalar function names as Spark SQL UDFs so
+    reference-flavored SQL runs verbatim through :meth:`AnalyticsEngine.sql`."""
+    for name, signature in CLICKHOUSE_COMPAT_FUNCTIONS.items():
+        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{signature}")
+
 
 class AnalyticsEngine:
     def __init__(self, spark: SparkSession, verbose: bool = True):
@@ -50,6 +74,9 @@ class AnalyticsEngine:
         from binance_etl_clickhouse_spark.tables import register_views
 
         register_views(self.spark, sf_dir)
+
+    def register_clickhouse_compat(self) -> None:
+        register_clickhouse_compat(self.spark)
 
     def sql(self, query: str, args: dict | list | None = None) -> DataFrame:
         """Run SQL with the reference's per-query wall-clock hook."""

@@ -99,3 +99,33 @@ def test_jdbc_sink_dry_run_configures_writer(spark):
         num_partitions=4, options={"user": "u"}, dry_run=True,
     )
     assert writer is not None  # configured plan returned, nothing executed
+
+
+def test_clickhouse_compat_functions(spark):
+    """Reference-flavored SQL (toYYYYMM & friends) runs verbatim; each compat
+    function matches its native-Spark twin and inlines as a JVM expression
+    (no Python UDF node in the plan)."""
+    from binance_etl_clickhouse_spark.engine import AnalyticsEngine, register_clickhouse_compat
+
+    register_clickhouse_compat(spark)
+    eng = AnalyticsEngine(spark, verbose=False)
+    eng.register_testdata("/root/testdata/sf0.001")
+    got = eng.sql(
+        """
+        SELECT toYYYYMM(ts) AS m, toStartOfHour(ts) AS h,
+               toUnixTimestamp(ts) AS u, toDateTime(toUnixTimestamp(ts)) AS rt,
+               intDiv(user_id, 7) AS d
+        FROM events ORDER BY u LIMIT 100
+        """
+    )
+    want = eng.sql(
+        """
+        SELECT CAST(date_format(ts, 'yyyyMM') AS INT) AS m, date_trunc('hour', ts) AS h,
+               unix_timestamp(ts) AS u, timestamp_seconds(unix_timestamp(ts)) AS rt,
+               user_id DIV 7 AS d
+        FROM events ORDER BY u LIMIT 100
+        """
+    )
+    assert got.collect() == want.collect()
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
