@@ -14,7 +14,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 M31 = 2_147_483_647
@@ -53,6 +53,40 @@ def brute_force_topk(
         df.select(F.col(id_col), F.round(sim, 6).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def batch_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Exact cosine top-k for EVERY query in a query set — the batched
+    retrieval shape (a single-vector call per query would rescan the corpus
+    |Q| times).
+
+    One corpus scan: the query frame broadcasts (it is the small side by
+    construction), every corpus row scores against all queries inside the
+    scan stage, and the per-query top-k is a rank window that Spark plans
+    with WindowGroupLimit partial pushdown — each task keeps only its local
+    top-k per query before the single shuffle on query_id. Scoring work is
+    inherently |corpus| x |Q|; nothing is shuffled at that width.
+    """
+    pairs = df.crossJoin(F.broadcast(queries)).filter(
+        F.col(id_col) != F.col(q_id_col)
+    )
+    sim = cosine_expr(_as_double(vec_col), _as_double(q_vec_col))
+    scored = pairs.select(
+        F.col(q_id_col), F.col(id_col), F.round(sim, 6).alias("cos_sim")
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
     )
 
 

@@ -1042,3 +1042,37 @@ def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vecs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batched exact retrieval: top-5 per query for a 5-vector query set in ONE
+# corpus scan (broadcast query frame + WindowGroupLimit per-query top-k) —
+# the shape real retrieval runs, vs. the single-vector baseline above.
+# ---------------------------------------------------------------------------
+@register(
+    "ann_batch_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             round(list_inner_product(e.v, q.qv)
+                   / (sqrt(list_inner_product(e.v, e.v))
+                      * sqrt(list_inner_product(q.qv, q.qv))), 6) AS cos_sim
+      FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cos_sim, rnk FROM (
+      SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+    survey_ref="similarity: batched exact top-k (one scan, |Q| queries)",
+)
+def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    return similarity.batch_topk(emb, queries, k=5)

@@ -218,3 +218,14 @@ def test_histogram_single_pass_partial_agg(spark):
     plan = _plan(spark, "price_histogram_fixed_bins")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Scan parquet" in plan and plan.count("Scan parquet") == 1  # no min/max pre-pass
+
+
+def test_batch_topk_windowgrouplimit_and_broadcast_queries(spark):
+    plan = _plan(spark, "ann_batch_topk")
+    # per-query top-k must push down partially (local top-k before the
+    # query_id shuffle)
+    assert "WindowGroupLimit" in plan
+    # the cross-score against the BROADCAST query frame is the intended
+    # shape (work is inherently corpus x |Q|); the corpus side must not
+    # shuffle for the join itself
+    assert "BroadcastExchange" in plan
