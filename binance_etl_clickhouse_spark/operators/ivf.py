@@ -166,3 +166,46 @@ def ivf_topk_from_table(
     probe = probe_cells(centroids, query_vec, nprobe)
     cand = spark.read.parquet(path).filter(F.col("cell").isin(probe))
     return _rerank(cand, query_vec, k, id_col, vec_col)
+
+
+def ivf_batch_topk_from_table(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched ANN over the cell-partitioned index: top-``k`` for EVERY
+    (query_id, vector) in ``queries`` from ONE partition-pruned scan.
+
+    Probe cells are computed driver-side per query (centroid math over a
+    k x dim literal), the scan reads only the UNION of all probed cell
+    directories (PartitionFilters), and a broadcast equi-join on ``cell``
+    routes each row to exactly the queries that probed its cell — no cross
+    product wider than the probed candidates. Per-query top-k is a rank
+    window (WindowGroupLimit pushdown). At a billion vectors the scan cost
+    is |Q| * nprobe/k_cells of the data, amortized further when queries
+    share cells.
+    """
+    from pyspark.sql import Window
+
+    rows = []
+    for qid, qv in queries:
+        for c in probe_cells(centroids, qv, nprobe):
+            rows.append((int(qid), int(c), [float(x) for x in qv]))
+    qdf = spark.createDataFrame(rows, "query_id long, cell int, q_vec array<double>")
+    cells = sorted({r[1] for r in rows})
+    cand = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    pairs = cand.join(F.broadcast(qdf), "cell")
+    sim = cosine_expr(_as_double(vec_col), F.col("q_vec"))
+    scored = pairs.select(
+        "query_id", F.col(id_col), F.round(sim, 6).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )

@@ -1076,3 +1076,81 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
     )
     return similarity.batch_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Batched IVF ANN: a 3-query set through the SAME cell-partitioned index —
+# one partition-pruned scan of the union of probed cells, broadcast
+# (query, cell) routing join, per-query WindowGroupLimit top-k. The oracle
+# composes the unrolled k-means with a per-query probe ranking.
+# ---------------------------------------------------------------------------
+def _ann_ivf_batch_oracle() -> str:
+    iters = []
+    prev = "c0"
+    for it in range(1, _IVF_ITERS + 1):
+        iters.append(_kmeans_assign_cte(f"a{it}", prev) + ",")
+        iters.append(_kmeans_update_cte(f"a{it}", prev, f"c{it}") + ",")
+        prev = f"c{it}"
+    body = "\n".join(iters)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_IVF_K})
+    ),
+    {body}
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+    probe AS (
+      SELECT query_id, cell FROM (
+        SELECT q.query_id, {prev}.cell,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_sqdist_sql('q.qv', f'{prev}.v')},
+                                           {prev}.cell) AS rn
+        FROM {prev} CROSS JOIN q
+      ) WHERE rn <= {_IVF_NPROBE}
+    ),
+    {_kmeans_assign_cte('af', prev)}
+    SELECT query_id, vec_id, cos_sim, rnk FROM (
+      SELECT p.query_id, af.vec_id,
+             round(list_inner_product(af.v, q.qv)
+                   / (sqrt(list_inner_product(af.v, af.v))
+                      * sqrt(list_inner_product(q.qv, q.qv))), 6) AS cos_sim,
+             row_number() OVER (PARTITION BY p.query_id
+                                ORDER BY round(list_inner_product(af.v, q.qv)
+                   / (sqrt(list_inner_product(af.v, af.v))
+                      * sqrt(list_inner_product(q.qv, q.qv))), 6) DESC,
+                                         af.vec_id) AS rnk
+      FROM af JOIN probe p USING (cell) JOIN q USING (query_id)
+    ) WHERE rnk <= 10
+    """
+
+
+@register(
+    "ann_ivf_batch_topk",
+    _ann_ivf_batch_oracle(),
+    survey_ref="similarity: batched IVF ANN (one pruned scan, |Q| queries)",
+)
+def ann_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from binance_etl_clickhouse_spark.operators.ivf import (
+        ivf_batch_topk_from_table,
+        kmeans_fit,
+        write_ivf_table,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codebook = kmeans_fit(emb, k=_IVF_K, n_iters=_IVF_ITERS)
+    qrows = emb.filter(F.col("vec_id") < 3).select("vec_id", "embedding").collect()
+    queries = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows]
+    # same index key as ann_ivf_topk: the two queries share one built layout
+    key = hashlib.md5(f"{sf_dir}:{codebook}".encode()).hexdigest()[:12]
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    path = f"{tempfile.gettempdir()}/spark_graft_ivf_{uid}_{key}"
+    if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+        write_ivf_table(emb, codebook, path)
+    return ivf_batch_topk_from_table(
+        spark, path, codebook, queries, k=10, nprobe=_IVF_NPROBE
+    )

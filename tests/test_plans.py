@@ -229,3 +229,12 @@ def test_batch_topk_windowgrouplimit_and_broadcast_queries(spark):
     # shape (work is inherently corpus x |Q|); the corpus side must not
     # shuffle for the join itself
     assert "BroadcastExchange" in plan
+
+
+def test_ann_ivf_batch_query_partition_pruned(spark):
+    # batched IVF: the union-of-probed-cells filter must still land in
+    # PartitionFilters (one pruned scan serves every query), routing join
+    # is broadcast, per-query top-k pushes down
+    plan = _plan(spark, "ann_ivf_batch_topk")
+    assert "PartitionFilters: [cell" in plan, plan[:2000]
+    assert "BroadcastExchange" in plan and "WindowGroupLimit" in plan
