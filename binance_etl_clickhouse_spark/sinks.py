@@ -116,9 +116,12 @@ def stream_to_jdbc(
         stamped = batch.withColumn("epoch_id", F.lit(int(epoch_id)))
         try:
             _delete_epoch(batch.sparkSession, epoch_id)
-        except Exception:
-            # first epoch: table does not exist yet — the append creates it
-            pass
+        except Exception as e:
+            # only the missing-table case is benign (first epoch — the
+            # append creates it); any other delete failure must abort the
+            # batch, or a replay would silently duplicate rows
+            if "does not exist" not in str(e):
+                raise
         write_jdbc(
             stamped, url, table, mode="append", batch_size=batch_size, options=opts
         )

@@ -170,11 +170,15 @@ class ServingTable:
             return dropped
         prefix = f"{MONTH_COL}="
         for d in sorted(os.listdir(self.path)):
-            if d.startswith(prefix):
+            if not d.startswith(prefix):
+                continue
+            try:
                 month = int(d[len(prefix):])
-                if month < before_month:
-                    shutil.rmtree(os.path.join(self.path, d))
-                    dropped.append(month)
+            except ValueError:
+                continue  # e.g. a null-partition dir — never TTL-dropped
+            if month < before_month:
+                shutil.rmtree(os.path.join(self.path, d))
+                dropped.append(month)
         return dropped
 
     # -- read path --------------------------------------------------------
