@@ -43,7 +43,11 @@ from pyspark.sql import functions as F
 from binance_etl_clickhouse_spark.functions.scalars import month_bucket
 from binance_etl_clickhouse_spark.operators.dedup import keep_last
 from binance_etl_clickhouse_spark.schemas import MONTH_COL
-from binance_etl_clickhouse_spark.storage.table import INGEST_SEQ, ServingTable
+from binance_etl_clickhouse_spark.storage.table import (
+    INGEST_SEQ,
+    ServingTable,
+    expire_month_partitions,
+)
 
 BUCKET_COL = "bucket"
 _META = "_rollup_meta.json"
@@ -67,6 +71,15 @@ class RollupTable:
     def __post_init__(self) -> None:
         if self.source.time_col is None:
             raise ValueError("RollupTable requires a time-partitioned source")
+
+    def expire(self, before_month: int) -> list[int]:
+        """TTL on the ROLLUP independently of its source: the classic
+        retention split keeps raw data short (source.expire) and aggregates
+        long — or, symmetric, trims ancient rollup months. Refresh state is
+        untouched: last_seq only gates which NEW ingest months recompute,
+        so dropped months stay dropped unless their raw data is re-ingested
+        (at which point recomputation is correct anyway)."""
+        return expire_month_partitions(self.path, before_month)
 
     # -- refresh ----------------------------------------------------------
 

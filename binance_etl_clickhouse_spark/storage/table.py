@@ -32,6 +32,30 @@ INGEST_SEQ = "ingest_seq"
 SEQ_SIDECAR = "_seq.json"  # leading "_" -> invisible to Spark's parquet reader
 
 
+def expire_month_partitions(path: str, before_month: int) -> list[int]:
+    """Drop ``month=yyyyMM`` partition dirs strictly older than the cutoff —
+    the shared TTL primitive (DROP PARTITION shape: filesystem-only, no
+    Spark job, no rewrite). Non-numeric partition dirs (null partitions)
+    are never dropped. Returns dropped months, oldest first."""
+    import shutil
+
+    dropped: list[int] = []
+    if not os.path.isdir(path):
+        return dropped
+    prefix = f"{MONTH_COL}="
+    for d in sorted(os.listdir(path)):
+        if not d.startswith(prefix):
+            continue
+        try:
+            month = int(d[len(prefix):])
+        except ValueError:
+            continue
+        if month < before_month:
+            shutil.rmtree(os.path.join(path, d))
+            dropped.append(month)
+    return dropped
+
+
 @dataclass
 class ServingTable:
     """A monthly-partitioned, sorted, version-deduped parquet table."""
@@ -162,24 +186,8 @@ class ServingTable:
         (same contract as the reference's backing store). Returns the
         dropped months, oldest first.
         """
-        import shutil
-
         self._recover()
-        dropped: list[int] = []
-        if not os.path.isdir(self.path):
-            return dropped
-        prefix = f"{MONTH_COL}="
-        for d in sorted(os.listdir(self.path)):
-            if not d.startswith(prefix):
-                continue
-            try:
-                month = int(d[len(prefix):])
-            except ValueError:
-                continue  # e.g. a null-partition dir — never TTL-dropped
-            if month < before_month:
-                shutil.rmtree(os.path.join(self.path, d))
-                dropped.append(month)
-        return dropped
+        return expire_month_partitions(self.path, before_month)
 
     # -- read path --------------------------------------------------------
 

@@ -122,3 +122,27 @@ def test_rollup_refresh_noop_when_no_new_data(spark, tmp_path):
     before = _month_files(rollup.path)
     assert rollup.refresh(spark) == []
     assert _month_files(rollup.path) == before
+
+
+def test_rollup_expire_independent_of_source(spark, tmp_path):
+    """Retention split: expiring old months from the rollup leaves the
+    source intact, and a no-new-data refresh does not resurrect them."""
+    t, r = _tables(tmp_path)
+    t.append(_clean(spark, n_symbols=2, bars_per_symbol=800), ingest_seq=1)
+    r.refresh(spark)
+    months = sorted(
+        x.month for x in r.read(spark).select("month").distinct().collect()
+    )
+    assert len(months) >= 2
+    dropped = r.expire(before_month=months[-1])
+    assert dropped == months[:-1]
+    left = sorted(x.month for x in r.read(spark).select("month").distinct().collect())
+    assert left == [months[-1]]
+    # source untouched; a no-new-data refresh must not resurrect old months
+    src_months = sorted(
+        x.month for x in t.read_raw(spark).select("month").distinct().collect()
+    )
+    assert src_months == months
+    assert r.refresh(spark) == []
+    still = sorted(x.month for x in r.read(spark).select("month").distinct().collect())
+    assert still == [months[-1]]
