@@ -1154,3 +1154,58 @@ def ann_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_batch_topk_from_table(
         spark, path, codebook, queries, k=10, nprobe=_IVF_NPROBE
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination: flag corpus vectors whose max cosine against a
+# broadcast eval set clears a threshold — the embedding-space complement of
+# the shingle-based benchmark_decontamination (paraphrased leakage that
+# shares no n-grams). Work is |corpus| x |eval| inside the scan stage; the
+# only shuffle is the per-vector max (partial-aggregated map-side). max and
+# HALF_UP round commute (round is monotone), so rounding before the max
+# keeps oracle tie parity.
+# ---------------------------------------------------------------------------
+_SEMDECON_TAU = 0.6
+_SEMDECON_EVAL_N = 50
+
+
+@register(
+    "embedding_decontamination",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ev AS (SELECT vec_id AS eval_id, v AS ev_v FROM e WHERE vec_id < {_SEMDECON_EVAL_N}),
+    tr AS (SELECT vec_id, v FROM e WHERE vec_id >= {_SEMDECON_EVAL_N}),
+    scored AS (
+      SELECT tr.vec_id,
+             max(round(list_inner_product(tr.v, ev.ev_v)
+                   / (sqrt(list_inner_product(tr.v, tr.v))
+                      * sqrt(list_inner_product(ev.ev_v, ev.ev_v))), 6)) AS max_cos
+      FROM tr CROSS JOIN ev
+      GROUP BY tr.vec_id
+    )
+    SELECT vec_id, max_cos,
+           CAST(CASE WHEN max_cos >= {_SEMDECON_TAU} THEN 1 ELSE 0 END AS INTEGER)
+             AS contaminated
+    FROM scored
+    """,
+    survey_ref="decontamination: embedding-space eval-set leakage flag",
+)
+def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") < _SEMDECON_EVAL_N).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("ev_vec")
+    )
+    tr = emb.filter(F.col("vec_id") >= _SEMDECON_EVAL_N)
+    sim = similarity.cosine_expr(
+        F.col("embedding").cast("array<double>"), F.col("ev_vec").cast("array<double>")
+    )
+    return (
+        tr.crossJoin(F.broadcast(ev))
+        .groupBy("vec_id")
+        .agg(F.max(F.round(sim, 6)).alias("max_cos"))
+        .select(
+            "vec_id",
+            "max_cos",
+            (F.col("max_cos") >= F.lit(_SEMDECON_TAU)).cast("int").alias("contaminated"),
+        )
+    )
