@@ -279,3 +279,51 @@ def chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "span_text",
         F.size(F.split("span_text", " ")).cast("long").alias("n_span_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed inference batching: group docs of similar token length and
+# number them into fixed-size batches — the dynamic-batching prep that keeps
+# padding waste bounded by the bucket width. Order within a bucket is the
+# content hash (deterministic, engine-independent, resumable); batch ids are
+# a row_number projection, no data movement beyond one shuffle on bucket.
+# ---------------------------------------------------------------------------
+_LB_BUCKET_W = 32
+_LB_BATCH = 16
+
+
+@register(
+    "length_bucket_batches",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             {hash60_sql("'lb:' || CAST(doc_id AS VARCHAR)")} AS ord
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(n_tokens // {_LB_BUCKET_W} AS INTEGER) AS bucket,
+           CAST((row_number() OVER (PARTITION BY n_tokens // {_LB_BUCKET_W}
+                                    ORDER BY ord, doc_id) - 1)
+                // {_LB_BATCH} AS BIGINT) AS batch_id
+    FROM d
+    """,
+    survey_ref="dataset engineering: length-bucketed batch assignment",
+)
+def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_clickhouse_spark.operators.texthash import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+        hash60(F.concat(F.lit("lb:"), F.col("doc_id").cast("string"))).alias("ord"),
+    )
+    bucket = (F.col("n_tokens") / _LB_BUCKET_W).cast("long")
+    w = Window.partitionBy(bucket).orderBy("ord", "doc_id")
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        bucket.cast("int").alias("bucket"),
+        ((F.row_number().over(w) - 1) / _LB_BATCH).cast("long").alias("batch_id"),
+    )
