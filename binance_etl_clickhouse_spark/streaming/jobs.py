@@ -414,3 +414,101 @@ def stream_stream_interval_join(
         cts.alias("click_ts"),
         F.col("c.value").alias("click_value"),
     )
+
+
+def stream_span_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 8,
+    available_now: bool = True,
+    processing_time: str = "1 hour",
+) -> StreamingQuery:
+    """Incremental C4-style span dedup: each micro-batch's documents lose
+    every k-token span already seen — within the batch (global first
+    occurrence by (doc_id, pos), exactly :func:`operators.corpus.span_dedup`
+    semantics) or in ANY earlier batch — and are reassembled before landing
+    in the corpus.
+
+    State between batches is a parquet index of 60-bit span hashes (one
+    BIGINT per distinct span ever accepted): membership is an equi anti-join
+    on the hash — no span text is stored or rescanned. A trillion distinct
+    spans is ~8 TB of index, linear and equi-join-able; nothing is held on
+    the driver.
+
+    Crash ordering mirrors :func:`stream_dedup_corpus`: corpus append
+    BEFORE index append, so a failure between the two leaves accepted spans
+    unindexed (their future dups slip through — bounded recall loss), never
+    indexed-but-missing output. Checkpoint replay re-derives the same
+    survivors.
+    """
+    import os
+
+    from binance_etl_clickhouse_spark.operators.corpus import doc_spans
+    from binance_etl_clickhouse_spark.operators.texthash import hash60, tokens
+    from binance_etl_clickhouse_spark.sources.files import (
+        DOCUMENTS_JSONL_SCHEMA,
+        partition_corrupt,
+    )
+
+    src = spark.readStream.schema(DOCUMENTS_JSONL_SCHEMA).json(input_dir)
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        from pyspark.sql import Window
+
+        clean, _quarantined = partition_corrupt(batch)
+        spans = doc_spans(clean, k=k).withColumn("h", hash60(F.col("span")))
+        first = Window.partitionBy("h").orderBy("doc_id", "pos")
+        kept = (
+            spans.withColumn("rn", F.row_number().over(first))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        if os.path.isdir(index_dir):
+            idx = batch.sparkSession.read.parquet(index_dir)
+            kept = kept.join(idx, "h", "left_anti")
+        reassembled = kept.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "span"))),
+                    lambda s: s["span"],
+                ),
+                " ",
+            ).alias("text_deduped"),
+        )
+        out = (
+            clean.select(
+                "doc_id",
+                "lang",
+                F.ceil(F.size(tokens("text")) / F.lit(float(k)))
+                .cast("long")
+                .alias("n_spans_total"),
+            )
+            .join(reassembled, "doc_id", "left")
+            .select(
+                "doc_id",
+                "lang",
+                "n_spans_total",
+                F.coalesce(F.col("n_spans_kept"), F.lit(0).cast("long")).alias(
+                    "n_spans_kept"
+                ),
+                F.coalesce(F.col("text_deduped"), F.lit("")).alias("text_deduped"),
+            )
+        )
+        # corpus first, index second (see crash ordering above)
+        out.write.mode("append").parquet(out_dir)
+        kept.select("h").distinct().write.mode("append").parquet(index_dir)
+
+    writer = src.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

@@ -438,3 +438,51 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     for r in want[:50]:
         delta = (r.purchase_ts - r.click_ts).total_seconds()
         assert 0 <= delta <= 3600
+
+
+def test_stream_span_dedup_incremental(spark, tmp_path):
+    """Spans seen in earlier batches are removed from later documents via
+    the hash index; within-batch repeats dedup too; docs reassemble in
+    position order and fully-duplicate docs land with empty text."""
+    import json
+
+    from binance_etl_clickhouse_spark.streaming.jobs import stream_span_dedup
+
+    in_dir = tmp_path / "drop"
+    in_dir.mkdir()
+    index_dir = str(tmp_path / "span_index")
+    out_dir = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(fname, docs):
+        with open(in_dir / fname, "w") as f:
+            for i, text in docs:
+                f.write(
+                    json.dumps(
+                        {"doc_id": i, "lang": "en", "text": text, "n_chars": len(text)}
+                    )
+                    + "\n"
+                )
+
+    # k=2 spans; batch 1: doc 2 repeats doc 1's only span
+    drop("b1.jsonl", [(1, "a b"), (2, "a b c d")])
+    q = stream_span_dedup(spark, str(in_dir), index_dir, out_dir, ckpt, k=2)
+    q.awaitTermination(120)
+    q.stop()
+    got1 = {r.doc_id: r for r in spark.read.parquet(out_dir).collect()}
+    assert got1[1].text_deduped == "a b"
+    assert got1[2].text_deduped == "c d"  # lost "a b" to doc 1
+
+    # batch 2: doc 11 is spans {"c d", "e f"} — "c d" was accepted in batch
+    # 1, so only "e f" survives; doc 12 is entirely previously-seen spans
+    drop("b2.jsonl", [(11, "c d e f"), (12, "a b c d")])
+    q2 = stream_span_dedup(spark, str(in_dir), index_dir, out_dir, ckpt, k=2)
+    q2.awaitTermination(120)
+    q2.stop()
+    got2 = {r.doc_id: r for r in spark.read.parquet(out_dir).collect()}
+    assert got2[11].text_deduped == "e f" and got2[11].n_spans_total == 2
+    assert got2[12].text_deduped == "" and got2[12].n_spans_kept == 0
+    assert set(got2) == {1, 2, 11, 12}  # every doc lands, deduped or empty
+    # index holds each distinct accepted span hash exactly once
+    idx = spark.read.parquet(index_dir)
+    assert idx.count() == idx.distinct().count() == 3  # a b, c d, e f (none from 12)
