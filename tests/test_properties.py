@@ -147,3 +147,72 @@ def test_span_dedup_matches_sequential_reference(spark, docs):
         for r in span_dedup(df, k=2).collect()
     }
     assert got == _span_dedup_ref(docs, k=2)
+
+
+# ---------------------------------------------------------------------------
+# funnel_stages vs a sequential reference: strict order, window cap,
+# earliest-QUALIFYING anchoring, multi-stage chains.
+# ---------------------------------------------------------------------------
+def _funnel_ref(events, stages, within=None):
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, t, ts in events:
+        by_user[u].append((t, ts))
+    counts = [0] * len(stages)
+    for evs in by_user.values():
+        s0 = [ts for t, ts in evs if t == stages[0]]
+        if not s0:
+            continue
+        counts[0] += 1
+        t_prev = min(s0)
+        for i, stage in enumerate(stages[1:], start=1):
+            cand = [
+                ts
+                for t, ts in evs
+                if t == stage and ts > t_prev and (within is None or ts <= t_prev + within)
+            ]
+            if not cand:
+                break
+            t_prev = min(cand)
+            counts[i] += 1
+    return counts
+
+
+FUNNEL_CASES = [
+    # chain where the middle stage's earliest event predates stage 0
+    ([(1, "a", 5.0), (1, "b", 1.0), (1, "b", 7.0), (1, "c", 9.0)], None),
+    # exact-tie timestamps never convert (strict >)
+    ([(1, "a", 5.0), (1, "b", 5.0)], None),
+    # window cap: qualifying b exists but outside the window
+    ([(1, "a", 0.0), (1, "b", 100.0)], 50),
+    # anchoring: first b in-window anchors c's window, not a later b
+    ([(1, "a", 0.0), (1, "b", 10.0), (1, "b", 40.0), (1, "c", 45.0)], 40),
+    # multiple users at different depths
+    (
+        [
+            (1, "a", 0.0), (1, "b", 1.0), (1, "c", 2.0),
+            (2, "a", 0.0), (2, "c", 1.0),
+            (3, "b", 0.0), (3, "a", 1.0),
+        ],
+        None,
+    ),
+]
+
+
+@pytest.mark.parametrize("events,within", FUNNEL_CASES)
+def test_funnel_matches_sequential_reference(spark, events, within):
+    from binance_etl_clickhouse_spark.operators.funnel import funnel_stages
+
+    rows = [(u, t, float(ts)) for u, t, ts in events]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, sec double"
+    ).selectExpr("user_id", "event_type", "timestamp_seconds(sec) AS ts")
+    got = {
+        r.stage_idx: r.n_users
+        for r in funnel_stages(
+            df, ["a", "b", "c"], within_seconds=within
+        ).collect()
+    }
+    want = _funnel_ref(events, ["a", "b", "c"], within)
+    assert [got.get(i, 0) for i in range(3)] == want
