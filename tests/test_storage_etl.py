@@ -269,3 +269,30 @@ def test_schema_evolution_add_column(spark, tmp_path):
     assert snap.filter(F.col("funding_adj") == 0.25).count() == 24
     # default read stays the pinned-schema fast path and still dedups
     assert t.read(spark).count() == 24
+
+
+def test_expire_compact_reappend_interplay(spark, tmp_path):
+    """Lifecycle sequence on one table: TTL-expire an old month, compact the
+    survivor months, then re-ingest data for an expired month — each step
+    must leave the table consistent (dedup read, sidecar, partitions)."""
+    t = _table(tmp_path)
+    batch = _clean(spark, n_symbols=2, bars_per_symbol=2000, overlap_bars=0)
+    t.append(batch, ingest_seq=1)
+    months = sorted(r.month for r in t.read_raw(spark).select("month").distinct().collect())
+    cutoff = months[1]
+    t.expire(before_month=cutoff)
+    t.compact(spark)
+    after_compact = t.read(spark)
+    assert sorted(
+        r.month for r in after_compact.select("month").distinct().collect()
+    ) == months[1:]
+    n_after = after_compact.count()
+    # re-ingest rows for the expired month (a backfill): lands as a fresh
+    # partition with a newer seq, dedup read stays one-version-per-key
+    backfill = batch.filter(F.date_format("timestamp", "yyyyMM") == str(months[0]))
+    assert backfill.count() > 0
+    t.append(backfill, ingest_seq=t.max_ingest_seq(spark) + 1)
+    snap = t.read(spark)
+    assert sorted(r.month for r in snap.select("month").distinct().collect()) == months
+    assert snap.count() == n_after + backfill.count()
+    assert snap.groupBy(*t.keys).count().filter(F.col("count") > 1).count() == 0
