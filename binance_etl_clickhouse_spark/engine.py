@@ -34,7 +34,14 @@ CLICKHOUSE_COMPAT_FUNCTIONS: dict[str, str] = {
     "toStartOfMonth": "(ts TIMESTAMP) RETURNS TIMESTAMP RETURN date_trunc('month', ts)",
     "toDateTime": "(sec BIGINT) RETURNS TIMESTAMP RETURN timestamp_seconds(sec)",
     "toUnixTimestamp": "(ts TIMESTAMP) RETURNS BIGINT RETURN unix_timestamp(ts)",
-    "intDiv": "(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a DIV b",
+    # ClickHouse intDiv FLOORS (rounds toward -inf, like Python //), while
+    # Spark's DIV truncates toward zero — adjust when signs differ and the
+    # division is inexact, keeping the arithmetic exact in int64
+    "intDiv": (
+        "(a BIGINT, b BIGINT) RETURNS BIGINT RETURN "
+        "a DIV b - CASE WHEN a % b != 0 AND ((a < 0) != (b < 0)) "
+        "THEN 1 ELSE 0 END"
+    ),
 }
 
 

@@ -71,30 +71,34 @@ def funnel_stages(
             .agg(F.min(ts_col).alias("t_prev"))
         )
         survivor_frames.append(entered)
+    # aggregate each survivor frame to its OWN one-row count before the
+    # union: a global agg emits n_users=0 even over an empty frame, so a
+    # stage nobody reached still yields a row — matching the SQL form
+    # (scalar count() per stage CTE) instead of silently vanishing
     tagged = [
-        f.select(
+        f.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
             F.lit(i).cast("int").alias("stage_idx"),
             F.lit(stages[i]).alias("stage"),
-            F.col(user_col),
+            F.col("n_users"),
         )
         for i, f in enumerate(survivor_frames)
     ]
-    counts = (
-        reduce(DataFrame.unionByName, tagged)
-        .groupBy("stage_idx", "stage")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-    )
+    counts = reduce(DataFrame.unionByName, tagged)
     # stage-count frame has exactly len(stages) rows — a global window here
     # is a deliberate single-partition pass over a constant-size frame
     w = Window.orderBy("stage_idx").rowsBetween(Window.unboundedPreceding, 0)
+    prev_n = F.lag("n_users", 1).over(Window.orderBy("stage_idx"))
+    first_n = F.first("n_users").over(w)
+    # guard the ratios: a 0-user predecessor must give NULL in BOTH engines
+    # (unguarded, Spark yields null but DuckDB integer-divides by zero)
     return counts.select(
         "stage_idx",
         "stage",
         "n_users",
-        F.round(
-            F.col("n_users") / F.lag("n_users", 1).over(Window.orderBy("stage_idx")), 6
-        ).alias("conv_from_prev"),
-        F.round(F.col("n_users") / F.first("n_users").over(w), 6).alias(
+        F.when(prev_n > 0, F.round(F.col("n_users") / prev_n, 6)).alias(
+            "conv_from_prev"
+        ),
+        F.when(first_n > 0, F.round(F.col("n_users") / first_n, 6)).alias(
             "conv_from_first"
         ),
     )

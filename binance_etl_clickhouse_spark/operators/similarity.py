@@ -64,6 +64,7 @@ def batch_topk(
     vec_col: str = "embedding",
     q_id_col: str = "query_id",
     q_vec_col: str = "q_vec",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k for EVERY query in a query set — the batched
     retrieval shape (a single-vector call per query would rescan the corpus
@@ -75,10 +76,15 @@ def batch_topk(
     with WindowGroupLimit partial pushdown — each task keeps only its local
     top-k per query before the single shuffle on query_id. Scoring work is
     inherently |corpus| x |Q|; nothing is shuffled at that width.
+
+    ``exclude_self`` drops the corpus row whose id equals the query id —
+    correct when queries ARE corpus members (self-retrieval); set False when
+    query ids live in a different id space, where an id collision would
+    silently drop a legitimate neighbor.
     """
-    pairs = df.crossJoin(F.broadcast(queries)).filter(
-        F.col(id_col) != F.col(q_id_col)
-    )
+    pairs = df.crossJoin(F.broadcast(queries))
+    if exclude_self:
+        pairs = pairs.filter(F.col(id_col) != F.col(q_id_col))
     sim = cosine_expr(_as_double(vec_col), _as_double(q_vec_col))
     scored = pairs.select(
         F.col(q_id_col), F.col(id_col), F.round(sim, 6).alias("cos_sim")

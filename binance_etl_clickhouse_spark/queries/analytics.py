@@ -344,12 +344,16 @@ _FUNNEL_WITHIN_S = 86400
       SELECT 2, 'purchase', count(*)::BIGINT FROM s2
     )
     SELECT stage_idx, stage, n_users,
-           round(n_users / lag(n_users) OVER (ORDER BY stage_idx), 6)
-             AS conv_from_prev,
-           round(n_users / first_value(n_users) OVER (
-                   ORDER BY stage_idx
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
-             AS conv_from_first
+           CASE WHEN lag(n_users) OVER (ORDER BY stage_idx) > 0
+                THEN round(n_users / lag(n_users) OVER (ORDER BY stage_idx), 6)
+           END AS conv_from_prev,
+           CASE WHEN first_value(n_users) OVER (
+                  ORDER BY stage_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0
+                THEN round(n_users / first_value(n_users) OVER (
+                       ORDER BY stage_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+           END AS conv_from_first
     FROM counts
     """,
     survey_ref="event analytics: strictly-ordered funnel (windowFunnel shape)",

@@ -64,6 +64,18 @@ def read_jdbc(
     return reader.load()
 
 
+#: error-message fragments (lowercased) that mean "the target table does not
+#: exist yet" across common JDBC dialects — Derby/Postgres, MySQL, H2,
+#: SQL Server. Only this failure is benign on the epoch DELETE (first epoch:
+#: the append creates the table); anything else must abort the batch.
+MISSING_TABLE_MARKERS = (
+    "does not exist",
+    "doesn't exist",
+    "not found",
+    "invalid object name",
+)
+
+
 def stream_to_jdbc(
     src: DataFrame,
     url: str,
@@ -73,6 +85,8 @@ def stream_to_jdbc(
     batch_size: int = 10_000,
     available_now: bool = True,
     processing_time: str = "1 hour",
+    identifier_quote: str = '"',
+    missing_table_markers: tuple[str, ...] = MISSING_TABLE_MARKERS,
 ):
     """Exactly-once streaming JDBC sink (K2 for streams).
 
@@ -86,10 +100,19 @@ def stream_to_jdbc(
     The DELETE runs on the driver over a plain JDBC connection (one
     statement per epoch — negligible next to the batch insert); the insert
     itself is the distributed ``write_jdbc`` path.
+
+    Dialect knobs: Spark's JDBC writer creates the ``epoch_id`` column as an
+    exact-case quoted identifier, so the DELETE must quote it the way the
+    target DB quotes identifiers — ``identifier_quote`` defaults to the ANSI
+    double quote (Derby/Postgres/H2); pass a backtick for default-mode MySQL
+    (whose double quote means a string literal — the DELETE would match
+    nothing and replays would duplicate). ``missing_table_markers`` is the
+    benign first-epoch failure sniff, matched case-insensitively.
     """
     from pyspark.sql import functions as F
 
     opts = {"driver": driver} if driver else {}
+    qi = identifier_quote
 
     def _delete_epoch(spark_session, epoch_id: int) -> None:
         jvm = spark_session._jvm
@@ -99,11 +122,8 @@ def stream_to_jdbc(
         try:
             st = conn.createStatement()
             try:
-                # Spark's JDBC writer creates columns QUOTED (exact-case
-                # "epoch_id"); an unquoted identifier would fold to EPOCH_ID
-                # and miss it
                 st.executeUpdate(
-                    f'DELETE FROM {table} WHERE "epoch_id" = {int(epoch_id)}'
+                    f"DELETE FROM {table} WHERE {qi}epoch_id{qi} = {int(epoch_id)}"
                 )
             finally:
                 st.close()
@@ -120,7 +140,8 @@ def stream_to_jdbc(
             # only the missing-table case is benign (first epoch — the
             # append creates it); any other delete failure must abort the
             # batch, or a replay would silently duplicate rows
-            if "does not exist" not in str(e):
+            msg = str(e).lower()
+            if not any(m in msg for m in missing_table_markers):
                 raise
         write_jdbc(
             stamped, url, table, mode="append", batch_size=batch_size, options=opts

@@ -36,23 +36,34 @@ def expire_month_partitions(path: str, before_month: int) -> list[int]:
     """Drop ``month=yyyyMM`` partition dirs strictly older than the cutoff —
     the shared TTL primitive (DROP PARTITION shape: filesystem-only, no
     Spark job, no rewrite). Non-numeric partition dirs (null partitions)
-    are never dropped. Returns dropped months, oldest first."""
+    are never dropped. If the cutoff removes EVERY partition, the whole
+    table directory goes with it (sidecars included): a dir holding only
+    underscore-prefixed metadata is unreadable to Spark ("unable to infer
+    schema"), whereas a missing table is the state every caller already
+    gates on with ``exists()`` — and the next append/refresh recreates it
+    from scratch. Returns dropped months, oldest first."""
     import shutil
 
     dropped: list[int] = []
     if not os.path.isdir(path):
         return dropped
     prefix = f"{MONTH_COL}="
+    remaining = 0
     for d in sorted(os.listdir(path)):
         if not d.startswith(prefix):
             continue
         try:
             month = int(d[len(prefix):])
         except ValueError:
+            remaining += 1
             continue
         if month < before_month:
             shutil.rmtree(os.path.join(path, d))
             dropped.append(month)
+        else:
+            remaining += 1
+    if dropped and remaining == 0:
+        shutil.rmtree(path)
     return dropped
 
 

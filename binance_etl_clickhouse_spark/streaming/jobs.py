@@ -441,8 +441,10 @@ def stream_span_dedup(
     Crash ordering mirrors :func:`stream_dedup_corpus`: corpus append
     BEFORE index append, so a failure between the two leaves accepted spans
     unindexed (their future dups slip through — bounded recall loss), never
-    indexed-but-missing output. Checkpoint replay re-derives the same
-    survivors.
+    indexed-but-missing output. Checkpoint replay is idempotent: docs
+    already present in the corpus are anti-joined out of a re-delivered
+    epoch before any write (without that gate, a replayed doc would re-land
+    empty — its spans are in the index by then — beside its original row).
     """
     import os
 
@@ -461,6 +463,21 @@ def stream_span_dedup(
         from pyspark.sql import Window
 
         clean, _quarantined = partition_corrupt(batch)
+        # replay idempotence: a crash between the corpus append and the
+        # checkpoint commit re-delivers this epoch with its spans already
+        # indexed — without this gate every replayed doc would re-land with
+        # empty text beside its original row. Docs already in the corpus
+        # are simply done (doc_id-only column-pruned scan).
+        if os.path.isdir(out_dir):
+            seen = (
+                batch.sparkSession.read.parquet(out_dir)
+                .select("doc_id")
+                .distinct()
+            )
+            clean = clean.join(seen, "doc_id", "left_anti")
+        if clean.isEmpty():
+            batch.unpersist()
+            return
         spans = doc_spans(clean, k=k).withColumn("h", hash60(F.col("span")))
         first = Window.partitionBy("h").orderBy("doc_id", "pos")
         kept = (
@@ -471,6 +488,16 @@ def stream_span_dedup(
         if os.path.isdir(index_dir):
             idx = batch.sparkSession.read.parquet(index_dir)
             kept = kept.join(idx, "h", "left_anti")
+        # materialize NOW and CUT THE LINEAGE: kept's plan reads both
+        # out_dir (replay gate) and index_dir (anti-join), and the corpus
+        # append mutates out_dir. A plain persist() is not enough — Spark's
+        # post-write refreshByPath(out_dir) invalidates every cache whose
+        # plan references the written path and lazily RE-EXECUTES it, so the
+        # index write would re-read the mutated dir, anti-join this epoch's
+        # own docs away, and silently append an empty index delta
+        # (observed). localCheckpoint truncates the plan to the materialized
+        # data, which no path refresh can touch.
+        kept = kept.localCheckpoint(eager=True)
         reassembled = kept.groupBy("doc_id").agg(
             F.count(F.lit(1)).cast("long").alias("n_spans_kept"),
             F.array_join(
@@ -503,6 +530,8 @@ def stream_span_dedup(
         # corpus first, index second (see crash ordering above)
         out.write.mode("append").parquet(out_dir)
         kept.select("h").distinct().write.mode("append").parquet(index_dir)
+        kept.unpersist()  # releases the localCheckpoint blocks
+        batch.unpersist()
 
     writer = src.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

@@ -129,3 +129,16 @@ def test_clickhouse_compat_functions(spark):
     assert got.collect() == want.collect()
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_clickhouse_intdiv_floors_negative_operands(spark):
+    """ClickHouse intDiv floors (rounds toward -inf); Spark DIV truncates —
+    the shim must floor: intDiv(-7, 2) = -4, not -3."""
+    from binance_etl_clickhouse_spark.engine import register_clickhouse_compat
+
+    register_clickhouse_compat(spark)
+    row = spark.sql(
+        "SELECT intDiv(-7, 2) a, intDiv(7, -2) b, intDiv(-7, -2) c, "
+        "intDiv(7, 2) d, intDiv(-6, 2) e"
+    ).first()
+    assert (row.a, row.b, row.c, row.d, row.e) == (-4, -4, 3, 3, -3)

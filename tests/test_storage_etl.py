@@ -296,3 +296,15 @@ def test_expire_compact_reappend_interplay(spark, tmp_path):
     assert sorted(r.month for r in snap.select("month").distinct().collect()) == months
     assert snap.count() == n_after + backfill.count()
     assert snap.groupBy(*t.keys).count().filter(F.col("count") > 1).count() == 0
+
+
+def test_expire_everything_removes_table(spark, tmp_path):
+    """An all-partitions TTL cutoff must leave exists()==False (not an
+    unreadable dir of bare sidecars), and a later append recreates cleanly."""
+    t = _table(tmp_path)
+    b = _clean(spark, n_symbols=1, bars_per_symbol=48, overlap_bars=0)
+    t.append(b, ingest_seq=1)
+    dropped = t.expire(before_month=999999)
+    assert dropped and not t.exists()
+    t.append(b, ingest_seq=1)
+    assert t.read(spark).count() == 48

@@ -486,3 +486,28 @@ def test_stream_span_dedup_incremental(spark, tmp_path):
     # index holds each distinct accepted span hash exactly once
     idx = spark.read.parquet(index_dir)
     assert idx.count() == idx.distinct().count() == 3  # a b, c d, e f (none from 12)
+
+
+def test_stream_span_dedup_replay_is_idempotent(spark, tmp_path):
+    """Simulated at-least-once replay (wiped checkpoint, same input files):
+    already-accepted docs must not re-land — the corpus stays unchanged."""
+    import json
+
+    from binance_etl_clickhouse_spark.streaming.jobs import stream_span_dedup
+
+    in_dir = tmp_path / "drop"
+    in_dir.mkdir()
+    args = (str(in_dir), str(tmp_path / "idx"), str(tmp_path / "corpus"))
+    with open(in_dir / "b1.jsonl", "w") as f:
+        for i, text in [(1, "a b c d"), (2, "a b e f")]:
+            f.write(json.dumps({"doc_id": i, "lang": "en", "text": text, "n_chars": 7}) + "\n")
+    q = stream_span_dedup(spark, *args, str(tmp_path / "ck1"), k=2)
+    q.awaitTermination(120)
+    q.stop()
+    before = sorted(map(tuple, spark.read.parquet(args[2]).collect()))
+    # replay the same files under a fresh checkpoint (same epoch re-delivery)
+    q2 = stream_span_dedup(spark, *args, str(tmp_path / "ck2"), k=2)
+    q2.awaitTermination(120)
+    q2.stop()
+    after = sorted(map(tuple, spark.read.parquet(args[2]).collect()))
+    assert after == before
