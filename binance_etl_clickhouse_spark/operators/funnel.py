@@ -145,3 +145,62 @@ def cohort_retention(
         "n_cohort",
         F.round(F.col("n_active") / F.col("n_cohort"), 6).alias("retention_rate"),
     )
+
+
+def funnel_stage_lags(
+    df: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """(stage_idx, stage, n_users, avg_lag_s, med_lag_s): time-to-convert
+    between consecutive funnel stages, over the SAME survivor semantics as
+    :func:`funnel_stages` (strict order, optional conversion window).
+
+    Each stage's frame keeps both its own entry time and the predecessor's,
+    so the lag is a per-user projection; stats aggregate per stage (rows
+    start at stage 1 — stage 0 has no predecessor). Lags are exact
+    microsecond differences expressed in seconds; avg/median rounded at
+    6 dp (summation-order/interpolation ULPs).
+    """
+    if len(stages) < 2:
+        raise ValueError("a funnel needs at least two stages")
+    entered = (
+        df.filter(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t_cur"))
+    )
+    out_frames = []
+    for i, stage in enumerate(stages[1:], start=1):
+        prev = entered.select(user_col, F.col("t_cur").alias("t_prev"))
+        qualifies = F.col(ts_col) > F.col("t_prev")
+        if within_seconds is not None:
+            cap = F.col("t_prev") + F.expr(f"INTERVAL {int(within_seconds)} SECONDS")
+            qualifies = qualifies & (F.col(ts_col) <= cap)
+        entered = (
+            df.filter(F.col(type_col) == stage)
+            .join(prev, user_col)
+            .filter(qualifies)
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("t_cur"), F.min("t_prev").alias("t_prev"))
+        )
+        lag_s = (
+            F.unix_micros(F.col("t_cur")) - F.unix_micros(F.col("t_prev"))
+        ) / F.lit(1_000_000.0)
+        out_frames.append(
+            entered.agg(
+                F.count(F.lit(1)).cast("long").alias("n_users"),
+                F.round(F.avg(lag_s), 6).alias("avg_lag_s"),
+                F.round(F.median(lag_s), 6).alias("med_lag_s"),
+            ).select(
+                F.lit(i).cast("int").alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                "n_users",
+                "avg_lag_s",
+                "med_lag_s",
+            )
+        )
+        entered = entered.select(user_col, "t_cur")
+    return reduce(DataFrame.unionByName, out_frames)

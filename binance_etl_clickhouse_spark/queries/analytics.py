@@ -396,3 +396,44 @@ def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from binance_etl_clickhouse_spark.operators.funnel import cohort_retention
 
     return cohort_retention(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "funnel_conversion_lags",
+    f"""
+    WITH s0 AS (
+      SELECT user_id, min(ts) AS t_cur FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s1 AS (
+      SELECT e.user_id, min(e.ts) AS t_cur, min(s0.t_cur) AS t_prev
+      FROM events e JOIN s0 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s0.t_cur
+        AND e.ts <= s0.t_cur + INTERVAL {_FUNNEL_WITHIN_S} SECOND
+      GROUP BY e.user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t_cur, min(s1.t_cur) AS t_prev
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s1.t_cur
+        AND e.ts <= s1.t_cur + INTERVAL {_FUNNEL_WITHIN_S} SECOND
+      GROUP BY e.user_id
+    ),
+    lag1 AS (SELECT epoch_us(t_cur - t_prev) / 1000000.0 AS lag_s FROM s1),
+    lag2 AS (SELECT epoch_us(t_cur - t_prev) / 1000000.0 AS lag_s FROM s2)
+    SELECT 1 AS stage_idx, 'click' AS stage, count(*)::BIGINT AS n_users,
+           round(avg(lag_s), 6) AS avg_lag_s, round(median(lag_s), 6) AS med_lag_s
+    FROM lag1
+    UNION ALL
+    SELECT 2, 'purchase', count(*)::BIGINT, round(avg(lag_s), 6),
+           round(median(lag_s), 6)
+    FROM lag2
+    """,
+    survey_ref="event analytics: per-stage funnel conversion lag (avg/median)",
+)
+def funnel_conversion_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_clickhouse_spark.operators.funnel import funnel_stage_lags
+
+    return funnel_stage_lags(
+        _t(spark, sf_dir, "events"), _FUNNEL_STAGES, within_seconds=_FUNNEL_WITHIN_S
+    )
