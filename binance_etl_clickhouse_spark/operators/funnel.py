@@ -108,12 +108,17 @@ def cohort_retention(
     df: DataFrame,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    granularity: str = "day",
 ) -> DataFrame:
-    """(cohort_date, day_offset, n_active, n_cohort, retention_rate).
+    """(cohort_date, day_offset|week_offset, n_active, n_cohort,
+    retention_rate).
 
-    cohort_date = a user's first active calendar date; a (cohort, offset)
-    row counts the cohort's users active exactly ``day_offset`` days after
-    that date. Offset 0 always covers the full cohort (rate 1.0).
+    cohort_date = a user's first active calendar period (``granularity`` =
+    'day' or 'week'); a (cohort, offset) row counts the cohort's users
+    active exactly that many periods after it. Offset 0 always covers the
+    full cohort (rate 1.0). The offset division is exact: both dates are
+    truncated to the period boundary, so datediff is a multiple of the
+    period length.
 
     The activity frame is pre-collapsed to distinct (user, date) BEFORE any
     join — at 100 TB that drops the event stream to at most users × days
@@ -123,24 +128,29 @@ def cohort_retention(
     both engines and the driver canonicalizer agree on timestamp values,
     while Spark DATE surfaces as ``datetime.date`` vs DuckDB's datetime64.
     """
+    period_days = {"day": 1, "week": 7}
+    if granularity not in period_days:
+        raise ValueError(f"granularity must be one of {sorted(period_days)}")
+    offset_col = f"{granularity}_offset"
     active = df.select(
-        F.col(user_col), F.date_trunc("day", F.col(ts_col)).alias("active_date")
+        F.col(user_col), F.date_trunc(granularity, F.col(ts_col)).alias("active_date")
     ).distinct()
     first = active.groupBy(user_col).agg(F.min("active_date").alias("cohort_date"))
     cohort_sizes = first.groupBy("cohort_date").agg(
         F.count(F.lit(1)).cast("long").alias("n_cohort")
     )
+    offset = (
+        F.datediff(F.col("active_date"), F.col("cohort_date"))
+        / F.lit(period_days[granularity])
+    ).cast("int")
     activity = (
         active.join(first, user_col)
-        .groupBy(
-            "cohort_date",
-            F.datediff(F.col("active_date"), F.col("cohort_date")).alias("day_offset"),
-        )
+        .groupBy("cohort_date", offset.alias(offset_col))
         .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
     )
     return activity.join(F.broadcast(cohort_sizes), "cohort_date").select(
         "cohort_date",
-        F.col("day_offset").cast("int").alias("day_offset"),
+        F.col(offset_col).cast("int").alias(offset_col),
         "n_active",
         "n_cohort",
         F.round(F.col("n_active") / F.col("n_cohort"), 6).alias("retention_rate"),

@@ -437,3 +437,35 @@ def funnel_conversion_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_stage_lags(
         _t(spark, sf_dir, "events"), _FUNNEL_STAGES, within_seconds=_FUNNEL_WITHIN_S
     )
+
+
+@register(
+    "cohort_retention_weekly",
+    """
+    WITH active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_date FROM events
+    ),
+    first AS (
+      SELECT user_id, min(active_date) AS cohort_date FROM active GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT cohort_date, count(*)::BIGINT AS n_cohort FROM first GROUP BY cohort_date
+    ),
+    activity AS (
+      SELECT f.cohort_date,
+             CAST(date_diff('day', f.cohort_date, a.active_date) // 7 AS INTEGER)
+               AS week_offset,
+             count(*)::BIGINT AS n_active
+      FROM active a JOIN first f USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT a.cohort_date, a.week_offset, a.n_active, s.n_cohort,
+           round(a.n_active / s.n_cohort, 6) AS retention_rate
+    FROM activity a JOIN sizes s USING (cohort_date)
+    """,
+    survey_ref="event analytics: week-cohort retention matrix",
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_clickhouse_spark.operators.funnel import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"), granularity="week")
