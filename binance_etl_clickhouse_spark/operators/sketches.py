@@ -76,3 +76,141 @@ def merge_distinct_over(
             hll_estimate(merged).cast("long").alias(out_col)
         )
     return rollup.agg(hll_estimate(merged).cast("long").alias(out_col))
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile state — AggregateFunction(quantile, ...) analogue
+# ---------------------------------------------------------------------------
+
+#: DataSketches KLL accuracy parameter: 2048 → ~0.6% rank error, ~KB state
+DEFAULT_KLL_K = 2048
+
+
+def kll_state(col: Column | str, k: int = DEFAULT_KLL_K) -> Column:
+    """Aggregate expression producing mergeable KLL quantile state (binary)
+    over a double-valued column.
+
+    The quantile counterpart of :func:`hll_state`: per-bucket medians/p99s
+    don't combine (a median of medians is not the median), so the rollup
+    stores the KLL STATE per bucket and :func:`merge_quantiles_over` answers
+    any bucket range at query time. ClickHouse's
+    ``AggregateFunction(quantilesTDigest, ...)`` column, on Spark's native
+    DataSketches KLL primitives.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.kll_sketch_agg_double(c.cast("double"), F.lit(k))
+
+
+def kll_merge_states(state_col: Column | str) -> Column:
+    """Aggregate expression merging a GROUP of stored KLL states into one.
+
+    Spark exposes KLL merge only as the two-argument scalar
+    ``kll_sketch_merge_double``, so the group merge is a fold over
+    ``collect_list`` — fine at query time, where the fold runs over the
+    O(buckets-in-range) states a partition-pruned rollup scan returns (a few
+    KB each), not over raw rows.
+    """
+    c = F.col(state_col) if isinstance(state_col, str) else state_col
+    lst = F.collect_list(c)
+    return F.aggregate(
+        F.slice(lst, 2, 2_000_000_000),
+        F.element_at(lst, 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )
+
+
+def kll_quantile(state_col: Column | str, q: float) -> Column:
+    """Quantile point-read (double) from one KLL state value."""
+    c = F.col(state_col) if isinstance(state_col, str) else state_col
+    return F.kll_sketch_get_quantile_double(c, F.lit(float(q)))
+
+
+def merge_quantiles_over(
+    rollup: DataFrame,
+    state_col: str,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Range-query a KLL rollup: merge per-bucket states (optionally per
+    residual group) and read out quantiles as ``p50``/``p95``/... columns."""
+    merged = kll_merge_states(state_col).alias("_m")
+    outs = [
+        F.kll_sketch_get_quantile_double(F.col("_m"), F.lit(float(q))).alias(
+            f"p{int(q * 100)}" if float(q * 100).is_integer() else f"p{str(q).replace('.', '_')}"
+        )
+        for q in qs
+    ]
+    if group_cols:
+        return rollup.groupBy(*group_cols).agg(merged).select(*group_cols, *outs)
+    return rollup.agg(merged).select(*outs)
+
+
+# ---------------------------------------------------------------------------
+# Theta sketch state — set algebra over distincts (uniqTheta analogue)
+# ---------------------------------------------------------------------------
+
+#: DataSketches theta log2(nominal entries): 12 → exact below 4096 distincts
+DEFAULT_THETA_LG_K = 12
+
+
+def theta_state(col: Column | str, lg_k: int = DEFAULT_THETA_LG_K) -> Column:
+    """Aggregate expression producing mergeable theta sketch state (binary).
+
+    HLL answers only "how many distinct in this bucket range" (union). Theta
+    states additionally support INTERSECTION and DIFFERENCE at query time —
+    "users active in month A *and* month B" (retention) or "in A but not B"
+    (churn) straight from per-bucket states, no raw-table rescan, no
+    user-level join. ClickHouse's ``uniqTheta`` / ``AggregateFunction``
+    pattern on Spark's native DataSketches theta primitives.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.theta_sketch_agg(c, F.lit(lg_k))
+
+
+def theta_union_states(state_col: Column | str) -> Column:
+    """Aggregate expression: union-merge stored theta states."""
+    c = F.col(state_col) if isinstance(state_col, str) else state_col
+    return F.theta_union_agg(c)
+
+
+def theta_intersect_states(state_col: Column | str) -> Column:
+    """Aggregate expression: intersection-merge stored theta states."""
+    c = F.col(state_col) if isinstance(state_col, str) else state_col
+    return F.theta_intersection_agg(c)
+
+
+def theta_estimate(state_col: Column | str) -> Column:
+    """Point estimate (double → cast long by callers) from one theta state."""
+    c = F.col(state_col) if isinstance(state_col, str) else state_col
+    return F.theta_sketch_estimate(c)
+
+
+def sketch_retention_adjacent(
+    bucketed: DataFrame,
+    bucket_col: str = "bucket",
+    state_col: str = "users_theta",
+) -> DataFrame:
+    """Adjacent-bucket retention/churn from theta states alone.
+
+    Input: one row per bucket with a :func:`theta_state` column (e.g. a
+    daily rollup). Output per consecutive bucket pair: ``n_bucket`` distinct
+    actives, ``retained`` (∩ next bucket) and ``churned`` (∖ next bucket)
+    estimates. The entire computation is a lag window + two scalar sketch
+    ops over O(buckets) rows — the raw table is never re-read, which is the
+    point at 100 TB: the retention matrix costs the same whether the bucket
+    held a thousand users or a billion.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(bucket_col)
+    paired = bucketed.select(
+        F.col(bucket_col),
+        F.col(state_col).alias("s"),
+        F.lead(state_col).over(w).alias("s_next"),
+    )
+    return paired.filter(F.col("s_next").isNotNull()).select(
+        F.col(bucket_col),
+        theta_estimate("s").cast("long").alias("n_bucket"),
+        theta_estimate(F.theta_intersection("s", "s_next")).cast("long").alias("retained"),
+        theta_estimate(F.theta_difference("s", "s_next")).cast("long").alias("churned"),
+    )

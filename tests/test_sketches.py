@@ -16,7 +16,16 @@ from binance_etl_clickhouse_spark.operators.sketches import (
     hll_estimate,
     hll_merge,
     hll_state,
+    kll_merge_states,
+    kll_quantile,
+    kll_state,
     merge_distinct_over,
+    merge_quantiles_over,
+    sketch_retention_adjacent,
+    theta_estimate,
+    theta_intersect_states,
+    theta_state,
+    theta_union_states,
 )
 from binance_etl_clickhouse_spark.schemas import KLINES_PK
 from binance_etl_clickhouse_spark.sources.synthetic import synthetic_klines_raw
@@ -112,3 +121,113 @@ def test_rollup_table_maintains_sketch_column_incrementally(spark, tmp_path):
     exact = serving.read(spark).agg(F.countDistinct("symbol")).first()[0]
     # 10 symbols: lgK=12 sketch is exact at this cardinality
     assert est == exact
+
+
+def test_kll_rollup_quantiles_merge_and_roundtrip(spark, tmp_path):
+    """Per-day KLL states answer range quantile queries after a fold-merge.
+
+    At this scale (1000 values < k=2048) the sketch is in its exact regime:
+    merged quantiles must EQUAL exact percentiles, and the fold of per-day
+    states must equal the sketch built over the raw rows.
+    """
+    ev = load_table(spark, SF, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("bucket")).agg(
+        kll_state("value").alias("value_kll")
+    )
+    assert isinstance(daily.schema["value_kll"].dataType, BinaryType)
+
+    path = str(tmp_path / "daily_kll")
+    daily.write.parquet(path)
+    back = spark.read.parquet(path)
+
+    got = merge_quantiles_over(back, "value_kll", qs=(0.5, 0.95, 0.99)).first()
+    # DataSketches KLL quantile definition (rank-select) differs from SQL
+    # interpolating percentile(); compare against the non-interpolating form.
+    exact = ev.selectExpr(
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY cast(value as double)) as p50",
+        "percentile_disc(0.95) WITHIN GROUP (ORDER BY cast(value as double)) as p95",
+        "percentile_disc(0.99) WITHIN GROUP (ORDER BY cast(value as double)) as p99",
+    ).first()
+    for name in ("p50", "p95", "p99"):
+        # exact regime: tolerance only guards the rank-definition half-step
+        assert abs(got[name] - exact[name]) <= 0.05 * abs(exact[name]) + 1e-9, (
+            name, got[name], exact[name],
+        )
+
+    # merge consistency: fold of per-bucket states == sketch over raw rows
+    merged_p50 = back.agg(kll_merge_states("value_kll").alias("m")).select(
+        kll_quantile("m", 0.5).alias("q")
+    ).first()["q"]
+    direct_p50 = ev.agg(kll_state("value").alias("m")).select(
+        kll_quantile("m", 0.5).alias("q")
+    ).first()["q"]
+    assert merged_p50 == direct_p50
+
+    # range query: merged first-half states == exact quantile over that range
+    cut = back.select(F.min("bucket"), F.max("bucket")).first()
+    mid = cut[0] + (cut[1] - cut[0]) / 2
+    got_half = merge_quantiles_over(
+        back.filter(F.col("bucket") <= F.lit(mid)), "value_kll", qs=(0.5,)
+    ).first()["p50"]
+    exact_half = (
+        ev.filter(F.date_trunc("day", "ts") <= F.lit(mid))
+        .selectExpr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY cast(value as double)) as p"
+        )
+        .first()["p"]
+    )
+    assert abs(got_half - exact_half) <= 0.05 * abs(exact_half) + 1e-9
+
+
+def test_theta_set_algebra_union_intersect_difference(spark, tmp_path):
+    """Theta states support union AND intersection/difference at query time.
+
+    15 users < 4096 nominal entries -> theta is exact here, so estimates
+    must match exact set counts computed from the raw rows.
+    """
+    ev = load_table(spark, SF, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("bucket")).agg(
+        theta_state("user_id").alias("users_theta")
+    )
+    path = str(tmp_path / "daily_theta")
+    daily.write.parquet(path)
+    back = spark.read.parquet(path)
+
+    # union across all buckets == global distinct
+    got_union = back.agg(
+        theta_estimate(theta_union_states("users_theta")).cast("long").alias("u")
+    ).first()["u"]
+    exact_union = ev.agg(F.countDistinct("user_id")).first()[0]
+    assert got_union == exact_union
+
+    # intersection across all buckets == users active EVERY day
+    got_inter = back.agg(
+        theta_estimate(theta_intersect_states("users_theta")).cast("long").alias("i")
+    ).first()["i"]
+    per_day = ev.groupBy(F.date_trunc("day", "ts").alias("d"), "user_id").count()
+    n_days = per_day.select("d").distinct().count()
+    exact_inter = (
+        per_day.groupBy("user_id")
+        .agg(F.countDistinct("d").alias("nd"))
+        .filter(F.col("nd") == n_days)
+        .count()
+    )
+    assert got_inter == exact_inter
+
+    # adjacent-bucket retention/churn from states only vs exact self-join
+    got = {
+        r.bucket: (r.n_bucket, r.retained, r.churned)
+        for r in sketch_retention_adjacent(back, "bucket", "users_theta").collect()
+    }
+    days = sorted(got)
+    ud = ev.select(
+        F.date_trunc("day", "ts").alias("d"), "user_id"
+    ).distinct().cache()
+    try:
+        for d in days:
+            cur = {r.user_id for r in ud.filter(F.col("d") == F.lit(d)).collect()}
+            nxt_day = min(x for x in [r.d for r in ud.select("d").distinct().collect()] if x > d)
+            nxt = {r.user_id for r in ud.filter(F.col("d") == F.lit(nxt_day)).collect()}
+            assert got[d] == (len(cur), len(cur & nxt), len(cur - nxt)), d
+    finally:
+        ud.unpersist()
