@@ -390,6 +390,65 @@ def neardup_clusters(
         labels.unpersist()
 
 
+def semdedup_flags(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    persist_index: bool = True,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster embeddings with the coarse
+    k-means codebook, then drop any vector that has an EARLIER (lower-id)
+    near-duplicate (cosine >= threshold) in the SAME cluster.
+
+    The k-means partition is what makes semantic dedup affordable: the
+    pairwise cosine check runs per cell (an equi-join on ``cell``), never
+    across the whole corpus — with k cells the candidate volume drops from
+    O(n^2) to ~O(n^2/k), and each cell's block is an independent task. At
+    100 TB: train the codebook on a sample, raise k so a cell's block fits
+    one task, and reuse the cell-partitioned IVF layout so the join needs
+    no extra shuffle.
+
+    Keep rule: deterministic "no earlier near-dup" — a vector is kept iff
+    no same-cell vector with a smaller id is within the threshold. (The
+    SemDeDup paper's greedy chain scan is order-dependent inside a cluster;
+    this declarative variant is fully parallel, and unlike the greedy form
+    it is expressible as pure relational algebra, so a DuckDB oracle can
+    pin it exactly.) Output: one row per input vector —
+    (id, cell, kept boolean).
+    """
+    from binance_etl_clickhouse_spark.operators.ivf import assign_cells
+    from binance_etl_clickhouse_spark.operators.similarity import cosine_expr
+
+    cells = _pin(
+        assign_cells(df, centroids, id_col, vec_col).select(
+            F.col(id_col),
+            F.col("cell"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        ),
+        persist_index,
+    )
+    a = cells.select(F.col(id_col), "cell", F.col("v").alias("va"))
+    b = cells.select(F.col(id_col).alias("_earlier"), "cell", F.col("v").alias("vb"))
+    dropped = (
+        a.join(b, ["cell"])
+        .filter(F.col("_earlier") < F.col(id_col))
+        .filter(F.round(cosine_expr(F.col("va"), F.col("vb")), 6) >= threshold)
+        .select(id_col)
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        cells.join(dropped, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
 def simhash_banded_pairs(
     sig: DataFrame,
     max_hamming: int = 3,

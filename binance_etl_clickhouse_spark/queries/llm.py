@@ -613,6 +613,64 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup through the SAME coarse k-means partition IVF
+# uses — pairwise cosine runs per cell (equi-join on cell), never corpus-
+# wide; a vector is dropped iff an earlier (lower-id) same-cell vector is
+# within the cosine threshold. The oracle unrolls the identical k-means and
+# replays the keep rule as plain relational algebra.
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.45
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_inner_product({a}, {b})"
+        f" / (sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b})))"
+    )
+
+
+def _semdedup_oracle() -> str:
+    iters = []
+    prev = "c0"
+    for it in range(1, _IVF_ITERS + 1):
+        iters.append(_kmeans_assign_cte(f"a{it}", prev) + ",")
+        iters.append(_kmeans_update_cte(f"a{it}", prev, f"c{it}") + ",")
+        prev = f"c{it}"
+    body = "\n".join(iters)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_IVF_K})
+    ),
+    {body}
+    {_kmeans_assign_cte('af', prev)},
+    dropped AS (
+      SELECT DISTINCT a.vec_id
+      FROM af a JOIN af b ON a.cell = b.cell AND b.vec_id < a.vec_id
+      WHERE round({_cos_sql('a.v', 'b.v')}, 6) >= {_SEMDEDUP_TAU}
+    )
+    SELECT af.vec_id, CAST(af.cell AS INTEGER) AS cell,
+           (dropped.vec_id IS NULL) AS kept
+    FROM af LEFT JOIN dropped USING (vec_id)
+    """
+
+
+@register(
+    "semdedup_prune",
+    _semdedup_oracle(),
+    survey_ref="dedup: SemDeDup semantic dedup (k-means cells + per-cell cosine prune)",
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_clickhouse_spark.operators.ivf import kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codebook = kmeans_fit(emb, k=_IVF_K, n_iters=_IVF_ITERS)
+    return neardup.semdedup_flags(emb, codebook, threshold=_SEMDEDUP_TAU)
+
+
+# ---------------------------------------------------------------------------
 # ANN via product quantization (PQ): vectors compress to m per-subspace
 # codes; the query scans codes + a literal lookup table (ADC), shortlists,
 # and exact-reranks only the survivors. Like the IVF oracle, the per-

@@ -238,3 +238,12 @@ def test_ann_ivf_batch_query_partition_pruned(spark):
     plan = _plan(spark, "ann_ivf_batch_topk")
     assert "PartitionFilters: [cell" in plan, plan[:2000]
     assert "BroadcastExchange" in plan and "WindowGroupLimit" in plan
+
+
+def test_semdedup_per_cell_equi_join_no_cartesian(spark):
+    # the semantic-dedup pairwise check must stay an equi-join on the
+    # k-means cell (candidate volume ~n^2/k, independent per-cell tasks),
+    # never an all-pairs nested loop over the corpus
+    plan = _plan(spark, "semdedup_prune")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
