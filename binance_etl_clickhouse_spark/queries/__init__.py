@@ -91,7 +91,11 @@ DRIVER_WINDOW = [
     "ann_lsh_topk",
     "embedding_lsh_neardup",
     "ann_ivf_topk",
-    "embedding_cosine_neardup",
+    # semdedup_prune displaced embedding_cosine_neardup: the latter was
+    # driver-green in r1 and its only change since (GEMM boundary mask) is
+    # equivalence-pinned by pytest at sf0.001 AND sf0.01; the former is a
+    # brand-new operator that needs its first driver row.
+    "semdedup_prune",
     # (b) new this round — never driver-checked
     "window_distribution_family",
     "token_budget_pack",
