@@ -185,6 +185,56 @@ def theta_estimate(state_col: Column | str) -> Column:
     return F.theta_sketch_estimate(c)
 
 
+def cms_state(
+    col: Column | str,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> Column:
+    """Aggregate expression producing mergeable Count-Min-Sketch frequency
+    state (binary) — approximate per-item COUNTS, the frequency counterpart
+    of the HLL/theta/KLL states.
+
+    Per-bucket exact top-k tables can't answer "how often did item X occur
+    over this bucket range" for arbitrary X; a CMS state per bucket can,
+    with error ≤ eps * range_total at the given confidence. The ``seed``
+    must be identical across buckets or the states don't merge.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.count_min_sketch(c, F.lit(float(eps)), F.lit(float(confidence)), F.lit(seed))
+
+
+def cms_point_estimates(
+    spark,
+    states: DataFrame,
+    state_col: str,
+    items: list,
+) -> dict:
+    """Merge stored CMS states and point-query the given items.
+
+    Spark exposes CMS build (`count_min_sketch`) but no SQL reader over the
+    binary, so the merge + query runs driver-side through the JVM sketch
+    class over the COLLECTED bucket states. That is the intended shape: a
+    rollup holds O(buckets) kilobyte-scale states (the compressed form of
+    the raw table), so collecting them is metadata-sized work no matter how
+    many raw rows each bucket summarized. String items hash as UTF-8
+    strings, integral items as longs — matching how the aggregate hashed
+    the column.
+    """
+    jvm = spark._jvm
+    cms_cls = jvm.org.apache.spark.util.sketch.CountMinSketch
+    merged = None
+    for row in states.select(state_col).collect():
+        sk = cms_cls.readFrom(bytes(row[0]))
+        if merged is None:
+            merged = sk
+        else:
+            merged.mergeInPlace(sk)
+    if merged is None:
+        return {item: 0 for item in items}
+    return {item: merged.estimateCount(item) for item in items}
+
+
 def sketch_retention_adjacent(
     bucketed: DataFrame,
     bucket_col: str = "bucket",

@@ -231,3 +231,47 @@ def test_theta_set_algebra_union_intersect_difference(spark, tmp_path):
             assert got[d] == (len(cur), len(cur & nxt), len(cur - nxt)), d
     finally:
         ud.unpersist()
+
+
+def test_cms_frequency_state_merge_and_point_query(spark, tmp_path):
+    """Per-day CMS states merged over a bucket range answer point frequency
+    queries; eps=0.001 over 1000 rows -> estimates equal exact counts."""
+    from binance_etl_clickhouse_spark.operators.sketches import (
+        cms_point_estimates,
+        cms_state,
+    )
+
+    ev = load_table(spark, SF, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("bucket")).agg(
+        cms_state("event_type").alias("types_cms"),
+        cms_state("user_id").alias("users_cms"),
+    )
+    path = str(tmp_path / "daily_cms")
+    daily.write.parquet(path)
+    back = spark.read.parquet(path)
+
+    exact_types = {
+        r.event_type: r["count"] for r in ev.groupBy("event_type").count().collect()
+    }
+    got = cms_point_estimates(spark, back, "types_cms", list(exact_types))
+    assert got == exact_types
+
+    # long-typed column: items hash as longs
+    exact_users = {
+        r.user_id: r["count"] for r in ev.groupBy("user_id").count().limit(5).collect()
+    }
+    got_u = cms_point_estimates(spark, back, "users_cms", list(exact_users))
+    assert got_u == exact_users
+
+    # range query: first half of the buckets only
+    cut = back.select(F.min("bucket"), F.max("bucket")).first()
+    mid = cut[0] + (cut[1] - cut[0]) / 2
+    got_half = cms_point_estimates(
+        spark, back.filter(F.col("bucket") <= F.lit(mid)), "types_cms", ["click"]
+    )
+    exact_half = (
+        ev.filter(F.date_trunc("day", "ts") <= F.lit(mid))
+        .filter(F.col("event_type") == "click")
+        .count()
+    )
+    assert got_half["click"] == exact_half
