@@ -132,7 +132,14 @@ def minhash_signatures(
     codegen stage.
     """
     out = ensure_min_parallelism(df).select(id_col, shingles(text_col, k).alias("sh"))
-    hashed = out.withColumn("hv", F.transform(F.col("sh"), lambda s: hash31(s)))
+    return _signatures_from_shingles(out, id_col)
+
+
+def _signatures_from_shingles(sh_sets: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mh0..mh{K-1} signature columns from an (id, sh array) frame —
+    factored out so a caller that also needs the shingle arrays (the
+    exact-Jaccard verify) shingles the corpus text exactly once."""
+    hashed = sh_sets.withColumn("hv", F.transform(F.col("sh"), lambda s: hash31(s)))
     cols = [
         F.array_min(F.transform(F.col("hv"), lambda x: minhash_perm(j, x))).alias(f"mh{j}")
         for j in range(LSH_BANDS * LSH_ROWS)
@@ -172,7 +179,14 @@ def minhash_lsh_pairs(
     Candidates then verified against the true shingle Jaccard so output
     precision is exact; only recall is probabilistic.
     """
-    sig = _pin(minhash_signatures(df, id_col, text_col, k), persist_index)
+    # ONE corpus text scan: the shingle frame feeds both the signatures and
+    # the exact-Jaccard verify arrays (previously two independent scans
+    # each re-shingling the text).
+    sh_sets = _pin(
+        ensure_min_parallelism(df).select(F.col(id_col), shingles(text_col, k).alias("sh")),
+        persist_index,
+    )
+    sig = _pin(_signatures_from_shingles(sh_sets, id_col), persist_index)
     bands = minhash_band_values(sig, id_col)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -186,10 +200,6 @@ def minhash_lsh_pairs(
     # runs; verification work is O(candidate pairs x shingles), and the
     # arithmetic (|A∩B| / (|A|+|B|-|A∩B|) on the same integers) is identical
     # to ngram_jaccard_pairs, so precision stays exact.
-    sh_sets = _pin(
-        ensure_min_parallelism(df).select(F.col(id_col), shingles(text_col, k).alias("sh")),
-        persist_index,
-    )
     s1 = sh_sets.select(F.col(id_col).alias("d1"), F.col("sh").alias("sh1"))
     s2 = sh_sets.select(F.col(id_col).alias("d2"), F.col("sh").alias("sh2"))
     inter = F.size(F.array_intersect(F.col("sh1"), F.col("sh2")))
