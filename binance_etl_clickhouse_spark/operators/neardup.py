@@ -400,6 +400,56 @@ def neardup_clusters(
         labels.unpersist()
 
 
+def fuzzy_blocked_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    snippet_len: int = 40,
+    block_len: int = 8,
+    persist_index: bool = True,
+) -> DataFrame:
+    """Edit-distance fuzzy matching with blocking — the record-linkage /
+    entity-resolution member of the dedup family.
+
+    Levenshtein is quadratic per pair and inexpressible as a hash, so the
+    scale shape is the classic blocking join: candidates are pairs sharing
+    a normalized snippet PREFIX or SUFFIX block key (two blocking passes,
+    unioned), and the edit distance runs on candidates only — never
+    all-pairs. Recall is the usual blocking trade-off (a pair whose edits
+    hit both ends of the snippet is missed); precision is exact. At 100 TB
+    add more blocking passes (e.g. mid n-grams) to taste — each is another
+    equi-join, and the verify cost stays O(candidates).
+
+    Output: (d1, d2, edit_dist) for every blocked candidate pair, distances
+    computed over the normalized first-``snippet_len`` chars.
+    """
+    snip = F.substring(F.lower(F.col(text_col)), 1, snippet_len)
+    s = _pin(
+        ensure_min_parallelism(df).select(F.col(id_col), snip.alias("snip")),
+        persist_index,
+    )
+    prefix = s.select(id_col, F.substring("snip", 1, block_len).alias("k"))
+    # right(): total on short strings (returns the whole string), same
+    # semantics in DuckDB so the oracle blocks identically
+    suffix = s.select(id_col, F.expr(f"right(snip, {block_len})").alias("k"))
+    blocks = prefix.union(suffix)
+    a = blocks.select(F.col(id_col).alias("d1"), "k")
+    b = blocks.select(F.col(id_col).alias("d2"), "k")
+    cand = (
+        a.join(b, "k")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    s1 = s.select(F.col(id_col).alias("d1"), F.col("snip").alias("snip1"))
+    s2 = s.select(F.col(id_col).alias("d2"), F.col("snip").alias("snip2"))
+    return (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .select("d1", "d2", F.levenshtein("snip1", "snip2").alias("edit_dist"))
+    )
+
+
 def semdedup_flags(
     df: DataFrame,
     centroids: list[list[float]],

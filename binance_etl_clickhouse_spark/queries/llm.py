@@ -613,6 +613,43 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Fuzzy (edit-distance) matching with blocking: candidates share a snippet
+# prefix or suffix block key; Levenshtein verifies candidates only. The
+# oracle replicates the same blocking, so the candidate sets are identical
+# by construction and parity is exact. Top-k keeps the output deterministic
+# and non-empty regardless of corpus similarity structure.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fuzzy_snippet_pairs",
+    """
+    WITH s AS (SELECT doc_id, substr(lower(text), 1, 40) AS snip FROM documents),
+    b AS (
+      SELECT doc_id, substr(snip, 1, 8) AS k FROM s
+      UNION
+      SELECT doc_id, right(snip, 8) AS k FROM s
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+      FROM b a JOIN b c ON a.k = c.k AND a.doc_id < c.doc_id
+    )
+    SELECT d1, d2, levenshtein(s1.snip, s2.snip) AS edit_dist
+    FROM cand
+    JOIN s s1 ON d1 = s1.doc_id
+    JOIN s s2 ON d2 = s2.doc_id
+    ORDER BY edit_dist, d1, d2 LIMIT 20
+    """,
+    survey_ref="dedup: fuzzy edit-distance matching (blocking join + candidate-only verify)",
+)
+def fuzzy_snippet_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = neardup.fuzzy_blocked_pairs(
+        _t(spark, sf_dir, "documents"), snippet_len=40, block_len=8
+    )
+    return pairs.orderBy("edit_dist", "d1", "d2").limit(20)
+
+
+# ---------------------------------------------------------------------------
 # SemDeDup: semantic dedup through the SAME coarse k-means partition IVF
 # uses — pairwise cosine runs per cell (equi-join on cell), never corpus-
 # wide; a vector is dropped iff an earlier (lower-id) same-cell vector is
