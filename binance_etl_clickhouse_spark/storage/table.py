@@ -149,7 +149,12 @@ class ServingTable:
         sparse index, reference :544). ``repartition(month, keys)`` keeps each
         output file single-month and key-clustered — at cluster scale this is
         the shuffle that buys co-located, pruned reads forever after.
+
+        If a zone-map sidecar exists (:meth:`build_zonemap`), the batch's new
+        files are footer-scanned and folded in — incremental maintenance, no
+        full rebuild.
         """
+        from binance_etl_clickhouse_spark.storage import zonemap as _zm
         # heal an interrupted compact FIRST: writing into a missing live dir
         # while .compact.bak still holds the table would make the next
         # _recover() treat the bak as stale debris and delete the pre-compact
@@ -163,6 +168,8 @@ class ServingTable:
         if prior is None and self.exists():
             row = self.read_raw(df.sparkSession).agg(F.max(INGEST_SEQ).alias("m")).first()
             prior = int(row.m or 0)
+        has_zonemap = _zm.read_zonemap(self.path) is not None
+        before_files = set(_zm.data_files(self.path)) if has_zonemap else set()
         out = df.withColumn(INGEST_SEQ, F.lit(ingest_seq))
         sort_cols = self.sort_cols or self.keys
         if self.time_col is not None:
@@ -184,6 +191,9 @@ class ServingTable:
             # dimension tables: small, unpartitioned
             out.sortWithinPartitions(*sort_cols).write.mode("append").parquet(self.path)
         self._write_sidecar(max(prior or 0, ingest_seq))
+        if has_zonemap:
+            new = [f for f in _zm.data_files(self.path) if f not in before_files]
+            _zm.extend_zonemap(self.path, new)
 
     def expire(self, before_month: int) -> list[int]:
         """TTL retention ≙ ClickHouse ``ALTER TABLE ... DROP PARTITION`` /
@@ -217,13 +227,81 @@ class ServingTable:
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(self.path)
 
-    def read(self, spark: SparkSession, merge_schema: bool = False) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        merge_schema: bool = False,
+        as_of_seq: int | None = None,
+    ) -> DataFrame:
         """Current snapshot: newest version per key (≙ SELECT ... FINAL).
 
         Keep-last over (keys) ordered by ingest_seq; within one batch the
         writer has already deduped, so ingest_seq is a total enough order.
+
+        ``as_of_seq=N`` time-travels: the snapshot as it stood after ingest
+        batch N (rows stamped later are ignored BEFORE dedup, so a key
+        re-ingested after N resolves to its version at N). Appends never
+        rewrite old versions, so any historical seq stays reconstructible
+        until ``compact()`` collapses history to the current version.
         """
-        return keep_last(self.read_raw(spark, merge_schema), self.keys, INGEST_SEQ)
+        raw = self.read_raw(spark, merge_schema)
+        if as_of_seq is not None:
+            raw = raw.filter(F.col(INGEST_SEQ) <= int(as_of_seq))
+        return keep_last(raw, self.keys, INGEST_SEQ)
+
+    def build_zonemap(self, columns: list[str] | None = None) -> dict:
+        """Build the file-level sparse index sidecar (``storage/zonemap.py``).
+
+        Defaults to the physical sort columns plus the time column — the
+        dimensions the key-sorted layout actually makes narrow per file.
+        """
+        from binance_etl_clickhouse_spark.storage import zonemap as _zm
+
+        if columns is None:
+            columns = list(self.sort_cols or self.keys)
+            if self.time_col and self.time_col not in columns:
+                columns.append(self.time_col)
+        return _zm.build_zonemap(self.path, columns)
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        predicates: dict[str, tuple],
+        dedup: bool = True,
+    ) -> DataFrame:
+        """Point/range lookup through the zone map: the driver drops files
+        whose key bounds cannot match BEFORE Spark schedules tasks, then the
+        same predicates run as ordinary filters over the surviving files —
+        correct with or without pruning, and a stale/missing sidecar falls
+        back to the full scan. ``predicates`` as in ``zonemap.prune_files``.
+
+        This is the ClickHouse sparse-PK read shape: on a million-file
+        table a ``symbol =`` lookup schedules tasks for only the files that
+        can contain the key, instead of an O(files) listing+footer pass.
+        """
+        from binance_etl_clickhouse_spark.storage import zonemap as _zm
+
+        self._recover()
+        zm = _zm.read_zonemap(self.path)
+        files = (
+            _zm.prune_files(zm, self.path, predicates) if zm is not None else None
+        )
+        if files is None:
+            df = self.read_raw(spark)
+        elif not files:
+            df = self.read_raw(spark).limit(0)
+        else:
+            # basePath keeps the month= dir column in scope for partial reads
+            df = spark.read.option("basePath", self.path).parquet(*files)
+        for col, pred in predicates.items():
+            if pred[0] == "eq":
+                df = df.filter(F.col(col) == F.lit(pred[1]))
+            elif pred[0] == "between":
+                if pred[1] is not None:
+                    df = df.filter(F.col(col) >= F.lit(pred[1]))
+                if pred[2] is not None:
+                    df = df.filter(F.col(col) <= F.lit(pred[2]))
+        return keep_last(df, self.keys, INGEST_SEQ) if dedup else df
 
     def exists(self) -> bool:
         self._recover()
@@ -269,8 +347,11 @@ class ServingTable:
         file footers, where the lexicographic sort serves only its leading
         key. Same single shuffle as the sorted rewrite.
         """
+        from binance_etl_clickhouse_spark.storage import zonemap as _zm
+
         self._recover()
         cur_seq = self._read_sidecar()
+        prior_zm = _zm.read_zonemap(self.path)
         snap = self.read(spark)
         tmp = self.path.rstrip("/") + ".compact.tmp"
         sort_cols = self.sort_cols or self.keys
@@ -309,6 +390,10 @@ class ServingTable:
         # sidecar's max carries over unchanged
         if cur_seq is not None:
             self._write_sidecar(cur_seq)
+        # every file was rewritten -> the sparse index rebuilds over the new
+        # layout (same columns); one footer pass over the compacted files
+        if prior_zm is not None:
+            _zm.build_zonemap(self.path, prior_zm["columns"])
 
     def max_watermark(self, spark: SparkSession, per: str | None = None) -> DataFrame:
         """Resume offsets (SURVEY.md A5/T1): max(time_col) overall or per key."""
