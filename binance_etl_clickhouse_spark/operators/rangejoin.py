@@ -68,3 +68,49 @@ def range_join(
         (_c(point_col) >= _c(lo_col)) & upper
     )
     return joined.drop("__bin")
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_lo: str,
+    a_hi: str,
+    b_lo: str,
+    b_hi: str,
+    bin_width: float,
+) -> DataFrame:
+    """Inner-join interval rows of ``a`` to every OVERLAPPING interval row of
+    ``b`` (closed ends: ``a_lo <= b_hi AND b_lo <= a_hi``) as a shuffled
+    equi-join — the interval×interval twin of :func:`range_join`.
+
+    Both sides explode into the fixed-width bins they cover and equi-join on
+    the bin. An overlapping pair co-occurs in every shared bin, so instead
+    of a post-join ``distinct`` (a second whole-result shuffle) the residual
+    keeps ONE canonical collision: the bin holding the overlap's start,
+    ``max(floor(a_lo/w), floor(b_lo/w))`` — both intervals always cover
+    ``max(a_lo, b_lo)``, and floor is monotone, so exactly one surviving row
+    per overlapping pair. Column sets must be disjoint.
+    """
+    w = float(bin_width)
+    if w <= 0:
+        raise ValueError("bin_width must be positive")
+
+    def bins(lo: str, hi: str) -> Column:
+        return F.sequence(
+            F.floor(_c(lo) / w).cast("long"), F.floor(_c(hi) / w).cast("long")
+        )
+
+    ea = a.withColumn("__bin", F.explode(bins(a_lo, a_hi)))
+    eb = b.withColumn("__bin", F.explode(bins(b_lo, b_hi)))
+    first_shared = F.greatest(
+        F.floor(_c(a_lo) / w).cast("long"), F.floor(_c(b_lo) / w).cast("long")
+    )
+    return (
+        ea.join(eb, "__bin")
+        .filter(
+            (_c(a_lo) <= _c(b_hi))
+            & (_c(b_lo) <= _c(a_hi))
+            & (F.col("__bin") == first_shared)
+        )
+        .drop("__bin")
+    )

@@ -469,3 +469,62 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from binance_etl_clickhouse_spark.operators.funnel import cohort_retention
 
     return cohort_retention(_t(spark, sf_dir, "events"), granularity="week")
+
+
+# ---------------------------------------------------------------------------
+# Interval×interval overlap join: purchase attention windows vs error
+# windows, as a binned equi-join (operators/rangejoin.interval_overlap_join)
+# — no BroadcastNestedLoopJoin, one canonical collision per overlapping
+# pair (first-shared-bin residual), shuffled on the bin key so it shards at
+# 100 TB. The oracle states the plain overlap predicate.
+# ---------------------------------------------------------------------------
+_OVL_BIN_MS = 5 * 60_000  # ~ the interval length scale (1-7 min windows)
+
+
+@register(
+    "interval_overlap_pairs",
+    """
+    WITH a AS (
+      SELECT event_id AS a_id,
+             epoch_ms(ts) AS a_lo,
+             epoch_ms(ts) + (1 + event_id % 7) * 60000 AS a_hi
+      FROM events WHERE event_type = 'purchase'
+    ),
+    b AS (
+      SELECT event_id AS b_id,
+             epoch_ms(ts) AS b_lo,
+             epoch_ms(ts) + (1 + event_id % 5) * 60000 AS b_hi
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT a_id, b_id, a_lo, b_lo
+    FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi
+    """,
+    survey_ref="§2.4 range join (interval×interval overlap, binned equi-join)",
+)
+def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_clickhouse_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts"))
+
+    def windows(etype: str, mod: int, prefix: str) -> DataFrame:
+        lo = ms
+        hi = ms + (F.lit(1) + F.col("event_id") % mod) * F.lit(60_000)
+        return ev.filter(F.col("event_type") == etype).select(
+            F.col("event_id").alias(f"{prefix}_id"),
+            lo.alias(f"{prefix}_lo"),
+            hi.alias(f"{prefix}_hi"),
+        )
+
+    pairs = interval_overlap_join(
+        windows("purchase", 7, "a"),
+        windows("error", 5, "b"),
+        "a_lo",
+        "a_hi",
+        "b_lo",
+        "b_hi",
+        bin_width=_OVL_BIN_MS,
+    )
+    return pairs.select("a_id", "b_id", "a_lo", "b_lo")

@@ -691,3 +691,55 @@ def price_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram: B buckets holding ~equal ROW counts, derived from
+# the cumulative frequency of DISTINCT values (whole value-groups never
+# split across buckets — deterministic, unlike ntile's tie splitting).
+# Scale shape: the heavy lift is the partial-aggregatable groupBy(value);
+# the global-order window then runs over |distinct values| rows only
+# (l_quantity: ~50), not the table. Identical rank arithmetic both engines.
+# ---------------------------------------------------------------------------
+_EQD_B = 8
+
+
+@register(
+    "equi_depth_histogram",
+    f"""
+    WITH vc AS (
+      SELECT l_quantity AS val, count(*) AS cnt FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT val, cnt,
+             coalesce(sum(cnt) OVER (
+               ORDER BY val ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_prev,
+             sum(cnt) OVER () AS total
+      FROM vc
+    )
+    SELECT CAST(floor(cum_prev * {_EQD_B} / total) AS INT) AS bucket,
+           min(val) AS lo, max(val) AS hi,
+           CAST(sum(cnt) AS BIGINT) AS n_rows
+    FROM ranked GROUP BY 1
+    """,
+    survey_ref="§2.5 equi-depth histogram (quantile bucketing)",
+)
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    vc = li.groupBy(F.col("l_quantity").alias("val")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    prev = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vc.select(
+        "val",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(prev), F.lit(0)).alias("cum_prev"),
+        F.sum("cnt").over(Window.partitionBy()).alias("total"),
+    )
+    bucket = F.floor(F.col("cum_prev") * _EQD_B / F.col("total")).cast("int")
+    return ranked.groupBy(bucket.alias("bucket")).agg(
+        F.min("val").alias("lo"),
+        F.max("val").alias("hi"),
+        F.sum("cnt").alias("n_rows"),
+    )

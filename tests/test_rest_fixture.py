@@ -62,9 +62,24 @@ def scripted_server():
 
 @pytest.fixture()
 def recorded_sleeps(monkeypatch):
-    """Capture every sleep (ban waits + retry backoff) without waiting."""
+    """Capture every sleep (ban waits + retry backoff) without waiting.
+
+    Only THIS thread's sleeps are captured: a live Spark session in the
+    pytest process runs daemon threads that loop on ``time.sleep(1)``, and
+    a global no-op patch both floods the recording with their 1s ticks and
+    turns their loops into busy-spins. Other threads get the real sleep.
+    """
     calls: list[float] = []
-    monkeypatch.setattr(time, "sleep", lambda s: calls.append(s))
+    real_sleep = time.sleep
+    me = threading.current_thread()
+
+    def fake_sleep(s):
+        if threading.current_thread() is me:
+            calls.append(s)
+        else:
+            real_sleep(s)
+
+    monkeypatch.setattr(time, "sleep", fake_sleep)
     return calls
 
 
