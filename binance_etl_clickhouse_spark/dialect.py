@@ -1,0 +1,200 @@
+"""ClickHouse→Spark SQL dialect translation (SURVEY.md §2.9 / S8).
+
+The scalar shim (``engine.register_clickhouse_compat``) covers functions a
+SQL UDF can express. This module covers what it cannot: AGGREGATE names and
+combinators (``argMax``, ``sumIf``, ``quantile(0.9)(x)``) and cast-style
+scalars (``toFloat64``) — rewritten at the string level into Spark SQL
+before parsing, so reference-flavored ClickHouse queries run verbatim
+through :meth:`AnalyticsEngine.sql(..., dialect="clickhouse")`.
+
+The rewriter is a tiny recursive scanner, not a regex pile: it walks the
+text once, skips string literals, recursively translates call arguments
+first (so nested combinators compose), and splits arguments only at
+TOP-LEVEL commas. Unknown functions pass through untouched — the output is
+always a superset-compatible Spark SQL string, never a silent semantic
+change.
+
+Scope (the idioms a user migrating the reference's ClickHouse SQL actually
+types; anything outside it passes through and fails loudly in Spark's
+analyzer rather than silently misbehaving):
+
+==================  =========================================
+ClickHouse          Spark rewrite
+==================  =========================================
+argMax(a, b)        max_by(a, b)
+argMin(a, b)        min_by(a, b)
+uniq(x)             approx_count_distinct(x)
+uniqExact(x, ...)   count(DISTINCT x, ...)
+anyLast(x)/any(x)   any_value(x)        [``any`` only in call form]
+countIf(c)          count_if(c)
+countIf(x, c)       count(CASE WHEN c THEN x END)
+sumIf/avgIf/minIf/  sum(CASE WHEN c THEN x END) etc.
+maxIf(x, c)
+quantile(p)(x)      percentile_approx(x, p)
+quantileExact(p)(x) percentile(x, p)
+multiIf(c,v,...,e)  CASE WHEN c THEN v ... ELSE e END
+ifNull(a, b)        coalesce(a, b)
+toFloat64/toInt64/  CAST(x AS DOUBLE/BIGINT/INT/STRING/DATE)
+toInt32/toString/
+toDate(x)
+today()             current_date()
+==================  =========================================
+"""
+
+from __future__ import annotations
+
+_CASTS = {
+    "toFloat64": "DOUBLE",
+    "toFloat32": "FLOAT",
+    "toInt64": "BIGINT",
+    "toInt32": "INT",
+    "toString": "STRING",
+    "toDate": "DATE",
+}
+
+_NAME_MAP = {
+    "argMax": "max_by",
+    "argMin": "min_by",
+    "uniq": "approx_count_distinct",
+    "anyLast": "any_value",
+    "any": "any_value",
+    "ifNull": "coalesce",
+    "today": "current_date",
+}
+
+_IF_COMBINATORS = {"sumIf": "sum", "avgIf": "avg", "minIf": "min", "maxIf": "max"}
+
+_QUANTILES = {"quantile": "percentile_approx", "quantileExact": "percentile"}
+
+_IDENT = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_")
+
+
+def _split_args(s: str) -> list[str]:
+    """Split a call's argument string at top-level commas (paren- and
+    quote-aware)."""
+    out, depth, cur, i = [], 0, [], 0
+    while i < len(s):
+        ch = s[i]
+        if ch == "'":
+            j = i + 1
+            while j < len(s):
+                if s[j] == "'" and not (j + 1 < len(s) and s[j + 1] == "'"):
+                    break
+                j += 2 if s[j] == "'" else 1
+            cur.append(s[i : j + 1])
+            i = j + 1
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def _find_close(s: str, open_idx: int) -> int:
+    """Index of the ``)`` matching ``s[open_idx] == '('`` (quote-aware)."""
+    depth, i = 0, open_idx
+    while i < len(s):
+        ch = s[i]
+        if ch == "'":
+            i += 1
+            while i < len(s) and s[i] != "'":
+                i += 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise ValueError(f"unbalanced parentheses in SQL near index {open_idx}")
+
+
+def translate_clickhouse_sql(sql: str) -> str:
+    """Rewrite ClickHouse-flavored SQL into Spark SQL (see module doc)."""
+    out: list[str] = []
+    i = 0
+    n = len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":  # string literal: copy verbatim
+            j = i + 1
+            while j < n and sql[j] != "'":
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        if ch in _IDENT and not ch.isdigit() and (i == 0 or sql[i - 1] not in _IDENT):
+            j = i
+            while j < n and sql[j] in _IDENT:
+                j += 1
+            name = sql[i:j]
+            # lookahead for a call: optional whitespace then '('
+            k = j
+            while k < n and sql[k].isspace():
+                k += 1
+            if k < n and sql[k] == "(":
+                close = _find_close(sql, k)
+                args = [
+                    translate_clickhouse_sql(a)
+                    for a in _split_args(sql[k + 1 : close])
+                ]
+                i = close + 1
+                if name in _QUANTILES:
+                    # parameterized combinator: quantile(p)(x)
+                    k2 = i
+                    while k2 < n and sql[k2].isspace():
+                        k2 += 1
+                    if k2 < n and sql[k2] == "(":
+                        close2 = _find_close(sql, k2)
+                        inner = [
+                            translate_clickhouse_sql(a)
+                            for a in _split_args(sql[k2 + 1 : close2])
+                        ]
+                        i = close2 + 1
+                        out.append(
+                            f"{_QUANTILES[name]}({', '.join(inner)}, {', '.join(args)})"
+                        )
+                        continue
+                    out.append(f"{name}({', '.join(args)})")
+                    continue
+                if name in _CASTS and len(args) == 1:
+                    out.append(f"CAST({args[0]} AS {_CASTS[name]})")
+                elif name in _IF_COMBINATORS and len(args) == 2:
+                    out.append(
+                        f"{_IF_COMBINATORS[name]}(CASE WHEN {args[1]} THEN {args[0]} END)"
+                    )
+                elif name == "countIf":
+                    if len(args) == 1:
+                        out.append(f"count_if({args[0]})")
+                    else:
+                        out.append(f"count(CASE WHEN {args[1]} THEN {args[0]} END)")
+                elif name == "uniqExact":
+                    out.append(f"count(DISTINCT {', '.join(args)})")
+                elif name == "multiIf" and len(args) >= 3 and len(args) % 2 == 1:
+                    clauses = " ".join(
+                        f"WHEN {args[p]} THEN {args[p + 1]}"
+                        for p in range(0, len(args) - 1, 2)
+                    )
+                    out.append(f"CASE {clauses} ELSE {args[-1]} END")
+                elif name in _NAME_MAP:
+                    out.append(f"{_NAME_MAP[name]}({', '.join(args)})")
+                else:
+                    out.append(f"{name}({', '.join(args)})")
+                continue
+            # bare identifier (no call): today -> keep; nothing rewrites bare
+            out.append(name)
+            i = j
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)

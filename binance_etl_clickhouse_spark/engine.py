@@ -85,8 +85,26 @@ class AnalyticsEngine:
     def register_clickhouse_compat(self) -> None:
         register_clickhouse_compat(self.spark)
 
-    def sql(self, query: str, args: dict | list | None = None) -> DataFrame:
-        """Run SQL with the reference's per-query wall-clock hook."""
+    def sql(
+        self,
+        query: str,
+        args: dict | list | None = None,
+        dialect: str | None = None,
+    ) -> DataFrame:
+        """Run SQL with the reference's per-query wall-clock hook.
+
+        ``dialect="clickhouse"`` first rewrites ClickHouse aggregate
+        combinators and cast-style scalars into Spark SQL
+        (``dialect.translate_clickhouse_sql``); pair with
+        :meth:`register_clickhouse_compat` for the scalar names so
+        reference-flavored SQL runs verbatim.
+        """
+        if dialect == "clickhouse":
+            from binance_etl_clickhouse_spark.dialect import translate_clickhouse_sql
+
+            query = translate_clickhouse_sql(query)
+        elif dialect is not None:
+            raise ValueError(f"unknown dialect: {dialect!r}")
         t0 = time.perf_counter()
         df = self.spark.sql(query, args=args) if args else self.spark.sql(query)
         if self.verbose:

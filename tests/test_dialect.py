@@ -1,0 +1,124 @@
+"""ClickHouse→Spark dialect translation: every supported combinator runs
+through the real engine against testdata views and matches the hand-written
+Spark SQL equivalent. String-level assertions pin the rewrites themselves
+(nesting, literals, top-level comma splitting)."""
+
+from __future__ import annotations
+
+import pytest
+
+from binance_etl_clickhouse_spark.dialect import translate_clickhouse_sql
+from binance_etl_clickhouse_spark.engine import AnalyticsEngine
+from binance_etl_clickhouse_spark.tables import register_views
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    register_views(spark, SF)
+    eng = AnalyticsEngine(spark, verbose=False)
+    eng.register_clickhouse_compat()
+    return eng
+
+
+@pytest.mark.parametrize(
+    "ch,expected",
+    [
+        ("argMax(a, b)", "max_by(a, b)"),
+        ("argMin(x, ts)", "min_by(x, ts)"),
+        ("uniq(u)", "approx_count_distinct(u)"),
+        ("uniqExact(u)", "count(DISTINCT u)"),
+        ("uniqExact(a, b)", "count(DISTINCT a, b)"),
+        ("countIf(x > 1)", "count_if(x > 1)"),
+        ("countIf(v, t = 'x')", "count(CASE WHEN t = 'x' THEN v END)"),
+        ("sumIf(v, t = 'a,b')", "sum(CASE WHEN t = 'a,b' THEN v END)"),
+        ("avgIf(v, c)", "avg(CASE WHEN c THEN v END)"),
+        ("quantile(0.9)(x)", "percentile_approx(x, 0.9)"),
+        ("quantileExact(0.5)(x)", "percentile(x, 0.5)"),
+        ("toFloat64(n)", "CAST(n AS DOUBLE)"),
+        ("toString(n)", "CAST(n AS STRING)"),
+        (
+            "multiIf(a < 1, 'lo', a < 2, 'mid', 'hi')",
+            "CASE WHEN a < 1 THEN 'lo' WHEN a < 2 THEN 'mid' ELSE 'hi' END",
+        ),
+        ("ifNull(a, 0)", "coalesce(a, 0)"),
+        # nesting: combinators translate inside other calls' arguments
+        (
+            "round(sumIf(toFloat64(v), c), 2)",
+            "round(sum(CASE WHEN c THEN CAST(v AS DOUBLE) END), 2)",
+        ),
+        # untouched: unknown functions, literals containing function-ish text
+        ("lower(concat(a, 'argMax(x)'))", "lower(concat(a, 'argMax(x)'))"),
+        ("count(*)", "count(*)"),
+    ],
+)
+def test_rewrites(ch, expected):
+    assert translate_clickhouse_sql(f"SELECT {ch} FROM t") == f"SELECT {expected} FROM t"
+
+
+def _match(engine, ch_sql, spark_sql):
+    got = engine.sql(ch_sql, dialect="clickhouse").toPandas()
+    want = engine.sql(spark_sql).toPandas()
+    got = got[sorted(got.columns)].sort_values(sorted(got.columns), ignore_index=True)
+    want = want[sorted(want.columns)].sort_values(sorted(want.columns), ignore_index=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_aggregate_combinators_end_to_end(engine):
+    _match(
+        engine,
+        """
+        SELECT user_id,
+               argMax(event_type, ts)              AS last_type,
+               uniqExact(event_type)               AS n_types,
+               sumIf(value, event_type = 'purchase') AS purchase_value,
+               countIf(event_type = 'click')       AS clicks
+        FROM events GROUP BY user_id
+        """,
+        """
+        SELECT user_id,
+               max_by(event_type, ts)                          AS last_type,
+               count(DISTINCT event_type)                      AS n_types,
+               sum(CASE WHEN event_type = 'purchase' THEN value END) AS purchase_value,
+               count_if(event_type = 'click')                  AS clicks
+        FROM events GROUP BY user_id
+        """,
+    )
+
+
+def test_quantile_and_multiif_end_to_end(engine):
+    _match(
+        engine,
+        """
+        SELECT multiIf(l_quantity < 10, 'lo', l_quantity < 30, 'mid', 'hi') AS band,
+               quantileExact(0.5)(l_extendedprice) AS p50,
+               toFloat64(count(*))                 AS n
+        FROM lineitem GROUP BY band
+        """,
+        """
+        SELECT CASE WHEN l_quantity < 10 THEN 'lo'
+                    WHEN l_quantity < 30 THEN 'mid' ELSE 'hi' END AS band,
+               percentile(l_extendedprice, 0.5) AS p50,
+               CAST(count(*) AS DOUBLE)         AS n
+        FROM lineitem GROUP BY band
+        """,
+    )
+
+
+def test_dialect_composes_with_scalar_compat(engine):
+    # toYYYYMM comes from the SQL-UDF shim; argMax from the dialect rewrite
+    _match(
+        engine,
+        "SELECT toYYYYMM(ts) AS ym, argMax(event_type, ts) AS last_type "
+        "FROM events GROUP BY ym",
+        "SELECT CAST(date_format(ts, 'yyyyMM') AS INT) AS ym, "
+        "max_by(event_type, ts) AS last_type FROM events GROUP BY ym",
+    )
+
+
+def test_unknown_dialect_rejected(engine):
+    with pytest.raises(ValueError, match="unknown dialect"):
+        engine.sql("SELECT 1", dialect="postgres")
