@@ -149,6 +149,37 @@ def write_ivf_table(
     ).parquet(path)
 
 
+def append_ivf_table(
+    df_new: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: fold a NEW vector batch into an
+    existing :func:`write_ivf_table` layout without retraining.
+
+    New vectors are assigned to the frozen codebook's nearest cells (one
+    projection pass over the batch only) and appended into the matching
+    cell directories — queries immediately see old and new vectors through
+    the same partition-pruned read. This is how IVF indexes run in steady
+    state everywhere (FAISS `add` after `train`): the codebook is a sample
+    statistic, appending does not move it. Monitor :func:`ivf_cell_stats`
+    and rewrite with a fresh codebook when drift skews the cells.
+    """
+    assign_cells(df_new, centroids, id_col, vec_col).write.mode("append").partitionBy(
+        "cell"
+    ).parquet(path)
+
+
+def ivf_cell_stats(spark, path: str) -> DataFrame:
+    """Per-cell row counts for the retrain decision: a drifted corpus shows
+    up as cell skew (hot cells slow probes; empty cells waste the probe
+    budget). Metadata-cheap — one count over the partition column."""
+    df = spark.read.parquet(path)
+    return df.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
 def ivf_topk_from_table(
     spark,
     path: str,

@@ -455,3 +455,61 @@ def test_ivf_pq_recall_vs_bruteforce(spark, tmp_path):
     # measured floor at sf0.001 with the deterministic codebooks
     assert len(approx & exact) >= 5
     assert 7 in approx
+
+
+def test_ivf_incremental_append_and_stats(spark, tmp_path):
+    """Steady-state IVF maintenance: new vectors fold into the frozen
+    codebook's cell layout without retraining; queries see both
+    generations through the same partition-pruned read; per-cell stats
+    stay metadata-cheap."""
+    from binance_etl_clickhouse_spark.operators.ivf import (
+        append_ivf_table,
+        ivf_batch_topk_from_table,
+        ivf_cell_stats,
+        kmeans_fit,
+        probe_cells,
+        write_ivf_table,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    newer = emb.filter(F.col("vec_id") % 2 == 1)
+    cb = kmeans_fit(base, k=4, n_iters=1)
+    path = str(tmp_path / "ivf_incr")
+    write_ivf_table(base, cb, path)
+    n_base = spark.read.parquet(path).count()
+    append_ivf_table(newer, cb, path)
+
+    table = spark.read.parquet(path)
+    assert table.count() == emb.count() > n_base
+    # appended rows landed in their codebook cells (assignment is frozen)
+    got = {(r.vec_id, r.cell) for r in table.select("vec_id", "cell").collect()}
+    from binance_etl_clickhouse_spark.operators.ivf import assign_cells
+
+    want = {
+        (r.vec_id, r.cell)
+        for r in assign_cells(emb, cb).select("vec_id", "cell").collect()
+    }
+    assert got == want
+
+    # a probe after the append returns old AND new vectors, still pruned
+    qv = [float(x) for x in emb.orderBy("vec_id").first().embedding]
+    res = ivf_batch_topk_from_table(spark, path, cb, [(0, qv)], k=8, nprobe=2)
+    ids = {r.vec_id for r in res.collect()}
+    assert ids & {r.vec_id for r in base.select("vec_id").collect()}
+    assert ids & {r.vec_id for r in newer.select("vec_id").collect()}
+    # the scan stayed partition-pruned
+    probed = set(probe_cells(cb, qv, 2))
+    cand_cells = {
+        r.cell
+        for r in spark.read.parquet(path)
+        .filter(F.col("cell").isin(sorted(probed)))
+        .select("cell")
+        .distinct()
+        .collect()
+    }
+    assert cand_cells <= probed
+
+    stats = {r.cell: r.n_vectors for r in ivf_cell_stats(spark, path).collect()}
+    assert sum(stats.values()) == emb.count()
+    assert set(stats) <= set(range(4))
