@@ -34,6 +34,7 @@ def stream_ingest_staging(
     watermark: tuple[str, str] | None = None,
     available_now: bool = True,
     processing_time: str = "1 hour",
+    rollups: list | None = None,
 ) -> StreamingQuery:
     """staging parquet stream -> (optional in-stream dedup) -> serving table.
 
@@ -41,6 +42,14 @@ def stream_ingest_staging(
     ``dropDuplicatesWithinWatermark`` — duplicate (late/re-fetched) rows
     arriving within the delay are dropped in-stream; anything older is
     handled by the table's version dedup at read (idempotent upsert, T4).
+
+    ``rollups``: RollupTables over this serving table to refresh after each
+    micro-batch lands — the ClickHouse materialized-view-on-insert
+    contract, kept incremental by the rollup's own ingest_seq month
+    pruning (only months the batch touched recompute). Refresh runs AFTER
+    the append inside the same epoch, so a crash between the two replays
+    the epoch and the rollup catches up on the rerun — it can lag, never
+    diverge.
     """
     src = spark.readStream.schema(schema).parquet(staging_dir)
     if watermark is not None:
@@ -66,6 +75,8 @@ def stream_ingest_staging(
                 table.max_ingest_seq(batch.sparkSession) + 1,
             )
             table.append(batch, ingest_seq=next_seq)
+            for rollup in rollups or ():
+                rollup.refresh(batch.sparkSession)
 
     writer = src.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_dir)
     if available_now:

@@ -511,3 +511,74 @@ def test_stream_span_dedup_replay_is_idempotent(spark, tmp_path):
     q2.stop()
     after = sorted(map(tuple, spark.read.parquet(args[2]).collect()))
     assert after == before
+
+
+def test_stream_ingest_refreshes_rollup_per_epoch(spark, tmp_path):
+    """Materialized-view-on-insert: a RollupTable passed to
+    stream_ingest_staging refreshes inside each micro-batch epoch, so the
+    rollup serves the streamed data with no separate maintenance job."""
+    from binance_etl_clickhouse_spark.storage.rollup import RollupTable
+
+    table = ServingTable(
+        path=str(tmp_path / "serving"),
+        keys=KLINES_PK,
+        time_col="timestamp",
+        sort_cols=["symbol", "type", "interval", "timestamp"],
+    )
+    rollup = RollupTable(
+        path=str(tmp_path / "daily"),
+        source=table,
+        granularity="day",
+        group_cols=["symbol"],
+        aggs=lambda: [
+            F.count(F.lit(1)).alias("n_bars"),
+            F.round(F.sum("volume"), 4).alias("volume"),
+        ],
+    )
+    staging = str(tmp_path / "staging")
+    k = _klines(spark, n_symbols=2, bars=48)
+    k.write.mode("append").parquet(staging)
+    q = stream_ingest_staging(
+        spark,
+        staging,
+        KLINES,
+        table,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        rollups=[rollup],
+    )
+    q.awaitTermination(120)
+    got = rollup.read(spark)
+    assert got.count() == 2 * 2  # 2 symbols x 2 days
+    want = (
+        table.read(spark)
+        .groupBy(F.date_trunc("day", "timestamp").alias("bucket"), "symbol")
+        .agg(F.round(F.sum("volume"), 4).alias("v"))
+    )
+    gotv = {(r.symbol, r.bucket): r.volume for r in got.collect()}
+    wantv = {(r.symbol, r.bucket): r.v for r in want.collect()}
+    assert gotv == wantv
+
+    # a second micro-batch (new staging file) refreshes incrementally
+    k2 = _klines(spark, n_symbols=2, bars=48).withColumn(
+        "volume", F.col("volume") + 5.0
+    )
+    k2.write.mode("append").parquet(staging)
+    q2 = stream_ingest_staging(
+        spark,
+        staging,
+        KLINES,
+        table,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        rollups=[rollup],
+    )
+    q2.awaitTermination(120)
+    got2 = {(r.symbol, r.bucket): r.volume for r in rollup.read(spark).collect()}
+    want2 = {
+        (r.symbol, r.bucket): r.v
+        for r in table.read(spark)
+        .groupBy(F.date_trunc("day", "timestamp").alias("bucket"), "symbol")
+        .agg(F.round(F.sum("volume"), 4).alias("v"))
+        .collect()
+    }
+    assert got2 == want2
+    assert all(v != gotv[k_] for k_, v in got2.items())  # re-fetch won
