@@ -333,6 +333,101 @@ class ServingTable:
             return F.abs(F.xxhash64(c))
         return c.cast("long")
 
+    def _arrange(self, snap: DataFrame, zorder: tuple[str, str] | None) -> DataFrame:
+        """Compaction write layout: key-sorted (default) or z-ordered."""
+        sort_cols = self.sort_cols or self.keys
+        if zorder is not None:
+            from binance_etl_clickhouse_spark.storage.zorder import with_zorder_key
+
+            w = with_zorder_key(
+                snap, self._zdim(snap, zorder[0]), self._zdim(snap, zorder[1])
+            )
+            if self.time_col is not None:
+                w = w.repartitionByRange(MONTH_COL, "__z").sortWithinPartitions(
+                    MONTH_COL, "__z"
+                )
+            else:
+                w = w.repartitionByRange("__z").sortWithinPartitions("__z")
+            return w.drop("__z")
+        w = (
+            snap.hint("rebalance", MONTH_COL, *self.keys[:1])
+            if self.time_col
+            else snap
+        )
+        return w.sortWithinPartitions(*sort_cols)
+
+    def fragmented_months(self, min_files: int = 8) -> list[int]:
+        """Months whose partition dir holds at least ``min_files`` data
+        files — the selective-compaction worklist. Pure listing, no Spark
+        job (≙ ClickHouse's parts-count merge heuristic)."""
+        self._recover()
+        out: list[int] = []
+        prefix = f"{MONTH_COL}="
+        if not os.path.isdir(self.path):
+            return out
+        for d in sorted(os.listdir(self.path)):
+            if not d.startswith(prefix):
+                continue
+            try:
+                month = int(d[len(prefix):])
+            except ValueError:
+                continue
+            n = sum(
+                1
+                for f in os.listdir(os.path.join(self.path, d))
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+            if n >= min_files:
+                out.append(month)
+        return out
+
+    def compact_months(
+        self,
+        spark: SparkSession,
+        months: list[int],
+        zorder: tuple[str, str] | None = None,
+    ) -> None:
+        """Selective compaction: rewrite ONLY the given month partitions to
+        one version per key (dynamic partition overwrite), leaving every
+        other month untouched.
+
+        At 100 TB whole-table OPTIMIZE is not a thing — merges run on the
+        parts that accumulated versions (``fragmented_months`` is the
+        worklist). Exactness rests on the table invariant that the month
+        derives from a key column (``time_col in keys``): every version of
+        a key lives in one month dir, so per-month keep-last equals global
+        keep-last. Asserted, not assumed.
+        """
+        from binance_etl_clickhouse_spark.storage import zonemap as _zm
+
+        if self.time_col is None or self.time_col not in self.keys:
+            raise ValueError(
+                "per-month compaction requires time_col to be part of the "
+                "dedup key (versions of a key must share a month)"
+            )
+        if not months:
+            return
+        self._recover()
+        prior_zm = _zm.read_zonemap(self.path)
+        cur_seq = self._read_sidecar()
+        snap = self.read(spark).filter(F.col(MONTH_COL).isin([int(m) for m in months]))
+        # materialize and CUT LINEAGE before overwriting the path the plan
+        # reads from (Spark rejects self-overwrite, and lazily re-reading a
+        # half-rewritten dir would be worse); bounded by the selected months
+        w = self._arrange(snap, zorder).localCheckpoint(eager=True)
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            w.write.mode("overwrite").partitionBy(MONTH_COL).parquet(self.path)
+        finally:
+            w.unpersist()
+            if prev_mode is not None:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        if cur_seq is not None:
+            self._write_sidecar(cur_seq)
+        if prior_zm is not None:
+            _zm.build_zonemap(self.path, prior_zm["columns"])
+
     def compact(self, spark: SparkSession, zorder: tuple[str, str] | None = None) -> None:
         """Rewrite to exactly one version per key (≙ OPTIMIZE TABLE FINAL).
 
@@ -354,27 +449,7 @@ class ServingTable:
         prior_zm = _zm.read_zonemap(self.path)
         snap = self.read(spark)
         tmp = self.path.rstrip("/") + ".compact.tmp"
-        sort_cols = self.sort_cols or self.keys
-        if zorder is not None:
-            from binance_etl_clickhouse_spark.storage.zorder import with_zorder_key
-
-            w = with_zorder_key(
-                snap, self._zdim(snap, zorder[0]), self._zdim(snap, zorder[1])
-            )
-            if self.time_col is not None:
-                w = w.repartitionByRange(MONTH_COL, "__z").sortWithinPartitions(
-                    MONTH_COL, "__z"
-                )
-            else:
-                w = w.repartitionByRange("__z").sortWithinPartitions("__z")
-            w = w.drop("__z")
-        else:
-            w = (
-                snap.hint("rebalance", MONTH_COL, *self.keys[:1])
-                if self.time_col
-                else snap
-            )
-            w = w.sortWithinPartitions(*sort_cols)
+        w = self._arrange(snap, zorder)
         if self.time_col is not None:
             w.write.mode("overwrite").partitionBy(MONTH_COL).parquet(tmp)
         else:

@@ -308,3 +308,64 @@ def test_expire_everything_removes_table(spark, tmp_path):
     assert dropped and not t.exists()
     t.append(b, ingest_seq=1)
     assert t.read(spark).count() == 48
+
+
+def test_selective_month_compaction(spark, tmp_path):
+    """compact_months rewrites ONLY the fragmented months: versions
+    collapse there, other months keep their history, and the global
+    snapshot is unchanged."""
+    t = _table(tmp_path)
+    # ~3 months of hourly bars; re-append twice so every month holds 3
+    # versions of every key
+    b = _clean(spark, n_symbols=2, bars_per_symbol=24 * 80, overlap_bars=0)
+    t.append(b, ingest_seq=1)
+    t.append(b.withColumn("volume", F.col("volume") + 1.0), ingest_seq=2)
+    t.append(b.withColumn("volume", F.col("volume") + 2.0), ingest_seq=3)
+
+    months = sorted(
+        int(d.split("=")[1]) for d in os.listdir(t.path) if d.startswith("month=")
+    )
+    assert len(months) >= 3
+    frag = t.fragmented_months(min_files=2)
+    assert set(frag) == set(months)  # every month has 3 appends' files
+
+    target = months[0]
+    before_snap = {
+        (r.symbol, r.timestamp): r.volume
+        for r in t.read(spark).select("symbol", "timestamp", "volume").collect()
+    }
+    t.compact_months(spark, [target])
+
+    raw = t.read_raw(spark)
+    per_month_versions = {
+        r.month: r.n
+        for r in raw.groupBy("month")
+        .agg(F.countDistinct("ingest_seq").alias("n"))
+        .collect()
+    }
+    assert per_month_versions[target] == 1  # compacted month: single version
+    for m in months[1:]:
+        assert per_month_versions[m] == 3  # untouched months keep history
+
+    after_snap = {
+        (r.symbol, r.timestamp): r.volume
+        for r in t.read(spark).select("symbol", "timestamp", "volume").collect()
+    }
+    assert after_snap == before_snap
+    # compacted month no longer fragmented; others still are
+    assert target not in t.fragmented_months(min_files=2)
+    assert set(months[1:]) <= set(t.fragmented_months(min_files=2))
+    # sidecar seq survives (newest version was kept, not re-stamped)
+    assert t.max_ingest_seq(spark) == 3
+
+
+def test_compact_months_requires_time_key(spark, tmp_path):
+    t = ServingTable(
+        path=str(tmp_path / "bad"),
+        keys=["symbol"],  # month NOT derivable from the key
+        time_col="timestamp",
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="part of the dedup key"):
+        t.compact_months(spark, [202401])
