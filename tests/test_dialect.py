@@ -122,3 +122,54 @@ def test_dialect_composes_with_scalar_compat(engine):
 def test_unknown_dialect_rejected(engine):
     with pytest.raises(ValueError, match="unknown dialect"):
         engine.sql("SELECT 1", dialect="postgres")
+
+
+# ---------------------------------------------------------------------------
+# Property: randomly composed ClickHouse expressions translate to the
+# compositionally-expected Spark SQL, and the translator is idempotent on
+# its own output (pure-Python target — cheap to shrink).
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _ch_and_spark(draw, depth=0):
+    leaves = [
+        ("x", "x"),
+        ("t.value", "t.value"),
+        ("1.5", "1.5"),
+        ("'a,b(c'", "'a,b(c'"),  # literal with comma and paren inside
+    ]
+    if depth >= 3 or draw(st.booleans()) and depth > 0:
+        return draw(st.sampled_from(leaves))
+    a_ch, a_sp = draw(_ch_and_spark(depth=depth + 1))
+    b_ch, b_sp = draw(_ch_and_spark(depth=depth + 1))
+    forms = [
+        (f"argMax({a_ch}, {b_ch})", f"max_by({a_sp}, {b_sp})"),
+        (f"argMin({a_ch}, {b_ch})", f"min_by({a_sp}, {b_sp})"),
+        (f"sumIf({a_ch}, {b_ch})", f"sum(CASE WHEN {b_sp} THEN {a_sp} END)"),
+        (f"countIf({a_ch})", f"count_if({a_sp})"),
+        (f"uniqExact({a_ch})", f"count(DISTINCT {a_sp})"),
+        (f"toFloat64({a_ch})", f"CAST({a_sp} AS DOUBLE)"),
+        (f"quantile(0.9)({a_ch})", f"percentile_approx({a_sp}, 0.9)"),
+        (
+            f"multiIf({a_ch}, {b_ch}, 0)",
+            f"CASE WHEN {a_sp} THEN {b_sp} ELSE 0 END",
+        ),
+        (f"ifNull({a_ch}, {b_ch})", f"coalesce({a_sp}, {b_sp})"),
+        (f"some_udf({a_ch}, {b_ch})", f"some_udf({a_sp}, {b_sp})"),
+    ]
+    return draw(st.sampled_from(forms))
+
+
+@given(_ch_and_spark())
+@settings(max_examples=200, deadline=None)
+def test_translation_is_compositional_and_idempotent(pair):
+    ch, spark_sql = pair
+    q = f"SELECT {ch} FROM t"
+    want = f"SELECT {spark_sql} FROM t"
+    got = translate_clickhouse_sql(q)
+    assert got == want
+    # already-Spark SQL passes through unchanged
+    assert translate_clickhouse_sql(got) == got
