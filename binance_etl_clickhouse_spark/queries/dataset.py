@@ -327,3 +327,46 @@ def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket.cast("int").alias("bucket"),
         ((F.row_number().over(w) - 1) / _LB_BATCH).cast("long").alias("batch_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle + sharding: the training-order primitive.
+# Pretraining readers want the corpus in a reproducible pseudo-random order,
+# sharded so N loader workers stream disjoint files. RNG-free: the order IS
+# the 60-bit hash of (doc_id, seed), so every engine/run/cluster size
+# produces the identical permutation, and changing the seed string re-deals
+# a fresh epoch order with no state. One shuffle on the shard key; each
+# shard's position window sorts only its own partition (no global window).
+# ---------------------------------------------------------------------------
+_N_SHARDS = 16
+_SHUFFLE_SEED = "epoch0"
+
+
+@register(
+    "training_shuffle_shards",
+    f"""
+    SELECT doc_id, shard, pos
+    FROM (
+      SELECT doc_id,
+             CAST({hash60_sql(f"CAST(doc_id AS VARCHAR) || ':{_SHUFFLE_SEED}'")} % {_N_SHARDS} AS INT) AS shard,
+             row_number() OVER (
+               PARTITION BY CAST({hash60_sql(f"CAST(doc_id AS VARCHAR) || ':{_SHUFFLE_SEED}'")} % {_N_SHARDS} AS INT)
+               ORDER BY {hash60_sql(f"CAST(doc_id AS VARCHAR) || ':{_SHUFFLE_SEED}'")}, doc_id
+             ) AS pos
+      FROM documents
+    ) t
+    """,
+    survey_ref="training-data: deterministic global shuffle + shard assignment",
+)
+def training_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    h = hash60(
+        F.concat(F.col("doc_id").cast("string"), F.lit(f":{_SHUFFLE_SEED}"))
+    )
+    d = docs.select(
+        "doc_id", h.alias("__h"), (h % _N_SHARDS).cast("int").alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy("__h", "doc_id")
+    return d.select(
+        "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
+    )
