@@ -114,12 +114,27 @@ class ServingTable:
         except (OSError, ValueError, KeyError):
             return None
 
-    def _write_sidecar(self, max_seq: int) -> None:
+    def _read_compacted_seq(self) -> int | None:
+        """Seq at which the WHOLE table was last compacted to one version
+        per key, or None if appends happened since (or never compacted)."""
         import json
 
+        try:
+            with open(self._sidecar_path()) as f:
+                v = json.load(f).get("compacted_seq")
+            return int(v) if v is not None else None
+        except (OSError, ValueError):
+            return None
+
+    def _write_sidecar(self, max_seq: int, compacted_seq: int | None = None) -> None:
+        import json
+
+        meta: dict = {"max_ingest_seq": int(max_seq)}
+        if compacted_seq is not None:
+            meta["compacted_seq"] = int(compacted_seq)
         tmp = self._sidecar_path() + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"max_ingest_seq": int(max_seq)}, f)
+            json.dump(meta, f)
         os.replace(tmp, self._sidecar_path())
 
     def max_ingest_seq(self, spark: SparkSession) -> int:
@@ -247,6 +262,14 @@ class ServingTable:
         raw = self.read_raw(spark, merge_schema)
         if as_of_seq is not None:
             raw = raw.filter(F.col(INGEST_SEQ) <= int(as_of_seq))
+            return keep_last(raw, self.keys, INGEST_SEQ)
+        # FINAL-is-free-after-OPTIMIZE: a full compact leaves exactly one
+        # version per key on disk and records it in the sidecar; until the
+        # next append the keep-last window (a whole shuffle) is a no-op and
+        # is skipped. Appends and per-month compacts clear the flag.
+        compacted = self._read_compacted_seq()
+        if compacted is not None and self._read_sidecar() == compacted:
+            return raw
         return keep_last(raw, self.keys, INGEST_SEQ)
 
     def build_zonemap(self, columns: list[str] | None = None) -> dict:
@@ -462,9 +485,10 @@ class ServingTable:
         shutil.move(tmp, self.path)
         shutil.rmtree(bak)
         # compaction preserves versions (it keeps max-per-key), so the
-        # sidecar's max carries over unchanged
+        # sidecar's max carries over unchanged; the compacted flag lets
+        # read() skip the dedup window until the next append
         if cur_seq is not None:
-            self._write_sidecar(cur_seq)
+            self._write_sidecar(cur_seq, compacted_seq=cur_seq)
         # every file was rewritten -> the sparse index rebuilds over the new
         # layout (same columns); one footer pass over the compacted files
         if prior_zm is not None:

@@ -369,3 +369,45 @@ def test_compact_months_requires_time_key(spark, tmp_path):
 
     with pytest.raises(ValueError, match="part of the dedup key"):
         t.compact_months(spark, [202401])
+
+
+def test_read_skips_dedup_window_after_full_compact(spark, tmp_path):
+    """FINAL-is-free-after-OPTIMIZE: a fully-compacted table's read() plan
+    carries no window (the shuffle the dedup would cost); the next append
+    restores it. Results identical throughout."""
+    t = _table(tmp_path)
+    b = _clean(spark, n_symbols=2, bars_per_symbol=48, overlap_bars=0)
+    t.append(b, ingest_seq=1)
+    t.append(b.withColumn("volume", F.col("volume") + 1.0), ingest_seq=2)
+
+    def has_window(df):
+        return "Window" in df._jdf.queryExecution().executedPlan().toString()
+
+    assert has_window(t.read(spark))
+    before = {
+        (r.symbol, r.timestamp): r.volume
+        for r in t.read(spark).select("symbol", "timestamp", "volume").collect()
+    }
+    t.compact(spark)
+    snap = t.read(spark)
+    assert not has_window(snap)  # single version on disk -> no dedup shuffle
+    after = {
+        (r.symbol, r.timestamp): r.volume
+        for r in snap.select("symbol", "timestamp", "volume").collect()
+    }
+    assert after == before
+    # an append invalidates the flag; dedup returns and newest wins
+    t.append(b.withColumn("volume", F.lit(7777.0)).limit(10), ingest_seq=3)
+    snap2 = t.read(spark)
+    assert has_window(snap2)
+    assert snap2.filter(F.col("volume") == 7777.0).count() == 10
+    # per-month compaction is conservative: flag stays cleared
+    months = sorted(
+        int(d.split("=")[1]) for d in os.listdir(t.path) if d.startswith("month=")
+    )
+    t.compact_months(spark, months[:1])
+    assert has_window(t.read(spark))
+    # as-of reads always dedup (history may be multi-version)
+    t.compact(spark)
+    assert not has_window(t.read(spark))
+    assert has_window(t.read(spark, as_of_seq=3))
