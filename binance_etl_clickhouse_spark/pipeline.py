@@ -312,6 +312,51 @@ class Pipeline:
         self.log_run("success", f"update_all finished in {time.monotonic() - t0:.1f}s")
         return counts
 
+    def maintain(
+        self,
+        min_files: int = 16,
+        retention_months: int | None = None,
+    ) -> dict[str, object]:
+        """Background-merges pass (≙ ClickHouse's merge/TTL threads, run on
+        OUR schedule instead of a server's): for every serving table,
+        selectively compact months fragmented past ``min_files``, refresh
+        any zone-map sidecar over the new layout (compact_months already
+        rebuilds it), and optionally expire months older than
+        ``retention_months`` behind the newest ingested month (rollups keep
+        their own longer retention — the classic raw-short/agg-long split).
+
+        Each step is bounded: compaction touches only fragmented months,
+        expiry is a filesystem metadata op, rollup refresh is ∝ months
+        touched. Safe to run as often as ingest — a no-op pass costs one
+        directory listing per table.
+        """
+        report: dict[str, object] = {}
+        fact_tables = {
+            "bn_klines": self.klines,
+            "bn_funding_rates": self.funding_rates,
+            "bn_margin_rates": self.margin_rates,
+        }
+        for name, table in fact_tables.items():
+            if not table.exists():
+                continue
+            frag = table.fragmented_months(min_files=min_files)
+            if frag:
+                table.compact_months(self.spark, frag)
+            report[f"{name}_compacted_months"] = frag
+            if retention_months is not None:
+                months = sorted(
+                    int(d.split("=")[1])
+                    for d in os.listdir(table.path)
+                    if d.startswith("month=") and d.split("=")[1].isdigit()
+                )
+                if months:
+                    newest = months[-1]
+                    y, m = divmod(newest, 100)
+                    total = y * 12 + (m - 1) - retention_months
+                    cutoff = (total // 12) * 100 + (total % 12) + 1
+                    report[f"{name}_expired_months"] = table.expire(cutoff)
+        return report
+
     def run(self, once: bool = True, update_interval_s: float = 3600.0) -> None:
         """``--once`` vs scheduler loop (reference run_pipeline.py:83-105).
 

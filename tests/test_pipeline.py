@@ -3,6 +3,8 @@ snapshot, progress-skip idempotence, rates coercion, run logging."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from binance_etl_clickhouse_spark.pipeline import Pipeline, PipelineConfig
@@ -235,3 +237,40 @@ def test_failed_symbols_reported_and_retried(spark, tmp_path):
     p.update_klines("SPOT", "1h")
     assert p.klines.read(spark).filter(F.col("symbol") == "SYM000USDT").count() == 100
     assert p.last_failed_symbols == []
+
+
+def test_maintain_compacts_fragmented_months_and_expires(spark, tmp_path):
+    """The background-merges pass: repeated ingests fragment month dirs;
+    maintain() compacts exactly the fragmented months, read results are
+    unchanged, and retention trims months behind the newest ingest."""
+    p = Pipeline(spark, str(tmp_path / "wh"), PipelineConfig(intervals=["1h"]))
+    p.update_all()
+    # re-append the current snapshot twice (a re-fetch shape the watermark
+    # would normally skip) so every month dir accumulates version files
+    snap = p.klines.read(spark).localCheckpoint(eager=True)
+    p.klines.append(snap.drop("ingest_seq", "month"), p._next_seq(p.klines))
+    p.klines.append(snap.drop("ingest_seq", "month"), p._next_seq(p.klines))
+    frag = p.klines.fragmented_months(min_files=3)
+    assert frag, "repeated re-ingest must fragment every month"
+    before = p.klines.read(spark).count()
+
+    report = p.maintain(min_files=3)
+    assert report["bn_klines_compacted_months"] == frag
+    assert p.klines.read(spark).count() == before
+    assert p.klines.fragmented_months(min_files=3) == []
+
+    # retention: keep only the newest month (0 months behind newest)
+    months = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(p.klines.path)
+        if d.startswith("month=")
+    )
+    if len(months) > 1:
+        report2 = p.maintain(min_files=3, retention_months=0)
+        left = sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(p.klines.path)
+            if d.startswith("month=")
+        )
+        assert left == months[-1:]
+        assert report2["bn_klines_expired_months"] == months[:-1]
