@@ -249,3 +249,109 @@ def source_mixture_sample(
         .filter(u < F.col("keep_rate"))
         .select(F.col(id_col), F.col(source_col), F.col("keep_rate"))
     )
+
+
+#: hashed feature space for importance-resampling scores — small enough that
+#: the per-bucket log-ratio table broadcasts (a few KB), large enough that
+#: unigram+bigram collisions stay rare at corpus scale
+DSIR_BUCKETS = 1024
+
+
+def hashed_feature_counts(
+    df: DataFrame,
+    n_buckets: int = DSIR_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, *carry, bucket, cnt): per-document hashed unigram+bigram
+    occurrence counts — the DSIR feature extractor (Xie et al. 2023,
+    "Data Selection with Importance Resampling": hashed n-gram bag-of-words).
+
+    bucket(f) = hash60(f) % n_buckets, identical in Spark and DuckDB, so the
+    oracle recomputes the exact same feature space. One explode + one
+    groupBy on (doc, bucket) — partial aggregation collapses the ~2n token
+    occurrences to at most ``n_buckets`` rows per document map-side.
+    """
+    w = tokens(text_col)
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = ensure_min_parallelism(df).select(
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        F.explode(F.concat(w, bigrams)).alias("feat"),
+    )
+    return (
+        feats.withColumn("bucket", (hash60("feat") % n_buckets).cast("long"))
+        .groupBy(id_col, *carry_cols, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def dsir_scores(
+    df: DataFrame,
+    target_col: str,
+    target_value: str,
+    n_buckets: int = DSIR_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_feats, dsir_score, keep): importance-resampling selection score
+    per document — DSIR's log importance weight under hashed-n-gram
+    bag-of-words models of a target slice vs the raw corpus.
+
+    With Laplace-smoothed bucket models p_t (docs where target_col ==
+    target_value) and p_r (all docs):
+
+        score(d) = (1/|d|) * sum_b cnt(d,b) * ln(p_t(b) / p_r(b))
+
+    ``keep`` = score > 0: the doc looks more like the target slice than the
+    corpus average (DSIR then resamples by this weight; a deterministic
+    positive-score filter is the scale-free analogue — no global sort or
+    quantile pass, selection is a per-row predicate).
+
+    Scale shape: the bucket-model frame is ``n_buckets`` rows (two tiny
+    aggregations + a cross join against its own 1-row total), explicitly
+    broadcast back; the corpus side shuffles twice, both times with map-side
+    partial aggregation — once to (doc, bucket) counts, once to per-doc
+    sums. Per-bucket log-ratios round at 6 dp before the weighted sum and
+    the final score rounds again (summation-order ULP policy).
+    """
+    cnts = hashed_feature_counts(
+        df, n_buckets, id_col, text_col, carry_cols=(target_col,)
+    )
+    is_tgt = F.col(target_col) == target_value
+    bucket_stats = cnts.groupBy("bucket").agg(
+        F.sum("cnt").cast("long").alias("raw_cnt"),
+        F.sum(F.when(is_tgt, F.col("cnt")).otherwise(F.lit(0))).cast("long").alias(
+            "tgt_cnt"
+        ),
+    )
+    totals = bucket_stats.agg(
+        F.sum("raw_cnt").cast("double").alias("r_tot"),
+        F.sum("tgt_cnt").cast("double").alias("t_tot"),
+    )
+    b = float(n_buckets)
+    logratio = bucket_stats.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            F.log((F.col("tgt_cnt") + F.lit(1.0)) / (F.col("t_tot") + F.lit(b)))
+            - F.log((F.col("raw_cnt") + F.lit(1.0)) / (F.col("r_tot") + F.lit(b))),
+            6,
+        ).alias("logratio"),
+    )
+    score = F.round(F.sum(F.col("cnt") * F.col("logratio")) / F.sum("cnt"), 6)
+    return (
+        cnts.join(F.broadcast(logratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_feats"),
+            score.alias("dsir_score"),
+        )
+        .withColumn("keep", F.col("dsir_score") > 0)
+    )

@@ -161,3 +161,64 @@ def _mixture_case_sql() -> str:
 def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return corpus.source_mixture_sample(docs, MIXTURE_TARGET)
+
+
+_DSIR_B = corpus.DSIR_BUCKETS
+
+
+@register(
+    "dsir_importance_select",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, lang,
+             unnest(list_concat(
+               w, [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+             )) AS feat
+      FROM toks
+    ),
+    cnts AS (
+      SELECT doc_id, lang,
+             ({hash60_sql("feat")} % {_DSIR_B})::BIGINT AS bucket,
+             count(*)::BIGINT AS cnt
+      FROM feats GROUP BY doc_id, lang, bucket
+    ),
+    bs AS (
+      SELECT bucket,
+             sum(cnt)::BIGINT AS raw_cnt,
+             sum(CASE WHEN lang = 'en' THEN cnt ELSE 0 END)::BIGINT AS tgt_cnt
+      FROM cnts GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(sum(raw_cnt) AS DOUBLE) AS r_tot,
+             CAST(sum(tgt_cnt) AS DOUBLE) AS t_tot
+      FROM bs
+    ),
+    lr AS (
+      SELECT bucket,
+             round(ln((tgt_cnt + 1) / (t_tot + {float(_DSIR_B)!r}))
+                   - ln((raw_cnt + 1) / (r_tot + {float(_DSIR_B)!r})), 6) AS logratio
+      FROM bs CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT c.doc_id,
+             sum(c.cnt)::BIGINT AS n_feats,
+             round(sum(c.cnt * lr.logratio) / sum(c.cnt), 6) AS dsir_score
+      FROM cnts c JOIN lr USING (bucket)
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id, n_feats, dsir_score, dsir_score > 0 AS keep FROM scored
+    """,
+    survey_ref=(
+        "corpus stats: DSIR importance-resampling selection score "
+        "(hashed unigram+bigram target-vs-raw log-ratio)"
+    ),
+)
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document by how target-like it is (target = lang='en')
+    under DSIR's hashed bag-of-n-grams importance weight; ``keep`` marks the
+    positive-score docs. See :func:`operators.corpus.dsir_scores`."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.dsir_scores(docs, target_col="lang", target_value="en")

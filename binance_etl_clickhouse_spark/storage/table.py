@@ -494,9 +494,65 @@ class ServingTable:
         if prior_zm is not None:
             _zm.build_zonemap(self.path, prior_zm["columns"])
 
-    def max_watermark(self, spark: SparkSession, per: str | None = None) -> DataFrame:
-        """Resume offsets (SURVEY.md A5/T1): max(time_col) overall or per key."""
-        df = self.read_raw(spark)
+    def stats_max(self, col: str):
+        """Driver-side footer-stats maximum of ``col`` — ZERO Spark jobs.
+
+        Answered from the zone-map sidecar (``_zonemap.json``) when it is
+        fresh (covers every data file on disk) and carries ``col`` with
+        stats for every file; returns the ENCODED bound (timestamps are
+        epoch micros, see ``zonemap._encode``) or ``None`` when the sidecar
+        cannot answer — callers must then fall back to a Spark aggregation.
+
+        Correct for the watermark because appends only add rows and versions
+        of a key share its time value, so max over raw files == max over the
+        deduped view.
+        """
+        from binance_etl_clickhouse_spark.storage import zonemap as _zm
+
+        zm = _zm.read_zonemap(self.path)
+        if zm is None or col not in zm.get("columns", []):
+            return None
+        on_disk = _zm.data_files(self.path)
+        if not on_disk or any(rel not in zm["files"] for rel in on_disk):
+            return None
+        hi = None
+        for rel in on_disk:
+            b = zm["files"].get(rel)
+            if not b or b.get(col) is None:
+                return None
+            v = b[col][1]
+            hi = v if hi is None or v > hi else hi
+        return hi
+
+    def max_watermark(
+        self, spark: SparkSession, per: str | None = None, use_stats: bool = True
+    ) -> DataFrame:
+        """Resume offsets (SURVEY.md A5/T1): max(time_col) overall or per key.
+
+        The global watermark is the highest-frequency metadata query in the
+        ingest loop (once per ``update_*`` call). With a zone-map sidecar it
+        is answered ENTIRELY driver-side from footer stats — the returned
+        frame is a 1-row local relation, no file scan is planned at all (at
+        a million files that is the difference between a metadata lookup and
+        a cluster job). Stale/missing sidecar, or ``per``-key watermarks
+        (file stats are not per-key), fall back to the Spark aggregation —
+        itself parquet-footer-cheap, but O(files) tasks.
+        """
         if per:
-            return df.groupBy(per).agg(F.max(self.time_col).alias("last_ts"))
-        return df.agg(F.max(self.time_col).alias("last_ts"))
+            return (
+                self.read_raw(spark)
+                .groupBy(per)
+                .agg(F.max(self.time_col).alias("last_ts"))
+            )
+        if use_stats and self.time_col:
+            enc = self.stats_max(self.time_col)
+            if enc is not None:
+                from datetime import datetime, timezone
+
+                # time_col is a timestamp by the table contract (it drives
+                # the month partitioning); sidecar bounds encode epoch micros
+                ts = datetime.fromtimestamp(enc / 1e6, tz=timezone.utc).replace(
+                    tzinfo=None
+                )
+                return spark.createDataFrame([(ts,)], schema="last_ts timestamp")
+        return self.read_raw(spark).agg(F.max(self.time_col).alias("last_ts"))

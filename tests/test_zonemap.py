@@ -151,3 +151,36 @@ def test_snapshot_as_of_seq(spark, tmp_path):
     cur = t.read(spark)
     assert cur.filter(F.col("volume") > 10000.0).count() == 20
     assert _rows(t.read(spark, as_of_seq=t.max_ingest_seq(spark))) == _rows(cur)
+
+
+def test_max_watermark_answers_from_footer_stats(spark, tmp_path):
+    """With a fresh zone map the global watermark plans NO file scan — the
+    result is a driver-built local relation, yet matches the Spark agg."""
+    t = _table(tmp_path)
+    t.append(_clean(spark, n_symbols=2, bars_per_symbol=48), ingest_seq=1)
+    t.build_zonemap()
+    # append AFTER the build: the sidecar must fold the new files in and the
+    # fast path must see the newer watermark
+    t.append(
+        _clean(spark, n_symbols=2, bars_per_symbol=60), ingest_seq=2
+    )
+    fast = t.max_watermark(spark)
+    slow = t.max_watermark(spark, use_stats=False)
+    assert fast.collect() == slow.collect()
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" not in plan.lower(), plan
+
+
+def test_max_watermark_stale_sidecar_falls_back(spark, tmp_path):
+    t = _table(tmp_path)
+    t.append(_clean(spark, n_symbols=2, bars_per_symbol=48), ingest_seq=1)
+    t.build_zonemap()
+    sidecar = zm.read_zonemap(t.path)
+    victim = next(iter(sidecar["files"]))
+    del sidecar["files"][victim]
+    zm.write_zonemap(t.path, sidecar)
+    assert t.stats_max("timestamp") is None
+    fast = t.max_watermark(spark)  # falls back to the scan, stays correct
+    assert fast.collect() == t.max_watermark(spark, use_stats=False).collect()
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" in plan.lower()
