@@ -44,8 +44,8 @@ from binance_etl_clickhouse_spark.queries import corpus  # noqa: F401,E402
 # embedding_centroid_per_label, ann_batch_topk, ann_ivf_batch_topk,
 # embedding_decontamination, length_bucket_batches,
 # funnel_conversion_lags, cohort_retention_weekly,
-# equi_depth_histogram, interval_overlap_pairs, fuzzy_match_pairs,
-# training_shuffle_shards — plus
+# equi_depth_histogram, interval_overlap_pairs, fuzzy_snippet_pairs,
+# training_shuffle_shards, dsir_importance_select — plus
 # re-proving a sample of the r1-green
 # block rotated out this round (relational/scalar/set/window basics,
 # keep_last_dedup, ngram/simhash/ann families, multimodal, sessionization,
