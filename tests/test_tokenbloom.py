@@ -1,0 +1,92 @@
+"""Token bloom skip index (tokenbf_v1 analogue): contains-token reads prune
+files driver-side, never lose rows (bloom = false positives only), and fall
+back to the full scan on a stale sidecar."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from binance_etl_clickhouse_spark.operators.texthash import tokens
+from binance_etl_clickhouse_spark.storage import tokenbloom as tb
+
+
+def _corpus(spark, tmp_path) -> str:
+    """8 files, each with a file-distinctive token (rare{g}) plus shared
+    filler — so a rare-token lookup must prune most files."""
+    rows = []
+    for g in range(8):
+        for i in range(20):
+            rows.append((g, g * 100 + i, f"common filler rare{g} word{i % 5} text"))
+    df = spark.createDataFrame(rows, "grp int, doc_id long, text string")
+    path = str(tmp_path / "corpus")
+    # co-locate each group in one file so a rare-token lookup CAN prune
+    df.repartition(8, "grp").drop("grp").write.parquet(path)
+    return path
+
+
+def _true_files(spark, path, token):
+    return {
+        os.path.relpath(r.f.removeprefix("file:"), os.path.abspath(path)).lstrip("/")
+        for r in spark.read.parquet(path)
+        .filter(F.array_contains(tokens("text"), token))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+
+
+def test_token_bloom_prunes_and_matches_full_scan(spark, tmp_path):
+    path = _corpus(spark, tmp_path)
+    idx = tb.build_token_bloom(spark, path)
+    n_files = len(idx["files"])
+    assert n_files >= 4
+
+    pruned = tb.prune_files_with_token(idx, path, "rare3")
+    assert pruned is not None
+    # must keep every file truly containing the token (no false negatives)...
+    true_rel = _true_files(spark, path, "rare3")
+    kept_rel = {os.path.relpath(p, os.path.abspath(path)) for p in pruned}
+    assert true_rel <= kept_rel
+    # ...and actually prune (8 files, 1 real match, <1% bloom fp rate)
+    assert len(pruned) < n_files
+
+    got = tb.read_containing(spark, path, "rare3")
+    want = spark.read.parquet(path).filter(F.array_contains(tokens("text"), "rare3"))
+    assert sorted(r.doc_id for r in got.collect()) == sorted(
+        r.doc_id for r in want.collect()
+    )
+
+
+def test_token_bloom_shared_token_keeps_all_data_files(spark, tmp_path):
+    path = _corpus(spark, tmp_path)
+    idx = tb.build_token_bloom(spark, path)
+    pruned = tb.prune_files_with_token(idx, path, "common")
+    assert pruned is not None
+    # every file that truly has rows keeps (the token is in every doc);
+    # zero-row part files carry an empty bloom and prune away
+    true_rel = _true_files(spark, path, "common")
+    kept_rel = {os.path.relpath(p, os.path.abspath(path)) for p in pruned}
+    assert len(true_rel) >= 4 and kept_rel == true_rel
+
+
+def test_token_bloom_absent_token_reads_nothing(spark, tmp_path):
+    path = _corpus(spark, tmp_path)
+    tb.build_token_bloom(spark, path)
+    df = tb.read_containing(spark, path, "zz_not_a_token")
+    assert df.count() == 0
+
+
+def test_token_bloom_stale_sidecar_falls_back(spark, tmp_path):
+    path = _corpus(spark, tmp_path)
+    idx = tb.build_token_bloom(spark, path)
+    victim = next(iter(idx["files"]))
+    del idx["files"][victim]
+    import json
+
+    with open(os.path.join(path, tb.TOKENBLOOM_SIDECAR), "w") as f:
+        json.dump(idx, f)
+    assert tb.prune_files_with_token(tb.read_token_bloom(path), path, "rare3") is None
+    got = tb.read_containing(spark, path, "rare3")  # full scan, still correct
+    assert got.count() == 20
