@@ -42,6 +42,27 @@ CLICKHOUSE_COMPAT_FUNCTIONS: dict[str, str] = {
         "a DIV b - CASE WHEN a % b != 0 AND ((a < 0) != (b < 0)) "
         "THEN 1 ELSE 0 END"
     ),
+    "toYYYYMMDD": "(ts TIMESTAMP) RETURNS INT RETURN CAST(date_format(ts, 'yyyyMMdd') AS INT)",
+    # ClickHouse toStartOfISOWeek returns the Monday of ts's ISO week
+    # (Spark's date_trunc('week') is Monday-anchored too)
+    "toStartOfISOWeek": "(ts TIMESTAMP) RETURNS TIMESTAMP RETURN date_trunc('week', ts)",
+    "lengthUTF8": "(s STRING) RETURNS INT RETURN length(s)",
+    # hasToken over this engine's whitespace tokenization (documents.text is
+    # space-separated; ClickHouse proper splits on non-alphanumeric) — pairs
+    # with the tokenbf_v1-style skip index in storage/tokenbloom.py
+    "hasToken": (
+        "(s STRING, tok STRING) RETURNS BOOLEAN RETURN "
+        "array_contains(split(s, ' '), tok)"
+    ),
+    "hasTokenCaseInsensitive": (
+        "(s STRING, tok STRING) RETURNS BOOLEAN RETURN "
+        "array_contains(split(lower(s), ' '), lower(tok))"
+    ),
+    # \Q...\E regex-quotes the separator so splitByChar('|', s) works
+    "splitByChar": (
+        "(sep STRING, s STRING) RETURNS ARRAY<STRING> RETURN "
+        "split(s, concat('\\\\Q', sep, '\\\\E'))"
+    ),
 }
 
 

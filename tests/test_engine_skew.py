@@ -142,3 +142,45 @@ def test_clickhouse_intdiv_floors_negative_operands(spark):
         "intDiv(7, 2) d, intDiv(-6, 2) e"
     ).first()
     assert (row.a, row.b, row.c, row.d, row.e) == (-4, -4, 3, 3, -3)
+
+
+def test_clickhouse_compat_string_and_token_functions(spark):
+    """hasToken / splitByChar / toYYYYMMDD & friends match their native-Spark
+    twins and stay JVM-side (SQL UDFs inline — no Python eval node)."""
+    from binance_etl_clickhouse_spark.engine import AnalyticsEngine, register_clickhouse_compat
+
+    register_clickhouse_compat(spark)
+    eng = AnalyticsEngine(spark, verbose=False)
+    eng.register_testdata("/root/testdata/sf0.001")
+    got = eng.sql(
+        """
+        SELECT doc_id,
+               hasToken(text, 'the') AS h,
+               hasTokenCaseInsensitive(text, 'THE') AS hc,
+               splitByChar(' ', text)[0] AS first_tok,
+               lengthUTF8(text) AS n
+        FROM documents ORDER BY doc_id LIMIT 50
+        """
+    )
+    want = eng.sql(
+        """
+        SELECT doc_id,
+               array_contains(split(text, ' '), 'the') AS h,
+               array_contains(split(lower(text), ' '), 'the') AS hc,
+               split(text, ' ')[0] AS first_tok,
+               length(text) AS n
+        FROM documents ORDER BY doc_id LIMIT 50
+        """
+    )
+    assert got.collect() == want.collect()
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # splitByChar must treat the separator literally, not as a regex
+    row = eng.sql("SELECT splitByChar('|', 'a|b|c') AS parts").first()
+    assert row.parts == ["a", "b", "c"]
+    # ISO week start is Monday-anchored in both engines
+    row = eng.sql(
+        "SELECT toStartOfISOWeek(TIMESTAMP '2024-03-07 10:00:00') AS w, "
+        "toYYYYMMDD(TIMESTAMP '2024-03-07 10:00:00') AS d"
+    ).first()
+    assert str(row.w) == "2024-03-04 00:00:00" and row.d == 20240307
