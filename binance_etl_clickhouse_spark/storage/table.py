@@ -63,7 +63,16 @@ def expire_month_partitions(path: str, before_month: int) -> list[int]:
         else:
             remaining += 1
     if dropped and remaining == 0:
-        shutil.rmtree(path)
+        if os.path.islink(path):
+            # versioned table: drop the pointer, the current snapshot dir,
+            # and the whole version store (or crash recovery would
+            # resurrect a parked snapshot of a deliberately-dropped table)
+            real = os.path.realpath(path)
+            os.remove(path)
+            shutil.rmtree(real, ignore_errors=True)
+            shutil.rmtree(path.rstrip("/") + ".versions", ignore_errors=True)
+        else:
+            shutil.rmtree(path)
     return dropped
 
 
@@ -94,11 +103,53 @@ class ServingTable:
         tmp = self.path.rstrip("/") + ".compact.tmp"
         if not os.path.isdir(self.path) and os.path.isdir(bak):
             shutil.move(bak, self.path)
+        # versioned-swap conversion crash: live dir moved into the version
+        # store but the symlink never landed -> restore the moved dir
+        if not os.path.isdir(self.path) and not os.path.islink(self.path):
+            vroot = self._versions_root()
+            if os.path.isdir(vroot):
+                legacy = sorted(
+                    d for d in os.listdir(vroot) if d.startswith("legacy-")
+                )
+                if legacy:
+                    shutil.move(os.path.join(vroot, legacy[-1]), self.path)
         if os.path.isdir(self.path):
             # live dir resolves -> any leftover swap debris is stale
             for d in (bak, tmp):
                 if os.path.isdir(d):
                     shutil.rmtree(d)
+
+    # -- versioned layout (atomic compact swap) ---------------------------
+
+    def _versions_root(self) -> str:
+        return self.path.rstrip("/") + ".versions"
+
+    def resolved_path(self) -> str:
+        """Physical data dir with the version symlink resolved. DataFrames
+        are built on THIS path, so an atomic ``compact(versioned=True)``
+        repoint can never invalidate an in-flight reader — it keeps reading
+        the snapshot dir it planned against (retained until :meth:`vacuum`)."""
+        return os.path.realpath(self.path)
+
+    def vacuum(self, keep: int = 1) -> list[str]:
+        """Drop version dirs no longer referenced by the live symlink,
+        keeping the ``keep`` most recent unreferenced ones as a grace window
+        for in-flight readers. Returns removed dir names."""
+        import shutil
+
+        vroot = self._versions_root()
+        if not os.path.isdir(vroot):
+            return []
+        current = os.path.realpath(self.path)
+        candidates = sorted(
+            d
+            for d in os.listdir(vroot)
+            if os.path.realpath(os.path.join(vroot, d)) != current
+        )
+        doomed = candidates[: max(0, len(candidates) - keep)]
+        for d in doomed:
+            shutil.rmtree(os.path.join(vroot, d), ignore_errors=True)
+        return doomed
 
     # -- version sequencing -----------------------------------------------
 
@@ -240,7 +291,9 @@ class ServingTable:
         reader = spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(self.path)
+        # symlink-resolved: an atomic compact repoint after this call leaves
+        # the returned frame reading its original (retained) snapshot dir
+        return reader.parquet(self.resolved_path())
 
     def read(
         self,
@@ -451,7 +504,12 @@ class ServingTable:
         if prior_zm is not None:
             _zm.build_zonemap(self.path, prior_zm["columns"])
 
-    def compact(self, spark: SparkSession, zorder: tuple[str, str] | None = None) -> None:
+    def compact(
+        self,
+        spark: SparkSession,
+        zorder: tuple[str, str] | None = None,
+        versioned: bool | None = None,
+    ) -> None:
         """Rewrite to exactly one version per key (≙ OPTIMIZE TABLE FINAL).
 
         Reads the deduped snapshot and atomically replaces the table dir.
@@ -464,26 +522,66 @@ class ServingTable:
         axis-aligned tiles so a predicate on EITHER dimension alone prunes
         file footers, where the lexicographic sort serves only its leading
         key. Same single shuffle as the sorted rewrite.
+
+        ``versioned=True`` upgrades the swap to a SNAPSHOT-ISOLATED commit
+        (the single-FS analogue of a Delta/Iceberg manifest pointer): the new
+        snapshot lands in ``<path>.versions/vNNN`` and the table path becomes
+        a symlink repointed with one atomic ``rename``. Readers planned
+        before the swap keep reading their (retained) old version dir —
+        ``read_raw`` resolves the symlink at plan time — so OPTIMIZE is
+        downtime-free; old versions age out via :meth:`vacuum`. Default
+        ``None`` keeps whichever layout the table already uses (a symlinked
+        table stays versioned forever).
         """
         from binance_etl_clickhouse_spark.storage import zonemap as _zm
 
         self._recover()
+        if versioned is None:
+            versioned = os.path.islink(self.path)
         cur_seq = self._read_sidecar()
         prior_zm = _zm.read_zonemap(self.path)
         snap = self.read(spark)
-        tmp = self.path.rstrip("/") + ".compact.tmp"
-        w = self._arrange(snap, zorder)
-        if self.time_col is not None:
-            w.write.mode("overwrite").partitionBy(MONTH_COL).parquet(tmp)
-        else:
-            w.write.mode("overwrite").parquet(tmp)
-        # atomic-ish swap (single-FS rename; object stores would use a manifest)
         import shutil
 
-        bak = self.path.rstrip("/") + ".compact.bak"
-        shutil.move(self.path, bak)
-        shutil.move(tmp, self.path)
-        shutil.rmtree(bak)
+        if versioned:
+            vroot = self._versions_root()
+            os.makedirs(vroot, exist_ok=True)
+            nums = [
+                int(d[1:])
+                for d in os.listdir(vroot)
+                if d.startswith("v") and d[1:].isdigit()
+            ]
+            vdir = os.path.join(vroot, f"v{max(nums, default=0) + 1:09d}")
+            w = self._arrange(snap, zorder)
+            if self.time_col is not None:
+                w.write.mode("overwrite").partitionBy(MONTH_COL).parquet(vdir)
+            else:
+                w.write.mode("overwrite").parquet(vdir)
+            if not os.path.islink(self.path):
+                # one-time conversion: park the live dir in the version store
+                # (it stays readable for in-flight readers and is the
+                # recovery source if the crash lands before the symlink)
+                shutil.move(
+                    self.path, os.path.join(vroot, f"legacy-{os.path.basename(vdir)}")
+                )
+            tmp_link = self.path.rstrip("/") + ".lnk.tmp"
+            if os.path.lexists(tmp_link):
+                os.remove(tmp_link)
+            os.symlink(vdir, tmp_link)
+            os.replace(tmp_link, self.path)  # THE commit: one atomic rename
+        else:
+            tmp = self.path.rstrip("/") + ".compact.tmp"
+            w = self._arrange(snap, zorder)
+            if self.time_col is not None:
+                w.write.mode("overwrite").partitionBy(MONTH_COL).parquet(tmp)
+            else:
+                w.write.mode("overwrite").parquet(tmp)
+            # atomic-ish swap (single-FS rename; the versioned layout above is
+            # the fully atomic form)
+            bak = self.path.rstrip("/") + ".compact.bak"
+            shutil.move(self.path, bak)
+            shutil.move(tmp, self.path)
+            shutil.rmtree(bak)
         # compaction preserves versions (it keeps max-per-key), so the
         # sidecar's max carries over unchanged; the compacted flag lets
         # read() skip the dedup window until the next append
