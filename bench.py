@@ -56,6 +56,9 @@ HEADLINE = [
     # 4x-replicating hopping window — the two new shuffle-heavy shapes
     "span_dedup_corpus",
     "hopping_window_counts",
+    # DSIR selection: two corpus-wide shuffles (doc-bucket counts + score
+    # join-back) — the newest corpus-statistic family
+    "dsir_importance_select",
 ]
 
 
