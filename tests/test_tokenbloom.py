@@ -90,3 +90,21 @@ def test_token_bloom_stale_sidecar_falls_back(spark, tmp_path):
     assert tb.prune_files_with_token(tb.read_token_bloom(path), path, "rare3") is None
     got = tb.read_containing(spark, path, "rare3")  # full scan, still correct
     assert got.count() == 20
+
+
+def test_token_bloom_adversarial_tokens_never_false_negative(spark, tmp_path):
+    """Sign-bit words (a position with pos % 64 == 63 -> the OR'd long goes
+    negative in the JVM), unicode, and the empty-string token must all
+    survive the build -> JSON -> probe round trip (t88/t93/t111 were found
+    by search to place a bit in slot 63)."""
+    toks = ["t88", "t93", "t111", "naïve", "统计", ""]
+    rows = [(i, " ".join([t, "pad"])) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "adv")
+    df.coalesce(1).write.parquet(path)
+    idx = tb.build_token_bloom(spark, path)
+    for t in toks:
+        pruned = tb.prune_files_with_token(idx, path, t)
+        assert pruned, f"false negative for token {t!r}"
+        got = tb.read_containing(spark, path, t)
+        assert got.count() >= 1, f"read lost token {t!r}"
