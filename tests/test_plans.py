@@ -247,3 +247,13 @@ def test_semdedup_per_cell_equi_join_no_cartesian(spark):
     plan = _plan(spark, "semdedup_prune")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_broadcasts_bucket_model_no_corpus_smj(spark):
+    # the 1024-row bucket log-ratio model must broadcast back onto the
+    # corpus-side counts (never shuffle the corpus for a model-sized join),
+    # and both corpus aggregations must partial-aggregate map-side
+    plan = _plan(spark, "dsir_importance_select")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan or "rows=1" in plan  # totals x-join
+    assert plan.count("partial_sum") >= 1 or "partial" in plan.lower()
