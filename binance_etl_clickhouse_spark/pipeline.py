@@ -343,6 +343,18 @@ class Pipeline:
             if frag:
                 table.compact_months(self.spark, frag)
             report[f"{name}_compacted_months"] = frag
+            # a compaction rewrites files, which strands any token-bloom
+            # sidecar (staleness then falls back to full scans — correct but
+            # pruning-less); refresh it here so hasToken reads keep pruning
+            if frag:
+                from binance_etl_clickhouse_spark.storage import tokenbloom as _tb
+
+                idx = _tb.read_token_bloom(table.path)
+                if idx is not None:
+                    _tb.build_token_bloom(
+                        self.spark, table.path, idx["text_col"], idx["m"], idx["k"]
+                    )
+                    report[f"{name}_tokenbloom_rebuilt"] = True
             if retention_months is not None:
                 months = sorted(
                     int(d.split("=")[1])

@@ -274,3 +274,28 @@ def test_maintain_compacts_fragmented_months_and_expires(spark, tmp_path):
         )
         assert left == months[-1:]
         assert report2["bn_klines_expired_months"] == months[:-1]
+
+
+def test_maintain_refreshes_token_bloom_after_compaction(spark, tmp_path):
+    """A table carrying a token-bloom sidecar (here: per-file SYMBOL
+    membership — symbols are single whitespace tokens) gets the index
+    rebuilt by maintain() after compaction rewrites every file, so
+    hasToken-style pruning keeps working instead of silently falling back."""
+    from binance_etl_clickhouse_spark.storage import tokenbloom as tb
+
+    p = Pipeline(spark, str(tmp_path / "wh"), PipelineConfig(intervals=["1h"]))
+    p.update_all()
+    snap = p.klines.read(spark).localCheckpoint(eager=True)
+    p.klines.append(snap.drop("ingest_seq", "month"), p._next_seq(p.klines))
+    p.klines.append(snap.drop("ingest_seq", "month"), p._next_seq(p.klines))
+    tb.build_token_bloom(spark, p.klines.path, text_col="symbol")
+    sym = snap.select("symbol").first().symbol
+
+    report = p.maintain(min_files=3)
+    assert report.get("bn_klines_tokenbloom_rebuilt") is True
+    idx = tb.read_token_bloom(p.klines.path)
+    pruned = tb.prune_files_with_token(idx, p.klines.path, sym)
+    assert pruned is not None, "rebuilt sidecar must be fresh (no fallback)"
+    got = tb.read_containing(spark, p.klines.path, sym, text_col="symbol")
+    want = p.klines.read_raw(spark).filter(F.col("symbol") == sym)
+    assert got.count() == want.count() > 0
