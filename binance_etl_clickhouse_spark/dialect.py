@@ -38,10 +38,21 @@ toFloat64/toInt64/  CAST(x AS DOUBLE/BIGINT/INT/STRING/DATE)
 toInt32/toString/
 toDate(x)
 today()             current_date()
+arrayJoin(x)        explode(x)          [one per SELECT, as in Spark; a
+                                         second generator fails loudly in
+                                         the analyzer, never silently]
+FROM t FINAL        FROM t              [the engine's registered views ARE
+                                         the deduped (FINAL) snapshot —
+                                         see register_pipeline_tables]
+PREWHERE c          WHERE c             [PREWHERE is a scan-order hint;
+                                         Spark's optimizer already pushes
+                                         predicates to the scan]
 ==================  =========================================
 """
 
 from __future__ import annotations
+
+import re
 
 _CASTS = {
     "toFloat64": "DOUBLE",
@@ -60,7 +71,18 @@ _NAME_MAP = {
     "any": "any_value",
     "ifNull": "coalesce",
     "today": "current_date",
+    "arrayJoin": "explode",
 }
+
+#: bare-keyword rewrites (matched case-insensitively outside string literals)
+_KEYWORDS = {"PREWHERE": "WHERE"}
+
+#: ``FROM <table> FINAL`` -> ``FROM <table>`` — FINAL is only a keyword in
+#: this position, so the narrow pattern never touches a column named final
+_FINAL_RE = re.compile(
+    r"(\bFROM\s+[A-Za-z_][\w.]*(?:\s+(?:AS\s+)?[A-Za-z_]\w*)?)\s+FINAL\b",
+    re.IGNORECASE,
+)
 
 _IF_COMBINATORS = {"sumIf": "sum", "avgIf": "avg", "minIf": "min", "maxIf": "max"}
 
@@ -121,6 +143,10 @@ def _find_close(s: str, open_idx: int) -> int:
 
 def translate_clickhouse_sql(sql: str) -> str:
     """Rewrite ClickHouse-flavored SQL into Spark SQL (see module doc)."""
+    # FROM-position FINAL strip (regex pre-pass: the pattern is anchored on
+    # the FROM keyword, so the only false positive would be the literal text
+    # "FROM x FINAL" inside a string — not worth a second scanner)
+    sql = _FINAL_RE.sub(r"\1", sql)
     out: list[str] = []
     i = 0
     n = len(sql)
@@ -191,8 +217,8 @@ def translate_clickhouse_sql(sql: str) -> str:
                 else:
                     out.append(f"{name}({', '.join(args)})")
                 continue
-            # bare identifier (no call): today -> keep; nothing rewrites bare
-            out.append(name)
+            # bare identifier (no call): keyword rewrites (PREWHERE), else keep
+            out.append(_KEYWORDS.get(name.upper(), name))
             i = j
             continue
         out.append(ch)

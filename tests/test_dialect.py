@@ -173,3 +173,35 @@ def test_translation_is_compositional_and_idempotent(pair):
     assert got == want
     # already-Spark SQL passes through unchanged
     assert translate_clickhouse_sql(got) == got
+
+
+def test_final_prewhere_arrayjoin_rewrites():
+    t = translate_clickhouse_sql
+    assert (
+        t("SELECT symbol FROM bn_klines FINAL WHERE volume > 0")
+        == "SELECT symbol FROM bn_klines WHERE volume > 0"
+    )
+    # alias before FINAL, and FINAL at end of statement
+    assert t("SELECT k.symbol FROM bn_klines k FINAL") == "SELECT k.symbol FROM bn_klines k"
+    assert t("SELECT 1 FROM t PREWHERE x > 0") == "SELECT 1 FROM t WHERE x > 0"
+    assert t("SELECT arrayJoin(xs) FROM t") == "SELECT explode(xs) FROM t"
+    # a column actually NAMED final (not in FROM position) is untouched
+    assert t("SELECT final FROM t") == "SELECT final FROM t"
+    # idempotent
+    q = t("SELECT arrayJoin(xs) AS x FROM bn_klines FINAL PREWHERE y = 1")
+    assert t(q) == q
+
+
+def test_final_runs_against_engine_views(spark):
+    """FROM <view> FINAL runs verbatim: the registered views ARE the deduped
+    snapshot, so FINAL is a no-op keyword strip."""
+    from binance_etl_clickhouse_spark.engine import AnalyticsEngine
+
+    eng = AnalyticsEngine(spark, verbose=False)
+    eng.register_testdata("/root/testdata/sf0.001")
+    got = eng.sql(
+        "SELECT count(*) AS n FROM orders FINAL PREWHERE o_totalprice > 0",
+        dialect="clickhouse",
+    ).first()
+    want = spark.sql("SELECT count(*) AS n FROM orders WHERE o_totalprice > 0").first()
+    assert got.n == want.n
