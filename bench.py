@@ -59,6 +59,11 @@ HEADLINE = [
     # DSIR selection: two corpus-wide shuffles (doc-bucket counts + score
     # join-back) — the newest corpus-statistic family
     "dsir_importance_select",
+    # BM25 retrieval (broadcast inverted-index probe) and the trained NB
+    # classifier (broadcast model scoring) — this session's retrieval +
+    # quality-classifier additions
+    "bm25_topk_docs",
+    "nb_lang_classifier",
 ]
 
 

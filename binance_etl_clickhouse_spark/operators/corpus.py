@@ -355,3 +355,216 @@ def dsir_scores(
         )
         .withColumn("keep", F.col("dsir_score") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: list[tuple[str, str]],
+    n_docs: int,
+    total_tokens: int,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents per keyword query under BM25 (Robertson/Lucene).
+
+    score(q, d) = sum_{t in q} idf(t) * tf * (k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+    idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+
+    The retrieval shape that matters at corpus scale: the query set is a
+    tiny literal frame (broadcast), so the corpus-side work is ONE pass —
+    per-doc term frequencies filtered to query terms by a broadcast
+    semi-join (the inverted-index probe; everything not matching any query
+    term dies map-side), then document frequency over that filtered frame,
+    then a per-query top-k via WindowGroupLimit. ``n_docs`` /
+    ``total_tokens`` are exact-integer scalars from one footer-cheap agg
+    job; avgdl enters as dl*N/T so both engines do the identical IEEE
+    double ops. Scores round at 6 dp before ranking (ties -> doc_id).
+    """
+    spark = df.sparkSession
+    qrows = [
+        (qid, t)
+        for qid, qtext in queries
+        for t in sorted(set(qtext.split(" ")))
+    ]
+    qt = spark.createDataFrame(qrows, "query_id string, term string")
+
+    tok = ensure_min_parallelism(df).select(
+        F.col(id_col), F.size(tokens(text_col)).alias("dl"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = tok.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    # inverted-index probe: keep only postings for query terms
+    tfq = tf.join(F.broadcast(qt.select("term").distinct()), "term")
+    dfreq = tfq.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df_count"))
+
+    n = float(n_docs)
+    t_tot = float(total_tokens)
+    idf = F.log(
+        F.lit(1.0) + (F.lit(n) - F.col("df_count") + F.lit(0.5)) / (F.col("df_count") + F.lit(0.5))
+    )
+    norm = F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B)
+        + F.lit(BM25_B) * (F.col("dl").cast("double") * F.lit(n) / F.lit(t_tot))
+    )
+    contrib = F.round(
+        idf * (F.col("tf") * F.lit(BM25_K1 + 1.0)) / (F.col("tf") + norm), 6
+    )
+    scored = (
+        tfq.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qt), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", id_col, "bm25", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Naive-Bayes quality/domain classifier (fasttext-style linear scorer)
+# ---------------------------------------------------------------------------
+
+
+def nb_classifier_scores(
+    df: DataFrame,
+    label_col: str,
+    positive_value: str,
+    n_buckets: int = DSIR_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, label, n_feats, nb_score, pred_positive, correct): train a
+    Naive-Bayes bag-of-hashed-ngrams classifier on the corpus's own labels
+    and score every document — the classic "quality classifier" stage of a
+    training-data pipeline (a fasttext-style linear model over hashed
+    unigram+bigram features; NB log-odds are its closed-form, pure-
+    aggregation trainable special case — no gradient loop needed).
+
+    Per-bucket Laplace-smoothed log-odds of positive vs negative:
+
+        lo(b) = ln((pos_b + 1)/(pos_tot + B)) - ln((neg_b + 1)/(neg_tot + B))
+        score(d) = (1/|d|) * sum_b cnt(d, b) * lo(b)
+
+    Distinct from DSIR (:func:`dsir_scores`): this is a supervised
+    discriminative pos-vs-NEG model with a prediction + train-accuracy
+    output, not an importance weight of target-vs-corpus.
+
+    Scale shape: identical to DSIR — the trained model is ``n_buckets``
+    rows broadcast back over the corpus; feature extraction and scoring
+    both shuffle once with map-side partial aggregation. Training is ONE
+    aggregation over the same (doc, bucket) frame that scoring consumes
+    (the plan reuses it), so adding the classifier to a pipeline costs one
+    extra vocabulary-sized agg, not a second corpus scan.
+    """
+    cnts = hashed_feature_counts(
+        df, n_buckets, id_col, text_col, carry_cols=(label_col,)
+    )
+    is_pos = F.col(label_col) == positive_value
+    bucket_stats = cnts.groupBy("bucket").agg(
+        F.sum(F.when(is_pos, F.col("cnt")).otherwise(F.lit(0))).cast("long").alias("pos_cnt"),
+        F.sum(F.when(~is_pos, F.col("cnt")).otherwise(F.lit(0))).cast("long").alias("neg_cnt"),
+    )
+    totals = bucket_stats.agg(
+        F.sum("pos_cnt").cast("double").alias("p_tot"),
+        F.sum("neg_cnt").cast("double").alias("n_tot"),
+    )
+    b = float(n_buckets)
+    logodds = bucket_stats.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            F.log((F.col("pos_cnt") + F.lit(1.0)) / (F.col("p_tot") + F.lit(b)))
+            - F.log((F.col("neg_cnt") + F.lit(1.0)) / (F.col("n_tot") + F.lit(b))),
+            6,
+        ).alias("logodds"),
+    )
+    score = F.round(F.sum(F.col("cnt") * F.col("logodds")) / F.sum("cnt"), 6)
+    scored = (
+        cnts.join(F.broadcast(logodds), "bucket")
+        .groupBy(id_col, label_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_feats"),
+            score.alias("nb_score"),
+        )
+    )
+    pred = F.col("nb_score") > 0
+    return scored.select(
+        id_col,
+        label_col,
+        "n_feats",
+        "nb_score",
+        pred.alias("pred_positive"),
+        (pred == (F.col(label_col) == positive_value)).alias("correct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule-based quality filters
+# ---------------------------------------------------------------------------
+
+#: stopword presence check (Gopher's "contains at least 2 stop words" rule);
+#: literal list shared with the oracle SQL
+GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "in")
+
+#: (min_words, max_words, min_mean_len, max_mean_len, max_top_share,
+#:  min_unique_frac, min_stop_hits) — Gopher/C4-shaped bounds adapted to the
+#: synthetic vocabulary (short all-lowercase words, no punctuation)
+GOPHER_BOUNDS = (20, 100_000, 3.0, 10.0, 0.2, 0.2, 2)
+
+
+def gopher_quality_filters(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document rule-based quality metrics + keep decision (Gopher
+    §A1.1 / C4-style heuristic filtering, word-level rules — the corpus has
+    no line structure, so line rules collapse to word rules).
+
+    Metrics: word count, mean word length, fraction of distinct words,
+    most-frequent-word share (the repetition rule), stopword hits. ``keep``
+    ANDs the per-rule flags under :data:`GOPHER_BOUNDS`.
+
+    One explode + two nested aggregations on (doc, word) -> doc; all
+    partial-aggregatable, no windows, no UDFs. Ratios round at 6 dp.
+    """
+    tf = term_frequencies(df, id_col, text_col)
+    stop_hits = F.sum(
+        F.when(F.col("term").isin(*GOPHER_STOPWORDS), F.col("tf")).otherwise(F.lit(0))
+    )
+    per_doc = tf.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        F.max("tf").cast("long").alias("max_tf"),
+        F.sum(F.length("term") * F.col("tf")).cast("long").alias("sum_len"),
+        stop_hits.cast("long").alias("stop_hits"),
+    )
+    (min_w, max_w, min_ml, max_ml, max_share, min_uniq, min_stop) = GOPHER_BOUNDS
+    n = F.col("n_words").cast("double")
+    mean_len = F.round(F.col("sum_len") / n, 6)
+    top_share = F.round(F.col("max_tf") / n, 6)
+    uniq_frac = F.round(F.col("n_unique") / n, 6)
+    out = per_doc.select(
+        id_col,
+        "n_words",
+        mean_len.alias("mean_word_len"),
+        uniq_frac.alias("unique_frac"),
+        top_share.alias("top_word_share"),
+        "stop_hits",
+    )
+    keep = (
+        F.col("n_words").between(min_w, max_w)
+        & F.col("mean_word_len").between(min_ml, max_ml)
+        & (F.col("top_word_share") <= max_share)
+        & (F.col("unique_frac") >= min_uniq)
+        & (F.col("stop_hits") >= min_stop)
+    )
+    return out.withColumn("keep", keep)

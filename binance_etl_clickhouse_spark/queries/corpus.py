@@ -222,3 +222,207 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     positive-score docs. See :func:`operators.corpus.dsir_scores`."""
     docs = _t(spark, sf_dir, "documents")
     return corpus.dsir_scores(docs, target_col="lang", target_value="en")
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval
+# ---------------------------------------------------------------------------
+
+#: literal keyword query set (terms from the synthetic vocabulary); a real
+#: deployment would read these from a query table — the plan shape is the
+#: same (tiny broadcast frame)
+BM25_QUERIES = [
+    ("q_join", "spark join fast"),
+    ("q_scan", "table scan filter"),
+    ("q_stream", "stream batch window"),
+    ("q_vec", "vector hash group"),
+]
+_BM25_K = 5
+
+_bm25_values = ", ".join(
+    f"('{qid}', '{t}')"
+    for qid, qtext in BM25_QUERIES
+    for t in sorted(set(qtext.split(" ")))
+)
+
+
+@register(
+    "bm25_topk_docs",
+    f"""
+    WITH q AS (SELECT * FROM (VALUES {_bm25_values}) AS t(query_id, term)),
+    tok AS (
+      SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl,
+             unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+      FROM tok GROUP BY doc_id, dl, term
+    ),
+    tfq AS (SELECT * FROM tf WHERE term IN (SELECT DISTINCT term FROM q)),
+    dfreq AS (SELECT term, count(*)::BIGINT AS df_count FROM tfq GROUP BY term),
+    n AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS t_tot
+      FROM documents
+    ),
+    scored AS (
+      SELECT q.query_id, tfq.doc_id,
+             round(sum(round(
+               ln(1.0 + (n.n_docs - dfreq.df_count + 0.5) / (dfreq.df_count + 0.5))
+               * (tfq.tf * {corpus.BM25_K1 + 1.0!r})
+               / (tfq.tf + {corpus.BM25_K1!r} * ({1.0 - corpus.BM25_B!r}
+                    + {corpus.BM25_B!r}
+                      * (CAST(tfq.dl AS DOUBLE) * n.n_docs / n.t_tot)))
+             , 6)), 6) AS bm25
+      FROM tfq
+      JOIN dfreq USING (term)
+      JOIN q USING (term)
+      CROSS JOIN n
+      GROUP BY q.query_id, tfq.doc_id
+    )
+    SELECT query_id, doc_id, bm25, rnk FROM (
+      SELECT query_id, doc_id, bm25,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY bm25 DESC, doc_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {_BM25_K}
+    """,
+    survey_ref=(
+        "corpus stats: BM25 keyword retrieval "
+        "(broadcast inverted-index probe + per-query top-k)"
+    ),
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 documents per keyword query under BM25; the retrieval sibling
+    of `tfidf_top_terms`. See :func:`operators.corpus.bm25_topk`."""
+    docs = _t(spark, sf_dir, "documents")
+    stats = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(tokens("text"))).alias("t"),
+    ).first()
+    return corpus.bm25_topk(
+        docs, BM25_QUERIES, n_docs=stats["n"], total_tokens=stats["t"], k=_BM25_K
+    )
+
+
+# ---------------------------------------------------------------------------
+# Naive-Bayes quality/domain classifier
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nb_lang_classifier",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, lang,
+             unnest(list_concat(
+               w, [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+             )) AS feat
+      FROM toks
+    ),
+    cnts AS (
+      SELECT doc_id, lang,
+             ({hash60_sql("feat")} % {_DSIR_B})::BIGINT AS bucket,
+             count(*)::BIGINT AS cnt
+      FROM feats GROUP BY doc_id, lang, bucket
+    ),
+    bs AS (
+      SELECT bucket,
+             sum(CASE WHEN lang = 'en' THEN cnt ELSE 0 END)::BIGINT AS pos_cnt,
+             sum(CASE WHEN lang <> 'en' THEN cnt ELSE 0 END)::BIGINT AS neg_cnt
+      FROM cnts GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(sum(pos_cnt) AS DOUBLE) AS p_tot,
+             CAST(sum(neg_cnt) AS DOUBLE) AS n_tot
+      FROM bs
+    ),
+    lo AS (
+      SELECT bucket,
+             round(ln((pos_cnt + 1.0) / (p_tot + {float(_DSIR_B)!r}))
+                   - ln((neg_cnt + 1.0) / (n_tot + {float(_DSIR_B)!r})), 6) AS logodds
+      FROM bs CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT c.doc_id, c.lang,
+             sum(c.cnt)::BIGINT AS n_feats,
+             round(sum(c.cnt * lo.logodds) / sum(c.cnt), 6) AS nb_score
+      FROM cnts c JOIN lo USING (bucket)
+      GROUP BY c.doc_id, c.lang
+    )
+    SELECT doc_id, lang, n_feats, nb_score,
+           nb_score > 0 AS pred_positive,
+           (nb_score > 0) = (lang = 'en') AS correct
+    FROM scored
+    """,
+    survey_ref=(
+        "corpus stats: trained Naive-Bayes quality classifier "
+        "(fasttext-style hashed-ngram linear scorer, broadcast model)"
+    ),
+)
+def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a NB hashed-ngram classifier on the corpus's own lang labels
+    (positive = 'en') and score + predict for every document. See
+    :func:`operators.corpus.nb_classifier_scores`."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.nb_classifier_scores(docs, label_col="lang", positive_value="en")
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule-based quality filters
+# ---------------------------------------------------------------------------
+
+_G_STOP_SQL = ", ".join(f"'{s}'" for s in corpus.GOPHER_STOPWORDS)
+_G_MIN_W, _G_MAX_W, _G_MIN_ML, _G_MAX_ML, _G_MAX_SHARE, _G_MIN_UNIQ, _G_MIN_STOP = (
+    corpus.GOPHER_BOUNDS
+)
+
+
+@register(
+    "gopher_quality_filters",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, t AS term, count(*)::BIGINT AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      GROUP BY doc_id, t
+    ),
+    per AS (
+      SELECT doc_id,
+             sum(tf)::BIGINT AS n_words,
+             count(*)::BIGINT AS n_unique,
+             max(tf)::BIGINT AS max_tf,
+             sum(length(term) * tf)::BIGINT AS sum_len,
+             sum(CASE WHEN term IN ({_G_STOP_SQL}) THEN tf ELSE 0 END)::BIGINT
+               AS stop_hits
+      FROM tf GROUP BY doc_id
+    ),
+    m AS (
+      SELECT doc_id, n_words,
+             round(sum_len / CAST(n_words AS DOUBLE), 6) AS mean_word_len,
+             round(n_unique / CAST(n_words AS DOUBLE), 6) AS unique_frac,
+             round(max_tf / CAST(n_words AS DOUBLE), 6) AS top_word_share,
+             stop_hits
+      FROM per
+    )
+    SELECT doc_id, n_words, mean_word_len, unique_frac, top_word_share, stop_hits,
+           (n_words BETWEEN {_G_MIN_W} AND {_G_MAX_W})
+           AND (mean_word_len BETWEEN {_G_MIN_ML!r} AND {_G_MAX_ML!r})
+           AND (top_word_share <= {_G_MAX_SHARE!r})
+           AND (unique_frac >= {_G_MIN_UNIQ!r})
+           AND (stop_hits >= {_G_MIN_STOP}) AS keep
+    FROM m
+    """,
+    survey_ref=(
+        "text analysis: Gopher/C4 rule-based quality filtering "
+        "(word-level metrics + keep decision)"
+    ),
+)
+def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher-style quality metrics and rule-ANDed keep flag.
+    See :func:`operators.corpus.gopher_quality_filters`."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.gopher_quality_filters(docs)

@@ -257,3 +257,29 @@ def test_dsir_broadcasts_bucket_model_no_corpus_smj(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan or "rows=1" in plan  # totals x-join
     assert plan.count("partial_sum") >= 1 or "partial" in plan.lower()
+
+
+def test_bm25_broadcast_probe_no_corpus_shuffle_join(spark):
+    # the query-term frame and both term-stat frames (df_count, query map)
+    # are broadcast — the corpus-side postings must never sort-merge against
+    # vocabulary-sized frames; top-k per query runs as WindowGroupLimit
+    plan = _plan(spark, "bm25_topk_docs")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_nb_classifier_broadcasts_model(spark):
+    # the 1024-row trained log-odds model broadcasts back over the corpus
+    # counts; scoring must not shuffle the corpus for the model join
+    plan = _plan(spark, "nb_lang_classifier")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gopher_filters_partial_agg_no_join(spark):
+    # pure two-level aggregation: no joins at all, map-side partial agg on
+    # the (doc, term) key before the only shuffle
+    plan = _plan(spark, "gopher_quality_filters")
+    assert "Join" not in plan
+    assert "partial" in plan.lower()
