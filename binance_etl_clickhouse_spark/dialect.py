@@ -32,8 +32,25 @@ sumIf/avgIf/minIf/  sum(CASE WHEN c THEN x END) etc.
 maxIf(x, c)
 quantile(p)(x)      percentile_approx(x, p)
 quantileExact(p)(x) percentile(x, p)
+quantiles(p,..)(x)  percentile_approx(x, array(p, ..))
+quantilesExact(..)  percentile(x, array(p, ..))
+median(x)           percentile_approx(x, 0.5)
+medianExact(x)      percentile(x, 0.5)
+groupArray(x)       collect_list(x)
+groupArray(n)(x)    slice(collect_list(x), 1, n)
+groupUniqArray(x)   collect_set(x)   [+ (n)(x) sliced form]
 multiIf(c,v,...,e)  CASE WHEN c THEN v ... ELSE e END
 ifNull(a, b)        coalesce(a, b)
+has(arr, x)         array_contains(arr, x)
+indexOf(arr, x)     array_position(arr, x)
+arrayStringConcat   array_join
+arrayMap(f, a)      transform(a, f)     [HOF arg order swaps; both
+arrayFilter(f, a)   filter(a, f)         engines use x -> expr lambda
+arrayExists(f, a)   exists(a, f)         syntax]
+arrayAll(f, a)      forall(a, f)
+arraySort(a)        array_sort(a)       [1-arg form only]
+range(n)/range(a,b) guarded sequence slice (empty when n<=0 / b<=a,
+                    matching ClickHouse; bare sequence would descend)
 toFloat64/toInt64/  CAST(x AS DOUBLE/BIGINT/INT/STRING/DATE)
 toInt32/toString/
 toDate(x)
@@ -72,7 +89,30 @@ _NAME_MAP = {
     "ifNull": "coalesce",
     "today": "current_date",
     "arrayJoin": "explode",
+    "groupArray": "collect_list",
+    "groupUniqArray": "collect_set",
+    "has": "array_contains",
+    "indexOf": "array_position",
+    "arrayStringConcat": "array_join",
 }
+
+#: higher-order array functions: ClickHouse puts the lambda FIRST
+#: (arrayMap(x -> e, arr)), Spark puts it LAST (transform(arr, x -> e));
+#: the ``x -> expr`` lambda syntax itself is identical in both dialects
+_HOF_SWAP = {
+    "arrayMap": "transform",
+    "arrayFilter": "filter",
+    "arrayExists": "exists",
+    "arrayAll": "forall",
+}
+
+#: parameterized max-size collectors: groupArray(n)(x) keeps first n
+_SLICED_COLLECT = {"groupArray": "collect_list", "groupUniqArray": "collect_set"}
+
+#: multi-quantile combinators: quantiles(p1, p2)(x) -> one array column
+_MULTI_QUANTILES = {"quantiles": "percentile_approx", "quantilesExact": "percentile"}
+
+_MEDIANS = {"median": "percentile_approx", "medianExact": "percentile"}
 
 #: bare-keyword rewrites (matched case-insensitively outside string literals)
 _KEYWORDS = {"PREWHERE": "WHERE"}
@@ -175,8 +215,8 @@ def translate_clickhouse_sql(sql: str) -> str:
                     for a in _split_args(sql[k + 1 : close])
                 ]
                 i = close + 1
-                if name in _QUANTILES:
-                    # parameterized combinator: quantile(p)(x)
+                if name in _QUANTILES or name in _MULTI_QUANTILES or name in _SLICED_COLLECT:
+                    # parameterized combinator: fn(params)(x)
                     k2 = i
                     while k2 < n and sql[k2].isspace():
                         k2 += 1
@@ -187,11 +227,25 @@ def translate_clickhouse_sql(sql: str) -> str:
                             for a in _split_args(sql[k2 + 1 : close2])
                         ]
                         i = close2 + 1
-                        out.append(
-                            f"{_QUANTILES[name]}({', '.join(inner)}, {', '.join(args)})"
-                        )
+                        if name in _QUANTILES:
+                            out.append(
+                                f"{_QUANTILES[name]}({', '.join(inner)}, {', '.join(args)})"
+                            )
+                        elif name in _MULTI_QUANTILES:
+                            out.append(
+                                f"{_MULTI_QUANTILES[name]}({', '.join(inner)}, "
+                                f"array({', '.join(args)}))"
+                            )
+                        else:  # sliced collector: groupArray(n)(x)
+                            out.append(
+                                f"slice({_SLICED_COLLECT[name]}({', '.join(inner)}), "
+                                f"1, {args[0]})"
+                            )
                         continue
-                    out.append(f"{name}({', '.join(args)})")
+                    if name in _SLICED_COLLECT:  # plain groupArray(x)
+                        out.append(f"{_SLICED_COLLECT[name]}({', '.join(args)})")
+                    else:
+                        out.append(f"{name}({', '.join(args)})")
                     continue
                 if name in _CASTS and len(args) == 1:
                     out.append(f"CAST({args[0]} AS {_CASTS[name]})")
@@ -206,6 +260,26 @@ def translate_clickhouse_sql(sql: str) -> str:
                         out.append(f"count(CASE WHEN {args[1]} THEN {args[0]} END)")
                 elif name == "uniqExact":
                     out.append(f"count(DISTINCT {', '.join(args)})")
+                elif name == "arraySort" and len(args) == 1:
+                    # 1-arg form only: the ClickHouse 2-arg form takes a KEY
+                    # function first, Spark's takes a 3-way COMPARATOR second
+                    # — not the same contract, so that form passes through
+                    # and fails loudly in the analyzer
+                    out.append(f"array_sort({args[0]})")
+                elif name in _MEDIANS and len(args) == 1:
+                    out.append(f"{_MEDIANS[name]}({args[0]}, 0.5)")
+                elif name in _HOF_SWAP and len(args) == 2:
+                    out.append(f"{_HOF_SWAP[name]}({args[1]}, {args[0]})")
+                elif name == "range" and len(args) in (1, 2):
+                    # Spark's sequence(lo, hi) runs DESCENDING when hi < lo,
+                    # so an unguarded rewrite of range(0) would yield [0,-1]
+                    # instead of []; clamp the end and slice to the true
+                    # length (greatest(...) keeps the plan expression-only)
+                    lo, hi = ("0", args[0]) if len(args) == 1 else (args[0], args[1])
+                    out.append(
+                        f"slice(sequence(({lo}), greatest(({hi}) - 1, ({lo}))), "
+                        f"1, greatest(({hi}) - ({lo}), 0))"
+                    )
                 elif name == "multiIf" and len(args) >= 3 and len(args) % 2 == 1:
                     clauses = " ".join(
                         f"WHEN {args[p]} THEN {args[p + 1]}"

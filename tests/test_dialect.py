@@ -205,3 +205,68 @@ def test_final_runs_against_engine_views(spark):
     ).first()
     want = spark.sql("SELECT count(*) AS n FROM orders WHERE o_totalprice > 0").first()
     assert got.n == want.n
+
+
+@pytest.mark.parametrize(
+    "ch,expected",
+    [
+        ("groupArray(x)", "collect_list(x)"),
+        ("groupUniqArray(x)", "collect_set(x)"),
+        ("groupArray(3)(x)", "slice(collect_list(x), 1, 3)"),
+        ("groupUniqArray(2)(x)", "slice(collect_set(x), 1, 2)"),
+        ("median(x)", "percentile_approx(x, 0.5)"),
+        ("medianExact(x)", "percentile(x, 0.5)"),
+        ("quantiles(0.5, 0.9)(x)", "percentile_approx(x, array(0.5, 0.9))"),
+        ("quantilesExact(0.25, 0.75)(x)", "percentile(x, array(0.25, 0.75))"),
+        ("has(arr, 'v')", "array_contains(arr, 'v')"),
+        ("indexOf(arr, 'v')", "array_position(arr, 'v')"),
+        ("arrayStringConcat(arr, ',')", "array_join(arr, ',')"),
+        ("arrayMap(x -> x + 1, arr)", "transform(arr, x -> x + 1)"),
+        ("arrayFilter(x -> x > 0, arr)", "filter(arr, x -> x > 0)"),
+        ("arrayExists(x -> x = 1, arr)", "exists(arr, x -> x = 1)"),
+        ("arrayAll(x -> x >= 0, arr)", "forall(arr, x -> x >= 0)"),
+        # nesting inside HOF swap: the lambda body itself translates
+        (
+            "arrayMap(x -> toFloat64(x), arr)",
+            "transform(arr, x -> CAST(x AS DOUBLE))",
+        ),
+    ],
+)
+def test_round2_rewrites(ch, expected):
+    assert translate_clickhouse_sql(f"SELECT {ch} FROM t") == f"SELECT {expected} FROM t"
+
+
+def test_group_array_and_quantiles_end_to_end(engine):
+    # set order is execution-dependent, so sort before concat; the
+    # multi-quantile array is stringified to stay pandas-sortable in _match
+    _match(
+        engine,
+        """
+        SELECT user_id,
+               arrayStringConcat(arraySort(groupUniqArray(event_type)), '|') AS types,
+               medianExact(value)            AS med,
+               toString(quantilesExact(0.25, 0.75)(value)) AS iqr
+        FROM events GROUP BY user_id
+        """,
+        """
+        SELECT user_id,
+               array_join(array_sort(collect_set(event_type)), '|') AS types,
+               percentile(value, 0.5)                   AS med,
+               CAST(percentile(value, array(0.25, 0.75)) AS STRING) AS iqr
+        FROM events GROUP BY user_id
+        """,
+    )
+
+
+def test_hof_and_range_end_to_end(engine):
+    # range() must be empty (not descending) when the end is <= start
+    got = engine.sql(
+        "SELECT range(3) AS r3, range(0) AS r0, range(2, 5) AS r25, range(5, 5) AS r55, "
+        "arrayFilter(x -> x % 2 = 0, range(6)) AS evens",
+        dialect="clickhouse",
+    ).first()
+    assert list(got["r3"]) == [0, 1, 2]
+    assert list(got["r0"]) == []
+    assert list(got["r25"]) == [2, 3, 4]
+    assert list(got["r55"]) == []
+    assert list(got["evens"]) == [0, 2, 4]
