@@ -49,6 +49,10 @@ arrayFilter(f, a)   filter(a, f)         engines use x -> expr lambda
 arrayExists(f, a)   exists(a, f)         syntax]
 arrayAll(f, a)      forall(a, f)
 arraySort(a)        array_sort(a)       [1-arg form only]
+retention(c1..cn)   array(max(c1-flag), least(max(c1-flag), max(ci-flag))..)
+                    [windowFunnel is NOT translatable as a string rewrite —
+                     it is an ordered state machine; use the native funnel
+                     operators (operators/funnel.py) instead]
 range(n)/range(a,b) guarded sequence slice (empty when n<=0 / b<=a,
                     matching ClickHouse; bare sequence would descend)
 toFloat64/toInt64/  CAST(x AS DOUBLE/BIGINT/INT/STRING/DATE)
@@ -280,6 +284,18 @@ def translate_clickhouse_sql(sql: str) -> str:
                         f"slice(sequence(({lo}), greatest(({hi}) - 1, ({lo}))), "
                         f"1, greatest(({hi}) - ({lo}), 0))"
                     )
+                elif name == "retention" and len(args) >= 1:
+                    # retention(c1..cn) -> array of 0/1 flags: r1 = c1 held
+                    # on some row, ri = c1 AND ci each held on some row
+                    # (ClickHouse evaluates the conditions independently, so
+                    # this is exactly min(max(c1), max(ci)) — a plain
+                    # aggregate expression, no state machine needed)
+                    c1 = f"max(CASE WHEN {args[0]} THEN 1 ELSE 0 END)"
+                    elems = [c1] + [
+                        f"least({c1}, max(CASE WHEN {a} THEN 1 ELSE 0 END))"
+                        for a in args[1:]
+                    ]
+                    out.append(f"array({', '.join(elems)})")
                 elif name == "multiIf" and len(args) >= 3 and len(args) % 2 == 1:
                     clauses = " ".join(
                         f"WHEN {args[p]} THEN {args[p + 1]}"

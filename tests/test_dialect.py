@@ -270,3 +270,49 @@ def test_hof_and_range_end_to_end(engine):
     assert list(got["r25"]) == [2, 3, 4]
     assert list(got["r55"]) == []
     assert list(got["evens"]) == [0, 2, 4]
+
+
+def test_retention_rewrite_string():
+    got = translate_clickhouse_sql("SELECT retention(a = 1, b = 2) FROM t")
+    assert got == (
+        "SELECT array(max(CASE WHEN a = 1 THEN 1 ELSE 0 END), "
+        "least(max(CASE WHEN a = 1 THEN 1 ELSE 0 END), "
+        "max(CASE WHEN b = 2 THEN 1 ELSE 0 END))) FROM t"
+    )
+
+
+def test_retention_end_to_end(engine):
+    # per-user signup -> click -> purchase retention flags; array output is
+    # deterministic (no set ordering), compare against hand-written Spark SQL
+    got = engine.sql(
+        """
+        SELECT user_id,
+               toString(retention(event_type = 'signup',
+                                  event_type = 'click',
+                                  event_type = 'purchase' AND value > 250)) AS r
+        FROM events GROUP BY user_id
+        """,
+        dialect="clickhouse",
+    ).toPandas()
+    want = engine.sql(
+        """
+        SELECT user_id,
+               CAST(array(
+                 max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END),
+                 least(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END),
+                       max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)),
+                 least(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END),
+                       max(CASE WHEN event_type = 'purchase' AND value > 250
+                           THEN 1 ELSE 0 END))
+               ) AS STRING) AS r
+        FROM events GROUP BY user_id
+        """
+    ).toPandas()
+    import pandas as pd
+
+    got = got.sort_values(["user_id"], ignore_index=True)
+    want = want.sort_values(["user_id"], ignore_index=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # sanity: flags are monotone non-increasing and not all identical
+    vals = set(got["r"])
+    assert len(vals) > 1
