@@ -68,6 +68,8 @@ FROM t FINAL        FROM t              [the engine's registered views ARE
 PREWHERE c          WHERE c             [PREWHERE is a scan-order hint;
                                          Spark's optimizer already pushes
                                          predicates to the scan]
+FROM t SAMPLE 0.1   FROM t TABLESAMPLE (10 PERCENT)   [k>=1 -> (k ROWS);
+                                         Bernoulli, not key-deterministic]
 ==================  =========================================
 """
 
@@ -127,6 +129,24 @@ _FINAL_RE = re.compile(
     r"(\bFROM\s+[A-Za-z_][\w.]*(?:\s+(?:AS\s+)?[A-Za-z_]\w*)?)\s+FINAL\b",
     re.IGNORECASE,
 )
+
+#: ``FROM t [alias] SAMPLE k`` -> TABLESAMPLE. ClickHouse k<1 is a fraction
+#: (deterministic by sampling key; Spark's Bernoulli sample is the closest
+#: semantic — per-query fraction, not reproducible row set), k>=1 an
+#: approximate row count. Runs AFTER the FINAL strip so ``FINAL SAMPLE k``
+#: composes.
+_SAMPLE_RE = re.compile(
+    r"(\bFROM\s+[A-Za-z_][\w.]*(?:\s+(?:AS\s+)?[A-Za-z_]\w*)?)\s+SAMPLE\s+"
+    r"(\d+(?:\.\d+)?)",
+    re.IGNORECASE,
+)
+
+
+def _sample_sub(m: re.Match) -> str:
+    val = float(m.group(2))
+    if val < 1.0:
+        return f"{m.group(1)} TABLESAMPLE ({val * 100.0:g} PERCENT)"
+    return f"{m.group(1)} TABLESAMPLE ({int(val)} ROWS)"
 
 _IF_COMBINATORS = {"sumIf": "sum", "avgIf": "avg", "minIf": "min", "maxIf": "max"}
 
@@ -191,6 +211,7 @@ def translate_clickhouse_sql(sql: str) -> str:
     # the FROM keyword, so the only false positive would be the literal text
     # "FROM x FINAL" inside a string — not worth a second scanner)
     sql = _FINAL_RE.sub(r"\1", sql)
+    sql = _SAMPLE_RE.sub(_sample_sub, sql)
     out: list[str] = []
     i = 0
     n = len(sql)

@@ -316,3 +316,25 @@ def test_retention_end_to_end(engine):
     # sanity: flags are monotone non-increasing and not all identical
     vals = set(got["r"])
     assert len(vals) > 1
+
+
+def test_sample_clause_rewrites(spark):
+    t = translate_clickhouse_sql
+    assert (
+        t("SELECT x FROM t SAMPLE 0.1 WHERE y > 0")
+        == "SELECT x FROM t TABLESAMPLE(10 PERCENT) WHERE y > 0"
+    )
+    assert t("SELECT x FROM t SAMPLE 100") == "SELECT x FROM t TABLESAMPLE(100 ROWS)"
+    # composes with FINAL; alias preserved; idempotent
+    q = t("SELECT k.x FROM tbl k FINAL SAMPLE 0.25")
+    assert q == "SELECT k.x FROM tbl k TABLESAMPLE(25 PERCENT)"
+    assert t(q) == q
+    # a column named sample is untouched (pattern anchors on FROM)
+    assert t("SELECT sample FROM t") == "SELECT sample FROM t"
+    # executes: sampled row count is bounded by the source
+    from binance_etl_clickhouse_spark.tables import register_views
+
+    register_views(spark, SF)
+    n_all = spark.sql("SELECT count(*) c FROM events").first()["c"]
+    n_s = spark.sql(t("SELECT count(*) c FROM events SAMPLE 0.5")).first()["c"]
+    assert 0 < n_s < n_all
