@@ -77,6 +77,7 @@ def tfidf_top_terms(
     k: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    persist: bool = True,
 ) -> DataFrame:
     """Top-``k`` TF-IDF terms per document.
 
@@ -89,7 +90,9 @@ def tfidf_top_terms(
     (then term), so the ordering is identical in both engines, and Spark
     plans it as a WindowGroupLimit pushdown, never a full per-doc sort spill.
     """
-    tf = term_frequencies(df, id_col, text_col)
+    # tf feeds both the document-frequency aggregate and the scoring join —
+    # the same reuse-defeating diamond as the classifiers (see _pin_counts)
+    tf = _pin_counts(term_frequencies(df, id_col, text_col), persist)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
     idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df_count") + F.lit(1.0))) + F.lit(1.0)
     scored = tf.join(dfreq, "term").select(
@@ -111,6 +114,7 @@ def unigram_logprob(
     total_tokens: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    persist: bool = True,
 ) -> DataFrame:
     """Per-document mean unigram log-probability — the CCNet-style
     language-model quality proxy (docs of common words score high; rare-token
@@ -122,7 +126,7 @@ def unigram_logprob(
     doc-term rows (not raw occurrences); ``total_tokens`` is the one scalar
     (single agg job). Output rounded at 6 dp (summation-order ULPs).
     """
-    tf = term_frequencies(df, id_col, text_col)
+    tf = _pin_counts(term_frequencies(df, id_col, text_col), persist)
     cnt = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
     logp = F.log(F.col("cnt").cast("double") / F.lit(float(total_tokens)))
     return (
