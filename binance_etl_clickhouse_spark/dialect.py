@@ -70,6 +70,11 @@ PREWHERE c          WHERE c             [PREWHERE is a scan-order hint;
                                          predicates to the scan]
 FROM t SAMPLE 0.1   FROM t TABLESAMPLE (10 PERCENT)   [k>=1 -> (k ROWS);
                                          Bernoulli, not key-deterministic]
+LIMIT n BY c1, c2   row_number() window per (c1, c2) keeping the first n
+                    rows (ordered by the query's ORDER BY when present),
+                    outer ORDER BY / LIMIT re-applied on top; top-level
+                    clause only — plans as WindowGroupLimit, the per-group
+                    partial top-n pushdown
 ==================  =========================================
 """
 
@@ -205,6 +210,92 @@ def _find_close(s: str, open_idx: int) -> int:
     raise ValueError(f"unbalanced parentheses in SQL near index {open_idx}")
 
 
+def _top_level_keyword_spans(sql: str) -> list[tuple[int, int, str]]:
+    """(start, end, UPPER-token) for every bare word at paren depth 0
+    outside string literals — the clause scanner LIMIT BY rewriting needs."""
+    out, depth, i, n = [], 0, 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            i += 1
+            while i < n and sql[i] != "'":
+                i += 1
+            i += 1
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0 and ch in _IDENT and (i == 0 or sql[i - 1] not in _IDENT):
+            # digit-led tokens included: the LIMIT <n> BY pattern needs them
+            j = i
+            while j < n and sql[j] in _IDENT:
+                j += 1
+            out.append((i, j, sql[i:j].upper()))
+            i = j
+            continue
+        i += 1
+    return out
+
+
+def _rewrite_limit_by(sql: str) -> str:
+    """``... [ORDER BY o] LIMIT n BY c1, c2 [LIMIT m]`` -> a row_number
+    window per (c1, c2) keeping the first ``n`` rows (following the ORDER
+    BY when present, like ClickHouse; arbitrary-but-deterministic by the
+    group columns otherwise), with the outer ORDER BY / LIMIT re-applied on
+    top. Top-level clause only — a LIMIT BY inside a subquery is left for
+    the recursive translation of that subquery's text (and this function is
+    applied to the whole statement once, so nested forms pass through and
+    fail loudly rather than silently misbehaving)."""
+    toks = _top_level_keyword_spans(sql)
+    # find LIMIT <int> BY
+    hit = None
+    for idx in range(len(toks) - 2):
+        if (
+            toks[idx][2] == "LIMIT"
+            and sql[toks[idx][1] : toks[idx + 1][0]].strip() == ""
+            and toks[idx + 1][2].isdigit()
+            and toks[idx + 2][2] == "BY"
+        ):
+            hit = idx
+            break
+    if hit is None:
+        return sql
+    n_rows = int(toks[hit + 1][2])
+    cols_start = toks[hit + 2][1]
+    # group columns run until the next top-level ORDER/LIMIT or end
+    tail_kw = None
+    for t in toks:
+        if t[0] >= cols_start and t[2] in ("LIMIT", "ORDER"):
+            tail_kw = t
+            break
+    cols_end = tail_kw[0] if tail_kw else len(sql)
+    cols = sql[cols_start:cols_end].strip().rstrip(";")
+    rest = sql[cols_end:].strip()
+
+    prefix = sql[: toks[hit][0]].rstrip()
+    # optional top-level ORDER BY ... immediately before LIMIT BY
+    order_exprs = None
+    order_toks = [t for t in toks if t[2] == "ORDER" and t[1] <= toks[hit][0]]
+    if order_toks:
+        o = order_toks[-1]
+        nxt = next((t for t in toks if t[0] > o[1]), None)
+        if nxt and nxt[2] == "BY":
+            order_exprs = sql[nxt[1] : toks[hit][0]].strip()
+            prefix = sql[: o[0]].rstrip()
+    win_order = order_exprs if order_exprs else cols
+    out = (
+        f"SELECT * EXCEPT (__lb_rn) FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY {cols} ORDER BY {win_order}) "
+        f"AS __lb_rn FROM ({prefix}) __lb_src) __lb WHERE __lb_rn <= {n_rows}"
+    )
+    if order_exprs:
+        out += f" ORDER BY {order_exprs}"
+    if rest:
+        out += f" {rest}"
+    return out
+
+
 def translate_clickhouse_sql(sql: str) -> str:
     """Rewrite ClickHouse-flavored SQL into Spark SQL (see module doc)."""
     # FROM-position FINAL strip (regex pre-pass: the pattern is anchored on
@@ -212,6 +303,7 @@ def translate_clickhouse_sql(sql: str) -> str:
     # "FROM x FINAL" inside a string — not worth a second scanner)
     sql = _FINAL_RE.sub(r"\1", sql)
     sql = _SAMPLE_RE.sub(_sample_sub, sql)
+    sql = _rewrite_limit_by(sql)
     out: list[str] = []
     i = 0
     n = len(sql)

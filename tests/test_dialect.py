@@ -338,3 +338,53 @@ def test_sample_clause_rewrites(spark):
     n_all = spark.sql("SELECT count(*) c FROM events").first()["c"]
     n_s = spark.sql(t("SELECT count(*) c FROM events SAMPLE 0.5")).first()["c"]
     assert 0 < n_s < n_all
+
+
+def test_limit_by_rewrite_string():
+    t = translate_clickhouse_sql
+    got = t("SELECT user_id, event_type, value FROM events ORDER BY value DESC LIMIT 2 BY user_id")
+    assert "PARTITION BY user_id" in got
+    assert "ORDER BY value DESC" in got
+    assert "__lb_rn <= 2" in got
+    # idempotent
+    assert t(got) == got
+    # no LIMIT BY -> untouched
+    assert t("SELECT x FROM t LIMIT 5") == "SELECT x FROM t LIMIT 5"
+    # plain LIMIT n BY with trailing LIMIT m keeps the outer limit
+    got2 = t("SELECT a, b FROM t LIMIT 1 BY a LIMIT 10")
+    assert got2.endswith("LIMIT 10") and "__lb_rn <= 1" in got2
+
+
+def test_limit_by_end_to_end(engine):
+    # top-2 purchases by value per user — LIMIT BY vs hand-written window
+    got = engine.sql(
+        """
+        SELECT user_id, value FROM events
+        WHERE event_type = 'purchase'
+        ORDER BY value DESC LIMIT 2 BY user_id
+        """,
+        dialect="clickhouse",
+    ).toPandas()
+    want = engine.sql(
+        """
+        SELECT user_id, value FROM (
+          SELECT user_id, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY value DESC) rn
+          FROM events WHERE event_type = 'purchase'
+        ) WHERE rn <= 2
+        """
+    ).toPandas()
+    import pandas as pd
+
+    got = got.sort_values(["user_id", "value"], ignore_index=True)
+    want = want.sort_values(["user_id", "value"], ignore_index=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_limit_by_plans_window_group_limit(engine):
+    df = engine.sql(
+        "SELECT user_id, value FROM events ORDER BY value DESC LIMIT 2 BY user_id",
+        dialect="clickhouse",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
