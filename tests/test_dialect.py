@@ -388,3 +388,15 @@ def test_limit_by_plans_window_group_limit(engine):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_limit_by_ignores_parenthesized_and_quoted_forms():
+    t = translate_clickhouse_sql
+    # a window's OVER (ORDER BY ...) is depth>0 — must not be taken as the
+    # query's ORDER BY; fallback window order is the group cols
+    q = t("SELECT g, sum(v) OVER (ORDER BY ts) AS rs FROM t LIMIT 3 BY g")
+    assert "PARTITION BY g ORDER BY g" in q and "__lb_rn <= 3" in q
+    # LIMIT BY inside a string literal is data, not syntax
+    assert t("SELECT x FROM t WHERE s = 'LIMIT 2 BY y'") == (
+        "SELECT x FROM t WHERE s = 'LIMIT 2 BY y'"
+    )
