@@ -64,6 +64,9 @@ HEADLINE = [
     # quality-classifier additions
     "bm25_topk_docs",
     "nb_lang_classifier",
+    # newly diamond-pinned corpus stats + the rule-filter pass
+    "tfidf_top_terms",
+    "gopher_quality_filters",
 ]
 
 

@@ -139,3 +139,44 @@ def test_stored_grain_must_nest_in_month(spark, tmp_path):
             group_cols=[],
             metrics=[Metric("n", "count")],
         )
+
+
+def test_projection_refreshes_per_streaming_epoch(spark, tmp_path):
+    """Materialized-view-on-insert for PROJECTIONS: Projection duck-types
+    RollupTable.refresh, so streaming ingest keeps it warm per epoch and a
+    routed answer immediately serves the streamed data."""
+    from binance_etl_clickhouse_spark.schemas import KLINES
+    from binance_etl_clickhouse_spark.streaming.jobs import stream_ingest_staging
+
+    serving = ServingTable(
+        path=str(tmp_path / "serving"),
+        keys=KLINES_PK,
+        time_col="timestamp",
+        sort_cols=["symbol", "type", "interval", "timestamp"],
+    )
+    proj = Projection(
+        path=str(tmp_path / "proj"),
+        source=serving,
+        granularity="day",
+        group_cols=["symbol"],
+        metrics=[Metric("n_bars", "count"), Metric("volume", "sum", "volume")],
+    )
+    staging = str(tmp_path / "staging")
+    raw = synthetic_klines_raw(spark, n_symbols=2, bars_per_symbol=48, overlap_bars=0)
+    clean_klines(raw, market_type="SPOT", interval="1h").write.mode("append").parquet(
+        staging
+    )
+    q = stream_ingest_staging(
+        spark,
+        staging,
+        KLINES,
+        serving,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        rollups=[proj],
+    )
+    q.awaitTermination(120)
+    got, routed = proj.route(spark, "day", ["symbol"], ["n_bars", "volume"])
+    assert routed
+    want = proj.compute_direct(spark, "day", ["symbol"], ["n_bars", "volume"])
+    _frames_equal(got, want)
+    assert got.count() == 2 * 2  # 2 symbols x 2 days
