@@ -283,3 +283,46 @@ def test_gopher_filters_partial_agg_no_join(spark):
     plan = _plan(spark, "gopher_quality_filters")
     assert "Join" not in plan
     assert "partial" in plan.lower()
+
+
+# -- repo-wide nested-loop audit ---------------------------------------------
+
+#: queries whose BroadcastNestedLoopJoin is AUDITED-BENIGN: the non-corpus
+#: side is provably tiny (a 1-row global aggregate, or a broadcast
+#: query/eval-set frame whose size is the QUERY's, not the data's), so the
+#: "nested loop" is really a map-side constant lookup. Everything else in
+#: the registry must plan equi-joins only.
+NESTED_LOOP_WHITELIST = {
+    "tpch_q22_sales_opportunity",  # scalar global-avg subquery (1 row)
+    "tpch_q11_value_concentration",  # scalar global-sum threshold (1 row)
+    "embedding_cosine_neardup",  # block-id pair frame (|blocks|^2/2 ids, not rows)
+    "ann_bruteforce_topk",  # corpus x broadcast literal query vector (exact baseline)
+    "ann_batch_topk",  # corpus x broadcast query SET (batched exact retrieval)
+    "embedding_decontamination",  # corpus x broadcast eval set (semantic screen)
+    "source_mixture_sample",  # per-source rates x 1-row scale frame
+    "dsir_importance_select",  # bucket stats x 1-row totals frame
+    "nb_lang_classifier",  # bucket stats x 1-row totals frame
+}
+
+
+def test_no_accidental_nested_loop_join_anywhere(spark):
+    """Every registered query must plan without BroadcastNestedLoopJoin /
+    CartesianProduct unless it is on the audited whitelist above — the
+    repo-wide guard against the one plan shape that cannot survive scale."""
+    flagged = {}
+    for name, e in QUERIES.items():
+        plan = e.spark(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        kinds = [
+            k
+            for k, pat in (
+                ("BNLJ", "BroadcastNestedLoopJoin"),
+                ("CARTESIAN", "CartesianProduct"),
+            )
+            if pat in plan
+        ]
+        if kinds:
+            flagged[name] = kinds
+    unexpected = {n: k for n, k in flagged.items() if n not in NESTED_LOOP_WHITELIST}
+    stale = NESTED_LOOP_WHITELIST - set(flagged)
+    assert not unexpected, f"un-audited nested loops: {unexpected}"
+    assert not stale, f"whitelist entries no longer needed (remove): {stale}"
