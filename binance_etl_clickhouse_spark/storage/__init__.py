@@ -1,3 +1,6 @@
+from binance_etl_clickhouse_spark.storage.invindex import (  # noqa: F401
+    InvertedIndex,
+)
 from binance_etl_clickhouse_spark.storage.projection import (  # noqa: F401
     Metric,
     Projection,

@@ -1,0 +1,66 @@
+"""Materialized inverted index: index-answered BM25 is bit-identical to the
+raw-corpus operator, the postings scan partition-prunes to the queried
+terms' buckets, and rebuilds swap atomically."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from binance_etl_clickhouse_spark.operators import corpus
+from binance_etl_clickhouse_spark.operators.texthash import tokens
+from binance_etl_clickhouse_spark.queries.corpus import BM25_QUERIES
+from binance_etl_clickhouse_spark.storage.invindex import InvertedIndex
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _build(spark, tmp_path) -> InvertedIndex:
+    idx = InvertedIndex(str(tmp_path / "inv"), n_buckets=64)
+    idx.build(_docs(spark))
+    return idx
+
+
+def test_index_answer_matches_raw_corpus_bm25(spark, tmp_path):
+    idx = _build(spark, tmp_path)
+    got = idx.bm25_topk(spark, BM25_QUERIES, k=5).toPandas()
+    docs = _docs(spark)
+    stats = docs.select(
+        F.count(F.lit(1)).alias("n"), F.sum(F.size(tokens("text"))).alias("t")
+    ).first()
+    want = corpus.bm25_topk(
+        docs, BM25_QUERIES, n_docs=stats["n"], total_tokens=stats["t"], k=5
+    ).toPandas()
+    cols = ["query_id", "doc_id", "bm25", "rnk"]
+    got = got[cols].sort_values(cols, ignore_index=True)
+    want = want[cols].sort_values(cols, ignore_index=True)
+    pd.testing.assert_frame_equal(got, want)  # bit-identical, incl. scores
+
+
+def test_query_scan_partition_prunes_to_term_buckets(spark, tmp_path):
+    idx = _build(spark, tmp_path)
+    df = idx.bm25_topk(spark, [("q", "spark join")], k=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "tbucket" in plan
+    # the term filter must ALSO push into the parquet scan within buckets
+    assert "PushedFilters: [In(term" in plan or "PushedFilters: [IsNotNull(term" in plan
+    # meta carries the corpus scalars
+    m = idx.meta()
+    assert m["n_docs"] == _docs(spark).count()
+
+
+def test_rebuild_swaps_atomically_and_updates_stats(spark, tmp_path):
+    idx = _build(spark, tmp_path)
+    n0 = idx.meta()["n_docs"]
+    # grow the corpus and rebuild — meta and answers follow the new corpus
+    docs2 = _docs(spark).union(
+        _docs(spark).withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+    )
+    idx.build(docs2)
+    assert idx.meta()["n_docs"] == 2 * n0
+    got = idx.bm25_topk(spark, [("q", "table scan")], k=3)
+    assert got.count() == 3
