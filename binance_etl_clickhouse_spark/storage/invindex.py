@@ -106,6 +106,53 @@ class InvertedIndex:
         shutil.rmtree(old, ignore_errors=True)
         return meta
 
+    def append(
+        self,
+        df: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> dict:
+        """Incrementally index NEW documents: their postings append into the
+        existing bucket partitions (no rebuild, no read of old postings) and
+        the stats sidecar advances by the delta. Query answers afterwards
+        are identical to a from-scratch build over the union — document
+        frequency is recomputed from the (now larger) pruned postings at
+        query time, and the sidecar carries exact corpus totals.
+
+        Caller contract: ``df`` contains only doc_ids not yet indexed
+        (the same contract as ServingTable.append's ingest batches; the
+        streaming corpus dedup produces exactly such batches).
+        """
+        stats = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.size(tokens(text_col))).alias("t"),
+        ).first()
+        tok = ensure_min_parallelism(df).select(
+            F.col(id_col).alias("doc_id"),
+            F.size(tokens(text_col)).alias("dl"),
+            F.explode(tokens(text_col)).alias("term"),
+        )
+        postings = (
+            tok.groupBy("doc_id", "dl", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+            .withColumn(TBUCKET, (hash60("term") % self.n_buckets).cast("int"))
+        )
+        (
+            postings.repartition(TBUCKET)
+            .sortWithinPartitions(TBUCKET, "term", "doc_id")
+            .write.mode("append")
+            .partitionBy(TBUCKET)
+            .parquet(os.path.join(self.path, "postings"))
+        )
+        m = self.meta()
+        m["n_docs"] = int(m["n_docs"]) + int(stats["n"])
+        m["total_tokens"] = int(m["total_tokens"]) + int(stats["t"])
+        tmp = os.path.join(self.path, META + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, os.path.join(self.path, META))
+        return m
+
     def meta(self) -> dict:
         with open(os.path.join(self.path, META)) as f:
             return json.load(f)

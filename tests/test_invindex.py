@@ -64,3 +64,26 @@ def test_rebuild_swaps_atomically_and_updates_stats(spark, tmp_path):
     assert idx.meta()["n_docs"] == 2 * n0
     got = idx.bm25_topk(spark, [("q", "table scan")], k=3)
     assert got.count() == 3
+
+
+def test_incremental_append_equals_full_rebuild(spark, tmp_path):
+    docs = _docs(spark)
+    half1 = docs.filter(F.col("doc_id") % 2 == 0)
+    half2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    inc = InvertedIndex(str(tmp_path / "inc"), n_buckets=64)
+    inc.build(half1)
+    inc.append(half2)
+
+    full = InvertedIndex(str(tmp_path / "full"), n_buckets=64)
+    full.build(docs)
+
+    assert inc.meta()["n_docs"] == full.meta()["n_docs"]
+    assert inc.meta()["total_tokens"] == full.meta()["total_tokens"]
+    a = inc.bm25_topk(spark, BM25_QUERIES, k=5).toPandas()
+    b = full.bm25_topk(spark, BM25_QUERIES, k=5).toPandas()
+    cols = ["query_id", "doc_id", "bm25", "rnk"]
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values(cols, ignore_index=True),
+        b[cols].sort_values(cols, ignore_index=True),
+    )
