@@ -16,11 +16,18 @@ Layout:
   (not raw term) bounds the partition count and spreads hot terms' buckets
   evenly; within a bucket files are term-sorted so footer stats prune
   further.
-- ``_invindex_meta.json`` — the two corpus scalars BM25 needs (n_docs,
-  total_tokens) plus the bucket count and build seq; document frequency is
-  computed from the pruned postings themselves at query time (exactly the
-  same value as a full-corpus scan, because df only involves the queried
-  terms — the pruning is EXACT for retrieval, not approximate).
+- postings are additionally partitioned by an ``epoch`` ingest stamp so
+  incremental appends are REPLAY-IDEMPOTENT: re-appending the same epoch
+  dynamically overwrites exactly that epoch's partitions and replaces its
+  per-epoch stats entry, so a streaming checkpoint replay converges to
+  the same index instead of double-counting (the property the
+  exactly-once JDBC sink pins the same way).
+- ``_invindex_meta.json`` — per-epoch (n_docs, total_tokens) entries whose
+  sums are the two corpus scalars BM25 needs, plus the bucket count;
+  document frequency is computed from the pruned postings themselves at
+  query time (exactly the same value as a full-corpus scan, because df
+  only involves the queried terms — the pruning is EXACT for retrieval,
+  not approximate).
 
 Query-time scores are bit-identical to `operators/corpus.bm25_topk` over
 the raw corpus: same idf/tf-norm expressions, same rounding, same
@@ -44,6 +51,7 @@ from binance_etl_clickhouse_spark.operators.texthash import hash60, tokens
 
 META = "_invindex_meta.json"
 TBUCKET = "tbucket"
+EPOCH = "epoch"
 
 
 class InvertedIndex:
@@ -61,40 +69,29 @@ class InvertedIndex:
         id_col: str = "doc_id",
         text_col: str = "text",
     ) -> dict:
-        """Tokenize once, write postings partitioned by term bucket.
+        """Tokenize once, write postings partitioned by (epoch=0, bucket).
 
         One explode + one (doc, term) partial-aggregated shuffle — the same
         cost as a single BM25 query over the raw corpus; every query after
         that reads only its own term buckets. Atomic swap via tmp+rename.
         """
-        spark = df.sparkSession
         stats = df.select(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.size(tokens(text_col))).alias("t"),
         ).first()
-        tok = ensure_min_parallelism(df).select(
-            F.col(id_col).alias("doc_id"),
-            F.size(tokens(text_col)).alias("dl"),
-            F.explode(tokens(text_col)).alias("term"),
-        )
-        postings = (
-            tok.groupBy("doc_id", "dl", "term")
-            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-            .withColumn(TBUCKET, (hash60("term") % self.n_buckets).cast("int"))
-        )
+        postings = self._postings_of(df, id_col, text_col, epoch=0)
         tmp = self.path + ".build.tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         (
             postings.repartition(TBUCKET)
             .sortWithinPartitions(TBUCKET, "term", "doc_id")
             .write.mode("overwrite")
-            .partitionBy(TBUCKET)
+            .partitionBy(EPOCH, TBUCKET)
             .parquet(os.path.join(tmp, "postings"))
         )
         meta = {
-            "n_docs": int(stats["n"]),
-            "total_tokens": int(stats["t"]),
             "n_buckets": self.n_buckets,
+            "epochs": {"0": {"n_docs": int(stats["n"] or 0), "total_tokens": int(stats["t"] or 0)}},
         }
         with open(os.path.join(tmp, META), "w") as f:
             json.dump(meta, f)
@@ -104,61 +101,92 @@ class InvertedIndex:
             os.replace(self.path, old)
         os.replace(tmp, self.path)
         shutil.rmtree(old, ignore_errors=True)
-        return meta
+        return self.meta()
+
+    def _postings_of(
+        self, df: DataFrame, id_col: str, text_col: str, epoch: int
+    ) -> DataFrame:
+        tok = ensure_min_parallelism(df).select(
+            F.col(id_col).alias("doc_id"),
+            F.size(tokens(text_col)).alias("dl"),
+            F.explode(tokens(text_col)).alias("term"),
+        )
+        return (
+            tok.groupBy("doc_id", "dl", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+            .withColumn(TBUCKET, (hash60("term") % self.n_buckets).cast("int"))
+            .withColumn(EPOCH, F.lit(epoch).cast("long"))
+        )
 
     def append(
         self,
         df: DataFrame,
         id_col: str = "doc_id",
         text_col: str = "text",
+        epoch: int | None = None,
     ) -> dict:
-        """Incrementally index NEW documents: their postings append into the
-        existing bucket partitions (no rebuild, no read of old postings) and
-        the stats sidecar advances by the delta. Query answers afterwards
-        are identical to a from-scratch build over the union — document
-        frequency is recomputed from the (now larger) pruned postings at
-        query time, and the sidecar carries exact corpus totals.
+        """Incrementally index NEW documents under an ``epoch`` stamp: their
+        postings land in that epoch's partitions via dynamic partition
+        overwrite and the sidecar's per-epoch stats entry is REPLACED — so
+        re-running the same epoch (a streaming checkpoint replay) converges
+        instead of double-counting. ``epoch=None`` allocates the next one
+        (plain batch use). No rebuild, no read of old postings; query
+        answers equal a from-scratch build over the union.
 
         Caller contract: ``df`` contains only doc_ids not yet indexed
         (the same contract as ServingTable.append's ingest batches; the
         streaming corpus dedup produces exactly such batches).
         """
+        m = self._read_meta()
+        if epoch is None:
+            epoch = max((int(e) for e in m["epochs"]), default=-1) + 1
         stats = df.select(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.size(tokens(text_col))).alias("t"),
         ).first()
-        tok = ensure_min_parallelism(df).select(
-            F.col(id_col).alias("doc_id"),
-            F.size(tokens(text_col)).alias("dl"),
-            F.explode(tokens(text_col)).alias("term"),
-        )
-        postings = (
-            tok.groupBy("doc_id", "dl", "term")
-            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-            .withColumn(TBUCKET, (hash60("term") % self.n_buckets).cast("int"))
-        )
+        postings = self._postings_of(df, id_col, text_col, epoch=int(epoch))
         (
             postings.repartition(TBUCKET)
             .sortWithinPartitions(TBUCKET, "term", "doc_id")
-            .write.mode("append")
-            .partitionBy(TBUCKET)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(EPOCH, TBUCKET)
             .parquet(os.path.join(self.path, "postings"))
         )
-        m = self.meta()
-        m["n_docs"] = int(m["n_docs"]) + int(stats["n"])
-        m["total_tokens"] = int(m["total_tokens"]) + int(stats["t"])
+        m["epochs"][str(int(epoch))] = {
+            "n_docs": int(stats["n"] or 0),
+            "total_tokens": int(stats["t"] or 0),
+        }
         tmp = os.path.join(self.path, META + ".tmp")
         with open(tmp, "w") as f:
             json.dump(m, f)
         os.replace(tmp, os.path.join(self.path, META))
-        return m
+        return self.meta()
 
-    def meta(self) -> dict:
+    def _read_meta(self) -> dict:
         with open(os.path.join(self.path, META)) as f:
             return json.load(f)
 
+    def meta(self) -> dict:
+        """Totals view: sums the per-epoch entries (exact corpus scalars)."""
+        m = self._read_meta()
+        return {
+            "n_buckets": m["n_buckets"],
+            "n_docs": sum(e["n_docs"] for e in m["epochs"].values()),
+            "total_tokens": sum(e["total_tokens"] for e in m["epochs"].values()),
+            "epochs": m["epochs"],
+        }
+
     def postings(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.path, "postings"))
+        # an empty build writes a partition-less parquet dir Spark cannot
+        # infer a schema from — surface it as a typed empty frame instead
+        try:
+            return spark.read.parquet(os.path.join(self.path, "postings"))
+        except Exception:
+            return spark.createDataFrame(
+                [], "doc_id long, dl int, term string, tf long, "
+                f"{EPOCH} long, {TBUCKET} int"
+            )
 
     # -- query -------------------------------------------------------------
 

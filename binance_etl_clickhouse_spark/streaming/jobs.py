@@ -277,6 +277,7 @@ def stream_dedup_corpus(
     jaccard_threshold: float = 0.5,
     available_now: bool = True,
     processing_time: str = "1 hour",
+    search_index=None,
 ) -> StreamingQuery:
     """Incremental corpus dedup: a JSONL document feed streams in, and each
     micro-batch is near-dup-checked against everything already ACCEPTED
@@ -301,7 +302,10 @@ def stream_dedup_corpus(
          candidates by signature agreement: matching components / K is an
          unbiased Jaccard estimate, so >= threshold drops the newcomer.
          No text is read back from the corpus;
-      4. append survivors to ``out_dir`` and their signatures to the index.
+      4. append survivors to ``out_dir`` and their signatures to the index;
+      5. optionally (``search_index=InvertedIndex(...)``) index the
+         survivors for keyword retrieval under the epoch id —
+         replay-idempotent, see ``storage/invindex.py``.
 
     Crash ordering: corpus append before index append — a failure between
     the two can only leave an accepted doc unindexed (its future dups slip
@@ -374,6 +378,13 @@ def stream_dedup_corpus(
         # (4) corpus first, index second (see crash ordering above)
         clean.write.mode("append").parquet(out_dir)
         sigs.write.mode("append").parquet(index_dir)
+        if search_index is not None:
+            # (5) keyword-search index stays warm as the corpus streams in:
+            # accepted docs append under THIS epoch — replay-idempotent
+            # (dynamic overwrite of the epoch's partitions + per-epoch
+            # stats entry), so unlike the two appends above it needs no
+            # dedup-on-read to absorb a checkpoint replay
+            search_index.append(clean, epoch=int(epoch_id))
         batch.unpersist()
 
     writer = src.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_dir)

@@ -87,3 +87,75 @@ def test_incremental_append_equals_full_rebuild(spark, tmp_path):
         a[cols].sort_values(cols, ignore_index=True),
         b[cols].sort_values(cols, ignore_index=True),
     )
+
+
+def test_epoch_append_replay_is_idempotent(spark, tmp_path):
+    docs = _docs(spark)
+    half1 = docs.filter(F.col("doc_id") % 2 == 0)
+    half2 = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = InvertedIndex(str(tmp_path / "inv"), n_buckets=64)
+    idx.build(half1)
+    idx.append(half2, epoch=7)
+    a = idx.bm25_topk(spark, BM25_QUERIES, k=5).toPandas()
+    m1 = idx.meta()
+    # checkpoint replay: the SAME epoch appends again — must converge
+    idx.append(half2, epoch=7)
+    b = idx.bm25_topk(spark, BM25_QUERIES, k=5).toPandas()
+    assert idx.meta() == m1  # stats replaced, not double-counted
+    cols = ["query_id", "doc_id", "bm25", "rnk"]
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values(cols, ignore_index=True),
+        b[cols].sort_values(cols, ignore_index=True),
+    )
+
+
+def test_streaming_corpus_dedup_feeds_search_index(spark, tmp_path):
+    """End-to-end ingestion story: JSONL drops stream in, near-dups are
+    rejected, and every ACCEPTED doc becomes keyword-searchable — the
+    search index equals a from-scratch build over the accepted corpus."""
+    import json as _json
+
+    from binance_etl_clickhouse_spark.streaming.jobs import stream_dedup_corpus
+
+    in_dir = tmp_path / "drop"
+    in_dir.mkdir()
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten eleven twelve"
+    with open(in_dir / "b1.jsonl", "w") as f:
+        for i, text in [(1, base), (2, base), (3, other)]:  # 2 dups 1
+            f.write(
+                _json.dumps(
+                    {"doc_id": i, "lang": "en", "text": text, "n_chars": len(text)}
+                )
+                + "\n"
+            )
+    idx = InvertedIndex(str(tmp_path / "search"), n_buckets=16)
+    idx.build(spark.createDataFrame([], "doc_id long, text string"))  # empty seed
+    q = stream_dedup_corpus(
+        spark,
+        str(in_dir),
+        str(tmp_path / "sigindex"),
+        str(tmp_path / "corpus"),
+        str(tmp_path / "ckpt"),
+        search_index=idx,
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    accepted = spark.read.parquet(str(tmp_path / "corpus")).select("doc_id", "text")
+    assert {r.doc_id for r in accepted.collect()} == {1, 3}
+    assert idx.meta()["n_docs"] == 2
+    got = idx.bm25_topk(spark, [("q1", "alpha beta"), ("q2", "seven eight")], k=2)
+    rows = {(r.query_id, r.doc_id, r.rnk) for r in got.collect()}
+    assert ("q1", 1, 1) in rows and ("q2", 3, 1) in rows
+
+    # the streamed index answers identically to a from-scratch build
+    full = InvertedIndex(str(tmp_path / "rebuild"), n_buckets=16)
+    full.build(accepted)
+    a = idx.bm25_topk(spark, [("q", "alpha nine")], k=3).toPandas()
+    b = full.bm25_topk(spark, [("q", "alpha nine")], k=3).toPandas()
+    cols = ["query_id", "doc_id", "bm25", "rnk"]
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values(cols, ignore_index=True),
+        b[cols].sort_values(cols, ignore_index=True),
+    )
