@@ -246,9 +246,7 @@ _bm25_values = ", ".join(
 )
 
 
-@register(
-    "bm25_topk_docs",
-    f"""
+_BM25_ORACLE = f"""
     WITH q AS (SELECT * FROM (VALUES {_bm25_values}) AS t(query_id, term)),
     tok AS (
       SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl,
@@ -287,7 +285,12 @@ _bm25_values = ", ".join(
                                 ORDER BY bm25 DESC, doc_id) AS rnk
       FROM scored
     ) WHERE rnk <= {_BM25_K}
-    """,
+    """
+
+
+@register(
+    "bm25_topk_docs",
+    _BM25_ORACLE,
     survey_ref=(
         "corpus stats: BM25 keyword retrieval "
         "(broadcast inverted-index probe + per-query top-k)"
@@ -426,3 +429,37 @@ def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     See :func:`operators.corpus.gopher_quality_filters`."""
     docs = _t(spark, sf_dir, "documents")
     return corpus.gopher_quality_filters(docs)
+
+
+@register(
+    "bm25_index_topk",
+    _BM25_ORACLE,
+    survey_ref=(
+        "corpus stats: BM25 answered from the MATERIALIZED inverted index "
+        "(term-bucket partition-pruned postings scan; bit-identical scores)"
+    ),
+)
+def bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same BM25 retrieval answered from the materialized inverted
+    index (`storage/invindex.py`): the postings scan partition-prunes to
+    the queried terms' buckets instead of tokenizing the corpus. Shares
+    `bm25_topk_docs`' oracle because the scores are bit-identical.
+
+    Index build follows the IVF-query convention: written once per dataset
+    into a keyed tempdir (the atomic build swap means "path exists" ==
+    "complete"), reused across calls.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from binance_etl_clickhouse_spark.storage.invindex import InvertedIndex
+
+    docs = _t(spark, sf_dir, "documents")
+    key = hashlib.md5(f"invindex:{sf_dir}".encode()).hexdigest()[:12]
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    path = f"{tempfile.gettempdir()}/spark_graft_inv_{uid}_{key}"
+    idx = InvertedIndex(path, n_buckets=64)
+    if not os.path.isfile(os.path.join(path, "_invindex_meta.json")):
+        idx.build(docs)
+    return idx.bm25_topk(spark, BM25_QUERIES, k=_BM25_K)

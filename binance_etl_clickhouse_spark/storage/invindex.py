@@ -163,6 +163,46 @@ class InvertedIndex:
         os.replace(tmp, os.path.join(self.path, META))
         return self.meta()
 
+    def compact(self, spark: SparkSession) -> int:
+        """Merge all epochs into one: streaming appends leave an epoch dir
+        (and its small files) per micro-batch; compaction rewrites the
+        postings from THEMSELVES — no re-tokenization of the corpus — into
+        a single epoch-0 layout and collapses the sidecar stats to one
+        entry (totals unchanged). Atomic swap, same contract as build().
+        Returns the number of epochs merged."""
+        m = self._read_meta()
+        n_epochs = len(m["epochs"])
+        if n_epochs <= 1:
+            return n_epochs
+        post = self.postings(spark).withColumn(EPOCH, F.lit(0).cast("long"))
+        tmp = self.path + ".compact.tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            post.repartition(TBUCKET)
+            .sortWithinPartitions(TBUCKET, "term", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy(EPOCH, TBUCKET)
+            .parquet(os.path.join(tmp, "postings"))
+        )
+        totals = self.meta()
+        meta = {
+            "n_buckets": m["n_buckets"],
+            "epochs": {
+                "0": {
+                    "n_docs": totals["n_docs"],
+                    "total_tokens": totals["total_tokens"],
+                }
+            },
+        }
+        with open(os.path.join(tmp, META), "w") as f:
+            json.dump(meta, f)
+        old = self.path + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(self.path, old)
+        os.replace(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+        return n_epochs
+
     def _read_meta(self) -> dict:
         with open(os.path.join(self.path, META)) as f:
             return json.load(f)

@@ -159,3 +159,28 @@ def test_streaming_corpus_dedup_feeds_search_index(spark, tmp_path):
         a[cols].sort_values(cols, ignore_index=True),
         b[cols].sort_values(cols, ignore_index=True),
     )
+
+
+def test_compact_merges_epochs_preserving_answers(spark, tmp_path):
+    docs = _docs(spark)
+    thirds = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    idx = InvertedIndex(str(tmp_path / "inv"), n_buckets=32)
+    idx.build(thirds[0])
+    idx.append(thirds[1])
+    idx.append(thirds[2])
+    before = idx.bm25_topk(spark, BM25_QUERIES, k=5).toPandas()
+    tot = idx.meta()
+    assert len(tot["epochs"]) == 3
+    merged = idx.compact(spark)
+    assert merged == 3
+    after = idx.bm25_topk(spark, BM25_QUERIES, k=5).toPandas()
+    m2 = idx.meta()
+    assert len(m2["epochs"]) == 1
+    assert (m2["n_docs"], m2["total_tokens"]) == (tot["n_docs"], tot["total_tokens"])
+    cols = ["query_id", "doc_id", "bm25", "rnk"]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        before[cols].sort_values(cols, ignore_index=True),
+        after[cols].sort_values(cols, ignore_index=True),
+    )
