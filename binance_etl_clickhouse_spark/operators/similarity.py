@@ -210,3 +210,132 @@ def lsh_topk(
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 keyword candidates + dense cosine, fused by RRF
+# ---------------------------------------------------------------------------
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_ids: list[int],
+    n_docs: int,
+    total_tokens: int,
+    n_terms: int = 3,
+    k: int = 10,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid search: for each query document, fuse its BM25 keyword
+    retrieval (first ``n_terms`` tokens as the keyword query) with dense
+    cosine retrieval (its embedding), by Reciprocal Rank Fusion:
+
+        rrf(d) = 1/(K + rank_sparse(d)) + 1/(K + rank_dense(d))
+
+    (Cormack et al. 2009, K=60) — the standard sparse+dense fusion that
+    needs no score calibration, and, because it consumes integer RANKS of
+    deterministically-rounded scores, is exactly reproducible across
+    engines (full value-hash oracle, unlike score-interpolation blends).
+
+    Scale shape: the query frame (terms + vectors for |Q| docs) broadcasts;
+    the sparse side is the BM25 inverted-index probe (corpus postings die
+    map-side unless they match a query term, `_pin_counts` diamond pin);
+    the dense side is one broadcast pass over the embeddings (at scale:
+    route through the IVF/LSH bucketed tables instead — same fusion).
+    Sparse candidates are a subset of dense candidates (every doc has an
+    embedding), so fusion is a left join from the dense side; missing
+    sparse ranks surface as -1 and contribute 0.
+    """
+    from binance_etl_clickhouse_spark.operators.corpus import (
+        BM25_B,
+        BM25_K1,
+        _pin_counts,
+    )
+    from binance_etl_clickhouse_spark.operators.parallel import ensure_min_parallelism
+    from binance_etl_clickhouse_spark.operators.texthash import tokens
+
+    w = tokens(text_col)
+    qd = docs.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.array_distinct(F.slice(w, 1, n_terms)).alias("qterms"),
+    )
+    qt = qd.select("query_id", F.explode("qterms").alias("term"))
+
+    tok = ensure_min_parallelism(docs).select(
+        F.col(id_col), F.size(w).alias("dl"), F.explode(w).alias("term")
+    )
+    tf = tok.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    tfq = _pin_counts(tf.join(F.broadcast(qt.select("term").distinct()), "term"), True)
+    dfreq = tfq.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df_count"))
+    n = float(n_docs)
+    t_tot = float(total_tokens)
+    idf = F.log(
+        F.lit(1.0) + (F.lit(n) - F.col("df_count") + F.lit(0.5)) / (F.col("df_count") + F.lit(0.5))
+    )
+    norm = F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B)
+        + F.lit(BM25_B) * (F.col("dl").cast("double") * F.lit(n) / F.lit(t_tot))
+    )
+    contrib = F.round(
+        idf * (F.col("tf") * F.lit(BM25_K1 + 1.0)) / (F.col("tf") + norm), 6
+    )
+    sparse = (
+        tfq.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qt), "term")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        .withColumn(
+            "sparse_rnk",
+            F.row_number()
+            .over(Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), id_col))
+            .cast("long"),
+        )
+    )
+
+    v = emb.select(F.col(vec_id_col).alias(id_col), _as_double(vec_col).alias("v"))
+    qe = v.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    dense = (
+        v.crossJoin(F.broadcast(qe))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine_expr(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .withColumn(
+            "dense_rnk",
+            F.row_number()
+            .over(Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), id_col))
+            .cast("long"),
+        )
+    )
+
+    kk = float(rrf_k)
+    fused = (
+        dense.join(sparse, ["query_id", id_col], "left")
+        .select(
+            "query_id",
+            id_col,
+            F.coalesce(F.col("sparse_rnk"), F.lit(-1).cast("long")).alias("sparse_rnk"),
+            F.col("dense_rnk"),
+            F.round(
+                F.coalesce(F.lit(1.0) / (F.lit(kk) + F.col("sparse_rnk")), F.lit(0.0))
+                + F.lit(1.0) / (F.lit(kk) + F.col("dense_rnk")),
+                6,
+            ).alias("rrf_score"),
+        )
+    )
+    topw = Window.partitionBy("query_id").orderBy(F.col("rrf_score").desc(), id_col)
+    return (
+        fused.withColumn("rnk", F.row_number().over(topw).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", id_col, "rrf_score", "sparse_rnk", "dense_rnk", "rnk")
+    )

@@ -463,3 +463,116 @@ def bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.isfile(os.path.join(path, "_invindex_meta.json")):
         idx.build(docs)
     return idx.bm25_topk(spark, BM25_QUERIES, k=_BM25_K)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 + dense cosine fused by Reciprocal Rank Fusion
+# ---------------------------------------------------------------------------
+
+HYBRID_QUERY_IDS = [0, 1, 2]
+_HY_TERMS = 3
+_HY_K = 10
+_HY_RRF_K = 60
+_hy_ids = ", ".join(str(i) for i in HYBRID_QUERY_IDS)
+
+
+@register(
+    "hybrid_rrf_search",
+    f"""
+    WITH qd AS (
+      SELECT doc_id AS query_id,
+             list_distinct(string_split(text, ' ')[1:{_HY_TERMS}]) AS qterms
+      FROM documents WHERE doc_id IN ({_hy_ids})
+    ),
+    qt AS (SELECT query_id, unnest(qterms) AS term FROM qd),
+    tok AS (
+      SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl,
+             unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+      FROM tok GROUP BY doc_id, dl, term
+    ),
+    tfq AS (SELECT * FROM tf WHERE term IN (SELECT DISTINCT term FROM qt)),
+    dfreq AS (SELECT term, count(*)::BIGINT AS df_count FROM tfq GROUP BY term),
+    nn AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS t_tot
+      FROM documents
+    ),
+    sparse AS (
+      SELECT qt.query_id, tfq.doc_id,
+             round(sum(round(
+               ln(1.0 + (nn.n_docs - dfreq.df_count + 0.5) / (dfreq.df_count + 0.5))
+               * (tfq.tf * {corpus.BM25_K1 + 1.0!r})
+               / (tfq.tf + {corpus.BM25_K1!r} * ({1.0 - corpus.BM25_B!r}
+                    + {corpus.BM25_B!r}
+                      * (CAST(tfq.dl AS DOUBLE) * nn.n_docs / nn.t_tot)))
+             , 6)), 6) AS bm25
+      FROM tfq JOIN dfreq USING (term) JOIN qt USING (term) CROSS JOIN nn
+      WHERE tfq.doc_id <> qt.query_id
+      GROUP BY qt.query_id, tfq.doc_id
+    ),
+    sr AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY bm25 DESC, doc_id) AS rs
+      FROM sparse
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qe AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({_hy_ids})),
+    dense AS (
+      SELECT qe.query_id, e.vec_id AS doc_id,
+             round(list_inner_product(e.v, qe.qv)
+                   / (sqrt(list_inner_product(e.v, e.v))
+                      * sqrt(list_inner_product(qe.qv, qe.qv))), 6) AS cos_sim
+      FROM e CROSS JOIN qe WHERE e.vec_id <> qe.query_id
+    ),
+    dr AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, doc_id) AS rd
+      FROM dense
+    ),
+    fused AS (
+      SELECT dr.query_id, dr.doc_id,
+             coalesce(sr.rs, -1)::BIGINT AS sparse_rnk,
+             dr.rd::BIGINT AS dense_rnk,
+             round(coalesce(1.0 / ({float(_HY_RRF_K)!r} + sr.rs), 0.0)
+                   + 1.0 / ({float(_HY_RRF_K)!r} + dr.rd), 6) AS rrf_score
+      FROM dr LEFT JOIN sr USING (query_id, doc_id)
+    )
+    SELECT query_id, doc_id, rrf_score, sparse_rnk, dense_rnk, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, doc_id) AS rnk
+      FROM fused
+    ) WHERE rnk <= {_HY_K}
+    """,
+    survey_ref=(
+        "similarity: hybrid sparse+dense retrieval "
+        "(BM25 + embedding cosine fused by Reciprocal Rank Fusion)"
+    ),
+)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 per query document under RRF fusion of BM25 (first 3 tokens
+    as keywords) and dense cosine (its embedding). See
+    :func:`operators.similarity.hybrid_rrf_topk`."""
+    from binance_etl_clickhouse_spark.operators.similarity import hybrid_rrf_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    stats = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(tokens("text"))).alias("t"),
+    ).first()
+    return hybrid_rrf_topk(
+        docs,
+        emb,
+        HYBRID_QUERY_IDS,
+        n_docs=stats["n"],
+        total_tokens=stats["t"],
+        n_terms=_HY_TERMS,
+        k=_HY_K,
+        rrf_k=_HY_RRF_K,
+    )

@@ -302,6 +302,7 @@ NESTED_LOOP_WHITELIST = {
     "source_mixture_sample",  # per-source rates x 1-row scale frame
     "dsir_importance_select",  # bucket stats x 1-row totals frame
     "nb_lang_classifier",  # bucket stats x 1-row totals frame
+    "hybrid_rrf_search",  # dense side: corpus x broadcast |Q|=3 query vectors
 }
 
 
