@@ -1304,3 +1304,87 @@ def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("max_cos") >= F.lit(_SEMDECON_TAU)).cast("int").alias("contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer family (operators/bpe.py). Round-0 pair statistics are one
+# aggregation -> full DuckDB oracle; the trainer is genuinely ITERATIVE
+# (driver-loop argmax per merge) so it registers rows-only per the driver
+# contract, with an exact pure-Python oracle pinned in tests/test_bpe.py.
+# ---------------------------------------------------------------------------
+_BPE_TOPK = 50
+_BPE_MERGES = 12
+
+
+@register(
+    "bpe_pair_stats",
+    f"""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ), wc AS (
+      SELECT word, count(*)::BIGINT AS cnt FROM words WHERE word <> '' GROUP BY word
+    ), syms AS (
+      SELECT cnt,
+             list_append([substr(word, i, 1) for i in range(1, len(word) + 1)],
+                         '</w>') AS s
+      FROM wc
+    ), pairs AS (
+      SELECT s[i] AS left_sym, s[i + 1] AS right_sym, cnt
+      FROM syms, unnest(range(1, len(s))) AS t(i)
+    )
+    SELECT left_sym, right_sym, sum(cnt)::BIGINT AS freq
+    FROM pairs GROUP BY 1, 2
+    ORDER BY freq DESC, left_sym, right_sym LIMIT {_BPE_TOPK}
+    """,
+    survey_ref="tokenizer training: BPE round-0 merge-candidate statistics",
+)
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top merge candidates before any merge: adjacent-symbol pair
+    frequencies over the word dictionary (chars + end-of-word marker),
+    weighted by word count. Two partial-aggregated shuffles (word count,
+    pair count) over vocabulary-sized frames — corpus is scanned once."""
+    from binance_etl_clickhouse_spark.operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    pc = bpe.pair_counts(bpe.word_counts(docs))
+    return (
+        pc.select(
+            F.col("left").alias("left_sym"),
+            F.col("right").alias("right_sym"),
+            F.col("freq"),
+        )
+        .orderBy(F.desc("freq"), F.asc("left_sym"), F.asc("right_sym"))
+        .limit(_BPE_TOPK)
+    )
+
+
+@register(
+    "bpe_train_merges",
+    None,  # iterative trainer — no single-statement SQL twin; exact
+    # pure-Python oracle pinned by tests/test_bpe.py at sf0.001 + sf0.01
+    survey_ref="tokenizer training: distributed BPE merge learning",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE merge table (rank, left, right, merged, freq)."""
+    from binance_etl_clickhouse_spark.operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    model = bpe.train_bpe(docs, n_merges=_BPE_MERGES)
+    return bpe.merges_df(spark, model)
+
+
+@register(
+    "bpe_token_counts",
+    None,  # depends on the iterative trainer's merges — rows-only; exact
+    # pure-Python oracle pinned by tests/test_bpe.py
+    survey_ref="tokenizer training: dictionary-join BPE encoding",
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document subword counts under the learned merges, computed by
+    joining words against the trained dictionary (no merge replay over
+    the corpus — one equi-join pass regardless of merge count)."""
+    from binance_etl_clickhouse_spark.operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    model = bpe.train_bpe(docs, n_merges=_BPE_MERGES)
+    return bpe.encode_token_counts(docs, model)

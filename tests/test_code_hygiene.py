@@ -24,6 +24,7 @@ PKG = Path(__file__).resolve().parent.parent / "binance_etl_clickhouse_spark"
 
 #: file (relative to the package) -> why its collect() is bounded
 COLLECT_WHITELIST = {
+    "operators/bpe.py": "1-row argmax per merge iteration (pair argmax)",
     "operators/ivf.py": "k x dim centroid rows (codebook fit)",
     "operators/sketches.py": "kilobyte-scale sketch states (CMS merge)",
     "pipeline.py": "failed-symbol report list (per-run, symbols not rows)",
