@@ -309,10 +309,21 @@ NESTED_LOOP_WHITELIST = {
 def test_no_accidental_nested_loop_join_anywhere(spark):
     """Every registered query must plan without BroadcastNestedLoopJoin /
     CartesianProduct unless it is on the audited whitelist above — the
-    repo-wide guard against the one plan shape that cannot survive scale."""
+    repo-wide guard against the one plan shape that cannot survive scale.
+
+    Same pass also audits output schemas: every ORACLE-BEARING query must
+    emit flat scalar columns only. The driver's canonicalizer sorts result
+    cells in pandas, and array/map/struct cells are unhashable there — an
+    array column crashed approx_aggregates' round-1 CORRECTNESS row even
+    though the values were right. (Rows-only queries are exempt: the driver
+    never canonicalizes them.)"""
+    from pyspark.sql import types as T
+
     flagged = {}
+    nonscalar = {}
     for name, e in QUERIES.items():
-        plan = e.spark(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        df = e.spark(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
         kinds = [
             k
             for k, pat in (
@@ -323,7 +334,19 @@ def test_no_accidental_nested_loop_join_anywhere(spark):
         ]
         if kinds:
             flagged[name] = kinds
+        if e.oracle is not None:
+            bad = [
+                f.name
+                for f in df.schema.fields
+                if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+            ]
+            if bad:
+                nonscalar[name] = bad
     unexpected = {n: k for n, k in flagged.items() if n not in NESTED_LOOP_WHITELIST}
     stale = NESTED_LOOP_WHITELIST - set(flagged)
     assert not unexpected, f"un-audited nested loops: {unexpected}"
     assert not stale, f"whitelist entries no longer needed (remove): {stale}"
+    assert not nonscalar, (
+        "oracle-checked queries with driver-canonicalizer-unsafe (non-scalar) "
+        f"output columns: {nonscalar}"
+    )
