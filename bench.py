@@ -67,6 +67,9 @@ HEADLINE = [
     # newly diamond-pinned corpus stats + the rule-filter pass
     "tfidf_top_terms",
     "gopher_quality_filters",
+    # tokenizer family: the round-0 pair statistics (the per-iteration unit
+    # of BPE training; full trainer timings live in SCALE.md)
+    "bpe_pair_stats",
 ]
 
 

@@ -35,6 +35,12 @@ _BASE_CONFS: dict[str, str] = {
     "spark.ui.enabled": "false",
 }
 
+#: local[*] puts driver AND all executor threads in ONE JVM, whose default
+#: heap is 1g — 32 concurrent tasks in 1g OOMs on any shuffle-heavy query
+#: long before the machine (128 GiB here) is remotely loaded. On a real
+#: cluster this maps to spark.executor.memory sized per executor instead.
+_DEFAULT_DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+
 
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
@@ -57,6 +63,7 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cores}]")
+        .config("spark.driver.memory", _DEFAULT_DRIVER_MEM)
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions if shuffle_partitions is not None else cores),
