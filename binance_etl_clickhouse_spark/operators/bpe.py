@@ -71,6 +71,11 @@ def pair_counts(words: DataFrame) -> DataFrame:
     """Adjacent-symbol pair frequencies over the word dictionary, weighted
     by word count. One shuffle on (left, right) with map-side partials.
     Output: left, right, freq — the BPE merge-candidate table.
+
+    The ``n >= 2`` guard is unreachable through :func:`word_counts` (every
+    word carries at least one char + EOW) but defends direct callers
+    passing 1-symbol arrays, where Spark's descending ``sequence(1, 0)``
+    would otherwise emit a bogus (sym, null) pair.
     """
     n = F.size("syms")
     idx = F.sequence(F.lit(1), n - 1)
@@ -167,10 +172,16 @@ def train_bpe(
         left, right, freq = top[0]["left"], top[0]["right"], int(top[0]["freq"])
         merges.append((left, right, freq))
         nxt = words.withColumn("syms", merge_pair_expr("syms", left, right))
-        # eager localCheckpoint: truncates lineage (plan depth stays O(1))
-        # and frees the previous iteration's blocks
+        # eager localCheckpoint: truncates lineage so plan/analysis depth
+        # stays O(1) across iterations. Previous iterations' checkpoint
+        # blocks are NOT explicitly freeable from the DataFrame API
+        # (unpersist() only clears CacheManager entries, and checkpoint
+        # blocks live on the internal RDD) — dropping the Python reference
+        # lets the ContextCleaner reclaim them; peak usage is therefore a
+        # few iterations' worth of the (vocabulary-sized, shrinking) word
+        # frame, not the corpus.
         prev, words = words, nxt.localCheckpoint(eager=True)
-        prev.unpersist()
+        del prev
     return BpeModel(merges=merges, words=words)
 
 

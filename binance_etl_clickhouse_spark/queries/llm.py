@@ -1315,6 +1315,24 @@ def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_TOPK = 50
 _BPE_MERGES = 12
 
+#: (sf_dir, n_merges) -> trained BpeModel. Training is deterministic, so
+#: reuse is safe — without this, bpe_token_counts re-runs the full
+#: iterative trainer bpe_train_merges already ran (~25 jobs each), and the
+#: registry-wide plan audit pays it twice more. The cached words frame is
+#: an eager localCheckpoint, valid for the life of the SparkContext.
+_BPE_MODELS: dict = {}
+
+
+def _bpe_model(spark: SparkSession, sf_dir: str):
+    from binance_etl_clickhouse_spark.operators import bpe
+
+    key = (sf_dir, _BPE_MERGES)
+    if key not in _BPE_MODELS:
+        _BPE_MODELS[key] = bpe.train_bpe(
+            _t(spark, sf_dir, "documents"), n_merges=_BPE_MERGES
+        )
+    return _BPE_MODELS[key]
+
 
 @register(
     "bpe_pair_stats",
@@ -1361,16 +1379,15 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bpe_train_merges",
     None,  # iterative trainer — no single-statement SQL twin; exact
-    # pure-Python oracle pinned by tests/test_bpe.py at sf0.001 + sf0.01
+    # pure-Python oracle pinned by tests/test_bpe.py (sf0.001 by default,
+    # RUN_SF001=1 upshifts to sf0.01 like the parity suite)
     survey_ref="tokenizer training: distributed BPE merge learning",
 )
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned BPE merge table (rank, left, right, merged, freq)."""
     from binance_etl_clickhouse_spark.operators import bpe
 
-    docs = _t(spark, sf_dir, "documents")
-    model = bpe.train_bpe(docs, n_merges=_BPE_MERGES)
-    return bpe.merges_df(spark, model)
+    return bpe.merges_df(spark, _bpe_model(spark, sf_dir))
 
 
 @register(
@@ -1386,5 +1403,4 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from binance_etl_clickhouse_spark.operators import bpe
 
     docs = _t(spark, sf_dir, "documents")
-    model = bpe.train_bpe(docs, n_merges=_BPE_MERGES)
-    return bpe.encode_token_counts(docs, model)
+    return bpe.encode_token_counts(docs, _bpe_model(spark, sf_dir))

@@ -37,16 +37,27 @@ def synth_10x(spark) -> DataFrame:
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
     n = docs.count()
     reps = spark.range(REPLICAS).withColumnRenamed("id", "rep")
-    big = docs.crossJoin(F.broadcast(reps)).select(
-        (F.col("doc_id") + F.col("rep") * n).alias("doc_id"),
-        # odd replicas get a unique token appended -> NOT exact dups, still
-        # near-dups of their source; even replicas are exact dups
-        F.when(
-            F.col("rep") % 2 == 1,
-            F.concat_ws(" ", F.col("text"), F.concat(F.lit("uniq"), F.col("doc_id"))),
+    # new_id must be materialized BEFORE the perturbation references it:
+    # sibling aliases inside one select() don't shadow input columns, so a
+    # single-select version would suffix the ORIGINAL doc_id and make all
+    # odd replicas of a document identical to each other
+    big = (
+        docs.crossJoin(F.broadcast(reps))
+        .withColumn("new_id", F.col("doc_id") + F.col("rep") * n)
+        .select(
+            F.col("new_id").alias("doc_id"),
+            # odd replicas get a per-REPLICA unique token appended -> NOT
+            # exact dups of anything, still near-dups of their source;
+            # even replicas are exact dups of the source
+            F.when(
+                F.col("rep") % 2 == 1,
+                F.concat_ws(
+                    " ", F.col("text"), F.concat(F.lit("uniq"), F.col("new_id"))
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
         )
-        .otherwise(F.col("text"))
-        .alias("text"),
     )
     big.write.mode("overwrite").parquet(SCRATCH)
     return spark.read.parquet(SCRATCH)

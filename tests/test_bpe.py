@@ -4,14 +4,17 @@ dictionary-join encoding, and the plan shapes that matter at scale."""
 
 from __future__ import annotations
 
+import os
 from collections import Counter
-
-from pyspark.sql import functions as F
 
 from binance_etl_clickhouse_spark.operators import bpe
 from binance_etl_clickhouse_spark.queries import QUERIES
 
-SF = "/root/testdata/sf0.001"
+# sf0.001 by default; RUN_SF001=1 upshifts to the driver's sf0.01 scale,
+# mirroring tests/test_oracle_parity.py
+SF = (
+    "/root/testdata/sf0.01" if os.environ.get("RUN_SF001") else "/root/testdata/sf0.001"
+)
 
 
 def _docs(spark):
