@@ -133,6 +133,27 @@ class AnalyticsEngine:
             print(f"[engine] planned in {time.perf_counter() - t0:.3f}s: {query[:80]!r}")
         return df
 
+    def lint(
+        self,
+        query_or_df: str | DataFrame,
+        args: dict | list | None = None,
+        dialect: str | None = None,
+    ) -> list[str]:
+        """Scale-hazard warnings for a query's physical plan (planlint).
+
+        Accepts a SQL string (run through the same dialect path as
+        :meth:`sql`, plan only — nothing executes) or a DataFrame. Empty
+        list = no known hazard; see ``planlint`` for the rule set.
+        """
+        from binance_etl_clickhouse_spark.planlint import lint_plan
+
+        df = (
+            self.sql(query_or_df, args=args, dialect=dialect)
+            if isinstance(query_or_df, str)
+            else query_or_df
+        )
+        return lint_plan(df)
+
     def sql_pandas(self, query: str, args: dict | list | None = None):
         """≙ clickhouse_query's DataFrame return: execute AND fetch, timed."""
         t0 = time.perf_counter()
