@@ -68,8 +68,10 @@ FROM t FINAL        FROM t              [the engine's registered views ARE
 PREWHERE c          WHERE c             [PREWHERE is a scan-order hint;
                                          Spark's optimizer already pushes
                                          predicates to the scan]
-FROM t SAMPLE 0.1   FROM t TABLESAMPLE (10 PERCENT)   [k>=1 -> (k ROWS);
-                                         Bernoulli, not key-deterministic]
+FROM t SAMPLE 0.1   FROM t TABLESAMPLE (10 PERCENT)   [k<=1 is a fraction
+                                         (SAMPLE 1 = all data), k>1 ->
+                                         (k ROWS); Bernoulli, not
+                                         key-deterministic]
 LIMIT n BY c1, c2   row_number() window per (c1, c2) keeping the first n
                     rows (ordered by the query's ORDER BY when present),
                     outer ORDER BY / LIMIT re-applied on top; top-level
@@ -149,7 +151,10 @@ _SAMPLE_RE = re.compile(
 
 def _sample_sub(m: re.Match) -> str:
     val = float(m.group(2))
-    if val < 1.0:
+    if val <= 1.0:
+        # ClickHouse SAMPLE k with 0 <= k <= 1 is a FRACTION; SAMPLE 1 is
+        # documented as "same as not sampling" — so 1 maps to 100 PERCENT,
+        # never to 1 ROW
         return f"{m.group(1)} TABLESAMPLE ({val * 100.0:g} PERCENT)"
     return f"{m.group(1)} TABLESAMPLE ({int(val)} ROWS)"
 

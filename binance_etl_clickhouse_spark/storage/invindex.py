@@ -203,7 +203,25 @@ class InvertedIndex:
         shutil.rmtree(old, ignore_errors=True)
         return n_epochs
 
+    def _recover(self) -> None:
+        """Heal the build()/compact() two-step swap (live -> .old, tmp ->
+        live): a crash between the moves leaves the live path missing with
+        the previous index intact in ``.old``. Restoring ``.old`` is always
+        correct — for a build crash it is the pre-build index, for a
+        compact crash the pre-compact (merely uncompacted) one; either op
+        can simply be re-run. Stale tmp dirs are debris and removed. Same
+        contract as ServingTable._recover."""
+        if os.path.isfile(os.path.join(self.path, META)):
+            return
+        old = self.path + ".old"
+        if os.path.isfile(os.path.join(old, META)):
+            for tmp in (self.path + ".build.tmp", self.path + ".compact.tmp"):
+                shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(self.path, ignore_errors=True)
+            os.replace(old, self.path)
+
     def _read_meta(self) -> dict:
+        self._recover()
         with open(os.path.join(self.path, META)) as f:
             return json.load(f)
 
@@ -218,6 +236,7 @@ class InvertedIndex:
         }
 
     def postings(self, spark: SparkSession) -> DataFrame:
+        self._recover()
         # an empty build writes a partition-less parquet dir Spark cannot
         # infer a schema from — surface it as a typed empty frame instead
         try:

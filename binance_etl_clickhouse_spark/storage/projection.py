@@ -68,6 +68,36 @@ _KINDS = ("sum", "count", "min", "max", "avg", "uniq")
 #: grain -> the strictly coarser grains reachable by date_trunc on the
 #: stored bucket. Weeks only nest over sub-day grains (a month boundary can
 #: split a week, so week is NOT derivable from month and vice versa).
+def _is_aligned(bound, granularity: str) -> bool:
+    """True when ``bound`` (None / str / datetime) sits exactly on a
+    ``granularity`` bucket boundary (Spark date_trunc semantics: weeks
+    start Monday, quarters on Jan/Apr/Jul/Oct)."""
+    if bound is None:
+        return True
+    import pandas as pd
+
+    t = pd.Timestamp(bound)
+    sub_minute = t.second == 0 and t.microsecond == 0 and t.nanosecond == 0
+    if granularity == "minute":
+        return sub_minute
+    hour_ok = sub_minute and t.minute == 0
+    if granularity == "hour":
+        return hour_ok
+    day_ok = hour_ok and t.hour == 0
+    if granularity == "day":
+        return day_ok
+    if granularity == "week":
+        return day_ok and t.weekday() == 0
+    month_ok = day_ok and t.day == 1
+    if granularity == "month":
+        return month_ok
+    if granularity == "quarter":
+        return month_ok and t.month in (1, 4, 7, 10)
+    if granularity == "year":
+        return month_ok and t.month == 1
+    raise ValueError(f"unknown granularity: {granularity!r}")
+
+
 _COARSENINGS: dict[str, tuple[str, ...]] = {
     "minute": ("minute", "hour", "day", "week", "month", "quarter", "year"),
     "hour": ("hour", "day", "week", "month", "quarter", "year"),
@@ -211,6 +241,16 @@ class Projection:
             and set(metric_names) <= set(self._by_name)
         )
 
+    def _bounds_aligned(self, start, end) -> bool:
+        """start/end must sit on STORED-grain bucket boundaries for the
+        rollup answer to equal the raw answer: the rollup can only include
+        or exclude a whole stored bucket, so e.g. start=12:30 against an
+        hourly rollup would silently drop the 12:00 bucket's 12:30-13:00
+        rows that the raw path keeps. Unaligned bounds -> not routable."""
+        return _is_aligned(start, self.granularity) and _is_aligned(
+            end, self.granularity
+        )
+
     def answer(
         self,
         spark: SparkSession,
@@ -232,6 +272,12 @@ class Projection:
             raise ValueError(
                 f"projection does not cover ({granularity}, {group_cols}, "
                 f"{metric_names})"
+            )
+        if not self._bounds_aligned(start, end):
+            raise ValueError(
+                f"start/end must align to the stored '{self.granularity}' "
+                "bucket boundaries (a rollup includes or excludes whole "
+                "buckets); use route() for transparent raw fallback"
             )
         ms = [self._by_name[n] for n in metric_names]
         df = self.table.read(spark)
@@ -284,11 +330,16 @@ class Projection:
         end=None,
     ) -> tuple[DataFrame, bool]:
         """(result, answered_from_projection): projection when covered AND
-        materialized, raw snapshot otherwise — same schema either way."""
+        materialized AND the time bounds sit on stored-bucket boundaries,
+        raw snapshot otherwise — same schema and same VALUES either way
+        (unaligned bounds fall back rather than silently dropping the
+        partially-covered edge buckets)."""
         import os
 
-        if self.covers(granularity, group_cols, metric_names) and os.path.isdir(
-            self.table.path
+        if (
+            self.covers(granularity, group_cols, metric_names)
+            and self._bounds_aligned(start, end)
+            and os.path.isdir(self.table.path)
         ):
             return (
                 self.answer(spark, granularity, group_cols, metric_names, start, end),

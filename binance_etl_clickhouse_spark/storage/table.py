@@ -358,6 +358,17 @@ class ServingTable:
         from binance_etl_clickhouse_spark.storage import zonemap as _zm
 
         self._recover()
+        # validate ops BEFORE branching on the sidecar: without this, a
+        # table that never ran build_zonemap would skip prune_files' op
+        # check AND fall through the residual-filter branches below,
+        # silently returning unfiltered rows for a typo'd op that errors
+        # loudly on an indexed table
+        for col, pred in predicates.items():
+            if pred[0] not in ("eq", "between"):
+                raise ValueError(
+                    f"read_pruned: unsupported predicate op {pred[0]!r} on "
+                    f"{col!r} (supported: 'eq', 'between')"
+                )
         zm = _zm.read_zonemap(self.path)
         files = (
             _zm.prune_files(zm, self.path, predicates) if zm is not None else None

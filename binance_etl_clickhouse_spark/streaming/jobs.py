@@ -310,9 +310,10 @@ def stream_dedup_corpus(
     Crash ordering: corpus append before index append — a failure between
     the two can only leave an accepted doc unindexed (its future dups slip
     through: bounded recall loss), never a doc indexed-but-missing (silent
-    data loss). Checkpoint replay of the batch re-drops the same dups and
-    re-appends the same survivors; the downstream keep-last read absorbs
-    the repeated append.
+    data loss). Checkpoint replay is made idempotent by an explicit gate:
+    docs already present in ``out_dir`` are anti-joined out of a
+    re-delivered epoch before any work or write (out_dir has no version
+    column, so without the gate a replayed append would duplicate rows).
 
     Scale: every join here is an equi-join on band value or id; index
     growth is linear in accepted docs; the only state Spark itself holds is
@@ -339,9 +340,29 @@ def stream_dedup_corpus(
         if batch.isEmpty():
             return
         clean, _quarantined = partition_corrupt(batch)
-        # (2) within-batch: drop the higher id of every verified near-dup pair
+        # replay idempotence: foreachBatch is at-least-once — a crash after
+        # the corpus append but before the checkpoint commit re-delivers
+        # this epoch, and out_dir is a plain parquet dir with no version
+        # column for a keep-last read to resolve. Docs already accepted are
+        # anti-joined out before any dedup work or write (doc_id-only
+        # column-pruned scan), same gate as stream_span_dedup.
+        if os.path.isdir(out_dir):
+            seen = (
+                batch.sparkSession.read.parquet(out_dir).select("doc_id").distinct()
+            )
+            clean = clean.join(seen, "doc_id", "left_anti")
+        if clean.isEmpty():
+            batch.unpersist()
+            return
+        # (2) within-batch: drop the higher id of every verified near-dup
+        # pair. persist_index=False: the pin inside minhash_lsh_pairs has
+        # no unpersist hook, and a persisted pair per epoch would leak
+        # cache entries for the stream's lifetime — a micro-batch is small
+        # enough to recompute its signature projection within the batch.
         losers = (
-            minhash_lsh_pairs(clean, k=k, threshold=jaccard_threshold)
+            minhash_lsh_pairs(
+                clean, k=k, threshold=jaccard_threshold, persist_index=False
+            )
             .select(F.col("d2").alias("doc_id"))
             .distinct()
         )

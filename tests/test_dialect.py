@@ -325,6 +325,9 @@ def test_sample_clause_rewrites(spark):
         == "SELECT x FROM t TABLESAMPLE(10 PERCENT) WHERE y > 0"
     )
     assert t("SELECT x FROM t SAMPLE 100") == "SELECT x FROM t TABLESAMPLE(100 ROWS)"
+    # ClickHouse SAMPLE 1 is a FRACTION (= all data), never "1 row"
+    assert t("SELECT x FROM t SAMPLE 1") == "SELECT x FROM t TABLESAMPLE(100 PERCENT)"
+    assert t("SELECT x FROM t SAMPLE 1.0") == "SELECT x FROM t TABLESAMPLE(100 PERCENT)"
     # composes with FINAL; alias preserved; idempotent
     q = t("SELECT k.x FROM tbl k FINAL SAMPLE 0.25")
     assert q == "SELECT k.x FROM tbl k TABLESAMPLE(25 PERCENT)"

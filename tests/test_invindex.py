@@ -184,3 +184,22 @@ def test_compact_merges_epochs_preserving_answers(spark, tmp_path):
         before[cols].sort_values(cols, ignore_index=True),
         after[cols].sort_values(cols, ignore_index=True),
     )
+
+
+def test_compact_crash_window_recovers_from_old(spark, tmp_path):
+    """A crash between compact()'s two renames leaves the live path missing
+    with the previous index parked in .old — the next open must heal it
+    (same contract as ServingTable._recover), not FileNotFoundError."""
+    import os
+
+    idx = _build(spark, tmp_path)
+    before = idx.meta()
+    # simulate the mid-swap crash: live moved to .old, tmp never moved in
+    os.replace(idx.path, idx.path + ".old")
+    os.makedirs(idx.path + ".compact.tmp", exist_ok=True)  # stale debris
+    healed = InvertedIndex(idx.path, n_buckets=64)
+    assert healed.meta() == before
+    assert not os.path.exists(idx.path + ".old")
+    assert not os.path.exists(idx.path + ".compact.tmp")
+    got = healed.bm25_topk(spark, BM25_QUERIES, k=5)
+    assert got.count() > 0

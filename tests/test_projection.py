@@ -180,3 +180,27 @@ def test_projection_refreshes_per_streaming_epoch(spark, tmp_path):
     want = proj.compute_direct(spark, "day", ["symbol"], ["n_bars", "volume"])
     _frames_equal(got, want)
     assert got.count() == 2 * 2  # 2 symbols x 2 days
+
+
+def test_unaligned_bounds_fall_back_not_silently_truncate(spark, tmp_path):
+    """start/end off the stored hourly bucket boundary must NOT route to
+    the rollup (which can only include/exclude whole buckets — the edge
+    bucket's partial rows would silently vanish): route() falls back to
+    the raw snapshot and still returns the exact answer; answer() raises."""
+    import datetime as dt
+
+    import pytest
+
+    proj = _setup(spark, tmp_path)
+    start = dt.datetime(2024, 1, 5, 12, 30)  # mid-bucket for an hourly store
+    got, routed = proj.route(spark, "day", ["symbol"], ["n_bars"], start=start)
+    assert routed is False
+    want = proj.compute_direct(spark, "day", ["symbol"], ["n_bars"], start=start)
+    _frames_equal(got, want)
+    with pytest.raises(ValueError, match="align"):
+        proj.answer(spark, "day", ["symbol"], ["n_bars"], start=start)
+    # aligned bounds still route
+    _, routed2 = proj.route(
+        spark, "day", ["symbol"], ["n_bars"], start=dt.datetime(2024, 1, 5, 12)
+    )
+    assert routed2 is True

@@ -323,6 +323,42 @@ def test_stream_dedup_corpus_incremental(spark, tmp_path):
     assert len(idx.columns) == 1 + 24
 
 
+def test_stream_dedup_corpus_replay_is_idempotent(spark, tmp_path):
+    """Simulated at-least-once replay (fresh checkpoint, same input files):
+    out_dir has no version column, so the replay gate must keep already-
+    accepted docs from re-landing — corpus rows stay exactly unchanged."""
+    import json
+
+    from binance_etl_clickhouse_spark.streaming.jobs import stream_dedup_corpus
+
+    in_dir = tmp_path / "drop"
+    in_dir.mkdir()
+    args = (str(in_dir), str(tmp_path / "idx"), str(tmp_path / "corpus"))
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten eleven twelve"
+    with open(in_dir / "b1.jsonl", "w") as f:
+        for i, text in [(1, base), (2, other)]:
+            f.write(
+                json.dumps(
+                    {"doc_id": i, "lang": "en", "text": text, "n_chars": len(text)}
+                )
+                + "\n"
+            )
+    q = stream_dedup_corpus(spark, *args, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    q.stop()
+    before = sorted(map(tuple, spark.read.parquet(args[2]).collect()))
+    # replay the same files under a fresh checkpoint (same epoch re-delivery)
+    q2 = stream_dedup_corpus(spark, *args, str(tmp_path / "ck2"))
+    q2.awaitTermination(120)
+    q2.stop()
+    after = sorted(map(tuple, spark.read.parquet(args[2]).collect()))
+    assert after == before
+    # signature index did not double up either
+    idx = spark.read.parquet(args[1])
+    assert idx.count() == idx.select("doc_id").distinct().count() == 2
+
+
 # ---------------------------------------------------------------------------
 # Funnel + cohort retention (operators/funnel.py)
 # ---------------------------------------------------------------------------

@@ -184,3 +184,15 @@ def test_max_watermark_stale_sidecar_falls_back(spark, tmp_path):
     assert fast.collect() == t.max_watermark(spark, use_stats=False).collect()
     plan = fast._jdf.queryExecution().executedPlan().toString()
     assert "parquet" in plan.lower()
+
+
+def test_read_pruned_rejects_unknown_op_even_without_sidecar(spark, tmp_path):
+    """The op check must not depend on whether build_zonemap ever ran:
+    without it, a typo'd op silently returned the UNFILTERED table when no
+    sidecar existed (the residual-filter loop only knows eq/between)."""
+    import pytest
+
+    t = _table(tmp_path)  # note: no build_zonemap call
+    t.append(_clean(spark, n_symbols=2, bars_per_symbol=24), ingest_seq=1)
+    with pytest.raises(ValueError, match="unsupported predicate op"):
+        t.read_pruned(spark, {"symbol": ("lt", "SYM1")})
