@@ -50,9 +50,10 @@ arrayExists(f, a)   exists(a, f)         syntax]
 arrayAll(f, a)      forall(a, f)
 arraySort(a)        array_sort(a)       [1-arg form only]
 retention(c1..cn)   array(max(c1-flag), least(max(c1-flag), max(ci-flag))..)
-                    [windowFunnel is NOT translatable as a string rewrite —
-                     it is an ordered state machine; use the native funnel
-                     operators (operators/funnel.py) instead]
+                    [windowFunnel and sequenceMatch are NOT translatable as
+                     string rewrites — both are ordered state machines over
+                     event time; use the native funnel operators
+                     (operators/funnel.py) instead]
 range(n)/range(a,b) guarded sequence slice (empty when n<=0 / b<=a,
                     matching ClickHouse; bare sequence would descend)
 toFloat64/toInt64/  CAST(x AS DOUBLE/BIGINT/INT/STRING/DATE)

@@ -262,12 +262,18 @@ class Pipeline:
         return int(obs.get["rows"])
 
     def update_funding_rates(self) -> int:
+        from pyspark.sql import Observation
+
         raw = synthetic.synthetic_funding_raw(
             self.spark, n_symbols=self.cfg.n_perp_symbols, start_ms=self.cfg.start_ms
         )
-        cleaned = clean_funding_rates(raw)
+        # A2: the count rides the write job via observe() (same pattern as
+        # update_klines) — a separate .count() would re-run the whole
+        # generate+clean pipeline a second time
+        obs = Observation("incr_funding")
+        cleaned = clean_funding_rates(raw).observe(obs, F.count(F.lit(1)).alias("rows"))
         self.funding_rates.append(cleaned, self._next_seq(self.funding_rates))
-        return int(cleaned.count())
+        return int(obs.get["rows"])
 
     def update_margin_rates(self) -> int:
         # seeded by DISTINCT margin-enabled base assets (A1, additional_data:218-219)
@@ -281,9 +287,12 @@ class Pipeline:
         raw = raw.join(
             F.broadcast(assets.withColumnRenamed("base_asset", "asset")), "asset", "inner"
         )
-        cleaned = clean_margin_rates(raw)
+        from pyspark.sql import Observation
+
+        obs = Observation("incr_margin")
+        cleaned = clean_margin_rates(raw).observe(obs, F.count(F.lit(1)).alias("rows"))
         self.margin_rates.append(cleaned, self._next_seq(self.margin_rates))
-        return int(cleaned.count())
+        return int(obs.get["rows"])
 
     # -- run loop (≙ run_pipeline.py:19-57, :83-96) -----------------------
 
@@ -375,9 +384,20 @@ class Pipeline:
         The continuous mode is the batch twin of a Structured Streaming
         ``trigger(processingTime=...)``; streaming/jobs.py provides the
         stream-native version.
+
+        ``--once`` propagates failures to the caller; the scheduler loop
+        instead logs the failure and sleeps to the next cycle (reference
+        run_pipeline.py:49-57, :92-96 — one transient error must not kill
+        the long-running process; update_all already wrote the 'failure'
+        audit row before re-raising).
         """
         while True:
-            self.update_all()
+            try:
+                self.update_all()
+            except Exception as e:  # noqa: BLE001 — scheduler-loop tolerance
+                if once:
+                    raise
+                print(f"[pipeline] cycle failed, retrying next cycle: {e}")
             if once:
                 return
             time.sleep(update_interval_s)

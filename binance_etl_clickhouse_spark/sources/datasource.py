@@ -87,8 +87,12 @@ class BinanceKlinesReader(DataSourceReader):
             page_fn = synthetic_page_fn(
                 interval_ms=INTERVAL_MS[self.interval], origin_ms=self.start_ms
             )
-        # budget divided by planned shard count (C2, cluster-global safety)
-        n_parts = max(1, len(self.symbols))
+        # budget divided by planned PARTITION count (C2, cluster-global
+        # safety): with shard_ms > 0 one symbol fans out into many
+        # concurrently-scheduled shards, so dividing by the symbol count
+        # would let each shard claim a full per-symbol allowance and
+        # multiply the global call rate by the shard factor
+        n_parts = max(1, len(self.partitions()))
         bucket = TokenBucket(
             max(1, self.budget_calls // n_parts), 60.0
         )

@@ -115,7 +115,8 @@ def _with_retry(page_fn: PageFn, symbol: str, start: int, end: int, cfg: FetchCo
             return page_fn(symbol, start, end, cfg.page_limit)
         except Exception as e:  # noqa: BLE001 — source-edge tolerance
             err = e
-            time.sleep(cfg.backoff_base_s * (2**attempt))
+            if attempt + 1 < cfg.max_retries:  # no dead sleep after the last try
+                time.sleep(cfg.backoff_base_s * (2**attempt))
     raise RuntimeError(f"fetch failed for {symbol} after {cfg.max_retries} tries") from err
 
 
@@ -186,7 +187,10 @@ def shard_symbol_ranges(
     sub-ranges of at most ``max_range_ms`` so the fetch fan-out is bounded
     per task. Output: (symbol, start_ms, delivery_date_ms) rows ready for
     :func:`fetch_historical_klines`."""
-    n_shards = F.lit(int(max(1, -(-(end_ms - start_ms) // max_range_ms))))
+    # ceil over the INCLUSIVE span: the fetch loop includes a bar at exactly
+    # end_ms (`while current <= end_ms`), so an exclusive-span ceil would
+    # silently drop that boundary bar whenever the range divides evenly
+    n_shards = F.lit(int(max(1, -(-(end_ms - start_ms + 1) // max_range_ms))))
     shard = F.explode(F.sequence(F.lit(0), n_shards - 1)).alias("shard_i")
     out = symbols.select("symbol", shard)
     shard_start = F.lit(start_ms) + F.col("shard_i") * F.lit(max_range_ms)
@@ -266,12 +270,27 @@ def binance_rest_page_fn(
         if market == "spot"
         else "https://fapi.binance.com/fapi/v1/klines"
     )
-    opener = urllib.request.build_opener()
-    if proxies:
-        chosen = proxies[os.getpid() % len(proxies)]
-        opener = urllib.request.build_opener(
-            urllib.request.ProxyHandler({"http": chosen, "https": chosen})
-        )
+    # Opener construction must happen on the EXECUTOR, not here: this
+    # factory runs on the driver before the closure is pickled into
+    # mapInPandas, so a pid-keyed choice taken now would pin every worker
+    # to the one driver-chosen proxy (and ship a pre-built OpenerDirector
+    # through pickle). The per-process cache below makes each executor
+    # worker pick its own pool member on first use.
+    _openers: dict[int, object] = {}
+
+    def _opener():
+        pid = os.getpid()
+        op = _openers.get(pid)
+        if op is None:
+            if proxies:
+                chosen = proxies[pid % len(proxies)]
+                op = urllib.request.build_opener(
+                    urllib.request.ProxyHandler({"http": chosen, "https": chosen})
+                )
+            else:
+                op = urllib.request.build_opener()
+            _openers[pid] = op
+        return op
 
     def page(symbol: str, start_ms: int, end_ms: int, limit: int) -> list[list]:
         q = (
@@ -279,7 +298,7 @@ def binance_rest_page_fn(
             f"&startTime={start_ms}&endTime={end_ms}&limit={limit}"
         )
         try:
-            with opener.open(q, timeout=30) as resp:
+            with _opener().open(q, timeout=30) as resp:
                 return json.loads(resp.read())
         except urllib.error.HTTPError as e:
             if e.code in (418, 429):

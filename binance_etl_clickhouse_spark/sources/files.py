@@ -54,7 +54,7 @@ def read_documents_csv(spark: SparkSession, path: str, header: bool = True) -> D
     )
 
 
-def partition_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+def partition_corrupt(df: DataFrame, persist: bool = True) -> tuple[DataFrame, DataFrame]:
     """(clean rows without the quarantine column, quarantined rows).
 
     Spark refuses plans that query the internal corrupt column straight off
@@ -62,8 +62,14 @@ def partition_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     — its documented pattern, applied here, is to cache the parsed scan and
     branch from that. Both halves then come from ONE parse. In a 100 TB
     ingest the equivalent is writing clean/quarantine out in the same job
-    (foreachBatch / partitioned write), not re-scanning the raw drop."""
-    parsed = df.cache()
+    (foreachBatch / partitioned write), not re-scanning the raw drop.
+
+    ``persist=False`` skips the cache: the returned frames have no
+    releasable handle, so a repeated caller (a foreachBatch sink, once per
+    micro-batch) would leak one cached dataset per call for the stream's
+    lifetime. foreachBatch batches are materialized micro-batch frames,
+    not raw scans, so the corrupt-column restriction doesn't bite there."""
+    parsed = df.cache() if persist else df
     clean = parsed.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = parsed.filter(F.col(CORRUPT_COL).isNotNull())
     return clean, bad

@@ -222,7 +222,13 @@ class InvertedIndex:
 
     def _read_meta(self) -> dict:
         self._recover()
-        with open(os.path.join(self.path, META)) as f:
+        meta_path = os.path.join(self.path, META)
+        if not os.path.isfile(meta_path):
+            # never-built index: append() on a fresh path must work — the
+            # streaming sink's search_index flow starts from an empty dir
+            # (epoch allocation already tolerates no epochs)
+            return {"n_buckets": self.n_buckets, "epochs": {}}
+        with open(meta_path) as f:
             return json.load(f)
 
     def meta(self) -> dict:

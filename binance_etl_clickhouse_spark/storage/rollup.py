@@ -78,8 +78,19 @@ class RollupTable:
         long — or, symmetric, trims ancient rollup months. Refresh state is
         untouched: last_seq only gates which NEW ingest months recompute,
         so dropped months stay dropped unless their raw data is re-ingested
-        (at which point recomputation is correct anyway)."""
-        return expire_month_partitions(self.path, before_month)
+        (at which point recomputation is correct anyway).
+
+        Whole-table expiry needs care: expire_month_partitions removes the
+        entire dir (sidecar included) when every month drops, and a lost
+        last_seq would make the next refresh treat ALL raw files as fresh
+        and resurrect every deliberately-dropped month. The meta survives
+        by re-writing it into the (otherwise empty, exists()==False) dir."""
+        meta = self._meta()
+        dropped = expire_month_partitions(self.path, before_month)
+        if dropped and not os.path.isdir(self.path) and meta:
+            os.makedirs(self.path, exist_ok=True)
+            self._write_meta(meta)
+        return dropped
 
     # -- refresh ----------------------------------------------------------
 

@@ -339,7 +339,7 @@ def stream_dedup_corpus(
     def sink(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
-        clean, _quarantined = partition_corrupt(batch)
+        clean, _quarantined = partition_corrupt(batch, persist=False)
         # replay idempotence: foreachBatch is at-least-once — a crash after
         # the corpus append but before the checkpoint commit re-delivers
         # this epoch, and out_dir is a plain parquet dir with no version
@@ -505,7 +505,7 @@ def stream_span_dedup(
             return
         from pyspark.sql import Window
 
-        clean, _quarantined = partition_corrupt(batch)
+        clean, _quarantined = partition_corrupt(batch, persist=False)
         # replay idempotence: a crash between the corpus append and the
         # checkpoint commit re-delivers this epoch with its spans already
         # indexed — without this gate every replayed doc would re-land with

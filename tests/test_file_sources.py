@@ -57,3 +57,22 @@ def test_csv_reader_quarantines_bad_width(spark, tmp_path):
     clean, bad = partition_corrupt(read_documents_csv(spark, str(p)))
     assert {r.doc_id for r in clean.collect()} == {1, 2}
     assert bad.count() == 1
+
+
+def test_partition_corrupt_no_persist_splits_identically(spark, tmp_path):
+    """persist=False (the per-micro-batch mode: no releasable cache handle
+    would otherwise leak one cached dataset per batch) must split exactly
+    like the cached default on a materialized frame."""
+    import json
+
+    p = tmp_path / "docs.jsonl"
+    with open(p, "w") as f:
+        f.write(json.dumps({"doc_id": 1, "lang": "en", "text": "a", "n_chars": 1}) + "\n")
+        f.write("{not json\n")
+    parsed = read_documents_jsonl(spark, str(p))
+    # materialize first (foreachBatch shape) so the corrupt-column
+    # restriction on raw scans doesn't apply
+    frozen = spark.createDataFrame(parsed.collect(), parsed.schema)
+    clean, bad = partition_corrupt(frozen, persist=False)
+    assert [r.doc_id for r in clean.collect()] == [1]
+    assert bad.count() == 1

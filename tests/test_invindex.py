@@ -203,3 +203,15 @@ def test_compact_crash_window_recovers_from_old(spark, tmp_path):
     assert not os.path.exists(idx.path + ".compact.tmp")
     got = healed.bm25_topk(spark, BM25_QUERIES, k=5)
     assert got.count() > 0
+
+
+def test_append_on_never_built_index_bootstraps(spark, tmp_path):
+    """The streaming search_index flow starts from an empty dir: append()
+    on a never-built path must bootstrap (empty meta, epoch 0), not die on
+    a missing meta sidecar."""
+    idx = InvertedIndex(str(tmp_path / "fresh"), n_buckets=64)
+    idx.append(_docs(spark).limit(50), epoch=0)
+    m = idx.meta()
+    assert m["n_docs"] == 50 and m["epochs"].keys() == {"0"}
+    got = idx.bm25_topk(spark, BM25_QUERIES, k=3)
+    assert got.count() > 0

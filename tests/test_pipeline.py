@@ -299,3 +299,48 @@ def test_maintain_refreshes_token_bloom_after_compaction(spark, tmp_path):
     got = tb.read_containing(spark, p.klines.path, sym, text_col="symbol")
     want = p.klines.read_raw(spark).filter(F.col("symbol") == sym)
     assert got.count() == want.count() > 0
+
+
+def test_shard_ranges_keep_boundary_bar_on_even_division(spark):
+    """(end - start) an exact multiple of max_range_ms: the inclusive-span
+    ceil must still produce a shard covering the bar AT end_ms — the
+    exclusive-span version silently dropped that boundary bar."""
+    from binance_etl_clickhouse_spark.sources.fetcher import (
+        FetchConfig,
+        fetch_historical_klines,
+        shard_symbol_ranges,
+        synthetic_page_fn,
+    )
+
+    symbols = spark.createDataFrame([("SYM000USDT",)], ["symbol"])
+    start = 1704067200000
+    end = start + 2 * 3_600_000  # exactly 2x the shard width -> 3 bars
+    shards = shard_symbol_ranges(symbols, start, end, max_range_ms=3_600_000)
+    rows = sorted(
+        (r.start_ms, r.delivery_date_ms) for r in shards.collect()
+    )
+    assert rows[-1][1] == end  # last shard reaches end_ms inclusive
+    raw = fetch_historical_klines(
+        shards, synthetic_page_fn(), start, end, FetchConfig(interval="1h"), 2
+    )
+    assert raw.count() == 3  # bars at start, +1h, +2h — boundary included
+
+
+def test_retry_no_dead_sleep_after_final_attempt(monkeypatch):
+    """All attempts failing: backoff sleeps between attempts only —
+    max_retries-1 sleeps, not max_retries (no dead sleep before raising)."""
+    import pytest
+
+    from binance_etl_clickhouse_spark.sources import fetcher
+
+    sleeps: list[float] = []
+    monkeypatch.setattr(fetcher.time, "sleep", sleeps.append)
+
+    def bad_page(symbol, start, end, limit):
+        raise RuntimeError("down")
+
+    with pytest.raises(RuntimeError, match="after 3 tries"):
+        fetcher._with_retry(
+            bad_page, "S", 0, 1, fetcher.FetchConfig(max_retries=3, backoff_base_s=0.5)
+        )
+    assert sleeps == [0.5, 1.0]

@@ -146,3 +146,23 @@ def test_rollup_expire_independent_of_source(spark, tmp_path):
     assert r.refresh(spark) == []
     still = sorted(x.month for x in r.read(spark).select("month").distinct().collect())
     assert still == [months[-1]]
+
+
+def test_expire_all_months_keeps_refresh_state(spark, tmp_path):
+    """Whole-rollup expiry must not lose last_seq: without the preserved
+    meta the next refresh would see -1 and resurrect every deliberately
+    dropped month from raw."""
+    serving, rollup = _tables(tmp_path)
+    serving.append(_clean(spark, n_symbols=2, bars_per_symbol=100), ingest_seq=1)
+    rollup.refresh(spark)
+    last_seq = rollup._meta()["last_seq"]
+    months = sorted(
+        int(d.split("=")[1])
+        for d in __import__("os").listdir(rollup.path)
+        if d.startswith("month=")
+    )
+    dropped = rollup.expire(months[-1] + 1)  # cutoff above newest -> drop all
+    assert dropped == months
+    assert rollup._meta()["last_seq"] == last_seq
+    # no new ingest since last_seq -> refresh recomputes nothing
+    assert rollup.refresh(spark) == []
