@@ -132,9 +132,16 @@ _MEDIANS = {"median": "percentile_approx", "medianExact": "percentile"}
 _KEYWORDS = {"PREWHERE": "WHERE"}
 
 #: ``FROM <table> FINAL`` -> ``FROM <table>`` — FINAL is only a keyword in
-#: this position, so the narrow pattern never touches a column named final
+#: this position. The optional-alias group must not swallow a clause
+#: keyword: without the lookahead, ``FROM t WHERE final = 1`` parsed as
+#: table ``t`` + alias ``WHERE`` + FINAL and deleted the column reference.
+_CLAUSE_KW = (
+    r"WHERE|PREWHERE|GROUP|ORDER|LIMIT|HAVING|JOIN|INNER|LEFT|RIGHT|FULL|"
+    r"CROSS|ON|UNION|SETTINGS|SAMPLE|FINAL|USING|WINDOW|QUALIFY"
+)
 _FINAL_RE = re.compile(
-    r"(\bFROM\s+[A-Za-z_][\w.]*(?:\s+(?:AS\s+)?[A-Za-z_]\w*)?)\s+FINAL\b",
+    rf"(\bFROM\s+[A-Za-z_][\w.]*"
+    rf"(?:\s+(?:AS\s+)?(?!(?:{_CLAUSE_KW})\b)[A-Za-z_]\w*)?)\s+FINAL\b",
     re.IGNORECASE,
 )
 
@@ -144,7 +151,9 @@ _FINAL_RE = re.compile(
 #: approximate row count. Runs AFTER the FINAL strip so ``FINAL SAMPLE k``
 #: composes.
 _SAMPLE_RE = re.compile(
-    r"(\bFROM\s+[A-Za-z_][\w.]*(?:\s+(?:AS\s+)?[A-Za-z_]\w*)?)\s+SAMPLE\s+"
+    r"(\bFROM\s+[A-Za-z_][\w.]*(?:\s+(?:AS\s+)?(?!(?:"
+    + _CLAUSE_KW
+    + r")\b)[A-Za-z_]\w*)?)\s+SAMPLE\s+"
     r"(\d+(?:\.\d+)?)",
     re.IGNORECASE,
 )
@@ -166,6 +175,54 @@ _QUANTILES = {"quantile": "percentile_approx", "quantileExact": "percentile"}
 _IDENT = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_")
 
 
+def _skip_string(s: str, i: int) -> int:
+    """``s[i]`` is the opening ``'``; return the index just PAST the
+    closing quote. Handles BOTH ClickHouse escape styles — backslash
+    (``'O\\'Brien'``) and doubled quote (``'O''Brien'``) — so a quote after
+    a backslash never terminates the literal (the bug class where an
+    escaped quote flipped string parity and garbled the rest of the
+    statement). Unterminated literals return len(s)."""
+    j = i + 1
+    n = len(s)
+    while j < n:
+        ch = s[j]
+        if ch == "\\":
+            j += 2
+            continue
+        if ch == "'":
+            if j + 1 < n and s[j + 1] == "'":  # doubled-quote escape
+                j += 2
+                continue
+            return j + 1
+        j += 1
+    return n
+
+
+def _strip_comments(s: str) -> str:
+    """Remove ``-- line`` and ``/* block */`` comments outside string
+    literals (a ``--`` inside a comment containing a quote would otherwise
+    flip string parity for every scanner downstream)."""
+    out, i, n = [], 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            j = _skip_string(s, i)
+            out.append(s[i:j])
+            i = j
+            continue
+        if ch == "-" and i + 1 < n and s[i + 1] == "-":
+            while i < n and s[i] != "\n":
+                i += 1
+            continue
+        if ch == "/" and i + 1 < n and s[i + 1] == "*":
+            end = s.find("*/", i + 2)
+            i = n if end < 0 else end + 2
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def _split_args(s: str) -> list[str]:
     """Split a call's argument string at top-level commas (paren- and
     quote-aware)."""
@@ -173,13 +230,9 @@ def _split_args(s: str) -> list[str]:
     while i < len(s):
         ch = s[i]
         if ch == "'":
-            j = i + 1
-            while j < len(s):
-                if s[j] == "'" and not (j + 1 < len(s) and s[j + 1] == "'"):
-                    break
-                j += 2 if s[j] == "'" else 1
-            cur.append(s[i : j + 1])
-            i = j + 1
+            j = _skip_string(s, i)
+            cur.append(s[i:j])
+            i = j
             continue
         if ch in "([":
             depth += 1
@@ -203,10 +256,9 @@ def _find_close(s: str, open_idx: int) -> int:
     while i < len(s):
         ch = s[i]
         if ch == "'":
-            i += 1
-            while i < len(s) and s[i] != "'":
-                i += 1
-        elif ch == "(":
+            i = _skip_string(s, i)
+            continue
+        if ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
@@ -223,10 +275,7 @@ def _top_level_keyword_spans(sql: str) -> list[tuple[int, int, str]]:
     while i < n:
         ch = sql[i]
         if ch == "'":
-            i += 1
-            while i < n and sql[i] != "'":
-                i += 1
-            i += 1
+            i = _skip_string(sql, i)
             continue
         if ch in "([":
             depth += 1
@@ -249,11 +298,16 @@ def _rewrite_limit_by(sql: str) -> str:
     window per (c1, c2) keeping the first ``n`` rows (following the ORDER
     BY when present, like ClickHouse; arbitrary-but-deterministic by the
     group columns otherwise), with the outer ORDER BY / LIMIT re-applied on
-    top. Top-level clause only — a LIMIT BY inside a subquery is left for
-    the recursive translation of that subquery's text (and this function is
-    applied to the whole statement once, so nested forms pass through and
-    fail loudly rather than silently misbehaving)."""
+    top. Only applies to text that IS a query (first token SELECT/WITH):
+    the recursive translator also feeds this function comma-split call
+    arguments and subquery fragments, and rewriting a fragment like
+    ``price FROM t ... LIMIT 1 BY sym`` (the tail of a multi-column select
+    list) would wrap a non-query in a subselect and garble the statement.
+    Non-query fragments pass through and a nested LIMIT BY then fails
+    loudly in Spark's analyzer rather than silently misbehaving."""
     toks = _top_level_keyword_spans(sql)
+    if not toks or toks[0][2] not in ("SELECT", "WITH"):
+        return sql
     # find LIMIT <int> BY
     hit = None
     for idx in range(len(toks) - 2):
@@ -304,6 +358,9 @@ def _rewrite_limit_by(sql: str) -> str:
 
 def translate_clickhouse_sql(sql: str) -> str:
     """Rewrite ClickHouse-flavored SQL into Spark SQL (see module doc)."""
+    # comments first: a quote inside a -- or /* */ comment would flip
+    # string parity for every scanner below
+    sql = _strip_comments(sql)
     # FROM-position FINAL strip (regex pre-pass: the pattern is anchored on
     # the FROM keyword, so the only false positive would be the literal text
     # "FROM x FINAL" inside a string — not worth a second scanner)
@@ -315,12 +372,10 @@ def translate_clickhouse_sql(sql: str) -> str:
     n = len(sql)
     while i < n:
         ch = sql[i]
-        if ch == "'":  # string literal: copy verbatim
-            j = i + 1
-            while j < n and sql[j] != "'":
-                j += 1
-            out.append(sql[i : j + 1])
-            i = j + 1
+        if ch == "'":  # string literal: copy verbatim (escape-aware)
+            j = _skip_string(sql, i)
+            out.append(sql[i:j])
+            i = j
             continue
         if ch in _IDENT and not ch.isdigit() and (i == 0 or sql[i - 1] not in _IDENT):
             j = i

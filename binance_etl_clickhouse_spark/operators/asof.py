@@ -42,18 +42,29 @@ def asof_join(
         value_cols = [c for c in right.columns if c not in {*by, r_on}]
 
     l_tag, r_tag = (1, 0) if allow_exact_matches else (0, 1)
-    lhs = left.withColumn("__side", F.lit(l_tag)).withColumn("__ts", F.col(on))
+    # the payload travels as ONE struct, not per-column: carrying each
+    # value column through its own last(ignorenulls) would mix columns
+    # from different right rows whenever the most recent row has a NULL
+    # payload field (rate from row 2, price from row 1 — a composite row
+    # that never existed; pandas merge_asof keeps row 2's NULL price).
+    # F.struct() is non-null even when every field is, so last(ignorenulls)
+    # over it picks whole rows.
+    payload = right.select(F.struct(*[F.col(c) for c in value_cols]).alias("__v"))
+    payload_type = payload.schema[0].dataType
+    lhs = (
+        left.withColumn("__side", F.lit(l_tag))
+        .withColumn("__ts", F.col(on))
+        .withColumn("__v", F.lit(None).cast(payload_type))
+    )
     rhs = right.select(
         *by,
         F.col(r_on).alias("__ts"),
         F.lit(r_tag).alias("__side"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__v"),
     )
     for c in left.columns:
         if c not in rhs.columns and c != "__ts":
             rhs = rhs.withColumn(c, F.lit(None))
-    for c in value_cols:
-        lhs = lhs.withColumn(f"__v_{c}", F.lit(None))
 
     merged = lhs.select(rhs.columns).unionByName(rhs.select(rhs.columns))
     # right rows sort before left rows at equal ts iff exact matches allowed
@@ -62,10 +73,9 @@ def asof_join(
         .orderBy("__ts", "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in value_cols:
-        merged = merged.withColumn(
-            f"{c}{suffix}", F.last(f"__v_{c}", ignorenulls=True).over(w)
-        )
+    merged = merged.withColumn("__vlast", F.last("__v", ignorenulls=True).over(w))
     out = merged.filter(F.col("__side") == l_tag)
-    keep = [c for c in left.columns] + [f"{c}{suffix}" for c in value_cols]
+    keep = [c for c in left.columns] + [
+        F.col(f"__vlast.{c}").alias(f"{c}{suffix}") for c in value_cols
+    ]
     return out.select(*keep)

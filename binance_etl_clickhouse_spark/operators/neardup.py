@@ -265,6 +265,19 @@ def embedding_cosine_pairs_gemm(
     """
     import numpy as np
     import pandas as pd
+    from pyspark.sql import types as T
+
+    # integral ids are part of this operator's contract (the block tasks
+    # order pairs with numpy min/max and emit a bigint schema): a silent
+    # cast('long') on string ids would throw mid-job under ANSI mode or
+    # NULL out every pair with ANSI off — reject loudly instead
+    id_type = df.schema[id_col].dataType
+    if not isinstance(id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        raise ValueError(
+            f"embedding_cosine_pairs_gemm needs an integral {id_col!r} "
+            f"(got {id_type.simpleString()}); use embedding_cosine_pairs "
+            "or add a surrogate integer id"
+        )
 
     spark = df.sparkSession
     v = df.select(

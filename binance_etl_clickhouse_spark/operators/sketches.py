@@ -112,9 +112,14 @@ def kll_merge_states(state_col: Column | str) -> Column:
     """
     c = F.col(state_col) if isinstance(state_col, str) else state_col
     lst = F.collect_list(c)
+    # empty-group guard: a range query over a quiet period (or a group
+    # whose states are all NULL — collect_list drops them) yields [], and
+    # element_at([], 1) THROWS under Spark 4's default ANSI mode instead of
+    # returning NULL. try_element_at keeps the degenerate case a NULL state
+    # (quantile reads then return NULL, the SQL-natural answer).
     return F.aggregate(
         F.slice(lst, 2, 2_000_000_000),
-        F.element_at(lst, 1),
+        F.try_element_at(lst, F.lit(1)),
         lambda acc, x: F.kll_sketch_merge_double(acc, x),
     )
 

@@ -24,8 +24,19 @@ def salted_join(
 
     big rows get a random-but-deterministic salt (hash of the full row id
     space via monotonically varying pmod); small rows are exploded across all
-    salts. Join key becomes (key, salt). Output equals a plain join.
+    salts. Join key becomes (key, salt). Output equals a plain join — for
+    ``inner`` and ``left`` ONLY, which is why other join types are
+    rejected: a right/full outer join would emit every unmatched exploded
+    COPY of a small row as its own null-extended output row (up to
+    n_salts duplicates per small row), which no post-hoc drop can undo.
+    Right/full-outer skew joins should salt the other side or rely on
+    AQE's skew-join splitting.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer", "leftsemi", "left_semi", "leftanti", "left_anti"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only (got {how!r}): "
+            "outer joins would duplicate unmatched small-side rows per salt"
+        )
     big_s = big.withColumn("__salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(n_salts)).cast("int"))
     salts = F.array(*[F.lit(i) for i in range(n_salts)])
     small_s = small.withColumn("__salt", F.explode(salts))

@@ -51,6 +51,14 @@ def stream_ingest_staging(
     the epoch and the rollup catches up on the rerun — it can lag, never
     diverge.
     """
+    if dedup_keys and watermark is None:
+        # dropDuplicatesWithinWatermark REQUIRES a watermark; silently
+        # skipping the dedup a caller asked for would flow duplicate
+        # re-fetched rows through with no signal
+        raise ValueError(
+            "dedup_keys requires watermark=(ts_col, delay) — in-stream "
+            "dedup is watermark-bounded (dropDuplicatesWithinWatermark)"
+        )
     src = spark.readStream.schema(schema).parquet(staging_dir)
     if watermark is not None:
         src = src.withWatermark(*watermark)
@@ -311,9 +319,15 @@ def stream_dedup_corpus(
     the two can only leave an accepted doc unindexed (its future dups slip
     through: bounded recall loss), never a doc indexed-but-missing (silent
     data loss). Checkpoint replay is made idempotent by an explicit gate:
-    docs already present in ``out_dir`` are anti-joined out of a
-    re-delivered epoch before any work or write (out_dir has no version
-    column, so without the gate a replayed append would duplicate rows).
+    docs already present in ``out_dir`` are split out of a re-delivered
+    epoch before any dedup work or corpus write (out_dir has no version
+    column, so a replayed append would otherwise duplicate rows) — and the
+    replayed set then HEALS the sidecars: its missing signatures are
+    appended (anti-joined against the index, which also lacks a version
+    column) and the whole set re-indexes into the keyword search index
+    under the same epoch (dynamic partition overwrite converges), so the
+    crash window between corpus append and index appends costs nothing
+    when the epoch is replayed.
 
     Scale: every join here is an equi-join on band value or id; index
     growth is linear in accepted docs; the only state Spark itself holds is
@@ -344,21 +358,58 @@ def stream_dedup_corpus(
         # the corpus append but before the checkpoint commit re-delivers
         # this epoch, and out_dir is a plain parquet dir with no version
         # column for a keep-last read to resolve. Docs already accepted are
-        # anti-joined out before any dedup work or write (doc_id-only
-        # column-pruned scan), same gate as stream_span_dedup.
+        # split off before any dedup work or write (doc_id-only
+        # column-pruned scan), same gate as stream_span_dedup — but NOT
+        # discarded: their sidecar-index writes may be the part that
+        # crashed, so they are healed below.
+        replayed = None
         if os.path.isdir(out_dir):
             seen = (
                 batch.sparkSession.read.parquet(out_dir).select("doc_id").distinct()
             )
+            replayed = clean.join(seen, "doc_id", "semi")
             clean = clean.join(seen, "doc_id", "left_anti")
+        # eager pin: the surviving frame feeds ~5 downstream actions
+        # (dedup join, two writes, search-index stats + postings) — without
+        # this every action re-runs the parse + gate chain from scratch
+        # (same reason stream_span_dedup checkpoints). localCheckpoint, not
+        # cache: no unpersist hook is needed, blocks die with the batch.
+        clean = clean.localCheckpoint(eager=True)
+        if replayed is not None:
+            replayed = replayed.localCheckpoint(eager=True)
+            if replayed.isEmpty():
+                replayed = None
+        if clean.isEmpty() and replayed is None:
+            batch.unpersist()
+            return
+        # heal the sidecars for replayed (already-accepted) docs: a crash
+        # BETWEEN the corpus append and the index appends left them
+        # unsearchable. Signature index has no version column -> append
+        # only the missing ones; the search index re-indexes the whole
+        # replayed set under this epoch (dynamic overwrite converges).
+        if replayed is not None:
+            missing = replayed
+            if os.path.isdir(index_dir):
+                have = (
+                    batch.sparkSession.read.parquet(index_dir)
+                    .select("doc_id")
+                    .distinct()
+                )
+                missing = replayed.join(have, "doc_id", "left_anti")
+            if not missing.isEmpty():
+                minhash_signatures(missing, k=k).write.mode("append").parquet(
+                    index_dir
+                )
         if clean.isEmpty():
+            if search_index is not None:
+                search_index.append(replayed, epoch=int(epoch_id))
             batch.unpersist()
             return
         # (2) within-batch: drop the higher id of every verified near-dup
         # pair. persist_index=False: the pin inside minhash_lsh_pairs has
         # no unpersist hook, and a persisted pair per epoch would leak
-        # cache entries for the stream's lifetime — a micro-batch is small
-        # enough to recompute its signature projection within the batch.
+        # cache entries for the stream's lifetime — the localCheckpoint
+        # above already bounds recompute to the signature projection.
         losers = (
             minhash_lsh_pairs(
                 clean, k=k, threshold=jaccard_threshold, persist_index=False
@@ -396,16 +447,25 @@ def stream_dedup_corpus(
             )
             clean = clean.join(dup_ids, "doc_id", "left_anti")
             sigs = sigs.join(dup_ids, "doc_id", "left_anti")
+        # final pin: `clean` narrowed by the dedup anti-joins feeds the two
+        # writes plus the search-index append — re-checkpoint so those
+        # actions don't re-run the LSH chain, and rebuild sigs from the
+        # pinned survivors (identical rows to filtering the earlier frame)
+        clean = clean.localCheckpoint(eager=True)
+        sigs = minhash_signatures(clean, k=k)
         # (4) corpus first, index second (see crash ordering above)
         clean.write.mode("append").parquet(out_dir)
         sigs.write.mode("append").parquet(index_dir)
         if search_index is not None:
             # (5) keyword-search index stays warm as the corpus streams in:
-            # accepted docs append under THIS epoch — replay-idempotent
-            # (dynamic overwrite of the epoch's partitions + per-epoch
-            # stats entry), so unlike the two appends above it needs no
-            # dedup-on-read to absorb a checkpoint replay
-            search_index.append(clean, epoch=int(epoch_id))
+            # this epoch's accepted docs (new survivors + any replayed
+            # accepteds being healed) index under THIS epoch —
+            # replay-idempotent (dynamic overwrite of the epoch's
+            # partitions + per-epoch stats entry)
+            to_index = (
+                clean if replayed is None else clean.unionByName(replayed)
+            )
+            search_index.append(to_index, epoch=int(epoch_id))
         batch.unpersist()
 
     writer = src.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_dir)

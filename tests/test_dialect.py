@@ -403,3 +403,42 @@ def test_limit_by_ignores_parenthesized_and_quoted_forms():
     assert t("SELECT x FROM t WHERE s = 'LIMIT 2 BY y'") == (
         "SELECT x FROM t WHERE s = 'LIMIT 2 BY y'"
     )
+
+
+def test_escaped_quotes_and_comments_survive_the_scanner():
+    t = translate_clickhouse_sql
+    # backslash-escaped quote must not flip string parity
+    assert (
+        t(r"SELECT countIf(name = 'O\'Brien') FROM t")
+        == r"SELECT count_if(name = 'O\'Brien') FROM t"
+    )
+    # doubled-quote escape, same guarantee
+    assert (
+        t("SELECT countIf(name = 'O''Brien') FROM t")
+        == "SELECT count_if(name = 'O''Brien') FROM t"
+    )
+    # a quote inside a -- comment must not garble later rewrites
+    out = t("SELECT uniq(x) FROM t -- don't touch\n WHERE y = 1")
+    assert "approx_count_distinct(x)" in out and "WHERE y = 1" in out
+    out2 = t("SELECT uniq(x) /* don't */ FROM t")
+    assert out2.startswith("SELECT approx_count_distinct(x)")
+
+
+def test_final_strip_never_eats_a_column_named_final():
+    t = translate_clickhouse_sql
+    assert t("SELECT * FROM t WHERE final = 1") == "SELECT * FROM t WHERE final = 1"
+    # the FROM-position keyword still strips, with and without alias
+    assert t("SELECT * FROM t FINAL WHERE x = 1") == "SELECT * FROM t WHERE x = 1"
+    assert t("SELECT a.x FROM t a FINAL") == "SELECT a.x FROM t a"
+
+
+def test_limit_by_rewrite_only_applies_to_whole_queries():
+    t = translate_clickhouse_sql
+    # multi-column select list in a subquery: the comma-split fragments are
+    # not queries -> pass through verbatim (nested LIMIT BY fails loudly in
+    # the analyzer instead of being garbled)
+    q = "SELECT * FROM (SELECT sym, price FROM t ORDER BY ts DESC LIMIT 1 BY sym)"
+    assert "LIMIT 1 BY sym" in t(q) and "__lb_rn" not in t(q)
+    # single-fragment subquery IS a query -> rewritten
+    q2 = "SELECT * FROM (SELECT sym FROM t LIMIT 1 BY sym)"
+    assert "__lb_rn" in t(q2)

@@ -184,3 +184,17 @@ def test_clickhouse_compat_string_and_token_functions(spark):
         "toYYYYMMDD(TIMESTAMP '2024-03-07 10:00:00') AS d"
     ).first()
     assert str(row.w) == "2024-03-04 00:00:00" and row.d == 20240307
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    """Right/full outer would emit up to n_salts null-extended copies per
+    unmatched small row — rejected loudly instead."""
+    import pytest
+
+    from binance_etl_clickhouse_spark.operators.skew import salted_join
+
+    big = spark.range(10).withColumnRenamed("id", "k")
+    small = spark.range(3).withColumnRenamed("id", "k")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="inner/left"):
+            salted_join(big, small, "k", how=how)

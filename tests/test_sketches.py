@@ -275,3 +275,23 @@ def test_cms_frequency_state_merge_and_point_query(spark, tmp_path):
         .count()
     )
     assert got_half["click"] == exact_half
+
+
+def test_kll_range_merge_over_empty_range_returns_null(spark):
+    """A quantile range-query over a period with no buckets must return
+    NULL (SQL-natural), not throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT under
+    ANSI mode."""
+    from pyspark.sql import functions as F
+
+    from binance_etl_clickhouse_spark.operators.sketches import (
+        kll_merge_states,
+        kll_quantile,
+        kll_state,
+    )
+
+    df = spark.range(100).select(F.col("id").cast("double").alias("v"))
+    states = df.agg(kll_state("v").alias("s")).filter(F.lit(False))  # empty
+    out = states.agg(kll_merge_states("s").alias("m")).select(
+        kll_quantile("m", 0.5).alias("p50")
+    ).collect()
+    assert out[0]["p50"] is None

@@ -618,3 +618,91 @@ def test_stream_ingest_refreshes_rollup_per_epoch(spark, tmp_path):
     }
     assert got2 == want2
     assert all(v != gotv[k_] for k_, v in got2.items())  # re-fetch won
+
+
+def test_asof_join_carries_whole_rows_not_per_column(spark):
+    """Most-recent right row with a NULL payload field: the as-of result
+    must keep that NULL (whole-row carry), not backfill the field from an
+    older right row — a composite row that never existed."""
+    from binance_etl_clickhouse_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 3)], "k int, ts int")
+    right = spark.createDataFrame(
+        [(1, 1, 0.01, 100.0), (1, 2, 0.02, None)],
+        "k int, ts int, rate double, price double",
+    )
+    out = asof_join(left, right, on="ts", by=["k"]).collect()[0]
+    assert out["rate_asof"] == 0.02
+    assert out["price_asof"] is None  # r2's NULL, not r1's 100.0
+
+
+def test_stream_ingest_rejects_dedup_keys_without_watermark(spark, tmp_path):
+    import pytest
+
+    from binance_etl_clickhouse_spark.streaming.jobs import stream_ingest_staging
+
+    table = ServingTable(
+        path=str(tmp_path / "serving"),
+        keys=KLINES_PK,
+        time_col="timestamp",
+        sort_cols=["symbol", "type", "interval", "timestamp"],
+    )
+    with pytest.raises(ValueError, match="watermark"):
+        stream_ingest_staging(
+            spark,
+            str(tmp_path / "staging"),
+            KLINES,
+            table,
+            str(tmp_path / "ckpt"),
+            dedup_keys=["symbol", "timestamp"],
+        )
+
+
+def test_stream_dedup_corpus_replay_heals_indexes(spark, tmp_path):
+    """Crash window between the corpus append and the index appends: on
+    replay, docs already in the corpus must get their signatures (and
+    search-index postings) healed instead of being skipped forever."""
+    import json
+    import os
+
+    from binance_etl_clickhouse_spark.storage.invindex import InvertedIndex
+    from binance_etl_clickhouse_spark.streaming.jobs import stream_dedup_corpus
+
+    in_dir = tmp_path / "drop"
+    in_dir.mkdir()
+    index_dir = str(tmp_path / "idx")
+    out_dir = str(tmp_path / "corpus")
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "one two three four five six seven eight nine ten eleven"),
+    ]
+    with open(in_dir / "b1.jsonl", "w") as f:
+        for i, text in docs:
+            f.write(
+                json.dumps(
+                    {"doc_id": i, "lang": "en", "text": text, "n_chars": len(text)}
+                )
+                + "\n"
+            )
+    # simulate the crashed first run: corpus rows landed, indexes did not
+    spark.createDataFrame(
+        [(i, "en", t, len(t)) for i, t in docs],
+        "doc_id long, lang string, text string, n_chars long",
+    ).write.parquet(out_dir)
+    assert not os.path.isdir(index_dir)
+    search = InvertedIndex(str(tmp_path / "search"), n_buckets=16)
+
+    q = stream_dedup_corpus(
+        spark, str(in_dir), index_dir, out_dir, str(tmp_path / "ck"),
+        search_index=search,
+    )
+    q.awaitTermination(120)
+    q.stop()
+    # corpus unchanged (no duplicate append)
+    assert spark.read.parquet(out_dir).count() == 2
+    # signature index healed with both docs
+    sig_ids = {r.doc_id for r in spark.read.parquet(index_dir).select("doc_id").collect()}
+    assert sig_ids == {1, 2}
+    # search index healed too
+    post_ids = {r.doc_id for r in search.postings(spark).select("doc_id").collect()}
+    assert post_ids == {1, 2}
