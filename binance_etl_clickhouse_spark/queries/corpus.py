@@ -449,20 +449,17 @@ def bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     into a keyed tempdir (the atomic build swap means "path exists" ==
     "complete"), reused across calls.
     """
-    import hashlib
-    import os
-    import tempfile
-
+    from binance_etl_clickhouse_spark.buildonce import build_once
     from binance_etl_clickhouse_spark.storage.invindex import InvertedIndex
 
     docs = _t(spark, sf_dir, "documents")
-    key = hashlib.md5(f"invindex:{sf_dir}".encode()).hexdigest()[:12]
-    uid = os.getuid() if hasattr(os, "getuid") else 0
-    path = f"{tempfile.gettempdir()}/spark_graft_inv_{uid}_{key}"
-    idx = InvertedIndex(path, n_buckets=64)
-    if not os.path.isfile(os.path.join(path, "_invindex_meta.json")):
-        idx.build(docs)
-    return idx.bm25_topk(spark, BM25_QUERIES, k=_BM25_K)
+    path = build_once(
+        "inv",
+        f"invindex:{sf_dir}",
+        "_invindex_meta.json",
+        lambda p: InvertedIndex(p, n_buckets=64).build(docs),
+    )
+    return InvertedIndex(path, n_buckets=64).bm25_topk(spark, BM25_QUERIES, k=_BM25_K)
 
 
 # ---------------------------------------------------------------------------

@@ -322,8 +322,6 @@ def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    from binance_etl_clickhouse_spark.operators.texthash import shingles
-
     return docs.select(
         "doc_id",
         text.content_fingerprint("text").alias("content_fp"),
@@ -576,39 +574,66 @@ def _ann_ivf_oracle() -> str:
     """
 
 
+#: deterministic codebooks per (sf_dir, params) — plain Python lists with
+#: no SparkContext binding, so unlike _BPE_MODELS no session guard is
+#: needed. Without this, four queries (IVF / batched IVF / SemDeDup /
+#: IVF-PQ) each re-run the identical collect-per-iteration k-means driver
+#: loop, and the PQ pair re-runs subspace training, on every sweep.
+_CODEBOOK_CACHE: dict = {}
+
+
+def _ivf_codebook(spark: SparkSession, sf_dir: str):
+    from binance_etl_clickhouse_spark.operators.ivf import kmeans_fit
+
+    key = ("ivf", sf_dir, _IVF_K, _IVF_ITERS)
+    if key not in _CODEBOOK_CACHE:
+        _CODEBOOK_CACHE[key] = kmeans_fit(
+            _t(spark, sf_dir, "embeddings"), k=_IVF_K, n_iters=_IVF_ITERS
+        )
+    return _CODEBOOK_CACHE[key]
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str):
+    from binance_etl_clickhouse_spark.operators.pq import pq_fit
+
+    key = ("pq", sf_dir, _PQ_M, _PQ_KSUB, _PQ_ITERS)
+    if key not in _CODEBOOK_CACHE:
+        _CODEBOOK_CACHE[key] = pq_fit(
+            _t(spark, sf_dir, "embeddings"),
+            m=_PQ_M,
+            ksub=_PQ_KSUB,
+            n_iters=_PQ_ITERS,
+            dim=_EMB_DIM,
+        )
+    return _CODEBOOK_CACHE[key]
+
+
 @register(
     "ann_ivf_topk",
     _ann_ivf_oracle(),
     survey_ref="similarity: IVF coarse-quantization ANN (iterative k-means)",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import tempfile
-
+    from binance_etl_clickhouse_spark.buildonce import build_once
     from binance_etl_clickhouse_spark.operators.ivf import (
         ivf_topk_from_table,
-        kmeans_fit,
         write_ivf_table,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    codebook = kmeans_fit(emb, k=_IVF_K, n_iters=_IVF_ITERS)
+    codebook = _ivf_codebook(spark, sf_dir)
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     # index build: write the cell-partitioned layout once per (dataset,
     # codebook); the query itself is then a partition-PRUNED read of the
     # nprobe probed cells — the scan never touches the other cells' files.
-    # Reuse only a COMPLETE index: a bare isdir() would treat a crashed
-    # half-write as built forever — Spark's _SUCCESS marker is the
-    # completeness witness, and a rebuild's overwrite mode heals partial
-    # dirs. The uid in the path keeps multi-user machines from colliding
-    # in the shared tempdir.
-    import os
-
-    key = hashlib.md5(f"{sf_dir}:{codebook}".encode()).hexdigest()[:12]
-    uid = os.getuid() if hasattr(os, "getuid") else 0
-    path = f"{tempfile.gettempdir()}/spark_graft_ivf_{uid}_{key}"
-    if not os.path.isfile(os.path.join(path, "_SUCCESS")):
-        write_ivf_table(emb, codebook, path)
+    # build_once gates reuse on Spark's _SUCCESS completeness marker and
+    # serializes racing cold builders (see buildonce.py).
+    path = build_once(
+        "ivf",
+        f"{sf_dir}:{codebook}",
+        "_SUCCESS",
+        lambda p: write_ivf_table(emb, codebook, p),
+    )
     return ivf_topk_from_table(spark, path, codebook, qv, k=10, nprobe=_IVF_NPROBE)
 
 
@@ -700,10 +725,8 @@ def _semdedup_oracle() -> str:
     survey_ref="dedup: SemDeDup semantic dedup (k-means cells + per-cell cosine prune)",
 )
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from binance_etl_clickhouse_spark.operators.ivf import kmeans_fit
-
     emb = _t(spark, sf_dir, "embeddings")
-    codebook = kmeans_fit(emb, k=_IVF_K, n_iters=_IVF_ITERS)
+    codebook = _ivf_codebook(spark, sf_dir)
     return neardup.semdedup_flags(emb, codebook, threshold=_SEMDEDUP_TAU)
 
 
@@ -830,10 +853,10 @@ def _ann_pq_oracle() -> str:
     survey_ref="similarity: product-quantization ANN (ADC shortlist + exact rerank)",
 )
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from binance_etl_clickhouse_spark.operators.pq import pq_encode, pq_fit, pq_topk
+    from binance_etl_clickhouse_spark.operators.pq import pq_encode, pq_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    books = pq_fit(emb, m=_PQ_M, ksub=_PQ_KSUB, n_iters=_PQ_ITERS, dim=_EMB_DIM)
+    books = _pq_codebooks(spark, sf_dir)
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     codes = pq_encode(emb, books)
     return pq_topk(codes, emb, books, qv, k=10, shortlist=_PQ_SHORTLIST)
@@ -888,27 +911,23 @@ def _ann_ivf_pq_oracle() -> str:
     survey_ref="similarity: combined IVF-PQ (partition-pruned probe + ADC + exact rerank)",
 )
 def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-    import tempfile
-
-    from binance_etl_clickhouse_spark.operators.ivf import kmeans_fit
+    from binance_etl_clickhouse_spark.buildonce import build_once
     from binance_etl_clickhouse_spark.operators.pq import (
         ivf_pq_topk_from_table,
-        pq_fit,
         write_ivf_pq_table,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    coarse = kmeans_fit(emb, k=_IVF_K, n_iters=_IVF_ITERS)
-    books = pq_fit(emb, m=_PQ_M, ksub=_PQ_KSUB, n_iters=_PQ_ITERS, dim=_EMB_DIM)
+    coarse = _ivf_codebook(spark, sf_dir)
+    books = _pq_codebooks(spark, sf_dir)
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     # same build-once / _SUCCESS-gated reuse discipline as the IVF index
-    key = hashlib.md5(f"{sf_dir}:{coarse}:{books}".encode()).hexdigest()[:12]
-    uid = os.getuid() if hasattr(os, "getuid") else 0
-    path = f"{tempfile.gettempdir()}/spark_graft_ivfpq_{uid}_{key}"
-    if not os.path.isfile(os.path.join(path, "_SUCCESS")):
-        write_ivf_pq_table(emb, coarse, books, path)
+    path = build_once(
+        "ivfpq",
+        f"{sf_dir}:{coarse}:{books}",
+        "_SUCCESS",
+        lambda p: write_ivf_pq_table(emb, coarse, books, p),
+    )
     return ivf_pq_topk_from_table(
         spark, path, coarse, books, qv, k=10, nprobe=_IVF_NPROBE, shortlist=_PQ_SHORTLIST
     )
@@ -991,9 +1010,12 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with a held-out eval set (deterministic cohort doc_id % 11 = 0). The
 # canonical pretraining hygiene op: explode shingles on both sides, hash
 # equi-join, count distinct collisions per (corpus, eval) pair. At corpus
-# scale the eval side is tiny -> broadcast, and the same document-frequency
-# cap used for n-gram Jaccard (neardup.stop_shingle_df) bounds hot-shingle
-# fan-out.
+# scale the eval side is tiny -> broadcast. NOTE: this registered
+# (oracle-matched) form applies NO document-frequency cap — a stop-shingle
+# appearing in most eval and corpus docs fans out |corpus| x |eval| join
+# rows. The 100 TB deployment should pre-filter hot shingles exactly as
+# n-gram Jaccard does (neardup._shingle_index's stop_shingle_df), mirrored
+# on both sides; it is omitted here so the oracle stays a plain join.
 # ---------------------------------------------------------------------------
 @register(
     "benchmark_decontamination",
@@ -1226,26 +1248,24 @@ def _ann_ivf_batch_oracle() -> str:
     survey_ref="similarity: batched IVF ANN (one pruned scan, |Q| queries)",
 )
 def ann_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-    import tempfile
-
+    from binance_etl_clickhouse_spark.buildonce import build_once
     from binance_etl_clickhouse_spark.operators.ivf import (
         ivf_batch_topk_from_table,
-        kmeans_fit,
         write_ivf_table,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    codebook = kmeans_fit(emb, k=_IVF_K, n_iters=_IVF_ITERS)
+    codebook = _ivf_codebook(spark, sf_dir)
     qrows = emb.filter(F.col("vec_id") < 3).select("vec_id", "embedding").collect()
     queries = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows]
-    # same index key as ann_ivf_topk: the two queries share one built layout
-    key = hashlib.md5(f"{sf_dir}:{codebook}".encode()).hexdigest()[:12]
-    uid = os.getuid() if hasattr(os, "getuid") else 0
-    path = f"{tempfile.gettempdir()}/spark_graft_ivf_{uid}_{key}"
-    if not os.path.isfile(os.path.join(path, "_SUCCESS")):
-        write_ivf_table(emb, codebook, path)
+    # same prefix + key material as ann_ivf_topk: the two queries share
+    # one built layout
+    path = build_once(
+        "ivf",
+        f"{sf_dir}:{codebook}",
+        "_SUCCESS",
+        lambda p: write_ivf_table(emb, codebook, p),
+    )
     return ivf_batch_topk_from_table(
         spark, path, codebook, queries, k=10, nprobe=_IVF_NPROBE
     )
@@ -1315,19 +1335,24 @@ def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_TOPK = 50
 _BPE_MERGES = 12
 
-#: (sf_dir, n_merges) -> trained BpeModel. Training is deterministic, so
-#: reuse is safe — without this, bpe_token_counts re-runs the full
-#: iterative trainer bpe_train_merges already ran (~25 jobs each), and the
-#: registry-wide plan audit pays it twice more. The cached words frame is
-#: an eager localCheckpoint, valid for the life of the SparkContext.
+#: (app_id, sf_dir, n_merges) -> trained BpeModel. Training is
+#: deterministic, so reuse is safe — without this, bpe_token_counts
+#: re-runs the full iterative trainer bpe_train_merges already ran
+#: (~25 jobs each), and the registry-wide plan audit pays it twice more.
+#: The cached words frame is an eager localCheckpoint BOUND TO ITS
+#: SparkContext, so the key carries the application id: a cached model
+#: from a stopped session would otherwise be served to a new one and die
+#: with a dead-context error instead of retraining.
 _BPE_MODELS: dict = {}
 
 
 def _bpe_model(spark: SparkSession, sf_dir: str):
     from binance_etl_clickhouse_spark.operators import bpe
 
-    key = (sf_dir, _BPE_MERGES)
+    key = (spark.sparkContext.applicationId, sf_dir, _BPE_MERGES)
     if key not in _BPE_MODELS:
+        for dead in [k for k in _BPE_MODELS if k[0] != key[0]]:
+            del _BPE_MODELS[dead]  # models of other (dead) contexts
         _BPE_MODELS[key] = bpe.train_bpe(
             _t(spark, sf_dir, "documents"), n_merges=_BPE_MERGES
         )

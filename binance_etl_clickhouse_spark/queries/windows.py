@@ -69,19 +69,24 @@ def window_distribution_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id,
            round(sum(value) OVER (
-             PARTITION BY user_id ORDER BY epoch(ts)
-             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
            ), 4) AS rolling_7d_value
     FROM events
     """,
     survey_ref="§2.6 rangeBetween event-time frames",
 )
 def window_range_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").withColumn("__sec", F.unix_timestamp("ts"))
+    # frame key is MICROSECOND epoch on BOTH sides: events.ts carries
+    # sub-second precision, and a whole-second key (unix_timestamp vs the
+    # oracle's fractional epoch()) makes same-second events frame PEERS on
+    # one engine only — the rolling sum then includes a later same-second
+    # event Spark-side that the oracle excludes (observed at sf0.1)
+    ev = _t(spark, sf_dir, "events").withColumn("__us", F.unix_micros("ts"))
     w = (
         Window.partitionBy("user_id")
-        .orderBy("__sec")
-        .rangeBetween(-604800, 0)
+        .orderBy("__us")
+        .rangeBetween(-604_800_000_000, 0)
     )
     return ev.select(
         "event_id", F.round(F.sum("value").over(w), 4).alias("rolling_7d_value")
