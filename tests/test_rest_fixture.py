@@ -140,5 +140,6 @@ def test_rest_persistent_failure_raises_after_retries(scripted_server, recorded_
     with pytest.raises(RuntimeError, match="after 3 tries"):
         list(paginate_symbol("XRPUSDT", T0, T0 + H, page_fn, cfg))
     assert len(seen) == 3
-    # exponential backoff: 0.1, 0.2, 0.4
-    assert recorded_sleeps == [0.1, 0.2, 0.4]
+    # exponential backoff BETWEEN attempts only: no dead sleep after the
+    # final failure (3 attempts -> 2 sleeps)
+    assert recorded_sleeps == [0.1, 0.2]
