@@ -12,11 +12,16 @@ copy-pasted blocks:
   sidecar for the inverted index) — a bare isdir() would treat a crashed
   half-write as built forever;
 - concurrent cold starts are serialized with an atomic ``mkdir`` lock
-  claim: the loser waits for the winner's marker instead of both building
-  into the same final path (two overwrite jobs interleaving part-files
-  was the observable race). A lock older than the wait budget is treated
-  as stale (builder died) and the waiter builds itself — best-effort, not
-  a distributed lock manager; builders must be idempotent overwrites.
+  claim — EVERY claim (first attempt, retry after the winner releases,
+  reclaim of a stale lock) goes through the same ``os.mkdir``, so exactly
+  one process builds at a time (two overwrite jobs interleaving
+  part-files into one dir was the observable race). A lock older than
+  the wait budget (env ``SPARK_GRAFT_BUILD_WAIT_S``, default 600 s) is
+  treated as stale — the builder died without releasing — removed, and
+  re-claimed through ``mkdir``. Best-effort boundary: a healthy build
+  running LONGER than the budget can be mistaken for dead (there is no
+  heartbeat); size the budget above the slowest expected build. Builders
+  must be idempotent overwrites.
 """
 
 from __future__ import annotations
@@ -28,7 +33,7 @@ import tempfile
 import time
 from collections.abc import Callable
 
-_WAIT_S = 120.0
+_WAIT_S = float(os.environ.get("SPARK_GRAFT_BUILD_WAIT_S", "600"))
 _POLL_S = 0.1
 
 
@@ -44,25 +49,27 @@ def build_once(
     uid = os.getuid() if hasattr(os, "getuid") else 0
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_{prefix}_{uid}_{key}")
     marker_path = os.path.join(path, marker)
-    if os.path.isfile(marker_path):
-        return path
     lock = path + ".lock"
-    try:
-        os.mkdir(lock)
-    except FileExistsError:
-        deadline = time.monotonic() + _WAIT_S
-        while time.monotonic() < deadline:
-            if os.path.isfile(marker_path):
-                return path
-            if not os.path.isdir(lock):
-                break  # winner finished (or died) and released
+    deadline = time.monotonic() + _WAIT_S
+    while True:
+        if os.path.isfile(marker_path):
+            return path
+        try:
+            os.mkdir(lock)  # the ONLY claim primitive — atomic, one winner
+        except FileExistsError:
+            if time.monotonic() >= deadline:
+                # stale lock (builder died without releasing): remove and
+                # loop back to the atomic mkdir — racing reclaimers collide
+                # there, so still at most one builds. Reset the budget so a
+                # waiter that loses the re-claim grants the new builder a
+                # full window instead of rm-ing its fresh lock every poll.
+                shutil.rmtree(lock, ignore_errors=True)
+                deadline = time.monotonic() + _WAIT_S
             time.sleep(_POLL_S)
-        # stale lock or failed builder: claim and build ourselves
-        shutil.rmtree(lock, ignore_errors=True)
-        os.makedirs(lock, exist_ok=True)
-    try:
-        if not os.path.isfile(marker_path):
-            builder(path)
-        return path
-    finally:
-        shutil.rmtree(lock, ignore_errors=True)
+            continue
+        try:
+            if not os.path.isfile(marker_path):
+                builder(path)
+            return path
+        finally:
+            shutil.rmtree(lock, ignore_errors=True)

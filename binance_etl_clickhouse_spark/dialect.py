@@ -135,9 +135,12 @@ _KEYWORDS = {"PREWHERE": "WHERE"}
 #: this position. The optional-alias group must not swallow a clause
 #: keyword: without the lookahead, ``FROM t WHERE final = 1`` parsed as
 #: table ``t`` + alias ``WHERE`` + FINAL and deleted the column reference.
+#: AS is included so the regex cannot backtrack into treating a bare 'AS'
+#: as the alias itself ('FROM t AS final' would otherwise strip the real
+#: alias named final and leave a dangling AS)
 _CLAUSE_KW = (
     r"WHERE|PREWHERE|GROUP|ORDER|LIMIT|HAVING|JOIN|INNER|LEFT|RIGHT|FULL|"
-    r"CROSS|ON|UNION|SETTINGS|SAMPLE|FINAL|USING|WINDOW|QUALIFY"
+    r"CROSS|ON|UNION|SETTINGS|SAMPLE|FINAL|USING|WINDOW|QUALIFY|AS"
 )
 _FINAL_RE = re.compile(
     rf"(\bFROM\s+[A-Za-z_][\w.]*"
@@ -213,10 +216,14 @@ def _strip_comments(s: str) -> str:
         if ch == "-" and i + 1 < n and s[i + 1] == "-":
             while i < n and s[i] != "\n":
                 i += 1
+            out.append(" ")  # a comment is a token separator, not glue
             continue
         if ch == "/" and i + 1 < n and s[i + 1] == "*":
             end = s.find("*/", i + 2)
             i = n if end < 0 else end + 2
+            # replace with a space: '...t/* hint */WHERE...' must not
+            # merge into the identifier 'tWHERE'
+            out.append(" ")
             continue
         out.append(ch)
         i += 1

@@ -40,6 +40,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from binance_etl_clickhouse_spark.checkpoints import release as release_checkpoint
 from binance_etl_clickhouse_spark.operators.parallel import ensure_min_parallelism
 from binance_etl_clickhouse_spark.operators.texthash import tokens
 
@@ -173,15 +174,13 @@ def train_bpe(
         merges.append((left, right, freq))
         nxt = words.withColumn("syms", merge_pair_expr("syms", left, right))
         # eager localCheckpoint: truncates lineage so plan/analysis depth
-        # stays O(1) across iterations. Previous iterations' checkpoint
-        # blocks are NOT explicitly freeable from the DataFrame API
-        # (unpersist() only clears CacheManager entries, and checkpoint
-        # blocks live on the internal RDD) — dropping the Python reference
-        # lets the ContextCleaner reclaim them; peak usage is therefore a
-        # few iterations' worth of the (vocabulary-sized, shrinking) word
-        # frame, not the corpus.
+        # stays O(1) across iterations. The previous iteration's blocks
+        # must be freed EXPLICITLY — neither unpersist() nor the
+        # ContextCleaner reclaims locally-checkpointed RDDs (verified; see
+        # checkpoints.py) — or every iteration's full word frame would
+        # stay pinned in executor storage for the app's lifetime.
         prev, words = words, nxt.localCheckpoint(eager=True)
-        del prev
+        release_checkpoint(prev)
     return BpeModel(merges=merges, words=words)
 
 

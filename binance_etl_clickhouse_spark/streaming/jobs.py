@@ -351,8 +351,23 @@ def stream_dedup_corpus(
     src = spark.readStream.schema(DOCUMENTS_JSONL_SCHEMA).json(input_dir)
 
     def sink(batch: DataFrame, epoch_id: int) -> None:
+        from binance_etl_clickhouse_spark.checkpoints import release as release_ckpt
+
         if batch.isEmpty():
             return
+        ckpts: list[DataFrame] = []
+        try:
+            _sink_body(batch, epoch_id, ckpts)
+        finally:
+            # localCheckpoint blocks are NOT reclaimed by unpersist() or
+            # the ContextCleaner (see checkpoints.py) — a continuous
+            # stream would pin every epoch's frames in executor storage
+            # without this explicit release
+            for df in ckpts:
+                release_ckpt(df)
+            batch.unpersist()
+
+    def _sink_body(batch: DataFrame, epoch_id: int, ckpts: list) -> None:
         clean, _quarantined = partition_corrupt(batch, persist=False)
         # replay idempotence: foreachBatch is at-least-once — a crash after
         # the corpus append but before the checkpoint commit re-delivers
@@ -372,21 +387,24 @@ def stream_dedup_corpus(
         # eager pin: the surviving frame feeds ~5 downstream actions
         # (dedup join, two writes, search-index stats + postings) — without
         # this every action re-runs the parse + gate chain from scratch
-        # (same reason stream_span_dedup checkpoints). localCheckpoint, not
-        # cache: no unpersist hook is needed, blocks die with the batch.
+        # (same reason stream_span_dedup checkpoints)
         clean = clean.localCheckpoint(eager=True)
+        ckpts.append(clean)
         if replayed is not None:
             replayed = replayed.localCheckpoint(eager=True)
+            ckpts.append(replayed)
             if replayed.isEmpty():
                 replayed = None
         if clean.isEmpty() and replayed is None:
-            batch.unpersist()
             return
         # heal the sidecars for replayed (already-accepted) docs: a crash
         # BETWEEN the corpus append and the index appends left them
-        # unsearchable. Signature index has no version column -> append
-        # only the missing ones; the search index re-indexes the whole
-        # replayed set under this epoch (dynamic overwrite converges).
+        # unsearchable. BOTH heals are membership-gated — neither sidecar
+        # has a version column, and a doc re-DELIVERED in a later epoch
+        # (duplicate feed row, not a crash replay) is already fully
+        # indexed: blindly re-indexing it would duplicate postings and
+        # double-count the BM25 corpus stats.
+        heal_search = None
         if replayed is not None:
             missing = replayed
             if os.path.isdir(index_dir):
@@ -400,10 +418,16 @@ def stream_dedup_corpus(
                 minhash_signatures(missing, k=k).write.mode("append").parquet(
                     index_dir
                 )
-        if clean.isEmpty():
             if search_index is not None:
-                search_index.append(replayed, epoch=int(epoch_id))
-            batch.unpersist()
+                have_search = search_index.postings(
+                    batch.sparkSession
+                ).select("doc_id").distinct()
+                heal_search = replayed.join(have_search, "doc_id", "left_anti")
+                if heal_search.isEmpty():
+                    heal_search = None
+        if clean.isEmpty():
+            if search_index is not None and heal_search is not None:
+                search_index.append(heal_search, epoch=int(epoch_id))
             return
         # (2) within-batch: drop the higher id of every verified near-dup
         # pair. persist_index=False: the pin inside minhash_lsh_pairs has
@@ -452,21 +476,21 @@ def stream_dedup_corpus(
         # actions don't re-run the LSH chain, and rebuild sigs from the
         # pinned survivors (identical rows to filtering the earlier frame)
         clean = clean.localCheckpoint(eager=True)
+        ckpts.append(clean)
         sigs = minhash_signatures(clean, k=k)
         # (4) corpus first, index second (see crash ordering above)
         clean.write.mode("append").parquet(out_dir)
         sigs.write.mode("append").parquet(index_dir)
         if search_index is not None:
             # (5) keyword-search index stays warm as the corpus streams in:
-            # this epoch's accepted docs (new survivors + any replayed
-            # accepteds being healed) index under THIS epoch —
+            # this epoch's accepted docs (new survivors + replayed docs
+            # whose postings are actually missing) index under THIS epoch —
             # replay-idempotent (dynamic overwrite of the epoch's
             # partitions + per-epoch stats entry)
             to_index = (
-                clean if replayed is None else clean.unionByName(replayed)
+                clean if heal_search is None else clean.unionByName(heal_search)
             )
             search_index.append(to_index, epoch=int(epoch_id))
-        batch.unpersist()
 
     writer = src.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_dir)
     if available_now:
@@ -630,10 +654,15 @@ def stream_span_dedup(
                 F.coalesce(F.col("text_deduped"), F.lit("")).alias("text_deduped"),
             )
         )
+        from binance_etl_clickhouse_spark.checkpoints import release as release_ckpt
+
         # corpus first, index second (see crash ordering above)
         out.write.mode("append").parquet(out_dir)
         kept.select("h").distinct().write.mode("append").parquet(index_dir)
-        kept.unpersist()  # releases the localCheckpoint blocks
+        # NOT Dataset.unpersist(): that only clears CacheManager entries
+        # and leaves the localCheckpoint RDD's blocks pinned for the app's
+        # lifetime — release goes through the internal RDD (checkpoints.py)
+        release_ckpt(kept)
         batch.unpersist()
 
     writer = src.writeStream.foreachBatch(sink).option(

@@ -442,3 +442,17 @@ def test_limit_by_rewrite_only_applies_to_whole_queries():
     # single-fragment subquery IS a query -> rewritten
     q2 = "SELECT * FROM (SELECT sym FROM t LIMIT 1 BY sym)"
     assert "__lb_rn" in t(q2)
+
+
+def test_comment_is_a_token_separator_and_as_alias_survives():
+    t = translate_clickhouse_sql
+    # block comment between table and clause must not glue tokens
+    assert t("SELECT x FROM t/* hint */WHERE y = 1").split() == [
+        "SELECT", "x", "FROM", "t", "WHERE", "y", "=", "1",
+    ]
+    # an alias literally named final (with AS) is not the FINAL keyword
+    assert t("SELECT * FROM t AS final WHERE x = 1") == (
+        "SELECT * FROM t AS final WHERE x = 1"
+    )
+    assert t("SELECT * FROM t AS f FINAL") == "SELECT * FROM t AS f"
+    assert "TABLESAMPLE" not in t("SELECT * FROM t AS sample WHERE x = 1")

@@ -706,3 +706,58 @@ def test_stream_dedup_corpus_replay_heals_indexes(spark, tmp_path):
     # search index healed too
     post_ids = {r.doc_id for r in search.postings(spark).select("doc_id").collect()}
     assert post_ids == {1, 2}
+
+
+def test_localcheckpoint_release_frees_blocks(spark):
+    """checkpoints.release must actually free storage blocks — neither
+    unpersist() nor the ContextCleaner reclaims a locally-checkpointed
+    RDD (verified empirically), which is why the streaming sinks and the
+    BPE trainer call it explicitly."""
+    from binance_etl_clickhouse_spark.checkpoints import release
+
+    sc = spark.sparkContext
+
+    def n_persisted():
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    base = n_persisted()
+    df = spark.range(50_000).localCheckpoint(eager=True)
+    assert n_persisted() == base + 1
+    release(df)
+    assert n_persisted() == base
+    release(None)  # no-op contract
+    release(spark.range(5))  # non-checkpointed frame: no-op, no raise
+
+
+def test_redelivered_doc_does_not_duplicate_search_postings(spark, tmp_path):
+    """A doc accepted in an earlier epoch arriving AGAIN later (duplicate
+    feed row, not a crash replay) is already fully indexed — the heal is
+    membership-gated, so its postings and corpus stats must not double."""
+    import json
+
+    from binance_etl_clickhouse_spark.storage.invindex import InvertedIndex
+    from binance_etl_clickhouse_spark.streaming.jobs import stream_dedup_corpus
+
+    in_dir = tmp_path / "drop"
+    in_dir.mkdir()
+    args = (str(in_dir), str(tmp_path / "idx"), str(tmp_path / "corpus"))
+    search = InvertedIndex(str(tmp_path / "search"), n_buckets=16)
+    row = {"doc_id": 1, "lang": "en",
+           "text": "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+           "n_chars": 57}
+    with open(in_dir / "b1.jsonl", "w") as f:
+        f.write(json.dumps(row) + "\n")
+    q = stream_dedup_corpus(spark, *args, str(tmp_path / "ck1"), search_index=search)
+    q.awaitTermination(120)
+    q.stop()
+    n_postings = search.postings(spark).count()
+    n_docs = search.meta()["n_docs"]
+    assert n_postings > 0 and n_docs == 1
+
+    with open(in_dir / "b2.jsonl", "w") as f:
+        f.write(json.dumps(row) + "\n")  # same doc re-delivered
+    q2 = stream_dedup_corpus(spark, *args, str(tmp_path / "ck1"), search_index=search)
+    q2.awaitTermination(120)
+    q2.stop()
+    assert search.postings(spark).count() == n_postings
+    assert search.meta()["n_docs"] == n_docs
