@@ -59,6 +59,53 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Forward as-of: each purchase gets the EARLIEST same-or-later click value
+# of the same user (the "next event" alignment: kline -> next funding
+# settlement). Same union-window construction, frame reversed.
+# ---------------------------------------------------------------------------
+@register(
+    "asof_forward_purchase_click",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT user_id, ts AS rts, value AS rvalue FROM events WHERE event_type = 'click'
+    ),
+    merged AS (
+      SELECT user_id, ts AS __ts, 0 AS __side, event_id, ts, value,
+             NULL::DOUBLE AS rv
+      FROM l
+      UNION ALL
+      SELECT user_id, rts, 1, NULL, NULL, NULL, rvalue FROM r
+    ),
+    wv AS (
+      SELECT *,
+             first_value(rv IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY __ts, __side
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS click_value_next
+      FROM merged
+    )
+    SELECT event_id, user_id, ts, value, click_value_next FROM wv WHERE __side = 0
+    """,
+    survey_ref="§2.4/§7 as-of join, forward direction (next-event alignment)",
+)
+def asof_forward_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value_next")
+    )
+    return asof_join(
+        left, right, on="ts", by=["user_id"],
+        value_cols=["click_value_next"], direction="forward", suffix="",
+    )
+
+
+# ---------------------------------------------------------------------------
 # OHLC resample of the per-user value series into hourly bars with explicit
 # row_number endpoints (deterministic tie-break (ts, event_id) in BOTH
 # engines; DuckDB's arg_min can't take composite keys).

@@ -761,3 +761,50 @@ def test_redelivered_doc_does_not_duplicate_search_postings(spark, tmp_path):
     q2.stop()
     assert search.postings(spark).count() == n_postings
     assert search.meta()["n_docs"] == n_docs
+
+
+def test_asof_join_directions(spark):
+    """forward picks the earliest same-or-later right row; nearest picks
+    the closer candidate with ties preferring backward (pandas
+    merge_asof semantics); allow_exact_matches toggles the boundary."""
+    from binance_etl_clickhouse_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10), (2, 25)], "k int, ts int")
+    right = spark.createDataFrame(
+        [(1, 8, "r8"), (1, 10, "r10"), (1, 13, "r13"), (2, 40, "r40")],
+        "k int, ts int, tag string",
+    )
+
+    def got(direction, exact=True):
+        rows = asof_join(
+            left, right, on="ts", by=["k"], direction=direction,
+            allow_exact_matches=exact,
+        ).collect()
+        return {r["ts"]: r["tag_asof"] for r in rows}
+
+    assert got("backward") == {10: "r10", 25: None}  # no 2-key row <= 25? r40 later -> None... wait k=2
+    assert got("forward") == {10: "r10", 25: "r40"}
+    assert got("forward", exact=False) == {10: "r13", 25: "r40"}
+    assert got("backward", exact=False) == {10: "r8", 25: None}
+    # nearest: ts=10 -> exact r10; ts=25 -> r40 (only candidate for k=2)
+    assert got("nearest") == {10: "r10", 25: "r40"}
+    # nearest tie: left at 11 between r10 (d=1) and r13 (d=2) -> backward;
+    # left at 11.5-equivalent: make an exact tie at integer ts
+    left2 = spark.createDataFrame([(1, 9)], "k int, ts int")  # r8 d=1, r10 d=1
+    rows = asof_join(
+        left2, right, on="ts", by=["k"], direction="nearest"
+    ).collect()
+    assert rows[0]["tag_asof"] == "r8"  # tie -> backward
+
+
+def test_asof_nearest_carries_whole_rows(spark):
+    from binance_etl_clickhouse_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 5)], "k int, ts int")
+    right = spark.createDataFrame(
+        [(1, 4, 0.1, None), (1, 9, 0.2, 99.0)],
+        "k int, ts int, rate double, price double",
+    )
+    out = asof_join(left, right, on="ts", by=["k"], direction="nearest").collect()[0]
+    # nearest is ts=4 (d=1 vs d=4): whole row carried, NULL price kept
+    assert out["rate_asof"] == 0.1 and out["price_asof"] is None
