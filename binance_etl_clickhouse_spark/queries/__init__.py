@@ -48,7 +48,8 @@ from binance_etl_clickhouse_spark.queries import corpus  # noqa: F401,E402
 # training_shuffle_shards, dsir_importance_select, bm25_topk_docs,
 # nb_lang_classifier, gopher_quality_filters, bm25_index_topk,
 # hybrid_rrf_search, bpe_pair_stats (+ rows-only bpe_train_merges /
-# bpe_token_counts), asof_forward_purchase_click — plus
+# bpe_token_counts), asof_forward_purchase_click,
+# asof_nearest_purchase_click — plus
 # re-proving a sample of the r1-green
 # block rotated out this round (relational/scalar/set/window basics,
 # keep_last_dedup, ngram/simhash/ann families, multimodal, sessionization,

@@ -106,6 +106,69 @@ def asof_forward_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Nearest as-of: each purchase gets the click closest in absolute time
+# (ties prefer backward — pandas merge_asof semantics). The oracle mirrors
+# the double-window construction and carries (rts, rvalue) as ONE struct
+# per side so a NULL payload can never mix rows (same whole-row rule as
+# the engine's struct carry).
+# ---------------------------------------------------------------------------
+@register(
+    "asof_nearest_purchase_click",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT user_id, ts AS rts, value AS rvalue FROM events WHERE event_type = 'click'
+    ),
+    merged AS (
+      SELECT user_id, ts AS __ts, 1 AS ord_b, 0 AS ord_f, event_id, ts, value,
+             NULL AS rrow
+      FROM l
+      UNION ALL
+      SELECT user_id, rts, 0, 1, NULL, NULL, NULL, {'t': rts, 'v': rvalue} FROM r
+    ),
+    wv AS (
+      SELECT *,
+             last_value(rrow IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY __ts, ord_b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS vb,
+             first_value(rrow IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY __ts, ord_f
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS vf
+      FROM merged
+    ),
+    pick AS (
+      SELECT *,
+             CASE WHEN vb IS NULL THEN vf
+                  WHEN vf IS NULL THEN vb
+                  WHEN (epoch(ts) - epoch((vb).t)) <= (epoch((vf).t) - epoch(ts))
+                    THEN vb
+                  ELSE vf
+             END AS vn
+      FROM wv WHERE event_id IS NOT NULL
+    )
+    SELECT event_id, user_id, ts, value, (vn).v AS click_value_near FROM pick
+    """,
+    survey_ref="§2.4/§7 as-of join, nearest direction (pandas merge_asof parity)",
+)
+def asof_nearest_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value_near")
+    )
+    return asof_join(
+        left, right, on="ts", by=["user_id"],
+        value_cols=["click_value_near"], direction="nearest", suffix="",
+    )
+
+
+# ---------------------------------------------------------------------------
 # OHLC resample of the per-user value series into hourly bars with explicit
 # row_number endpoints (deterministic tie-break (ts, event_id) in BOTH
 # engines; DuckDB's arg_min can't take composite keys).
