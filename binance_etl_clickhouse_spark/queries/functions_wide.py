@@ -48,9 +48,9 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     "conditional_agg_priority_mix",
     """
     SELECT l_linestatus,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT
              AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT
              AS low_line_count,
            round(100.0 * sum(CASE WHEN o_orderpriority = '1-URGENT'
                                   THEN l_extendedprice ELSE 0 END)

@@ -31,6 +31,25 @@ def spark_to_pandas(df: DataFrame) -> pd.DataFrame:
     return df.toPandas()
 
 
+def _dtype_class(s: pd.Series) -> str:
+    """Coarse dtype class used for the driver-typing gate.
+
+    An all-null object column (e.g. DuckDB NULL literals) is 'null' and
+    matches any class — there are no values for the hash to diverge on.
+    """
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if s.dtype == object and s.isna().all():
+        return "null"
+    return "object"
+
+
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -42,8 +61,13 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_integer_dtype(s):
             df[c] = s.astype("int64")
         elif s.dtype == object:
-            # decimals / HUGEINT fallbacks -> string canon
-            df[c] = s.astype(str)
+            if s.isna().all():
+                # all-null (e.g. DuckDB NULL literal) -> NaN so it compares
+                # equal to an all-null typed column on the other side
+                df[c] = np.full(len(s), np.nan)
+            else:
+                # decimals / HUGEINT fallbacks -> string canon
+                df[c] = s.astype(str)
     df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="last")
     return df.reset_index(drop=True)
 
@@ -61,6 +85,24 @@ def compare_frames(
     if s_cols != o_cols:
         problems.append(f"{name}: columns {s_cols} != {o_cols}")
         return problems
+    if problems:
+        return problems
+    # Driver-exact typing gate (VERDICT r2 item 3): the driver's value hash is
+    # dtype-sensitive, so an integer column on one side and a float column on
+    # the other (DuckDB HUGEINT/DECIMAL -> float64 through fetchdf()) hash-
+    # mismatches even when every value compares equal. _canon() deliberately
+    # widens within a numeric class (int32->int64, float32->float64) because
+    # the driver tolerates that; it must NOT paper over a cross-class split.
+    for c in sorted(spark_pdf.columns):
+        s_kind = _dtype_class(spark_pdf[c])
+        o_kind = _dtype_class(oracle_pdf[c])
+        if s_kind != o_kind and "null" not in (s_kind, o_kind):
+            problems.append(
+                f"{name}: column {c!r} dtype-class mismatch: spark={s_kind} "
+                f"({spark_pdf[c].dtype}) vs oracle={o_kind} ({oracle_pdf[c].dtype}) "
+                "— the driver hash is dtype-sensitive; cast the oracle "
+                "(::BIGINT / ::DOUBLE) or the Spark column to agree"
+            )
     if problems:
         return problems
     a, b = _canon(spark_pdf), _canon(oracle_pdf)

@@ -61,3 +61,19 @@ def test_matching_nulls_pass():
     a = _f(k=[1, 2], v=[None, 2.0])
     b = _f(k=[1, 2], v=[None, 2.0])
     assert compare_frames(a, b) == []
+
+
+def test_detects_int_vs_float_dtype_split():
+    """The r2 driver failure mode: DuckDB HUGEINT -> float64 through
+    fetchdf() while Spark emits int64. Values compare equal elementwise,
+    but the driver's hash is dtype-sensitive — the harness must flag it."""
+    a = pd.DataFrame({"n": pd.array([11901, 2], dtype="int64")})
+    b = pd.DataFrame({"n": pd.array([11901.0, 2.0], dtype="float64")})
+    problems = compare_frames(a, b)
+    assert problems and "dtype-class" in problems[0]
+
+
+def test_all_null_object_column_matches_any_class():
+    a = pd.DataFrame({"v": pd.array([None, None], dtype="float64")})
+    b = pd.DataFrame({"v": [None, None]})  # object dtype, all-null
+    assert compare_frames(a, b) == []
