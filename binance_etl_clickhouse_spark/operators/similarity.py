@@ -217,40 +217,20 @@ def lsh_topk(
 # ---------------------------------------------------------------------------
 
 
-def hybrid_rrf_topk(
+def bm25_sparse_ranks(
     docs: DataFrame,
-    emb: DataFrame,
     query_ids: list[int],
     n_docs: int,
     total_tokens: int,
     n_terms: int = 3,
-    k: int = 10,
-    rrf_k: int = 60,
     id_col: str = "doc_id",
     text_col: str = "text",
-    vec_id_col: str = "vec_id",
-    vec_col: str = "embedding",
 ) -> DataFrame:
-    """Hybrid search: for each query document, fuse its BM25 keyword
-    retrieval (first ``n_terms`` tokens as the keyword query) with dense
-    cosine retrieval (its embedding), by Reciprocal Rank Fusion:
-
-        rrf(d) = 1/(K + rank_sparse(d)) + 1/(K + rank_dense(d))
-
-    (Cormack et al. 2009, K=60) — the standard sparse+dense fusion that
-    needs no score calibration, and, because it consumes integer RANKS of
-    deterministically-rounded scores, is exactly reproducible across
-    engines (full value-hash oracle, unlike score-interpolation blends).
-
-    Scale shape: the query frame (terms + vectors for |Q| docs) broadcasts;
-    the sparse side is the BM25 inverted-index probe (corpus postings die
-    map-side unless they match a query term, `_pin_counts` diamond pin);
-    the dense side is one broadcast pass over the embeddings (at scale:
-    route through the IVF/LSH bucketed tables instead — same fusion).
-    Sparse candidates are a subset of dense candidates (every doc has an
-    embedding), so fusion is a left join from the dense side; missing
-    sparse ranks surface as -1 and contribute 0.
-    """
+    """The sparse leg of hybrid retrieval: per-query BM25 scores + dense-
+    rank (``sparse_rnk``) for every doc sharing >=1 of the query's first
+    ``n_terms`` tokens. Corpus postings that match no query term die
+    map-side (broadcast term-set semi-join); everything downstream is
+    sized by the candidates, not the corpus."""
     from binance_etl_clickhouse_spark.operators.corpus import (
         BM25_B,
         BM25_K1,
@@ -284,7 +264,7 @@ def hybrid_rrf_topk(
     contrib = F.round(
         idf * (F.col("tf") * F.lit(BM25_K1 + 1.0)) / (F.col("tf") + norm), 6
     )
-    sparse = (
+    return (
         tfq.join(F.broadcast(dfreq), "term")
         .join(F.broadcast(qt), "term")
         .filter(F.col(id_col) != F.col("query_id"))
@@ -296,6 +276,81 @@ def hybrid_rrf_topk(
             .over(Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), id_col))
             .cast("long"),
         )
+    )
+
+
+def rrf_fuse(
+    sparse: DataFrame,
+    dense: DataFrame,
+    k: int = 10,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal Rank Fusion of a sparse and a dense ranking:
+
+        rrf(d) = 1/(K + rank_sparse(d)) + 1/(K + rank_dense(d))
+
+    (Cormack et al. 2009, K=60) — the standard sparse+dense fusion that
+    needs no score calibration, and, because it consumes integer RANKS of
+    deterministically-rounded scores, is exactly reproducible across
+    engines (full value-hash oracle, unlike score-interpolation blends).
+
+    Candidate sets need not nest: fusion is a FULL OUTER join on
+    (query_id, doc), so a doc ranked by only one leg keeps that leg's
+    contribution; the missing leg's rank surfaces as -1 and contributes 0.
+    (When the dense leg is IVF-pruned, sparse-only candidates are the
+    normal case, not an error.)
+    """
+    fused = dense.join(sparse, ["query_id", id_col], "full_outer").select(
+        "query_id",
+        id_col,
+        F.coalesce(F.col("sparse_rnk"), F.lit(-1).cast("long")).alias("out_sparse_rnk"),
+        F.coalesce(F.col("dense_rnk"), F.lit(-1).cast("long")).alias("out_dense_rnk"),
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("sparse_rnk")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("dense_rnk")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    fused = (
+        fused.withColumnRenamed("out_sparse_rnk", "sparse_rnk")
+        .withColumnRenamed("out_dense_rnk", "dense_rnk")
+    )
+    topw = Window.partitionBy("query_id").orderBy(F.col("rrf_score").desc(), id_col)
+    return (
+        fused.withColumn("rnk", F.row_number().over(topw).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", id_col, "rrf_score", "sparse_rnk", "dense_rnk", "rnk")
+    )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_ids: list[int],
+    n_docs: int,
+    total_tokens: int,
+    n_terms: int = 3,
+    k: int = 10,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid search, EXACT dense leg: fuse each query doc's BM25 keyword
+    retrieval (first ``n_terms`` tokens) with a full-corpus dense cosine
+    ranking via :func:`rrf_fuse`.
+
+    The dense side is one broadcast pass over ALL embeddings — exact but
+    linear in the corpus per query batch, so this form is the small-scale /
+    recall-oracle baseline. The registered production form is
+    :func:`hybrid_rrf_ivf_topk`, which routes the dense leg through the
+    IVF cell-partitioned index (partition-pruned candidate scan) and fuses
+    identically.
+    """
+    sparse = bm25_sparse_ranks(
+        docs, query_ids, n_docs, total_tokens, n_terms, id_col, text_col
     )
 
     v = emb.select(F.col(vec_id_col).alias(id_col), _as_double(vec_col).alias("v"))
@@ -316,26 +371,68 @@ def hybrid_rrf_topk(
             .over(Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), id_col))
             .cast("long"),
         )
+        .drop("cos_sim")
+    )
+    return rrf_fuse(sparse, dense, k=k, rrf_k=rrf_k, id_col=id_col)
+
+
+def hybrid_rrf_ivf_topk(
+    spark,
+    docs: DataFrame,
+    ivf_path: str,
+    centroids: list[list[float]],
+    queries: list[tuple[int, list[float]]],
+    n_docs: int,
+    total_tokens: int,
+    n_terms: int = 3,
+    k: int = 10,
+    rrf_k: int = 60,
+    nprobe: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid search, IVF dense leg — the scale form of
+    :func:`hybrid_rrf_topk`.
+
+    The dense candidates come from ONE partition-pruned scan of the
+    :func:`~binance_etl_clickhouse_spark.operators.ivf.write_ivf_table`
+    cell layout: probe cells are computed driver-side per query (centroid
+    math over a k x dim literal), the scan reads only the UNION of probed
+    cell directories (``cell IN ...`` lands in PartitionFilters —
+    plan-pinned), and a broadcast (query, cell) routing join fans each
+    candidate row to exactly the queries that probed its cell. Dense ranks
+    are therefore ranks WITHIN the probed candidates — the standard ANN
+    retrieval contract — and :func:`rrf_fuse`'s full-outer fusion keeps
+    sparse-only candidates alive. At a billion vectors the dense cost is
+    |Q| * nprobe/k_cells of the corpus instead of |Q| full scans.
+    """
+    from binance_etl_clickhouse_spark.operators.ivf import probe_cells
+
+    sparse = bm25_sparse_ranks(
+        docs, [qid for qid, _ in queries], n_docs, total_tokens, n_terms,
+        id_col, text_col,
     )
 
-    kk = float(rrf_k)
-    fused = (
-        dense.join(sparse, ["query_id", id_col], "left")
-        .select(
-            "query_id",
-            id_col,
-            F.coalesce(F.col("sparse_rnk"), F.lit(-1).cast("long")).alias("sparse_rnk"),
-            F.col("dense_rnk"),
-            F.round(
-                F.coalesce(F.lit(1.0) / (F.lit(kk) + F.col("sparse_rnk")), F.lit(0.0))
-                + F.lit(1.0) / (F.lit(kk) + F.col("dense_rnk")),
-                6,
-            ).alias("rrf_score"),
+    rows = []
+    for qid, qv in queries:
+        for c in probe_cells(centroids, qv, nprobe):
+            rows.append((int(qid), int(c), [float(x) for x in qv]))
+    qdf = spark.createDataFrame(rows, "query_id long, cell int, q_vec array<double>")
+    cells = sorted({r[1] for r in rows})
+    cand = spark.read.parquet(ivf_path).filter(F.col("cell").isin(cells))
+    sim = cosine_expr(_as_double(vec_col), F.col("q_vec"))
+    dense = (
+        cand.join(F.broadcast(qdf), "cell")
+        .filter(F.col(vec_id_col) != F.col("query_id"))
+        .select("query_id", F.col(vec_id_col).alias(id_col), F.round(sim, 6).alias("cos_sim"))
+        .withColumn(
+            "dense_rnk",
+            F.row_number()
+            .over(Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), id_col))
+            .cast("long"),
         )
+        .drop("cos_sim")
     )
-    topw = Window.partitionBy("query_id").orderBy(F.col("rrf_score").desc(), id_col)
-    return (
-        fused.withColumn("rnk", F.row_number().over(topw).cast("long"))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", id_col, "rrf_score", "sparse_rnk", "dense_rnk", "rnk")
-    )
+    return rrf_fuse(sparse, dense, k=k, rrf_k=rrf_k, id_col=id_col)

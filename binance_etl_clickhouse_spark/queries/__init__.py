@@ -28,98 +28,82 @@ from binance_etl_clickhouse_spark.queries import corpus  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 # Driver verification window. The correctness driver checks the FIRST 50
 # registered queries per round, so registration order is a verification
-# budget. This round's window: (a) everything that has never had a driver
-# CORRECTNESS row (the TPC-H suite, function families, window frames,
-# dataset ops — r1 checked only indices 0-49 of the old order), (b) queries
-# whose implementation changed or were added this round, (c) one
-# already-green representative as regression canary.
-#
-# NEXT-ROUND ROTATION: still driver-unchecked after r2 (pytest-oracle only)
-# and first in line for the next window: ann_ivf_pq_topk, tfidf_top_terms,
-# unigram_logprob_quality, source_mixture_sample, pii_redaction,
-# chunk_sliding_windows, winsorize_per_type, rolling_corr_click_purchase,
-# tpch_q12_shipmode_priority, span_dedup_corpus,
-# funnel_signup_click_purchase, cohort_retention_daily,
-# hopping_window_counts, price_histogram_fixed_bins,
-# embedding_centroid_per_label, ann_batch_topk, ann_ivf_batch_topk,
-# embedding_decontamination, length_bucket_batches,
-# funnel_conversion_lags, cohort_retention_weekly,
-# equi_depth_histogram, interval_overlap_pairs, fuzzy_snippet_pairs,
-# training_shuffle_shards, dsir_importance_select, bm25_topk_docs,
-# nb_lang_classifier, gopher_quality_filters, bm25_index_topk,
-# hybrid_rrf_search, bpe_pair_stats (+ rows-only bpe_train_merges /
-# bpe_token_counts), asof_forward_purchase_click,
-# asof_nearest_purchase_click — plus
-# re-proving a sample of the r1-green
-# block rotated out this round (relational/scalar/set/window basics,
-# keep_last_dedup, ngram/simhash/ann families, multimodal, sessionization,
-# rollup/cube).
+# budget. Round-3 window: (a) ALL 37 queries that have never had a driver
+# CORRECTNESS row (r1 checked the relational/LLM basics, r2 the TPC-H /
+# function-family / dataset block — this closes the corpus-statistics,
+# BPE, funnel/cohort, as-of-direction, histogram, chunking and hybrid-
+# retrieval families, achieving 132/132 checked-ever), (b) the two queries
+# fixed/changed this round (conditional_agg_priority_mix's HUGEINT oracle
+# cast; hybrid_rrf_search's IVF-routed dense leg + its new exact baseline
+# hybrid_rrf_exact_search), (c) 12 family-diverse canaries from the
+# r1-green block to re-prove rotated-out greens (incl.
+# embedding_cosine_neardup, whose GEMM boundary-mask change in r2 was
+# pytest-pinned but never driver-re-proven).
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW = [
-    # (a) never driver-checked: windows / grouping
-    "window_rank_family",
-    "window_range_rolling_7d",
-    "grouping_sets_orders",
-    # (a) the TPC-H suite
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume_customer",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_sales_opportunity",
-    # (a) function families + set ops + subqueries
+    # (b) fixed this round: oracle sum(CASE) now ::BIGINT (r2's one red row)
     "conditional_agg_priority_mix",
-    "string_function_family",
-    "date_function_family",
-    "null_semantics_family",
-    "array_function_family",
-    "map_function_family",
-    "except_users",
-    "stats_family",
-    "scalar_subquery_above_global_avg",
-    "correlated_subquery_above_avg",
-    # (a) dataset-engineering ops
-    "dataset_split_hash",
-    "stratified_sample_per_lang",
-    "training_data_prep_pipeline",
-    # (b) changed this round
-    "simhash_neardup_pairs",
-    "approx_aggregates",
-    "ann_lsh_topk",
-    "embedding_lsh_neardup",
-    "ann_ivf_topk",
-    # semdedup_prune displaced embedding_cosine_neardup: the latter was
-    # driver-green in r1 and its only change since (GEMM boundary mask) is
-    # equivalence-pinned by pytest at sf0.001 AND sf0.01; the former is a
-    # brand-new operator that needs its first driver row.
-    "semdedup_prune",
-    # (b) new this round — never driver-checked
-    "window_distribution_family",
-    "token_budget_pack",
-    "leakage_safe_split",
-    "embedding_int8_quantize",
-    "neardup_clusters",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_profit",
-    "tpch_q11_value_concentration",
-    "tpch_q16_supplier_cnt",
-    "tpch_q20_excess_share_supplier",
-    "gapfill_hourly_locf",
-    "repetition_signals",
-    # (b) new this session — PQ ANN (ADC shortlist + exact rerank). Takes
-    # the canary slot: every family already has an (a)/(b) row in the
-    # window, and the r1-green set (incl. keep_last_dedup, driver-proven in
-    # r1) stays pytest-pinned and rotates back in next round.
-    "ann_pq_topk",
+    # (a)+(b) hybrid retrieval: IVF-routed dense leg (new) + exact baseline
+    "hybrid_rrf_search",
+    "hybrid_rrf_exact_search",
+    # (a) corpus statistics / quality / selection family
+    "tfidf_top_terms",
+    "unigram_logprob_quality",
+    "bm25_topk_docs",
+    "bm25_index_topk",
+    "nb_lang_classifier",
+    "gopher_quality_filters",
+    "dsir_importance_select",
+    "span_dedup_corpus",
+    "source_mixture_sample",
+    # (a) BPE tokenizer family (train/encode are rows-only by the
+    # iterative-algorithm carve-out; pair stats carries the full oracle)
+    "bpe_pair_stats",
+    "bpe_train_merges",
+    "bpe_token_counts",
+    # (a) as-of directions added late in r2
+    "asof_forward_purchase_click",
+    "asof_nearest_purchase_click",
+    # (a) funnel / cohort / correlation analytics
+    "funnel_signup_click_purchase",
+    "funnel_conversion_lags",
+    "cohort_retention_daily",
+    "cohort_retention_weekly",
+    "rolling_corr_click_purchase",
+    "interval_overlap_pairs",
+    "winsorize_per_type",
+    # (a) the one TPC-H shape left (carries the same ::BIGINT fix)
+    "tpch_q12_shipmode_priority",
+    # (a) streaming-adjacent + histograms
+    "hopping_window_counts",
+    "price_histogram_fixed_bins",
+    "equi_depth_histogram",
+    # (a) chunking / batching / shuffling dataset ops
+    "chunk_sliding_windows",
+    "length_bucket_batches",
+    "training_shuffle_shards",
+    "pii_redaction",
+    # (a) embedding ops + ANN batch/PQ paths
+    "embedding_centroid_per_label",
+    "embedding_decontamination",
+    "ann_batch_topk",
+    "ann_ivf_batch_topk",
+    "ann_ivf_pq_topk",
+    "fuzzy_snippet_pairs",
+    # (c) rotating canaries — one per r1-green family, re-proving what
+    # rotated out of the r2 window
+    "tpch_q1_pricing_summary",      # wide agg
+    "keep_last_dedup",              # ReplacingMergeTree semantics
+    "anti_join_completed",          # anti-join + progress state
+    "minhash_lsh_neardup",          # MinHash-LSH dedup
+    "embedding_cosine_neardup",     # exact GEMM dedup (changed r2)
+    "multimodal_binary_features",   # mapInPandas binary chain
+    "sessionization_stats",         # gap-based sessions
+    "rollup_orders",                # hierarchical grouping
+    "asof_join_purchase_click",     # as-of backward (original direction)
+    "pivot_event_counts",           # pivot
+    "pandas_zscore_per_user",       # applyInPandas
+    "tumbling_resample_1h",         # event-time resample
 ]
 
 

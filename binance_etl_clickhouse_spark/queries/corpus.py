@@ -473,8 +473,123 @@ _HY_RRF_K = 60
 _hy_ids = ", ".join(str(i) for i in HYBRID_QUERY_IDS)
 
 
+def _hybrid_ivf_oracle() -> str:
+    """Compose the BM25 sparse CTE with the UNROLLED deterministic k-means
+    (same helpers `ann_ivf_topk`'s oracle uses — init = first k vectors,
+    fixed iteration count, first-minimum ties) so the dense leg is the
+    exact IVF probed-candidate ranking, then fuse by RRF with full-outer
+    semantics (a doc ranked by only one leg keeps that leg's
+    contribution)."""
+    from binance_etl_clickhouse_spark.queries.llm import (
+        _IVF_ITERS,
+        _IVF_NPROBE,
+        _kmeans_assign_cte,
+        _kmeans_update_cte,
+        _sqdist_sql,
+        _IVF_K,
+    )
+
+    iters = []
+    prev = "c0"
+    for it in range(1, _IVF_ITERS + 1):
+        iters.append(_kmeans_assign_cte(f"a{it}", prev) + ",")
+        iters.append(_kmeans_update_cte(f"a{it}", prev, f"c{it}") + ",")
+        prev = f"c{it}"
+    kmeans_body = "\n".join(iters)
+    return f"""
+    WITH qd AS (
+      SELECT doc_id AS query_id,
+             list_distinct(string_split(text, ' ')[1:{_HY_TERMS}]) AS qterms
+      FROM documents WHERE doc_id IN ({_hy_ids})
+    ),
+    qt AS (SELECT query_id, unnest(qterms) AS term FROM qd),
+    tok AS (
+      SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl,
+             unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+      FROM tok GROUP BY doc_id, dl, term
+    ),
+    tfq AS (SELECT * FROM tf WHERE term IN (SELECT DISTINCT term FROM qt)),
+    dfreq AS (SELECT term, count(*)::BIGINT AS df_count FROM tfq GROUP BY term),
+    nn AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS t_tot
+      FROM documents
+    ),
+    sparse AS (
+      SELECT qt.query_id, tfq.doc_id,
+             round(sum(round(
+               ln(1.0 + (nn.n_docs - dfreq.df_count + 0.5) / (dfreq.df_count + 0.5))
+               * (tfq.tf * {corpus.BM25_K1 + 1.0!r})
+               / (tfq.tf + {corpus.BM25_K1!r} * ({1.0 - corpus.BM25_B!r}
+                    + {corpus.BM25_B!r}
+                      * (CAST(tfq.dl AS DOUBLE) * nn.n_docs / nn.t_tot)))
+             , 6)), 6) AS bm25
+      FROM tfq JOIN dfreq USING (term) JOIN qt USING (term) CROSS JOIN nn
+      WHERE tfq.doc_id <> qt.query_id
+      GROUP BY qt.query_id, tfq.doc_id
+    ),
+    sr AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY bm25 DESC, doc_id) AS rs
+      FROM sparse
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_IVF_K})
+    ),
+    {kmeans_body}
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({_hy_ids})),
+    probe AS (
+      SELECT query_id, cell FROM (
+        SELECT q.query_id, {prev}.cell,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_sqdist_sql('q.qv', f'{prev}.v')},
+                                           {prev}.cell) AS rn
+        FROM {prev} CROSS JOIN q
+      ) WHERE rn <= {_IVF_NPROBE}
+    ),
+    {_kmeans_assign_cte('af', prev)},
+    dense AS (
+      SELECT p.query_id, af.vec_id AS doc_id,
+             round(list_inner_product(af.v, q.qv)
+                   / (sqrt(list_inner_product(af.v, af.v))
+                      * sqrt(list_inner_product(q.qv, q.qv))), 6) AS cos_sim
+      FROM af JOIN probe p USING (cell) JOIN q USING (query_id)
+      WHERE af.vec_id <> p.query_id
+    ),
+    dr AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, doc_id) AS rd
+      FROM dense
+    ),
+    fused AS (
+      SELECT coalesce(dr.query_id, sr.query_id) AS query_id,
+             coalesce(dr.doc_id, sr.doc_id) AS doc_id,
+             coalesce(sr.rs, -1)::BIGINT AS sparse_rnk,
+             coalesce(dr.rd, -1)::BIGINT AS dense_rnk,
+             round(coalesce(1.0 / ({float(_HY_RRF_K)!r} + sr.rs), 0.0)
+                   + coalesce(1.0 / ({float(_HY_RRF_K)!r} + dr.rd), 0.0), 6)
+               AS rrf_score
+      FROM dr FULL OUTER JOIN sr
+        ON dr.query_id = sr.query_id AND dr.doc_id = sr.doc_id
+    )
+    SELECT query_id, doc_id, rrf_score, sparse_rnk, dense_rnk, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, doc_id) AS rnk
+      FROM fused
+    ) WHERE rnk <= {_HY_K}
+    """
+
+
 @register(
-    "hybrid_rrf_search",
+    "hybrid_rrf_exact_search",
     f"""
     WITH qd AS (
       SELECT doc_id AS query_id,
@@ -547,13 +662,14 @@ _hy_ids = ", ".join(str(i) for i in HYBRID_QUERY_IDS)
     ) WHERE rnk <= {_HY_K}
     """,
     survey_ref=(
-        "similarity: hybrid sparse+dense retrieval "
-        "(BM25 + embedding cosine fused by Reciprocal Rank Fusion)"
+        "similarity: hybrid sparse+dense retrieval, exact dense baseline "
+        "(BM25 + full-corpus embedding cosine fused by Reciprocal Rank Fusion)"
     ),
 )
-def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hybrid_rrf_exact_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 per query document under RRF fusion of BM25 (first 3 tokens
-    as keywords) and dense cosine (its embedding). See
+    as keywords) and EXACT full-corpus dense cosine — the recall baseline
+    for `hybrid_rrf_search`'s IVF-pruned dense leg. See
     :func:`operators.similarity.hybrid_rrf_topk`."""
     from binance_etl_clickhouse_spark.operators.similarity import hybrid_rrf_topk
 
@@ -572,4 +688,58 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_terms=_HY_TERMS,
         k=_HY_K,
         rrf_k=_HY_RRF_K,
+    )
+
+
+@register(
+    "hybrid_rrf_search",
+    _hybrid_ivf_oracle(),
+    survey_ref=(
+        "similarity: hybrid sparse+dense retrieval at scale "
+        "(BM25 inverted probe + IVF partition-pruned dense leg, RRF fusion)"
+    ),
+)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production hybrid: sparse leg = BM25 broadcast term probe;
+    dense leg = ONE partition-pruned scan of the shared IVF cell layout
+    (same built index `ann_ivf_topk` uses — build_once key match); fusion
+    = full-outer RRF. Dense ranks are ranks within the probed candidates,
+    exactly as the oracle's unrolled-k-means twin computes them. See
+    :func:`operators.similarity.hybrid_rrf_ivf_topk`."""
+    from binance_etl_clickhouse_spark.buildonce import build_once
+    from binance_etl_clickhouse_spark.operators.ivf import write_ivf_table
+    from binance_etl_clickhouse_spark.operators.similarity import hybrid_rrf_ivf_topk
+    from binance_etl_clickhouse_spark.queries.llm import _IVF_NPROBE, _ivf_codebook
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    stats = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(tokens("text"))).alias("t"),
+    ).first()
+    codebook = _ivf_codebook(spark, sf_dir)
+    qrows = (
+        emb.filter(F.col("vec_id").isin(HYBRID_QUERY_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows]
+    path = build_once(
+        "ivf",
+        f"{sf_dir}:{codebook}",
+        "_SUCCESS",
+        lambda p: write_ivf_table(emb, codebook, p),
+    )
+    return hybrid_rrf_ivf_topk(
+        spark,
+        docs,
+        path,
+        codebook,
+        queries,
+        n_docs=stats["n"],
+        total_tokens=stats["t"],
+        n_terms=_HY_TERMS,
+        k=_HY_K,
+        rrf_k=_HY_RRF_K,
+        nprobe=_IVF_NPROBE,
     )
