@@ -15,13 +15,22 @@ copy-pasted blocks:
   claim — EVERY claim (first attempt, retry after the winner releases,
   reclaim of a stale lock) goes through the same ``os.mkdir``, so exactly
   one process builds at a time (two overwrite jobs interleaving
-  part-files into one dir was the observable race). A lock older than
-  the wait budget (env ``SPARK_GRAFT_BUILD_WAIT_S``, default 600 s) is
-  treated as stale — the builder died without releasing — removed, and
-  re-claimed through ``mkdir``. Best-effort boundary: a healthy build
-  running LONGER than the budget can be mistaken for dead (there is no
-  heartbeat); size the budget above the slowest expected build. Builders
-  must be idempotent overwrites.
+  part-files into one dir was the observable race).
+
+Staleness is judged by the LOCK's age, not any waiter's own wait time:
+``mkdir`` stamps the claim instant into the lock dir's mtime and the
+builder refreshes it as a heartbeat (daemon thread, ``os.utime`` every
+``_HEARTBEAT_S``), so a lock whose mtime is older than the budget
+(env ``SPARK_GRAFT_BUILD_WAIT_S``, default 600 s) means the builder DIED
+mid-build — a live one, however slow, keeps the mtime fresh. Waiter-local
+deadlines (the previous design) mis-fired under staggered arrival: waiter
+B's private deadline could expire moments after waiter A reclaimed a dead
+lock and started building, and B would then rmtree A's healthy lock well
+inside A's budget — re-admitting the two-writers race. With lock-mtime
+staleness every fresh claim gets a full budget from EVERY waiter's
+perspective. Residual boundary: the stat→rmtree gap on reclaim is a
+microsecond-scale TOCTOU (narrowed by a confirming re-stat); builders
+must stay idempotent overwrites.
 """
 
 from __future__ import annotations
@@ -30,11 +39,24 @@ import hashlib
 import os
 import shutil
 import tempfile
+import threading
 import time
 from collections.abc import Callable
 
 _WAIT_S = float(os.environ.get("SPARK_GRAFT_BUILD_WAIT_S", "600"))
 _POLL_S = 0.1
+#: builder heartbeat period — well under the stale budget so a live
+#: builder can never look dead (tiny budgets in tests still get >=10
+#: refreshes per budget window)
+_HEARTBEAT_S = max(min(_WAIT_S / 10.0, 10.0), 0.02)
+
+
+def _heartbeat(lock: str, stop: threading.Event) -> None:
+    while not stop.wait(_HEARTBEAT_S):
+        try:
+            os.utime(lock, None)
+        except OSError:
+            return  # lock vanished (forcibly reclaimed) — nothing to refresh
 
 
 def build_once(
@@ -50,26 +72,39 @@ def build_once(
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_{prefix}_{uid}_{key}")
     marker_path = os.path.join(path, marker)
     lock = path + ".lock"
-    deadline = time.monotonic() + _WAIT_S
     while True:
         if os.path.isfile(marker_path):
             return path
         try:
             os.mkdir(lock)  # the ONLY claim primitive — atomic, one winner
         except FileExistsError:
-            if time.monotonic() >= deadline:
-                # stale lock (builder died without releasing): remove and
-                # loop back to the atomic mkdir — racing reclaimers collide
-                # there, so still at most one builds. Reset the budget so a
-                # waiter that loses the re-claim grants the new builder a
-                # full window instead of rm-ing its fresh lock every poll.
-                shutil.rmtree(lock, ignore_errors=True)
-                deadline = time.monotonic() + _WAIT_S
+            try:
+                claimed_mtime = os.stat(lock).st_mtime
+            except OSError:
+                continue  # released between mkdir and stat — retry the claim
+            if time.time() - claimed_mtime >= _WAIT_S:
+                # no heartbeat for a full budget: the builder died without
+                # releasing. Confirm the mtime is unchanged (a release +
+                # fresh re-claim in the gap would have reset it), remove,
+                # and loop back to the atomic mkdir — racing reclaimers
+                # collide there, so still at most one builds.
+                try:
+                    if os.stat(lock).st_mtime == claimed_mtime:
+                        shutil.rmtree(lock, ignore_errors=True)
+                except OSError:
+                    pass
             time.sleep(_POLL_S)
             continue
+        stop = threading.Event()
+        hb = threading.Thread(
+            target=_heartbeat, args=(lock, stop), daemon=True, name="buildonce-hb"
+        )
+        hb.start()
         try:
             if not os.path.isfile(marker_path):
                 builder(path)
             return path
         finally:
+            stop.set()
+            hb.join()
             shutil.rmtree(lock, ignore_errors=True)

@@ -194,22 +194,44 @@ def merges_df(spark: SparkSession, model: BpeModel) -> DataFrame:
     )
 
 
+def oov_subword_counts(oov_words: DataFrame, model: BpeModel) -> DataFrame:
+    """word -> |subwords| for words OUTSIDE the training dictionary:
+    replay the learned merges, in order, over each word's char+EOW array —
+    exactly reference BPE's behavior on unseen words (each merge is the
+    same greedy leftmost fold training used). Runs over the DISTINCT
+    unseen-word frame only, so the replay cost is |OOV vocab| x n_merges
+    projections, never corpus-sized. Input: a ``word`` column; output:
+    (word, n_sub)."""
+    syms: Column = chars_with_eow("word")
+    for left, right, _freq in model.merges:
+        syms = merge_pair_expr(syms, left, right)
+    return oov_words.select("word", F.size(syms).alias("n_sub"))
+
+
 def encode_token_counts(
     df: DataFrame, model: BpeModel, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Per-document BPE token count via the dictionary join (no merge
-    replay): explode words -> equi-join word->|subwords| -> per-doc sum.
-    The dict side carries one small int per word, so Catalyst broadcasts
-    it at test scale; a web-scale vocabulary falls back to a plain
-    shuffled join on the same plan. Every corpus word is in the dict by
-    construction (same corpus), so the join is inner and lossless.
+    """Per-document BPE token count via the dictionary join (no corpus-wide
+    merge replay): explode words -> equi-join word->|subwords| -> per-doc
+    sum. The dict side carries one small int per word, so Catalyst
+    broadcasts it at test scale; a web-scale vocabulary falls back to a
+    plain shuffled join on the same plan.
+
+    Lossless on ANY corpus: words missing from the training dictionary
+    (OOV — encoding a different corpus than the one trained on) are not
+    silently dropped; the distinct unseen words get their subword counts
+    from :func:`oov_subword_counts` (merge replay over the OOV vocabulary
+    only — reference-BPE behavior for unseen words) and rejoin the same
+    plan, so ``n_words`` always equals the corpus word count.
     """
     dict_df = model.words.select("word", F.size("syms").alias("n_sub"))
     ex = df.select(id_col, F.explode(tokens(text_col)).alias("word")).filter(
         F.col("word") != ""
     )
+    oov = ex.select("word").distinct().join(dict_df.select("word"), "word", "left_anti")
+    full_dict = dict_df.unionByName(oov_subword_counts(oov, model))
     return (
-        ex.join(dict_df, "word")
+        ex.join(full_dict, "word")
         .groupBy(id_col)
         .agg(F.sum("n_sub").alias("n_bpe_tokens"), F.count(F.lit(1)).alias("n_words"))
     )

@@ -137,7 +137,7 @@ class InvertedIndex:
         (the same contract as ServingTable.append's ingest batches; the
         streaming corpus dedup produces exactly such batches).
         """
-        m = self._read_meta()
+        m = self._read_meta(allow_missing=True)
         if epoch is None:
             epoch = max((int(e) for e in m["epochs"]), default=-1) + 1
         stats = df.select(
@@ -220,16 +220,31 @@ class InvertedIndex:
             shutil.rmtree(self.path, ignore_errors=True)
             os.replace(old, self.path)
 
-    def _read_meta(self) -> dict:
+    def _read_meta(self, allow_missing: bool = False) -> dict:
+        """Load the sidecar. ``allow_missing=True`` (append/streaming flow
+        ONLY — those legitimately start from an empty dir) fabricates an
+        empty meta for a never-built path; every QUERY path keeps the
+        default and raises, so a typo'd or never-built index path fails
+        loudly instead of silently returning empty results."""
         self._recover()
         meta_path = os.path.join(self.path, META)
         if not os.path.isfile(meta_path):
-            # never-built index: append() on a fresh path must work — the
-            # streaming sink's search_index flow starts from an empty dir
-            # (epoch allocation already tolerates no epochs)
-            return {"n_buckets": self.n_buckets, "epochs": {}}
+            if allow_missing:
+                return {"n_buckets": self.n_buckets, "epochs": {}}
+            raise FileNotFoundError(
+                f"no inverted index at {self.path!r} (missing {META}); "
+                "build() it first, or use append() to start one incrementally"
+            )
         with open(meta_path) as f:
             return json.load(f)
+
+    def has_epoch(self, epoch: int) -> bool:
+        """True iff ``epoch``'s stats entry exists in the sidecar — i.e. the
+        epoch's append COMPLETED (the entry is replaced only after the
+        postings commit, so its absence is the crash signal streaming heal
+        keys on). Tolerates a never-built index (False)."""
+        m = self._read_meta(allow_missing=True)
+        return str(int(epoch)) in m["epochs"]
 
     def meta(self) -> dict:
         """Totals view: sums the per-epoch entries (exact corpus scalars)."""

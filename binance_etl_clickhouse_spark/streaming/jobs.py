@@ -418,11 +418,37 @@ def stream_dedup_corpus(
                 minhash_signatures(missing, k=k).write.mode("append").parquet(
                     index_dir
                 )
-            if search_index is not None:
-                have_search = search_index.postings(
-                    batch.sparkSession
-                ).select("doc_id").distinct()
-                heal_search = replayed.join(have_search, "doc_id", "left_anti")
+            if search_index is not None and not search_index.has_epoch(
+                int(epoch_id)
+            ):
+                # This epoch's index append never COMPLETED: the per-epoch
+                # stats entry is replaced only after the postings commit,
+                # so its absence covers every crash point — before any
+                # postings write, mid-commit (a non-atomic committer can
+                # leave the epoch PARTIALLY visible), or between the
+                # postings commit and the meta replace (which previously
+                # left the stats entry missing forever). Doc-membership
+                # anti-joins cannot see a partially-visible epoch (a doc
+                # with SOME postings files committed looks indexed), so
+                # heal with the FULL replayed set minus docs committed
+                # under an EARLIER epoch (stream epochs commit in order,
+                # so cross-epoch membership means complete; feed-dups
+                # re-delivered from committed epochs must NOT re-index —
+                # they'd duplicate postings). The heal set then contains
+                # every doc this epoch could have touched, so the dynamic
+                # partition overwrite rewrites all of the epoch's
+                # partitions and converges to the complete index.
+                from binance_etl_clickhouse_spark.storage.invindex import EPOCH
+
+                committed_elsewhere = (
+                    search_index.postings(batch.sparkSession)
+                    .filter(F.col(EPOCH) != int(epoch_id))
+                    .select("doc_id")
+                    .distinct()
+                )
+                heal_search = replayed.join(
+                    committed_elsewhere, "doc_id", "left_anti"
+                )
                 if heal_search.isEmpty():
                     heal_search = None
         if clean.isEmpty():

