@@ -78,6 +78,64 @@ def _sf_from_dir(d: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+#: corpus-family ops measured at 1x AND a synthesized 10x corpus each round
+#: (VERDICT r2 item 5): tracks the dedup-verification scaling curve in
+#: BENCH_r{N} instead of one-off in SCALE.md. Reported under the separate
+#: "corpus_scale" key so the headline total stays comparable across rounds.
+_SCALE_REPLICAS = int(os.environ.get("BENCH_SCALE_REPLICAS", "10"))
+
+
+def _corpus_scale_ops():
+    from binance_etl_clickhouse_spark.operators import corpus as corpus_ops
+    from binance_etl_clickhouse_spark.operators import neardup
+    from binance_etl_clickhouse_spark.operators.text import simhash_wide
+
+    return {
+        "minhash_lsh_neardup": lambda df: neardup.minhash_lsh_pairs(df, threshold=0.5),
+        "simhash_neardup_pairs": lambda df: neardup.simhash_banded_pairs(
+            simhash_wide(df), n_bands=4, sig_bits=60, max_hamming=3
+        ),
+        "span_dedup_corpus": lambda df: corpus_ops.span_dedup(df),
+    }
+
+
+def _bench_corpus_scale(spark) -> dict:
+    import tempfile
+
+    from binance_etl_clickhouse_spark.tables import load_table
+    from binance_etl_clickhouse_spark.testing.corpusscale import (
+        synth_replicated_corpus,
+    )
+
+    base = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    scratch = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_bench_corpus_{os.getpid()}"
+    )
+    big = synth_replicated_corpus(base, scratch, replicas=_SCALE_REPLICAS)
+    ops = _corpus_scale_ops()
+    out: dict[str, dict[str, float]] = {"1x": {}, f"{_SCALE_REPLICAS}x": {}}
+    # warmup pass first: the first execution of each family pays JIT /
+    # codegen / Arrow init, which would otherwise inflate the 1x numbers
+    for tag, df in (("warmup", base), ("1x", base), (f"{_SCALE_REPLICAS}x", big)):
+        for name, op in ops.items():
+            t0 = time.perf_counter()
+            op(df).write.format("noop").mode("overwrite").save()
+            if tag != "warmup":
+                out[tag][name] = round(time.perf_counter() - t0, 4)
+    import shutil
+
+    shutil.rmtree(scratch, ignore_errors=True)
+    big_tag = f"{_SCALE_REPLICAS}x"
+    return {
+        "replicas": _SCALE_REPLICAS,
+        "1x": out["1x"],
+        big_tag: out[big_tag],
+        "scale_factor": {
+            n: round(out[big_tag][n] / max(out["1x"][n], 1e-3), 2) for n in ops
+        },
+    }
+
+
 def main() -> None:
     # shuffle partitions sized to the bench scale, not the core count: at
     # sf<=1 the inputs are tens of MB, so 8 initial partitions (AQE coalesces
@@ -106,6 +164,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
+                "corpus_scale": _bench_corpus_scale(spark),
             }
         )
     )

@@ -21,12 +21,15 @@ _REPO_ROOT = str(Path(__file__).resolve().parent.parent)
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
-from pyspark.sql import DataFrame, functions as F  # noqa: E402
+from pyspark.sql import DataFrame  # noqa: E402
 
 from binance_etl_clickhouse_spark.operators import neardup  # noqa: E402
 from binance_etl_clickhouse_spark.operators.text import simhash_wide  # noqa: E402
 from binance_etl_clickhouse_spark.session import get_spark  # noqa: E402
 from binance_etl_clickhouse_spark.tables import load_table  # noqa: E402
+from binance_etl_clickhouse_spark.testing.corpusscale import (  # noqa: E402
+    synth_replicated_corpus,
+)
 
 SF_DIR = "/root/testdata/sf0.1"
 SCRATCH = "/tmp/corpus_rehearsal_50k"
@@ -34,33 +37,11 @@ REPLICAS = 10
 
 
 def synth_10x(spark) -> DataFrame:
+    # shared synthesizer (also used by bench.py's per-round corpus_scale
+    # section) — see testing/corpusscale.py for the replica/perturbation
+    # rationale
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
-    n = docs.count()
-    reps = spark.range(REPLICAS).withColumnRenamed("id", "rep")
-    # new_id must be materialized BEFORE the perturbation references it:
-    # sibling aliases inside one select() don't shadow input columns, so a
-    # single-select version would suffix the ORIGINAL doc_id and make all
-    # odd replicas of a document identical to each other
-    big = (
-        docs.crossJoin(F.broadcast(reps))
-        .withColumn("new_id", F.col("doc_id") + F.col("rep") * n)
-        .select(
-            F.col("new_id").alias("doc_id"),
-            # odd replicas get a per-REPLICA unique token appended -> NOT
-            # exact dups of anything, still near-dups of their source;
-            # even replicas are exact dups of the source
-            F.when(
-                F.col("rep") % 2 == 1,
-                F.concat_ws(
-                    " ", F.col("text"), F.concat(F.lit("uniq"), F.col("new_id"))
-                ),
-            )
-            .otherwise(F.col("text"))
-            .alias("text"),
-        )
-    )
-    big.write.mode("overwrite").parquet(SCRATCH)
-    return spark.read.parquet(SCRATCH)
+    return synth_replicated_corpus(docs, SCRATCH, replicas=REPLICAS)
 
 
 def _noop(df: DataFrame) -> None:
