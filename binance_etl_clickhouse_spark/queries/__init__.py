@@ -59,6 +59,7 @@ DRIVER_WINDOW = [
     # (a) BPE tokenizer family (train/encode are rows-only by the
     # iterative-algorithm carve-out; pair stats carries the full oracle)
     "bpe_pair_stats",
+    "bpe_merge_trace",
     "bpe_train_merges",
     "bpe_token_counts",
     # (a) as-of directions added late in r2
@@ -99,7 +100,9 @@ DRIVER_WINDOW = [
     "embedding_cosine_neardup",     # exact GEMM dedup (changed r2)
     "multimodal_binary_features",   # mapInPandas binary chain
     "sessionization_stats",         # gap-based sessions
-    "rollup_orders",                # hierarchical grouping
+    # (rollup_orders yields its canary slot to the new bpe_merge_trace:
+    # hierarchical grouping stays covered by r2's grouping_sets_orders
+    # green and the pytest oracle)
     "asof_join_purchase_click",     # as-of backward (original direction)
     "pivot_event_counts",           # pivot
     "pandas_zscore_per_user",       # applyInPandas

@@ -1429,3 +1429,98 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return bpe.encode_token_counts(docs, _bpe_model(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# BPE merge TRACE with a full value-hash oracle (VERDICT r2 stretch item):
+# the trainer is iterative, but each round's (argmax pair, freq) IS
+# SQL-expressible, so the first N rounds unroll into CTEs the same way the
+# IVF oracle unrolls k-means. Round r: pair stats over the word frame
+# after r-1 merges -> argmax by (freq DESC, left, right) -> apply the
+# merge. The greedy leftmost non-overlapping merge application maps
+# exactly onto string replace() over a bracket-delimited symbol string
+# (chr(1)/chr(2) wrap each symbol, so partial-symbol matches are
+# impossible and consecutive merges chain like the reference fold:
+# "a a a a" + (a,a) -> "aa aa").
+# ---------------------------------------------------------------------------
+_BPE_TRACE_ROUNDS = 3
+
+
+def _bpe_trace_oracle(rounds: int = _BPE_TRACE_ROUNDS) -> str:
+    def merge_apply(prev: str, best: str) -> str:
+        return (
+            "string_split(trim(replace("
+            f"array_to_string(list_transform({prev}.s, x -> chr(1)||x||chr(2)), ''),"
+            f" chr(1)||{best}.l||chr(2)||chr(1)||{best}.r||chr(2),"
+            f" chr(1)||{best}.l||{best}.r||chr(2)), chr(1)||chr(2)), chr(2)||chr(1))"
+        )
+
+    ctes = []
+    prev = "w0"
+    for rd in range(1, rounds + 1):
+        ctes.append(
+            f"""p{rd} AS (
+      SELECT s[i] AS l, s[i + 1] AS r, sum(cnt)::BIGINT AS freq
+      FROM {prev}, unnest(range(1, len(s))) AS t(i)
+      WHERE s[i] <> '</w>' GROUP BY 1, 2
+    ),
+    b{rd} AS (SELECT l, r, freq FROM p{rd} ORDER BY freq DESC, l, r LIMIT 1)"""
+        )
+        if rd < rounds:
+            ctes.append(
+                f"""w{rd} AS (
+      SELECT cnt, {merge_apply(prev, f'b{rd}')} AS s
+      FROM {prev} CROSS JOIN b{rd}
+    )"""
+            )
+            prev = f"w{rd}"
+    body = ",\n    ".join(ctes)
+    tail = "\n    UNION ALL ".join(
+        f"SELECT {rd}::BIGINT AS round, l AS left_sym, r AS right_sym, freq FROM b{rd}"
+        for rd in range(1, rounds + 1)
+    )
+    return f"""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    wc AS (
+      SELECT word, count(*)::BIGINT AS cnt FROM words WHERE word <> '' GROUP BY word
+    ),
+    w0 AS (
+      SELECT cnt,
+             list_append([substr(word, i, 1) for i in range(1, len(word) + 1)],
+                         '</w>') AS s
+      FROM wc
+    ),
+    {body}
+    {tail}
+    """
+
+
+@register(
+    "bpe_merge_trace",
+    _bpe_trace_oracle(),
+    survey_ref=(
+        "tokenizer training: BPE merge trace, first rounds fully "
+        "oracle-checked (unrolled per-round argmax)"
+    ),
+)
+def bpe_merge_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First ``_BPE_TRACE_ROUNDS`` merges of the distributed trainer as a
+    checkable frame (round, left_sym, right_sym, freq). Reuses the shared
+    trained model — the first N merges of an N'-merge run (N' >= N) equal
+    an N-round run because each round depends only on the rounds before
+    it; min_freq can only stop early below the trace depth on a corpus
+    too tiny to ship."""
+    from binance_etl_clickhouse_spark.operators import bpe
+
+    return (
+        bpe.merges_df(spark, _bpe_model(spark, sf_dir))
+        .filter(F.col("rank") <= _BPE_TRACE_ROUNDS)
+        .select(
+            F.col("rank").cast("long").alias("round"),
+            F.col("left").alias("left_sym"),
+            F.col("right").alias("right_sym"),
+            F.col("freq"),
+        )
+    )
