@@ -29,6 +29,7 @@ COLLECT_WHITELIST = {
     "operators/sketches.py": "kilobyte-scale sketch states (CMS merge)",
     "pipeline.py": "failed-symbol report list (per-run, symbols not rows)",
     "queries/llm.py": "fitted centroid literals for the oracle SQL twin",
+    "queries/corpus.py": "|HYBRID_QUERY_IDS|=3 query vectors for the dense probe",
     "storage/rollup.py": "touched (month, seq) pairs (months, not rows)",
     "storage/tokenbloom.py": "m/64 bloom longs per FILE (files, not rows)",
 }

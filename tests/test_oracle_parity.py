@@ -56,12 +56,15 @@ def test_queries_oracle_keys_consistent():
 
 def test_driver_window_is_the_verification_budget():
     """The driver checks the first 50 registered queries; pin that the
-    window is exactly DRIVER_WINDOW and all but the inherently-approximate
-    query carry a full value-hash oracle."""
+    window is exactly DRIVER_WINDOW and every entry except the deliberate
+    iterative-algorithm carve-outs carries a full value-hash oracle."""
     from binance_etl_clickhouse_spark.queries import DRIVER_WINDOW, oracle_sql_map, queries_map
 
     order = list(queries_map())
     assert len(DRIVER_WINDOW) == 50
     assert order[:50] == DRIVER_WINDOW
     rows_only_in_window = [n for n in order[:50] if n not in oracle_sql_map()]
-    assert rows_only_in_window == ["approx_aggregates"]  # HLL/quantile sketches
+    # BPE training/encoding are rows-only by the iterative-algorithm
+    # carve-out (their per-round pair statistics ARE oracle-checked via
+    # bpe_pair_stats + bpe_merge_trace, both in the window).
+    assert rows_only_in_window == ["bpe_train_merges", "bpe_token_counts"]
