@@ -600,3 +600,143 @@ def gopher_quality_filters(
         & (F.col("stop_hits") >= min_stop)
     )
     return out.withColumn("keep", keep)
+
+
+def shingle_frequencies(
+    df: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, term, tf): occurrence count of each k-token shingle per document.
+
+    Unlike :func:`texthash.shingles` this keeps REPEATS (tf is a count, not
+    membership) — the term unit for shingle-space TF-IDF vectors. Same scale
+    shape as :func:`term_frequencies`: per-row projection + explode, then one
+    (doc, shingle) groupBy with map-side partial aggregation.
+    """
+    w = tokens(text_col)
+    n = F.size(w)
+    sh = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tok = ensure_min_parallelism(df).select(
+        F.col(id_col), F.explode(sh).alias("term")
+    )
+    return tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    n_docs: int,
+    threshold: float = 0.6,
+    df_cap: int = 50,
+    shingle_k: int | None = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    persist: bool = True,
+) -> DataFrame:
+    """All-pairs sparse cosine similarity (APSS) over TF-IDF vectors via an
+    inverted-index join — the sparse-vector twin of the embedding near-dup
+    families (`operators/neardup.embedding_cosine_pairs`): pairs of documents
+    whose TF-IDF cosine clears ``threshold``, generated WITHOUT an all-pairs
+    product.
+
+    Vectors are defined over the df-capped vocabulary: terms appearing in
+    more than ``df_cap`` documents are dropped from the vectors entirely
+    (weights AND norms), the classic stop-term prune of inverted-index APSS
+    (Bayardo et al., "Scaling Up All Pairs Similarity Search", WWW'07 — the
+    prefix filter is the finer refinement of the same bound). With the cap,
+    each posting list has at most ``df_cap`` entries, so candidate pairs are
+    bounded by sum_t df_t^2 <= df_cap * (total postings) — LINEAR in corpus
+    size with a constant cap, not quadratic. Shuffle keys are the term
+    (candidate generation) and the (doc_a, doc_b) pair (dot-product
+    aggregation), both high-cardinality and skew-free by construction.
+
+    ``shingle_k``: use k-token shingles as the term space (near-dup
+    detection — unigram vectors saturate when the vocabulary is small);
+    ``None`` for plain unigram terms. idf is the smoothed sklearn form,
+    ln((N+1)/(df+1))+1, with ``n_docs`` passed as a scalar. The cosine is
+    rounded at 6 dp before the threshold, so the kept pair SET is identical
+    across engines (summation-order drift is ~1 ulp, far below 6 dp).
+    """
+    tf = (
+        shingle_frequencies(df, shingle_k, id_col, text_col)
+        if shingle_k is not None
+        else term_frequencies(df, id_col, text_col)
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
+    idf = F.log(
+        F.lit(float(n_docs + 1)) / (F.col("df_count") + F.lit(1.0))
+    ) + F.lit(1.0)
+    wts = _pin_counts(
+        tf.join(dfreq.filter(F.col("df_count") <= df_cap), "term").select(
+            F.col(id_col), F.col("term"), (F.col("tf") * idf).alias("wt")
+        ),
+        persist,
+    )
+    norms = wts.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+    )
+    # wn feeds BOTH sides of the self-join — pin it or the whole
+    # tokenize+explode+aggregate chain runs twice (see _pin_counts)
+    wn = _pin_counts(
+        wts.join(norms, id_col).select(
+            F.col(id_col), F.col("term"), (F.col("wt") / F.col("nrm")).alias("wn")
+        ),
+        persist,
+    )
+    a, b = wn.alias("a"), wn.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.round(F.sum(F.col("a.wn") * F.col("b.wn")), 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def weighted_sample_wor(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, ``k`` rows per
+    group — Efraimidis–Spirakis A-Res with hash-derived uniforms.
+
+    Each row draws key = u^(1/w) with u = hash60('wsam:' || id) / 2^60 and
+    w its weight; the k largest keys per group are an exact weighted
+    sample without replacement (Efraimidis & Spirakis, IPL 2006). Because
+    u comes from md5 of the row id rather than an RNG, the selected SET is
+    reproducible across engines, runs, and cluster sizes — the same
+    resumable-sampling property as :func:`source_mixture_sample`, but
+    weight-proportional instead of rate-per-source.
+
+    One window shuffle on the group key; row_number plans as a
+    WindowGroupLimit (top-k pushdown), never a full per-group sort spill.
+    The key is rounded at 9 dp before ranking (pow() last-ulp drift), with
+    the id as the deterministic tie-break.
+    """
+    u = hash60(F.concat(F.lit("wsam:"), F.col(id_col).cast("string"))) / F.lit(
+        HASH60_SPAN
+    )
+    w = F.col(weight_col).cast("double")
+    key = F.round(F.pow(u, F.lit(1.0) / w), 9)
+    keyed = df.filter(w > 0).select(
+        F.col(id_col), F.col(group_col), F.col(weight_col), key.alias("sample_key")
+    )
+    win = Window.partitionBy(group_col).orderBy(
+        F.col("sample_key").desc(), F.col(id_col)
+    )
+    return (
+        keyed.withColumn("rn", F.row_number().over(win).cast("long"))
+        .filter(F.col("rn") <= k)
+    )

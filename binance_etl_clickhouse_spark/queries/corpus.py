@@ -743,3 +743,111 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         rrf_k=_HY_RRF_K,
         nprobe=_IVF_NPROBE,
     )
+
+
+# ---------------------------------------------------------------------------
+# All-pairs sparse cosine similarity (APSS): the sparse-vector twin of the
+# embedding near-dup families. TF-IDF vectors over the df-capped 3-token
+# shingle space, pairs from an inverted-index join — candidates bounded by
+# df_cap * postings (linear, not quadratic). The oracle recomputes the
+# identical vectors and pairs with a full SQL self-join.
+# ---------------------------------------------------------------------------
+_APSS_K = 3
+_APSS_CAP = 50
+_APSS_TH = 0.6
+
+
+@register(
+    "tfidf_cosine_pairs",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest([array_to_string(w[i : i+{_APSS_K - 1}], ' ')
+                     for i in range(1, len(w) - {_APSS_K - 2})]) AS term
+      FROM toks WHERE len(w) >= {_APSS_K}
+    ),
+    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM sh GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*)::BIGINT AS df_count FROM tf GROUP BY term),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * (ln((n.n_docs + 1) / (dfreq.df_count + CAST(1.0 AS DOUBLE))) + 1)
+               AS wt
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+      WHERE dfreq.df_count <= {_APSS_CAP}
+    ),
+    nrm AS (SELECT doc_id, sqrt(sum(wt*wt)) AS nrm FROM w GROUP BY doc_id),
+    wn AS (SELECT w.doc_id, w.term, w.wt / nrm.nrm AS wn FROM w JOIN nrm USING (doc_id))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(sum(a.wn * b.wn), 6) AS cosine
+    FROM wn a JOIN wn b ON a.term = b.term AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING round(sum(a.wn * b.wn), 6) >= {_APSS_TH}
+    """,
+    survey_ref=(
+        "similarity: all-pairs sparse TF-IDF cosine via inverted-index join "
+        "(df-capped APSS, Bayardo WWW'07)"
+    ),
+)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    return corpus.tfidf_cosine_pairs(
+        docs, n_docs, threshold=_APSS_TH, df_cap=_APSS_CAP, shingle_k=_APSS_K
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-language exact-quantile quality gate: keep docs whose quality score
+# clears their language's P25 — the adaptive-threshold variant of the fixed
+# Gopher bounds above. Exact percentile (linear interpolation) so the DuckDB
+# quantile_cont twin reproduces the threshold bit-for-bit from the same
+# 6dp-rounded scores; at 100 TB the per-language threshold frame is
+# |languages| rows (broadcast), and the gate is a single filtered scan.
+# ---------------------------------------------------------------------------
+_QQ_P = 0.25
+
+
+@register(
+    "quality_quantile_filter",
+    f"""
+    WITH feats AS (
+      SELECT doc_id, lang,
+             round(
+               least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.4
+               + (len(list_distinct(string_split(text, ' ')))
+                  / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.4
+               + (1 - len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))
+                      / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.2,
+               6) AS quality_score
+      FROM documents
+    ),
+    th AS (
+      SELECT lang, round(quantile_cont(quality_score, {_QQ_P}), 6) AS lang_p25
+      FROM feats GROUP BY lang
+    )
+    SELECT f.doc_id, f.lang, f.quality_score, th.lang_p25,
+           f.quality_score >= th.lang_p25 AS keep
+    FROM feats f JOIN th USING (lang)
+    """,
+    survey_ref=(
+        "training-data: per-language exact-quantile quality threshold "
+        "(adaptive Gopher-style gate)"
+    ),
+)
+def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_clickhouse_spark.operators.text import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = quality_features(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    th = feats.groupBy("lang").agg(
+        F.round(F.percentile("quality_score", F.lit(_QQ_P)), 6).alias("lang_p25")
+    )
+    return feats.join(F.broadcast(th), "lang").select(
+        "doc_id",
+        "lang",
+        "quality_score",
+        "lang_p25",
+        (F.col("quality_score") >= F.col("lang_p25")).alias("keep"),
+    )

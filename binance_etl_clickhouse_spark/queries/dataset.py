@@ -370,3 +370,46 @@ def training_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis A-Res): k docs
+# per source, selection probability proportional to n_chars, with the
+# uniforms derived from md5 of the doc id — so the sampled SET is exactly
+# reproducible (oracle-checkable, resumable, cluster-size-independent).
+# One window shuffle on the source key; row_number plans as WindowGroupLimit.
+# ---------------------------------------------------------------------------
+_WS_K = 20
+
+
+@register(
+    "weighted_sample_per_source",
+    f"""
+    SELECT doc_id, source, n_chars, sample_key, rn
+    FROM (
+      SELECT doc_id, source, n_chars, sample_key,
+             row_number() OVER (
+               PARTITION BY source ORDER BY sample_key DESC, doc_id
+             ) AS rn
+      FROM (
+        SELECT doc_id, source, n_chars,
+               round(pow(
+                 {hash60_sql("'wsam:' || CAST(doc_id AS VARCHAR)")} / {float(1 << 60)},
+                 1.0 / CAST(n_chars AS DOUBLE)
+               ), 9) AS sample_key
+        FROM documents WHERE n_chars > 0
+      )
+    ) t WHERE rn <= {_WS_K}
+    """,
+    survey_ref=(
+        "training-data: weighted sampling without replacement per source "
+        "(Efraimidis-Spirakis A-Res, hash-deterministic)"
+    ),
+)
+def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_clickhouse_spark.operators.corpus import weighted_sample_wor
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample_wor(
+        docs, k=_WS_K, weight_col="n_chars", group_col="source"
+    )

@@ -149,3 +149,128 @@ def test_mixture_sample_deterministic_and_on_target(spark):
         kept = sum(1 for _, s in s1 if s == src)
         expected = rates[src] * n_by_src[src]
         assert abs(kept - expected) <= max(3.0, 0.6 * expected)
+
+
+# ---------------------------------------------------------------------------
+# APSS (tfidf_cosine_pairs): inverted-index pair generation must equal the
+# brute-force all-pairs cosine over the same df-capped vector space.
+# ---------------------------------------------------------------------------
+
+
+def test_apss_equals_bruteforce_cosine(spark):
+    from binance_etl_clickhouse_spark.operators.corpus import (
+        shingle_frequencies,
+        tfidf_cosine_pairs,
+    )
+
+    docs = load_table(spark, SF, "documents").limit(120)
+    n = docs.count()
+    cap, th, k = 50, 0.3, 3
+    got = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in tfidf_cosine_pairs(
+            docs, n, threshold=th, df_cap=cap, shingle_k=k, persist=False
+        ).collect()
+    }
+    # brute force in Python over the same shingle tf space
+    tf_rows = shingle_frequencies(docs, k).collect()
+    df_count: dict[str, int] = {}
+    for r in tf_rows:
+        df_count[r.term] = df_count.get(r.term, 0) + 1
+    vecs: dict[int, dict[str, float]] = {}
+    for r in tf_rows:
+        if df_count[r.term] <= cap:
+            idf = math.log((n + 1) / (df_count[r.term] + 1.0)) + 1.0
+            vecs.setdefault(r.doc_id, {})[r.term] = r.tf * idf
+    for d, v in vecs.items():
+        nrm = math.sqrt(sum(x * x for x in v.values()))
+        vecs[d] = {t: x / nrm for t, x in v.items()}
+    want = {}
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            shared = set(vecs[a]) & set(vecs[b])
+            if not shared:
+                continue
+            cos = round(sum(vecs[a][t] * vecs[b][t] for t in shared), 6)
+            if cos >= th:
+                want[(a, b)] = cos
+    assert got.keys() == want.keys()
+    for pair, cos in want.items():
+        assert abs(got[pair] - cos) <= 1e-6
+    assert want, "threshold too high: vacuous comparison"
+
+
+def test_apss_pair_generation_is_df_bounded(spark):
+    """Dropping the df-cap must strictly grow (or keep) the candidate pair
+    set; with cap=0 the result is empty — pins that the cap is applied to
+    vectors (weights AND norms), not just the join."""
+    from binance_etl_clickhouse_spark.operators.corpus import tfidf_cosine_pairs
+
+    docs = load_table(spark, SF, "documents").limit(80)
+    n = docs.count()
+    capped = tfidf_cosine_pairs(docs, n, threshold=0.0, df_cap=5, persist=False)
+    uncapped = tfidf_cosine_pairs(docs, n, threshold=0.0, df_cap=10**9, persist=False)
+    empty = tfidf_cosine_pairs(docs, n, threshold=0.0, df_cap=0, persist=False)
+    assert empty.count() == 0
+    c_pairs = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    u_pairs = {(r.doc_a, r.doc_b) for r in uncapped.collect()}
+    assert c_pairs <= u_pairs
+
+
+# ---------------------------------------------------------------------------
+# Efraimidis–Spirakis weighted sampling: exact match vs a pure-Python A-Res
+# over the same hash-derived uniforms, per-group k bound, determinism.
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_matches_python_ares(spark):
+    import hashlib
+
+    from binance_etl_clickhouse_spark.operators.corpus import weighted_sample_wor
+
+    docs = load_table(spark, SF, "documents")
+    k = 7
+    out = weighted_sample_wor(docs, k=k, weight_col="n_chars").collect()
+    rows = docs.select("doc_id", "source", "n_chars").collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        if r.n_chars <= 0:
+            continue
+        u = int(hashlib.md5(f"wsam:{r.doc_id}".encode()).hexdigest()[:15], 16) / float(
+            1 << 60
+        )
+        key = round(u ** (1.0 / float(r.n_chars)), 9)
+        by_src.setdefault(r.source, []).append((key, r.doc_id))
+    want = set()
+    for src, items in by_src.items():
+        items.sort(key=lambda t: (-t[0], t[1]))
+        want |= {(src, doc) for _, doc in items[:k]}
+    got = {(r.source, r.doc_id) for r in out}
+    assert got == want
+    for r in out:
+        assert 1 <= r.rn <= k
+    # determinism: a second run yields the identical set
+    again = {
+        (r.source, r.doc_id)
+        for r in weighted_sample_wor(docs, k=k, weight_col="n_chars").collect()
+    }
+    assert again == got
+
+
+def test_quality_quantile_filter_keep_fraction(spark):
+    """P25 gate keeps at least 75% of every language (>= is inclusive of
+    the interpolated threshold) and never everything unless scores tie."""
+    from binance_etl_clickhouse_spark.queries import QUERIES
+
+    out = QUERIES["quality_quantile_filter"].spark(spark, SF).collect()
+    per_lang: dict[str, list] = {}
+    for r in out:
+        per_lang.setdefault(r.lang, []).append(r)
+    assert per_lang
+    for lang, rows in per_lang.items():
+        kept = sum(1 for r in rows if r.keep)
+        assert kept / len(rows) >= 0.70, lang
+        # the threshold is within the observed score range
+        scores = [r.quality_score for r in rows]
+        assert min(scores) <= rows[0].lang_p25 <= max(scores)
