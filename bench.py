@@ -70,6 +70,10 @@ HEADLINE = [
     # tokenizer family: the round-0 pair statistics (the per-iteration unit
     # of BPE training; full trainer timings live in SCALE.md)
     "bpe_pair_stats",
+    # round-3 additions: the IVF-routed hybrid (r2's one perf_weak — track
+    # the fix) and the inverted-index APSS sparse-cosine join
+    "hybrid_rrf_search",
+    "tfidf_cosine_pairs",
 ]
 
 
