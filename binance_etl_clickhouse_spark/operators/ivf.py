@@ -240,3 +240,43 @@ def ivf_batch_topk_from_table(
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def ivf_range_from_table(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    queries: list[tuple[int, list[float]]],
+    radius: float,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Range search (all neighbors with cosine >= ``radius``) over the
+    cell-partitioned index — the radius sibling of
+    :func:`ivf_batch_topk_from_table`.
+
+    Identical scan/routing shape: one PartitionFilters-pruned read of the
+    union of probed cells, broadcast (query, cell) routing join — but the
+    selection is a per-row threshold instead of a rank window, so there is
+    NO shuffle after the scan at all (filter + project only): the cheapest
+    possible retrieval plan. Self-matches are excluded. Output size is
+    data-dependent (that's what range search means); at scale the radius,
+    not a k, bounds the result.
+    """
+    rows = []
+    for qid, qv in queries:
+        for c in probe_cells(centroids, qv, nprobe):
+            rows.append((int(qid), int(c), [float(x) for x in qv]))
+    qdf = spark.createDataFrame(rows, "query_id long, cell int, q_vec array<double>")
+    cells = sorted({r[1] for r in rows})
+    cand = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    sim = cosine_expr(_as_double(vec_col), F.col("q_vec"))
+    return (
+        cand.join(F.broadcast(qdf), "cell")
+        .select("query_id", F.col(id_col), F.round(sim, 6).alias("cos_sim"))
+        .filter(
+            (F.col("cos_sim") >= F.lit(float(radius)))
+            & (F.col(id_col) != F.col("query_id"))
+        )
+    )

@@ -349,3 +349,62 @@ def winsorize_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         clipped.cast("int").alias("clipped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MAD-based robust outlier detection: |0.6745 * (v - median) / MAD| > 3.5
+# (the Iglewicz–Hoaglin modified z-score). Median and MAD are EXACT
+# percentiles — two tiny per-type aggregations broadcast back against the
+# events scan; degenerate MAD=0 groups flag nothing (z undefined -> 0).
+# The robust twin of winsorize_per_type: that one clips into a fixed
+# percentile band, this one scores distance in MAD units.
+# ---------------------------------------------------------------------------
+@register(
+    "mad_outlier_per_type",
+    """
+    WITH med AS (
+      SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+      FROM events GROUP BY 1
+    ),
+    mad AS (
+      SELECT e.event_type,
+             round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+      FROM events e JOIN med m USING (event_type) GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, m.med, d.mad,
+           round(CASE WHEN d.mad > 0
+                      THEN 0.6745 * (e.value - m.med) / d.mad
+                      ELSE 0 END, 6) AS robust_z,
+           abs(CASE WHEN d.mad > 0
+                    THEN 0.6745 * (e.value - m.med) / d.mad
+                    ELSE 0 END) > 3.5 AS is_outlier
+    FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+    """,
+    survey_ref=(
+        "§2.5 robust statistics: MAD modified z-score outlier flags "
+        "(exact-percentile, per-group)"
+    ),
+)
+def mad_outlier_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    with_med = ev.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.round(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)), 6
+        ).alias("mad")
+    )
+    z_raw = F.when(
+        F.col("mad") > 0,
+        F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad"),
+    ).otherwise(F.lit(0.0))
+    return with_med.join(F.broadcast(mad), "event_type").select(
+        "event_id",
+        "event_type",
+        "med",
+        "mad",
+        F.round(z_raw, 6).alias("robust_z"),
+        (F.abs(z_raw) > 3.5).alias("is_outlier"),
+    )

@@ -1524,3 +1524,79 @@ def bpe_merge_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("freq"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF range search: all neighbors within a cosine radius of each query, from
+# the SAME cell-partitioned layout the top-k queries use — pruned scan +
+# broadcast routing join + per-row threshold; no shuffle after the scan.
+# The oracle composes the unrolled k-means with the probe and the radius
+# filter (no rank window — that is the point of range search).
+# ---------------------------------------------------------------------------
+_IVF_RANGE_R = 0.3
+
+
+def _ann_ivf_range_oracle() -> str:
+    iters = []
+    prev = "c0"
+    for it in range(1, _IVF_ITERS + 1):
+        iters.append(_kmeans_assign_cte(f"a{it}", prev) + ",")
+        iters.append(_kmeans_update_cte(f"a{it}", prev, f"c{it}") + ",")
+        prev = f"c{it}"
+    body = "\n".join(iters)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_IVF_K})
+    ),
+    {body}
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+    probe AS (
+      SELECT query_id, cell FROM (
+        SELECT q.query_id, {prev}.cell,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_sqdist_sql('q.qv', f'{prev}.v')},
+                                           {prev}.cell) AS rn
+        FROM {prev} CROSS JOIN q
+      ) WHERE rn <= {_IVF_NPROBE}
+    ),
+    {_kmeans_assign_cte('af', prev)}
+    SELECT p.query_id, af.vec_id,
+           round(list_inner_product(af.v, q.qv)
+                 / (sqrt(list_inner_product(af.v, af.v))
+                    * sqrt(list_inner_product(q.qv, q.qv))), 6) AS cos_sim
+    FROM af JOIN probe p USING (cell) JOIN q USING (query_id)
+    WHERE round(list_inner_product(af.v, q.qv)
+                / (sqrt(list_inner_product(af.v, af.v))
+                   * sqrt(list_inner_product(q.qv, q.qv))), 6) >= {_IVF_RANGE_R}
+      AND af.vec_id <> p.query_id
+    """
+
+
+@register(
+    "ann_ivf_range_search",
+    _ann_ivf_range_oracle(),
+    survey_ref="similarity: IVF range search (radius retrieval, pruned scan)",
+)
+def ann_ivf_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_clickhouse_spark.buildonce import build_once
+    from binance_etl_clickhouse_spark.operators.ivf import (
+        ivf_range_from_table,
+        write_ivf_table,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codebook = _ivf_codebook(spark, sf_dir)
+    qrows = emb.filter(F.col("vec_id") < 3).select("vec_id", "embedding").collect()
+    queries = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows]
+    # same prefix + key material as ann_ivf_topk/batch: one shared layout
+    path = build_once(
+        "ivf",
+        f"{sf_dir}:{codebook}",
+        "_SUCCESS",
+        lambda p: write_ivf_table(emb, codebook, p),
+    )
+    return ivf_range_from_table(
+        spark, path, codebook, queries, radius=_IVF_RANGE_R, nprobe=_IVF_NPROBE
+    )

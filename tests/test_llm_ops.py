@@ -513,3 +513,50 @@ def test_ivf_incremental_append_and_stats(spark, tmp_path):
     stats = {r.cell: r.n_vectors for r in ivf_cell_stats(spark, path).collect()}
     assert sum(stats.values()) == emb.count()
     assert set(stats) <= set(range(4))
+
+
+def test_ivf_range_search_equals_bruteforce_within_probed_cells(spark, tmp_path):
+    """Range search must return EXACTLY the brute-force radius set restricted
+    to the probed cells (no rank cutoff to hide rows), excluding self."""
+    from binance_etl_clickhouse_spark.operators.ivf import (
+        assign_cells,
+        ivf_range_from_table,
+        kmeans_fit,
+        probe_cells,
+        write_ivf_table,
+    )
+    from binance_etl_clickhouse_spark.operators.similarity import cosine_expr
+
+    emb = load_table(spark, SF, "embeddings")
+    cb = kmeans_fit(emb, k=8, n_iters=2)
+    path = str(tmp_path / "ivf_range")
+    write_ivf_table(emb, cb, path)
+    qrows = emb.filter(F.col("vec_id") < 2).select("vec_id", "embedding").collect()
+    queries = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows]
+    radius = 0.2
+    got = {
+        (r.query_id, r.vec_id): r.cos_sim
+        for r in ivf_range_from_table(
+            spark, path, cb, queries, radius=radius, nprobe=3
+        ).collect()
+    }
+    assigned = {r.vec_id: r.cell for r in assign_cells(emb, cb).collect()}
+    want = {}
+    for qid, qv in queries:
+        probed = set(probe_cells(cb, qv, 3))
+        q = F.array(*[F.lit(float(x)) for x in qv])
+        sim_rows = emb.select(
+            "vec_id",
+            F.round(
+                cosine_expr(F.transform("embedding", lambda x: x.cast("double")), q), 6
+            ).alias("cos_sim"),
+        ).collect()
+        for r in sim_rows:
+            if (
+                r.vec_id != qid
+                and assigned[r.vec_id] in probed
+                and r.cos_sim >= radius
+            ):
+                want[(qid, r.vec_id)] = r.cos_sim
+    assert got == want
+    assert want, "radius too high: vacuous comparison"

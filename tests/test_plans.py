@@ -363,3 +363,14 @@ def test_no_accidental_nested_loop_join_anywhere(spark):
         "oracle-checked queries with driver-canonicalizer-unsafe (non-scalar) "
         f"output columns: {nonscalar}"
     )
+
+
+def test_ann_ivf_range_partition_pruned_no_post_scan_shuffle(spark):
+    # range search answers from the same cell-partitioned layout (probe in
+    # PartitionFilters) and — unlike top-k — has NO exchange after the scan:
+    # broadcast routing join + threshold filter only
+    plan = _plan(spark, "ann_ivf_range_search")
+    assert "PartitionFilters: [cell" in plan, plan[:2000]
+    assert "Window" not in plan
+    scan_part = plan[plan.index("PartitionFilters") :]
+    assert "Exchange hashpartitioning" not in scan_part
