@@ -740,3 +740,83 @@ def weighted_sample_wor(
         keyed.withColumn("rn", F.row_number().over(win).cast("long"))
         .filter(F.col("rn") <= k)
     )
+
+
+def bigram_frequencies(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, prev, cur, tf): occurrence count of each adjacent token pair per
+    document. Same shape discipline as :func:`term_frequencies`: per-row
+    projection + explode, one (doc, prev, cur) groupBy with map-side
+    partial aggregation; docs with < 2 tokens contribute nothing.
+    """
+    w = tokens(text_col)
+    n = F.size(w)
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(1)),
+            lambda i: F.struct(
+                F.element_at(w, i).alias("prev"),
+                F.element_at(w, i + 1).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    tok = ensure_min_parallelism(df).select(
+        F.col(id_col), F.explode(pairs).alias("p")
+    )
+    return tok.select(id_col, F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")).groupBy(
+        id_col, "prev", "cur"
+    ).agg(F.count(F.lit(1)).alias("tf"))
+
+
+def bigram_logprob(
+    df: DataFrame,
+    total_tokens: int,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    persist: bool = True,
+) -> DataFrame:
+    """Per-document mean INTERPOLATED bigram log-probability — one model
+    order up from :func:`unigram_logprob`, the KenLM-shaped quality proxy:
+
+    p(w_i | w_{i-1}) = lam * c(w_{i-1}, w_i) / c(w_{i-1})
+                     + (1 - lam) * c(w_i) / total
+    avg_logp2(d) = sum_bigrams tf * ln(p) / n_bigrams(d)
+
+    (Jelinek–Mercer interpolation; the unigram floor keeps every observed
+    bigram finite without discounting bookkeeping.) The corpus model is two
+    aggregate frames — bigram counts (vocabulary² bounded, in practice far
+    smaller) and unigram counts — joined back against DISTINCT per-doc
+    bigrams weighted by tf, never raw occurrences. Docs with < 2 tokens get
+    n_bigrams = 0 and a NULL score (no tokens to condition on). Rounded at
+    6 dp (summation-order ULPs).
+    """
+    bf = _pin_counts(bigram_frequencies(df, id_col, text_col), persist)
+    big_cnt = bf.groupBy("prev", "cur").agg(F.sum("tf").alias("c_big"))
+    uni_cnt = (
+        term_frequencies(df, id_col, text_col)
+        .groupBy("term")
+        .agg(F.sum("tf").alias("cnt"))
+    )
+    p = (
+        F.lit(float(lam)) * F.col("c_big").cast("double") / F.col("c_prev")
+        + F.lit(1.0 - float(lam)) * F.col("c_cur") / F.lit(float(total_tokens))
+    )
+    scored = (
+        bf.join(big_cnt, ["prev", "cur"])
+        .join(uni_cnt.select(F.col("term").alias("prev"), F.col("cnt").alias("c_prev")), "prev")
+        .join(uni_cnt.select(F.col("term").alias("cur"), F.col("cnt").alias("c_cur")), "cur")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.round(F.sum(F.col("tf") * F.log(p)) / F.sum("tf"), 6).alias("avg_logp2"),
+        )
+    )
+    ids = df.select(id_col)
+    return ids.join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias("n_bigrams"),
+        F.col("avg_logp2"),
+    )

@@ -851,3 +851,60 @@ def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_p25",
         (F.col("quality_score") >= F.col("lang_p25")).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram LM quality: one model order above
+# unigram_logprob_quality — Jelinek–Mercer interpolation of corpus bigram
+# and unigram MLE (the KenLM-shaped proxy). The interpolation constants are
+# inlined from the SAME Python floats the Spark side uses (1 - 0.7 is NOT
+# 0.3 in IEEE — repr-inlining keeps both engines on the identical double).
+# ---------------------------------------------------------------------------
+_BG_LAM = 0.7
+
+
+@register(
+    "bigram_logprob_quality",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bg AS (
+      -- parallel unnests of equal-length lists zip elementwise in DuckDB
+      SELECT doc_id,
+             unnest([w[i] for i in range(1, len(w))]) AS prev,
+             unnest([w[i+1] for i in range(1, len(w))]) AS cur
+      FROM toks
+    ),
+    bf AS (SELECT doc_id, prev, cur, count(*)::BIGINT AS tf FROM bg GROUP BY 1, 2, 3),
+    big AS (SELECT prev, cur, sum(tf)::BIGINT AS c_big FROM bf GROUP BY 1, 2),
+    uni AS (
+      SELECT t AS term, count(*)::BIGINT AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents) GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM uni),
+    scored AS (
+      SELECT bf.doc_id, sum(bf.tf)::BIGINT AS n_bigrams,
+             round(sum(bf.tf * ln(
+               {_BG_LAM!r} * CAST(big.c_big AS DOUBLE) / pu.cnt
+               + {1.0 - _BG_LAM!r} * pc.cnt / tot.total
+             )) / sum(bf.tf), 6) AS avg_logp2
+      FROM bf
+      JOIN big USING (prev, cur)
+      JOIN uni pu ON pu.term = bf.prev
+      JOIN uni pc ON pc.term = bf.cur
+      CROSS JOIN tot
+      GROUP BY bf.doc_id
+    )
+    SELECT d.doc_id, coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams, s.avg_logp2
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+    survey_ref=(
+        "corpus stats: interpolated bigram LM quality "
+        "(Jelinek-Mercer, one order above the unigram proxy)"
+    ),
+)
+def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    total = docs.select(F.sum(F.size(tokens("text"))).cast("long").alias("t")).first()[
+        "t"
+    ]
+    return corpus.bigram_logprob(docs, total_tokens=int(total), lam=_BG_LAM)

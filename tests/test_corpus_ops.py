@@ -274,3 +274,23 @@ def test_quality_quantile_filter_keep_fraction(spark):
         # the threshold is within the observed score range
         scores = [r.quality_score for r in rows]
         assert min(scores) <= rows[0].lang_p25 <= max(scores)
+
+
+def test_bigram_logprob_invariants(spark):
+    from binance_etl_clickhouse_spark.operators.corpus import bigram_logprob
+
+    docs = load_table(spark, SF, "documents")
+    total = docs.select(F.sum(F.size(tokens("text")))).first()[0]
+    out = bigram_logprob(docs, total_tokens=int(total)).collect()
+    n_tok = {
+        r.doc_id: r.n for r in docs.select("doc_id", F.size(tokens("text")).alias("n")).collect()
+    }
+    assert len(out) == len(n_tok)  # left join keeps every doc
+    for r in out:
+        expect = max(n_tok[r.doc_id] - 1, 0)
+        assert r.n_bigrams == expect
+        if expect == 0:
+            assert r.avg_logp2 is None
+        else:
+            # probabilities are in (0, 1]: lam*c/c_prev <= lam, floor > 0
+            assert r.avg_logp2 < 0
