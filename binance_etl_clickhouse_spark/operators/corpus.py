@@ -820,3 +820,80 @@ def bigram_logprob(
         F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias("n_bigrams"),
         F.col("avg_logp2"),
     )
+
+
+def substring_dedup(
+    df: DataFrame, min_len: int = 12, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact substring dedup: remove every token that sits inside a
+    ``min_len``-token run whose exact text occurs MORE THAN ONCE in the
+    corpus, keeping only the globally first occurrence — the
+    suffix-array-style pass of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better"), re-expressed relationally:
+
+    1. every stride-1 window of ``min_len`` tokens (ONE row per token
+       position — linear in corpus size), keyed by its 60-bit content hash
+       so the shuffle carries (id, pos, int64), never window text;
+    2. global first-occurrence rank per window hash ordered by (doc id,
+       position) — a total order, so the kept occurrence is deterministic;
+    3. every LATER occurrence marks its positions [pos, pos+min_len-1] as
+       removed; the union of marked positions (exploded + distinct) is the
+       removal set, which subsumes interval merging;
+    4. tokens at unmarked positions are stitched back in order.
+
+    Against span_dedup (non-overlapping fixed spans): stride-1 windows
+    catch duplicated runs at ANY alignment — the reason Lee et al. use
+    suffix arrays — at the cost of the position-explode in step 3, which
+    is bounded by (duplicated windows) x min_len; for real corpora the
+    duplicated fraction is small, and the windows themselves stay one row
+    per token regardless. Hash collisions (60-bit md5 prefix) can only
+    over-remove, at ~n_windows^2 / 2^60 expected pairs — negligible below
+    ~10^8 distinct windows per corpus; shard the hash space for more.
+
+    Returns (id, n_tokens, n_removed, text_deduped) for every input row.
+    """
+    w = tokens(text_col)
+    n = F.size(w)
+    win_hashes = F.when(
+        n >= min_len,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(min_len - 1)),
+            lambda i: hash60(F.concat_ws(" ", F.slice(w, i, min_len))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    wins = ensure_min_parallelism(df).select(
+        F.col(id_col), F.posexplode(win_hashes).alias("pos0", "h")
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "h")
+    first = Window.partitionBy("h").orderBy(id_col, "pos")
+    dups = (
+        wins.withColumn("rn", F.row_number().over(first))
+        .filter(F.col("rn") > 1)
+        .select(id_col, "pos")
+    )
+    removed = (
+        dups.select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(min_len - 1))
+            ).alias("rpos"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_removed"),
+            F.collect_set("rpos").alias("rset"),
+        )
+    )
+    joined = df.join(removed, id_col, "left")
+    rset = F.coalesce(F.col("rset"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.sequence(F.lit(1), n), lambda p: ~F.array_contains(rset, p.cast("int"))
+    )
+    return joined.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_removed"), F.lit(0).cast("long")).alias("n_removed"),
+        F.concat_ws(
+            " ", F.transform(kept, lambda p: F.element_at(w, p))
+        ).alias("text_deduped"),
+    )

@@ -908,3 +908,64 @@ def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t"
     ]
     return corpus.bigram_logprob(docs, total_tokens=int(total), lam=_BG_LAM)
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (Lee et al. 2022, suffix-array pass re-expressed
+# relationally): stride-1 windows of _SUB_L tokens, global first-occurrence
+# retention per window hash, union of later occurrences' positions removed,
+# survivors stitched back. The oracle mirrors every step with zipped
+# list-comprehension unnests and the shared hash60 window key.
+# ---------------------------------------------------------------------------
+_SUB_L = 12
+
+
+def _substring_dedup_oracle() -> str:
+    win_expr = hash60_sql(f"array_to_string(w[i : i+{_SUB_L - 1}], ' ')")
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    wins AS (
+      SELECT doc_id,
+             unnest([i for i in range(1, len(w) - {_SUB_L - 2})]) AS pos,
+             unnest([{win_expr} for i in range(1, len(w) - {_SUB_L - 2})]) AS h
+      FROM toks WHERE len(w) >= {_SUB_L}
+    ),
+    dups AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        FROM wins
+      ) WHERE rn > 1
+    ),
+    rem AS (
+      SELECT DISTINCT doc_id, rpos FROM (
+        SELECT doc_id, unnest([p for p in range(pos, pos + {_SUB_L})]) AS rpos
+        FROM dups
+      )
+    ),
+    ragg AS (
+      SELECT doc_id, count(*)::BIGINT AS n_removed, list(rpos) AS rset
+      FROM rem GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           len(t.w)::BIGINT AS n_tokens,
+           coalesce(a.n_removed, 0)::BIGINT AS n_removed,
+           coalesce(array_to_string(
+             [t.w[p] for p in range(1, len(t.w) + 1)
+              if NOT list_contains(coalesce(a.rset, CAST([] AS BIGINT[])), p)],
+             ' '), '') AS text_deduped
+    FROM toks t LEFT JOIN ragg a USING (doc_id)
+    """
+
+
+@register(
+    "substring_dedup_corpus",
+    _substring_dedup_oracle(),
+    survey_ref=(
+        "corpus dedup: exact duplicated-substring removal at any alignment "
+        "(stride-1 windows, Lee et al. 2022)"
+    ),
+)
+def substring_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.substring_dedup(docs, min_len=_SUB_L)

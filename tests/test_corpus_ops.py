@@ -294,3 +294,42 @@ def test_bigram_logprob_invariants(spark):
         else:
             # probabilities are in (0, 1]: lam*c/c_prev <= lam, floor > 0
             assert r.avg_logp2 < 0
+
+
+def test_substring_dedup_removes_misaligned_runs(spark):
+    """The stride-1 property span_dedup lacks: a duplicated run is caught at
+    ANY alignment in the later doc; the first occurrence stays whole."""
+    from binance_etl_clickhouse_spark.operators.corpus import substring_dedup
+
+    L = 4
+    run = "r1 r2 r3 r4 r5"  # 5 tokens -> two overlapping L=4 windows
+    rows = [
+        (0, f"a1 a2 {run} a3 a4"),            # first occurrence: untouched
+        (1, f"b1 {run} b2 b3 b4 b5 b6 b7"),   # same run, different offset
+        (2, "c1 c2 c3 c4 c5 c6 c7 c8 c9"),    # no dup: untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in substring_dedup(df, min_len=L).collect()}
+    assert out[0].n_removed == 0 and out[0].text_deduped == rows[0][1]
+    assert out[2].n_removed == 0 and out[2].text_deduped == rows[2][1]
+    # doc 1 loses exactly the 5 duplicated run tokens, keeps the rest
+    assert out[1].n_removed == 5
+    assert out[1].text_deduped == "b1 b2 b3 b4 b5 b6 b7"
+    assert out[1].n_tokens == 12
+
+
+def test_substring_dedup_within_doc_repeat(spark):
+    from binance_etl_clickhouse_spark.operators.corpus import substring_dedup
+
+    L = 3
+    # the same 3-token run twice in ONE doc: second occurrence removed
+    df = spark.createDataFrame(
+        [(0, "x1 x2 x3 m1 m2 m3 y1 m1 m2 m3 y2")], "doc_id long, text string"
+    )
+    r = substring_dedup(df, min_len=L).first()
+    assert r.n_removed == 3
+    assert r.text_deduped == "x1 x2 x3 m1 m2 m3 y1 y2"
+    # short docs (< L tokens) pass through whole
+    short = spark.createDataFrame([(1, "s1 s2")], "doc_id long, text string")
+    rs = substring_dedup(short, min_len=L).first()
+    assert rs.n_removed == 0 and rs.text_deduped == "s1 s2"
