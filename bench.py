@@ -71,9 +71,11 @@ HEADLINE = [
     # of BPE training; full trainer timings live in SCALE.md)
     "bpe_pair_stats",
     # round-3 additions: the IVF-routed hybrid (r2's one perf_weak — track
-    # the fix) and the inverted-index APSS sparse-cosine join
+    # the fix), the inverted-index APSS sparse-cosine join, and the
+    # stride-1 exact substring dedup (the heaviest new corpus shape)
     "hybrid_rrf_search",
     "tfidf_cosine_pairs",
+    "substring_dedup_corpus",
 ]
 
 
@@ -100,6 +102,7 @@ def _corpus_scale_ops():
             simhash_wide(df), n_bands=4, sig_bits=60, max_hamming=3
         ),
         "span_dedup_corpus": lambda df: corpus_ops.span_dedup(df),
+        "substring_dedup_corpus": lambda df: corpus_ops.substring_dedup(df),
     }
 
 

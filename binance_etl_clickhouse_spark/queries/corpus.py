@@ -969,3 +969,138 @@ def _substring_dedup_oracle() -> str:
 def substring_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return corpus.substring_dedup(docs, min_len=_SUB_L)
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing: per-language head/middle/tail split of
+# the unigram-LM quality score at the exact tercile thresholds. The bucket
+# frame joins the LM scores (corpus pass) with a |languages|-row broadcast
+# threshold frame — the shape CCNet runs at web scale.
+# ---------------------------------------------------------------------------
+@register(
+    "ccnet_perplexity_buckets",
+    """
+    WITH tf AS (
+      SELECT doc_id, t AS term, count(*)::BIGINT AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      GROUP BY doc_id, t
+    ),
+    cnt AS (SELECT term, sum(tf)::BIGINT AS cnt FROM tf GROUP BY term),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM cnt),
+    lm AS (
+      SELECT tf.doc_id,
+             round(sum(tf.tf * ln(cnt.cnt / tot.total)) / sum(tf.tf), 6) AS avg_logp
+      FROM tf JOIN cnt USING (term) CROSS JOIN tot
+      GROUP BY tf.doc_id
+    ),
+    scored AS (
+      SELECT d.doc_id, d.lang, lm.avg_logp
+      FROM documents d JOIN lm USING (doc_id)
+    ),
+    th AS (
+      SELECT lang,
+             round(quantile_cont(avg_logp, 1.0/3), 6) AS t_lo,
+             round(quantile_cont(avg_logp, 2.0/3), 6) AS t_hi
+      FROM scored GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.avg_logp, th.t_lo, th.t_hi,
+           CASE WHEN s.avg_logp >= th.t_hi THEN 'head'
+                WHEN s.avg_logp >= th.t_lo THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored s JOIN th USING (lang)
+    """,
+    survey_ref=(
+        "corpus stats: CCNet perplexity buckets "
+        "(per-language exact terciles of the LM quality score)"
+    ),
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    total = docs.select(F.sum(F.size(tokens("text"))).cast("long").alias("t")).first()[
+        "t"
+    ]
+    lm = corpus.unigram_logprob(docs, total_tokens=int(total)).select(
+        "doc_id", "avg_logp"
+    )
+    scored = docs.select("doc_id", "lang").join(lm, "doc_id")
+    th = scored.groupBy("lang").agg(
+        F.round(F.percentile("avg_logp", F.lit(1.0 / 3)), 6).alias("t_lo"),
+        F.round(F.percentile("avg_logp", F.lit(2.0 / 3)), 6).alias("t_hi"),
+    )
+    bucket = (
+        F.when(F.col("avg_logp") >= F.col("t_hi"), F.lit("head"))
+        .when(F.col("avg_logp") >= F.col("t_lo"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.join(F.broadcast(th), "lang").select(
+        "doc_id", "lang", "avg_logp", "t_lo", "t_hi", bucket.alias("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty: the fraction of a document's DISTINCT 3-token shingles
+# that occur nowhere else in the corpus (df = 1) — the cheap "how much new
+# text does this doc contribute" signal (the complement of near-dup
+# similarity). Same df frame the APSS join uses; one corpus pass.
+# ---------------------------------------------------------------------------
+_NOV_K = 3
+
+
+@register(
+    "ngram_novelty_scores",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest([array_to_string(w[i : i+{_NOV_K - 1}], ' ')
+                     for i in range(1, len(w) - {_NOV_K - 2})]) AS term
+      FROM toks WHERE len(w) >= {_NOV_K}
+    ),
+    dfreq AS (SELECT term, count(*)::BIGINT AS df_count FROM sh GROUP BY term),
+    agg AS (
+      SELECT sh.doc_id,
+             count(*)::BIGINT AS n_shingles,
+             sum(CASE WHEN dfreq.df_count = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel
+      FROM sh JOIN dfreq USING (term) GROUP BY sh.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_shingles, 0)::BIGINT AS n_shingles,
+           coalesce(a.n_novel, 0)::BIGINT AS n_novel,
+           round(coalesce(a.n_novel / CAST(a.n_shingles AS DOUBLE), 0.0), 6)
+             AS novelty
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    survey_ref=(
+        "corpus stats: per-doc n-gram novelty (fraction of corpus-unique "
+        "shingles)"
+    ),
+)
+def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_clickhouse_spark.operators.texthash import shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = corpus.ensure_min_parallelism(docs).select(
+        "doc_id", F.explode(shingles("text", _NOV_K)).alias("term")
+    )
+    dfreq = sh.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
+    agg = (
+        sh.join(dfreq, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("df_count") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_shingles"), F.lit(0).cast("long")).alias("n_shingles"),
+        F.coalesce(F.col("n_novel"), F.lit(0).cast("long")).alias("n_novel"),
+        F.round(
+            F.coalesce(
+                F.col("n_novel") / F.col("n_shingles").cast("double"), F.lit(0.0)
+            ),
+            6,
+        ).alias("novelty"),
+    )

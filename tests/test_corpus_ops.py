@@ -333,3 +333,38 @@ def test_substring_dedup_within_doc_repeat(spark):
     short = spark.createDataFrame([(1, "s1 s2")], "doc_id long, text string")
     rs = substring_dedup(short, min_len=L).first()
     assert rs.n_removed == 0 and rs.text_deduped == "s1 s2"
+
+
+def test_ccnet_buckets_are_per_lang_terciles(spark):
+    from binance_etl_clickhouse_spark.queries import QUERIES
+
+    rows = QUERIES["ccnet_perplexity_buckets"].spark(spark, SF).collect()
+    per_lang: dict[str, list] = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in per_lang.items():
+        n = len(rs)
+        counts = {"head": 0, "middle": 0, "tail": 0}
+        for r in rs:
+            counts[r.bucket] += 1
+            # bucket assignment is consistent with the thresholds row-wise
+            if r.avg_logp >= r.t_hi:
+                assert r.bucket == "head"
+            elif r.avg_logp >= r.t_lo:
+                assert r.bucket == "middle"
+            else:
+                assert r.bucket == "tail"
+        # exact terciles up to ties: each bucket within [n/3 - ties, n/3 + ties]
+        for b, c in counts.items():
+            assert abs(c - n / 3) <= max(3, 0.2 * n), (lang, b, c, n)
+
+
+def test_ngram_novelty_bounds_and_duplicates_score_low(spark):
+    from binance_etl_clickhouse_spark.queries import QUERIES
+
+    rows = QUERIES["ngram_novelty_scores"].spark(spark, SF).collect()
+    assert all(0.0 <= r.novelty <= 1.0 for r in rows)
+    assert all(r.n_novel <= r.n_shingles for r in rows)
+    # the corpus contains planted near-dups: somebody must be non-novel
+    assert any(r.novelty < 0.5 for r in rows)
+    assert any(r.novelty > 0.5 for r in rows)
