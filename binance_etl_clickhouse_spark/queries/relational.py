@@ -512,6 +512,35 @@ def regexp_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# VARIANT semi-structured path (Spark 4): parse the JSON string ONCE into
+# the binary VARIANT encoding, then typed variant_get extraction — the
+# modern replacement for per-access get_json_object re-parsing (each
+# get_json_object call re-parses the string; variant parses once and
+# field access is a binary offset lookup). Aggregates per event_type so
+# the oracle compares the extraction end-to-end without a VARIANT column
+# in the output schema (VARIANT has no cross-engine wire twin).
+# ---------------------------------------------------------------------------
+@register(
+    "variant_extract_agg",
+    """
+    SELECT event_type,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+           count(*)::BIGINT AS n
+    FROM events GROUP BY event_type
+    """,
+    survey_ref="F12 modern surface: VARIANT parse-once + typed variant_get",
+)
+def variant_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return (
+        ev.select("event_type", F.try_variant_get(v, "$.k", "bigint").alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").cast("long").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Array → string (F6) ≙ ','.join(underlyingSubType); split/slice/size on the
 # documents text column.
 # ---------------------------------------------------------------------------
