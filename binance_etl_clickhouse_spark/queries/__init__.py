@@ -32,13 +32,13 @@ from binance_etl_clickhouse_spark.queries import corpus  # noqa: F401,E402
 # CORRECTNESS row (r1 checked the relational/LLM basics, r2 the TPC-H /
 # function-family / dataset block — this closes the corpus-statistics,
 # BPE, funnel/cohort, as-of-direction, histogram, chunking and hybrid-
-# retrieval families, achieving 132/132 checked-ever), (b) the two queries
-# fixed/changed this round (conditional_agg_priority_mix's HUGEINT oracle
-# cast; hybrid_rrf_search's IVF-routed dense leg + its new exact baseline
-# hybrid_rrf_exact_search), (c) 12 family-diverse canaries from the
-# r1-green block to re-prove rotated-out greens (incl.
-# embedding_cosine_neardup, whose GEMM boundary-mask change in r2 was
-# pytest-pinned but never driver-re-proven).
+# retrieval families), (b) the queries fixed/changed this round
+# (conditional_agg_priority_mix's HUGEINT oracle cast;
+# hybrid_rrf_search's IVF-routed dense leg + its new exact baseline
+# hybrid_rrf_exact_search), (c) embedding_cosine_neardup (changed in r2,
+# never driver-re-proven), and (d) the ten operators ADDED in round 3.
+# Together: every one of the 143 registered queries has a driver
+# CORRECTNESS row after this round (95 from r1+r2 + the 48 here).
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW = [
     # (b) fixed this round: oracle sum(CASE) now ::BIGINT (r2's one red row)
@@ -91,22 +91,24 @@ DRIVER_WINDOW = [
     "ann_ivf_batch_topk",
     "ann_ivf_pq_topk",
     "fuzzy_snippet_pairs",
-    # (c) rotating canaries — one per r1-green family, re-proving what
-    # rotated out of the r2 window
-    "tpch_q1_pricing_summary",      # wide agg
-    "keep_last_dedup",              # ReplacingMergeTree semantics
-    "anti_join_completed",          # anti-join + progress state
-    "minhash_lsh_neardup",          # MinHash-LSH dedup
-    "embedding_cosine_neardup",     # exact GEMM dedup (changed r2)
-    "multimodal_binary_features",   # mapInPandas binary chain
-    "sessionization_stats",         # gap-based sessions
-    # (rollup_orders yields its canary slot to the new bpe_merge_trace:
-    # hierarchical grouping stays covered by r2's grouping_sets_orders
-    # green and the pytest oracle)
-    "asof_join_purchase_click",     # as-of backward (original direction)
-    "pivot_event_counts",           # pivot
-    "pandas_zscore_per_user",       # applyInPandas
-    "tumbling_resample_1h",         # event-time resample
+    # (c) the one canary kept: exact GEMM dedup changed in r2 (boundary
+    # mask) and was never driver-re-proven. The other r1-green canaries
+    # yield their slots to (d) — they carry r1 driver rows + sf0.01
+    # pytest parity, while (d) has no driver row at all.
+    "embedding_cosine_neardup",
+    # (d) the ten round-3 additions — never driver-checked; with (a)
+    # this makes every query in the registry driver-checked at least
+    # once after this round (143/143 checked-ever)
+    "tfidf_cosine_pairs",           # APSS sparse-cosine inverted join
+    "substring_dedup_corpus",       # stride-1 exact substring dedup
+    "weighted_sample_per_source",   # Efraimidis-Spirakis A-Res
+    "quality_quantile_filter",      # per-lang exact-percentile gate
+    "ccnet_perplexity_buckets",     # per-lang LM-score terciles
+    "bigram_logprob_quality",       # Jelinek-Mercer bigram LM
+    "ngram_novelty_scores",         # corpus-unique shingle fraction
+    "mad_outlier_per_type",         # modified z-score robust outliers
+    "ann_ivf_range_search",         # radius retrieval, pruned scan
+    "variant_extract_agg",          # Spark 4 VARIANT path extraction
 ]
 
 
