@@ -368,3 +368,28 @@ def test_ngram_novelty_bounds_and_duplicates_score_low(spark):
     # the corpus contains planted near-dups: somebody must be non-novel
     assert any(r.novelty < 0.5 for r in rows)
     assert any(r.novelty > 0.5 for r in rows)
+
+
+def test_hybrid_pruned_recall_vs_exact_baseline(spark):
+    """The IVF-routed dense leg must not tank fusion quality: per query,
+    the pruned hybrid's fused top-k overlaps the exact baseline's
+    majority-wise, and the sparse (BM25) ranks it fuses are identical."""
+    from binance_etl_clickhouse_spark.queries import QUERIES
+
+    exact = QUERIES["hybrid_rrf_exact_search"].spark(spark, SF).collect()
+    pruned = QUERIES["hybrid_rrf_search"].spark(spark, SF).collect()
+    ex: dict[int, dict] = {}
+    pr: dict[int, dict] = {}
+    for r in exact:
+        ex.setdefault(r.query_id, {})[r.doc_id] = r
+    for r in pruned:
+        pr.setdefault(r.query_id, {})[r.doc_id] = r
+    assert set(ex) == set(pr)  # same query set
+    for qid in ex:
+        overlap = set(ex[qid]) & set(pr[qid])
+        assert len(overlap) >= len(ex[qid]) // 2, (
+            qid, sorted(ex[qid]), sorted(pr[qid])
+        )
+        for doc in overlap:
+            # sparse side is exact in BOTH forms: fused sparse ranks match
+            assert ex[qid][doc].sparse_rnk == pr[qid][doc].sparse_rnk
