@@ -699,3 +699,148 @@ def stream_span_dedup(
     else:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def stream_substring_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    min_len: int = 12,
+    available_now: bool = True,
+    processing_time: str = "1 hour",
+) -> StreamingQuery:
+    """Incremental EXACT substring dedup (the stride-1 twin of
+    :func:`stream_span_dedup`): each micro-batch's documents lose every
+    ``min_len``-token run whose window hash was seen in an earlier batch or
+    earlier (by (doc_id, pos)) within this batch — exactly
+    :func:`operators.corpus.substring_dedup` semantics applied batch-by-
+    batch — and are reassembled before landing in the corpus.
+
+    The between-batch state is a parquet index of 60-bit window hashes
+    (one BIGINT per distinct stride-1 window ever processed): membership
+    is an equi anti-join, no window text stored. Because windows stride by
+    one token, the index is ~n_tokens rows — min_len times denser than the
+    span index; it buys removal at ANY alignment, the property batch
+    `substring_dedup` has over `span_dedup`.
+
+    Crash ordering and replay idempotence mirror :func:`stream_span_dedup`:
+    corpus append BEFORE index append (a crash between them costs bounded
+    recall, never phantom-indexed output), and re-delivered epochs are
+    anti-joined against the corpus by doc_id before any write.
+    """
+    import os
+
+    from binance_etl_clickhouse_spark.operators.parallel import (
+        ensure_min_parallelism,
+    )
+    from binance_etl_clickhouse_spark.operators.texthash import hash60, tokens
+    from binance_etl_clickhouse_spark.sources.files import (
+        DOCUMENTS_JSONL_SCHEMA,
+        partition_corrupt,
+    )
+
+    src = spark.readStream.schema(DOCUMENTS_JSONL_SCHEMA).json(input_dir)
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        from pyspark.sql import Window
+
+        clean, _quarantined = partition_corrupt(batch, persist=False)
+        if os.path.isdir(out_dir):
+            seen = (
+                batch.sparkSession.read.parquet(out_dir)
+                .select("doc_id")
+                .distinct()
+            )
+            clean = clean.join(seen, "doc_id", "left_anti")
+        if clean.isEmpty():
+            batch.unpersist()
+            return
+        w = tokens("text")
+        n = F.size(w)
+        win_hashes = F.when(
+            n >= min_len,
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(min_len - 1)),
+                lambda i: hash60(F.concat_ws(" ", F.slice(w, i, min_len))),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+        wins = (
+            ensure_min_parallelism(clean)
+            .select(F.col("doc_id"), F.posexplode(win_hashes).alias("pos0", "h"))
+            .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+        )
+        first = Window.partitionBy("h").orderBy("doc_id", "pos")
+        batch_first = (
+            wins.withColumn("rn", F.row_number().over(first))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        dups_within = (
+            wins.withColumn("rn", F.row_number().over(first))
+            .filter(F.col("rn") > 1)
+            .select("doc_id", "pos")
+        )
+        if os.path.isdir(index_dir):
+            idx = batch.sparkSession.read.parquet(index_dir)
+            fresh = batch_first.join(idx, "h", "left_anti")
+        else:
+            fresh = batch_first
+        # a batch-first window whose hash IS indexed counts as a dup too
+        dups_vs_index = batch_first.join(
+            fresh.select("h"), "h", "left_anti"
+        ).select("doc_id", "pos")
+        dups = dups_within.unionByName(dups_vs_index)
+        # lineage cut BEFORE the corpus append mutates out_dir (see
+        # stream_span_dedup: refreshByPath lazily re-executes plain caches
+        # whose plans read the written path)
+        fresh = fresh.localCheckpoint(eager=True)
+        removed = (
+            dups.select(
+                "doc_id",
+                F.explode(
+                    F.sequence(F.col("pos"), F.col("pos") + F.lit(min_len - 1))
+                ).alias("rpos"),
+            )
+            .distinct()
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_removed"),
+                F.collect_set("rpos").alias("rset"),
+            )
+        )
+        rset = F.coalesce(F.col("rset"), F.array().cast("array<int>"))
+        kept_pos = F.filter(
+            F.sequence(F.lit(1), n), lambda p: ~F.array_contains(rset, p.cast("int"))
+        )
+        out = clean.join(removed, "doc_id", "left").select(
+            "doc_id",
+            "lang",
+            n.cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_removed"), F.lit(0).cast("long")).alias("n_removed"),
+            F.concat_ws(
+                " ", F.transform(kept_pos, lambda p: F.element_at(w, p))
+            ).alias("text_deduped"),
+        )
+        # the removed-positions plan reads index_dir via `dups`; cut it too
+        # before the index append below mutates that dir
+        out = out.localCheckpoint(eager=True)
+        from binance_etl_clickhouse_spark.checkpoints import release as release_ckpt
+
+        out.write.mode("append").parquet(out_dir)
+        fresh.select("h").distinct().write.mode("append").parquet(index_dir)
+        release_ckpt(out)
+        release_ckpt(fresh)
+        batch.unpersist()
+
+    writer = src.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

@@ -963,3 +963,71 @@ def test_invindex_query_paths_raise_on_missing_index(spark, tmp_path):
     )
     ix.append(df, epoch=0)
     assert ix.meta()["n_docs"] == 1
+
+
+def test_stream_substring_dedup_incremental_and_matches_batch(spark, tmp_path):
+    """One availableNow batch over a corpus must equal the batch operator
+    exactly; a later batch loses runs already indexed, at any alignment."""
+    import json
+
+    from binance_etl_clickhouse_spark.operators.corpus import substring_dedup
+    from binance_etl_clickhouse_spark.streaming.jobs import stream_substring_dedup
+
+    in_dir = tmp_path / "drop"
+    in_dir.mkdir()
+    index_dir = str(tmp_path / "win_index")
+    out_dir = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(fname, docs):
+        with open(in_dir / fname, "w") as f:
+            for i, text in docs:
+                f.write(
+                    json.dumps(
+                        {"doc_id": i, "lang": "en", "text": text, "n_chars": len(text)}
+                    )
+                    + "\n"
+                )
+
+    L = 3
+    b1 = [(1, "a b c d e"), (2, "x1 a b c d x2 x3 x4"), (3, "u1 u2 u3 u4 u5")]
+    drop("b1.jsonl", b1)
+    q = stream_substring_dedup(
+        spark, str(in_dir), index_dir, out_dir, ckpt, min_len=L
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got1 = {r.doc_id: r for r in spark.read.parquet(out_dir).collect()}
+    # single batch == the batch operator, row for row
+    batch_df = spark.createDataFrame(b1, "doc_id long, text string")
+    want1 = {r.doc_id: r for r in substring_dedup(batch_df, min_len=L).collect()}
+    for d in want1:
+        assert got1[d].text_deduped == want1[d].text_deduped, d
+        assert got1[d].n_removed == want1[d].n_removed, d
+    # doc 2 lost the misaligned "a b c d" run to doc 1
+    assert got1[2].text_deduped == "x1 x2 x3 x4"
+
+    # batch 2: doc 11 embeds doc 1's run at yet another alignment; doc 12
+    # is fresh text and passes through whole
+    drop("b2.jsonl", [(11, "y1 y2 b c d e y3"), (12, "v1 v2 v3 v4")])
+    q2 = stream_substring_dedup(
+        spark, str(in_dir), index_dir, out_dir, ckpt, min_len=L
+    )
+    q2.awaitTermination(120)
+    q2.stop()
+    got2 = {r.doc_id: r for r in spark.read.parquet(out_dir).collect()}
+    assert got2[11].text_deduped == "y1 y2 y3" and got2[11].n_removed == 4
+    assert got2[12].text_deduped == "v1 v2 v3 v4" and got2[12].n_removed == 0
+    assert set(got2) == {1, 2, 3, 11, 12}
+    # replay under a fresh checkpoint: corpus unchanged
+    before = sorted((r.doc_id, r.text_deduped) for r in got2.values())
+    q3 = stream_substring_dedup(
+        spark, str(in_dir), index_dir, out_dir, str(tmp_path / "ck2"), min_len=L
+    )
+    q3.awaitTermination(120)
+    q3.stop()
+    after = sorted(
+        (r.doc_id, r.text_deduped)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert after == before
