@@ -920,10 +920,13 @@ def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SUB_L = 12
 
 
-def _substring_dedup_oracle() -> str:
+def _substring_dedup_ctes(src: str) -> str:
+    """The dedup pass as a flat CTE list over relation ``src`` (must expose
+    doc_id, text); the final per-doc frame is CTE ``sub``. Shared by the
+    standalone oracle and the composed v2 prep-pipeline oracle."""
     win_expr = hash60_sql(f"array_to_string(w[i : i+{_SUB_L - 1}], ' ')")
     return f"""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM {src}),
     wins AS (
       SELECT doc_id,
              unnest([i for i in range(1, len(w) - {_SUB_L - 2})]) AS pos,
@@ -946,15 +949,23 @@ def _substring_dedup_oracle() -> str:
     ragg AS (
       SELECT doc_id, count(*)::BIGINT AS n_removed, list(rpos) AS rset
       FROM rem GROUP BY doc_id
-    )
-    SELECT t.doc_id,
-           len(t.w)::BIGINT AS n_tokens,
-           coalesce(a.n_removed, 0)::BIGINT AS n_removed,
-           coalesce(array_to_string(
-             [t.w[p] for p in range(1, len(t.w) + 1)
-              if NOT list_contains(coalesce(a.rset, CAST([] AS BIGINT[])), p)],
-             ' '), '') AS text_deduped
-    FROM toks t LEFT JOIN ragg a USING (doc_id)
+    ),
+    sub AS (
+      SELECT t.doc_id,
+             len(t.w)::BIGINT AS n_tokens,
+             coalesce(a.n_removed, 0)::BIGINT AS n_removed,
+             coalesce(array_to_string(
+               [t.w[p] for p in range(1, len(t.w) + 1)
+                if NOT list_contains(coalesce(a.rset, CAST([] AS BIGINT[])), p)],
+               ' '), '') AS text_deduped
+      FROM toks t LEFT JOIN ragg a USING (doc_id)
+    )"""
+
+
+def _substring_dedup_oracle() -> str:
+    return f"""
+    WITH {_substring_dedup_ctes('documents')}
+    SELECT doc_id, n_tokens, n_removed, text_deduped FROM sub
     """
 
 

@@ -413,3 +413,103 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_wor(
         docs, k=_WS_K, weight_col="n_chars", group_col="source"
     )
+
+
+# ---------------------------------------------------------------------------
+# Prep pipeline v2 — the round-3 operators composed end-to-end, ONE plan:
+#   gate (length bounds) -> EXACT substring dedup (alignment-free; a full
+#   duplicate doc ends up >50% removed and is dropped, subsuming v1's md5
+#   exact-dedup stage) -> corpus-unigram LM scoring -> per-language
+#   adaptive quality gate (drop the bottom LM tercile, CCNet-style) ->
+#   deterministic split + per-(split, lang) stats over the tokens that
+#   actually survived dedup.
+# The oracle composes the same stages from the shared CTE generators, so
+# the driver hash pins the full five-stage pipeline, not just each stage.
+# ---------------------------------------------------------------------------
+def _prep_v2_oracle() -> str:
+    from binance_etl_clickhouse_spark.queries.corpus import _substring_dedup_ctes
+
+    return f"""
+    WITH gated AS (
+      SELECT doc_id, lang, text FROM documents
+      WHERE n_chars BETWEEN 40 AND 4000
+        AND len(string_split(text, ' ')) >= 8
+    ),
+    {_substring_dedup_ctes('gated')},
+    survivors AS (
+      SELECT s.doc_id, g.lang, s.n_tokens, s.n_removed
+      FROM sub s JOIN gated g USING (doc_id)
+      WHERE s.n_removed * 2 <= s.n_tokens
+    ),
+    tf AS (
+      SELECT doc_id, t AS term, count(*)::BIGINT AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM gated)
+      GROUP BY doc_id, t
+    ),
+    cnt AS (SELECT term, sum(tf)::BIGINT AS cnt FROM tf GROUP BY term),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM cnt),
+    lm AS (
+      SELECT tf.doc_id,
+             round(sum(tf.tf * ln(cnt.cnt / tot.total)) / sum(tf.tf), 6) AS avg_logp
+      FROM tf JOIN cnt USING (term) CROSS JOIN tot
+      GROUP BY tf.doc_id
+    ),
+    surv_lm AS (SELECT s.*, lm.avg_logp FROM survivors s JOIN lm USING (doc_id)),
+    th AS (
+      SELECT lang, round(quantile_cont(avg_logp, 1.0/3), 6) AS t_lo
+      FROM surv_lm GROUP BY lang
+    )
+    SELECT {_split_sql('doc_id')} AS split, lang,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tokens - n_removed)::BIGINT AS kept_tokens
+    FROM surv_lm JOIN th USING (lang)
+    WHERE avg_logp >= th.t_lo
+    GROUP BY split, lang
+    """
+
+
+@register(
+    "training_data_prep_pipeline_v2",
+    _prep_v2_oracle(),
+    survey_ref=(
+        "training-data: gate -> substring dedup -> LM score -> adaptive "
+        "quality gate -> split, one composed plan"
+    ),
+)
+def training_data_prep_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_clickhouse_spark.operators import corpus as corpus_ops
+    from binance_etl_clickhouse_spark.operators.texthash import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    gated = docs.filter(
+        F.col("n_chars").between(40, 4000)
+        & (F.size(F.split(F.col("text"), " ")) >= 8)
+    ).select("doc_id", "lang", "text")
+    sub = corpus_ops.substring_dedup(gated, min_len=12)
+    survivors = (
+        sub.filter(F.col("n_removed") * 2 <= F.col("n_tokens"))
+        .join(gated.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "n_tokens", "n_removed")
+    )
+    total = gated.select(
+        F.sum(F.size(tokens("text"))).cast("long").alias("t")
+    ).first()["t"]
+    lm = corpus_ops.unigram_logprob(gated, total_tokens=int(total)).select(
+        "doc_id", "avg_logp"
+    )
+    surv_lm = survivors.join(lm, "doc_id")
+    th = surv_lm.groupBy("lang").agg(
+        F.round(F.percentile("avg_logp", F.lit(1.0 / 3)), 6).alias("t_lo")
+    )
+    return (
+        surv_lm.join(F.broadcast(th), "lang")
+        .filter(F.col("avg_logp") >= F.col("t_lo"))
+        .withColumn("split", _split_col(F.col("doc_id")))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("n_tokens") - F.col("n_removed"))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )
