@@ -76,6 +76,9 @@ HEADLINE = [
     "hybrid_rrf_search",
     "tfidf_cosine_pairs",
     "substring_dedup_corpus",
+    # the composed five-stage prep pipeline (gate -> substring dedup ->
+    # LM score -> tercile gate -> split) — the end-to-end flagship
+    "training_data_prep_pipeline_v2",
 ]
 
 
