@@ -36,6 +36,8 @@ quantiles(p,..)(x)  percentile_approx(x, array(p, ..))
 quantilesExact(..)  percentile(x, array(p, ..))
 median(x)           percentile_approx(x, 0.5)
 medianExact(x)      percentile(x, 0.5)
+quantileExactWeighted(p)(x, w)  percentile(x, p, w)
+medianExactWeighted(x, w)       percentile(x, 0.5, w)
 groupArray(x)       collect_list(x)
 groupArray(n)(x)    slice(collect_list(x), 1, n)
 groupUniqArray(x)   collect_set(x)   [+ (n)(x) sliced form]
@@ -127,6 +129,12 @@ _SLICED_COLLECT = {"groupArray": "collect_list", "groupUniqArray": "collect_set"
 _MULTI_QUANTILES = {"quantiles": "percentile_approx", "quantilesExact": "percentile"}
 
 _MEDIANS = {"median": "percentile_approx", "medianExact": "percentile"}
+
+#: weighted exact percentiles: quantileExactWeighted(p)(x, w) maps onto
+#: Spark's 3-arg percentile(x, p, frequency) — note the argument REORDER
+#: (ClickHouse carries p in the combinator parameter list, Spark in the
+#: middle position; the weight/frequency column must be integral in both)
+_WEIGHTED_QUANTILES = {"quantileExactWeighted": "percentile"}
 
 #: bare-keyword rewrites (matched case-insensitively outside string literals)
 _KEYWORDS = {"PREWHERE": "WHERE"}
@@ -400,7 +408,12 @@ def translate_clickhouse_sql(sql: str) -> str:
                     for a in _split_args(sql[k + 1 : close])
                 ]
                 i = close + 1
-                if name in _QUANTILES or name in _MULTI_QUANTILES or name in _SLICED_COLLECT:
+                if (
+                    name in _QUANTILES
+                    or name in _MULTI_QUANTILES
+                    or name in _SLICED_COLLECT
+                    or name in _WEIGHTED_QUANTILES
+                ):
                     # parameterized combinator: fn(params)(x)
                     k2 = i
                     while k2 < n and sql[k2].isspace():
@@ -412,7 +425,13 @@ def translate_clickhouse_sql(sql: str) -> str:
                             for a in _split_args(sql[k2 + 1 : close2])
                         ]
                         i = close2 + 1
-                        if name in _QUANTILES:
+                        if name in _WEIGHTED_QUANTILES and len(inner) == 2:
+                            # quantileExactWeighted(p)(x, w) -> percentile(x, p, w)
+                            out.append(
+                                f"{_WEIGHTED_QUANTILES[name]}({inner[0]}, "
+                                f"{args[0]}, {inner[1]})"
+                            )
+                        elif name in _QUANTILES:
                             out.append(
                                 f"{_QUANTILES[name]}({', '.join(inner)}, {', '.join(args)})"
                             )
@@ -453,6 +472,8 @@ def translate_clickhouse_sql(sql: str) -> str:
                     out.append(f"array_sort({args[0]})")
                 elif name in _MEDIANS and len(args) == 1:
                     out.append(f"{_MEDIANS[name]}({args[0]}, 0.5)")
+                elif name == "medianExactWeighted" and len(args) == 2:
+                    out.append(f"percentile({args[0]}, 0.5, {args[1]})")
                 elif name in _HOF_SWAP and len(args) == 2:
                     out.append(f"{_HOF_SWAP[name]}({args[1]}, {args[0]})")
                 elif name == "range" and len(args) in (1, 2):

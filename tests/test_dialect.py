@@ -36,6 +36,8 @@ def engine(spark):
         ("avgIf(v, c)", "avg(CASE WHEN c THEN v END)"),
         ("quantile(0.9)(x)", "percentile_approx(x, 0.9)"),
         ("quantileExact(0.5)(x)", "percentile(x, 0.5)"),
+        ("quantileExactWeighted(0.9)(x, w)", "percentile(x, 0.9, w)"),
+        ("medianExactWeighted(x, w)", "percentile(x, 0.5, w)"),
         ("toFloat64(n)", "CAST(n AS DOUBLE)"),
         ("toString(n)", "CAST(n AS STRING)"),
         (
@@ -456,3 +458,23 @@ def test_comment_is_a_token_separator_and_as_alias_survives():
     )
     assert t("SELECT * FROM t AS f FINAL") == "SELECT * FROM t AS f"
     assert "TABLESAMPLE" not in t("SELECT * FROM t AS sample WHERE x = 1")
+
+
+def test_weighted_quantile_end_to_end(engine):
+    """quantileExactWeighted(p)(x, w): weight by an integral frequency
+    column — each row counts w times, exactly Spark's 3-arg percentile."""
+    _match(
+        engine,
+        """
+        SELECT l_returnflag,
+               quantileExactWeighted(0.5)(l_extendedprice, l_linenumber) AS wp50,
+               medianExactWeighted(l_extendedprice, l_linenumber)        AS wmed
+        FROM lineitem GROUP BY l_returnflag
+        """,
+        """
+        SELECT l_returnflag,
+               percentile(l_extendedprice, 0.5, l_linenumber) AS wp50,
+               percentile(l_extendedprice, 0.5, l_linenumber) AS wmed
+        FROM lineitem GROUP BY l_returnflag
+        """,
+    )
