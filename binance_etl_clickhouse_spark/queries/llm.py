@@ -1600,3 +1600,112 @@ def ann_ivf_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_range_from_table(
         spark, path, codebook, queries, radius=_IVF_RANGE_R, nprobe=_IVF_NPROBE
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA projection: top-4 power-iteration principal components of the
+# embedding corpus. The covariance fit is ONE distributed aggregation
+# (d + d^2 partial sums, independent of row count) + a fixed-iteration
+# power method on the driver (pure sequential-sum Python, no numpy, so
+# every inner sum runs in the same order as the oracle's list_inner_
+# product). The oracle UNROLLS the identical iterations in SQL — flat
+# 4096-element covariance list, per-iteration matvec via sliced inner
+# products, normalization, deflation — the same full-re-derivation
+# pattern as the unrolled k-means oracles, so the driver hash pins fit
+# AND projection end-to-end with no fitted literals crossing engines.
+# ---------------------------------------------------------------------------
+_PCA_K, _PCA_ITERS = 4, 12
+
+
+def _pca_oracle() -> str:
+    d, d2 = _EMB_DIM, _EMB_DIM * _EMB_DIM
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""mom AS (
+      SELECT idx, avg(x) AS m FROM (
+        SELECT unnest([q for q in range(0, {d + d2})]) AS idx,
+               unnest(v || [v[((p-1)//{d})+1] * v[((p-1)%{d})+1]
+                            for p in range(1, {d2 + 1})]) AS x
+        FROM e
+      ) GROUP BY idx
+    )""",
+        "ml AS (SELECT list(m ORDER BY idx) AS a FROM mom)",
+        f"""c0 AS (
+      SELECT a[1 : {d}] AS mu,
+             [a[{d} + p] - a[((p-1)//{d})+1] * a[((p-1)%{d})+1]
+              for p in range(1, {d2 + 1})] AS c
+      FROM ml
+    )""",
+    ]
+    prev_cov = "c0"
+    comp_names = []
+    for comp in range(_PCA_K):
+        w = f"w{comp}_0"
+        # v0 = (1/sqrt(d), ...) — exactly 0.125 for d=64
+        ctes.append(
+            f"{w} AS (SELECT mu, c, [{1.0 / (d ** 0.5)!r} for q in range(1, {d + 1})] AS w FROM {prev_cov})"
+        )
+        for it in range(1, _PCA_ITERS + 1):
+            u = f"u{comp}_{it}"
+            wn = f"w{comp}_{it}"
+            ctes.append(
+                f"""{u} AS (
+      SELECT mu, c,
+             [list_inner_product(c[(i-1)*{d}+1 : i*{d}], w)
+              for i in range(1, {d + 1})] AS u
+      FROM {w}
+    )"""
+            )
+            ctes.append(
+                f"{wn} AS (SELECT mu, c, "
+                f"list_transform(u, x -> x / sqrt(list_inner_product(u, u))) AS w "
+                f"FROM {u})"
+            )
+            w = wn
+        comp_names.append(w)
+        if comp < _PCA_K - 1:
+            lam = f"l{comp}"
+            nxt = f"c{comp + 1}"
+            # lam = w^T C w (hoisted once), then deflate C <- C - lam w w^T
+            ctes.append(
+                f"""{lam} AS (
+      SELECT mu, c, w,
+             list_inner_product(w,
+               [list_inner_product(c[(i-1)*{d}+1 : i*{d}], w)
+                for i in range(1, {d + 1})]) AS lam
+      FROM {w}
+    )"""
+            )
+            ctes.append(
+                f"""{nxt} AS (
+      SELECT mu,
+             [c[p] - lam * w[((p-1)//{d})+1] * w[((p-1)%{d})+1]
+              for p in range(1, {d2 + 1})] AS c
+      FROM {lam}
+    )"""
+            )
+            prev_cov = nxt
+    selects = [
+        f"""SELECT e.vec_id, {comp} AS comp,
+        round(list_inner_product(e.v, t.w) - list_inner_product(t.mu, t.w), 6)
+          AS pc_value
+    FROM e CROSS JOIN {name} t"""
+        for comp, name in enumerate(comp_names)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "embedding_pca_project",
+    _pca_oracle(),
+    survey_ref=(
+        "embedding ops: PCA dimensionality reduction (one-pass covariance, "
+        "fixed-iteration power method, fully SQL-unrolled oracle)"
+    ),
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_clickhouse_spark.operators.pca import fit_pca, project_pca
+
+    emb = _t(spark, sf_dir, "embeddings")
+    means, comps = fit_pca(emb, dim=_EMB_DIM, k=_PCA_K, iters=_PCA_ITERS)
+    return project_pca(emb, means, comps)

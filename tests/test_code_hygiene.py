@@ -26,6 +26,7 @@ PKG = Path(__file__).resolve().parent.parent / "binance_etl_clickhouse_spark"
 COLLECT_WHITELIST = {
     "operators/bpe.py": "1-row argmax per merge iteration (pair argmax)",
     "operators/ivf.py": "k x dim centroid rows (codebook fit)",
+    "operators/pca.py": "d + d^2 moment scalars (covariance fit)",
     "operators/sketches.py": "kilobyte-scale sketch states (CMS merge)",
     "pipeline.py": "failed-symbol report list (per-run, symbols not rows)",
     "queries/llm.py": "fitted centroid literals for the oracle SQL twin",

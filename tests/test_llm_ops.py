@@ -560,3 +560,39 @@ def test_ivf_range_search_equals_bruteforce_within_probed_cells(spark, tmp_path)
                 want[(qid, r.vec_id)] = r.cos_sim
     assert got == want
     assert want, "radius too high: vacuous comparison"
+
+
+def test_pca_components_orthonormal_and_variance_ordered(spark):
+    """Power-iteration PCA invariants: unit-norm near-orthogonal
+    components, per-component projection variances in descending order,
+    and a fully deterministic fit."""
+    from binance_etl_clickhouse_spark.operators.pca import fit_pca, project_pca
+
+    emb = load_table(spark, SF, "embeddings")
+    means, comps = fit_pca(emb, dim=64, k=4, iters=12)
+    again_means, again_comps = fit_pca(emb, dim=64, k=4, iters=12)
+    assert comps == again_comps and means == again_means  # deterministic
+    for a in range(4):
+        nrm = sum(x * x for x in comps[a])
+        assert abs(nrm - 1.0) < 1e-9  # normalization is exact
+        for b in range(a + 1, 4):
+            dot = sum(x * y for x, y in zip(comps[a], comps[b]))
+            # the synthetic embeddings are near-isotropic (eigenvalue gaps
+            # ~0), so 12 fixed iterations separate components only
+            # approximately — the CONTRACT is the fixed-iteration map (the
+            # oracle pins it exactly); orthogonality is a quality signal
+            assert abs(dot) < 0.2, (a, b, dot)
+    rows = project_pca(emb, means, comps).collect()
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r.comp, []).append(r.pc_value)
+    variances = []
+    for c in range(4):
+        vals = by_comp[c]
+        mu = sum(vals) / len(vals)
+        variances.append(sum((x - mu) ** 2 for x in vals) / len(vals))
+        # projections are centered: mean ~ 0
+        assert abs(mu) < 1e-3, (c, mu)
+    # leading component dominates; later ones never exceed it materially
+    assert variances[0] > 0
+    assert max(variances[1:]) <= variances[0] * 1.05, variances
