@@ -216,3 +216,74 @@ def test_funnel_matches_sequential_reference(spark, events, within):
     }
     want = _funnel_ref(events, ["a", "b", "c"], within)
     assert [got.get(i, 0) for i in range(3)] == want
+
+
+# ---------------------------------------------------------------------------
+# substring_dedup vs a sequential reference: stride-1 windows, global
+# first-occurrence order by (doc_id, pos), union of later occurrences'
+# position ranges removed, in-order reassembly.
+# ---------------------------------------------------------------------------
+def _substring_dedup_ref(docs, L):
+    seen: dict[str, tuple[int, int]] = {}
+    removed: dict[int, set] = {d: set() for d, _ in docs}
+    for doc_id, text in sorted(docs):
+        w = text.split(" ")
+        for pos in range(1, len(w) - L + 2):
+            win = " ".join(w[pos - 1 : pos - 1 + L])
+            if win in seen:
+                removed[doc_id].update(range(pos, pos + L))
+            else:
+                seen[win] = (doc_id, pos)
+    out = {}
+    for doc_id, text in docs:
+        w = text.split(" ")
+        rset = removed[doc_id]
+        kept = [w[p - 1] for p in range(1, len(w) + 1) if p not in rset]
+        out[doc_id] = (len(w), len(rset), " ".join(kept))
+    return out
+
+
+SUBSTRING_CASES = [
+    # misaligned duplicate run across docs
+    [(0, "a b c d e"), (1, "z a b c d y")],
+    # overlapping dup windows merge into one removed region
+    [(0, "a b c d"), (1, "x a b c d e f")],
+    # within-doc repeat at distance; short doc untouched
+    [(0, "m n o t m n o"), (1, "m n")],
+    # doc order (not input order) decides the first occurrence
+    [(5, "a b c"), (2, "a b c")],
+    # full duplicate collapses to empty text
+    [(0, "p q r s"), (1, "p q r s")],
+]
+
+
+@pytest.mark.parametrize("docs", SUBSTRING_CASES)
+def test_substring_dedup_matches_sequential_reference(spark, docs):
+    from binance_etl_clickhouse_spark.operators.corpus import substring_dedup
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_deduped)
+        for r in substring_dedup(df, min_len=3).collect()
+    }
+    assert got == _substring_dedup_ref(docs, L=3)
+
+
+def test_substring_dedup_matches_reference_on_random_corpus(spark):
+    """Seeded random corpus (tiny alphabet -> dense collisions), ONE Spark
+    call, exact match against the sequential reference."""
+    import random
+
+    from binance_etl_clickhouse_spark.operators.corpus import substring_dedup
+
+    rng = random.Random(7)
+    docs = [
+        (d, " ".join(rng.choice("abc") for _ in range(rng.randint(1, 30))))
+        for d in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_deduped)
+        for r in substring_dedup(df, min_len=4).collect()
+    }
+    assert got == _substring_dedup_ref(docs, L=4)
