@@ -897,3 +897,85 @@ def substring_dedup(
             " ", F.transform(kept, lambda p: F.element_at(w, p))
         ).alias("text_deduped"),
     )
+
+
+#: logistic-regression quality classifier defaults: hashed-feature width
+#: (small enough that the per-step gradient collect is a 256-double
+#: vector), fixed full-batch GD steps, unit learning rate
+LOGREG_BUCKETS, LOGREG_STEPS, LOGREG_LR = 256, 3, 1.0
+
+
+def logreg_fit_scores(
+    df: DataFrame,
+    label: "F.Column",
+    n_buckets: int = LOGREG_BUCKETS,
+    steps: int = LOGREG_STEPS,
+    lr: float = LOGREG_LR,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    persist: bool = True,
+) -> DataFrame:
+    """Trained DISCRIMINATIVE quality classifier — logistic regression over
+    the DSIR hashed unigram+bigram features, fit with ``steps`` fixed
+    full-batch gradient-descent rounds, scored per document.
+
+    The iterative-fit twin of :func:`nb_classifier_scores` (generative) —
+    and, like the IVF k-means and PCA power method, FIXED-ITERATION
+    semantics: w starts at zero and takes exactly ``steps`` updates
+    w <- w - lr * (1/N) sum_d (sigmoid(w.x_d) - y_d) x_d, so the whole
+    training run is a deterministic map both engines replay (the oracle
+    unrolls the steps in SQL; no fitted literals cross engines).
+
+    Scale shape per step: one per-doc score aggregation (weights ride the
+    plan as a broadcast literal array — element_at, no join) and one
+    per-bucket gradient aggregation (map-side partial, ``n_buckets``
+    groups); the only driver traffic is the ``n_buckets``-double gradient
+    vector. Full-batch GD means ``steps`` corpus passes — at 100 TB you
+    fit on a sample or switch to mini-batches; the per-step plan is
+    unchanged. Features are L1-normalized counts (x = cnt / doc_total),
+    keeping scores O(|w|) and the sigmoid off its saturated tails.
+    """
+    feats = hashed_feature_counts(df, n_buckets, id_col, text_col)
+    tot = feats.groupBy(id_col).agg(F.sum("cnt").alias("tot"))
+    xy = _pin_counts(
+        feats.join(tot, id_col)
+        .select(
+            F.col(id_col),
+            F.col("bucket"),
+            (F.col("cnt") / F.col("tot")).alias("x"),
+        )
+        .join(df.select(F.col(id_col), label.cast("double").alias("y")), id_col),
+        persist,
+    )
+    n = float(df.count())
+    w = [0.0] * n_buckets
+
+    def score_expr(weights: list[float]):
+        warr = F.array(*[F.lit(float(v)) for v in weights])
+        return F.sum(
+            F.element_at(warr, (F.col("bucket") + 1).cast("int")) * F.col("x")
+        )
+
+    for _ in range(steps):
+        per_doc = xy.groupBy(id_col, "y").agg(score_expr(w).alias("s"))
+        resid = per_doc.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("s"))) - F.col("y")).alias("r"),
+        )
+        grads = {
+            r.bucket: r.g
+            for r in xy.join(resid, id_col)
+            .groupBy("bucket")
+            .agg((F.sum(F.col("r") * F.col("x")) / F.lit(n)).alias("g"))
+            .collect()  # n_buckets doubles — the only driver traffic
+        }
+        w = [w[b] - lr * grads.get(b, 0.0) for b in range(n_buckets)]
+    final = xy.groupBy(id_col, "y").agg(score_expr(w).alias("s"))
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("s")))
+    return final.select(
+        F.col(id_col),
+        F.col("y").cast("int").alias("label"),
+        F.round("s", 6).alias("score"),
+        F.round(prob, 6).alias("prob"),
+        (prob >= 0.5).alias("pred"),
+    )

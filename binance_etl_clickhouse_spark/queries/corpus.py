@@ -1115,3 +1115,97 @@ def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("novelty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Logistic-regression quality classifier: the discriminative sibling of
+# nb_lang_classifier, trained with 3 fixed full-batch GD steps over the
+# DSIR hashed features. The oracle unrolls the identical training in SQL
+# (w0 = zeros as a zipped-unnest relation; per step: per-doc score join,
+# sigmoid residual, per-bucket gradient, LEFT-JOIN weight update) — fit
+# AND scoring value-hash-pinned, no fitted literals crossing engines.
+# ---------------------------------------------------------------------------
+_LRG_B = corpus.LOGREG_BUCKETS
+_LRG_STEPS = corpus.LOGREG_STEPS
+_LRG_LR = corpus.LOGREG_LR
+
+
+def _logreg_oracle() -> str:
+    ctes = [
+        "toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)",
+        """feats AS (
+      SELECT doc_id, lang,
+             unnest(list_concat(
+               w, [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+             )) AS feat
+      FROM toks
+    )""",
+        f"""cnts AS (
+      SELECT doc_id, lang,
+             ({hash60_sql("feat")} % {_LRG_B})::BIGINT AS bucket,
+             count(*)::BIGINT AS cnt
+      FROM feats GROUP BY doc_id, lang, bucket
+    )""",
+        "tot AS (SELECT doc_id, sum(cnt)::BIGINT AS tot FROM cnts GROUP BY doc_id)",
+        """xy AS (
+      SELECT c.doc_id, c.bucket, c.cnt / t.tot AS x,
+             CASE WHEN c.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      FROM cnts c JOIN tot t USING (doc_id)
+    )""",
+        "n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM documents)",
+        f"""w0 AS (
+      SELECT unnest([b for b in range(0, {_LRG_B})]) AS bucket,
+             unnest([0.0 for b in range(0, {_LRG_B})]) AS wt
+    )""",
+    ]
+    prev = "w0"
+    for st in range(1, _LRG_STEPS + 1):
+        ctes.append(
+            f"""s{st} AS (
+      SELECT xy.doc_id, xy.y, sum({prev}.wt * xy.x) AS s
+      FROM xy JOIN {prev} USING (bucket) GROUP BY xy.doc_id, xy.y
+    )"""
+        )
+        ctes.append(
+            f"r{st} AS (SELECT doc_id, 1.0/(1.0 + exp(-s)) - y AS r FROM s{st})"
+        )
+        ctes.append(
+            f"""g{st} AS (
+      SELECT xy.bucket, sum(r{st}.r * xy.x) / (SELECT nn FROM n) AS g
+      FROM xy JOIN r{st} USING (doc_id) GROUP BY xy.bucket
+    )"""
+        )
+        ctes.append(
+            f"""w{st} AS (
+      SELECT {prev}.bucket, {prev}.wt - {_LRG_LR!r} * coalesce(g{st}.g, 0.0) AS wt
+      FROM {prev} LEFT JOIN g{st} USING (bucket)
+    )"""
+        )
+        prev = f"w{st}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    sf AS (
+      SELECT xy.doc_id, xy.y, sum({prev}.wt * xy.x) AS s
+      FROM xy JOIN {prev} USING (bucket) GROUP BY xy.doc_id, xy.y
+    )
+    SELECT doc_id, y::INT AS label, round(s, 6) AS score,
+           round(1.0/(1.0 + exp(-s)), 6) AS prob,
+           1.0/(1.0 + exp(-s)) >= 0.5 AS pred
+    FROM sf
+    """
+    )
+
+
+@register(
+    "logreg_quality_classifier",
+    _logreg_oracle(),
+    survey_ref=(
+        "corpus stats: trained logistic-regression classifier "
+        "(fixed-step GD, fully SQL-unrolled training oracle)"
+    ),
+)
+def logreg_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.logreg_fit_scores(docs, label=F.col("lang") == "en")

@@ -27,6 +27,7 @@ COLLECT_WHITELIST = {
     "operators/bpe.py": "1-row argmax per merge iteration (pair argmax)",
     "operators/ivf.py": "k x dim centroid rows (codebook fit)",
     "operators/pca.py": "d + d^2 moment scalars (covariance fit)",
+    "operators/corpus.py": "n_buckets-double gradient vector per GD step (logreg fit)",
     "operators/sketches.py": "kilobyte-scale sketch states (CMS merge)",
     "pipeline.py": "failed-symbol report list (per-run, symbols not rows)",
     "queries/llm.py": "fitted centroid literals for the oracle SQL twin",

@@ -393,3 +393,33 @@ def test_hybrid_pruned_recall_vs_exact_baseline(spark):
         for doc in overlap:
             # sparse side is exact in BOTH forms: fused sparse ranks match
             assert ex[qid][doc].sparse_rnk == pr[qid][doc].sparse_rnk
+
+
+def test_logreg_learns_a_separable_corpus(spark):
+    """On a corpus where the label correlates with a token, fixed-step GD
+    separates it (the natural documents table has no text-lang signal, so
+    the registered query's value there is the pinned training map; this
+    pins that the same operator actually LEARNS when signal exists)."""
+    from pyspark.sql import functions as F
+
+    from binance_etl_clickhouse_spark.operators.corpus import logreg_fit_scores
+
+    rows = []
+    for i in range(200):
+        pos = i % 2 == 0
+        marker = "alpha beta" if pos else "gamma delta"
+        filler = f"common tok{i % 5} words here"
+        rows.append((i, f"{marker} {filler}", "en" if pos else "de"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = logreg_fit_scores(
+        df, F.col("lang") == "en", steps=8, lr=20.0, persist=False
+    ).collect()
+    acc = sum(1 for r in out if r.pred == (r.label == 1)) / len(out)
+    assert acc >= 0.95, acc
+    # determinism: identical refit
+    again = logreg_fit_scores(
+        df, F.col("lang") == "en", steps=8, lr=20.0, persist=False
+    ).collect()
+    assert sorted((r.doc_id, r.score) for r in again) == sorted(
+        (r.doc_id, r.score) for r in out
+    )
