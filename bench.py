@@ -79,6 +79,11 @@ HEADLINE = [
     # the composed five-stage prep pipeline (gate -> substring dedup ->
     # LM score -> tercile gate -> split) — the end-to-end flagship
     "training_data_prep_pipeline_v2",
+    # the two fixed-iteration trained models: PCA (one-pass d^2-moment
+    # aggregation + driver power method) and logistic regression (per-step
+    # score + gradient aggregations with broadcast literal weights)
+    "embedding_pca_project",
+    "logreg_quality_classifier",
 ]
 
 
