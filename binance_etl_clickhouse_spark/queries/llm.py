@@ -1709,3 +1709,77 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     means, comps = fit_pca(emb, dim=_EMB_DIM, k=_PCA_K, iters=_PCA_ITERS)
     return project_pca(emb, means, comps)
+
+
+# ---------------------------------------------------------------------------
+# k-NN majority-vote label classifier: label the first _KNN_Q vectors by
+# the majority label of their 5 nearest labeled neighbors (the rest of the
+# corpus). Pure composition of the verified batched-retrieval shape: one
+# corpus scan, broadcast query frame, WindowGroupLimit top-k, then a
+# votes-per-label aggregate and a deterministic (votes DESC, label ASC)
+# argmax window. The semi-supervised labeling pass of a curation pipeline.
+# ---------------------------------------------------------------------------
+_KNN_Q, _KNN_K = 20, 5
+
+
+@register(
+    "knn_label_classifier",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_KNN_Q}),
+    c AS (SELECT vec_id, label, v FROM e WHERE vec_id >= {_KNN_Q}),
+    scored AS (
+      SELECT q.query_id, c.vec_id, c.label,
+             round(list_inner_product(c.v, q.qv)
+                   / (sqrt(list_inner_product(c.v, c.v))
+                      * sqrt(list_inner_product(q.qv, q.qv))), 6) AS cos_sim
+      FROM c CROSS JOIN q
+    ),
+    top AS (
+      SELECT query_id, label FROM (
+        SELECT query_id, label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rnk
+        FROM scored
+      ) WHERE rnk <= {_KNN_K}
+    ),
+    votes AS (
+      SELECT query_id, label, count(*)::BIGINT AS n_votes
+      FROM top GROUP BY query_id, label
+    )
+    SELECT query_id, label AS pred_label, n_votes FROM (
+      SELECT query_id, label, n_votes,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY n_votes DESC, label) AS rn
+      FROM votes
+    ) WHERE rn = 1
+    """,
+    survey_ref=(
+        "embedding ops: k-NN majority-vote labeling "
+        "(batched retrieval + deterministic argmax)"
+    ),
+)
+def knn_label_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from binance_etl_clickhouse_spark.operators.similarity import batch_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _KNN_Q).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus_side = emb.filter(F.col("vec_id") >= _KNN_Q)
+    top = batch_topk(corpus_side, queries, k=_KNN_K, exclude_self=False)
+    votes = (
+        top.join(
+            emb.select("vec_id", "label"), "vec_id"
+        )
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("n_votes").desc(), F.col("label"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "n_votes")
+    )

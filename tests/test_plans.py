@@ -309,6 +309,7 @@ NESTED_LOOP_WHITELIST = {
     "embedding_cosine_neardup",  # block-id pair frame (|blocks|^2/2 ids, not rows)
     "ann_bruteforce_topk",  # corpus x broadcast literal query vector (exact baseline)
     "ann_batch_topk",  # corpus x broadcast query SET (batched exact retrieval)
+    "knn_label_classifier",  # same batched-retrieval shape: corpus x broadcast |Q|=20
     "embedding_decontamination",  # corpus x broadcast eval set (semantic screen)
     "source_mixture_sample",  # per-source rates x 1-row scale frame
     "dsir_importance_select",  # bucket stats x 1-row totals frame
