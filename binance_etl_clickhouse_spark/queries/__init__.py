@@ -37,11 +37,11 @@ from binance_etl_clickhouse_spark.queries import corpus  # noqa: F401,E402
 # hybrid_rrf_search's IVF-routed dense leg + its new exact baseline
 # hybrid_rrf_exact_search), (c) embedding_cosine_neardup (changed in r2,
 # never driver-re-proven), and (d) ten of the operators ADDED in round 3.
-# Together: 145 of the 147 registered queries have a driver CORRECTNESS
+# Together: 145 of the 148 registered queries have a driver CORRECTNESS
 # row after this round (95 from r1+r2 + the 48 here); the remainder —
-# training_data_prep_pipeline_v2 and knn_label_classifier, both added
-# after the rotation and composed of individually window-proven stages —
-# rotates in next round.
+# training_data_prep_pipeline_v2, knn_label_classifier, and
+# cluster_representative_select, all added after the rotation and
+# composed of individually window-proven stages — rotates in next round.
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW = [
     # (b) fixed this round: oracle sum(CASE) now ::BIGINT (r2's one red row)

@@ -1783,3 +1783,78 @@ def knn_label_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("query_id", F.col("label").alias("pred_label"), "n_votes")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-representative selection: the keep/drop manifest that completes
+# the dedup story — pair detection -> connected components -> keep the
+# BEST-QUALITY document per cluster (not the arbitrary min-id canonical),
+# ties on doc_id. Composes the clusters fixpoint with the quality score;
+# the oracle composes the recursive-CTE closure with the same score SQL.
+# ---------------------------------------------------------------------------
+@register(
+    "cluster_representative_select",
+    f"""
+    WITH RECURSIVE {_SH_CTE.strip().rstrip()},
+    pairs AS (SELECT d1, d2 FROM jac WHERE j >= 0.5),
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION
+      SELECT d2 AS a, d1 AS b FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS lbl FROM documents
+      UNION
+      SELECT e.a AS node, r.lbl FROM reach r JOIN edges e ON e.b = r.node
+    ),
+    canon AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    qual AS (
+      SELECT doc_id,
+             round(
+               least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.4
+               + (len(list_distinct(string_split(text, ' ')))
+                  / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.4
+               + (1 - len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))
+                      / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.2,
+               6) AS quality_score
+      FROM documents
+    ),
+    ranked AS (
+      SELECT c.doc_id, c.cluster_id, q.quality_score,
+             count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY q.quality_score DESC, c.doc_id) AS rn
+      FROM canon c JOIN qual q USING (doc_id)
+    )
+    SELECT doc_id, cluster_id, cluster_size::BIGINT AS cluster_size,
+           quality_score, rn = 1 AS keep
+    FROM ranked
+    """,
+    survey_ref=(
+        "dedup: cluster-representative selection "
+        "(keep best-quality doc per near-dup cluster)"
+    ),
+)
+def cluster_representative_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from binance_etl_clickhouse_spark.operators.text import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = neardup.ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    clusters = neardup.neardup_clusters(docs, pairs)
+    qual = quality_features(docs).select("doc_id", "quality_score")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    return (
+        clusters.join(qual, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            "quality_score",
+            (F.col("rn") == 1).alias("keep"),
+        )
+    )
