@@ -1,0 +1,106 @@
+"""Graph-analytics queries over the part co-purchase graph.
+
+Training-data-pipeline extension (the reference's surface has no graph ops):
+entity-graph degree statistics, triangle counting, and fixed-iteration
+PageRank. The DuckDB oracles rebuild the same graph from ``lineitem`` and
+recompute each statistic independently — for triangles with the *naive*
+id-ordered algorithm (the Spark side uses the scalable degree-ordered
+orientation; the counts provably coincide, so the driver hash-check
+cross-validates the two algorithms against each other), and for PageRank by
+unrolling the identical power iterations as chained CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from binance_etl_clickhouse_spark.operators import graph
+from binance_etl_clickhouse_spark.queries.registry import register
+from binance_etl_clickhouse_spark.tables import load_table as _t
+
+_PR_ITERS = 3
+_PR_D = graph.DAMPING
+
+#: shared oracle CTE: the co-purchase edge list (src < dst, w = #orders)
+_EDGES_CTE = """
+    items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    edges AS (
+      SELECT a.p AS src, b.p AS dst, count(*)::BIGINT AS w
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+    ),
+    und AS (
+      SELECT src AS u, dst AS v, w FROM edges
+      UNION ALL
+      SELECT dst AS u, src AS v, w FROM edges
+    )"""
+
+
+@register(
+    "graph_degree_stats",
+    f"""
+    WITH {_EDGES_CTE}
+    SELECT u AS part_key, count(*)::BIGINT AS degree, sum(w)::BIGINT AS weighted_degree
+    FROM und GROUP BY u
+    """,
+    survey_ref="graph: co-purchase degree statistics (bounded per-order pair join)",
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = graph.copurchase_edges(_t(spark, sf_dir, "lineitem"))
+    return graph.degree_stats(edges)
+
+
+@register(
+    "graph_triangle_count",
+    f"""
+    WITH {_EDGES_CTE}
+    SELECT count(*)::BIGINT AS n_triangles
+    FROM edges e1
+    JOIN edges e2 ON e2.src = e1.dst
+    JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    """,
+    survey_ref="graph: triangle count (degree-ordered orientation vs naive oracle)",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = graph.copurchase_edges(_t(spark, sf_dir, "lineitem"))
+    return graph.triangle_count(edges)
+
+
+def _pagerank_oracle() -> str:
+    """Unroll _PR_ITERS power iterations as chained CTEs (deg >= 1 for every
+    vertex by construction, so no dangling-mass term)."""
+    ctes = [
+        "deg AS (SELECT u, count(*)::DOUBLE AS d FROM und GROUP BY u)",
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM deg)",
+        "p0 AS (SELECT u, 1.0 / nn.n AS pr FROM deg CROSS JOIN nn)",
+    ]
+    prev = "p0"
+    for i in range(1, _PR_ITERS + 1):
+        ctes.append(
+            f"""p{i} AS (
+      SELECT e.v AS u,
+             (1.0 - {_PR_D}) / max(nn.n) + {_PR_D} * sum({prev}.pr / deg.d) AS pr
+      FROM und e
+      JOIN {prev} ON {prev}.u = e.u
+      JOIN deg ON deg.u = e.u
+      CROSS JOIN nn
+      GROUP BY e.v
+    )"""
+        )
+        prev = f"p{i}"
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {_EDGES_CTE},
+    {body}
+    SELECT u AS part_key, round(pr, 6) AS pagerank FROM {prev}
+    """
+
+
+@register(
+    "pagerank_copurchase",
+    _pagerank_oracle(),
+    survey_ref="graph: fixed-iteration PageRank (one shuffle per iteration)",
+)
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = graph.copurchase_edges(_t(spark, sf_dir, "lineitem"))
+    return graph.pagerank(edges, iters=_PR_ITERS)
