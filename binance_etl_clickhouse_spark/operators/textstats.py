@@ -1,0 +1,279 @@
+"""Corpus text-statistics operators: PMI, Zipf, minimizers, CDC, bloom.
+
+Training-data-pipeline extension (the reference's analytics surface is
+ClickHouse SQL over market data — ``crypto_data_pipeline_clickhouse.py`` —
+with no text ops). Everything here is a declarative DataFrame plan built
+from JVM-side expressions; the only shuffles are the final aggregations.
+
+Scale notes (100 TB lens):
+- ``pmi_pairs`` caps the vocabulary to the top-V terms BEFORE the per-doc
+  pair fan-out, so per-doc work is O(min(|doc vocab|, V)^2) and the output
+  is <= V^2/2 rows regardless of corpus size. The doc-frequency table is
+  V rows -> broadcast.
+- ``minimizer_fingerprints`` / ``cdc_chunks`` are pure per-row projections
+  (higher-order array functions, whole-stage codegen); CDC's corpus-wide
+  first-occurrence dedup shuffles once on chunk text, bounded by corpus
+  token count — same shape as span dedup but with content-defined
+  boundaries, so chunk identity survives insertions/deletions that shift
+  fixed-width span grids.
+- ``bloom_flags``'s filter side is DISTINCT bit positions of the eval set
+  (<= 3 * |eval shingles| longs) -> broadcast; the corpus side never
+  shuffles on the shingle itself. This is the join-free decontamination
+  shape: at 100 TB you ship the bloom bitmap, not the eval shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from binance_etl_clickhouse_spark.operators.texthash import hash60, shingles, tokens
+
+BLOOM_M = 1_048_576  # bloom bits (2^20)
+BLOOM_K = 3  # hash functions
+CDC_DIVISOR = 8  # expected chunk length in tokens
+
+
+def top_vocab(docs: DataFrame, v: int) -> DataFrame:
+    """Top-``v`` terms by document frequency -> (t, c); ties by term."""
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("t")
+    )
+    dfreq = toks.groupBy("t").agg(F.count("*").cast("long").alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col("t"))
+    return dfreq.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= v).drop("rn")
+
+
+def pmi_pairs(docs: DataFrame, n_docs: int, max_vocab: int = 40, min_pair: int = 5) -> DataFrame:
+    """Pointwise mutual information of term pairs co-occurring in a document.
+
+    Presence-based counts (a term counts once per doc). The top-``max_vocab``
+    cap is the scale guard — the single-row rank window is over a V-row
+    frame, not the corpus.
+    """
+    vocab = top_vocab(docs, max_vocab)
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("t")
+    ).join(F.broadcast(vocab), "t")
+    a = toks.select("doc_id", F.col("t").alias("t1"), F.col("c").alias("c1"))
+    b = toks.select("doc_id", F.col("t").alias("t2"), F.col("c").alias("c2"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2", "c1", "c2")
+        .agg(F.count("*").cast("long").alias("c_xy"))
+        .filter(F.col("c_xy") >= min_pair)
+    )
+    return pairs.select(
+        "t1",
+        "t2",
+        "c_xy",
+        F.round(
+            F.log(F.col("c_xy") * F.lit(float(n_docs)) / (F.col("c1") * F.col("c2"))), 6
+        ).alias("pmi"),
+    )
+
+
+def zipf_stats(docs: DataFrame, top_r: int = 30) -> DataFrame:
+    """One-row corpus summary: vocab size, token count, Zipf log-log fit.
+
+    Least-squares slope/intercept of ln(freq) vs ln(rank) over the top-R
+    terms, from explicit sums so the oracle's arithmetic is identical.
+    """
+    toks = docs.select(F.explode(tokens("text")).alias("t"))
+    tf = toks.groupBy("t").agg(F.count("*").cast("long").alias("f"))
+    w = Window.orderBy(F.col("f").desc(), F.col("t"))
+    top = (
+        tf.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= top_r)
+        .select(
+            F.log(F.col("r").cast("double")).alias("x"),
+            F.log(F.col("f").cast("double")).alias("y"),
+        )
+    )
+    s = top.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    totals = docs.agg(F.sum(F.size(tokens("text"))).cast("long").alias("total_tokens"))
+    vocab = tf.agg(F.count("*").cast("long").alias("vocab_size"))
+    return (
+        s.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "vocab_size",
+            "total_tokens",
+            F.round(slope, 6).alias("zipf_slope"),
+            F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+                "zipf_intercept"
+            ),
+        )
+    )
+
+
+def minimizer_fingerprints(docs: DataFrame, k: int = 3, w: int = 4) -> DataFrame:
+    """(w,k)-minimizer density per document — genomics-style fingerprinting.
+
+    Positional k-shingle hashes; each length-w window contributes its
+    minimum hash; distinct minima are the fingerprint. Pure projection,
+    zero shuffles.
+    """
+    toks = tokens("text")
+    n = F.size(toks)
+    sh_idx = F.sequence(F.lit(1), n - F.lit(k - 1))
+    hs = F.when(
+        n >= k,
+        F.transform(sh_idx, lambda i: hash60(F.concat_ws(" ", F.slice(toks, i, k)))),
+    ).otherwise(F.array().cast("array<long>"))
+    nw = F.size(hs) - F.lit(w - 1)
+    mins = F.when(
+        nw >= 1,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), nw), lambda j: F.array_min(F.slice(hs, j, w)))
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return docs.select(
+        "doc_id",
+        F.greatest(nw, F.lit(0)).cast("long").alias("n_windows"),
+        F.size(mins).cast("long").alias("n_minimizers"),
+        F.round(
+            F.size(mins)
+            / F.nullif(F.greatest(nw, F.lit(0)).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("density"),
+    )
+
+
+def cdc_chunks(docs: DataFrame, divisor: int = CDC_DIVISOR) -> DataFrame:
+    """Content-defined chunks: boundary after token i iff hash(token) % D == 0.
+
+    Returns one row per (doc_id, cidx, chunk). Chunk identity is content-
+    defined, so an insertion resynchronizes after one chunk instead of
+    shifting every downstream fixed-width span.
+    """
+    toks = tokens("text")
+    n = F.size(toks)
+    cuts = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (hash60(F.element_at(toks, i)) % divisor == 0) & (i < n),
+    )
+    starts = F.concat(F.array(F.lit(1)), F.transform(cuts, lambda c: c + 1))
+    ends = F.concat(cuts, F.array(n))
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(starts)),
+        lambda j: F.concat_ws(
+            " ",
+            F.slice(
+                toks,
+                F.element_at(starts, j),
+                F.element_at(ends, j) - F.element_at(starts, j) + 1,
+            ),
+        ),
+    )
+    return docs.select("doc_id", F.posexplode(chunks).alias("cidx0", "chunk")).select(
+        "doc_id", (F.col("cidx0") + 1).alias("cidx"), "chunk"
+    )
+
+
+def cdc_chunk_dedup(docs: DataFrame, divisor: int = CDC_DIVISOR) -> DataFrame:
+    """Corpus-wide first-occurrence chunk dedup summary per document."""
+    ch = cdc_chunks(docs, divisor)
+    w = Window.partitionBy("chunk").orderBy("doc_id", "cidx")
+    return (
+        ch.withColumn("rn", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum((F.col("rn") == 1).cast("int")).cast("long").alias("n_kept"),
+        )
+    )
+
+
+def _bloom_pos(sh, j: int):
+    return hash60(F.concat(F.lit(f"b{j}:"), sh)) % BLOOM_M
+
+
+def bloom_flags(docs: DataFrame, eval_docs: DataFrame, k: int = 4) -> DataFrame:
+    """Bloom-filter eval-set decontamination flags per corpus document.
+
+    The filter is represented as the DISTINCT set of bit positions lit by
+    the eval shingles (identical semantics to a bitmap, including false
+    positives) and broadcast; a corpus shingle is flagged iff all BLOOM_K
+    of its positions are lit.
+    """
+    sh = shingles("text", k)
+    bits = (
+        eval_docs.select(F.explode(sh).alias("sh"))
+        .distinct()
+        .select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("sh"), j) for j in range(BLOOM_K)])
+            ).alias("bit")
+        )
+        .distinct()
+    )
+    probe = docs.select("doc_id", F.explode(sh).alias("sh")).select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.array(*[_bloom_pos(F.col("sh"), j) for j in range(BLOOM_K)])
+        ).alias("j", "bit"),
+    )
+    flagged = (
+        probe.join(F.broadcast(bits), "bit")
+        .groupBy("doc_id", "sh")
+        .agg(F.count_distinct("j").alias("m"))
+        .filter(F.col("m") == BLOOM_K)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_flagged"))
+    )
+    per_doc = docs.select("doc_id", F.size(sh).cast("long").alias("n_shingles"))
+    return (
+        per_doc.join(flagged, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_flagged"), F.lit(0)).cast("long").alias("n_flagged"),
+            F.round(
+                F.coalesce(F.col("n_flagged"), F.lit(0))
+                / F.nullif(F.col("n_shingles").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("frac_flagged"),
+            (F.coalesce(F.col("n_flagged"), F.lit(0)) > 0).alias("is_contaminated"),
+        )
+    )
+
+
+def keyword_tags(docs: DataFrame, keywords: list[str]) -> DataFrame:
+    """Dictionary phrase tagging (1- and 2-token keywords) with match counts.
+
+    The Aho-Corasick shape expressed relationally: explode the corpus into
+    positional 1/2-grams once, equi-join against the broadcast dictionary.
+    Occurrences overlap freely (every position is a candidate).
+    """
+    spark = docs.sparkSession
+    kw = F.broadcast(
+        spark.createDataFrame([(k,) for k in keywords], "keyword string")
+    )
+    toks = tokens("text")
+    n = F.size(toks)
+    uni = docs.select("doc_id", F.explode(toks).alias("g"))
+    big_arr = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1), lambda i: F.concat_ws(" ", F.slice(toks, i, 2))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    big = docs.select("doc_id", F.explode(big_arr).alias("g"))
+    grams = uni.unionAll(big)
+    return (
+        grams.join(kw, grams.g == kw.keyword)
+        .groupBy("doc_id", "keyword")
+        .agg(F.count("*").cast("long").alias("n_matches"))
+    )

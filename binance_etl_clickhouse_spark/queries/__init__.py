@@ -25,6 +25,7 @@ from binance_etl_clickhouse_spark.queries import tpch_suite  # noqa: F401,E402
 from binance_etl_clickhouse_spark.queries import dataset  # noqa: F401,E402
 from binance_etl_clickhouse_spark.queries import corpus  # noqa: F401,E402
 from binance_etl_clickhouse_spark.queries import graph  # noqa: F401,E402
+from binance_etl_clickhouse_spark.queries import textstats  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver verification window. The correctness driver checks the FIRST 50

@@ -1,0 +1,247 @@
+"""Text-statistics queries: PMI, Zipf, minimizers, CDC chunk dedup, bloom.
+
+Each oracle recomputes the full pass from the raw `documents` table with
+DuckDB list comprehensions / window functions, sharing the md5-based
+``hash60`` constants with the Spark side so hashed artifacts (minimizers,
+CDC boundaries, bloom bit positions) are bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from binance_etl_clickhouse_spark.operators import textstats
+from binance_etl_clickhouse_spark.operators.parallel import ensure_min_parallelism
+from binance_etl_clickhouse_spark.operators.texthash import hash60_sql, shingles_sql
+from binance_etl_clickhouse_spark.queries.registry import register
+from binance_etl_clickhouse_spark.tables import load_table as _t
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with the single-file scan fanned out for per-row hashing."""
+    return ensure_min_parallelism(_t(spark, sf_dir, "documents"))
+
+_PMI_V, _PMI_MIN = 40, 5
+
+
+@register(
+    "pmi_cooccurrence_pairs",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    dfreq AS (SELECT t, count(*)::BIGINT AS c FROM toks GROUP BY t),
+    vocab AS (
+      SELECT t, c FROM (
+        SELECT t, c, row_number() OVER (ORDER BY c DESC, t) AS rn FROM dfreq
+      ) WHERE rn <= {_PMI_V}
+    ),
+    vt AS (SELECT toks.doc_id, toks.t, vocab.c FROM toks JOIN vocab USING (t)),
+    n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+    pairs AS (
+      SELECT a.t AS t1, b.t AS t2, a.c AS c1, b.c AS c2, count(*)::BIGINT AS c_xy
+      FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.t < b.t
+      GROUP BY a.t, b.t, a.c, b.c
+    )
+    SELECT t1, t2, c_xy,
+           round(ln(c_xy * n.n_docs / (c1 * c2)), 6) AS pmi
+    FROM pairs CROSS JOIN n
+    WHERE c_xy >= {_PMI_MIN}
+    """,
+    survey_ref="text stats: PMI term co-occurrence (vocab-capped pair fan-out)",
+)
+def pmi_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    return textstats.pmi_pairs(docs, n_docs=n_docs, max_vocab=_PMI_V, min_pair=_PMI_MIN)
+
+
+_ZIPF_R = 30
+
+
+@register(
+    "zipf_vocab_stats",
+    f"""
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+    tf AS (SELECT t, count(*)::BIGINT AS f FROM toks GROUP BY t),
+    top AS (
+      SELECT ln(r::DOUBLE) AS x, ln(f::DOUBLE) AS y FROM (
+        SELECT f, row_number() OVER (ORDER BY f DESC, t) AS r FROM tf
+      ) WHERE r <= {_ZIPF_R}
+    ),
+    s AS (
+      SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM top
+    ),
+    tot AS (SELECT sum(len(string_split(text, ' ')))::BIGINT AS total_tokens FROM documents),
+    v AS (SELECT count(*)::BIGINT AS vocab_size FROM tf)
+    SELECT vocab_size, total_tokens,
+           round((s.n * s.sxy - s.sx * s.sy) / (s.n * s.sxx - s.sx * s.sx), 6)
+             AS zipf_slope,
+           round((s.sy - ((s.n * s.sxy - s.sx * s.sy) / (s.n * s.sxx - s.sx * s.sx)) * s.sx) / s.n, 6)
+             AS zipf_intercept
+    FROM s CROSS JOIN tot CROSS JOIN v
+    """,
+    survey_ref="text stats: Zipf rank-frequency fit + vocabulary totals",
+)
+def zipf_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.zipf_stats(_t(spark, sf_dir, "documents"), top_r=_ZIPF_R)
+
+
+_MZ_K, _MZ_W = 3, 4
+
+
+@register(
+    "minimizer_fingerprints",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    hs AS (
+      SELECT doc_id,
+             [{hash60_sql(f"array_to_string(w[i:i+{_MZ_K - 1}], ' ')")}
+              for i in range(1, len(w) - {_MZ_K - 2})] AS h
+      FROM t
+    ),
+    mz AS (
+      SELECT doc_id,
+             greatest(len(h) - {_MZ_W - 1}, 0)::BIGINT AS n_windows,
+             len(list_distinct(
+               [list_min(h[j:j+{_MZ_W - 1}]) for j in range(1, len(h) - {_MZ_W - 2})]
+             ))::BIGINT AS n_minimizers
+      FROM hs
+    )
+    SELECT doc_id, n_windows, n_minimizers,
+           round(n_minimizers / nullif(n_windows::DOUBLE, 0.0), 6) AS density
+    FROM mz
+    """,
+    survey_ref="text stats: (w,k)-minimizer fingerprint density (zero-shuffle projection)",
+)
+def minimizer_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.minimizer_fingerprints(_docs(spark, sf_dir), k=_MZ_K, w=_MZ_W)
+
+
+_CDC_D = textstats.CDC_DIVISOR
+
+
+@register(
+    "cdc_chunk_dedup",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    c AS (
+      SELECT doc_id, w,
+             [i for i in range(1, len(w) + 1)
+              if {hash60_sql('w[i]')} % {_CDC_D} = 0 and i < len(w)] AS cuts
+      FROM t
+    ),
+    s AS (
+      SELECT doc_id, w,
+             list_prepend(1, [c + 1 for c in cuts]) AS starts,
+             list_append(cuts, len(w)) AS ends
+      FROM c
+    ),
+    ch AS (
+      SELECT doc_id,
+             generate_subscripts(chunks, 1) AS cidx,
+             unnest(chunks) AS chunk
+      FROM (
+        SELECT doc_id,
+               [array_to_string(w[starts[j]:ends[j]], ' ')
+                for j in range(1, len(starts) + 1)] AS chunks
+        FROM s
+      )
+    ),
+    rn AS (
+      SELECT doc_id, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, cidx) AS rn
+      FROM ch
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_chunks,
+           sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept
+    FROM rn GROUP BY doc_id
+    """,
+    survey_ref="dedup: content-defined chunking + corpus first-occurrence dedup",
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.cdc_chunk_dedup(_docs(spark, sf_dir), divisor=_CDC_D)
+
+
+_BLOOM_K_SH = 4
+
+
+def _bpos(expr: str, j: int) -> str:
+    salted = "'b" + str(j) + ":' || " + expr
+    return f"({hash60_sql(salted)} % {textstats.BLOOM_M})"
+
+
+@register(
+    "bloom_decontaminate",
+    f"""
+    WITH ev AS (
+      SELECT DISTINCT unnest({shingles_sql("text", _BLOOM_K_SH)}) AS sh
+      FROM documents WHERE doc_id % 11 = 0
+    ),
+    bits AS (
+      SELECT DISTINCT bit FROM (
+        SELECT unnest([{_bpos('sh', 0)}, {_bpos('sh', 1)}, {_bpos('sh', 2)}]) AS bit
+        FROM ev
+      )
+    ),
+    cs AS (
+      SELECT doc_id, unnest({shingles_sql("text", _BLOOM_K_SH)}) AS sh FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, sh, 0 AS j, {_bpos('sh', 0)} AS bit FROM cs
+      UNION ALL
+      SELECT doc_id, sh, 1 AS j, {_bpos('sh', 1)} AS bit FROM cs
+      UNION ALL
+      SELECT doc_id, sh, 2 AS j, {_bpos('sh', 2)} AS bit FROM cs
+    ),
+    fl AS (
+      SELECT doc_id, count(*)::BIGINT AS n_flagged FROM (
+        SELECT doc_id, sh, count(DISTINCT j) AS m
+        FROM pos JOIN bits USING (bit)
+        GROUP BY doc_id, sh
+      ) WHERE m = 3
+      GROUP BY doc_id
+    ),
+    per AS (
+      SELECT doc_id, len({shingles_sql("text", _BLOOM_K_SH)})::BIGINT AS n_shingles
+      FROM documents
+    )
+    SELECT per.doc_id, per.n_shingles,
+           coalesce(fl.n_flagged, 0)::BIGINT AS n_flagged,
+           round(coalesce(fl.n_flagged, 0) / nullif(per.n_shingles::DOUBLE, 0.0), 6)
+             AS frac_flagged,
+           coalesce(fl.n_flagged, 0) > 0 AS is_contaminated
+    FROM per LEFT JOIN fl USING (doc_id)
+    """,
+    survey_ref="training-data: bloom-filter eval decontamination (broadcast bitset)",
+)
+def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(docs.doc_id % 11 == 0)
+    return textstats.bloom_flags(docs, ev, k=_BLOOM_K_SH)
+
+
+KEYWORDS = ["spark", "window", "hash join", "table scan", "merge sort"]
+
+
+@register(
+    "keyword_tag_docs",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    uni AS (SELECT doc_id, unnest(w) AS g FROM t),
+    big AS (
+      SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ')
+                             for i in range(1, len(w))]) AS g
+      FROM t
+    ),
+    grams AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
+    kw AS (SELECT unnest({KEYWORDS!r}) AS keyword)
+    SELECT doc_id, keyword, count(*)::BIGINT AS n_matches
+    FROM grams JOIN kw ON grams.g = kw.keyword
+    GROUP BY doc_id, keyword
+    """,
+    survey_ref="text stats: dictionary phrase tagging (broadcast 1/2-gram join)",
+)
+def keyword_tag_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.keyword_tags(_docs(spark, sf_dir), KEYWORDS)
