@@ -638,3 +638,82 @@ def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bin_width=_OVL_BIN_MS,
     )
     return pairs.select("a_id", "b_id", "a_lo", "b_lo")
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing + anomaly flags per user. The smoother is the bounded-
+# history form: weighted mean of the W preceding values with geometric
+# weights lambda^(age-1) — identical arithmetic in both engines. The Spark
+# side joins current rows to predecessors through a BANDED self-join
+# (each predecessor replicated into its row-block and the next, equi-join
+# on (user, block)), so per-join-key fan-out is <= 2W rows no matter how
+# long a user's history grows — the shape that survives a 100 TB event
+# log. The oracle uses the naive range self-join; the hash match cross-
+# validates the banding.
+# ---------------------------------------------------------------------------
+_EWMA_W, _EWMA_LAMBDA, _EWMA_THRESH = 8, 0.7, 80.0
+
+
+@register(
+    "ewma_anomaly_events",
+    f"""
+    WITH e AS (
+      SELECT event_id, user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    j AS (
+      SELECT a.event_id, a.user_id, a.value,
+             sum(pow({_EWMA_LAMBDA}, a.rn - b.rn - 1) * b.value) AS swv,
+             sum(pow({_EWMA_LAMBDA}, a.rn - b.rn - 1)) AS sw
+      FROM e a LEFT JOIN e b
+        ON a.user_id = b.user_id AND a.rn - b.rn BETWEEN 1 AND {_EWMA_W}
+      GROUP BY a.event_id, a.user_id, a.value
+    )
+    SELECT event_id, user_id, value,
+           round(swv / sw, 6) AS ewma,
+           round(abs(value - swv / sw), 6) AS score,
+           coalesce(abs(value - swv / sw) > {_EWMA_THRESH}, false) AS is_anomaly
+    FROM j
+    """,
+    survey_ref="time series: EWMA smoothing + anomaly flags (banded history join)",
+)
+def ewma_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.withColumn("rn", F.row_number().over(w)).drop("ts")
+    a = r.withColumn("blk", (F.col("rn") / _EWMA_W).cast("long"))
+    # each predecessor row serves its own block and the next one
+    b = (
+        r.select(
+            "user_id",
+            F.col("rn").alias("brn"),
+            F.col("value").alias("bval"),
+            F.explode(
+                F.array(
+                    (F.col("rn") / _EWMA_W).cast("long"),
+                    (F.col("rn") / _EWMA_W).cast("long") + 1,
+                )
+            ).alias("blk"),
+        )
+    )
+    diff = F.col("rn") - F.col("brn")
+    j = a.join(b, ["user_id", "blk"], "left").withColumn(
+        "ok", diff.between(1, _EWMA_W)
+    )
+    wgt = F.when(F.col("ok"), F.pow(F.lit(_EWMA_LAMBDA), diff - 1))
+    g = j.groupBy("event_id", "user_id", "value").agg(
+        F.sum(wgt * F.col("bval")).alias("swv"),
+        F.sum(wgt).alias("sw"),
+    )
+    ewma_raw = F.col("swv") / F.col("sw")
+    return g.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round(ewma_raw, 6).alias("ewma"),
+        F.round(F.abs(F.col("value") - ewma_raw), 6).alias("score"),
+        F.coalesce(
+            F.abs(F.col("value") - ewma_raw) > _EWMA_THRESH, F.lit(False)
+        ).alias("is_anomaly"),
+    )
