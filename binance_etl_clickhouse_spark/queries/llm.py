@@ -1858,3 +1858,102 @@ def cluster_representative_select(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("rn") == 1).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means cluster quality: per-cell size, mean distance-to-centroid, and the
+# Davies-Bouldin ratio R_i = max_{j != i} (S_i + S_j) / d(c_i, c_j) — the
+# fitness check a corpus-clustering pass (SemDeDup cells, IVF codebooks)
+# runs before trusting the partition. Reuses the SAME deterministic
+# codebook as the IVF family (cached), so the oracle unrolls the identical
+# k-means and recomputes every statistic from scratch. The pairwise-
+# centroid stage is a k x k frame (k=8) — the BroadcastNestedLoopJoin there
+# touches centroid rows only, never the corpus (audited in the plan tests).
+# ---------------------------------------------------------------------------
+def _kmeans_quality_oracle() -> str:
+    iters = []
+    prev = "c0"
+    for it in range(1, _IVF_ITERS + 1):
+        iters.append(_kmeans_assign_cte(f"a{it}", prev) + ",")
+        iters.append(_kmeans_update_cte(f"a{it}", prev, f"c{it}") + ",")
+        prev = f"c{it}"
+    body = "\n".join(iters)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_IVF_K})
+    ),
+    {body}
+    {_kmeans_assign_cte('af', prev)},
+    s AS (
+      SELECT af.cell, count(*)::BIGINT AS n_vectors,
+             avg(sqrt({_sqdist_sql('af.v', f'{prev}.v')})) AS s
+      FROM af JOIN {prev} USING (cell)
+      GROUP BY af.cell
+    ),
+    pc AS (SELECT s.cell, s.n_vectors, s.s, {prev}.v FROM s JOIN {prev} USING (cell)),
+    r AS (
+      SELECT a.cell,
+             max((a.s + b.s) / sqrt({_sqdist_sql('a.v', 'b.v')})) AS r
+      FROM pc a JOIN pc b ON a.cell <> b.cell
+      GROUP BY a.cell
+    )
+    SELECT pc.cell::INT AS cell, pc.n_vectors, round(pc.s, 6) AS avg_dist,
+           round(r.r, 6) AS db_ratio
+    FROM pc JOIN r USING (cell)
+    """
+
+
+@register(
+    "kmeans_cluster_quality",
+    _kmeans_quality_oracle(),
+    survey_ref="clustering: k-means per-cell stats + Davies-Bouldin ratio",
+)
+def kmeans_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_clickhouse_spark.operators.ivf import _as_double
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = _ivf_codebook(spark, sf_dir)
+    v = _as_double("embedding")
+    dists = []
+    for c in cent:
+        cv = F.array(*[F.lit(float(x)) for x in c])
+        diff = F.zip_with(v, cv, lambda a, b: (a - b) * (a - b))
+        dists.append(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x))
+    darr = F.array(*dists)
+    assigned = emb.select(
+        "vec_id",
+        (F.array_position(darr, F.array_min(darr)) - 1).cast("int").alias("cell"),
+        F.sqrt(F.array_min(darr)).alias("dist"),
+    )
+    s = assigned.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_vectors"), F.avg("dist").alias("s")
+    )
+    centdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cent)],
+        "cell int, v array<double>",
+    )
+    pc = s.join(F.broadcast(centdf), "cell")
+    other = pc.select(
+        F.col("cell").alias("cell2"), F.col("s").alias("s2"), F.col("v").alias("v2")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("v2"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    r = (
+        pc.join(F.broadcast(other), F.col("cell") != F.col("cell2"))
+        .groupBy("cell")
+        .agg(F.max((F.col("s") + F.col("s2")) / F.sqrt(d2)).alias("r"))
+    )
+    return (
+        pc.join(r, "cell")
+        .select(
+            "cell",
+            "n_vectors",
+            F.round("s", 6).alias("avg_dist"),
+            F.round("r", 6).alias("db_ratio"),
+        )
+    )
