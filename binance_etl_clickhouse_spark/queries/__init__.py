@@ -30,90 +30,75 @@ from binance_etl_clickhouse_spark.queries import textstats  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 # Driver verification window. The correctness driver checks the FIRST 50
 # registered queries per round, so registration order is a verification
-# budget. Round-3 window: (a) ALL 37 queries that have never had a driver
-# CORRECTNESS row (r1 checked the relational/LLM basics, r2 the TPC-H /
-# function-family / dataset block — this closes the corpus-statistics,
-# BPE, funnel/cohort, as-of-direction, histogram, chunking and hybrid-
-# retrieval families), (b) the queries fixed/changed this round
-# (conditional_agg_priority_mix's HUGEINT oracle cast;
-# hybrid_rrf_search's IVF-routed dense leg + its new exact baseline
-# hybrid_rrf_exact_search), (c) embedding_cosine_neardup (changed in r2,
-# never driver-re-proven), and (d) ten of the operators ADDED in round 3.
-# Together: 145 of the 148 registered queries have a driver CORRECTNESS
-# row after this round (95 from r1+r2 + the 48 here); the remainder —
-# training_data_prep_pipeline_v2, knn_label_classifier, and
-# cluster_representative_select, all added after the rotation and
-# composed of individually window-proven stages — rotates in next round.
+# budget. Round-4 window: (a) the 16 queries with NO driver CORRECTNESS
+# row ever — the five registered after round 3's rotation
+# (training_data_prep_pipeline_v2, knn_label_classifier,
+# cluster_representative_select, embedding_pca_project,
+# logreg_quality_classifier) plus the eleven operators ADDED in round 4
+# (graph family, text-statistics family, EWMA anomaly, k-means quality);
+# then (b) 34 re-proof canaries whose only driver row is from round 1 —
+# the highest-complexity ones (dedup/ANN/multimodal/windowed analytics /
+# TPC-H shapes); the ten r1-proven trivial projections/filters/set-ops
+# yield their slots (they retain continuous sf0.01 pytest parity).
+# After this round every registered query has a driver row, and nothing
+# in the window has been driver-checked since r1.
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW = [
-    # (b) fixed this round: oracle sum(CASE) now ::BIGINT (r2's one red row)
-    "conditional_agg_priority_mix",
-    # (a)+(b) hybrid retrieval: IVF-routed dense leg (new) + exact baseline
-    "hybrid_rrf_search",
-    "hybrid_rrf_exact_search",
-    # (a) corpus statistics / quality / selection family
-    "tfidf_top_terms",
-    "unigram_logprob_quality",
-    "bm25_topk_docs",
-    "bm25_index_topk",
-    "nb_lang_classifier",
-    "gopher_quality_filters",
-    "dsir_importance_select",
-    "span_dedup_corpus",
-    "source_mixture_sample",
-    # (a) BPE tokenizer family (train/encode are rows-only by the
-    # iterative-algorithm carve-out; pair stats carries the full oracle)
-    "bpe_pair_stats",
-    "bpe_merge_trace",
-    "bpe_train_merges",
-    "bpe_token_counts",
-    # (a) as-of directions added late in r2
-    "asof_forward_purchase_click",
-    "asof_nearest_purchase_click",
-    # (a) funnel / cohort / correlation analytics
-    "funnel_signup_click_purchase",
-    "funnel_conversion_lags",
-    "cohort_retention_daily",
-    "cohort_retention_weekly",
-    "rolling_corr_click_purchase",
-    "interval_overlap_pairs",
-    "winsorize_per_type",
-    # (a) the one TPC-H shape left (carries the same ::BIGINT fix)
-    "tpch_q12_shipmode_priority",
-    # (a) streaming-adjacent + histograms
-    "hopping_window_counts",
-    "price_histogram_fixed_bins",
-    "equi_depth_histogram",
-    # (a) chunking / batching / shuffling dataset ops
-    "chunk_sliding_windows",
-    "length_bucket_batches",
-    "training_shuffle_shards",
-    "pii_redaction",
-    # (a) embedding ops + ANN batch/PQ paths
-    "embedding_centroid_per_label",
-    "embedding_decontamination",
-    "ann_batch_topk",
-    "ann_ivf_batch_topk",
-    "ann_ivf_pq_topk",
-    "fuzzy_snippet_pairs",
-    # (c) the one canary kept: exact GEMM dedup changed in r2 (boundary
-    # mask) and was never driver-re-proven. The other r1-green canaries
-    # yield their slots to (d) — they carry r1 driver rows + sf0.01
-    # pytest parity, while (d) has no driver row at all.
-    "embedding_cosine_neardup",
-    # (d) the ten round-3 additions — never driver-checked; with (a)
-    # this makes every query in the registry driver-checked at least
-    # once after this round (143/143 checked-ever)
-    "tfidf_cosine_pairs",           # APSS sparse-cosine inverted join
-    "substring_dedup_corpus",       # stride-1 exact substring dedup
-    "weighted_sample_per_source",   # Efraimidis-Spirakis A-Res
-    "quality_quantile_filter",      # per-lang exact-percentile gate
-    "ccnet_perplexity_buckets",     # per-lang LM-score terciles
-    "bigram_logprob_quality",       # Jelinek-Mercer bigram LM
-    "ngram_novelty_scores",         # corpus-unique shingle fraction
-    "mad_outlier_per_type",         # modified z-score robust outliers
-    "ann_ivf_range_search",         # radius retrieval, pruned scan
-    "variant_extract_agg",          # Spark 4 VARIANT path extraction
+    # (a) never driver-checked: late round-3 registrations
+    "training_data_prep_pipeline_v2",
+    "knn_label_classifier",
+    "cluster_representative_select",
+    "embedding_pca_project",
+    "logreg_quality_classifier",
+    # (a) never driver-checked: round-4 graph family
+    "graph_degree_stats",
+    "graph_triangle_count",
+    "pagerank_copurchase",
+    # (a) never driver-checked: round-4 text-statistics family
+    "pmi_cooccurrence_pairs",
+    "zipf_vocab_stats",
+    "minimizer_fingerprints",
+    "cdc_chunk_dedup",
+    "bloom_decontaminate",
+    "keyword_tag_docs",
+    # (a) never driver-checked: round-4 analytics/clustering
+    "ewma_anomaly_events",
+    "kmeans_cluster_quality",
+    # (b) re-proof canaries: r1-only driver rows, complex plans first
+    "minhash_lsh_neardup",
+    "ngram_jaccard_neardup",
+    "exact_dedup_canonical",
+    "doc_fingerprints",
+    "simhash_signatures",
+    "ann_bruteforce_topk",
+    "benchmark_decontamination",
+    "langid_heuristic",
+    "text_quality_scores",
+    "multimodal_binary_features",
+    "multimodal_frame_samples",
+    "pandas_zscore_per_user",
+    "asof_join_purchase_click",
+    "range_join_price_bands",
+    "sessionization_stats",
+    "resample_ohlc_hourly",
+    "tumbling_resample_1h",
+    "tpch_q1_pricing_summary",
+    "cube_events",
+    "rollup_orders",
+    "pivot_event_counts",
+    "unpivot_lineitem_measures",
+    "window_lag_delta",
+    "window_running_sum",
+    "topk_per_group",
+    "keep_last_dedup",
+    "broadcast_dim_join",
+    "anti_join_completed",
+    "semi_join_exists",
+    "max_watermark",
+    "month_bucket_agg",
+    "scalar_time_roundtrip",
+    "regexp_json_extract",
+    "array_join_slice",
 ]
 
 

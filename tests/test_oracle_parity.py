@@ -64,7 +64,8 @@ def test_driver_window_is_the_verification_budget():
     assert len(DRIVER_WINDOW) == 50
     assert order[:50] == DRIVER_WINDOW
     rows_only_in_window = [n for n in order[:50] if n not in oracle_sql_map()]
-    # BPE training/encoding are rows-only by the iterative-algorithm
-    # carve-out (their per-round pair statistics ARE oracle-checked via
-    # bpe_pair_stats + bpe_merge_trace, both in the window).
-    assert rows_only_in_window == ["bpe_train_merges", "bpe_token_counts"]
+    # The round-4 window is fully oracle-bearing: the only rows-only
+    # registry entries (BPE train/encode iterative carve-outs +
+    # approx_aggregates sketches) earned their driver rows in r3 and sit
+    # outside the window.
+    assert rows_only_in_window == []
