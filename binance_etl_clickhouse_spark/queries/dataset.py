@@ -513,3 +513,169 @@ def training_data_prep_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("kept_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Canonical text normalization + normalized exact dedup. Normalization
+# (lowercase, strip non-alphanumerics, collapse runs of spaces, trim) is
+# the pass every ingest pipeline runs before exact dedup so trivial
+# formatting variants collapse to one canonical form. The dedup key is the
+# 60-bit hash of the normalized text — the form that shuffles 8 bytes per
+# row at 100 TB instead of the document body. One window over the hash
+# gives group sizes + first-occurrence canonicals in a single shuffle.
+# NOTE DuckDB's regexp_replace is first-match-only by default — the oracle
+# needs the 'g' flag to match Spark's replace-all semantics.
+# ---------------------------------------------------------------------------
+@register(
+    "normalize_dedup_docs",
+    f"""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                 ' +', ' ', 'g')) AS norm
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, len(norm)::BIGINT AS norm_len, {hash60_sql('norm')} AS hkey
+      FROM n
+    )
+    SELECT doc_id, norm_len,
+           count(*) OVER (PARTITION BY hkey)::BIGINT AS group_size,
+           (row_number() OVER (PARTITION BY hkey ORDER BY doc_id) = 1) AS is_canonical
+    FROM h
+    """,
+    survey_ref="dedup: canonical normalization + hash-keyed exact dedup",
+)
+def normalize_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    h = docs.select(
+        "doc_id",
+        F.length(norm).cast("long").alias("norm_len"),
+        hash60(norm).alias("hkey"),
+    )
+    w = Window.partitionBy("hkey")
+    wo = Window.partitionBy("hkey").orderBy("doc_id")
+    return h.select(
+        "doc_id",
+        "norm_len",
+        F.count("*").over(w).cast("long").alias("group_size"),
+        (F.row_number().over(wo) == 1).alias("is_canonical"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering: bucket documents into difficulty stages (terciles of
+# a difficulty proxy) and interleave the stages round-robin so every
+# training shard sees the full difficulty mix — the anti-sorting step after
+# curriculum bucketing. Two windows, both over scalar keys; the global
+# position is a single total order (at shard scale you'd band it by shard
+# id first, same arithmetic).
+# ---------------------------------------------------------------------------
+@register(
+    "curriculum_interleave",
+    """
+    WITH s AS (
+      SELECT doc_id, lang,
+             ntile(3) OVER (ORDER BY n_chars, doc_id) AS stage
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, lang, stage,
+             row_number() OVER (PARTITION BY stage ORDER BY doc_id) AS within_rank
+      FROM s
+    )
+    SELECT doc_id, lang, stage::BIGINT AS stage, within_rank::BIGINT AS within_rank,
+           row_number() OVER (ORDER BY within_rank, stage, doc_id)::BIGINT AS global_pos
+    FROM r
+    """,
+    survey_ref="training-data: curriculum staging + round-robin interleave",
+)
+def curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id",
+        "lang",
+        F.ntile(3).over(Window.orderBy("n_chars", "doc_id")).cast("long").alias("stage"),
+    )
+    r = s.withColumn(
+        "within_rank",
+        F.row_number().over(Window.partitionBy("stage").orderBy("doc_id")).cast("long"),
+    )
+    return r.withColumn(
+        "global_pos",
+        F.row_number()
+        .over(Window.orderBy("within_rank", "stage", "doc_id"))
+        .cast("long"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling for contrastive training pairs: each
+# anchor document draws K pseudo-random negatives by hashing (anchor, j)
+# onto the corpus rank space and equi-joining the rank table — the
+# reproducible replacement for rand()-based sampling (same pairs on every
+# run and both engines). Accidental self-draws are dropped, not redrawn
+# (documented sampling-without-replacement-of-self semantics). Scale: the
+# rank join is a plain equi-join on a computed key; no broadcast of the
+# corpus, no rand() skew.
+# ---------------------------------------------------------------------------
+_NEG_K = 4
+
+
+@register(
+    "contrastive_negative_sample",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rnk FROM documents
+    ),
+    n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+    draws AS (
+      SELECT d.doc_id AS anchor_id, j,
+             {hash60_sql("d.doc_id::VARCHAR || ':' || j::VARCHAR")} % max(n.n_docs)
+               OVER () AS target
+      FROM documents d CROSS JOIN n, range(1, {_NEG_K + 1}) t(j)
+    )
+    SELECT anchor_id, j::BIGINT AS j, ranked.doc_id AS neg_doc_id
+    FROM draws JOIN ranked ON ranked.rnk = draws.target
+    WHERE draws.anchor_id % 7 = 0 AND ranked.doc_id <> draws.anchor_id
+    """,
+    survey_ref="training-data: deterministic hash-based negative sampling join",
+)
+def contrastive_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    ranked = docs.select(
+        "doc_id", (F.row_number().over(Window.orderBy("doc_id")) - 1).alias("rnk")
+    )
+    draws = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select(F.col("doc_id").alias("anchor_id"))
+        .select(
+            "anchor_id",
+            F.explode(F.array(*[F.lit(j) for j in range(1, _NEG_K + 1)])).alias("j"),
+        )
+        .select(
+            "anchor_id",
+            F.col("j").cast("long").alias("j"),
+            (
+                hash60(
+                    F.concat(
+                        F.col("anchor_id").cast("string"),
+                        F.lit(":"),
+                        F.col("j").cast("string"),
+                    )
+                )
+                % n_docs
+            ).alias("target"),
+        )
+    )
+    return (
+        draws.join(ranked, draws.target == ranked.rnk)
+        .filter(F.col("doc_id") != F.col("anchor_id"))
+        .select("anchor_id", "j", F.col("doc_id").alias("neg_doc_id"))
+    )
