@@ -1957,3 +1957,126 @@ def kmeans_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("r", 6).alias("db_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR (maximal marginal relevance) diversified retrieval: greedy top-R
+# selection maximizing lambda*sim(q,d) - (1-lambda)*max_{s in S} sim(d,s).
+# The candidate pool is the exact cosine top-C (bounded frame, C=12); the
+# greedy loop runs R=5 one-row argmax jobs over that cached pool — driver
+# traffic is R single rows, never the corpus. All cosines are rounded to
+# 6 dp BEFORE comparison on both engines, so the greedy argmax (and hence
+# the selection) is deterministic cross-engine; the oracle unrolls the
+# identical R steps as chained LIMIT-1 CTEs. At scale the pool comes from
+# the IVF/LSH pruned probe instead of the brute-force scan — the greedy
+# stage is pool-sized either way.
+# ---------------------------------------------------------------------------
+_MMR_C, _MMR_R, _MMR_L = 12, 5, 0.7
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"round(list_inner_product({a}, {b}) / "
+        f"(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b}))), 6)"
+    )
+
+
+def _mmr_oracle() -> str:
+    steps = []
+    prev_union = None
+    for t in range(1, _MMR_R + 1):
+        if t == 1:
+            steps.append(f"""s1 AS (
+      SELECT vec_id, v, cosq, 1 AS rank FROM cand
+      ORDER BY round({_MMR_L} * cosq, 6) DESC, vec_id LIMIT 1
+    )""")
+            prev_union = "SELECT vec_id, v FROM s1"
+        else:
+            steps.append(f"""s{t} AS (
+      SELECT vec_id, v, cosq, {t} AS rank FROM (
+        SELECT c.vec_id, c.v, c.cosq,
+               round({_MMR_L} * c.cosq - {round(1 - _MMR_L, 10)} *
+                     (SELECT max({_cos_sql('c.v', 's.v')}) FROM ({prev_union}) s), 6)
+                 AS sc
+        FROM cand c
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM ({prev_union}) sel)
+      ) ORDER BY sc DESC, vec_id LIMIT 1
+    )""")
+            prev_union += f" UNION ALL SELECT vec_id, v FROM s{t}"
+    body = ",\n    ".join(steps)
+    final = " UNION ALL ".join(
+        f"SELECT rank, vec_id, cosq FROM s{t}" for t in range(1, _MMR_R + 1)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    cand AS (
+      SELECT vec_id, v, {_cos_sql('v', 'qv')} AS cosq
+      FROM e CROSS JOIN q
+      ORDER BY cosq DESC, vec_id LIMIT {_MMR_C}
+    ),
+    {body}
+    SELECT rank::BIGINT AS rank, vec_id, cosq AS cos_sim FROM ({final})
+    """
+
+
+@register(
+    "mmr_diversified_topk",
+    _mmr_oracle(),
+    survey_ref="retrieval: MMR diversified top-k (greedy over bounded candidate pool)",
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_clickhouse_spark.operators.ivf import _as_double
+    from binance_etl_clickhouse_spark.operators.similarity import cosine_expr
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    qarr = F.array(*[F.lit(x) for x in qvec])
+    v = _as_double("embedding")
+    cand = (
+        emb.select(
+            "vec_id",
+            v.alias("v"),
+            F.round(cosine_expr(v, qarr), 6).alias("cosq"),
+        )
+        .orderBy(F.col("cosq").desc(), "vec_id")
+        .limit(_MMR_C)
+        .cache()
+    )
+    selected: list[tuple[int, list[float], float]] = []
+    for t in range(1, _MMR_R + 1):
+        if not selected:
+            score = F.round(F.lit(_MMR_L) * F.col("cosq"), 6)
+        else:
+            sims = [
+                F.round(
+                    cosine_expr(
+                        F.col("v"), F.array(*[F.lit(float(x)) for x in svec])
+                    ),
+                    6,
+                )
+                for _, svec, _ in selected
+            ]
+            maxsim = sims[0] if len(sims) == 1 else F.greatest(*sims)
+            score = F.round(
+                F.lit(_MMR_L) * F.col("cosq") - F.lit(round(1 - _MMR_L, 10)) * maxsim, 6
+            )
+        pool = cand.filter(
+            ~F.col("vec_id").isin([vid for vid, _, _ in selected])
+        )
+        row = pool.select("vec_id", "v", "cosq", score.alias("sc")).orderBy(
+            F.col("sc").desc(), "vec_id"
+        ).first()
+        selected.append((int(row.vec_id), list(row.v), float(row.cosq)))
+    sel_ids = [vid for vid, _, _ in selected]
+    rank_expr = F.lit(None).cast("long")
+    for i, vid in enumerate(sel_ids, start=1):
+        rank_expr = F.when(F.col("vec_id") == vid, F.lit(i)).otherwise(rank_expr)
+    out = (
+        cand.filter(F.col("vec_id").isin(sel_ids))
+        .select(rank_expr.cast("long").alias("rank"), "vec_id", F.col("cosq").alias("cos_sim"))
+    )
+    return out
