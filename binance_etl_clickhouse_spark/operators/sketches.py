@@ -29,7 +29,7 @@ the sketch built over the raw rows (register-wise max is order-free).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: DataSketches HLL log2(registers): 12 → 4 KB state, ~1.6% typical error
@@ -268,4 +268,101 @@ def sketch_retention_adjacent(
         theta_estimate("s").cast("long").alias("n_bucket"),
         theta_estimate(F.theta_intersection("s", "s_next")).cast("long").alias("retained"),
         theta_estimate(F.theta_difference("s", "s_next")).cast("long").alias("churned"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters: bounded-state per-bucket top-item summaries.
+# ---------------------------------------------------------------------------
+
+
+def misra_gries_summaries(
+    df: DataFrame,
+    bucket_cols: list[str],
+    item_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """One-pass Misra-Gries summary per bucket: <= k counters + the total
+    decrement, the mergeable heavy-hitters state (frequent() in ClickHouse
+    terms, topNStream elsewhere).
+
+    Guarantees per bucket: every item with true frequency > n_bucket/(k+1)
+    is retained, and for each retained item
+    ``count <= true_count <= count + decremented``. Summaries merge by
+    counter addition + re-trim (:func:`merge_mg_summaries`), so a rollup
+    can store one summary per (bucket) and answer any bucket-range
+    heavy-hitters query from O(buckets * k) state.
+
+    The pass itself is ``applyInPandas`` — a genuinely one-pass, O(k)-memory
+    stream algorithm per bucket (the exact groupBy twin would shuffle every
+    distinct item; this shuffles each bucket's rows once and keeps k
+    counters).
+    """
+    import pandas as pd
+
+    out_fields = ", ".join(f"{c} string" for c in bucket_cols)
+    schema = f"{out_fields}, item string, lower_count long, decremented long, n_rows long"
+
+    def mg(pdf: pd.DataFrame) -> pd.DataFrame:
+        counters: dict[str, int] = {}
+        dec = 0
+        vals = pdf[item_col].astype(str)
+        for x in vals:
+            if x in counters:
+                counters[x] += 1
+            elif len(counters) < k:
+                counters[x] = 1
+            else:
+                dec += 1
+                dead = []
+                for key in counters:
+                    counters[key] -= 1
+                    if counters[key] == 0:
+                        dead.append(key)
+                for key in dead:
+                    del counters[key]
+        keys = {c: str(pdf[c].iloc[0]) for c in bucket_cols}
+        rows = [
+            {**keys, "item": it, "lower_count": int(ct), "decremented": int(dec),
+             "n_rows": int(len(pdf))}
+            for it, ct in sorted(counters.items())
+        ]
+        return pd.DataFrame(
+            rows,
+            columns=[*bucket_cols, "item", "lower_count", "decremented", "n_rows"],
+        )
+
+    casted = df.select(
+        *[F.col(c).cast("string").alias(c) for c in bucket_cols], item_col
+    )
+    return casted.groupBy(*bucket_cols).applyInPandas(mg, schema=schema)
+
+
+def merge_mg_summaries(summaries: DataFrame, k: int = 8) -> DataFrame:
+    """Merge per-bucket MG summaries into ONE summary (counter addition,
+    then trim back to k by subtracting the (k+1)-largest merged count).
+
+    The classic mergeable-summaries result (Agarwal et al., PODS'12): the
+    merged state keeps the per-item lower-bound guarantee with error
+    bounded by sum of the inputs' decrements plus the trim offset.
+    """
+    merged = summaries.groupBy("item").agg(
+        F.sum("lower_count").cast("long").alias("c")
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("item"))
+    ranked = merged.withColumn("rn", F.row_number().over(w))
+    # offset = the (k+1)-th largest merged count (0 if <= k items survive)
+    off = ranked.filter(F.col("rn") == k + 1).agg(
+        F.coalesce(F.max("c"), F.lit(0)).cast("long").alias("off")
+    )
+    return (
+        ranked.filter(F.col("rn") <= k)
+        .crossJoin(F.broadcast(off))
+        .select(
+            "item",
+            F.greatest(F.col("c") - F.col("off"), F.lit(0))
+            .cast("long")
+            .alias("lower_count"),
+        )
+        .filter(F.col("lower_count") > 0)
     )

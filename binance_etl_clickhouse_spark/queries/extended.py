@@ -145,3 +145,36 @@ def correlated_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters per bucket, driver-checkable edition: the event
+# domain (|event_type| <= 8 = k) is smaller than the counter budget, so the
+# one-pass MG summary provably never decrements and its lower bounds ARE
+# the exact counts — giving the applyInPandas streaming pass a plain SQL
+# oracle. The general (k < domain) behavior — retention, bounds, merge —
+# is pinned in tests/test_sketches.py.
+# ---------------------------------------------------------------------------
+@register(
+    "heavy_hitters_event_types",
+    """
+    SELECT CAST(user_id % 4 AS VARCHAR) AS bucket,
+           event_type AS item,
+           count(*)::BIGINT AS lower_count,
+           0::BIGINT AS decremented,
+           (sum(count(*)) OVER (PARTITION BY user_id % 4))::BIGINT AS n_rows
+    FROM events
+    GROUP BY user_id % 4, event_type
+    """,
+    survey_ref="sketches: Misra-Gries heavy hitters (exact when k covers domain)",
+)
+def heavy_hitters_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_clickhouse_spark.operators.sketches import misra_gries_summaries
+
+    ev = _t(spark, sf_dir, "events")
+    return misra_gries_summaries(
+        ev.withColumn("bucket", (F.col("user_id") % 4).cast("string")),
+        ["bucket"],
+        "event_type",
+        k=8,
+    )

@@ -295,3 +295,74 @@ def test_kll_range_merge_over_empty_range_returns_null(spark):
         kll_quantile("m", 0.5).alias("p50")
     ).collect()
     assert out[0]["p50"] is None
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters: retention + count bounds + mergeability
+# ---------------------------------------------------------------------------
+
+
+def test_misra_gries_retention_bounds_and_merge(spark):
+    from binance_etl_clickhouse_spark.operators.sketches import (
+        merge_mg_summaries,
+        misra_gries_summaries,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    k = 8
+    summaries = misra_gries_summaries(
+        ev.withColumn("bucket", (F.col("user_id") % 4).cast("string")),
+        ["bucket"],
+        "event_type",
+        k=k,
+    )
+    pdf = summaries.toPandas()
+    exact = (
+        ev.withColumn("bucket", (F.col("user_id") % 4).cast("string"))
+        .groupBy("bucket", "event_type")
+        .count()
+        .toPandas()
+    )
+    for bucket, grp in pdf.groupby("bucket"):
+        n = int(grp["n_rows"].iloc[0])
+        dec = int(grp["decremented"].iloc[0])
+        ex = exact[exact.bucket == bucket].set_index("event_type")["count"]
+        # (a) every true heavy hitter with freq > n/(k+1) must be retained
+        for item, true_ct in ex.items():
+            if true_ct > n / (k + 1):
+                assert item in set(grp["item"]), f"{bucket}: lost heavy hitter {item}"
+        # (b) per-item bounds: lower <= true <= lower + decremented
+        for _, row in grp.iterrows():
+            true_ct = int(ex.get(row["item"], 0))
+            assert row["lower_count"] <= true_ct <= row["lower_count"] + dec
+
+    # (c) merged summaries behave like one summary over the union: every
+    # global heavy hitter above the merged threshold survives the merge
+    merged = merge_mg_summaries(summaries, k=k).toPandas()
+    n_total = ev.count()
+    global_exact = ev.groupBy("event_type").count().toPandas().set_index("event_type")[
+        "count"
+    ]
+    # merged guarantee is weaker (trim offset adds error); use 2x threshold
+    for item, true_ct in global_exact.items():
+        if true_ct > 2 * n_total / (k + 1):
+            assert item in set(merged["item"]), f"merge lost global hitter {item}"
+    # merged lower bounds never exceed true counts
+    for _, row in merged.iterrows():
+        assert row["lower_count"] <= int(global_exact.get(row["item"], 0))
+
+
+def test_misra_gries_exactness_when_k_covers_domain(spark):
+    """With k >= |domain| the MG pass never decrements: counts are exact."""
+    from binance_etl_clickhouse_spark.operators.sketches import misra_gries_summaries
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    s = misra_gries_summaries(
+        ev.withColumn("b", F.lit("all")), ["b"], "event_type", k=64
+    ).toPandas()
+    assert (s["decremented"] == 0).all()
+    exact = ev.groupBy("event_type").count().toPandas().set_index("event_type")["count"]
+    got = s.set_index("item")["lower_count"]
+    assert sorted(got.index) == sorted(exact.index)
+    for item in exact.index:
+        assert int(got[item]) == int(exact[item])
