@@ -1209,3 +1209,76 @@ def _logreg_oracle() -> str:
 def logreg_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return corpus.logreg_fit_scores(docs, label=F.col("lang") == "en")
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer family (operators/unigram.py). The EM trainer and
+# the encoder are iterative (rows-only per the driver contract; pinned
+# merge-for-merge against an independent pure-Python reference in
+# tests/test_unigram.py); the round-0 seed-piece statistics are a single
+# aggregation and carry the full oracle.
+# ---------------------------------------------------------------------------
+_UNIGRAM_MODELS: dict = {}
+
+
+def _unigram_model(spark: SparkSession, sf_dir: str):
+    """(sf_dir)-cached trained model — plain Python data, no session bind."""
+    from binance_etl_clickhouse_spark.operators import unigram
+
+    key = (sf_dir, unigram.SEED_TOP, unigram.VOCAB_TARGET, unigram.EM_ITERS)
+    if key not in _UNIGRAM_MODELS:
+        _UNIGRAM_MODELS[key] = unigram.train_unigram(_t(spark, sf_dir, "documents"))
+    return _UNIGRAM_MODELS[key]
+
+
+@register(
+    "unigram_seed_piece_stats",
+    """
+    WITH wc AS (
+      SELECT word, count(*)::BIGINT AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE word <> '' GROUP BY word
+    ),
+    sub AS (
+      -- DuckDB range() takes no lateral column args: enumerate a fixed
+      -- (position, length) grid and filter to the word's bounds
+      SELECT wc.word, wc.freq, substr(wc.word, i, l) AS piece
+      FROM wc, range(1, 31) t(i), range(1, 7) u(l)
+      WHERE i <= len(word) AND i + l - 1 <= len(word)
+    )
+    SELECT piece, sum(freq)::BIGINT AS freq, count(DISTINCT word)::BIGINT AS n_words
+    FROM sub GROUP BY piece
+    """,
+    survey_ref="tokenizer: unigram-LM seed substring statistics (corpus-weighted)",
+)
+def unigram_seed_piece_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_clickhouse_spark.operators import unigram
+
+    words = unigram.word_freqs(_t(spark, sf_dir, "documents"))
+    return unigram.seed_piece_stats(words)
+
+
+@register(
+    "unigram_lm_train",
+    None,  # iterative EM fit — rows-only; reference-pinned in tests
+    survey_ref="tokenizer: unigram-LM EM training (word-frame iteration)",
+)
+def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    model = _unigram_model(spark, sf_dir)
+    rows = [
+        (rank, piece, round(lp, 6))
+        for rank, (piece, lp) in enumerate(model.pieces, start=1)
+    ]
+    return spark.createDataFrame(rows, "rank long, piece string, logp double")
+
+
+@register(
+    "unigram_lm_token_counts",
+    None,  # depends on the trained model — rows-only; reference-pinned
+    survey_ref="tokenizer: unigram-LM corpus encoding (word-dict equi-join)",
+)
+def unigram_lm_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_clickhouse_spark.operators import unigram
+
+    model = _unigram_model(spark, sf_dir)
+    return unigram.encode_piece_counts(_t(spark, sf_dir, "documents"), model)

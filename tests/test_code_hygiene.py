@@ -29,6 +29,7 @@ COLLECT_WHITELIST = {
     "operators/pca.py": "d + d^2 moment scalars (covariance fit)",
     "operators/corpus.py": "n_buckets-double gradient vector per GD step (logreg fit)",
     "operators/sketches.py": "kilobyte-scale sketch states (CMS merge)",
+    "operators/unigram.py": "vocab-sized piece-count tables per EM step (pieces, not rows)",
     "pipeline.py": "failed-symbol report list (per-run, symbols not rows)",
     "queries/llm.py": "fitted centroid literals for the oracle SQL twin",
     "queries/corpus.py": "|HYBRID_QUERY_IDS|=3 query vectors for the dense probe",

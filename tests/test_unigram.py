@@ -1,0 +1,136 @@
+"""Unigram-LM tokenizer: distributed trainer vs an independent pure-Python
+reference (same spec: seed -> EM -> prune -> Viterbi with the documented
+tie-break), plus encoding and OOV behavior."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+
+from binance_etl_clickhouse_spark.operators import unigram
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ref_viterbi(word: str, logp: dict, max_len: int):
+    """Independent DP: composite (score, -n_pieces, seq) maximized."""
+    n = len(word)
+    best = {0: (0.0, 0, ())}
+    for i in range(1, n + 1):
+        options = []
+        for j in range(max(0, i - max_len), i):
+            if j not in best:
+                continue
+            piece = word[j:i]
+            if piece in logp:
+                s, neg, seq = best[j]
+                options.append((s + logp[piece], neg - 1, seq + (piece,)))
+        if options:
+            best[i] = max(options)
+    return list(best[n][2]) if n in best else None
+
+
+def _ref_train(texts, seed_top, vocab_target, em_iters, max_len, alpha):
+    wc = Counter(w for t in texts for w in t.split(" ") if w)
+    stats: Counter = Counter()
+    for w, f in wc.items():
+        for i in range(len(w)):
+            for length in range(1, min(max_len, len(w) - i) + 1):
+                stats[w[i : i + length]] += f
+
+    def norm(counts, vocab):
+        total = sum(counts.get(p, 0) for p in vocab)
+        v = len(vocab)
+        return {
+            p: math.log((counts.get(p, 0) + alpha) / (total + alpha * v))
+            for p in vocab
+        }
+
+    top = sorted(stats.items(), key=lambda kv: (-kv[1], kv[0]))[:seed_top]
+    seed = dict(top)
+    seed.update({p: c for p, c in stats.items() if len(p) == 1})
+    vocab = sorted(seed)
+    logp = norm(seed, vocab)
+    counted = dict(seed)
+    for _ in range(em_iters):
+        counts: Counter = Counter()
+        for w, f in wc.items():
+            seg = _ref_viterbi(w, logp, max_len) or list(w)
+            for piece in seg:
+                counts[piece] += f
+        counted = dict(counts)
+        logp = norm(counted, vocab)
+    chars_v = [p for p in vocab if len(p) == 1]
+    multi = sorted([p for p in vocab if len(p) > 1], key=lambda p: (-logp[p], p))[
+        : max(0, vocab_target - len(chars_v))
+    ]
+    kept = sorted([*chars_v, *multi])
+    final = norm({p: counted.get(p, 0) for p in kept}, kept)
+    return sorted(final.items(), key=lambda kv: (-kv[1], kv[0])), wc
+
+
+@pytest.fixture(scope="module")
+def trained(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    model = unigram.train_unigram(docs)
+    texts = [r.text for r in docs.select("text").collect()]
+    ref, wc = _ref_train(
+        texts,
+        unigram.SEED_TOP,
+        unigram.VOCAB_TARGET,
+        unigram.EM_ITERS,
+        unigram.PIECE_MAX_LEN,
+        unigram.ALPHA,
+    )
+    return model, ref, wc, docs
+
+
+def test_trainer_matches_reference_exactly(trained):
+    model, ref, _, _ = trained
+    assert [p for p, _ in model.pieces] == [p for p, _ in ref]
+    for (pe, le), (pr, lr) in zip(model.pieces, ref):
+        assert pe == pr
+        assert le == pytest.approx(lr, rel=0, abs=1e-12)
+
+
+def test_engine_viterbi_matches_reference_on_every_word(trained):
+    model, _, wc, _ = trained
+    lp = model.logp
+    for w in wc:
+        assert unigram.viterbi(w, lp) == _ref_viterbi(
+            w, lp, unigram.PIECE_MAX_LEN
+        ), w
+
+
+def test_encode_counts_match_reference(trained, spark):
+    model, _, _, docs = trained
+    lp = model.logp
+    got = {
+        int(r.doc_id): (int(r.n_words), int(r.n_pieces))
+        for r in unigram.encode_piece_counts(docs, model).collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        words = [w for w in r.text.split(" ") if w]
+        n_pieces = sum(
+            len(_ref_viterbi(w, lp, unigram.PIECE_MAX_LEN) or list(w))
+            for w in words
+        )
+        assert got[int(r.doc_id)] == (len(words), n_pieces)
+
+
+def test_oov_word_char_segments(trained):
+    model, _, _, _ = trained
+    # a word with characters outside the training alphabet: Viterbi fails,
+    # the fallback yields raw characters — never dropped
+    assert unigram._segment_or_chars("zzqx9", model.logp) is not None
+    seg = unigram._segment_or_chars("üü", model.logp)
+    assert seg == ["ü", "ü"]
+
+
+def test_char_floor_always_covers_training_alphabet(trained):
+    model, _, wc, _ = trained
+    vocab = {p for p, _ in model.pieces}
+    alphabet = {ch for w in wc for ch in w}
+    assert alphabet <= vocab
