@@ -84,6 +84,21 @@ HEADLINE = [
     # score + gradient aggregations with broadcast literal weights)
     "embedding_pca_project",
     "logreg_quality_classifier",
+    # round-4 additions — graph analytics (wedge-join triangles, 3-iteration
+    # PageRank), the text-statistics family's two heaviest shapes (PMI pair
+    # fan-out, CDC chunk-dedup window), the zero-shuffle minimizer
+    # projection, the banded EWMA history join, MMR greedy retrieval, the
+    # unigram tokenizer's seed-statistics pass, and normalized exact dedup
+    "graph_triangle_count",
+    "pagerank_copurchase",
+    "pmi_cooccurrence_pairs",
+    "cdc_chunk_dedup",
+    "minimizer_fingerprints",
+    "bloom_decontaminate",
+    "ewma_anomaly_events",
+    "mmr_diversified_topk",
+    "unigram_seed_piece_stats",
+    "normalize_dedup_docs",
 ]
 
 

@@ -78,6 +78,9 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     exactly one vertex with two out-edges (its lowest-ranked corner), so
     counting (wedge, closing-edge) joins counts each triangle once.
     """
+    # the edge list feeds the degree table, both wedge arms and the closing
+    # join — persist it so the per-order pair build runs once, not four times
+    edges = edges.persist()
     deg = (
         undirected(edges)
         .groupBy("u")
@@ -99,6 +102,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             F.when(lo_first, F.col("dd")).otherwise(F.col("ds")).alias("hid"),
         )
     )
+    e = e.persist()  # oriented edges: two wedge arms + the closing probe
     w1 = e.select(F.col("lo").alias("pivot"), F.col("hi").alias("x"), F.col("hid").alias("xd"))
     w2 = e.select(F.col("lo").alias("pivot"), F.col("hi").alias("y"), F.col("hid").alias("yd"))
     wedges = w1.join(w2, "pivot").filter(

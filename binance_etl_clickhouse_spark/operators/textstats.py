@@ -131,20 +131,32 @@ def minimizer_fingerprints(docs: DataFrame, k: int = 3, w: int = 4) -> DataFrame
         n >= k,
         F.transform(sh_idx, lambda i: hash60(F.concat_ws(" ", F.slice(toks, i, k)))),
     ).otherwise(F.array().cast("array<long>"))
-    nw = F.size(hs) - F.lit(w - 1)
+    # Materialize the hash array in its OWN projection: every later
+    # reference would otherwise duplicate the md5-per-shingle subtree in
+    # the expression tree (Catalyst only dedups across projections, and it
+    # keeps non-cheap expressions un-collapsed) — measured 6x slower fused.
+    hashed = docs.select("doc_id", hs.alias("hs"))
+    nw = F.size("hs") - F.lit(w - 1)
     mins = F.when(
         nw >= 1,
         F.array_distinct(
-            F.transform(F.sequence(F.lit(1), nw), lambda j: F.array_min(F.slice(hs, j, w)))
+            F.transform(
+                F.sequence(F.lit(1), nw), lambda j: F.array_min(F.slice("hs", j, w))
+            )
         ),
     ).otherwise(F.array().cast("array<long>"))
-    return docs.select(
+    staged = hashed.select(
         "doc_id",
         F.greatest(nw, F.lit(0)).cast("long").alias("n_windows"),
         F.size(mins).cast("long").alias("n_minimizers"),
+    )
+    return staged.select(
+        "doc_id",
+        "n_windows",
+        "n_minimizers",
         F.round(
-            F.size(mins)
-            / F.nullif(F.greatest(nw, F.lit(0)).cast("double"), F.lit(0.0)),
+            F.col("n_minimizers")
+            / F.nullif(F.col("n_windows").cast("double"), F.lit(0.0)),
             6,
         ).alias("density"),
     )
@@ -163,22 +175,30 @@ def cdc_chunks(docs: DataFrame, divisor: int = CDC_DIVISOR) -> DataFrame:
         F.sequence(F.lit(1), n),
         lambda i: (hash60(F.element_at(toks, i)) % divisor == 0) & (i < n),
     )
-    starts = F.concat(F.array(F.lit(1)), F.transform(cuts, lambda c: c + 1))
-    ends = F.concat(cuts, F.array(n))
+    # stage the token array + boundary list once — later expressions
+    # reference both repeatedly, and fusing would duplicate the md5 scan
+    # per reference (see minimizer_fingerprints)
+    staged = docs.select("doc_id", toks.alias("w"), cuts.alias("cuts"))
+    w_col, n_col = F.col("w"), F.size("w")
+    starts = F.concat(F.array(F.lit(1)), F.transform("cuts", lambda c: c + 1))
+    ends = F.concat(F.col("cuts"), F.array(n_col))
+    bounded = staged.select(
+        "doc_id", "w", starts.alias("starts"), ends.alias("ends")
+    )
     chunks = F.transform(
-        F.sequence(F.lit(1), F.size(starts)),
+        F.sequence(F.lit(1), F.size("starts")),
         lambda j: F.concat_ws(
             " ",
             F.slice(
-                toks,
-                F.element_at(starts, j),
-                F.element_at(ends, j) - F.element_at(starts, j) + 1,
+                F.col("w"),
+                F.element_at(F.col("starts"), j),
+                F.element_at(F.col("ends"), j) - F.element_at(F.col("starts"), j) + 1,
             ),
         ),
     )
-    return docs.select("doc_id", F.posexplode(chunks).alias("cidx0", "chunk")).select(
-        "doc_id", (F.col("cidx0") + 1).alias("cidx"), "chunk"
-    )
+    return bounded.select(
+        "doc_id", F.posexplode(chunks).alias("cidx0", "chunk")
+    ).select("doc_id", (F.col("cidx0") + 1).alias("cidx"), "chunk")
 
 
 def cdc_chunk_dedup(docs: DataFrame, divisor: int = CDC_DIVISOR) -> DataFrame:

@@ -1921,11 +1921,13 @@ def kmeans_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         cv = F.array(*[F.lit(float(x)) for x in c])
         diff = F.zip_with(v, cv, lambda a, b: (a - b) * (a - b))
         dists.append(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x))
-    darr = F.array(*dists)
-    assigned = emb.select(
+    # stage the k-distance array once: argmin + min + sqrt(min) would
+    # otherwise each re-evaluate all k 64-dim folds (subtree duplication)
+    staged = emb.select("vec_id", F.array(*dists).alias("darr"))
+    assigned = staged.select(
         "vec_id",
-        (F.array_position(darr, F.array_min(darr)) - 1).cast("int").alias("cell"),
-        F.sqrt(F.array_min(darr)).alias("dist"),
+        (F.array_position("darr", F.array_min("darr")) - 1).cast("int").alias("cell"),
+        F.sqrt(F.array_min("darr")).alias("dist"),
     )
     s = assigned.groupBy("cell").agg(
         F.count("*").cast("long").alias("n_vectors"), F.avg("dist").alias("s")

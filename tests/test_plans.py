@@ -377,3 +377,53 @@ def test_ann_ivf_range_partition_pruned_no_post_scan_shuffle(spark):
     assert "Window" not in plan
     scan_part = plan[plan.index("PartitionFilters") :]
     assert "Exchange hashpartitioning" not in scan_part
+
+
+# -- round-4 operator plan pins ----------------------------------------------
+
+
+def test_minimizer_fingerprints_zero_shuffle(spark):
+    # pure per-row projection: the whole fingerprint pass must plan without
+    # any Exchange (the repartition in the parallelism guard is the input
+    # fan-out, not an operator shuffle — allow exactly that one round-robin)
+    plan = _plan(spark, "minimizer_fingerprints")
+    import re as _re
+
+    exchanges = _re.findall(r"Exchange (\w+)", plan)
+    assert all(k == "RoundRobinPartitioning" for k in exchanges), exchanges
+
+
+def test_triangle_count_broadcasts_degree_table(spark):
+    # the |V|-sized degree lookups broadcast; only the wedge/closing joins
+    # (genuinely edge-sized on both sides) may shuffle
+    plan = _plan(spark, "graph_triangle_count")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pagerank_broadcasts_degree_and_plans_equi_joins_only(spark):
+    plan = _plan(spark, "pagerank_copurchase")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_decontaminate_broadcasts_bitset(spark):
+    # the eval bit-position set broadcasts; the corpus is never shuffled on
+    # the shingle itself
+    plan = _plan(spark, "bloom_decontaminate")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cdc_chunk_dedup_no_joins(spark):
+    # chunking is a projection; dedup is one window + one aggregation —
+    # no join anywhere in the plan
+    plan = _plan(spark, "cdc_chunk_dedup")
+    assert "Join" not in plan
+
+
+def test_ewma_banded_join_is_equi(spark):
+    # the history join must hit the (user, block) band as an equi-join key,
+    # never a nested loop over per-user histories
+    plan = _plan(spark, "ewma_anomaly_events")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
