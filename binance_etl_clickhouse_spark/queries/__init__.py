@@ -64,6 +64,18 @@ DRIVER_WINDOW = [
     # (a) never driver-checked: round-4 analytics/clustering
     "ewma_anomaly_events",
     "kmeans_cluster_quality",
+    # (a) never driver-checked: round-4 dataset / retrieval / sketch /
+    # tokenizer / sessionization additions
+    "normalize_dedup_docs",
+    "curriculum_interleave",
+    "contrastive_negative_sample",
+    "mmr_diversified_topk",
+    "heavy_hitters_event_types",
+    "unigram_seed_piece_stats",
+    "unigram_lm_train",
+    "unigram_lm_token_counts",
+    "session_window_agg",
+    "trending_decayed_counts",
     # (b) re-proof canaries: r1-only driver rows, complex plans first
     "minhash_lsh_neardup",
     "ngram_jaccard_neardup",
@@ -87,18 +99,8 @@ DRIVER_WINDOW = [
     "rollup_orders",
     "pivot_event_counts",
     "unpivot_lineitem_measures",
-    "window_lag_delta",
     "window_running_sum",
     "topk_per_group",
-    "keep_last_dedup",
-    "broadcast_dim_join",
-    "anti_join_completed",
-    "semi_join_exists",
-    "max_watermark",
-    "month_bucket_agg",
-    "scalar_time_roundtrip",
-    "regexp_json_extract",
-    "array_join_slice",
 ]
 
 

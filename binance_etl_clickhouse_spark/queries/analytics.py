@@ -717,3 +717,95 @@ def ewma_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("value") - ewma_raw) > _EWMA_THRESH, F.lit(False)
         ).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Native session windows (F.session_window): per-user activity sessions
+# with a 30-minute inactivity gap. The oracle recomputes sessions with the
+# classic formulation — lag-gap flags + running-sum session ids — so the
+# driver hash cross-validates Spark's built-in session-window operator
+# against the textbook SQL construction (boundary semantics: a gap of
+# EXACTLY the timeout starts a new session — Spark sessions are half-open
+# [start, prev_ts + gap)). The same groupBy runs unchanged under
+# Structured Streaming with a watermark (streaming/jobs.py patterns).
+# ---------------------------------------------------------------------------
+@register(
+    "session_window_agg",
+    """
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*)::BIGINT AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+    survey_ref="streaming/batch: native session windows vs gap-merge oracle",
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed trending scores: per event type, a half-life-weighted count
+# anchored at the corpus max timestamp (deterministic t_ref, no wall
+# clock). The decayed sum is a single map-side-combinable aggregation —
+# the streaming-friendly "trending now" statistic (each element's weight
+# depends only on its own timestamp and the fixed anchor, so partial
+# aggregation is exact).
+# ---------------------------------------------------------------------------
+_TREND_HALFLIFE_H = 6.0
+
+
+@register(
+    "trending_decayed_counts",
+    f"""
+    WITH r AS (SELECT max(ts) AS t_ref FROM events)
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           round(sum(pow(0.5, (epoch(r.t_ref) - epoch(ts)) / {3600.0 * _TREND_HALFLIFE_H})), 6)
+             AS decayed_count
+    FROM events CROSS JOIN r
+    GROUP BY event_type
+    """,
+    survey_ref="analytics: exponential time-decayed trending counts",
+)
+def trending_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    t_ref = ev.agg(F.max("ts")).first()[0]
+    decay = F.pow(
+        F.lit(0.5),
+        (F.lit(t_ref).cast("timestamp").cast("double") - F.col("ts").cast("double"))
+        / F.lit(3600.0 * _TREND_HALFLIFE_H),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum(decay), 6).alias("decayed_count"),
+    )

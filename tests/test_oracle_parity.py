@@ -64,8 +64,8 @@ def test_driver_window_is_the_verification_budget():
     assert len(DRIVER_WINDOW) == 50
     assert order[:50] == DRIVER_WINDOW
     rows_only_in_window = [n for n in order[:50] if n not in oracle_sql_map()]
-    # The round-4 window is fully oracle-bearing: the only rows-only
-    # registry entries (BPE train/encode iterative carve-outs +
-    # approx_aggregates sketches) earned their driver rows in r3 and sit
-    # outside the window.
-    assert rows_only_in_window == []
+    # Unigram-LM training/encoding are rows-only by the iterative-algorithm
+    # carve-out (their seed statistics ARE oracle-checked via
+    # unigram_seed_piece_stats, also in the window); everything else
+    # carries a full value-hash oracle.
+    assert rows_only_in_window == ["unigram_lm_train", "unigram_lm_token_counts"]
