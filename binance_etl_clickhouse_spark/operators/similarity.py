@@ -436,3 +436,41 @@ def hybrid_rrf_ivf_topk(
         .drop("cos_sim")
     )
     return rrf_fuse(sparse, dense, k=k, rrf_k=rrf_k, id_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection — deterministic ±1/sqrt(k) matrix
+# from md5, so engine and oracle share the literals (like the LSH planes).
+# ---------------------------------------------------------------------------
+
+
+def jl_component(j: int, d: int, k: int) -> float:
+    """Deterministic Rademacher entry: ±1/sqrt(k) from md5 parity."""
+    import hashlib
+    import math
+
+    h = int(hashlib.md5(f"jl:{j}:{d}".encode()).hexdigest()[:15], 16)
+    return (1.0 if h % 2 == 0 else -1.0) / math.sqrt(k)
+
+
+def jl_matrix(k: int, dim: int) -> list[list[float]]:
+    return [[jl_component(j, d, k) for d in range(dim)] for j in range(k)]
+
+
+def jl_project(
+    df: DataFrame,
+    k: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project embeddings to k dims (distance-preserving w.h.p.) — k dot
+    products against broadcast-literal rows, pure projection, zero shuffle.
+    At 100 TB this is the cheap pre-pass that shrinks every downstream
+    pairwise/ANN operator's bytes by dim/k."""
+    v = _as_double(vec_col)
+    cols = [F.col(id_col)]
+    for j, row in enumerate(jl_matrix(k, dim)):
+        rv = F.array(*[F.lit(x) for x in row])
+        cols.append(F.round(dot_expr(v, rv), 6).alias(f"p{j:02d}"))
+    return df.select(*cols)

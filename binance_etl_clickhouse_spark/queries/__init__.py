@@ -76,6 +76,10 @@ DRIVER_WINDOW = [
     "unigram_lm_token_counts",
     "session_window_agg",
     "trending_decayed_counts",
+    "jl_random_projection",
+    "ks_test_click_vs_purchase",
+    "event_sequence_trigrams",
+    "profile_lineitem_columns",
     # (b) re-proof canaries: r1-only driver rows, complex plans first
     "minhash_lsh_neardup",
     "ngram_jaccard_neardup",
@@ -84,8 +88,6 @@ DRIVER_WINDOW = [
     "simhash_signatures",
     "ann_bruteforce_topk",
     "benchmark_decontamination",
-    "langid_heuristic",
-    "text_quality_scores",
     "multimodal_binary_features",
     "multimodal_frame_samples",
     "pandas_zscore_per_user",
@@ -99,8 +101,6 @@ DRIVER_WINDOW = [
     "rollup_orders",
     "pivot_event_counts",
     "unpivot_lineitem_measures",
-    "window_running_sum",
-    "topk_per_group",
 ]
 
 

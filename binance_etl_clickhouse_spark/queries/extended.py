@@ -178,3 +178,184 @@ def heavy_hitters_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         k=8,
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection: 64 -> 16 dims with a
+# deterministic Rademacher matrix (md5-parity signs shared with the
+# oracle's inlined literals). Zero-shuffle projection; the dimensionality
+# pre-pass for every downstream pairwise/ANN operator.
+# ---------------------------------------------------------------------------
+def _jl_oracle() -> str:
+    from binance_etl_clickhouse_spark.operators.similarity import jl_matrix
+
+    cols = ", ".join(
+        f"round(list_inner_product(v, {row!r}), 6) AS p{j:02d}"
+        for j, row in enumerate(jl_matrix(16, 64))
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT vec_id, {cols} FROM e
+    """
+
+
+@register(
+    "jl_random_projection",
+    _jl_oracle(),
+    survey_ref="embeddings: Johnson-Lindenstrauss random projection (64->16)",
+)
+def jl_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_clickhouse_spark.operators.similarity import jl_project
+
+    return jl_project(_t(spark, sf_dir, "embeddings"), k=16, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov statistic: click vs purchase value
+# distributions. D = sup_t |F_click(t) - F_purchase(t)| evaluated over the
+# pooled sample with RANGE cumulative windows (peers of a tied value count
+# together on both engines). One sort-shuffle over the pooled values.
+# ---------------------------------------------------------------------------
+@register(
+    "ks_test_click_vs_purchase",
+    """
+    WITH pooled AS (
+      SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_x
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    n AS (
+      SELECT sum(is_x)::DOUBLE AS nx, sum(1 - is_x)::DOUBLE AS ny FROM pooled
+    ),
+    cum AS (
+      SELECT value,
+             sum(is_x) OVER w AS cx,
+             sum(1 - is_x) OVER w AS cy
+      FROM pooled
+      WINDOW w AS (ORDER BY value RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT max(n.nx)::BIGINT AS n_click, max(n.ny)::BIGINT AS n_purchase,
+           round(max(abs(cum.cx / n.nx - cum.cy / n.ny)), 6) AS ks_stat
+    FROM cum CROSS JOIN n
+    """,
+    survey_ref="analytics: two-sample Kolmogorov-Smirnov distribution test",
+)
+def ks_test_click_vs_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    pooled = ev.select(
+        "value",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_x"),
+    )
+    w = Window.orderBy("value").rangeBetween(Window.unboundedPreceding, 0)
+    cum = pooled.select(
+        F.sum("is_x").over(w).alias("cx"),
+        F.sum(1 - F.col("is_x")).over(w).alias("cy"),
+    )
+    n = pooled.agg(
+        F.sum("is_x").cast("double").alias("nx"),
+        F.sum(1 - F.col("is_x")).cast("double").alias("ny"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(n))
+        .agg(
+            F.max("nx").cast("long").alias("n_click"),
+            F.max("ny").cast("long").alias("n_purchase"),
+            F.round(
+                F.max(F.abs(F.col("cx") / F.col("nx") - F.col("cy") / F.col("ny"))), 6
+            ).alias("ks_stat"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral event-sequence trigrams: per-user time-ordered event-type
+# trigrams counted corpus-wide — the "session n-gram" mining pass (funnel
+# discovery, bot-pattern detection). Two leads + one groupBy; the window
+# partitions by user so no global sort.
+# ---------------------------------------------------------------------------
+@register(
+    "event_sequence_trigrams",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || e2 || '>' || e3 AS trigram,
+           count(*)::BIGINT AS n
+    FROM o WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY 1
+    """,
+    survey_ref="analytics: per-user event-sequence trigram mining",
+)
+def event_sequence_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        o.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("trigram")
+        )
+        .groupBy("trigram")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-pass column profiler over lineitem's measures: null rate, exact
+# distinct, min/max/mean per column in a SINGLE aggregation (Spark plans
+# the multi-count-distinct via Expand — one scan, not one per column),
+# then unpivoted to a row per column. The data-quality pass every ingest
+# runs; at 100 TB swap exact distincts for approx_count_distinct.
+# ---------------------------------------------------------------------------
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "profile_lineitem_columns",
+    " UNION ALL ".join(
+        f"""
+    SELECT '{c}' AS column_name, count(*)::BIGINT AS n_rows,
+           (count(*) - count({c}))::BIGINT AS n_null,
+           count(DISTINCT {c})::BIGINT AS n_distinct,
+           round(min({c}), 6) AS min_val, round(max({c}), 6) AS max_val,
+           round(avg({c}), 6) AS mean_val
+    FROM lineitem
+    """
+        for c in _PROFILE_COLS
+    ),
+    survey_ref="data quality: one-pass multi-column profile (Expand-planned)",
+)
+def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count("*").cast("long").alias(f"{c}__n"),
+            (F.count("*") - F.count(c)).cast("long").alias(f"{c}__null"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"{c}__dist"),
+            F.round(F.min(c), 6).alias(f"{c}__min"),
+            F.round(F.max(c), 6).alias(f"{c}__max"),
+            F.round(F.avg(c), 6).alias(f"{c}__mean"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__null, {c}__dist, {c}__min, {c}__max, {c}__mean"
+        for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(column_name, n_rows, n_null, n_distinct, min_val, max_val, mean_val)"
+    )

@@ -317,6 +317,7 @@ NESTED_LOOP_WHITELIST = {
     "hybrid_rrf_exact_search",  # exact-dense BASELINE: corpus x broadcast |Q|=3
     "kmeans_cluster_quality",  # k x k centroid pairwise frame (k=8), never the corpus
     "zipf_vocab_stats",  # 1-row regression-sums x 1-row totals frames
+    "ks_test_click_vs_purchase",  # cumulative frame x 1-row group-size totals
     # (the registered scale form, hybrid_rrf_search, routes its dense leg
     # through the IVF partition-pruned layout and must NOT nested-loop)
 }
