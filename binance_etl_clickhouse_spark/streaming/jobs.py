@@ -844,3 +844,77 @@ def stream_substring_dedup(
     else:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def heavy_hitters_append_epoch(
+    batch: DataFrame, state_dir: str, epoch_id: int, item_col: str, k: int
+) -> None:
+    """Land one epoch's MG summary under its epoch partition. Dynamic
+    partition overwrite makes a re-delivered epoch replace itself —
+    replay-idempotent with no membership gate (summaries are state, not
+    appended facts)."""
+    from binance_etl_clickhouse_spark.operators.sketches import (
+        misra_gries_summaries,
+    )
+
+    summary = misra_gries_summaries(
+        batch.withColumn("bucket", F.lit("all")), ["bucket"], item_col, k=k
+    ).withColumn("epoch", F.lit(int(epoch_id)))
+    (
+        summary.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch")
+        .parquet(state_dir)
+    )
+
+
+def stream_heavy_hitters(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    item_col: str = "lang",
+    k: int = 8,
+    available_now: bool = True,
+    processing_time: str = "1 hour",
+) -> StreamingQuery:
+    """Incremental Misra-Gries heavy hitters over a JSONL document drop.
+
+    Each micro-batch runs the one-pass O(k)-memory MG summary
+    (operators/sketches.misra_gries_summaries) and lands it under an
+    EPOCH-STAMPED partition of the state table — the AggregatingMergeTree
+    shape: state is per-epoch mergeable summaries, the query-time answer is
+    :func:`operators.sketches.merge_mg_summaries` folded over every epoch
+    (O(epochs * k) rows, driver never sees raw items). Checkpoint replay is
+    idempotent by construction: a re-delivered epoch dynamically OVERWRITES
+    its own partition instead of double-counting — no membership gate
+    needed, unlike the dedup sinks.
+    """
+    from binance_etl_clickhouse_spark.sources.files import (
+        DOCUMENTS_JSONL_SCHEMA,
+        partition_corrupt,
+    )
+
+    src = spark.readStream.schema(DOCUMENTS_JSONL_SCHEMA).json(input_dir)
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        clean, _ = partition_corrupt(batch, persist=False)
+        heavy_hitters_append_epoch(clean, state_dir, int(epoch_id), item_col, k)
+
+    writer = src.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def heavy_hitters_from_state(spark: SparkSession, state_dir: str, k: int = 8) -> DataFrame:
+    """Query-time answer: fold every epoch's MG summary into one."""
+    from binance_etl_clickhouse_spark.operators.sketches import merge_mg_summaries
+
+    return merge_mg_summaries(spark.read.parquet(state_dir), k=k)

@@ -1031,3 +1031,59 @@ def test_stream_substring_dedup_incremental_and_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     )
     assert after == before
+
+
+def test_stream_heavy_hitters_epoch_state_and_replay(spark, tmp_path):
+    """Per-epoch MG summaries land under epoch partitions; the query-time
+    fold retains every heavy item across batches; re-running the stream
+    over the same input (fresh checkpoint, same epoch ids) overwrites
+    rather than double-counts."""
+    import json
+
+    from binance_etl_clickhouse_spark.streaming.jobs import (
+        heavy_hitters_from_state,
+        stream_heavy_hitters,
+    )
+
+    in_dir = tmp_path / "drop"
+    in_dir.mkdir()
+    state = str(tmp_path / "hh_state")
+
+    def drop(fname, langs):
+        with open(in_dir / fname, "w") as f:
+            for i, lang in enumerate(langs):
+                f.write(
+                    json.dumps(
+                        {"doc_id": hash(fname) % 10_000 * 100 + i, "lang": lang,
+                         "text": "x", "n_chars": 1}
+                    )
+                    + "\n"
+                )
+
+    drop("b1.jsonl", ["en"] * 30 + ["de"] * 10 + ["fr"] * 2)
+    q = stream_heavy_hitters(spark, str(in_dir), state, str(tmp_path / "c1"), k=4)
+    q.awaitTermination(120)
+    q.stop()
+    first = {r.item: r.lower_count for r in heavy_hitters_from_state(spark, state, k=4).collect()}
+    assert first.get("en", 0) >= 25  # dominant item retained with tight bound
+
+    drop("b2.jsonl", ["de"] * 40 + ["zh"] * 3)
+    q2 = stream_heavy_hitters(spark, str(in_dir), state, str(tmp_path / "c1"), k=4)
+    q2.awaitTermination(120)
+    q2.stop()
+    merged = {r.item: r.lower_count for r in heavy_hitters_from_state(spark, state, k=4).collect()}
+    # both cross-batch heavy items survive the fold; counts never exceed truth
+    assert "en" in merged and "de" in merged
+    assert merged["de"] <= 50 and merged["en"] <= 30
+
+    # replay: the SAME epoch re-delivered (crash between state write and
+    # checkpoint commit) overwrites its own partition, never double-counts
+    from binance_etl_clickhouse_spark.sources.files import read_documents_jsonl
+    from binance_etl_clickhouse_spark.streaming.jobs import (
+        heavy_hitters_append_epoch,
+    )
+
+    b2 = read_documents_jsonl(spark, str(in_dir / "b2.jsonl"))
+    heavy_hitters_append_epoch(b2, state, 1, "lang", 4)
+    replayed = {r.item: r.lower_count for r in heavy_hitters_from_state(spark, state, k=4).collect()}
+    assert replayed == merged
