@@ -35,13 +35,17 @@ CDC_DIVISOR = 8  # expected chunk length in tokens
 
 
 def top_vocab(docs: DataFrame, v: int) -> DataFrame:
-    """Top-``v`` terms by document frequency -> (t, c); ties by term."""
+    """Top-``v`` terms by document frequency -> (t, c); ties by term.
+
+    orderBy+limit plans as TakeOrderedAndProject — per-partition partial
+    top-v merged on the driver, no global sort and no single-task window
+    even when the term frame is web-vocabulary-sized.
+    """
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("t")
     )
     dfreq = toks.groupBy("t").agg(F.count("*").cast("long").alias("c"))
-    w = Window.orderBy(F.col("c").desc(), F.col("t"))
-    return dfreq.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= v).drop("rn")
+    return dfreq.orderBy(F.col("c").desc(), F.col("t")).limit(v)
 
 
 def pmi_pairs(docs: DataFrame, n_docs: int, max_vocab: int = 40, min_pair: int = 5) -> DataFrame:

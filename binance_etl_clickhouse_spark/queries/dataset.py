@@ -630,8 +630,19 @@ _NEG_K = 4
 @register(
     "contrastive_negative_sample",
     f"""
-    WITH ranked AS (
-      SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rnk FROM documents
+    WITH r0 AS (
+      SELECT doc_id, doc_id % 16 AS b,
+             row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    cnt AS (SELECT b, count(*) AS c FROM r0 GROUP BY b),
+    offs AS (
+      SELECT b, coalesce(sum(c) OVER (ORDER BY b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM cnt
+    ),
+    ranked AS (
+      SELECT r0.doc_id, offs.off + r0.rn - 1 AS rnk FROM r0 JOIN offs USING (b)
     ),
     n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
     draws AS (
@@ -649,8 +660,18 @@ _NEG_K = 4
 def contrastive_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     n_docs = docs.count()
-    ranked = docs.select(
-        "doc_id", (F.row_number().over(Window.orderBy("doc_id")) - 1).alias("rnk")
+    # two-phase global numbering: row_number within doc_id%16 buckets
+    # (distributed windows) + cumulative bucket offsets (a 16-row frame) —
+    # the dense 0..N-1 bijection without a single-task global sort
+    b = (F.col("doc_id") % 16).alias("b")
+    r0 = docs.select("doc_id", b).withColumn(
+        "rn", F.row_number().over(Window.partitionBy("b").orderBy("doc_id"))
+    )
+    cnt = r0.groupBy("b").agg(F.count("*").alias("c"))
+    woff = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = cnt.select("b", F.coalesce(F.sum("c").over(woff), F.lit(0)).alias("off"))
+    ranked = r0.join(F.broadcast(offs), "b").select(
+        "doc_id", (F.col("off") + F.col("rn") - 1).alias("rnk")
     )
     draws = (
         docs.filter(F.col("doc_id") % 7 == 0)

@@ -96,6 +96,12 @@ def test_registered_queries_lint_clean_modulo_whitelist(spark):
         # scale this partitions by the pair key
         "funnel_signup_click_purchase",  # window over the 3-row
         # stage-counts frame (one row per funnel stage)
+        "curriculum_interleave",  # the output IS one global training
+        # order — inherently a total sort; at shard scale you band by
+        # shard id first (documented in the query)
+        "contrastive_negative_sample",  # cumulative-offset window over
+        # the 16-row bucket-count frame of the two-phase numbering (the
+        # corpus-sized ranking itself is partitioned by bucket)
     }
     dirty = {}
     for name, e in QUERIES.items():
