@@ -148,3 +148,46 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = DAMPING) -> Data
         )
     out = pr.select(F.col("u").alias("part_key"), F.round("pr", 6).alias("pagerank"))
     return out
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    damping: float = DAMPING,
+) -> DataFrame:
+    """Personalized PageRank: teleport mass returns to the ``seeds`` vertex
+    set (one column ``u``) instead of the uniform vector — the
+    recommendation/expansion primitive ("parts related to THESE parts").
+
+    Same execution envelope as :func:`pagerank` — one shuffle per
+    iteration, broadcast degree and seed frames; vertices unreachable from
+    the seeds converge to 0 and are kept (their score is an answer too).
+    """
+    und = undirected(edges).select("u", "v").persist()
+    deg = und.groupBy("u").agg(F.count("*").cast("double").alias("d")).persist()
+    seed_flag = seeds.select("u").distinct().withColumn("is_seed", F.lit(1.0))
+    n_seeds = seed_flag.count()
+    base = F.coalesce(F.col("is_seed"), F.lit(0.0)) / n_seeds
+    pr = deg.join(F.broadcast(seed_flag), "u", "left").select(
+        "u", base.alias("pr")
+    )
+    for _ in range(iters):
+        flowed = (
+            und.join(pr, "u")
+            .join(F.broadcast(deg), "u")
+            .groupBy(F.col("v").alias("u"))
+            .agg((F.lit(damping) * F.sum(F.col("pr") / F.col("d"))).alias("flow"))
+        )
+        pr = (
+            deg.join(flowed, "u", "left")
+            .join(F.broadcast(seed_flag), "u", "left")
+            .select(
+                "u",
+                (
+                    F.coalesce(F.col("flow"), F.lit(0.0))
+                    + F.lit(1.0 - damping) * base
+                ).alias("pr"),
+            )
+        )
+    return pr.select(F.col("u").alias("part_key"), F.round("pr", 8).alias("ppr"))

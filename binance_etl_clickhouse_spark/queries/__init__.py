@@ -54,6 +54,7 @@ DRIVER_WINDOW = [
     "graph_degree_stats",
     "graph_triangle_count",
     "pagerank_copurchase",
+    "personalized_pagerank_seeded",
     # (a) never driver-checked: round-4 text-statistics family
     "pmi_cooccurrence_pairs",
     "zipf_vocab_stats",
@@ -84,7 +85,6 @@ DRIVER_WINDOW = [
     "minhash_lsh_neardup",
     "ngram_jaccard_neardup",
     "exact_dedup_canonical",
-    "doc_fingerprints",
     "simhash_signatures",
     "ann_bruteforce_topk",
     "benchmark_decontamination",

@@ -13,6 +13,7 @@ unrolling the identical power iterations as chained CTEs.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from binance_etl_clickhouse_spark.operators import graph
 from binance_etl_clickhouse_spark.queries.registry import register
@@ -104,3 +105,61 @@ def _pagerank_oracle() -> str:
 def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = graph.copurchase_edges(_t(spark, sf_dir, "lineitem"))
     return graph.pagerank(edges, iters=_PR_ITERS)
+
+
+_PPR_MOD = 97
+
+
+def _ppr_oracle() -> str:
+    """Unrolled personalized PageRank: teleport mass returns to the seed
+    set (part_key % MOD == 0) each iteration; non-flow vertices keep their
+    teleport-only mass via LEFT JOIN + coalesce, exactly as the engine."""
+    ctes = [
+        "deg AS (SELECT u, count(*)::DOUBLE AS d FROM und GROUP BY u)",
+        f"sd AS (SELECT u, 1.0 AS is_seed FROM deg WHERE u % {_PPR_MOD} = 0)",
+        "ns AS (SELECT count(*)::DOUBLE AS n FROM sd)",
+        """p0 AS (
+      SELECT deg.u, coalesce(sd.is_seed, 0.0) / ns.n AS pr
+      FROM deg LEFT JOIN sd USING (u) CROSS JOIN ns
+    )""",
+    ]
+    prev = "p0"
+    for i in range(1, _PR_ITERS + 1):
+        ctes.append(
+            f"""f{i} AS (
+      SELECT e.v AS u, {_PR_D} * sum({prev}.pr / deg.d) AS flow
+      FROM und e JOIN {prev} ON {prev}.u = e.u JOIN deg ON deg.u = e.u
+      GROUP BY e.v
+    )"""
+        )
+        ctes.append(
+            f"""p{i} AS (
+      SELECT deg.u,
+             coalesce(f{i}.flow, 0.0)
+               + (1.0 - {_PR_D}) * coalesce(sd.is_seed, 0.0) / ns.n AS pr
+      FROM deg LEFT JOIN f{i} USING (u) LEFT JOIN sd USING (u) CROSS JOIN ns
+    )"""
+        )
+        prev = f"p{i}"
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {_EDGES_CTE},
+    {body}
+    SELECT u AS part_key, round(pr, 8) AS ppr FROM {prev}
+    """
+
+
+@register(
+    "personalized_pagerank_seeded",
+    _ppr_oracle(),
+    survey_ref="graph: personalized PageRank (seed-set teleport, related-item expansion)",
+)
+def personalized_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = graph.copurchase_edges(_t(spark, sf_dir, "lineitem"))
+    seeds = (
+        edges.select(F.col("src").alias("u"))
+        .unionAll(edges.select(F.col("dst").alias("u")))
+        .distinct()
+        .filter(F.col("u") % _PPR_MOD == 0)
+    )
+    return graph.personalized_pagerank(edges, seeds, iters=_PR_ITERS)
