@@ -26,6 +26,8 @@ from binance_etl_clickhouse_spark.queries import dataset  # noqa: F401,E402
 from binance_etl_clickhouse_spark.queries import corpus  # noqa: F401,E402
 from binance_etl_clickhouse_spark.queries import graph  # noqa: F401,E402
 from binance_etl_clickhouse_spark.queries import textstats  # noqa: F401,E402
+from binance_etl_clickhouse_spark.queries import market  # noqa: F401,E402
+from binance_etl_clickhouse_spark.queries import stats_eval  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver verification window. The correctness driver checks the FIRST 50

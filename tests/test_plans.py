@@ -318,6 +318,10 @@ NESTED_LOOP_WHITELIST = {
     "kmeans_cluster_quality",  # k x k centroid pairwise frame (k=8), never the corpus
     "zipf_vocab_stats",  # 1-row regression-sums x 1-row totals frames
     "ks_test_click_vs_purchase",  # cumulative frame x 1-row group-size totals
+    "assoc_rules_copurchase",  # rule frame x 1-row order-count anchor
+    "rfm_customer_segments",  # orders x 1-row max-date anchor
+    "chi2_event_cohort_independence",  # contingency cells x 1-row total
+    "source_budget_waterfill",  # |sources| frame x 1-row budget + 1-row cap
     # (the registered scale form, hybrid_rrf_search, routes its dense leg
     # through the IVF partition-pruned layout and must NOT nested-loop)
 }
