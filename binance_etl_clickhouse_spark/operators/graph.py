@@ -191,3 +191,72 @@ def personalized_pagerank(
             )
         )
     return pr.select(F.col("u").alias("part_key"), F.round("pr", 8).alias("ppr"))
+
+
+def connected_components(edges: DataFrame, iters: int = 4) -> DataFrame:
+    """Fixed-iteration min-label propagation: after k rounds every vertex
+    carries the smallest vertex id within k hops — the k-bounded connected
+    component label (exact components once k >= graph diameter).
+
+    Scale shape: one shuffle per round (neighbor-min groupBy); the label
+    frame is |V| rows. A FIXED iteration count keeps the result
+    deterministic whether or not propagation has converged, which is what
+    makes a cross-engine oracle possible (the DuckDB twin unrolls the same
+    k rounds). At real scale you'd run large-star/small-star rounds to cut
+    the iteration count to O(log log n); the per-round plan is identical.
+    """
+    und = undirected(edges).select("u", "v").persist()
+    labels = und.select("u").distinct().withColumn("lbl", F.col("u"))
+    for _ in range(iters):
+        nb = (
+            und.join(labels.withColumnRenamed("u", "v").withColumnRenamed("lbl", "nlbl"), "v")
+            .groupBy("u")
+            .agg(F.min("nlbl").alias("nlbl"))
+        )
+        # every vertex has degree >= 1 (it appears on an edge), so the
+        # inner join covers the whole label frame
+        labels = labels.join(nb, "u").select(
+            "u", F.least("lbl", "nlbl").alias("lbl")
+        )
+    return labels.select(
+        F.col("u").alias("part_key"), F.col("lbl").cast("long").alias("component")
+    )
+
+
+def hits_bipartite(edges: DataFrame, iters: int = 2) -> DataFrame:
+    """HITS over a bipartite hub->authority edge list ``(hub, auth)``.
+
+    Hubs start at 1.0; each round pushes hub mass to authorities, L2-
+    normalizes, pushes authority mass back to hubs, L2-normalizes. Returns
+    ``(side, node_id, score)`` with both final vectors stacked ('hub' /
+    'auth' rows) so one frame carries the whole result.
+
+    Scale shape: two shuffles per round (groupBy auth, groupBy hub) plus a
+    1-row L2-norm anchor broadcast after each push — the same
+    fixed-iteration, broadcast-scalar envelope as :func:`pagerank`.
+    """
+    e = edges.select("hub", "auth").persist()
+    h = e.select("hub").distinct().withColumn("s", F.lit(1.0))
+    a = None
+    for _ in range(iters):
+        a = e.join(h, "hub").groupBy("auth").agg(F.sum("s").alias("s"))
+        na = a.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("nrm"))
+        a = a.crossJoin(F.broadcast(na)).select(
+            "auth", (F.col("s") / F.col("nrm")).alias("s")
+        )
+        h = e.join(a, "auth").groupBy("hub").agg(F.sum("s").alias("s"))
+        nh = h.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("nrm"))
+        h = h.crossJoin(F.broadcast(nh)).select(
+            "hub", (F.col("s") / F.col("nrm")).alias("s")
+        )
+    return h.select(
+        F.lit("hub").alias("side"),
+        F.col("hub").cast("long").alias("node_id"),
+        F.round("s", 6).alias("score"),
+    ).unionAll(
+        a.select(
+            F.lit("auth").alias("side"),
+            F.col("auth").cast("long").alias("node_id"),
+            F.round("s", 6).alias("score"),
+        )
+    )

@@ -163,3 +163,101 @@ def personalized_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") % _PPR_MOD == 0)
     )
     return graph.personalized_pagerank(edges, seeds, iters=_PR_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# Connected components: fixed-iteration min-label propagation
+# ---------------------------------------------------------------------------
+_CC_ITERS = 4
+
+
+def _cc_oracle() -> str:
+    """Unroll the identical k min-label rounds as chained CTEs."""
+    ctes = ["l0 AS (SELECT DISTINCT u, u AS lbl FROM und)"]
+    for i in range(1, _CC_ITERS + 1):
+        ctes.append(
+            f"""l{i} AS (
+      SELECT cur.u, least(cur.lbl, min(nb.lbl)) AS lbl
+      FROM l{i - 1} cur
+      JOIN und e ON e.u = cur.u
+      JOIN l{i - 1} nb ON nb.u = e.v
+      GROUP BY cur.u, cur.lbl
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {_EDGES_CTE},
+    {body}
+    SELECT u AS part_key, lbl::BIGINT AS component FROM l{_CC_ITERS}
+    """
+
+
+@register(
+    "graph_connected_components",
+    _cc_oracle(),
+    survey_ref="graph: k-bounded connected components (min-label propagation)",
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = graph.copurchase_edges(_t(spark, sf_dir, "lineitem"))
+    return graph.connected_components(edges, iters=_CC_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities over the customer -> part bipartite purchase graph
+# ---------------------------------------------------------------------------
+_HITS_ITERS = 2
+
+
+def _hits_oracle() -> str:
+    """Unroll the identical push/L2-normalize rounds as chained CTEs."""
+    ctes = [
+        """eb AS (
+      SELECT DISTINCT o.o_custkey AS hub, l.l_partkey AS auth
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )""",
+        "h0n AS (SELECT DISTINCT hub, 1.0 AS s FROM eb)",
+    ]
+    prev_h = "h0n"
+    for i in range(1, _HITS_ITERS + 1):
+        ctes += [
+            f"""a{i} AS (
+      SELECT auth, sum(h.s) AS s FROM eb JOIN {prev_h} h ON h.hub = eb.hub
+      GROUP BY auth
+    )""",
+            f"na{i} AS (SELECT sqrt(sum(s * s)) AS nrm FROM a{i})",
+            f"a{i}n AS (SELECT auth, s / nrm AS s FROM a{i} CROSS JOIN na{i})",
+            f"""h{i} AS (
+      SELECT hub, sum(a.s) AS s FROM eb JOIN a{i}n a ON a.auth = eb.auth
+      GROUP BY hub
+    )""",
+            f"nh{i} AS (SELECT sqrt(sum(s * s)) AS nrm FROM h{i})",
+            f"h{i}n AS (SELECT hub, s / nrm AS s FROM h{i} CROSS JOIN nh{i})",
+        ]
+        prev_h = f"h{i}n"
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT 'hub' AS side, hub::BIGINT AS node_id, round(s, 6) AS score
+    FROM h{_HITS_ITERS}n
+    UNION ALL
+    SELECT 'auth' AS side, auth::BIGINT AS node_id, round(s, 6) AS score
+    FROM a{_HITS_ITERS}n
+    """
+
+
+@register(
+    "hits_hub_authority",
+    _hits_oracle(),
+    survey_ref="graph: HITS hubs/authorities on the customer-part bipartite graph",
+)
+def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("hub"), F.col("l_partkey").alias("auth")
+        )
+        .distinct()
+    )
+    return graph.hits_bipartite(edges, iters=_HITS_ITERS)
