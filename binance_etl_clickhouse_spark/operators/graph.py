@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from binance_etl_clickhouse_spark.operators.parallel import compact_persist
+
 DAMPING = 0.85
 
 
@@ -80,7 +82,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     """
     # the edge list feeds the degree table, both wedge arms and the closing
     # join — persist it so the per-order pair build runs once, not four times
-    edges = edges.persist()
+    edges = compact_persist(edges)
     deg = (
         undirected(edges)
         .groupBy("u")
@@ -102,7 +104,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             F.when(lo_first, F.col("dd")).otherwise(F.col("ds")).alias("hid"),
         )
     )
-    e = e.persist()  # oriented edges: intersection probe + two adjacency builds
+    e = compact_persist(e)  # oriented edges: intersection probe + two adjacency builds
     # Each triangle {r1<r2<r3} is counted exactly once, at its lowest edge
     # (r1->r2), as a common OUT-neighbor of both endpoints. Intersecting
     # per-vertex out-neighbor arrays does the wedge+closing work inside a
@@ -131,8 +133,8 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = DAMPING) -> Data
     """
     # und/deg are re-read every iteration — persist them (memory bounded by
     # the edge list; at real scale this is the frame you'd also checkpoint)
-    und = undirected(edges).select("u", "v").persist()
-    deg = und.groupBy("u").agg(F.count("*").cast("double").alias("d")).persist()
+    und = compact_persist(undirected(edges).select("u", "v"))
+    deg = compact_persist(und.groupBy("u").agg(F.count("*").cast("double").alias("d")))
     n = deg.count()  # |V| — one scalar, the only driver-side value
     pr = deg.select("u", F.lit(1.0 / n).alias("pr"))
     for _ in range(iters):
@@ -164,8 +166,8 @@ def personalized_pagerank(
     iteration, broadcast degree and seed frames; vertices unreachable from
     the seeds converge to 0 and are kept (their score is an answer too).
     """
-    und = undirected(edges).select("u", "v").persist()
-    deg = und.groupBy("u").agg(F.count("*").cast("double").alias("d")).persist()
+    und = compact_persist(undirected(edges).select("u", "v"))
+    deg = compact_persist(und.groupBy("u").agg(F.count("*").cast("double").alias("d")))
     seed_flag = seeds.select("u").distinct().withColumn("is_seed", F.lit(1.0))
     n_seeds = seed_flag.count()
     base = F.coalesce(F.col("is_seed"), F.lit(0.0)) / n_seeds
@@ -205,9 +207,14 @@ def connected_components(edges: DataFrame, iters: int = 4) -> DataFrame:
     k rounds). At real scale you'd run large-star/small-star rounds to cut
     the iteration count to O(log log n); the per-round plan is identical.
     """
-    und = undirected(edges).select("u", "v").persist()
+    und = compact_persist(undirected(edges).select("u", "v"))
     labels = und.select("u").distinct().withColumn("lbl", F.col("u"))
     for _ in range(iters):
+        # each round references `labels` TWICE (neighbor-min + rejoin);
+        # left unpersisted that doubles the plan subtree per round —
+        # 2^iters copies of round 0 — so every round is staged. At real
+        # scale you'd checkpoint every few rounds for the same reason.
+        labels = compact_persist(labels)
         nb = (
             und.join(labels.withColumnRenamed("u", "v").withColumnRenamed("lbl", "nlbl"), "v")
             .groupBy("u")
@@ -235,16 +242,23 @@ def hits_bipartite(edges: DataFrame, iters: int = 2) -> DataFrame:
     1-row L2-norm anchor broadcast after each push — the same
     fixed-iteration, broadcast-scalar envelope as :func:`pagerank`.
     """
-    e = edges.select("hub", "auth").persist()
+    e = compact_persist(edges.select("hub", "auth"))
     h = e.select("hub").distinct().withColumn("s", F.lit(1.0))
     a = None
     for _ in range(iters):
-        a = e.join(h, "hub").groupBy("auth").agg(F.sum("s").alias("s"))
+        # every push references its input twice (L2-norm agg + normalize
+        # join) — stage each half-round or the plan doubles per reference
+        # (2^(2*iters) copies of the seed frame)
+        a = compact_persist(
+            e.join(h, "hub").groupBy("auth").agg(F.sum("s").alias("s"))
+        )
         na = a.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("nrm"))
         a = a.crossJoin(F.broadcast(na)).select(
             "auth", (F.col("s") / F.col("nrm")).alias("s")
         )
-        h = e.join(a, "auth").groupBy("hub").agg(F.sum("s").alias("s"))
+        h = compact_persist(
+            e.join(a, "auth").groupBy("hub").agg(F.sum("s").alias("s"))
+        )
         nh = h.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("nrm"))
         h = h.crossJoin(F.broadcast(nh)).select(
             "hub", (F.col("s") / F.col("nrm")).alias("s")

@@ -21,3 +21,26 @@ def ensure_min_parallelism(df: DataFrame, target: int | None = None) -> DataFram
     if df.rdd.getNumPartitions() >= tgt:
         return df
     return df.repartition(tgt)
+
+
+def compact_persist(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Persist a frame that later stages re-scan MANY times (iterative
+    graph/EM loops), capped at cluster parallelism.
+
+    The dual of :func:`ensure_min_parallelism`: a persisted shuffle output
+    pins its reducer partitioning (AQE cannot re-coalesce a cached plan),
+    so a small frame cached at ``spark.sql.shuffle.partitions`` fan-out
+    costs every downstream iteration one tiny task per reducer partition —
+    k iterations x 2 joins x 200+ near-empty tasks is pure scheduler
+    overhead. ``coalesce`` to ``defaultParallelism`` merges those reads
+    without a shuffle and without losing any usable parallelism: on a
+    1000-executor cluster the cap IS the cluster's core count, so a big
+    frame stays fully distributed.
+    """
+    spark = df.sparkSession
+    tgt = target or spark.sparkContext.defaultParallelism
+    # NOTE: no getNumPartitions() probe — under AQE, touching .rdd forces
+    # eager evaluation of the query stages built so far (once per call in
+    # an iterative loop). coalesce() never INCREASES partition count, so
+    # it already is the no-op cap on an under-partitioned frame.
+    return df.coalesce(tgt).persist()
