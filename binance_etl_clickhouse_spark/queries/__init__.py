@@ -28,22 +28,24 @@ from binance_etl_clickhouse_spark.queries import graph  # noqa: F401,E402
 from binance_etl_clickhouse_spark.queries import textstats  # noqa: F401,E402
 from binance_etl_clickhouse_spark.queries import market  # noqa: F401,E402
 from binance_etl_clickhouse_spark.queries import stats_eval  # noqa: F401,E402
+from binance_etl_clickhouse_spark.queries import entity  # noqa: F401,E402
+from binance_etl_clickhouse_spark.queries import quality  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver verification window. The correctness driver checks the FIRST 50
 # registered queries per round, so registration order is a verification
-# budget. Round-4 window: (a) the 16 queries with NO driver CORRECTNESS
+# budget. Round-4 window: (a) the 43 queries with NO driver CORRECTNESS
 # row ever — the five registered after round 3's rotation
 # (training_data_prep_pipeline_v2, knn_label_classifier,
 # cluster_representative_select, embedding_pca_project,
-# logreg_quality_classifier) plus the eleven operators ADDED in round 4
-# (graph family, text-statistics family, EWMA anomaly, k-means quality);
-# then (b) 34 re-proof canaries whose only driver row is from round 1 —
-# the highest-complexity ones (dedup/ANN/multimodal/windowed analytics /
-# TPC-H shapes); the ten r1-proven trivial projections/filters/set-ops
-# yield their slots (they retain continuous sf0.01 pytest parity).
-# After this round every registered query has a driver row, and nothing
-# in the window has been driver-checked since r1.
+# logreg_quality_classifier) plus every operator ADDED in round 4
+# (graph family incl. connected components + HITS, text-statistics
+# family, EWMA anomaly, k-means quality, dataset/retrieval/tokenizer/
+# sessionization additions, marketing analytics, statistical testing);
+# then (b) 7 re-proof canaries whose only driver row is from round 1 —
+# the highest-complexity ones (dedup, ANN, multimodal, pandas-UDF,
+# as-of, resample, TPC-H q1); the r1-proven simpler shapes yield their
+# slots (they retain continuous sf0.01 pytest parity).
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW = [
     # (a) never driver-checked: late round-3 registrations
@@ -83,26 +85,31 @@ DRIVER_WINDOW = [
     "ks_test_click_vs_purchase",
     "event_sequence_trigrams",
     "profile_lineitem_columns",
-    # (b) re-proof canaries: r1-only driver rows, complex plans first
+    # (a) never driver-checked: round-4 marketing-analytics family
+    "rfm_customer_segments",
+    "attribution_last_touch",
+    "attribution_linear",
+    "assoc_rules_copurchase",
+    # (a) never driver-checked: round-4 statistical-testing family
+    "ab_conversion_ztest",
+    "chi2_event_cohort_independence",
+    "cusum_changepoint_daily",
+    "seasonal_hourly_anomaly",
+    "score_calibration_bins",
+    "source_budget_waterfill",
+    # (a) never driver-checked: round-4 graph additions
+    "graph_connected_components",
+    "hits_hub_authority",
+    # (b) re-proof canaries: r1-only driver rows, the 7 most complex
+    # plans (dedup, ANN, multimodal, pandas-UDF, as-of, resample, TPC-H);
+    # the simpler r1-proven shapes retain continuous sf0.01 pytest parity
     "minhash_lsh_neardup",
-    "ngram_jaccard_neardup",
-    "exact_dedup_canonical",
-    "simhash_signatures",
     "ann_bruteforce_topk",
-    "benchmark_decontamination",
     "multimodal_binary_features",
-    "multimodal_frame_samples",
     "pandas_zscore_per_user",
     "asof_join_purchase_click",
-    "range_join_price_bands",
-    "sessionization_stats",
-    "resample_ohlc_hourly",
     "tumbling_resample_1h",
     "tpch_q1_pricing_summary",
-    "cube_events",
-    "rollup_orders",
-    "pivot_event_counts",
-    "unpivot_lineitem_measures",
 ]
 
 

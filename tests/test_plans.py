@@ -322,6 +322,7 @@ NESTED_LOOP_WHITELIST = {
     "rfm_customer_segments",  # orders x 1-row max-date anchor
     "chi2_event_cohort_independence",  # contingency cells x 1-row total
     "source_budget_waterfill",  # |sources| frame x 1-row budget + 1-row cap
+    "dq_freshness_event_types",  # |event_types| frame x 1-row global-max anchor
     "hits_hub_authority",  # score frames x 1-row L2-norm anchors
     # (the registered scale form, hybrid_rrf_search, routes its dense leg
     # through the IVF partition-pruned layout and must NOT nested-loop)
