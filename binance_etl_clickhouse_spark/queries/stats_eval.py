@@ -384,3 +384,414 @@ def source_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("alloc_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival: click -> purchase conversion time, stratified
+# --------------------------------------------------------------------------
+_MS_DAY = 86_400_000
+
+
+@register(
+    "kaplan_meier_click_to_purchase",
+    f"""
+    WITH clicks AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'click' GROUP BY user_id
+    ),
+    purch AS (
+      SELECT e.user_id, min(e.ts) AS tp
+      FROM events e JOIN clicks c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.t0
+      GROUP BY e.user_id
+    ),
+    last_ AS (
+      SELECT e.user_id, max(e.ts) AS tl
+      FROM events e JOIN clicks c ON c.user_id = e.user_id
+      GROUP BY e.user_id
+    ),
+    subj AS (
+      SELECT c.user_id % 2 AS cohort,
+             ((epoch_ms(coalesce(p.tp, l.tl)) - epoch_ms(c.t0)) // {_MS_DAY})::BIGINT
+               AS t,
+             CASE WHEN p.tp IS NULL THEN 0 ELSE 1 END AS observed
+      FROM clicks c
+      JOIN last_ l ON l.user_id = c.user_id
+      LEFT JOIN purch p ON p.user_id = c.user_id
+    ),
+    tab AS (
+      SELECT cohort, t, sum(observed)::BIGINT AS n_event,
+             sum(1 - observed)::BIGINT AS n_censored
+      FROM subj GROUP BY cohort, t
+    ),
+    risk AS (
+      SELECT cohort, t, n_event, n_censored,
+             (sum(n_event + n_censored) OVER (PARTITION BY cohort)
+              - coalesce(sum(n_event + n_censored) OVER w_prev, 0))::BIGINT
+               AS n_at_risk
+      FROM tab
+      WINDOW w_prev AS (PARTITION BY cohort ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT cohort::BIGINT AS cohort, t AS duration_days, n_event, n_censored,
+           n_at_risk,
+           CASE WHEN max(CASE WHEN n_event >= n_at_risk THEN 1 ELSE 0 END)
+                     OVER w_cum = 1
+                THEN 0.0
+                ELSE round(exp(sum(CASE WHEN n_event > 0 AND n_event < n_at_risk
+                                        THEN ln(1 - n_event / n_at_risk::DOUBLE)
+                                        ELSE 0.0 END) OVER w_cum), 6)
+           END AS survival
+    FROM risk
+    WINDOW w_cum AS (PARTITION BY cohort ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    survey_ref="Kaplan-Meier survival estimator: click->purchase conversion time, right-censored, stratified per cohort",
+)
+def kaplan_meier_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified Kaplan-Meier over click->purchase conversion durations.
+
+    Subjects = users with a click; event = first purchase at or after the
+    first click; users without one are right-censored at their last event.
+    The estimator runs entirely on the per-(cohort, duration) life table —
+    ordered windows PARTITIONED by cohort over at most one row per distinct
+    duration, never over subjects — so the shuffled frame is tiny and the
+    per-cohort scans parallelize. ``S(t)`` uses the exp-sum-log product
+    identity with an explicit risk-set-exhausted flag (Spark's ``log(0)``
+    is NULL, DuckDB's is -inf; the flag makes both sides an exact 0.0).
+    """
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    joined = ev.join(clicks, "user_id")
+    purch = (
+        joined.filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t0"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    last = joined.groupBy("user_id").agg(F.max("ts").alias("tl"))
+    subj = (
+        clicks.join(last, "user_id")
+        .join(purch, "user_id", "left")
+        .select(
+            (F.col("user_id") % 2).cast("long").alias("cohort"),
+            F.floor(
+                (
+                    F.unix_millis(F.coalesce("tp", "tl"))
+                    - F.unix_millis("t0")
+                )
+                / F.lit(_MS_DAY)
+            )
+            .cast("long")
+            .alias("t"),
+            F.when(F.col("tp").isNull(), 0).otherwise(1).alias("observed"),
+        )
+    )
+    tab = subj.groupBy("cohort", "t").agg(
+        F.sum("observed").cast("long").alias("n_event"),
+        F.sum(1 - F.col("observed")).cast("long").alias("n_censored"),
+    )
+    w_prev = (
+        Window.partitionBy("cohort")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("cohort")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = tab.withColumn(
+        "n_at_risk",
+        (
+            F.sum(F.col("n_event") + F.col("n_censored")).over(
+                Window.partitionBy("cohort")
+            )
+            - F.coalesce(
+                F.sum(F.col("n_event") + F.col("n_censored")).over(w_prev),
+                F.lit(0),
+            )
+        ).cast("long"),
+    )
+    exhausted = F.max(
+        F.when(F.col("n_event") >= F.col("n_at_risk"), 1).otherwise(0)
+    ).over(w_cum)
+    log_s = F.sum(
+        F.when(
+            (F.col("n_event") > 0) & (F.col("n_event") < F.col("n_at_risk")),
+            F.log(1 - F.col("n_event") / F.col("n_at_risk").cast("double")),
+        ).otherwise(0.0)
+    ).over(w_cum)
+    return risk.select(
+        "cohort",
+        F.col("t").alias("duration_days"),
+        "n_event",
+        "n_censored",
+        "n_at_risk",
+        F.when(exhausted == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(log_s), 6))
+        .alias("survival"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U: rank-sum test, click vs purchase event values
+# --------------------------------------------------------------------------
+@register(
+    "mann_whitney_click_vs_purchase",
+    """
+    WITH vals AS (
+      SELECT event_type AS grp, value AS v FROM events
+      WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+    ),
+    gv AS (SELECT grp, v, count(*)::BIGINT AS cnt FROM vals GROUP BY grp, v),
+    dom AS (
+      SELECT v, sum(cnt)::BIGINT AS t,
+             coalesce(sum(sum(cnt)) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS cum_prev
+      FROM gv GROUP BY v
+    ),
+    ranked AS (
+      SELECT gv.grp, gv.cnt, dom.cum_prev + (dom.t + 1) / 2.0 AS avg_rank
+      FROM gv JOIN dom ON dom.v = gv.v
+    ),
+    grp_agg AS (
+      SELECT sum(CASE WHEN grp = 'click' THEN cnt * avg_rank ELSE 0 END) AS r_a,
+             sum(CASE WHEN grp = 'click' THEN cnt ELSE 0 END)::BIGINT AS n_a,
+             sum(CASE WHEN grp = 'purchase' THEN cnt ELSE 0 END)::BIGINT AS n_b
+      FROM ranked
+    ),
+    tie_agg AS (
+      SELECT sum(t * t * t - t)::DOUBLE AS tie_sum, sum(t)::BIGINT AS n
+      FROM dom
+    )
+    SELECT n_a AS n_click, n_b AS n_purchase,
+           round(r_a - n_a * (n_a + 1) / 2.0, 6) AS u_stat,
+           round((r_a - n_a * (n_a + 1) / 2.0 - n_a * n_b / 2.0)
+                 / sqrt(n_a::DOUBLE * n_b / 12.0
+                        * ((n + 1) - tie_sum / (n::DOUBLE * (n - 1)))), 6)
+             AS z_score
+    FROM grp_agg CROSS JOIN tie_agg
+    """,
+    survey_ref="Mann-Whitney U rank-sum test with tie correction (value-domain average ranks)",
+)
+def mann_whitney_click_vs_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample rank test without a global sort: average ranks come from
+    cumulative counts over the DISTINCT VALUE DOMAIN (the repo's
+    equi-depth-histogram trick), so the only ordered window runs over
+    ~|distinct values| rows; the two 1-row aggregates (group rank sums,
+    tie correction) meet in an audited 1x1 broadcast cross join."""
+    ev = _t(spark, sf_dir, "events")
+    vals = ev.filter(
+        F.col("event_type").isin("click", "purchase") & F.col("value").isNotNull()
+    ).select(F.col("event_type").alias("grp"), F.col("value").alias("v"))
+    gv = vals.groupBy("grp", "v").agg(F.count("*").cast("long").alias("cnt"))
+    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    dom = (
+        gv.groupBy("v")
+        .agg(F.sum("cnt").cast("long").alias("t"))
+        .select(
+            "v",
+            "t",
+            F.coalesce(F.sum("t").over(w_prev), F.lit(0)).cast("long").alias("cum_prev"),
+        )
+    )
+    ranked = gv.join(dom, "v").select(
+        "grp", "cnt", (F.col("cum_prev") + (F.col("t") + 1) / 2.0).alias("avg_rank")
+    )
+    grp_agg = ranked.agg(
+        F.sum(F.when(F.col("grp") == "click", F.col("cnt") * F.col("avg_rank")).otherwise(0.0)).alias("r_a"),
+        F.sum(F.when(F.col("grp") == "click", F.col("cnt")).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("grp") == "purchase", F.col("cnt")).otherwise(0)).cast("long").alias("n_b"),
+    )
+    tie_agg = dom.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).cast("double").alias("tie_sum"),
+        F.sum("t").cast("long").alias("n"),
+    )
+    u = F.col("r_a") - F.col("n_a") * (F.col("n_a") + 1) / 2.0
+    var = (
+        F.col("n_a").cast("double") * F.col("n_b") / 12.0
+        * (
+            (F.col("n") + 1)
+            - F.col("tie_sum") / (F.col("n").cast("double") * (F.col("n") - 1))
+        )
+    )
+    return grp_agg.crossJoin(F.broadcast(tie_agg)).select(
+        F.col("n_a").alias("n_click"),
+        F.col("n_b").alias("n_purchase"),
+        F.round(u, 6).alias("u_stat"),
+        F.round((u - F.col("n_a") * F.col("n_b") / 2.0) / F.sqrt(var), 6).alias("z_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Log-rank test: compare the two cohorts' click->purchase survival curves
+# --------------------------------------------------------------------------
+@register(
+    "logrank_cohort_survival",
+    f"""
+    WITH clicks AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'click' GROUP BY user_id
+    ),
+    purch AS (
+      SELECT e.user_id, min(e.ts) AS tp
+      FROM events e JOIN clicks c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.t0
+      GROUP BY e.user_id
+    ),
+    last_ AS (
+      SELECT e.user_id, max(e.ts) AS tl
+      FROM events e JOIN clicks c ON c.user_id = e.user_id
+      GROUP BY e.user_id
+    ),
+    subj AS (
+      SELECT (c.user_id % 2)::BIGINT AS cohort,
+             ((epoch_ms(coalesce(p.tp, l.tl)) - epoch_ms(c.t0)) // {_MS_DAY})::BIGINT
+               AS t,
+             CASE WHEN p.tp IS NULL THEN 0 ELSE 1 END AS observed
+      FROM clicks c
+      JOIN last_ l ON l.user_id = c.user_id
+      LEFT JOIN purch p ON p.user_id = c.user_id
+    ),
+    tab AS (
+      SELECT cohort, t, sum(observed)::BIGINT AS d,
+             sum(1 - observed)::BIGINT AS c
+      FROM subj GROUP BY cohort, t
+    ),
+    totals AS (SELECT cohort, count(*)::BIGINT AS n_subj FROM subj GROUP BY cohort),
+    grid AS (
+      SELECT tt.t, tot.cohort, tot.n_subj FROM (SELECT DISTINCT t FROM tab) tt
+      CROSS JOIN totals tot
+    ),
+    filled AS (
+      SELECT g.t, g.cohort, g.n_subj,
+             coalesce(tab.d, 0) AS d, coalesce(tab.c, 0) AS c
+      FROM grid g LEFT JOIN tab ON tab.cohort = g.cohort AND tab.t = g.t
+    ),
+    risk AS (
+      SELECT t, cohort, d,
+             (n_subj - coalesce(sum(d + c) OVER (PARTITION BY cohort ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT
+               AS at_risk
+      FROM filled
+    ),
+    per_t AS (
+      SELECT t,
+             sum(CASE WHEN cohort = 1 THEN d ELSE 0 END)::DOUBLE AS d1,
+             sum(d)::DOUBLE AS dt,
+             sum(CASE WHEN cohort = 1 THEN at_risk ELSE 0 END)::DOUBLE AS n1,
+             sum(at_risk)::DOUBLE AS nt
+      FROM risk GROUP BY t HAVING sum(d) > 0
+    )
+    SELECT round(sum(d1), 6) AS observed_1,
+           round(sum(dt * n1 / nt), 6) AS expected_1,
+           round(pow(sum(d1) - sum(dt * n1 / nt), 2)
+                 / sum(dt * (n1 / nt) * (1 - n1 / nt)
+                       * CASE WHEN nt > 1 THEN (nt - dt) / (nt - 1) ELSE 0 END),
+                 6) AS chi2
+    FROM per_t
+    """,
+    survey_ref="log-rank test: two-cohort survival-curve comparison over the pooled life table",
+)
+def logrank_cohort_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank statistic over the pooled (cohort x event-time) life table.
+
+    The per-time risk sets come from the same value-domain windows as the
+    Kaplan-Meier query; the cohort x time grid is an audited tiny cross
+    join (|distinct durations| x 2 rows) so missing (cohort, t) cells
+    become explicit zero-event rows before the cumulative window."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    joined = ev.join(clicks, "user_id")
+    purch = (
+        joined.filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t0"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    last = joined.groupBy("user_id").agg(F.max("ts").alias("tl"))
+    subj = (
+        clicks.join(last, "user_id")
+        .join(purch, "user_id", "left")
+        .select(
+            (F.col("user_id") % 2).cast("long").alias("cohort"),
+            F.floor(
+                (F.unix_millis(F.coalesce("tp", "tl")) - F.unix_millis("t0"))
+                / F.lit(_MS_DAY)
+            )
+            .cast("long")
+            .alias("t"),
+            F.when(F.col("tp").isNull(), 0).otherwise(1).alias("observed"),
+        )
+    )
+    tab = subj.groupBy("cohort", "t").agg(
+        F.sum("observed").cast("long").alias("d"),
+        F.sum(1 - F.col("observed")).cast("long").alias("c"),
+    )
+    totals = subj.groupBy("cohort").agg(F.count("*").cast("long").alias("n_subj"))
+    grid = tab.select("t").distinct().crossJoin(F.broadcast(totals))
+    filled = grid.join(tab, ["cohort", "t"], "left").select(
+        "t",
+        "cohort",
+        "n_subj",
+        F.coalesce("d", F.lit(0)).alias("d"),
+        F.coalesce("c", F.lit(0)).alias("c"),
+    )
+    w_prev = (
+        Window.partitionBy("cohort")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = filled.select(
+        "t",
+        "cohort",
+        "d",
+        (
+            F.col("n_subj")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0))
+        )
+        .cast("long")
+        .alias("at_risk"),
+    )
+    per_t = (
+        risk.groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("cohort") == 1, F.col("d")).otherwise(0))
+            .cast("double")
+            .alias("d1"),
+            F.sum("d").cast("double").alias("dt"),
+            F.sum(F.when(F.col("cohort") == 1, F.col("at_risk")).otherwise(0))
+            .cast("double")
+            .alias("n1"),
+            F.sum("at_risk").cast("double").alias("nt"),
+        )
+        .filter(F.col("dt") > 0)
+    )
+    frac = F.col("n1") / F.col("nt")
+    var_term = (
+        F.col("dt")
+        * frac
+        * (1 - frac)
+        * F.when(
+            F.col("nt") > 1, (F.col("nt") - F.col("dt")) / (F.col("nt") - 1)
+        ).otherwise(0.0)
+    )
+    return per_t.agg(
+        F.round(F.sum("d1"), 6).alias("observed_1"),
+        F.round(F.sum(F.col("dt") * frac), 6).alias("expected_1"),
+        F.round(
+            F.pow(F.sum("d1") - F.sum(F.col("dt") * frac), 2) / F.sum(var_term), 6
+        ).alias("chi2"),
+    )

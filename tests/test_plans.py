@@ -323,6 +323,8 @@ NESTED_LOOP_WHITELIST = {
     "chi2_event_cohort_independence",  # contingency cells x 1-row total
     "source_budget_waterfill",  # |sources| frame x 1-row budget + 1-row cap
     "dq_freshness_event_types",  # |event_types| frame x 1-row global-max anchor
+    "mann_whitney_click_vs_purchase",  # 1-row group agg x 1-row tie-correction agg
+    "logrank_cohort_survival",  # |distinct durations| frame x 2-row cohort totals
     "hits_hub_authority",  # score frames x 1-row L2-norm anchors
     # (the registered scale form, hybrid_rrf_search, routes its dense leg
     # through the IVF partition-pruned layout and must NOT nested-loop)
