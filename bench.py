@@ -99,6 +99,13 @@ HEADLINE = [
     "mmr_diversified_topk",
     "unigram_seed_piece_stats",
     "normalize_dedup_docs",
+    # late round-4 additions — the two new iterative graph shapes (staged
+    # per-round frames), the full entity-resolution pipeline (blocked fuzzy
+    # match -> components -> per-row map-back), and the survival life-table
+    "graph_connected_components",
+    "hits_hub_authority",
+    "entity_resolution_parts",
+    "kaplan_meier_click_to_purchase",
 ]
 
 
