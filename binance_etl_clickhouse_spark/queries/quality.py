@@ -216,3 +216,76 @@ def dq_freshness_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lag_minutes"),
     )
+
+
+# --------------------------------------------------------------------------
+# Numeric profile: pairwise Pearson correlation matrix in ONE scan
+# --------------------------------------------------------------------------
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_CORR_PAIRS = [
+    (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]
+]
+
+
+def _corr_oracle() -> str:
+    moments = ["count(*)::DOUBLE AS n"]
+    for c in _CORR_COLS:
+        moments += [f"sum({c}) AS s_{c}", f"sum({c} * {c}) AS ss_{c}"]
+    for a, b in _CORR_PAIRS:
+        moments.append(f"sum({a} * {b}) AS sp_{a}_{b}")
+    rows = []
+    for a, b in _CORR_PAIRS:
+        rows.append(
+            f"""SELECT '{a}' AS col_x, '{b}' AS col_y,
+           round((sp_{a}_{b} - s_{a} * s_{b} / n)
+                 / nullif(sqrt((ss_{a} - s_{a} * s_{a} / n)
+                               * (ss_{b} - s_{b} * s_{b} / n)), 0), 6) AS corr
+    FROM m"""
+        )
+    body = "\nUNION ALL\n".join(rows)
+    return f"""
+    WITH m AS (SELECT {", ".join(moments)} FROM lineitem)
+    {body}
+    """
+
+
+@register(
+    "profile_numeric_correlations",
+    _corr_oracle(),
+    survey_ref="data quality: pairwise Pearson correlation matrix from one-scan moment sums",
+)
+def profile_numeric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairwise correlations from ONE partial-aggregated scan: the
+    2d + d(d-1)/2 moment sums reduce map-side (row-count-independent
+    driver traffic), and the d(d-1)/2 output rows unpivot from the 1-row
+    moment frame — the same formula text as the oracle, so both engines
+    evaluate identical arithmetic (ANSI corr() would throw on a
+    zero-variance column; the explicit form null-guards it)."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").cast("double").alias("n")]
+    for c in _CORR_COLS:
+        aggs += [
+            F.sum(c).alias(f"s_{c}"),
+            F.sum(F.col(c) * F.col(c)).alias(f"ss_{c}"),
+        ]
+    for a, b in _CORR_PAIRS:
+        aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+    m = li.agg(*aggs)
+    outs = []
+    for a, b in _CORR_PAIRS:
+        num = F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}") / F.col("n")
+        den = F.sqrt(
+            (F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}") / F.col("n"))
+            * (F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}") / F.col("n"))
+        )
+        outs.append(
+            m.select(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.round(num / F.when(den != 0, den), 6).alias("corr"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -245,3 +245,110 @@ KEYWORDS = ["spark", "window", "hash join", "table scan", "merge sort"]
 )
 def keyword_tag_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.keyword_tags(_docs(spark, sf_dir), KEYWORDS)
+
+
+# --------------------------------------------------------------------------
+# TextRank keyword scores: PageRank over the word co-occurrence graph
+# --------------------------------------------------------------------------
+_TR_WINDOW = 2  # co-occurrence window (token offsets 1..W)
+_TR_ITERS = 3
+
+
+def _textrank_oracle() -> str:
+    """Word graph from offset-(1..W) co-occurrence, then the same unrolled
+    power iterations as ``pagerank_copurchase``."""
+    from binance_etl_clickhouse_spark.queries.graph import _PR_D
+
+    offs = " OR ".join(
+        f"b.pos = a.pos + {k}" for k in range(1, _TR_WINDOW + 1)
+    )
+    ctes = [
+        """tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    )""",
+        f"""pairs AS (
+      SELECT least(a.w, b.w) AS src, greatest(a.w, b.w) AS dst,
+             count(*)::BIGINT AS w
+      FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND ({offs})
+      WHERE a.w <> b.w AND a.w <> '' AND b.w <> ''
+      GROUP BY 1, 2
+    )""",
+        """und AS (
+      SELECT src AS u, dst AS v FROM pairs
+      UNION ALL
+      SELECT dst AS u, src AS v FROM pairs
+    )""",
+        "deg AS (SELECT u, count(*)::DOUBLE AS d FROM und GROUP BY u)",
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM deg)",
+        "p0 AS (SELECT u, 1.0 / nn.n AS pr FROM deg CROSS JOIN nn)",
+    ]
+    prev = "p0"
+    for i in range(1, _TR_ITERS + 1):
+        ctes.append(
+            f"""p{i} AS (
+      SELECT e.v AS u,
+             (1.0 - {_PR_D}) / max(nn.n) + {_PR_D} * sum({prev}.pr / deg.d) AS pr
+      FROM und e
+      JOIN {prev} ON {prev}.u = e.u
+      JOIN deg ON deg.u = e.u
+      CROSS JOIN nn
+      GROUP BY e.v
+    )"""
+        )
+        prev = f"p{i}"
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT u AS word, round(pr, 6) AS textrank FROM {prev}
+    """
+
+
+@register(
+    "textrank_keywords",
+    _textrank_oracle(),
+    survey_ref="text statistics: TextRank keyword scoring (PageRank on the word co-occurrence graph)",
+)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank (Mihalcea 2004): rank words by PageRank over the
+    offset-(1..W) co-occurrence graph.
+
+    Scale shape: the token->pair step is W exact EQUI-joins on
+    (doc_id, pos + k) — linear fan-out per token, never the doc-wide
+    join-on-doc_id a positional theta-join would plan; the graph itself is
+    vocabulary-sized (at web scale: capped top-V by document frequency
+    first, exactly like ``pmi_cooccurrence_pairs``), so the fixed-iteration
+    PageRank runs on a frame orders smaller than the corpus. Reuses
+    :func:`~binance_etl_clickhouse_spark.operators.graph.pagerank`
+    verbatim — one shuffle per iteration, staged round frames.
+    """
+    from pyspark.sql import functions as F
+
+    from binance_etl_clickhouse_spark.operators import graph
+    from binance_etl_clickhouse_spark.operators.texthash import tokens
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    arms = []
+    for k in range(1, _TR_WINDOW + 1):
+        b = tok.select(
+            "doc_id", (F.col("pos") - k).alias("pos"), F.col("w").alias("w2")
+        )
+        arms.append(tok.join(b, ["doc_id", "pos"]))
+    both = arms[0]
+    for a in arms[1:]:
+        both = both.unionAll(a)
+    edges = (
+        both.filter((F.col("w") != F.col("w2")) & (F.col("w") != "") & (F.col("w2") != ""))
+        .groupBy(
+            F.least("w", "w2").alias("src"), F.greatest("w", "w2").alias("dst")
+        )
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    pr = graph.pagerank(edges, iters=_TR_ITERS)
+    return pr.select(
+        F.col("part_key").alias("word"), F.col("pagerank").alias("textrank")
+    )
