@@ -918,3 +918,101 @@ def heavy_hitters_from_state(spark: SparkSession, state_dir: str, k: int = 8) ->
     from binance_etl_clickhouse_spark.operators.sketches import merge_mg_summaries
 
     return merge_mg_summaries(spark.read.parquet(state_dir), k=k)
+
+
+# ---------------------------------------------------------------------------
+# Streaming data-quality monitor (per-epoch expectation gate)
+# ---------------------------------------------------------------------------
+
+#: rule name -> boolean SQL over the documents stream (violation = NOT rule)
+DQ_DOC_RULES: dict[str, str] = {
+    "doc_id_not_null": "doc_id IS NOT NULL",
+    "text_nonempty": "text IS NOT NULL AND length(text) > 0",
+    "lang_not_null": "lang IS NOT NULL",
+    "n_chars_matches_text": "n_chars = length(text)",
+}
+
+
+def dq_monitor_append_epoch(
+    batch: DataFrame, monitor_dir: str, epoch_id: int, rules: dict[str, str]
+) -> None:
+    """Land one epoch's expectation report under its epoch partition.
+
+    Same replay discipline as the MG summaries: the report is per-epoch
+    STATE, so a re-delivered epoch dynamically OVERWRITES its own
+    partition — idempotent with no membership gate. ALL rules evaluate in
+    the one conditional-aggregate scan of ``dq_expectations_lineitem``;
+    per-rule rows come from the constant-sized ``stack`` unpivot.
+    """
+    aggs = [
+        F.sum(
+            F.when(F.expr(cond).isNull() | ~F.expr(cond), 1).otherwise(0)
+        ).cast("long").alias(f"v_{i}")
+        for i, cond in enumerate(rules.values())
+    ]
+    one = batch.agg(F.count("*").cast("long").alias("n"), *aggs)
+    stack_args = ", ".join(f"'{r}', v_{i}" for i, r in enumerate(rules))
+    report = one.select(
+        F.expr(f"stack({len(rules)}, {stack_args}) AS (rule, n_violations)"),
+        F.col("n").alias("n_rows"),
+        F.lit(int(epoch_id)).alias("epoch"),
+    )
+    (
+        report.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch")
+        .parquet(monitor_dir)
+    )
+
+
+def stream_dq_monitor(
+    spark: SparkSession,
+    input_dir: str,
+    monitor_dir: str,
+    checkpoint_dir: str,
+    rules: dict[str, str] | None = None,
+    available_now: bool = True,
+    processing_time: str = "1 hour",
+) -> StreamingQuery:
+    """Streaming expectation suite over a JSONL document drop: every
+    micro-batch appends its per-rule violation counts to an epoch-
+    partitioned monitor table (the continuous-ingest data-quality gate —
+    a batch-side consumer alerts on `n_violations > 0` or a rate jump).
+    PERMISSIVE-mode corrupt lines are their own implicit rule: they are
+    counted under ``_corrupt_records`` rather than silently dropped."""
+    from binance_etl_clickhouse_spark.sources.files import (
+        CORRUPT_COL,
+        DOCUMENTS_JSONL_SCHEMA,
+    )
+
+    rules = dict(rules or DQ_DOC_RULES)
+    rules["_corrupt_records"] = f"{CORRUPT_COL} IS NULL"
+
+    src = spark.readStream.schema(DOCUMENTS_JSONL_SCHEMA).json(input_dir)
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        dq_monitor_append_epoch(batch, monitor_dir, int(epoch_id), rules)
+
+    writer = src.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def dq_report_from_monitor(spark: SparkSession, monitor_dir: str) -> DataFrame:
+    """Query-time totals: violations summed across epochs per rule (the
+    monitor table stays per-epoch for trend/alerting reads)."""
+    return (
+        spark.read.parquet(monitor_dir)
+        .groupBy("rule")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("n_violations").cast("long").alias("n_violations"),
+        )
+    )

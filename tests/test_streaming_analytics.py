@@ -1087,3 +1087,51 @@ def test_stream_heavy_hitters_epoch_state_and_replay(spark, tmp_path):
     heavy_hitters_append_epoch(b2, state, 1, "lang", 4)
     replayed = {r.item: r.lower_count for r in heavy_hitters_from_state(spark, state, k=4).collect()}
     assert replayed == merged
+
+
+def test_stream_dq_monitor_epoch_reports_and_replay(spark, tmp_path):
+    """The streaming expectation gate lands per-epoch violation counts
+    (corrupt lines counted under _corrupt_records, not dropped); totals
+    match a batch recount; a re-delivered epoch overwrites itself."""
+    import json
+
+    from binance_etl_clickhouse_spark.streaming.jobs import (
+        DQ_DOC_RULES,
+        dq_monitor_append_epoch,
+        dq_report_from_monitor,
+        stream_dq_monitor,
+    )
+
+    in_dir = tmp_path / "drop"
+    in_dir.mkdir()
+    monitor = str(tmp_path / "dq_monitor")
+    with open(in_dir / "b1.jsonl", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "lang": "en", "text": "ab", "n_chars": 2}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "lang": None, "text": "abc", "n_chars": 3}) + "\n")
+        f.write(json.dumps({"doc_id": 3, "lang": "de", "text": "", "n_chars": 9}) + "\n")
+        f.write("{not valid json\n")
+
+    q = stream_dq_monitor(spark, str(in_dir), monitor, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    q.stop()
+    rep = {r.rule: (r.n_rows, r.n_violations) for r in dq_report_from_monitor(spark, monitor).collect()}
+    assert set(rep) == set(DQ_DOC_RULES) | {"_corrupt_records"}
+    n = rep["doc_id_not_null"][0]
+    assert all(v[0] == n for v in rep.values())  # one scan, one row count
+    assert rep["_corrupt_records"][1] == 1
+    assert rep["lang_not_null"][1] == 2  # null lang + corrupt line
+    assert rep["text_nonempty"][1] == 2  # empty text + corrupt line
+    # n_chars mismatch: doc 3 (9 != 0) + corrupt line (null = null -> violation)
+    assert rep["n_chars_matches_text"][1] == 2
+    assert rep["doc_id_not_null"][1] == 1  # corrupt line only
+
+    # replayed epoch: re-landing the same epoch id must not double-count
+    from binance_etl_clickhouse_spark.sources.files import read_documents_jsonl
+
+    batch = read_documents_jsonl(spark, str(in_dir))
+    epoch = spark.read.parquet(monitor).select("epoch").distinct().collect()[0][0]
+    rules = dict(DQ_DOC_RULES)
+    rules["_corrupt_records"] = "_corrupt_record IS NULL"
+    dq_monitor_append_epoch(batch, monitor, int(epoch), rules)
+    rep2 = {r.rule: (r.n_rows, r.n_violations) for r in dq_report_from_monitor(spark, monitor).collect()}
+    assert rep2 == rep
