@@ -274,3 +274,31 @@ def hits_bipartite(edges: DataFrame, iters: int = 2) -> DataFrame:
             F.round("s", 6).alias("score"),
         )
     )
+
+
+def bfs_levels(edges: DataFrame, seeds: DataFrame, max_hops: int = 4) -> DataFrame:
+    """Hop distance (<= ``max_hops``) from a seed vertex set ``(u)``:
+    k rounds of min-hop propagation — round i labels every vertex whose
+    shortest seed distance is i. Unreached vertices are absent (their
+    distance is unknown at k hops, not infinite).
+
+    Same staged one-shuffle-per-round envelope as
+    :func:`connected_components`; the frontier frame is monotone growing
+    and bounded by |V|.
+    """
+    und = compact_persist(undirected(edges).select("u", "v"))
+    dist = seeds.select("u").distinct().withColumn("hop", F.lit(0))
+    for _ in range(max_hops):
+        dist = compact_persist(dist)
+        nb = (
+            und.join(dist.withColumnRenamed("u", "v").withColumnRenamed("hop", "nhop"), "v")
+            .groupBy("u")
+            .agg((F.min("nhop") + 1).alias("nhop"))
+        )
+        dist = (
+            dist.join(nb, "u", "full")
+            .select("u", F.least("hop", "nhop").alias("hop"))
+        )
+    return dist.select(
+        F.col("u").alias("part_key"), F.col("hop").cast("long").alias("hop")
+    )

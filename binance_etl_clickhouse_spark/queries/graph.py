@@ -261,3 +261,54 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return graph.hits_bipartite(edges, iters=_HITS_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# BFS hop levels from a seed set (bounded-hop reachability)
+# ---------------------------------------------------------------------------
+_BFS_HOPS = 3
+_BFS_MOD = 211
+
+
+def _bfs_oracle() -> str:
+    """Unroll the min-hop rounds; FULL join keeps both the settled frontier
+    and newly reached vertices, exactly as the engine."""
+    ctes = [
+        f"d0 AS (SELECT DISTINCT u, 0 AS hop FROM und WHERE u % {_BFS_MOD} = 0)",
+    ]
+    for i in range(1, _BFS_HOPS + 1):
+        ctes.append(
+            f"""n{i} AS (
+      SELECT e.u, min(d.hop) + 1 AS nhop
+      FROM und e JOIN d{i - 1} d ON d.u = e.v
+      GROUP BY e.u
+    )""",
+        )
+        ctes.append(
+            f"""d{i} AS (
+      SELECT coalesce(d.u, n.u) AS u, least(d.hop, n.nhop) AS hop
+      FROM d{i - 1} d FULL JOIN n{i} n ON n.u = d.u
+    )""",
+        )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {_EDGES_CTE},
+    {body}
+    SELECT u AS part_key, hop::BIGINT AS hop FROM d{_BFS_HOPS}
+    """
+
+
+@register(
+    "graph_bfs_levels",
+    _bfs_oracle(),
+    survey_ref="graph: bounded-hop BFS levels from a seed set (min-hop propagation)",
+)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = graph.copurchase_edges(_t(spark, sf_dir, "lineitem"))
+    seeds = (
+        edges.select(F.col("src").alias("u"))
+        .unionAll(edges.select(F.col("dst").alias("u")))
+        .distinct()
+        .filter(F.col("u") % _BFS_MOD == 0)
+    )
+    return graph.bfs_levels(edges, seeds, max_hops=_BFS_HOPS)
