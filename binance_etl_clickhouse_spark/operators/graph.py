@@ -302,3 +302,92 @@ def bfs_levels(edges: DataFrame, seeds: DataFrame, max_hops: int = 4) -> DataFra
     return dist.select(
         F.col("u").alias("part_key"), F.col("hop").cast("long").alias("hop")
     )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient: Pearson correlation of endpoint
+    degrees over every directed edge incidence (Newman 2002). One |V|-row
+    degree aggregate, two broadcast joins, one moment reduction — no
+    per-vertex state beyond the degree table."""
+    und = undirected(edges).select("u", "v")
+    deg = und.groupBy("u").agg(F.count("*").cast("double").alias("d"))
+    pairs = und.join(
+        F.broadcast(deg), "u"
+    ).join(
+        F.broadcast(deg.withColumnRenamed("u", "v").withColumnRenamed("d", "dv")),
+        "v",
+    ).select(F.col("d").alias("x"), F.col("dv").alias("y"))
+    m = pairs.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    den = F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        * (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_incidences"),
+        F.round(num / F.when(den != 0, den), 6).alias("assortativity"),
+    )
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """Per-vertex local clustering coefficient WITHOUT a wedge-sized
+    shuffle: reuse the triangle intersection — every element w of
+    N+(lo) ∩ N+(hi) closes triangle {lo, hi, w}, so exploding the
+    intersection and crediting all THREE corners yields exact per-vertex
+    triangle counts in 3·#triangles rows (output-bounded, like the
+    global count). Coefficient = t_v / C(d_v, 2); degree-1 vertices get 0.
+    """
+    edges = compact_persist(edges)
+    deg = (
+        undirected(edges).groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    )
+    lo_first = (F.col("ds") < F.col("dd")) | (
+        (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
+    )
+    e = (
+        edges.join(F.broadcast(deg.withColumnRenamed("u", "src").withColumnRenamed("d", "ds")), "src")
+        .join(F.broadcast(deg.withColumnRenamed("u", "dst").withColumnRenamed("d", "dd")), "dst")
+        .select(
+            F.when(lo_first, F.col("src")).otherwise(F.col("dst")).alias("lo"),
+            F.when(lo_first, F.col("dst")).otherwise(F.col("src")).alias("hi"),
+        )
+    )
+    e = compact_persist(e)
+    adj = e.groupBy("lo").agg(F.collect_list("hi").alias("nbrs"))
+    tri_corners = (
+        e.join(adj.select(F.col("lo"), F.col("nbrs").alias("n_lo")), "lo")
+        .join(adj.select(F.col("lo").alias("hi"), F.col("nbrs").alias("n_hi")), "hi")
+        .select(
+            "lo", "hi", F.explode(F.array_intersect("n_lo", "n_hi")).alias("w")
+        )
+    )
+    per_vertex = (
+        tri_corners.select(F.col("lo").alias("u"))
+        .unionAll(tri_corners.select(F.col("hi").alias("u")))
+        .unionAll(tri_corners.select(F.col("w").alias("u")))
+        .groupBy("u")
+        .agg(F.count("*").cast("long").alias("t"))
+    )
+    return (
+        deg.join(per_vertex, "u", "left")
+        .select(
+            F.col("u").alias("part_key"),
+            F.col("d").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("long").alias("n_triangles"),
+            F.round(
+                F.when(
+                    F.col("d") >= 2,
+                    F.coalesce("t", F.lit(0))
+                    / (F.col("d") * (F.col("d") - 1) / 2.0),
+                ).otherwise(0.0),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )

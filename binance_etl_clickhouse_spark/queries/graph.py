@@ -312,3 +312,65 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") % _BFS_MOD == 0)
     )
     return graph.bfs_levels(edges, seeds, max_hops=_BFS_HOPS)
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (one-formula moment aggregate over edge incidences)
+# ---------------------------------------------------------------------------
+@register(
+    "graph_assortativity",
+    f"""
+    WITH {_EDGES_CTE},
+    deg AS (SELECT u, count(*)::DOUBLE AS d FROM und GROUP BY u),
+    p AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM und JOIN deg du ON du.u = und.u JOIN deg dv ON dv.u = und.v
+    ),
+    m AS (
+      SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM p
+    )
+    SELECT n::BIGINT AS n_incidences,
+           round((sxy - sx * sy / n)
+                 / nullif(sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 0), 6)
+             AS assortativity
+    FROM m
+    """,
+    survey_ref="graph: degree assortativity (Newman r, endpoint-degree Pearson)",
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = graph.copurchase_edges(_t(spark, sf_dir, "lineitem"))
+    return graph.degree_assortativity(edges)
+
+
+# ---------------------------------------------------------------------------
+# Per-vertex local clustering coefficients
+# ---------------------------------------------------------------------------
+@register(
+    "graph_clustering_coefficients",
+    f"""
+    WITH {_EDGES_CTE},
+    deg AS (SELECT u, count(*)::BIGINT AS d FROM und GROUP BY u),
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.src = e1.dst
+      JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    corners AS (
+      SELECT a AS u FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+    ),
+    pv AS (SELECT u, count(*)::BIGINT AS t FROM corners GROUP BY u)
+    SELECT deg.u AS part_key, deg.d AS degree,
+           coalesce(pv.t, 0)::BIGINT AS n_triangles,
+           round(CASE WHEN deg.d >= 2
+                      THEN coalesce(pv.t, 0) / (deg.d * (deg.d - 1) / 2.0)
+                      ELSE 0.0 END, 6) AS clustering_coeff
+    FROM deg LEFT JOIN pv ON pv.u = deg.u
+    """,
+    survey_ref="graph: per-vertex local clustering coefficient (oriented-intersection corner credit vs naive wedge oracle)",
+)
+def graph_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = graph.copurchase_edges(_t(spark, sf_dir, "lineitem"))
+    return graph.clustering_coefficients(edges)
