@@ -391,3 +391,30 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+def kcore_vertices(edges: DataFrame, k: int, rounds: int = 4) -> DataFrame:
+    """Bounded-round k-core peeling: each round removes vertices whose
+    degree within the SURVIVING subgraph is < k; after enough rounds the
+    fixpoint is the exact k-core (fixed rounds keep the result
+    deterministic and oracle-unrollable, as with
+    :func:`connected_components`). Returns survivors with their final
+    within-core degree.
+
+    Scale shape: one degree aggregation per round over the alive-filtered
+    edge frame; the alive set is |V| rows and referenced by both endpoints
+    each round, so it is STAGED (see the 2^rounds hazard note there).
+    """
+    und = compact_persist(undirected(edges).select("u", "v"))
+    alive = und.select("u").distinct()
+    deg = None
+    for _ in range(rounds):
+        alive = compact_persist(alive)
+        e = und.join(alive, "u").join(
+            alive.withColumnRenamed("u", "v"), "v"
+        )
+        deg = e.groupBy("u").agg(F.count("*").cast("long").alias("d"))
+        alive = deg.filter(F.col("d") >= k).select("u")
+    return deg.filter(F.col("d") >= k).select(
+        F.col("u").alias("part_key"), F.col("d").alias("core_degree")
+    )

@@ -374,3 +374,42 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = graph.copurchase_edges(_t(spark, sf_dir, "lineitem"))
     return graph.clustering_coefficients(edges)
+
+
+# ---------------------------------------------------------------------------
+# k-core: bounded-round degeneracy peeling
+# ---------------------------------------------------------------------------
+_KCORE_K = 60
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    ctes = ["a0 AS (SELECT DISTINCT u FROM und)"]
+    for i in range(1, _KCORE_ROUNDS + 1):
+        ctes.append(
+            f"""d{i} AS (
+      SELECT e.u, count(*)::BIGINT AS d
+      FROM und e
+      JOIN a{i - 1} au ON au.u = e.u
+      JOIN a{i - 1} av ON av.u = e.v
+      GROUP BY e.u
+    )"""
+        )
+        ctes.append(f"a{i} AS (SELECT u FROM d{i} WHERE d >= {_KCORE_K})")
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {_EDGES_CTE},
+    {body}
+    SELECT u AS part_key, d AS core_degree FROM d{_KCORE_ROUNDS}
+    WHERE d >= {_KCORE_K}
+    """
+
+
+@register(
+    "graph_kcore_vertices",
+    _kcore_oracle(),
+    survey_ref="graph: bounded-round k-core peeling (degeneracy core extraction)",
+)
+def graph_kcore_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = graph.copurchase_edges(_t(spark, sf_dir, "lineitem"))
+    return graph.kcore_vertices(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
