@@ -123,27 +123,43 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return per_edge.agg(F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("n_triangles"))
 
 
-def pagerank(edges: DataFrame, iters: int = 3, damping: float = DAMPING) -> DataFrame:
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = DAMPING,
+    weighted: bool = False,
+) -> DataFrame:
     """Fixed-iteration PageRank on the undirected co-purchase graph.
 
     Every vertex has degree >= 1 by construction (it appears on an edge), so
     there is no dangling mass and the per-iteration update is exactly
-    ``pr' = (1-d)/N + d * sum_in pr/deg``. Returns (part_key, pagerank)
-    rounded to 6 dp for the cross-engine hash.
+    ``pr' = (1-d)/N + d * sum_in pr/deg``. With ``weighted=True`` the flow
+    is proportional to edge weight (``pr * w / weighted_degree``) — same
+    plan, weighted degree table instead of the count. Returns
+    (part_key, pagerank) rounded to 6 dp for the cross-engine hash.
     """
     # und/deg are re-read every iteration — persist them (memory bounded by
     # the edge list; at real scale this is the frame you'd also checkpoint)
-    und = compact_persist(undirected(edges).select("u", "v"))
-    deg = compact_persist(und.groupBy("u").agg(F.count("*").cast("double").alias("d")))
+    und = compact_persist(
+        undirected(edges).select("u", "v", "w")
+        if weighted
+        else undirected(edges).select("u", "v")
+    )
+    deg = compact_persist(
+        und.groupBy("u").agg(
+            (F.sum("w") if weighted else F.count("*")).cast("double").alias("d")
+        )
+    )
     n = deg.count()  # |V| — one scalar, the only driver-side value
     pr = deg.select("u", F.lit(1.0 / n).alias("pr"))
+    flow = (F.col("pr") * F.col("w") if weighted else F.col("pr")) / F.col("d")
     for _ in range(iters):
         pr = (
             und.join(pr, "u")
             .join(F.broadcast(deg), "u")
             .groupBy(F.col("v").alias("u"))
             .agg(
-                (F.lit((1.0 - damping) / n) + F.lit(damping) * F.sum(F.col("pr") / F.col("d"))).alias(
+                (F.lit((1.0 - damping) / n) + F.lit(damping) * F.sum(flow)).alias(
                     "pr"
                 )
             )
@@ -417,4 +433,64 @@ def kcore_vertices(edges: DataFrame, k: int, rounds: int = 4) -> DataFrame:
         alive = deg.filter(F.col("d") >= k).select("u")
     return deg.filter(F.col("d") >= k).select(
         F.col("u").alias("part_key"), F.col("d").alias("core_degree")
+    )
+
+
+def link_prediction_scores(edges: DataFrame) -> DataFrame:
+    """Common-neighbors / Jaccard / Adamic-Adar scores for every existing
+    edge (the self-supervised calibration set for link prediction — score
+    candidate non-edges with the same formulas at serving time).
+
+    Reuses the adjacency-array intersection: |N(u) ∩ N(v)| from one
+    array_intersect, the union size by inclusion-exclusion from the two
+    degrees, and Adamic-Adar by exploding the (3·#triangles-row bounded)
+    intersection and joining each common neighbor's degree — never a
+    wedge-sized shuffle.
+    """
+    und = compact_persist(undirected(edges).select("u", "v"))
+    adj = und.groupBy("u").agg(
+        F.collect_list("v").alias("nbrs"), F.count("*").cast("long").alias("d")
+    )
+    a_u = adj.select(
+        F.col("u").alias("src"), F.col("nbrs").alias("n_u"), F.col("d").alias("du")
+    )
+    a_v = adj.select(
+        F.col("u").alias("dst"), F.col("nbrs").alias("n_v"), F.col("d").alias("dv")
+    )
+    base = (
+        edges.select("src", "dst")
+        .join(a_u, "src")
+        .join(a_v, "dst")
+        .select(
+            "src",
+            "dst",
+            "du",
+            "dv",
+            F.array_intersect("n_u", "n_v").alias("common"),
+        )
+    )
+    base = compact_persist(
+        base.select(
+            "src", "dst", "du", "dv", "common", F.size("common").alias("cn")
+        )
+    )
+    deg = adj.select(F.col("u").alias("w"), F.col("d").alias("dw"))
+    aa = (
+        base.select("src", "dst", F.explode("common").alias("w"))
+        .join(F.broadcast(deg), "w")
+        .groupBy("src", "dst")
+        .agg(F.sum(1.0 / F.log("dw")).alias("aa"))
+    )
+    return (
+        base.join(aa, ["src", "dst"], "left")
+        .select(
+            "src",
+            "dst",
+            F.col("cn").cast("long").alias("common_neighbors"),
+            F.round(
+                F.col("cn") / (F.col("du") + F.col("dv") - F.col("cn")).cast("double"),
+                6,
+            ).alias("jaccard"),
+            F.round(F.coalesce("aa", F.lit(0.0)), 6).alias("adamic_adar"),
+        )
     )

@@ -413,3 +413,82 @@ def _kcore_oracle() -> str:
 def graph_kcore_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = graph.copurchase_edges(_t(spark, sf_dir, "lineitem"))
     return graph.kcore_vertices(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# Link-prediction scores for existing edges
+# ---------------------------------------------------------------------------
+@register(
+    "graph_link_prediction_scores",
+    f"""
+    WITH {_EDGES_CTE},
+    deg AS (SELECT u, count(*)::BIGINT AS d FROM und GROUP BY u),
+    common AS (
+      SELECT e.src, e.dst, a.v AS w
+      FROM edges e
+      JOIN und a ON a.u = e.src
+      JOIN und b ON b.u = e.dst AND b.v = a.v
+    ),
+    cn AS (
+      SELECT src, dst, count(*)::BIGINT AS c,
+             sum(1.0 / ln(dw.d)) AS aa
+      FROM common JOIN deg dw ON dw.u = common.w
+      GROUP BY src, dst
+    )
+    SELECT e.src, e.dst,
+           coalesce(cn.c, 0)::BIGINT AS common_neighbors,
+           round(coalesce(cn.c, 0)
+                 / (du.d + dv.d - coalesce(cn.c, 0))::DOUBLE, 6) AS jaccard,
+           round(coalesce(cn.aa, 0.0), 6) AS adamic_adar
+    FROM edges e
+    JOIN deg du ON du.u = e.src
+    JOIN deg dv ON dv.u = e.dst
+    LEFT JOIN cn ON cn.src = e.src AND cn.dst = e.dst
+    """,
+    survey_ref="graph: link-prediction scores (common neighbors / Jaccard / Adamic-Adar) per edge",
+)
+def graph_link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = graph.copurchase_edges(_t(spark, sf_dir, "lineitem"))
+    return graph.link_prediction_scores(edges)
+
+
+# ---------------------------------------------------------------------------
+# Weight-proportional PageRank (flows follow co-purchase counts)
+# ---------------------------------------------------------------------------
+def _wpagerank_oracle() -> str:
+    ctes = [
+        "wdeg AS (SELECT u, sum(w)::DOUBLE AS wd FROM und GROUP BY u)",
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM wdeg)",
+        "p0 AS (SELECT u, 1.0 / nn.n AS pr FROM wdeg CROSS JOIN nn)",
+    ]
+    prev = "p0"
+    for i in range(1, _PR_ITERS + 1):
+        ctes.append(
+            f"""p{i} AS (
+      SELECT e.v AS u,
+             (1.0 - {_PR_D}) / max(nn.n)
+               + {_PR_D} * sum({prev}.pr * e.w / wdeg.wd) AS pr
+      FROM und e
+      JOIN {prev} ON {prev}.u = e.u
+      JOIN wdeg ON wdeg.u = e.u
+      CROSS JOIN nn
+      GROUP BY e.v
+    )"""
+        )
+        prev = f"p{i}"
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {_EDGES_CTE},
+    {body}
+    SELECT u AS part_key, round(pr, 6) AS pagerank FROM {prev}
+    """
+
+
+@register(
+    "pagerank_weighted_copurchase",
+    _wpagerank_oracle(),
+    survey_ref="graph: weight-proportional PageRank (flow follows co-purchase multiplicity)",
+)
+def pagerank_weighted_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = graph.copurchase_edges(_t(spark, sf_dir, "lineitem"))
+    return graph.pagerank(edges, iters=_PR_ITERS, weighted=True)
