@@ -3,6 +3,7 @@ structural invariants beyond oracle parity that must hold at any scale."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"
@@ -169,3 +170,82 @@ def test_logrank_expected_totals_balance(spark):
     assert lr["observed_1"] == obs1
     assert 0.0 <= lr["expected_1"] <= total_events
     assert lr["chi2"] >= 0.0 and math.isfinite(lr["chi2"])
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy match vs pure-Python brute force (adversarial cases)
+# ---------------------------------------------------------------------------
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+# (id, name, brand) — covers: transitive chains within a block, the
+# threshold boundary, identical names in DIFFERENT blocks (must not match),
+# exact duplicates (collapse to one record), singletons
+ENTITY_CASES = [
+    [
+        (1, "cold widget", "B1"),
+        (2, "bold widget", "B1"),  # dist 1 to cold -> chain link
+        (3, "bolt widget", "B1"),  # dist 1 to bold, 2 to cold -> transitive
+        (4, "cold widget", "B2"),  # same name, other block: no match
+        (5, "warm widget", "B1"),  # dist > 1 to all: singleton
+        (6, "cold widget", "B1"),  # exact dup of 1 -> same record
+    ],
+    [
+        (10, "red gear", "B1"),
+        (11, "red gears", "B1"),  # insertion at the end, dist 1 -- same noun? no: 'gears' != 'gear'
+        (12, "red gear", "B1"),
+    ],
+    [(42, "lone anvil", "B9")],  # single record corpus
+]
+
+
+def _brute_entities(rows, max_dist=1):
+    """Pure-Python reference: collapse, block on (noun, brand), match,
+    union-find, component-min entity per record key."""
+    rec = {}
+    for rid, name, brand in rows:
+        key = (name, brand)
+        rec[key] = min(rec.get(key, rid), rid)
+    ids = {key: rid for key, rid in rec.items()}
+    parent = {r: r for r in ids.values()}
+
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    keys = list(ids)
+    for i, k1 in enumerate(keys):
+        for k2 in keys[i + 1 :]:
+            (n1, b1), (n2, b2) = k1, k2
+            if b1 != b2 or n1.split(" ")[1] != n2.split(" ")[1]:
+                continue
+            if _lev(n1, n2) <= max_dist:
+                ra, rb = find(ids[k1]), find(ids[k2])
+                parent[max(ra, rb)] = min(ra, rb)
+    return {ids[k]: find(ids[k]) for k in keys}
+
+
+@pytest.mark.parametrize("rows", ENTITY_CASES)
+def test_blocked_match_resolution_matches_brute_force(spark, rows):
+    import pytest as _pytest  # noqa: F401
+
+    from binance_etl_clickhouse_spark.operators import entity
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "p_partkey long, p_name string, p_brand string")
+    records = entity.canonical_records(df, ["p_name", "p_brand"], "p_partkey")
+    blocked = records.withColumn("noun", F.split("p_name", " ").getItem(1))
+    pairs = entity.blocked_match_pairs(blocked, ["noun", "p_brand"], "p_name", max_dist=1)
+    resolved = entity.resolve_entities(records, pairs, iters=4)
+    got = {r.rid: r.entity_id for r in resolved.collect()}
+    assert got == _brute_entities(rows)
