@@ -515,6 +515,86 @@ class ServingTable:
         if prior_zm is not None:
             _zm.build_zonemap(self.path, prior_zm["columns"])
 
+    def delete_where(self, spark: SparkSession, predicate) -> int:
+        """Row-level delete: remove every version of every row where
+        ``predicate`` is TRUE (the GDPR / right-to-be-forgotten primitive;
+        ``DELETE FROM .. WHERE`` ≙ ClickHouse lightweight delete,
+        materialized immediately as copy-on-write).
+
+        Scale shape: only the month partitions CONTAINING matches rewrite
+        (dynamic partition overwrite, like :meth:`compact_months`); every
+        other month's files are untouched bytes. Rows where the predicate
+        is NULL are kept (SQL DELETE semantics). A month whose every row
+        matches is dropped as a directory — dynamic overwrite cannot
+        replace a partition with nothing. Deletes run on the RAW frame, so
+        superseded versions of a matching key are purged too (a later
+        ``read`` can never resurrect them). Returns rows deleted.
+        """
+        import shutil
+
+        from binance_etl_clickhouse_spark.storage import zonemap as _zm
+
+        self._recover()
+        if not self.exists():
+            return 0
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        raw = self.read_raw(spark)
+        if self.time_col is None:
+            # unpartitioned table: whole-table copy-on-write via the
+            # compact tmp-swap (there is no partition unit to prune to)
+            keep = raw.filter(~F.coalesce(pred, F.lit(False)))
+            n_del = raw.count() - keep.count()
+            if n_del == 0:
+                return 0
+            cur_seq = self._read_sidecar()
+            tmp = self.path.rstrip("/") + ".compact.tmp"
+            self._arrange(keep, None).write.mode("overwrite").parquet(tmp)
+            bak = self.path.rstrip("/") + ".compact.bak"
+            shutil.move(self.path, bak)
+            shutil.move(tmp, self.path)
+            shutil.rmtree(bak)
+            if cur_seq is not None:
+                self._write_sidecar(cur_seq)
+            return int(n_del)
+        per_month = (
+            raw.filter(pred).groupBy(MONTH_COL).count().collect()
+        )
+        if not per_month:
+            return 0
+        months = [int(r[0]) for r in per_month]
+        n_del = int(sum(r["count"] for r in per_month))
+        cur_seq = self._read_sidecar()
+        compacted = self._read_compacted_seq()
+        prior_zm = _zm.read_zonemap(self.path)
+        keep = raw.filter(F.col(MONTH_COL).isin(months)).filter(
+            ~F.coalesce(pred, F.lit(False))
+        )
+        # cut lineage before overwriting the dirs the plan reads from
+        w = self._arrange(keep, None).localCheckpoint(eager=True)
+        kept_months = {int(r[0]) for r in w.select(MONTH_COL).distinct().collect()}
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            if kept_months:
+                w.write.mode("overwrite").partitionBy(MONTH_COL).parquet(self.path)
+        finally:
+            w.unpersist()
+            if prev_mode is not None:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev_mode
+                )
+        base = self.resolved_path()
+        for m in months:
+            if m not in kept_months:
+                shutil.rmtree(os.path.join(base, f"{MONTH_COL}={m}"), ignore_errors=True)
+        if cur_seq is not None:
+            # deleting never ADDS versions: a compacted table stays
+            # one-version-per-key, so the flag carries over
+            self._write_sidecar(cur_seq, compacted_seq=compacted)
+        if prior_zm is not None:
+            _zm.build_zonemap(self.path, prior_zm["columns"])
+        return n_del
+
     def compact(
         self,
         spark: SparkSession,

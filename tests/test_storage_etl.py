@@ -411,3 +411,76 @@ def test_read_skips_dedup_window_after_full_compact(spark, tmp_path):
     t.compact(spark)
     assert not has_window(t.read(spark))
     assert has_window(t.read(spark, as_of_seq=3))
+
+
+def test_delete_where_rewrites_only_matching_months(spark, tmp_path):
+    """Row-level delete purges every VERSION of matching rows, leaves
+    non-matching months' files byte-untouched, drops fully-emptied month
+    dirs, and returns the deleted-row count."""
+    t = _table(tmp_path)
+    b = _clean(spark, n_symbols=2, bars_per_symbol=800, overlap_bars=0)  # spans months
+    t.append(b, ingest_seq=1)
+    # superseded versions of one symbol must be purged too
+    t.append(b.filter(F.col("symbol") == "SYM000USDT").limit(30), ingest_seq=2)
+
+    months = sorted(
+        int(d.split("=")[1]) for d in os.listdir(t.path) if d.startswith("month=")
+    )
+    assert len(months) >= 2
+    target = months[0]
+    untouched_dir = os.path.join(t.path, f"month={months[-1]}")
+    before = {
+        f: os.path.getmtime(os.path.join(untouched_dir, f))
+        for f in os.listdir(untouched_dir)
+        if f.endswith(".parquet")
+    }
+    raw_before = t.read_raw(spark).count()
+    hit_raw = t.read_raw(spark).filter(
+        (F.col("symbol") == "SYM000USDT") & (F.col("month") == target)
+    )
+    n_hits = hit_raw.count()
+    assert n_hits > 0
+
+    n_del = t.delete_where(
+        spark, (F.col("symbol") == "SYM000USDT") & (F.col("month") == target)
+    )
+    assert n_del == n_hits
+    raw = t.read_raw(spark)
+    assert raw.count() == raw_before - n_hits
+    assert raw.filter(
+        (F.col("symbol") == "SYM000USDT") & (F.col("month") == target)
+    ).count() == 0
+    # the non-matching month's files were not rewritten
+    after = {
+        f: os.path.getmtime(os.path.join(untouched_dir, f))
+        for f in os.listdir(untouched_dir)
+        if f.endswith(".parquet")
+    }
+    assert after == before
+    # table still reads + dedups fine; seq sidecar survived
+    assert t.read(spark).count() > 0
+    assert t.max_ingest_seq(spark) == 2
+
+
+def test_delete_where_drops_fully_emptied_month(spark, tmp_path):
+    t = _table(tmp_path)
+    b = _clean(spark, n_symbols=1, bars_per_symbol=800, overlap_bars=0)
+    t.append(b, ingest_seq=1)
+    months = sorted(
+        int(d.split("=")[1]) for d in os.listdir(t.path) if d.startswith("month=")
+    )
+    target = months[0]
+    n_del = t.delete_where(spark, F.col("month") == target)
+    assert n_del > 0
+    assert not os.path.isdir(os.path.join(t.path, f"month={target}"))
+    assert t.read(spark).filter(F.col("month") == target).count() == 0
+
+
+def test_delete_where_null_predicate_rows_kept_and_noop_returns_zero(spark, tmp_path):
+    t = _table(tmp_path)
+    b = _clean(spark, n_symbols=1, bars_per_symbol=48, overlap_bars=0)
+    t.append(b, ingest_seq=1)
+    # predicate NULL on every row (null comparison) -> SQL DELETE keeps all
+    assert t.delete_where(spark, F.lit(None).cast("boolean")) == 0
+    assert t.read_raw(spark).count() == 48
+    assert t.delete_where(spark, F.col("symbol") == "NO_SUCH") == 0
