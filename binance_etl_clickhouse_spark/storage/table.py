@@ -595,6 +595,85 @@ class ServingTable:
             _zm.build_zonemap(self.path, prior_zm["columns"])
         return n_del
 
+    def update_where(
+        self, spark: SparkSession, predicate, assignments: dict
+    ) -> int:
+        """Row-level update (≙ ClickHouse ``ALTER TABLE .. UPDATE``):
+        set ``assignments`` (col -> Column/SQL expr) on every row where
+        ``predicate`` is TRUE, with the same month-pruned copy-on-write as
+        :meth:`delete_where` — only partitions containing matches rewrite.
+        Key and time columns cannot be assigned (that would move a row's
+        dedup identity/partition — that operation is a delete + append).
+        Returns rows updated.
+        """
+        from binance_etl_clickhouse_spark.storage import zonemap as _zm
+
+        forbidden = set(self.keys) | {self.time_col, MONTH_COL, INGEST_SEQ}
+        bad = sorted(set(assignments) & forbidden)
+        if bad:
+            raise ValueError(
+                f"cannot UPDATE key/partition/version columns {bad}; "
+                "delete + append instead"
+            )
+        self._recover()
+        if not self.exists():
+            return 0
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        sets = {
+            c: (F.expr(v) if isinstance(v, str) else v)
+            for c, v in assignments.items()
+        }
+        raw = self.read_raw(spark)
+        hit = F.coalesce(pred, F.lit(False))
+        if self.time_col is None:
+            months = None
+            scope = raw
+        else:
+            per_month = raw.filter(hit).groupBy(MONTH_COL).count().collect()
+            if not per_month:
+                return 0
+            months = [int(r[0]) for r in per_month]
+            scope = raw.filter(F.col(MONTH_COL).isin(months))
+        n_upd = scope.filter(hit).count()
+        if n_upd == 0:
+            return 0
+        updated = scope.select(
+            *[
+                (F.when(hit, sets[c]).otherwise(F.col(c)).alias(c) if c in sets else c)
+                for c in scope.columns
+            ]
+        )
+        cur_seq = self._read_sidecar()
+        compacted = self._read_compacted_seq()
+        prior_zm = _zm.read_zonemap(self.path)
+        w = self._arrange(updated, None).localCheckpoint(eager=True)
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            if months is None:
+                import shutil
+
+                tmp = self.path.rstrip("/") + ".compact.tmp"
+                w.write.mode("overwrite").parquet(tmp)
+                bak = self.path.rstrip("/") + ".compact.bak"
+                shutil.move(self.path, bak)
+                shutil.move(tmp, self.path)
+                shutil.rmtree(bak)
+            else:
+                w.write.mode("overwrite").partitionBy(MONTH_COL).parquet(self.path)
+        finally:
+            w.unpersist()
+            if prev_mode is not None:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev_mode
+                )
+        if cur_seq is not None:
+            # updates neither add nor remove versions
+            self._write_sidecar(cur_seq, compacted_seq=compacted)
+        if prior_zm is not None:
+            _zm.build_zonemap(self.path, prior_zm["columns"])
+        return int(n_upd)
+
     def compact(
         self,
         spark: SparkSession,

@@ -484,3 +484,51 @@ def test_delete_where_null_predicate_rows_kept_and_noop_returns_zero(spark, tmp_
     assert t.delete_where(spark, F.lit(None).cast("boolean")) == 0
     assert t.read_raw(spark).count() == 48
     assert t.delete_where(spark, F.col("symbol") == "NO_SUCH") == 0
+
+
+def test_update_where_rewrites_only_matching_months(spark, tmp_path):
+    """UPDATE sets the assigned columns on matching rows only, leaves
+    other months' files byte-untouched, preserves row counts and version
+    structure, and refuses key/partition-column assignments."""
+    import pytest
+
+    t = _table(tmp_path)
+    b = _clean(spark, n_symbols=2, bars_per_symbol=800, overlap_bars=0)
+    t.append(b, ingest_seq=1)
+    months = sorted(
+        int(d.split("=")[1]) for d in os.listdir(t.path) if d.startswith("month=")
+    )
+    target = months[0]
+    untouched_dir = os.path.join(t.path, f"month={months[-1]}")
+    before = {
+        f: os.path.getmtime(os.path.join(untouched_dir, f))
+        for f in os.listdir(untouched_dir)
+        if f.endswith(".parquet")
+    }
+    raw_before = t.read_raw(spark).count()
+    pred = (F.col("symbol") == "SYM000USDT") & (F.col("month") == target)
+    n_hits = t.read_raw(spark).filter(pred).count()
+    assert n_hits > 0
+
+    n_upd = t.update_where(spark, pred, {"volume": F.lit(-1.0)})
+    assert n_upd == n_hits
+    raw = t.read_raw(spark)
+    assert raw.count() == raw_before  # updates never change cardinality
+    assert raw.filter(F.col("volume") == -1.0).count() == n_hits
+    assert raw.filter(pred & (F.col("volume") != -1.0)).count() == 0
+    # non-matching rows in the SAME month untouched
+    assert raw.filter(
+        (F.col("month") == target) & (F.col("symbol") != "SYM000USDT")
+        & (F.col("volume") == -1.0)
+    ).count() == 0
+    after = {
+        f: os.path.getmtime(os.path.join(untouched_dir, f))
+        for f in os.listdir(untouched_dir)
+        if f.endswith(".parquet")
+    }
+    assert after == before
+    assert t.max_ingest_seq(spark) == 1
+    with pytest.raises(ValueError, match="key/partition"):
+        t.update_where(spark, pred, {"symbol": F.lit("X")})
+    # no matches -> 0, no rewrite
+    assert t.update_where(spark, F.col("symbol") == "NO_SUCH", {"volume": F.lit(0.0)}) == 0
