@@ -41,6 +41,10 @@ def compact_persist(df: DataFrame, target: int | None = None) -> DataFrame:
     tgt = target or spark.sparkContext.defaultParallelism
     # NOTE: no getNumPartitions() probe — under AQE, touching .rdd forces
     # eager evaluation of the query stages built so far (once per call in
-    # an iterative loop). coalesce() never INCREASES partition count, so
-    # it already is the no-op cap on an under-partitioned frame.
+    # an iterative loop). coalesce(tgt) caps the count at tgt instead:
+    # a shuffle output wider than tgt merges down, anything at or under
+    # tgt is unaffected — except that ADJACENT coalesces collapse in the
+    # logical plan (df.coalesce(1) then coalesce(tgt) re-widens toward
+    # the source partitioning, still <= tgt), which is harmless for the
+    # purpose here and pinned in tests.
     return df.coalesce(tgt).persist()

@@ -181,3 +181,30 @@ def test_mg_merge_never_invents_items(spark):
     for r in merged.collect():
         assert r.item in src_items
         assert r.lower_count > 0
+
+
+def test_compact_persist_caps_partitions_without_eager_eval(spark):
+    """compact_persist must cap a wide shuffle output at cluster
+    parallelism, pass an already-narrow frame through unchanged, and add
+    NO jobs at call time (probing .rdd under AQE materializes query
+    stages — the round-4 regression this helper exists to avoid)."""
+    from binance_etl_clickhouse_spark.operators.parallel import compact_persist
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    wide = spark.range(10_000).repartition(200, "id")
+    out = compact_persist(wide)
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert before == after, "compact_persist ran Spark jobs at call time"
+    assert out.rdd.getNumPartitions() <= sc.defaultParallelism
+    assert out.count() == 10_000
+    # the cap also bounds frames narrowed by an ADJACENT coalesce — the
+    # two coalesces collapse in the plan and re-widen toward the source
+    # partitioning, but never above the cap
+    narrow = spark.range(100).coalesce(1)
+    kept = compact_persist(narrow)
+    assert kept.rdd.getNumPartitions() <= sc.defaultParallelism
+    assert kept.count() == 100
+    out.unpersist()
+    kept.unpersist()
