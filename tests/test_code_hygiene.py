@@ -34,6 +34,7 @@ COLLECT_WHITELIST = {
     "queries/llm.py": "fitted centroid literals for the oracle SQL twin",
     "queries/corpus.py": "|HYBRID_QUERY_IDS|=3 query vectors for the dense probe",
     "storage/rollup.py": "touched (month, seq) pairs (months, not rows)",
+    "storage/table.py": "per-MONTH counts / kept-month set for delete_where/update_where pruning (months, not rows)",
     "storage/tokenbloom.py": "m/64 bloom longs per FILE (files, not rows)",
 }
 
