@@ -34,82 +34,91 @@ from binance_etl_clickhouse_spark.queries import quality  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 # Driver verification window. The correctness driver checks the FIRST 50
 # registered queries per round, so registration order is a verification
-# budget. Round-4 window: (a) the 43 queries with NO driver CORRECTNESS
-# row ever — the five registered after round 3's rotation
-# (training_data_prep_pipeline_v2, knn_label_classifier,
-# cluster_representative_select, embedding_pca_project,
-# logreg_quality_classifier) plus every operator ADDED in round 4
-# (graph family incl. connected components + HITS, text-statistics
-# family, EWMA anomaly, k-means quality, dataset/retrieval/tokenizer/
-# sessionization additions, marketing analytics, statistical testing);
-# then (b) 7 re-proof canaries whose only driver row is from round 1 —
-# the highest-complexity ones (dedup, ANN, multimodal, pandas-UDF,
-# as-of, resample, TPC-H q1); the r1-proven simpler shapes yield their
-# slots (they retain continuous sf0.01 pytest parity).
+# budget. Round-5 window: spend the ENTIRE window on the verification
+# backlog — 49 of the 66 queries that have NEVER had a driver
+# CORRECTNESS row (r1/r2/r4 artifacts; round 3 produced none), plus the
+# one historical red whose fix has no driver row
+# (conditional_agg_priority_mix, red in r2, ::BIGINT casts landed in r4).
+# New-query registration is FROZEN this round until the backlog clears.
+#
+# Residual 17 never-checked for round 6: quality_quantile_filter,
+# weighted_sample_per_source, hopping_window_counts, graph_bfs_levels,
+# graph_assortativity, graph_clustering_coefficients,
+# graph_kcore_vertices, graph_link_prediction_scores,
+# pagerank_weighted_copurchase, textrank_keywords,
+# kaplan_meier_click_to_purchase, mann_whitney_click_vs_purchase,
+# logrank_cohort_survival, profile_numeric_correlations,
+# fuzzy_snippet_pairs, bpe_train_merges, bpe_token_counts (the last two
+# are the rows-only trainer carve-outs pinned by pure-Python pytest
+# references).
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW = [
-    # (a) never driver-checked: late round-3 registrations
-    "training_data_prep_pipeline_v2",
-    "knn_label_classifier",
-    "cluster_representative_select",
-    "embedding_pca_project",
-    "logreg_quality_classifier",
-    # (a) never driver-checked: round-4 graph family
-    "graph_degree_stats",
-    "graph_triangle_count",
-    "pagerank_copurchase",
-    "personalized_pagerank_seeded",
-    # (a) never driver-checked: round-4 text-statistics family
-    "pmi_cooccurrence_pairs",
-    "zipf_vocab_stats",
-    "minimizer_fingerprints",
-    "cdc_chunk_dedup",
-    "bloom_decontaminate",
-    "keyword_tag_docs",
-    # (a) never driver-checked: round-4 analytics/clustering
-    "ewma_anomaly_events",
-    "kmeans_cluster_quality",
-    # (a) never driver-checked: round-4 dataset / retrieval / sketch /
-    # tokenizer / sessionization additions
-    "normalize_dedup_docs",
-    "curriculum_interleave",
-    "contrastive_negative_sample",
-    "mmr_diversified_topk",
-    "heavy_hitters_event_types",
-    "unigram_seed_piece_stats",
-    "unigram_lm_train",
-    "unigram_lm_token_counts",
-    "session_window_agg",
-    "trending_decayed_counts",
-    "jl_random_projection",
-    "ks_test_click_vs_purchase",
-    "event_sequence_trigrams",
-    "profile_lineitem_columns",
-    # (a) never driver-checked: round-4 marketing-analytics family
-    "rfm_customer_segments",
-    "attribution_last_touch",
-    "attribution_linear",
-    "assoc_rules_copurchase",
-    # (a) never driver-checked: round-4 statistical-testing family
-    "ab_conversion_ztest",
-    "chi2_event_cohort_independence",
-    "cusum_changepoint_daily",
-    "seasonal_hourly_anomaly",
-    "score_calibration_bins",
-    "source_budget_waterfill",
-    # (a) never driver-checked: round-4 graph additions
-    "graph_connected_components",
-    "hits_hub_authority",
-    # (b) re-proof canaries: r1-only driver rows, the 7 most complex
-    # plans (dedup, ANN, multimodal, pandas-UDF, as-of, resample, TPC-H);
-    # the simpler r1-proven shapes retain continuous sf0.01 pytest parity
-    "minhash_lsh_neardup",
-    "ann_bruteforce_topk",
-    "multimodal_binary_features",
-    "pandas_zscore_per_user",
-    "asof_join_purchase_click",
-    "tumbling_resample_1h",
-    "tpch_q1_pricing_summary",
+    # historical red (r2) — fix landed r4, needs driver re-proof
+    "conditional_agg_priority_mix",
+    # corpus-statistics family (11) — the reference's ClickHouse-delegated
+    # SQL surface, never driver-checked
+    "tfidf_top_terms",
+    "bm25_topk_docs",
+    "bm25_index_topk",
+    "nb_lang_classifier",
+    "gopher_quality_filters",
+    "dsir_importance_select",
+    "unigram_logprob_quality",
+    "bigram_logprob_quality",
+    "ccnet_perplexity_buckets",
+    "ngram_novelty_scores",
+    "source_mixture_sample",
+    # hybrid retrieval (2)
+    "hybrid_rrf_search",
+    "hybrid_rrf_exact_search",
+    # span / substring / tfidf-cosine dedup (3)
+    "span_dedup_corpus",
+    "substring_dedup_corpus",
+    "tfidf_cosine_pairs",
+    # batch / PQ / range ANN paths (4)
+    "ann_batch_topk",
+    "ann_ivf_batch_topk",
+    "ann_ivf_pq_topk",
+    "ann_ivf_range_search",
+    # BPE oracled queries (2)
+    "bpe_pair_stats",
+    "bpe_merge_trace",
+    # as-of variants (2)
+    "asof_forward_purchase_click",
+    "asof_nearest_purchase_click",
+    # funnels / cohorts (4)
+    "funnel_signup_click_purchase",
+    "funnel_conversion_lags",
+    "cohort_retention_daily",
+    "cohort_retention_weekly",
+    # TPC-H gap (1)
+    "tpch_q12_shipmode_priority",
+    # histograms (2)
+    "price_histogram_fixed_bins",
+    "equi_depth_histogram",
+    # robust statistics / correlation / intervals (4)
+    "winsorize_per_type",
+    "mad_outlier_per_type",
+    "rolling_corr_click_purchase",
+    "interval_overlap_pairs",
+    # chunking / sharding / centroids / redaction / decontamination (6)
+    "chunk_sliding_windows",
+    "training_shuffle_shards",
+    "length_bucket_batches",
+    "embedding_centroid_per_label",
+    "pii_redaction",
+    "embedding_decontamination",
+    # variant extraction (1)
+    "variant_extract_agg",
+    # entity-resolution family (3)
+    "entity_match_pairs",
+    "entity_resolution_parts",
+    "entity_cluster_rollup",
+    # data-quality family (4)
+    "dq_expectations_lineitem",
+    "dq_referential_orphans",
+    "dq_uniqueness_keys",
+    "dq_freshness_event_types",
 ]
 
 
