@@ -193,18 +193,25 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(SF_DIR),
-                "corpus_scale": _bench_corpus_scale(spark),
-            }
-        )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+        "corpus_scale": _bench_corpus_scale(spark),
+    }
+    line = json.dumps(payload)
+    # The driver captures only the tail of stdout, which has truncated the
+    # head of this line in past rounds — persist the artifact atomically so
+    # every round's bench is machine-parseable regardless of capture limits.
+    out_path = Path(
+        os.environ.get("BENCH_OUT", os.path.join(_REPO_ROOT, "bench_out.json"))
     )
+    tmp = out_path.with_suffix(".json.tmp")
+    tmp.write_text(line + "\n")
+    os.replace(tmp, out_path)
+    print(line)
 
 
 if __name__ == "__main__":
