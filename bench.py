@@ -127,7 +127,11 @@ def _corpus_scale_ops():
     from binance_etl_clickhouse_spark.operators.text import simhash_wide
 
     return {
-        "minhash_lsh_neardup": lambda df: neardup.minhash_lsh_pairs(df, threshold=0.5),
+        # caps ENGAGED: the scale curve must reflect the production path —
+        # band_cap bounds verify work under the synthesized duplicate storm
+        "minhash_lsh_neardup": lambda df: neardup.minhash_lsh_pairs(
+            df, threshold=0.5, band_cap=64
+        ),
         "simhash_neardup_pairs": lambda df: neardup.simhash_banded_pairs(
             simhash_wide(df), n_bands=4, sig_bits=60, max_hamming=3
         ),

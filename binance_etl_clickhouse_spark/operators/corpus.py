@@ -836,17 +836,21 @@ def substring_dedup(
        so the shuffle carries (id, pos, int64), never window text;
     2. global first-occurrence rank per window hash ordered by (doc id,
        position) — a total order, so the kept occurrence is deterministic;
-    3. every LATER occurrence marks its positions [pos, pos+min_len-1] as
-       removed; the union of marked positions (exploded + distinct) is the
-       removal set, which subsumes interval merging;
-    4. tokens at unmarked positions are stitched back in order.
+    3. every LATER occurrence contributes a removal interval
+       [pos, pos+min_len-1]; per doc, overlapping/adjacent intervals are
+       merged with one gaps-and-islands pass (running max of interval end
+       over a (doc, pos) sort), so the removal set is a short array of
+       disjoint intervals — NO per-position explode. Work is
+       O(dup windows), not O(dup windows x min_len): under a duplicate
+       storm (every window duplicated) the old explode multiplied rows by
+       min_len before a corpus-wide distinct; the interval form stays one
+       row per dup window through a single doc-keyed shuffle.
+    4. tokens at positions outside every merged interval are stitched
+       back in order.
 
     Against span_dedup (non-overlapping fixed spans): stride-1 windows
     catch duplicated runs at ANY alignment — the reason Lee et al. use
-    suffix arrays — at the cost of the position-explode in step 3, which
-    is bounded by (duplicated windows) x min_len; for real corpora the
-    duplicated fraction is small, and the windows themselves stay one row
-    per token regardless. Hash collisions (60-bit md5 prefix) can only
+    suffix arrays. Hash collisions (60-bit md5 prefix) can only
     over-remove, at ~n_windows^2 / 2^60 expected pairs — negligible below
     ~10^8 distinct windows per corpus; shard the hash space for more.
 
@@ -870,24 +874,28 @@ def substring_dedup(
         .filter(F.col("rn") > 1)
         .select(id_col, "pos")
     )
-    removed = (
-        dups.select(
-            id_col,
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.lit(min_len - 1))
-            ).alias("rpos"),
-        )
-        .distinct()
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_removed"),
-            F.collect_set("rpos").alias("rset"),
-        )
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + F.lit(min_len - 1)).over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = dups.withColumn(
+        "island",
+        F.sum(
+            F.when(prev_max_end.isNull() | (F.col("pos") > prev_max_end + 1), 1).otherwise(0)
+        ).over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    intervals = islands.groupBy(id_col, "island").agg(
+        F.min("pos").alias("s"), F.max(F.col("pos") + F.lit(min_len - 1)).alias("e")
+    )
+    removed = intervals.groupBy(id_col).agg(
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("n_removed"),
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("ivs"),
     )
     joined = df.join(removed, id_col, "left")
-    rset = F.coalesce(F.col("rset"), F.array().cast("array<int>"))
+    ivs = F.coalesce(F.col("ivs"), F.array().cast("array<struct<s:int,e:int>>"))
     kept = F.filter(
-        F.sequence(F.lit(1), n), lambda p: ~F.array_contains(rset, p.cast("int"))
+        F.sequence(F.lit(1), n),
+        lambda p: ~F.exists(ivs, lambda iv: (p >= iv["s"]) & (p <= iv["e"])),
     )
     return joined.select(
         F.col(id_col),

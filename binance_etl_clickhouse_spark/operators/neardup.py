@@ -23,9 +23,14 @@ constants (operators.texthash), so correctness is pinned end-to-end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import Observation
 
 from binance_etl_clickhouse_spark.operators.parallel import ensure_min_parallelism
 from binance_etl_clickhouse_spark.operators.texthash import (
@@ -171,6 +176,8 @@ def minhash_lsh_pairs(
     k: int = 3,
     threshold: float = 0.5,
     persist_index: bool = True,
+    band_cap: int | None = None,
+    overflow: "Observation | None" = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs, verified with exact Jaccard.
 
@@ -178,6 +185,25 @@ def minhash_lsh_pairs(
     any bucket are candidates (P[catch | J=0.5] ≈ 0.97 with b=12, r=2).
     Candidates then verified against the true shingle Jaccard so output
     precision is exact; only recall is probabilistic.
+
+    ``band_cap`` bounds the verify stage against duplicate storms (a real
+    crawl's dominant failure mode): a band bucket holding M docs generates
+    O(M^2) candidate pairs, and since near-identical docs share ALL bands,
+    a storm of M copies costs b*M^2 verifies. With the cap, each bucket
+    keeps only its first ``band_cap`` docs (deterministic: ordered by id),
+    so verify work is bounded by buckets x band_cap^2 regardless of
+    duplicate density. The recall trade: a pair is lost only when the two
+    docs are evicted from EVERY bucket they share. For byte-identical
+    storms eviction is perfectly correlated across all 12 bands, so
+    collapse those upstream with :func:`exact_dup_canonical` (one linear
+    hash-groupBy) — the cap is the guard for the NEAR-identical tail,
+    where differing signatures decorrelate eviction across bands and
+    members past the cap keep pairing through buckets that kept them.
+    Overflow is REPORTED, never silent: pass a ``pyspark.sql.Observation``
+    as ``overflow`` and
+    read ``overflow_rows`` (evicted band-doc rows), ``overflow_buckets``
+    (buckets that hit the cap) and ``max_bucket`` after the action, or get
+    the per-bucket report from :func:`minhash_band_overflow`.
     """
     # ONE corpus text scan: the shingle frame feeds both the signatures and
     # the exact-Jaccard verify arrays (previously two independent scans
@@ -188,6 +214,18 @@ def minhash_lsh_pairs(
     )
     sig = _pin(_signatures_from_shingles(sh_sets, id_col), persist_index)
     bands = minhash_band_values(sig, id_col)
+    if band_cap is not None:
+        ranked = bands.withColumn(
+            "rnk", F.row_number().over(Window.partitionBy("bv").orderBy(id_col))
+        )
+        if overflow is not None:
+            ranked = ranked.observe(
+                overflow,
+                F.sum((F.col("rnk") > band_cap).cast("long")).alias("overflow_rows"),
+                F.sum((F.col("rnk") == band_cap + 1).cast("long")).alias("overflow_buckets"),
+                F.max("rnk").alias("max_bucket"),
+            )
+        bands = ranked.filter(F.col("rnk") <= band_cap).drop("rnk")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.bv") == F.col("b.bv")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -209,6 +247,35 @@ def minhash_lsh_pairs(
         .join(s2, "d2")
         .filter(jac >= threshold)
         .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def minhash_band_overflow(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    band_cap: int = 64,
+) -> DataFrame:
+    """Per-bucket overflow report for :func:`minhash_lsh_pairs`'s
+    ``band_cap``: one row per band bucket that exceeds the cap, with its
+    size and how many band-doc rows the cap evicts. Run this (or read the
+    ``overflow`` Observation) alongside a capped dedup so the recall trade
+    is measured, never assumed."""
+    sig = _signatures_from_shingles(
+        ensure_min_parallelism(df).select(F.col(id_col), shingles(text_col, k).alias("sh")),
+        id_col,
+    )
+    return (
+        minhash_band_values(sig, id_col)
+        .groupBy("bv")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > band_cap)
+        .select(
+            "bv",
+            "bucket_size",
+            (F.col("bucket_size") - F.lit(band_cap)).cast("long").alias("evicted_rows"),
+        )
     )
 
 

@@ -121,6 +121,50 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.5)
 
 
+def _minhash_capped_oracle(cap: int) -> str:
+    mh_exprs = ",\n      ".join(
+        f"min({minhash_perm_sql(j, 'hv')}) AS mh{j}" for j in range(2 * LSH_BANDS)
+    )
+    band_list = ", ".join(
+        f"md5(concat_ws(',', {t}, mh{2 * t}, mh{2 * t + 1}))" for t in range(LSH_BANDS)
+    )
+    return f"""
+    WITH {_SH_CTE},
+    h AS (SELECT doc_id, {hash31_sql("s")} AS hv FROM sh),
+    mh AS (SELECT doc_id,
+      {mh_exprs}
+      FROM h GROUP BY doc_id),
+    bands AS (SELECT doc_id, unnest([{band_list}]) AS bv FROM mh),
+    capped AS (
+      SELECT doc_id, bv FROM (
+        SELECT doc_id, bv,
+               row_number() OVER (PARTITION BY bv ORDER BY doc_id) AS rnk
+        FROM bands
+      ) WHERE rnk <= {cap}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM capped a JOIN capped b ON a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT d1, d2, round(j, 6) AS jaccard
+    FROM cand JOIN jac USING (d1, d2) WHERE j >= 0.5
+    """
+
+
+@register(
+    "minhash_pairs_capped",
+    _minhash_capped_oracle(4),
+    survey_ref="dedup: MinHash+LSH with band-bucket cap (duplicate-storm guard)",
+)
+def minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production duplicate-storm path: band buckets keep their first
+    4 docs (by id), bounding exact-Jaccard verify work at
+    buckets x cap^2; the oracle reproduces the deterministic cap."""
+    return neardup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.5, band_cap=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash signatures (16-bit, frequency-weighted).
 # ---------------------------------------------------------------------------

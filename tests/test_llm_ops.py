@@ -596,3 +596,55 @@ def test_pca_components_orthonormal_and_variance_ordered(spark):
     # leading component dominates; later ones never exceed it materially
     assert variances[0] > 0
     assert max(variances[1:]) <= variances[0] * 1.05, variances
+
+
+def test_minhash_band_cap_bounds_verify_and_reports_overflow(spark):
+    """Duplicate storm: 40 near-identical docs + distinct tails. The cap
+    must bound candidate generation, keep the low-id storm pairs, and
+    surface the evicted volume through the Observation and the per-bucket
+    report — never silently."""
+    from pyspark.sql import Observation
+
+    from binance_etl_clickhouse_spark.operators.neardup import (
+        minhash_band_overflow,
+        minhash_lsh_pairs,
+    )
+
+    storm = [(i, "the quick brown fox jumps over the lazy dog again and again") for i in range(40)]
+    tail = [(100 + i, f"unique document number {i} with its own distinct words {i * 7}") for i in range(10)]
+    df = spark.createDataFrame(storm + tail, ["doc_id", "text"])
+
+    obs = Observation("minhash_overflow")
+    pairs = minhash_lsh_pairs(
+        df, threshold=0.5, persist_index=False, band_cap=8, overflow=obs
+    ).collect()
+    # kept docs (ids 0..7 in every storm bucket) still pair exhaustively
+    kept_pairs = {(r.d1, r.d2) for r in pairs if r.d1 < 8 and r.d2 < 8}
+    assert len(kept_pairs) == 8 * 7 // 2
+    # candidate volume is bounded by the cap, not the storm size
+    assert all(r.d1 < 8 and r.d2 < 8 for r in pairs)
+    m = obs.get
+    assert m["overflow_rows"] > 0
+    assert m["overflow_buckets"] > 0
+    assert m["max_bucket"] == 40
+    report = minhash_band_overflow(df, band_cap=8).collect()
+    assert report and all(r.bucket_size == 40 and r.evicted_rows == 32 for r in report)
+
+
+def test_minhash_band_cap_disengaged_matches_uncapped(spark):
+    """A cap larger than every bucket is a no-op: identical pair set."""
+    from binance_etl_clickhouse_spark.operators.neardup import minhash_lsh_pairs
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),
+        (3, "completely different text lives here now"),
+        (4, "alpha beta gamma delta epsilon zeta"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    base = {(r.d1, r.d2) for r in minhash_lsh_pairs(df, persist_index=False).collect()}
+    capped = {
+        (r.d1, r.d2)
+        for r in minhash_lsh_pairs(df, persist_index=False, band_cap=1000).collect()
+    }
+    assert base == capped
