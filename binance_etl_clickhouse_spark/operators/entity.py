@@ -82,15 +82,28 @@ def blocked_match_pairs(
 
 
 def resolve_entities(
-    records: DataFrame, pairs: DataFrame, iters: int = 3
+    records: DataFrame, pairs: DataFrame, iters: int | None = None
 ) -> DataFrame:
     """Assign every record an ``entity_id``: the component-minimum ``rid``
-    of its fuzzy-match component (k-bounded min-label propagation over the
-    pair graph), or its own ``rid`` when unmatched (singleton entity)."""
+    of its fuzzy-match component, or its own ``rid`` when unmatched
+    (singleton entity).
+
+    ``iters=None`` (the default) runs min-label propagation to the
+    FIXPOINT with a convergence check that fails loudly — a component
+    whose diameter exceeds a fixed iteration cap would otherwise silently
+    split into several entity ids, invisibly breaking per-entity dedup
+    caps and entity-balanced sampling downstream. Pass a fixed ``iters``
+    only when a deterministic k-bounded labeling is required (the
+    cross-engine oracle twin unrolls the same k rounds).
+    """
     edges = pairs.select(
         F.col("rid1").alias("src"), F.col("rid2").alias("dst"), F.lit(1).alias("w")
     )
-    comp = graph.connected_components(edges, iters=iters).select(
+    if iters is None:
+        comp = graph.connected_components_converged(edges)
+    else:
+        comp = graph.connected_components(edges, iters=iters)
+    comp = comp.select(
         F.col("part_key").alias("rid"), F.col("component").alias("entity_id")
     )
     return records.join(comp, "rid", "left").withColumn(

@@ -246,6 +246,160 @@ def connected_components(edges: DataFrame, iters: int = 4) -> DataFrame:
     )
 
 
+def connected_components_converged(
+    edges: DataFrame, max_rounds: int = 50
+) -> DataFrame:
+    """Min-label propagation run to the FIXPOINT: iterate until no label
+    changes, failing loudly past ``max_rounds`` — never returning a
+    part-propagated labeling (a component with diameter > the cap would
+    silently split, which downstream consumers like entity resolution and
+    leakage-safe splitting cannot detect). Same loud-failure contract as
+    ``neardup_clusters`` (operators/neardup.py).
+
+    Scale shape: one shuffle per round plus a LIMIT-1 changed-check job
+    (short-circuits after the first changed row). Each round's label frame
+    is CHECKPOINTED, not merely persisted: every round references the
+    previous labels three times (neighbor-min, rejoin, changed-check), so
+    without lineage truncation the logical plan grows 3^rounds — a
+    diameter-12 graph produced a 2 GB plan string before this. Local
+    checkpoint suffices on one JVM; on a real cluster set a reliable
+    checkpoint dir (sc.setCheckpointDir) and these frames survive executor
+    loss too. Rounds needed = graph diameter; for the O(log^2 n)-round
+    guarantee on high-diameter graphs use :func:`connected_components_lsss`.
+    """
+    und = undirected(edges).select("u", "v").persist()
+    labels = (
+        und.select("u").distinct().withColumn("lbl", F.col("u")).localCheckpoint()
+    )
+    converged = False
+    try:
+        for _ in range(max_rounds):
+            nb = (
+                und.join(
+                    labels.withColumnRenamed("u", "v").withColumnRenamed("lbl", "nlbl"),
+                    "v",
+                )
+                .groupBy("u")
+                .agg(F.min("nlbl").alias("nlbl"))
+            )
+            new_labels = labels.join(nb, "u").select(
+                "u", F.least("lbl", "nlbl").alias("lbl")
+            ).localCheckpoint()
+            changed = (
+                new_labels.join(labels.withColumnRenamed("lbl", "old"), "u")
+                .filter(F.col("lbl") != F.col("old"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                converged = True
+                break
+        if not converged:
+            raise RuntimeError(
+                f"connected_components_converged: no fixpoint within "
+                f"{max_rounds} rounds (component diameter exceeds the cap); "
+                "raise max_rounds or use connected_components_lsss"
+            )
+        return labels.select(
+            F.col("u").alias("part_key"), F.col("lbl").cast("long").alias("component")
+        )
+    finally:
+        und.unpersist()
+
+
+def connected_components_lsss(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al. 2014, "Connected Components in MapReduce
+    and Beyond") — the real-scale default: converges in O(log^2 n) rounds
+    on ANY diameter (in practice a handful), where plain label propagation
+    needs diameter rounds.
+
+    Each round rewrites the edge set over a parent forest:
+
+    - large-star: every vertex connects its LARGER neighbors to its
+      current minimum neighbor (or itself) — one groupBy(u) shuffle;
+    - small-star: every vertex connects its smaller-or-equal neighbors to
+      its minimum — after canonicalizing each edge to (big, small).
+
+    The edge frame shrinks toward the star graph parent->root; fixpoint is
+    reached when a round changes nothing (hash-agnostic check: edge-set
+    symmetric difference is empty, one count job). Fails loudly past
+    ``max_rounds`` like :func:`connected_components_converged`.
+
+    Returns ``(part_key, component)`` where component = min vertex id of
+    the part's component.
+    """
+    # canonical (u > v) edge set; self-loops drop. Rounds are
+    # local-checkpointed, not persisted: each round references the
+    # previous edge frame several times (symmetrize, min, join, diff), so
+    # lineage must be truncated or the plan grows exponentially in rounds
+    # (see connected_components_converged).
+    base = undirected(edges).select("u", "v").filter(F.col("u") != F.col("v"))
+    cur = base.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct().localCheckpoint()
+    all_nodes = compact_persist(base.select("u").distinct())
+    converged = False
+    try:
+        for _ in range(max_rounds):
+            # ---- large-star over the SYMMETRIZED neighborhood: each u
+            # attaches its strictly-larger neighbors to
+            # m(u) = min(N(u) ∪ {u}). Emitted (v, m) has v > u >= m, so the
+            # output is already (big, small)-canonical.
+            sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            m = (
+                sym.groupBy("u")
+                .agg(F.min("v").alias("mv"))
+                .select("u", F.least("mv", F.col("u")).alias("m"))
+            )
+            large = (
+                sym.join(m, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+            )
+            # ---- small-star: over (big -> small) edges, connect u and all
+            # its smaller neighbors to m(u) = min of the small neighborhood
+            m2 = large.groupBy("u").agg(F.min("v").alias("m"))
+            small = (
+                large.join(m2, "u")
+                .select(F.col("v").alias("a"), F.col("m").alias("b"))
+                .union(m2.select(F.col("u").alias("a"), F.col("m").alias("b")))
+                .filter(F.col("a") != F.col("b"))
+                .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+                .distinct()
+            )
+            nxt = small.localCheckpoint()
+            diff = (
+                nxt.join(cur, ["u", "v"], "left_anti")
+                .union(cur.join(nxt, ["u", "v"], "left_anti"))
+                .limit(1)
+                .count()
+            )
+            cur = nxt
+            if diff == 0:
+                converged = True
+                break
+        if not converged:
+            raise RuntimeError(
+                f"connected_components_lsss: star contraction did not converge "
+                f"within {max_rounds} rounds"
+            )
+        # fixpoint edge set is the star forest child->root; roots and
+        # isolated-in-forest vertices label themselves
+        comp = all_nodes.join(
+            cur.groupBy("u").agg(F.min("v").alias("root")), "u", "left"
+        ).select(
+            F.col("u").alias("part_key"),
+            F.coalesce(F.col("root"), F.col("u")).cast("long").alias("component"),
+        )
+        return comp
+    finally:
+        all_nodes.unpersist()
+
+
 def hits_bipartite(edges: DataFrame, iters: int = 2) -> DataFrame:
     """HITS over a bipartite hub->authority edge list ``(hub, auth)``.
 

@@ -125,6 +125,46 @@ def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "entity_resolution_converged",
+    f"""
+    WITH RECURSIVE {_REC_CTES},
+    und AS (
+      SELECT rid1 AS u, rid2 AS v FROM pairs
+      UNION ALL
+      SELECT rid2 AS u, rid1 AS v FROM pairs
+    ),
+    reach(u, lbl) AS (
+      SELECT DISTINCT u, u AS lbl FROM und
+      UNION
+      SELECT e.u, r.lbl FROM und e JOIN reach r ON r.u = e.v
+    ),
+    comp AS (SELECT u, min(lbl) AS lbl FROM reach GROUP BY u),
+    resolved AS (
+      SELECT rec.p_name, rec.p_brand, rec.rid,
+             coalesce(c.lbl, rec.rid)::BIGINT AS entity_id
+      FROM rec LEFT JOIN comp c ON c.u = rec.rid
+    )
+    SELECT p.p_partkey AS part_key, r.entity_id
+    FROM part p JOIN resolved r
+      ON r.p_name = p.p_name AND r.p_brand = p.p_brand
+    """,
+    survey_ref="entity resolution: per-row entity ids with CONVERGED components (fixpoint propagation, loud failure past the round cap)",
+)
+def entity_resolution_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production entity path: components run to the fixpoint
+    (``iters=None``), so entity ids are exact for any component diameter;
+    the oracle computes true components via a recursive min-label
+    closure rather than truncating at k rounds."""
+    records = _records(spark, sf_dir)
+    resolved = entity.resolve_entities(records, _pairs(records))
+    return (
+        _t(spark, sf_dir, "part")
+        .join(resolved.select("p_name", "p_brand", "entity_id"), ["p_name", "p_brand"])
+        .select(F.col("p_partkey").alias("part_key"), "entity_id")
+    )
+
+
+@register(
     "entity_cluster_rollup",
     f"""
     WITH {_entity_ctes()}

@@ -202,6 +202,30 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.connected_components(edges, iters=_CC_ITERS)
 
 
+@register(
+    "cc_large_star_small_star",
+    f"""
+    WITH RECURSIVE {_EDGES_CTE},
+    reach(u, lbl) AS (
+      SELECT DISTINCT u, u AS lbl FROM und
+      UNION
+      SELECT e.u, r.lbl FROM und e JOIN reach r ON r.u = e.v
+    )
+    SELECT u AS part_key, min(lbl)::BIGINT AS component
+    FROM reach GROUP BY u
+    """,
+    survey_ref="graph: EXACT connected components (large-star/small-star contraction, O(log^2 n) rounds)",
+)
+def cc_large_star_small_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact components regardless of diameter: the Spark side runs
+    alternating large-star/small-star contraction to its fixpoint; the
+    oracle computes true components via a recursive min-label closure, so
+    this pair pins CONVERGED semantics (graph_connected_components pins
+    the k-bounded form)."""
+    edges = graph.copurchase_edges(_t(spark, sf_dir, "lineitem"))
+    return graph.connected_components_lsss(edges)
+
+
 # ---------------------------------------------------------------------------
 # HITS hubs/authorities over the customer -> part bipartite purchase graph
 # ---------------------------------------------------------------------------
