@@ -1272,6 +1272,160 @@ def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "rank long, piece string, logp double")
 
 
+_EM_W = 8  # max word length in the documents corpus (asserted Spark-side)
+_EM_L = 6  # PIECE_MAX_LEN
+
+
+def _em_dp_ctes(k: int) -> list[str]:
+    """Unrolled Viterbi DP under piece table ``lp{k-1}`` -> CTEs
+    ``b{k}_0 .. b{k}_W`` (best composite per word prefix) + ``seg{k}``
+    (final segmentation per word). Mirrors operators/unigram.py viterbi():
+    composite (score, -n_pieces, seq) maximized, row_number picks the max."""
+    ctes = [
+        f"b{k}_0 AS MATERIALIZED (SELECT word, freq, 0.0::DOUBLE AS score, 0 AS negn,"
+        f" []::VARCHAR[] AS seq FROM wc)"
+    ]
+    for i in range(1, _EM_W + 1):
+        preds = " UNION ALL ".join(
+            f"SELECT word, freq, score, negn, seq, {j} AS j FROM b{k}_{j}"
+            f" WHERE len(word) >= {i}"
+            for j in range(max(0, i - _EM_L), i)
+        )
+        ctes.append(
+            f"""b{k}_{i} AS MATERIALIZED (
+      SELECT word, freq, score, negn, seq FROM (
+        SELECT word, freq, score, negn, seq,
+               row_number() OVER (
+                 PARTITION BY word ORDER BY score DESC, negn DESC, seq DESC
+               ) AS rn
+        FROM (
+          SELECT b.word, b.freq, b.score + v.lp AS score, b.negn - 1 AS negn,
+                 list_append(b.seq, substr(b.word, b.j + 1, {i} - b.j)) AS seq
+          FROM ({preds}) b
+          JOIN lp{k - 1} v ON v.piece = substr(b.word, b.j + 1, {i} - b.j)
+        )
+      ) WHERE rn = 1
+    )"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT word, freq, seq FROM b{k}_{i} WHERE len(word) = {i}"
+        for i in range(1, _EM_W + 1)
+    )
+    ctes.append(f"seg{k} AS MATERIALIZED ({finals})")
+    return ctes
+
+
+def _em_step_ctes(k: int) -> list[str]:
+    """E-step counts + M-step renormalization: ``cnt{k}``, ``lp{k}``."""
+    return [
+        f"""cnt{k} AS (
+      SELECT piece, sum(freq)::BIGINT AS cnt
+      FROM (SELECT freq, unnest(seq) AS piece FROM seg{k}) GROUP BY piece
+    )""",
+        f"""tot{k} AS (
+      SELECT sum(coalesce(c.cnt, 0)) AS tot, count(*) AS nv
+      FROM vocab v LEFT JOIN cnt{k} c USING (piece)
+    )""",
+        f"""lp{k} AS MATERIALIZED (
+      SELECT v.piece,
+             ln((coalesce(c.cnt, 0) + 0.1) / (t.tot + 0.1 * t.nv)) AS lp
+      FROM vocab v LEFT JOIN cnt{k} c USING (piece), tot{k} t
+    )""",
+    ]
+
+
+def _unigram_em_trace_oracle() -> str:
+    """The bpe_merge_trace treatment for the EM fit: seed vocab + two full
+    EM rounds unrolled — Viterbi as a fixed-depth DP (word length <= 8 in
+    this corpus, asserted Spark-side), counts and the additive-smoothing
+    renormalization as plain aggregates."""
+    ctes = [
+        """wc AS MATERIALIZED (
+      SELECT word, count(*)::BIGINT AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE word <> '' GROUP BY word
+    )""",
+        f"""stats AS MATERIALIZED (
+      SELECT piece, sum(freq)::BIGINT AS freq
+      FROM (
+        SELECT wc.word, wc.freq, substr(wc.word, i, l) AS piece
+        FROM wc, range(1, {_EM_W + 23}) t(i), range(1, {_EM_L + 1}) u(l)
+        WHERE i <= len(word) AND i + l - 1 <= len(word)
+      ) GROUP BY piece
+    )""",
+        "top AS (SELECT piece, freq FROM stats ORDER BY freq DESC, piece LIMIT 40)",
+        "chars AS (SELECT piece, freq FROM stats WHERE len(piece) = 1)",
+        """seedc AS (
+      SELECT piece, max(freq)::BIGINT AS cnt
+      FROM (SELECT * FROM top UNION ALL SELECT * FROM chars) GROUP BY piece
+    )""",
+        "vocab AS (SELECT piece FROM seedc)",
+        """tot0 AS (SELECT sum(cnt) AS tot, count(*) AS nv FROM seedc)""",
+        """lp0 AS MATERIALIZED (
+      SELECT piece, ln((cnt + 0.1) / (t.tot + 0.1 * t.nv)) AS lp
+      FROM seedc, tot0 t
+    )""",
+    ]
+    for k in (1, 2):
+        ctes += _em_dp_ctes(k)
+        ctes += _em_step_ctes(k)
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT 0::BIGINT AS iter, s.piece, s.cnt, round(l.lp, 6) AS logp
+    FROM seedc s JOIN lp0 l USING (piece)
+    UNION ALL
+    SELECT 1::BIGINT, v.piece, coalesce(c.cnt, 0)::BIGINT, round(l.lp, 6)
+    FROM vocab v LEFT JOIN cnt1 c USING (piece) JOIN lp1 l USING (piece)
+    UNION ALL
+    SELECT 2::BIGINT, v.piece, coalesce(c.cnt, 0)::BIGINT, round(l.lp, 6)
+    FROM vocab v LEFT JOIN cnt2 c USING (piece) JOIN lp2 l USING (piece)
+    """
+
+
+@register(
+    "unigram_em_trace",
+    _unigram_em_trace_oracle(),
+    survey_ref="tokenizer: unigram-LM EM trace (2 unrolled rounds, per-piece counts + renormalized logp, full value-hash oracle)",
+)
+def unigram_em_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-iteration EM state — (iter, piece, cnt, logp) for the seed
+    table and two EM rounds. Exercises the exact trainer machinery
+    (word_freqs -> seed_piece_stats -> _em_counts -> _normalize) with the
+    loop unrolled so a cross-engine oracle exists; the full trainer
+    (unigram_lm_train) stays rows-only, but its every step is now
+    hash-pinned here."""
+    from binance_etl_clickhouse_spark.operators import unigram
+
+    docs = _t(spark, sf_dir, "documents")
+    words = unigram.word_freqs(docs).persist()
+    max_len = words.agg(F.max(F.length("word"))).first()[0]
+    assert max_len <= _EM_W, (
+        f"unigram_em_trace oracle unrolls {_EM_W} DP steps; corpus has a "
+        f"{max_len}-char word — raise _EM_W"
+    )
+    stats = unigram.seed_piece_stats(words)
+    top = (
+        stats.orderBy(F.col("freq").desc(), "piece")
+        .limit(unigram.SEED_TOP)
+        .select("piece", "freq")
+        .collect()
+    )
+    chars = stats.filter(F.length("piece") == 1).select("piece", "freq").collect()
+    seed_counts = {r.piece: int(r.freq) for r in [*top, *chars]}
+    vocab = sorted(seed_counts)
+    logp = unigram._normalize(seed_counts, vocab)
+    rows = [(0, p, seed_counts[p], round(logp[p], 6)) for p in vocab]
+    for it in (1, 2):
+        counted = {
+            r.piece: int(r.cnt) for r in unigram._em_counts(words, logp).collect()
+        }
+        logp = unigram._normalize(counted, vocab)
+        rows += [(it, p, counted.get(p, 0), round(logp[p], 6)) for p in vocab]
+    words.unpersist()
+    return spark.createDataFrame(rows, "iter long, piece string, cnt long, logp double")
+
+
 @register(
     "unigram_lm_token_counts",
     None,  # depends on the trained model — rows-only; reference-pinned

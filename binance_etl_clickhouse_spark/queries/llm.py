@@ -2072,6 +2072,8 @@ def _mmr_oracle() -> str:
     survey_ref="retrieval: MMR diversified top-k (greedy over bounded candidate pool)",
 )
 def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from decimal import ROUND_HALF_UP, Decimal
+
     from binance_etl_clickhouse_spark.operators.ivf import _as_double
     from binance_etl_clickhouse_spark.operators.similarity import cosine_expr
 
@@ -2082,7 +2084,12 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     qarr = F.array(*[F.lit(x) for x in qvec])
     v = _as_double("embedding")
-    cand = (
+    # ONE distributed job: the candidate pool is _MMR_C rows by
+    # construction (bounded collect — greedy selection needs every
+    # remaining candidate rescored against the growing selected set each
+    # round, so running it driver-side over <= 12 rows replaces R+1 Spark
+    # jobs with zero)
+    pool = (
         emb.select(
             "vec_id",
             v.alias("v"),
@@ -2090,39 +2097,51 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cosq").desc(), "vec_id")
         .limit(_MMR_C)
-        .cache()
+        .collect()
     )
+
+    # driver-side arithmetic reproduces the Spark expressions bit-exactly:
+    # dot/norm are the same sequential left-folds as
+    # similarity.dot_expr/norm_expr, and _r6 mirrors F.round's
+    # BigDecimal.valueOf(double) HALF_UP semantics (Decimal(repr(x)) is the
+    # same shortest-roundtrip decimal)
+    def _r6(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        dot = 0.0
+        for xy in [x * y for x, y in zip(a, b)]:
+            dot = dot + xy
+        na = 0.0
+        for xx in [x * x for x in a]:
+            na = na + xx
+        nb = 0.0
+        for yy in [y * y for y in b]:
+            nb = nb + yy
+        import math
+
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    coef = round(1 - _MMR_L, 10)
     selected: list[tuple[int, list[float], float]] = []
-    for t in range(1, _MMR_R + 1):
-        if not selected:
-            score = F.round(F.lit(_MMR_L) * F.col("cosq"), 6)
-        else:
-            sims = [
-                F.round(
-                    cosine_expr(
-                        F.col("v"), F.array(*[F.lit(float(x)) for x in svec])
-                    ),
-                    6,
-                )
-                for _, svec, _ in selected
-            ]
-            maxsim = sims[0] if len(sims) == 1 else F.greatest(*sims)
-            score = F.round(
-                F.lit(_MMR_L) * F.col("cosq") - F.lit(round(1 - _MMR_L, 10)) * maxsim, 6
-            )
-        pool = cand.filter(
-            ~F.col("vec_id").isin([vid for vid, _, _ in selected])
-        )
-        row = pool.select("vec_id", "v", "cosq", score.alias("sc")).orderBy(
-            F.col("sc").desc(), "vec_id"
-        ).first()
+    chosen: set[int] = set()
+    for _ in range(_MMR_R):
+        best = None
+        for r in pool:
+            if r.vec_id in chosen:
+                continue
+            if not selected:
+                sc = _r6(_MMR_L * r.cosq)
+            else:
+                maxsim = max(_r6(_cos(list(r.v), svec)) for _, svec, _ in selected)
+                sc = _r6(_MMR_L * r.cosq - coef * maxsim)
+            key = (-sc, r.vec_id)
+            if best is None or key < best[0]:
+                best = (key, r)
+        row = best[1]
         selected.append((int(row.vec_id), list(row.v), float(row.cosq)))
-    sel_ids = [vid for vid, _, _ in selected]
-    rank_expr = F.lit(None).cast("long")
-    for i, vid in enumerate(sel_ids, start=1):
-        rank_expr = F.when(F.col("vec_id") == vid, F.lit(i)).otherwise(rank_expr)
-    out = (
-        cand.filter(F.col("vec_id").isin(sel_ids))
-        .select(rank_expr.cast("long").alias("rank"), "vec_id", F.col("cosq").alias("cos_sim"))
+        chosen.add(row.vec_id)
+    return spark.createDataFrame(
+        [(i, vid, cosq) for i, (vid, _, cosq) in enumerate(selected, start=1)],
+        schema="rank long, vec_id long, cos_sim double",
     )
-    return out

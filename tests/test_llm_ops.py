@@ -648,3 +648,24 @@ def test_minhash_band_cap_disengaged_matches_uncapped(spark):
         for r in minhash_lsh_pairs(df, persist_index=False, band_cap=1000).collect()
     }
     assert base == capped
+
+
+def test_mmr_greedy_is_driver_side_single_scan(spark):
+    """The greedy MMR loop must not launch one Spark job per selection
+    round: one job fetches the query vector, one collects the bounded
+    candidate pool, and selection runs driver-side (plus at most one job
+    materializing the tiny local result)."""
+    from binance_etl_clickhouse_spark.queries.llm import mmr_diversified_topk
+
+    sc = spark.sparkContext
+    sc.setJobGroup("mmr_jobs", "mmr job-count pin")
+    try:
+        rows = mmr_diversified_topk(spark, SF).collect()
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = len(sc.statusTracker().getJobIdsForGroup("mmr_jobs"))
+    assert len(rows) == 5
+    # 4 = query-vector fetch + pool collect (AQE runs the sorted limit as
+    # two jobs) + local-result collect; the pin is that the count is
+    # CONSTANT in the selection rounds (was R+1 jobs, R=5, before)
+    assert jobs <= 4, f"MMR ran {jobs} jobs; greedy loop must not hit the cluster"
