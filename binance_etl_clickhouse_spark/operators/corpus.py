@@ -822,6 +822,60 @@ def bigram_logprob(
     )
 
 
+def kneser_ney_logprob(
+    df: DataFrame,
+    discount: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    persist: bool = True,
+) -> DataFrame:
+    """Per-document mean log-probability under an interpolated Kneser-Ney
+    bigram model fit on the same corpus (Kneser & Ney 1995; the smoothing
+    used by KenLM-class models, one order above the Jelinek-Mercer proxy
+    in :func:`bigram_logprob`):
+
+        P(cur|prev) = max(c(prev,cur) - D, 0) / c(prev·)
+                      + D * N1+(prev·) / c(prev·) * Pcont(cur)
+        Pcont(cur)  = N1+(·cur) / N1+(··)
+
+    with absolute discount ``D`` and continuation counts over distinct
+    bigram TYPES. Every quantity is a corpus aggregate: bigram counts,
+    per-prev totals/type-counts, per-cur continuation type-counts, and
+    one global type total — all broadcastable (vocabulary-bounded), joined
+    back against DISTINCT per-doc bigrams weighted by tf. Scale shape is
+    identical to :func:`bigram_logprob`.
+    """
+    bf = _pin_counts(bigram_frequencies(df, id_col, text_col), persist)
+    big_cnt = bf.groupBy("prev", "cur").agg(F.sum("tf").alias("c_big"))
+    prev_stats = big_cnt.groupBy("prev").agg(
+        F.sum("c_big").alias("c_prev"),
+        F.count(F.lit(1)).alias("n1_prev"),
+    )
+    cont = big_cnt.groupBy("cur").agg(F.count(F.lit(1)).alias("n1_cur"))
+    n_types = big_cnt.count()  # one scalar: distinct bigram types
+    d = F.lit(float(discount))
+    p = (
+        F.greatest(F.col("c_big") - d, F.lit(0.0)) / F.col("c_prev")
+        + d * F.col("n1_prev") / F.col("c_prev") * (F.col("n1_cur") / F.lit(float(n_types)))
+    )
+    scored = (
+        bf.join(big_cnt, ["prev", "cur"])
+        .join(prev_stats, "prev")
+        .join(cont, "cur")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.round(F.sum(F.col("tf") * F.log(p)) / F.sum("tf"), 6).alias("avg_logp_kn"),
+        )
+    )
+    ids = df.select(id_col)
+    return ids.join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias("n_bigrams"),
+        F.col("avg_logp_kn"),
+    )
+
+
 def substring_dedup(
     df: DataFrame, min_len: int = 12, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

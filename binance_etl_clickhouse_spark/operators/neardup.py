@@ -127,6 +127,41 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    stop_shingle_df: int | None = None,
+    persist_index: bool = True,
+) -> DataFrame:
+    """All pairs with shingle-set CONTAINMENT >= threshold, where
+    C(A,B) = |A∩B| / min(|A|,|B|) — the asymmetric near-dup measure that
+    catches subset duplication (one doc quoted or embedded inside a much
+    larger one), which Jaccard structurally misses: a 50-shingle doc fully
+    contained in a 5000-shingle doc has J ≈ 0.01 but C = 1.0. Same
+    inverted-index scale shape as :func:`ngram_jaccard_pairs` (equi-join
+    on shingles, sizes from a pre-agg, optional stop-shingle cap)."""
+    sh = _pin(_shingle_index(df, id_col, text_col, k, stop_shingle_df), persist_index)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("d1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col(id_col).alias("d2"), F.col("n_sh").alias("n2"))
+    cont = F.col("c") / F.least("n1", "n2")
+    return (
+        common.join(s1, "d1")
+        .join(s2, "d2")
+        .filter(cont >= threshold)
+        .select("d1", "d2", F.round(cont, 6).alias("containment"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:

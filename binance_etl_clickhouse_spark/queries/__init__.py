@@ -60,23 +60,19 @@ DRIVER_WINDOW = [
     # records the weaker rows-only check for these two
     "bpe_train_merges",
     "bpe_token_counts",
-    # --- new round-6 registrations (added as they land) ---
+    # --- new round-6 registrations (all landed) ---
     "unigram_em_trace",
     "entity_resolution_converged",
     "minhash_pairs_capped",
-    "substring_dedup_capped",
     "cc_large_star_small_star",
     "tokenizer_apply_bpe",
-    "sessionize_event_gap",
-    "stratified_kfold_assign",
+    "doc_containment_pairs",
     "ngram_lm_kneser_ney",
-    "doc_embedding_mean_pool",
-    "reservoir_sample_global",
-    "quantile_sketch_groups",
-    "string_similarity_matrix",
-    "topic_word_cooccurrence",
-    "event_attribution_last_touch",
-    # --- re-proofs: highest-complexity composites (round-5 verdict list) ---
+    "stratified_kfold_assign",
+    "salted_skew_agg",
+    # --- re-proofs: highest-complexity composites (round-5 verdict list)
+    # plus the shapes this round's engine changes touch (substring dedup
+    # interval rewrite, capped minhash, convergent CC, MMR collapse) ---
     "training_data_prep_pipeline_v2",
     "substring_dedup_corpus",
     "ann_ivf_pq_topk",
@@ -95,30 +91,21 @@ DRIVER_WINDOW = [
     "unigram_lm_token_counts",
     "dsir_importance_select",
     "source_mixture_sample",
+    "mmr_diversified_topk",
+    "span_dedup_corpus",
+    "tpch_q1_pricing_summary",
+    "asof_join_purchase_click",
+    "gapfill_hourly_locf",
+    "graph_triangle_count",
 ]
 
 
-# Names in DRIVER_WINDOW that are not yet registered are skipped (the
-# round-6 window lists planned registrations up front); tests/test_registry
-# asserts the skip list only ever contains names from the planned-new block
-# so a typo in an existing query name still fails loudly.
-PLANNED_NEW = {
-    "unigram_em_trace",
-    "entity_resolution_converged",
-    "minhash_pairs_capped",
-    "substring_dedup_capped",
-    "cc_large_star_small_star",
-    "tokenizer_apply_bpe",
-    "sessionize_event_gap",
-    "stratified_kfold_assign",
-    "ngram_lm_kneser_ney",
-    "doc_embedding_mean_pool",
-    "reservoir_sample_global",
-    "quantile_sketch_groups",
-    "string_similarity_matrix",
-    "topic_word_cooccurrence",
-    "event_attribution_last_touch",
-}
+# Names in DRIVER_WINDOW that are not yet registered are skipped IF listed
+# here (a window may name planned registrations before they land);
+# anything else unknown still fails loudly, so a typo in an existing query
+# name cannot silently shrink the verification window. Empty = every
+# round-6 registration has landed.
+PLANNED_NEW: set[str] = set()
 
 
 def _apply_driver_order() -> None:

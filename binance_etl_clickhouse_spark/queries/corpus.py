@@ -911,6 +911,58 @@ def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram quality: the discount-and-continuation
+# smoothing used by KenLM-class models (Kneser & Ney 1995) — a genuinely
+# different estimator from the Jelinek-Mercer mix above (continuation
+# probability counts distinct bigram TYPES, not tokens).
+# ---------------------------------------------------------------------------
+_KN_D = 0.75
+
+
+@register(
+    "ngram_lm_kneser_ney",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest([w[i] for i in range(1, len(w))]) AS prev,
+             unnest([w[i+1] for i in range(1, len(w))]) AS cur
+      FROM toks
+    ),
+    bf AS (SELECT doc_id, prev, cur, count(*)::BIGINT AS tf FROM bg GROUP BY 1, 2, 3),
+    big AS (SELECT prev, cur, sum(tf)::BIGINT AS c_big FROM bf GROUP BY 1, 2),
+    prevs AS (
+      SELECT prev, sum(c_big)::BIGINT AS c_prev, count(*)::BIGINT AS n1_prev
+      FROM big GROUP BY prev
+    ),
+    cont AS (SELECT cur, count(*)::BIGINT AS n1_cur FROM big GROUP BY cur),
+    nt AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM big),
+    scored AS (
+      SELECT bf.doc_id, sum(bf.tf)::BIGINT AS n_bigrams,
+             round(sum(bf.tf * ln(
+               greatest(big.c_big - {_KN_D!r}, 0.0) / p.c_prev
+               + {_KN_D!r} * p.n1_prev / p.c_prev * (c.n1_cur / nt.n_types)
+             )) / sum(bf.tf), 6) AS avg_logp_kn
+      FROM bf
+      JOIN big USING (prev, cur)
+      JOIN prevs p ON p.prev = bf.prev
+      JOIN cont c ON c.cur = bf.cur
+      CROSS JOIN nt
+      GROUP BY bf.doc_id
+    )
+    SELECT d.doc_id, coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams, s.avg_logp_kn
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+    survey_ref=(
+        "corpus stats: interpolated Kneser-Ney bigram LM quality "
+        "(absolute discount + continuation counts, KenLM-class smoothing)"
+    ),
+)
+def ngram_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.kneser_ney_logprob(_t(spark, sf_dir, "documents"), discount=_KN_D)
+
+
+# ---------------------------------------------------------------------------
 # Exact substring dedup (Lee et al. 2022, suffix-array pass re-expressed
 # relationally): stride-1 windows of _SUB_L tokens, global first-occurrence
 # retention per window hash, union of later occurrences' positions removed,

@@ -700,3 +700,82 @@ def contrastive_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") != F.col("anchor_id"))
         .select("anchor_id", "j", F.col("doc_id").alias("neg_doc_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified k-fold assignment: exact per-stratum balance (round-robin over
+# a deterministic hash order), not approximate hash-bucketing — folds
+# differ in size by at most 1 within every stratum, which is what
+# cross-validated eval over skewed language mixes actually requires.
+# Scale shape: one window shuffle on the stratum key (same as
+# stratified_sample_per_lang); fold assignment is a projection on the rank.
+# ---------------------------------------------------------------------------
+_KFOLD = 5
+
+
+@register(
+    "stratified_kfold_assign",
+    f"""
+    SELECT lang, fold, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars
+    FROM (
+      SELECT lang, n_chars,
+             (row_number() OVER (
+                PARTITION BY lang ORDER BY {hash60_sql('text')}, doc_id
+              ) - 1) % {_KFOLD} AS fold
+      FROM documents
+    ) GROUP BY lang, fold
+    """,
+    survey_ref="training-data: stratified k-fold assignment (exact per-stratum balance, deterministic hash order)",
+)
+def stratified_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(hash60("text"), "doc_id")
+    return (
+        docs.withColumn("fold", (F.row_number().over(w) - 1) % _KFOLD)
+        .groupBy("lang", "fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Salted two-stage aggregation: THE skew treatment for a hot grouping key
+# at 100 TB (one event_type holding half the corpus would pin one reducer).
+# Stage 1 groups on (key, salt) so the hot key fans across 8 reducers;
+# stage 2 combines the 8 partials. The oracle is the PLAIN single-stage
+# aggregate — pinning that salting is semantically invisible. Measures are
+# decimal-summed so the two-stage re-association is bit-exact.
+# ---------------------------------------------------------------------------
+_SALT_BUCKETS = 8
+
+
+@register(
+    "salted_skew_agg",
+    """
+    SELECT event_type, count(*)::BIGINT AS n_events,
+           sum(value::DECIMAL(28,6))::DOUBLE AS total_value,
+           max(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    survey_ref="aggregation at scale: salted two-stage hot-key aggregate (semantics pinned against the plain single-stage oracle)",
+)
+def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    salt = (F.col("event_id") % _SALT_BUCKETS).alias("salt")
+    partial = (
+        ev.select("event_type", salt, F.col("value").cast("decimal(28,6)").alias("v"))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").alias("sv"),
+            F.max("v").alias("mv"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.sum("sv").cast("double").alias("total_value"),
+        F.max("mv").cast("double").alias("max_value"),
+    )

@@ -84,6 +84,115 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_containment_pairs",
+    f"""
+    WITH {_SH_CTE}
+    SELECT d1, d2, round(c * 1.0 / least(s1.n, s2.n), 6) AS containment
+    FROM common
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE c * 1.0 / least(s1.n, s2.n) >= 0.8
+    """,
+    survey_ref="dedup: shingle containment pairs (asymmetric — catches subset/quote duplication Jaccard misses)",
+)
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return neardup.containment_pairs(
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.8
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-merge BPE application: the ENCODE path under a literal merge table,
+# fully value-hash oracled (the trained-encode twin bpe_token_counts is
+# rows-only because its merges come from the iterative trainer).
+# ---------------------------------------------------------------------------
+#: (left, right) merges applied in order; common English digraphs so some
+#: engage on the corpus and some no-op — both paths exercised either way
+_APPLY_MERGES: list[tuple[str, str]] = [
+    ("t", "h"),
+    ("th", "e"),
+    ("e", "</w>"),
+    ("i", "n"),
+    ("a", "n"),
+    ("o", "r"),
+]
+
+
+def _apply_bpe_oracle() -> str:
+    def merge_apply(prev_expr: str, left: str, right: str) -> str:
+        # same delimiter trick as the bpe_merge_trace oracle: chr(1)/chr(2)
+        # wrap each symbol so replace() is greedy-leftmost over whole
+        # symbols, exactly the engine's fold semantics
+        return (
+            "string_split(trim(replace("
+            f"array_to_string(list_transform({prev_expr}, x -> chr(1)||x||chr(2)), ''),"
+            f" chr(1)||'{left}'||chr(2)||chr(1)||'{right}'||chr(2),"
+            f" chr(1)||'{left}{right}'||chr(2)), chr(1)||chr(2)), chr(2)||chr(1))"
+        )
+
+    expr = "s"
+    for left, right in _APPLY_MERGES:
+        expr = merge_apply(expr, left, right)
+    return f"""
+    WITH dw AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE word <> ''
+    ),
+    dict AS (SELECT DISTINCT word FROM dw),
+    w0 AS (
+      SELECT word,
+             list_append([substr(word, i, 1) for i in range(1, len(word) + 1)],
+                         '</w>') AS s
+      FROM dict
+    ),
+    seg AS (SELECT word, len({expr})::BIGINT AS n_pieces FROM w0)
+    SELECT dw.doc_id, count(*)::BIGINT AS n_words,
+           sum(seg.n_pieces)::BIGINT AS n_pieces,
+           round(sum(seg.n_pieces) * 1.0 / count(*), 6) AS pieces_per_word
+    FROM dw JOIN seg USING (word)
+    GROUP BY dw.doc_id
+    """
+
+
+@register(
+    "tokenizer_apply_bpe",
+    _apply_bpe_oracle(),
+    survey_ref="tokenizer: BPE encode under a fixed merge table (dictionary segment + broadcast equi-join, full value-hash oracle)",
+)
+def tokenizer_apply_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every document under the literal ``_APPLY_MERGES`` table:
+    segment the DISTINCT-word dictionary once (chained greedy-leftmost
+    merge folds — pure projections, no shuffle), then one broadcast
+    equi-join back to the corpus words. The corpus is scanned once no
+    matter how many merges apply — the same architecture the trained
+    encoder uses (operators/bpe.py encode_token_counts)."""
+    from binance_etl_clickhouse_spark.operators import bpe
+    from binance_etl_clickhouse_spark.operators.texthash import tokens as _tok
+
+    docs = _t(spark, sf_dir, "documents")
+    dw = (
+        docs.select("doc_id", F.explode(_tok("text")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    syms = bpe.chars_with_eow(F.col("word"))
+    for left, right in _APPLY_MERGES:
+        syms = bpe.merge_pair_expr(syms, left, right)
+    seg = (
+        dw.select("word").distinct().select("word", F.size(syms).cast("long").alias("n_pieces"))
+    )
+    return (
+        dw.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+            F.round(F.sum("n_pieces") / F.count(F.lit(1)), 6).alias("pieces_per_word"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash-LSH near-dup: 24 perms, 12 bands x 2 rows, exact-Jaccard verified.
 # ---------------------------------------------------------------------------
