@@ -106,6 +106,16 @@ HEADLINE = [
     "hits_hub_authority",
     "entity_resolution_parts",
     "kaplan_meier_click_to_purchase",
+    # round-6 additions — the convergent-CC contraction loop (the new
+    # iterative shape), the capped minhash production path, the
+    # containment inverted-index self-join, the fixed-merge BPE encode
+    # (chained folds + broadcast dictionary join), and Kneser-Ney scoring
+    # (four broadcastable model joins)
+    "cc_large_star_small_star",
+    "minhash_pairs_capped",
+    "doc_containment_pairs",
+    "tokenizer_apply_bpe",
+    "ngram_lm_kneser_ney",
 ]
 
 

@@ -24,6 +24,82 @@ from pyspark.sql.streaming import StreamingQuery
 from binance_etl_clickhouse_spark.storage.table import ServingTable
 
 
+def recover_sidecar_index(index_dir: str) -> bool:
+    """Heal a sidecar index left mid-swap by a crashed
+    :func:`compact_sidecar_index`: if the backup dir exists and the live
+    dir does not, the crash hit between the two renames — restore the
+    backup. Returns True if a recovery happened. Called by the streaming
+    sinks before they probe the index so a crashed compaction can never
+    silently present as an empty index (which would re-admit duplicates)."""
+    import os
+
+    bak = index_dir.rstrip("/") + ".compact.bak"
+    if os.path.isdir(bak) and not os.path.isdir(index_dir):
+        os.rename(bak, index_dir)
+        return True
+    return False
+
+
+def compact_sidecar_index(
+    spark: SparkSession,
+    index_dir: str,
+    dedup_cols: list[str] | None = None,
+    target_files: int | None = None,
+) -> dict:
+    """OPTIMIZE FINAL for the streaming sidecar indexes (the MinHash
+    signature index of :func:`stream_dedup_corpus`, the window-hash sets
+    of :func:`stream_span_dedup` / :func:`stream_substring_dedup`).
+
+    Every micro-batch appends one small parquet file per reducer; after
+    10^4 epochs the per-batch probe join pays 10^4 file opens — the exact
+    small-parts problem ClickHouse's background merges solve for
+    MergeTree (``crypto_data_pipeline_clickhouse.py`` relies on OPTIMIZE
+    FINAL; here it is an explicit maintenance job, schedulable between
+    triggers). Rewrites the index to ``target_files`` files (default:
+    cluster parallelism) with exact duplicates dropped (replay healing is
+    anti-joined so dups are rare, but a crash inside a heal can leave
+    identical rows — identical, so keep-any is exact).
+
+    Crash-safe swap: snapshot -> ``.compact.tmp``; live -> ``.compact.bak``;
+    tmp -> live; drop bak. The only unsafe window (live dir absent) is
+    between the two renames and is healed by :func:`recover_sidecar_index`,
+    which every consumer runs before probing. Returns
+    ``{files_before, files_after, rows}``.
+    """
+    import os
+    import shutil
+
+    recover_sidecar_index(index_dir)
+    if not os.path.isdir(index_dir):
+        return {"files_before": 0, "files_after": 0, "rows": 0}
+
+    def _nfiles(d: str) -> int:
+        return sum(
+            1
+            for root, _dirs, files in os.walk(d)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    files_before = _nfiles(index_dir)
+    df = spark.read.parquet(index_dir)
+    out = df.dropDuplicates(dedup_cols) if dedup_cols else df.distinct()
+    # materialize + cut lineage BEFORE touching the dir the plan reads
+    out = out.localCheckpoint(eager=True)
+    rows = out.count()
+    tgt = target_files or spark.sparkContext.defaultParallelism
+    tmp = index_dir.rstrip("/") + ".compact.tmp"
+    bak = index_dir.rstrip("/") + ".compact.bak"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(bak, ignore_errors=True)
+    out.coalesce(tgt).write.mode("overwrite").parquet(tmp)
+    out.unpersist()
+    os.rename(index_dir, bak)
+    os.rename(tmp, index_dir)
+    shutil.rmtree(bak)
+    return {"files_before": files_before, "files_after": _nfiles(index_dir), "rows": rows}
+
+
 def stream_ingest_staging(
     spark: SparkSession,
     staging_dir: str,
@@ -368,6 +444,9 @@ def stream_dedup_corpus(
             batch.unpersist()
 
     def _sink_body(batch: DataFrame, epoch_id: int, ckpts: list) -> None:
+        # a compaction crash between its renames must not present as an
+        # empty signature index (every duplicate would re-admit)
+        recover_sidecar_index(index_dir)
         clean, _quarantined = partition_corrupt(batch, persist=False)
         # replay idempotence: foreachBatch is at-least-once — a crash after
         # the corpus append but before the checkpoint commit re-delivers
@@ -615,6 +694,7 @@ def stream_span_dedup(
             return
         from pyspark.sql import Window
 
+        recover_sidecar_index(index_dir)
         clean, _quarantined = partition_corrupt(batch, persist=False)
         # replay idempotence: a crash between the corpus append and the
         # checkpoint commit re-delivers this epoch with its spans already
@@ -748,6 +828,7 @@ def stream_substring_dedup(
             return
         from pyspark.sql import Window
 
+        recover_sidecar_index(index_dir)
         clean, _quarantined = partition_corrupt(batch, persist=False)
         if os.path.isdir(out_dir):
             seen = (

@@ -1135,3 +1135,90 @@ def test_stream_dq_monitor_epoch_reports_and_replay(spark, tmp_path):
     dq_monitor_append_epoch(batch, monitor, int(epoch), rules)
     rep2 = {r.rule: (r.n_rows, r.n_violations) for r in dq_report_from_monitor(spark, monitor).collect()}
     assert rep2 == rep
+
+
+def test_compact_sidecar_index_merges_files_and_survives_crash(spark, tmp_path):
+    """The OPTIMIZE-FINAL analogue for the streaming sidecar indexes:
+    many per-epoch parquet appends merge to few files with duplicate rows
+    dropped and the probe-side contents unchanged; a crash between the
+    swap's two renames is healed by recover_sidecar_index (and by the
+    next compaction), never presenting as an empty index."""
+    import os
+
+    from binance_etl_clickhouse_spark.streaming.jobs import (
+        compact_sidecar_index,
+        recover_sidecar_index,
+    )
+
+    index_dir = str(tmp_path / "sigidx")
+    # simulate 6 epoch appends of (doc_id, mh0..mh23) rows, one exact
+    # duplicate row (crashed-heal shape)
+    cols = "doc_id long, " + ", ".join(f"mh{j} long" for j in range(24))
+    for e in range(6):
+        rows = [tuple([e * 10 + i] + [e * 100 + i + j for j in range(24)]) for i in range(3)]
+        spark.createDataFrame(rows, cols).coalesce(2).write.mode("append").parquet(index_dir)
+    dup = [tuple([0] + [0 + j for j in range(24)])]  # == epoch 0, i=0 row
+    spark.createDataFrame(dup, cols).write.mode("append").parquet(index_dir)
+
+    before = spark.read.parquet(index_dir)
+    expected = {tuple(r) for r in before.distinct().collect()}
+    stats = compact_sidecar_index(spark, index_dir, target_files=2)
+    assert stats["files_after"] <= 2 < stats["files_before"]
+    assert stats["rows"] == len(expected) == 18
+    after = spark.read.parquet(index_dir)
+    assert {tuple(r) for r in after.collect()} == expected
+
+    # crash window: live renamed away, tmp not yet promoted
+    os.rename(index_dir, index_dir + ".compact.bak")
+    assert not os.path.isdir(index_dir)
+    assert recover_sidecar_index(index_dir) is True
+    assert {tuple(r) for r in spark.read.parquet(index_dir).collect()} == expected
+    # idempotent when nothing to heal / compact a missing dir is a no-op
+    assert recover_sidecar_index(index_dir) is False
+    assert compact_sidecar_index(spark, str(tmp_path / "nope")) == {
+        "files_before": 0,
+        "files_after": 0,
+        "rows": 0,
+    }
+
+
+def test_stream_dedup_still_catches_dups_after_index_compaction(spark, tmp_path):
+    """Compaction is semantically invisible to the stream: a near-dup
+    arriving AFTER the signature index is compacted is still dropped."""
+    import json
+
+    from binance_etl_clickhouse_spark.streaming.jobs import (
+        compact_sidecar_index,
+        stream_dedup_corpus,
+    )
+
+    in_dir = tmp_path / "drop"
+    in_dir.mkdir()
+    index_dir = str(tmp_path / "index")
+    out_dir = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    third = "red orange yellow green blue indigo violet ultra maroon cyan"
+
+    def drop(fname, docs):
+        with open(in_dir / fname, "w") as f:
+            for i, text in docs:
+                f.write(
+                    json.dumps(
+                        {"doc_id": i, "lang": "en", "text": text, "n_chars": len(text)}
+                    )
+                    + "\n"
+                )
+
+    drop("b1.jsonl", [(1, base), (3, third)])
+    q = stream_dedup_corpus(spark, str(in_dir), index_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    q.stop()
+    compact_sidecar_index(spark, index_dir, target_files=1)
+
+    drop("b2.jsonl", [(11, base.replace("kappa", "lambda")), (12, "solo words nobody else uses here at all ten tokens")])
+    q2 = stream_dedup_corpus(spark, str(in_dir), index_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+    q2.stop()
+    got = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert got == {1, 3, 12}
