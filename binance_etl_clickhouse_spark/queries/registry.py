@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -21,13 +22,42 @@ class QueryEntry:
 QUERIES: dict[str, QueryEntry] = {}
 
 
+def _fresh_cache(fn: SparkQuery) -> SparkQuery:
+    """Drop the SQL cache entries left by PREVIOUS query builds.
+
+    The driver runs all 50 window queries sequentially in ONE plain
+    session (default 1g driver memory): the iterative families
+    (graph/PageRank/k-core staging) each persist several frames that stay
+    registered after their results are collected, and once memory
+    pressure starts evicting blocks, a later query's persist() can land
+    on a stale CacheManager entry whose rebuild NPEs inside Spark
+    (CachedRDDBuilder -> recacheByPlan -> "SparkPlan.session() is null",
+    observed nondeterministically under the driver-mirror sweep — it took
+    the whole JVM down, failing every query after it). Clearing at build
+    time is safe by the driver contract (the previous query's result was
+    already materialized) and touches only SQL cache entries —
+    localCheckpoint storage lives at the RDD layer and is unaffected."""
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        try:
+            spark.catalog.clearCache()
+        except Exception:  # noqa: BLE001 — cache hygiene is best-effort
+            pass
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def register(name: str, oracle: str | None, survey_ref: str):
     """Decorator: add a Spark query builder to the registry."""
 
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        QUERIES[name] = QueryEntry(name=name, spark=fn, oracle=oracle, survey_ref=survey_ref)
+        QUERIES[name] = QueryEntry(
+            name=name, spark=_fresh_cache(fn), oracle=oracle, survey_ref=survey_ref
+        )
         return fn
 
     return deco

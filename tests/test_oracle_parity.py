@@ -81,3 +81,19 @@ def test_driver_window_is_the_verification_budget():
         "bpe_token_counts",
         "unigram_lm_token_counts",
     }
+
+
+def test_registered_builders_drop_stale_cache_entries(spark):
+    """Driver robustness: the window runs 50 queries sequentially in one
+    plain session, and stale cache entries from earlier queries have
+    NPE'd Spark's CacheManager rebuild under memory pressure (observed:
+    CachedRDDBuilder -> recacheByPlan -> 'SparkPlan.session() is null',
+    taking the JVM down). Every registered builder must therefore start
+    from a clean SQL cache."""
+    from binance_etl_clickhouse_spark.queries import QUERIES
+
+    leftover = spark.range(64).cache()
+    leftover.count()
+    assert leftover.storageLevel.useMemory
+    QUERIES["project_literals"].spark(spark, SF_DIR)
+    assert not leftover.storageLevel.useMemory
