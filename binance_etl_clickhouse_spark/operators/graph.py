@@ -339,7 +339,11 @@ def connected_components_lsss(edges: DataFrame, max_rounds: int = 25) -> DataFra
     cur = base.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).distinct().localCheckpoint()
-    all_nodes = compact_persist(base.select("u").distinct())
+    # vertex set from the CHECKPOINTED canonical edges — deriving it from
+    # `base` would re-run the upstream edge build (a self-join) a second time
+    all_nodes = compact_persist(
+        cur.select("u").union(cur.select(F.col("v").alias("u"))).distinct()
+    )
     converged = False
     try:
         for _ in range(max_rounds):
