@@ -165,14 +165,19 @@ def _bench_corpus_scale(spark) -> dict:
     big = synth_replicated_corpus(base, scratch, replicas=_SCALE_REPLICAS)
     ops = _corpus_scale_ops()
     out: dict[str, dict[str, float]] = {"1x": {}, f"{_SCALE_REPLICAS}x": {}}
-    # warmup pass first: the first execution of each family pays JIT /
-    # codegen / Arrow init, which would otherwise inflate the 1x numbers
+    # warmup pass first (JIT / codegen / Arrow init), then best-of-N per
+    # measurement: the 1x times are ~1 s, so single-shot run-to-run noise
+    # swings the reported scale factor by 1.5x+ (r5 verdict) — the MIN of
+    # N runs is the stable statistic on an otherwise-idle machine
     for tag, df in (("warmup", base), ("1x", base), (f"{_SCALE_REPLICAS}x", big)):
         for name, op in ops.items():
-            t0 = time.perf_counter()
-            op(df).write.format("noop").mode("overwrite").save()
+            best = float("inf")
+            for _ in range(1 if tag == "warmup" else N_RUNS):
+                t0 = time.perf_counter()
+                op(df).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
             if tag != "warmup":
-                out[tag][name] = round(time.perf_counter() - t0, 4)
+                out[tag][name] = round(best, 4)
     import shutil
 
     shutil.rmtree(scratch, ignore_errors=True)
