@@ -220,8 +220,10 @@ def connected_components(edges: DataFrame, iters: int = 4) -> DataFrame:
     frame is |V| rows. A FIXED iteration count keeps the result
     deterministic whether or not propagation has converged, which is what
     makes a cross-engine oracle possible (the DuckDB twin unrolls the same
-    k rounds). At real scale you'd run large-star/small-star rounds to cut
-    the iteration count to O(log log n); the per-round plan is identical.
+    k rounds). For exact components regardless of diameter use
+    :func:`connected_components_converged` (fixpoint + loud failure) or
+    :func:`connected_components_lsss` (large-star/small-star contraction,
+    the real-scale default — O(log^2 n) rounds on any diameter).
     """
     und = compact_persist(undirected(edges).select("u", "v"))
     labels = und.select("u").distinct().withColumn("lbl", F.col("u"))
