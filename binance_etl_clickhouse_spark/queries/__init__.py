@@ -70,6 +70,8 @@ DRIVER_WINDOW = [
     "ngram_lm_kneser_ney",
     "stratified_kfold_assign",
     "salted_skew_agg",
+    "ann_recall_at_k",
+    "psi_source_drift",
     # --- re-proofs: highest-complexity composites (round-5 verdict list)
     # plus the shapes this round's engine changes touch (substring dedup
     # interval rewrite, capped minhash, convergent CC, MMR collapse) ---
@@ -95,8 +97,6 @@ DRIVER_WINDOW = [
     "span_dedup_corpus",
     "tpch_q1_pricing_summary",
     "asof_join_purchase_click",
-    "gapfill_hourly_locf",
-    "graph_triangle_count",
 ]
 
 

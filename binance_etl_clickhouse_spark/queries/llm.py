@@ -2254,3 +2254,121 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, vid, cosq) for i, (vid, _, cosq) in enumerate(selected, start=1)],
         schema="rank long, vec_id long, cos_sim double",
     )
+
+
+def _ann_recall_oracle() -> str:
+    # exact leg + the identical unrolled-k-means IVF leg, then recall@k =
+    # |exact@k ∩ ivf@k| / k for k in (1, 5, 10)
+    iters = []
+    prev = "c0"
+    for it in range(1, _IVF_ITERS + 1):
+        iters.append(_kmeans_assign_cte(f"a{it}", prev) + ",")
+        iters.append(_kmeans_update_cte(f"a{it}", prev, f"c{it}") + ",")
+        prev = f"c{it}"
+    body = "\n".join(iters)
+    cos = (
+        "round(list_inner_product(v, qv)"
+        " / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))), 6)"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_IVF_K})
+    ),
+    {body}
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    exact AS (
+      SELECT vec_id, row_number() OVER (ORDER BY {cos} DESC, vec_id) AS r
+      FROM e CROSS JOIN q WHERE vec_id <> 0
+      ORDER BY {cos} DESC, vec_id LIMIT 10
+    ),
+    probe AS (
+      SELECT cell FROM {prev} CROSS JOIN q
+      ORDER BY {_sqdist_sql('qv', f'{prev}.v')}, cell LIMIT {_IVF_NPROBE}
+    ),
+    {_kmeans_assign_cte('af', prev)},
+    ivf AS (
+      SELECT vec_id, row_number() OVER (ORDER BY {cos} DESC, vec_id) AS r
+      FROM af CROSS JOIN q
+      WHERE cell IN (SELECT cell FROM probe) AND vec_id <> 0
+      ORDER BY {cos} DESC, vec_id LIMIT 10
+    ),
+    hits AS (
+      SELECT exact.r AS er, ivf.r AS ir FROM exact JOIN ivf USING (vec_id)
+    )
+    SELECT k::BIGINT AS k,
+           count(CASE WHEN er <= k AND ir <= k THEN 1 END)::BIGINT AS n_hits,
+           round(count(CASE WHEN er <= k AND ir <= k THEN 1 END) * 1.0 / k, 6) AS recall
+    FROM (SELECT unnest([1, 5, 10]) AS k) ks LEFT JOIN hits ON true
+    GROUP BY k
+    """
+
+
+@register(
+    "ann_recall_at_k",
+    _ann_recall_oracle(),
+    survey_ref="similarity eval: IVF recall@k against the exact top-k (index-quality monitoring)",
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{1,5,10} of the partition-pruned IVF index against the
+    brute-force exact neighbors — the index-quality metric a production
+    ANN deployment tracks continuously (an index rebuilt on drifted data
+    silently loses recall; this query is the monitor). Both legs rank by
+    (cos DESC, vec_id), so the metric is deterministic."""
+    from pyspark.sql import Window as W
+
+    from binance_etl_clickhouse_spark.buildonce import build_once
+    from binance_etl_clickhouse_spark.operators.ivf import (
+        ivf_topk_from_table,
+        write_ivf_table,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codebook = _ivf_codebook(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    path = build_once(
+        "ivf",
+        f"{sf_dir}:{codebook}",
+        "_SUCCESS",
+        lambda p: write_ivf_table(emb, codebook, p),
+    )
+    rank = W.orderBy(F.col("cos_sim").desc(), "vec_id")
+    v = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = v.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    exact = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.round(similarity.cosine_expr(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+        .withColumn("er", F.row_number().over(rank))
+    )
+    ivf = (
+        ivf_topk_from_table(spark, path, codebook, qv, k=11, nprobe=_IVF_NPROBE)
+        .filter(F.col("vec_id") != 0)
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+        .withColumn("ir", F.row_number().over(rank))
+    )
+    hits = exact.join(ivf.select("vec_id", "ir"), "vec_id").select("er", "ir")
+    ks = spark.range(1).select(F.explode(F.array(F.lit(1), F.lit(5), F.lit(10))).alias("k"))
+    return (
+        ks.crossJoin(F.broadcast(hits))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when((F.col("er") <= F.col("k")) & (F.col("ir") <= F.col("k")), 1).otherwise(0)
+            ).cast("long").alias("n_hits")
+        )
+        .select(
+            F.col("k").cast("long").alias("k"),
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("k"), 6).alias("recall"),
+        )
+    )

@@ -289,3 +289,66 @@ def profile_numeric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Population-stability-index drift between two document sources: the
+# monitoring statistic a continuously-ingesting corpus pipeline tracks to
+# detect a source's length/quality distribution shifting release-to-release
+# (PSI > 0.25 ≈ "retrain/investigate" in the scorecard tradition).
+# PSI = Σ (p_b − q_b) · ln(p_b / q_b) over fixed n_chars bins, with
+# +0.5 Laplace smoothing per bin so empty bins stay finite and the
+# statistic is symmetric-in-smoothing across both sources.
+# One scan, two conditional aggregates per bin — never a per-source pass.
+# ---------------------------------------------------------------------------
+_PSI_BIN = 100  # n_chars bin width
+_PSI_A, _PSI_B = "src0", "src1"  # deterministic source pair
+
+
+@register(
+    "psi_source_drift",
+    f"""
+    WITH binned AS (
+      SELECT CAST(floor(n_chars / {_PSI_BIN}) AS BIGINT) AS bin,
+             count(CASE WHEN source = '{_PSI_A}' THEN 1 END)::BIGINT AS n_a,
+             count(CASE WHEN source = '{_PSI_B}' THEN 1 END)::BIGINT AS n_b
+      FROM documents
+      WHERE source IN ('{_PSI_A}', '{_PSI_B}')
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT sum(n_a) AS ta, sum(n_b) AS tb, count(*) AS nb FROM binned
+    ),
+    probs AS (
+      SELECT bin, n_a, n_b,
+             (n_a + 0.5) / (t.ta + 0.5 * t.nb) AS p,
+             (n_b + 0.5) / (t.tb + 0.5 * t.nb) AS q
+      FROM binned, tot t
+    )
+    SELECT bin, n_a, n_b,
+           round((p - q) * ln(p / q), 6) AS psi_contrib
+    FROM probs
+    """,
+    survey_ref="data quality: population-stability-index drift between sources (per-bin contributions, one scan)",
+)
+def psi_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isin(_PSI_A, _PSI_B)
+    )
+    binned = docs.groupBy(
+        F.floor(F.col("n_chars") / _PSI_BIN).cast("long").alias("bin")
+    ).agg(
+        F.count(F.when(F.col("source") == _PSI_A, 1)).cast("long").alias("n_a"),
+        F.count(F.when(F.col("source") == _PSI_B, 1)).cast("long").alias("n_b"),
+    )
+    tot = binned.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"), F.count(F.lit(1)).alias("nb")
+    )
+    p = (F.col("n_a") + 0.5) / (F.col("ta") + 0.5 * F.col("nb"))
+    q = (F.col("n_b") + 0.5) / (F.col("tb") + 0.5 * F.col("nb"))
+    return binned.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
+    )

@@ -669,3 +669,30 @@ def test_mmr_greedy_is_driver_side_single_scan(spark):
     # two jobs) + local-result collect; the pin is that the count is
     # CONSTANT in the selection rounds (was R+1 jobs, R=5, before)
     assert jobs <= 4, f"MMR ran {jobs} jobs; greedy loop must not hit the cluster"
+
+
+def test_minhash_cap_yields_subset_of_uncapped_pairs(spark):
+    """Capping can only LOSE pairs (bounded recall), never invent or
+    rescore them — every capped pair appears uncapped with equal jaccard."""
+    from binance_etl_clickhouse_spark.operators.neardup import minhash_lsh_pairs
+
+    docs = load_table(spark, SF, "documents").limit(120)
+    un = {(r.d1, r.d2): r.jaccard for r in minhash_lsh_pairs(docs, persist_index=False).collect()}
+    cap = {(r.d1, r.d2): r.jaccard for r in minhash_lsh_pairs(docs, persist_index=False, band_cap=3).collect()}
+    assert set(cap) <= set(un)
+    assert all(un[k] == v for k, v in cap.items())
+
+
+def test_containment_dominates_jaccard(spark):
+    """C(A,B) >= J(A,B) always (min <= union), so every Jaccard pair at
+    tau is a containment pair at the same tau, with containment >= jaccard."""
+    from binance_etl_clickhouse_spark.operators.neardup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, SF, "documents").limit(150)
+    jac = {(r.d1, r.d2): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.5, persist_index=False).collect()}
+    con = {(r.d1, r.d2): r.containment for r in containment_pairs(docs, threshold=0.5, persist_index=False).collect()}
+    assert set(jac) <= set(con)
+    assert all(con[k] >= jac[k] for k in jac)
