@@ -326,6 +326,9 @@ NESTED_LOOP_WHITELIST = {
     "mann_whitney_click_vs_purchase",  # 1-row group agg x 1-row tie-correction agg
     "logrank_cohort_survival",  # |distinct durations| frame x 2-row cohort totals
     "hits_hub_authority",  # score frames x 1-row L2-norm anchors
+    "ann_recall_at_k",  # exact leg: corpus x broadcast 1-row query vector;
+    # metric: 3-row k frame x broadcast <=10-row hit frame
+    "psi_source_drift",  # |bins| frame x broadcast 1-row totals anchor
     # (the registered scale form, hybrid_rrf_search, routes its dense leg
     # through the IVF partition-pruned layout and must NOT nested-loop)
 }
