@@ -72,6 +72,7 @@ DRIVER_WINDOW = [
     "salted_skew_agg",
     "ann_recall_at_k",
     "psi_source_drift",
+    "minhash_estimator_calibration",
     # --- re-proofs: highest-complexity composites (round-5 verdict list)
     # plus the shapes this round's engine changes touch (substring dedup
     # interval rewrite, capped minhash, convergent CC, MMR collapse) ---
@@ -95,7 +96,6 @@ DRIVER_WINDOW = [
     "source_mixture_sample",
     "mmr_diversified_topk",
     "span_dedup_corpus",
-    "tpch_q1_pricing_summary",
     "asof_join_purchase_click",
 ]
 

@@ -230,6 +230,92 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.5)
 
 
+def _minhash_calibration_oracle() -> str:
+    n_perm = 2 * LSH_BANDS
+    mh_exprs = ",\n      ".join(
+        f"min({minhash_perm_sql(j, 'hv')}) AS mh{j}" for j in range(n_perm)
+    )
+    band_list = ", ".join(
+        f"md5(concat_ws(',', {t}, mh{2 * t}, mh{2 * t + 1}))" for t in range(LSH_BANDS)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END)" for j in range(n_perm)
+    )
+    return f"""
+    WITH {_SH_CTE},
+    h AS (SELECT doc_id, {hash31_sql("s")} AS hv FROM sh),
+    mh AS (SELECT doc_id,
+      {mh_exprs}
+      FROM h GROUP BY doc_id),
+    bands AS (SELECT doc_id, unnest([{band_list}]) AS bv FROM mh),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b ON a.bv = b.bv AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT cand.d1, cand.d2, ({agree}) * 1.0 / {n_perm} AS e
+      FROM cand JOIN mh a ON a.doc_id = cand.d1 JOIN mh b ON b.doc_id = cand.d2
+    )
+    SELECT d1, d2, round(j, 6) AS jaccard, round(e, 6) AS jac_est,
+           round(abs(e - j), 6) AS abs_err
+    FROM est JOIN jac USING (d1, d2)
+    """
+
+
+@register(
+    "minhash_estimator_calibration",
+    _minhash_calibration_oracle(),
+    survey_ref="dedup: signature-agreement Jaccard estimator calibration (the streaming cross-batch verify statistic, per-pair error vs exact)",
+)
+def minhash_estimator_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-candidate-pair calibration of agreement/K as a Jaccard
+    estimate — the EXACT statistic the streaming cross-batch dedup uses
+    to verify newcomers against the signature index without re-reading
+    corpus text (streaming/jobs.py stream_dedup_corpus step 3). Reports
+    (exact jaccard, estimate, abs error) for every LSH candidate pair, so
+    the estimator's bias on real data is measured, not assumed."""
+    from binance_etl_clickhouse_spark.operators.neardup import (
+        _signatures_from_shingles,
+        minhash_band_values,
+    )
+    from binance_etl_clickhouse_spark.operators.texthash import shingles
+
+    n_perm = 2 * LSH_BANDS
+    docs = _t(spark, sf_dir, "documents")
+    sh_sets = docs.select("doc_id", shingles("text", 3).alias("sh")).persist()
+    sig = _signatures_from_shingles(sh_sets).persist()
+    bands = minhash_band_values(sig)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bv") == F.col("b.bv")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    s1 = sig.select(F.col("doc_id").alias("d1"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(n_perm)])
+    s2 = sig.select(F.col("doc_id").alias("d2"), *[F.col(f"mh{j}").alias(f"b{j}") for j in range(n_perm)])
+    agree = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(n_perm)
+    )
+    sh1 = sh_sets.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
+    sh2 = sh_sets.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+    inter = F.size(F.array_intersect(F.col("sh1"), F.col("sh2")))
+    jac = inter / (F.size("sh1") + F.size("sh2") - inter)
+    est = agree * F.lit(1.0) / F.lit(n_perm)
+    return (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .join(sh1, "d1")
+        .join(sh2, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.round(jac, 6).alias("jaccard"),
+            F.round(est, 6).alias("jac_est"),
+            F.round(F.abs(est - jac), 6).alias("abs_err"),
+        )
+    )
+
+
 def _minhash_capped_oracle(cap: int) -> str:
     mh_exprs = ",\n      ".join(
         f"min({minhash_perm_sql(j, 'hv')}) AS mh{j}" for j in range(2 * LSH_BANDS)
