@@ -34,78 +34,85 @@ from binance_etl_clickhouse_spark.queries import quality  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 # Driver verification window. The correctness driver checks the FIRST 50
 # registered queries per round, so registration order is a verification
-# budget. Round-6 window: (a) the residual 17 queries that have NEVER had
-# a driver CORRECTNESS row (r5 closed the rest of the backlog — 187/204
-# checked-ever after r5), (b) new round-6 registrations, (c) re-proofs of
-# the highest-complexity composites per the round-5 verdict.
+# budget. Round-7 window (per the round-6 verdict, item #1): the 50 STALEST
+# proofs — every query last driver-checked in round 1 (38 queries: the
+# relational/predicate/join/set-op, window, scalar-function, and first-wave
+# dedup/text families), the ten stalest round-2 shapes (TPC-H, window/scalar
+# families, set ops), and the two new round-7 registrations. Nothing in this
+# window was driver-proven later than round 2, so it re-proves the r1/r2-era
+# surface through the round-6 `_fresh_cache` layer change. The four queries
+# whose builders this round's ADVICE fixes touch (salted_skew_agg,
+# minhash_estimator_calibration, ann_recall_at_k, cc_large_star_small_star)
+# are r6-green and stay outside the window; their parity is pinned by the
+# full oracle sweep in tests/test_oracle_parity.py this round.
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW = [
-    # --- residual 17: never driver-checked (green in judge's sf0.01 parity) ---
-    "quality_quantile_filter",
-    "weighted_sample_per_source",
-    "hopping_window_counts",
-    "graph_bfs_levels",
-    "graph_assortativity",
-    "graph_clustering_coefficients",
-    "graph_kcore_vertices",
-    "graph_link_prediction_scores",
-    "pagerank_weighted_copurchase",
-    "textrank_keywords",
-    "kaplan_meier_click_to_purchase",
-    "mann_whitney_click_vs_purchase",
-    "logrank_cohort_survival",
-    "profile_numeric_correlations",
-    "fuzzy_snippet_pairs",
-    # rows-only trainer carve-outs (pure-Python pytest references) — driver
-    # records the weaker rows-only check for these two
-    "bpe_train_merges",
-    "bpe_token_counts",
-    # --- new round-6 registrations (all landed) ---
-    "unigram_em_trace",
-    "entity_resolution_converged",
-    "minhash_pairs_capped",
-    "cc_large_star_small_star",
-    "tokenizer_apply_bpe",
-    "doc_containment_pairs",
-    "ngram_lm_kneser_ney",
-    "stratified_kfold_assign",
-    "salted_skew_agg",
-    "ann_recall_at_k",
-    "psi_source_drift",
-    "minhash_estimator_calibration",
-    # --- re-proofs: highest-complexity composites (round-5 verdict list)
-    # plus the shapes this round's engine changes touch (substring dedup
-    # interval rewrite, capped minhash, convergent CC, MMR collapse) ---
-    "training_data_prep_pipeline_v2",
-    "substring_dedup_corpus",
-    "ann_ivf_pq_topk",
-    "minhash_lsh_neardup",
-    "neardup_clusters",
-    "entity_resolution_parts",
-    "graph_connected_components",
-    "hybrid_rrf_search",
-    "embedding_pca_project",
-    "logreg_quality_classifier",
-    "tpch_q8_market_share",
-    "training_data_prep_pipeline",
-    "semdedup_prune",
-    "ann_ivf_topk",
-    "bpe_merge_trace",
-    "unigram_lm_token_counts",
-    "dsir_importance_select",
-    "source_mixture_sample",
-    "mmr_diversified_topk",
-    "span_dedup_corpus",
-    "asof_join_purchase_click",
+    # --- new round-7 registrations ---
+    "training_data_prep_pipeline_v3",
+    "tokenizer_apply_unigram",
+    # --- round-1-era: last driver-checked in CORRECTNESS_r01 ---
+    "project_literals",
+    "filter_eq_project",
+    "filter_range_ts",
+    "filter_in_list",
+    "distinct_where_flag",
+    "anti_join_completed",
+    "semi_join_exists",
+    "broadcast_dim_join",
+    "keep_last_dedup",
+    "max_watermark",
+    "window_lag_delta",
+    "window_running_sum",
+    "topk_per_group",
+    "orderby_limit_topn",
+    "union_pages_distinct",
+    "intersect_users",
+    "scalar_time_roundtrip",
+    "month_bucket_agg",
+    "coerce_fill_zero",
+    "regexp_json_extract",
+    "array_join_slice",
+    "rollup_orders",
+    "cube_events",
+    "count_rows_per_type",
+    "exact_dedup_canonical",
+    "ngram_jaccard_neardup",
+    "simhash_signatures",
+    "embedding_cosine_neardup",
+    "text_quality_scores",
+    "langid_heuristic",
+    "doc_fingerprints",
+    "multimodal_frame_samples",
+    "benchmark_decontamination",
+    "resample_ohlc_hourly",
+    "sessionization_stats",
+    "range_join_price_bands",
+    "pivot_event_counts",
+    "unpivot_lineitem_measures",
+    # --- round-2-era fills: the judge-named families (TPC-H, windows,
+    # scalar-function families, set ops), last checked in CORRECTNESS_r02 ---
+    "except_users",
+    "window_rank_family",
+    "window_distribution_family",
+    "grouping_sets_orders",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q9_product_profit",
+    "tpch_q18_large_volume_customer",
+    "string_function_family",
+    "null_semantics_family",
 ]
 
 
 # Names in DRIVER_WINDOW that are not yet registered are skipped IF listed
 # here (a window may name planned registrations before they land);
 # anything else unknown still fails loudly, so a typo in an existing query
-# name cannot silently shrink the verification window. Empty = every
-# round-6 registration has landed.
-PLANNED_NEW: set[str] = set()
+# name cannot silently shrink the verification window. These two land this
+# round (verdict items #4 and #5).
+PLANNED_NEW: set[str] = {
+    "training_data_prep_pipeline_v3",
+    "tokenizer_apply_unigram",
+}
 
 
 def _apply_driver_order() -> None:
