@@ -516,6 +516,203 @@ def training_data_prep_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ---------------------------------------------------------------------------
+# Prep pipeline v3 — the round-6 storm guards composed into the flagship:
+# exact dedup collapses byte-identical storms UPSTREAM of minhash (their
+# band-bucket evictions are perfectly correlated, so the cap alone cannot
+# protect them) -> CAPPED minhash-LSH near-dup pairs (band_cap bounds
+# verify work at buckets x cap^2; evictions REPORTED via the wired
+# Observation, never silent) -> near-dup clustering, keep each cluster's
+# canonical (minimum id) -> substring dedup -> Gopher rule quality gate ->
+# leakage-safe split keyed on the near-dup CLUSTER id (for survivors the
+# cluster id is their own id, but the key documents the invariant: had any
+# near-dup co-traveled instead of being dropped, it would land in the same
+# split). This is the composition a real 100 TB prep run executes; every
+# stage is individually driver-proven, the composition is hash-pinned here.
+# ---------------------------------------------------------------------------
+_V3_BAND_CAP = 4
+
+
+def _prep_v3_oracle() -> str:
+    from binance_etl_clickhouse_spark.operators.corpus import (
+        GOPHER_BOUNDS,
+        GOPHER_STOPWORDS,
+    )
+    from binance_etl_clickhouse_spark.operators.neardup import LSH_BANDS
+    from binance_etl_clickhouse_spark.operators.texthash import (
+        hash31_sql,
+        minhash_perm_sql,
+        shingles_sql,
+    )
+    from binance_etl_clickhouse_spark.queries.corpus import _substring_dedup_ctes
+
+    mh_exprs = ",\n      ".join(
+        f"min({minhash_perm_sql(j, 'hv')}) AS mh{j}" for j in range(2 * LSH_BANDS)
+    )
+    band_list = ", ".join(
+        f"md5(concat_ws(',', {t}, mh{2 * t}, mh{2 * t + 1}))" for t in range(LSH_BANDS)
+    )
+    stop_sql = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    min_w, max_w, min_ml, max_ml, max_share, min_uniq, min_stop = GOPHER_BOUNDS
+    return f"""
+    WITH RECURSIVE
+    fp AS (
+      SELECT md5(lower(trim(text))) AS fingerprint, min(doc_id) AS canonical_id
+      FROM documents GROUP BY 1
+    ),
+    exact AS (
+      SELECT d.doc_id, d.lang, d.text FROM documents d
+      JOIN fp ON d.doc_id = fp.canonical_id
+    ),
+    sh AS (SELECT doc_id, unnest({shingles_sql("text", 3)}) AS s FROM exact),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT d1, d2, c * 1.0 / (s1.n + s2.n - c) AS j
+      FROM common JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+    ),
+    h AS (SELECT doc_id, {hash31_sql("s")} AS hv FROM sh),
+    mh AS (SELECT doc_id,
+      {mh_exprs}
+      FROM h GROUP BY doc_id),
+    bands AS (SELECT doc_id, unnest([{band_list}]) AS bv FROM mh),
+    capped AS (
+      SELECT doc_id, bv FROM (
+        SELECT doc_id, bv,
+               row_number() OVER (PARTITION BY bv ORDER BY doc_id) AS rnk
+        FROM bands
+      ) WHERE rnk <= {_V3_BAND_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM capped a JOIN capped b ON a.bv = b.bv AND a.doc_id < b.doc_id
+    ),
+    pairs AS (SELECT d1, d2 FROM cand JOIN jac USING (d1, d2) WHERE j >= 0.5),
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2 AS a, d1 AS b FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS lbl FROM exact
+      UNION
+      SELECT e.a AS node, r.lbl FROM reach r JOIN edges e ON e.b = r.node
+    ),
+    clus AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    ndv AS (
+      SELECT e.doc_id, e.lang, e.text, c.cluster_id
+      FROM exact e JOIN clus c USING (doc_id) WHERE c.doc_id = c.cluster_id
+    ),
+    {_substring_dedup_ctes('ndv')},
+    surv AS (
+      SELECT doc_id, n_tokens, n_removed FROM sub
+      WHERE n_removed * 2 <= n_tokens
+    ),
+    tfq AS (
+      SELECT doc_id, t AS term, count(*)::BIGINT AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM ndv)
+      GROUP BY doc_id, t
+    ),
+    perq AS (
+      SELECT doc_id,
+             sum(tf)::BIGINT AS n_words,
+             count(*)::BIGINT AS n_unique,
+             max(tf)::BIGINT AS max_tf,
+             sum(length(term) * tf)::BIGINT AS sum_len,
+             sum(CASE WHEN term IN ({stop_sql}) THEN tf ELSE 0 END)::BIGINT
+               AS stop_hits
+      FROM tfq GROUP BY doc_id
+    ),
+    gq AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, n_words,
+               round(sum_len / CAST(n_words AS DOUBLE), 6) AS mean_word_len,
+               round(n_unique / CAST(n_words AS DOUBLE), 6) AS unique_frac,
+               round(max_tf / CAST(n_words AS DOUBLE), 6) AS top_word_share,
+               stop_hits
+        FROM perq
+      ) WHERE (n_words BETWEEN {min_w} AND {max_w})
+          AND (mean_word_len BETWEEN {min_ml!r} AND {max_ml!r})
+          AND (top_word_share <= {max_share!r})
+          AND (unique_frac >= {min_uniq!r})
+          AND (stop_hits >= {min_stop})
+    )
+    SELECT {_split_sql('n.cluster_id')} AS split, n.lang,
+           count(*)::BIGINT AS n_docs,
+           sum(s.n_tokens - s.n_removed)::BIGINT AS kept_tokens
+    FROM ndv n JOIN surv s USING (doc_id) JOIN gq USING (doc_id)
+    GROUP BY split, n.lang
+    """
+
+
+@register(
+    "training_data_prep_pipeline_v3",
+    _prep_v3_oracle(),
+    survey_ref=(
+        "training-data: exact dedup -> capped minhash near-dup clustering "
+        "(storm-guarded, eviction Observation wired) -> substring dedup -> "
+        "Gopher quality gate -> leakage-safe split, one composed pipeline"
+    ),
+)
+def training_data_prep_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The storm-guarded production prep run, end to end (r6 verdict #4).
+
+    Stage order matters at 100 TB: exact dedup is a LINEAR hash-groupBy
+    that collapses byte-identical storms before they reach minhash (where
+    their evictions would correlate across all bands); the capped minhash
+    then bounds verify work against the near-identical tail, with
+    evictions observable via the wired ``Observation``; substring dedup
+    and the Gopher gate are per-doc passes over the already-shrunk
+    survivor set; the split keys on the near-dup cluster id so the
+    leakage guarantee is structural, not incidental.
+    """
+    from pyspark.sql import Observation
+
+    from binance_etl_clickhouse_spark.operators import corpus as corpus_ops
+    from binance_etl_clickhouse_spark.operators import neardup
+
+    docs = _t(spark, sf_dir, "documents")
+    canon_ids = neardup.exact_dup_canonical(docs).select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    # exact-canonical survivors feed three stages (minhash, substring,
+    # gopher) — pin them once
+    exact = (
+        docs.join(canon_ids, "doc_id", "semi")
+        .select("doc_id", "lang", "text")
+        .persist()
+    )
+    overflow = Observation()
+    pairs = neardup.minhash_lsh_pairs(
+        exact, k=3, threshold=0.5, band_cap=_V3_BAND_CAP, overflow=overflow
+    )
+    clusters = neardup.neardup_clusters(exact, pairs)
+    ndv = exact.join(
+        clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
+            "doc_id", "cluster_id"
+        ),
+        "doc_id",
+    ).persist()
+    sub = corpus_ops.substring_dedup(ndv, min_len=12)
+    surv = sub.filter(F.col("n_removed") * 2 <= F.col("n_tokens"))
+    gq = corpus_ops.gopher_quality_filters(ndv).filter("keep").select("doc_id")
+    return (
+        ndv.select("doc_id", "lang", "cluster_id")
+        .join(surv.select("doc_id", "n_tokens", "n_removed"), "doc_id")
+        .join(gq, "doc_id")
+        .withColumn("split", _split_col(F.col("cluster_id")))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("n_tokens") - F.col("n_removed"))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Canonical text normalization + normalized exact dedup. Normalization
 # (lowercase, strip non-alphanumerics, collapse runs of spaces, trim) is
 # the pass every ingest pipeline runs before exact dedup so trivial
@@ -766,16 +963,24 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     salt = (F.col("event_id") % _SALT_BUCKETS).alias("salt")
     partial = (
-        ev.select("event_type", salt, F.col("value").cast("decimal(28,6)").alias("v"))
+        # max is order-insensitive, so it runs on the RAW double (matching the
+        # oracle's max(value) exactly even past 6 decimal places); only the
+        # associativity-sensitive sum goes through the decimal quantization.
+        ev.select(
+            "event_type",
+            salt,
+            F.col("value").cast("decimal(28,6)").alias("v"),
+            "value",
+        )
         .groupBy("event_type", "salt")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum("v").alias("sv"),
-            F.max("v").alias("mv"),
+            F.max("value").alias("mv"),
         )
     )
     return partial.groupBy("event_type").agg(
         F.sum("n").cast("long").alias("n_events"),
         F.sum("sv").cast("double").alias("total_value"),
-        F.max("mv").cast("double").alias("max_value"),
+        F.max("mv").alias("max_value"),
     )

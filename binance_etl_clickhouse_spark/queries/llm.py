@@ -256,9 +256,10 @@ def _minhash_calibration_oracle() -> str:
       SELECT cand.d1, cand.d2, ({agree}) * 1.0 / {n_perm} AS e
       FROM cand JOIN mh a ON a.doc_id = cand.d1 JOIN mh b ON b.doc_id = cand.d2
     )
-    SELECT d1, d2, round(j, 6) AS jaccard, round(e, 6) AS jac_est,
-           round(abs(e - j), 6) AS abs_err
-    FROM est JOIN jac USING (d1, d2)
+    SELECT d1, d2, round(coalesce(j, 0.0), 6) AS jaccard,
+           round(e, 6) AS jac_est,
+           round(abs(e - coalesce(j, 0.0)), 6) AS abs_err
+    FROM est LEFT JOIN jac USING (d1, d2)
     """
 
 
@@ -2444,7 +2445,11 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hits = exact.join(ivf.select("vec_id", "ir"), "vec_id").select("er", "ir")
     ks = spark.range(1).select(F.explode(F.array(F.lit(1), F.lit(5), F.lit(10))).alias("k"))
-    return (
+    # Left-join the k frame against the aggregated hit counts so the monitor
+    # still emits one row per k with n_hits=0 when the IVF and exact top-10
+    # are disjoint — exactly the case where it must report (a bare
+    # crossJoin(hits).groupBy would emit 0 rows on an empty hits frame).
+    per_k = (
         ks.crossJoin(F.broadcast(hits))
         .groupBy("k")
         .agg(
@@ -2452,9 +2457,12 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when((F.col("er") <= F.col("k")) & (F.col("ir") <= F.col("k")), 1).otherwise(0)
             ).cast("long").alias("n_hits")
         )
+    )
+    return (
+        ks.join(per_k, "k", "left")
         .select(
             F.col("k").cast("long").alias("k"),
-            "n_hits",
-            F.round(F.col("n_hits") / F.col("k"), 6).alias("recall"),
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+            F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("k"), 6).alias("recall"),
         )
     )
