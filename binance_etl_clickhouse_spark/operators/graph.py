@@ -248,8 +248,43 @@ def connected_components(edges: DataFrame, iters: int = 4) -> DataFrame:
     )
 
 
+def _resolve_reliable(df: DataFrame, reliable: bool | None) -> bool:
+    """Resolve the checkpoint mode for an iterative loop.
+
+    ``None`` auto-detects: reliable iff ``sc.setCheckpointDir`` was called.
+    ``True`` requires a checkpoint dir (loud failure if unset — silently
+    falling back to localCheckpoint would fake the fault-tolerance the
+    caller asked for).
+    """
+    ckpt_dir = df.sparkSession.sparkContext.getCheckpointDir()
+    if reliable is None:
+        return ckpt_dir is not None
+    if reliable and ckpt_dir is None:
+        raise RuntimeError(
+            "reliable=True requires sc.setCheckpointDir(...) — localCheckpoint "
+            "blocks live on executors and do not survive executor loss"
+        )
+    return reliable
+
+
+def _truncate_lineage(df: DataFrame, reliable: bool) -> DataFrame:
+    """Cut plan lineage between rounds of an iterative loop.
+
+    ``localCheckpoint`` truncates lineage but stores the blocks on
+    EXECUTORS — losing one mid-loop kills the query (lineage is gone with
+    the blocks). ``checkpoint()`` writes to the reliable checkpoint dir
+    and survives executor loss, at the cost of a round-trip to storage per
+    round — the right trade for long data-dependent loops on a real
+    cluster, where some executor loss over hundreds of rounds is expected.
+    """
+    return df.checkpoint(eager=True) if reliable else df.localCheckpoint()
+
+
 def connected_components_converged(
-    edges: DataFrame, max_rounds: int = 50
+    edges: DataFrame,
+    max_rounds: int = 50,
+    reliable: bool | None = None,
+    round_counter: list | None = None,
 ) -> DataFrame:
     """Min-label propagation run to the FIXPOINT: iterate until no label
     changes, failing loudly past ``max_rounds`` — never returning a
@@ -263,19 +298,26 @@ def connected_components_converged(
     is CHECKPOINTED, not merely persisted: every round references the
     previous labels three times (neighbor-min, rejoin, changed-check), so
     without lineage truncation the logical plan grows 3^rounds — a
-    diameter-12 graph produced a 2 GB plan string before this. Local
-    checkpoint suffices on one JVM; on a real cluster set a reliable
-    checkpoint dir (sc.setCheckpointDir) and these frames survive executor
-    loss too. Rounds needed = graph diameter; for the O(log^2 n)-round
-    guarantee on high-diameter graphs use :func:`connected_components_lsss`.
+    diameter-12 graph produced a 2 GB plan string before this.
+
+    ``reliable`` picks the checkpoint mode: ``False`` = localCheckpoint
+    (executor-memory blocks; fine on one JVM, but an executor loss
+    mid-loop kills the query on a cluster), ``True`` = ``.checkpoint()``
+    to the reliable checkpoint dir (requires ``sc.setCheckpointDir``;
+    frames survive executor loss), ``None`` (default) = auto: reliable
+    iff a checkpoint dir is set. Rounds needed = graph diameter; for the
+    O(log^2 n)-round guarantee on high-diameter graphs use
+    :func:`connected_components_lsss`. Pass a list as ``round_counter`` to
+    receive the round count actually used (scale-rehearsal telemetry).
     """
+    rel = _resolve_reliable(edges, reliable)
     und = undirected(edges).select("u", "v").persist()
-    labels = (
-        und.select("u").distinct().withColumn("lbl", F.col("u")).localCheckpoint()
+    labels = _truncate_lineage(
+        und.select("u").distinct().withColumn("lbl", F.col("u")), rel
     )
     converged = False
     try:
-        for _ in range(max_rounds):
+        for rnd in range(max_rounds):
             nb = (
                 und.join(
                     labels.withColumnRenamed("u", "v").withColumnRenamed("lbl", "nlbl"),
@@ -284,9 +326,12 @@ def connected_components_converged(
                 .groupBy("u")
                 .agg(F.min("nlbl").alias("nlbl"))
             )
-            new_labels = labels.join(nb, "u").select(
-                "u", F.least("lbl", "nlbl").alias("lbl")
-            ).localCheckpoint()
+            new_labels = _truncate_lineage(
+                labels.join(nb, "u").select(
+                    "u", F.least("lbl", "nlbl").alias("lbl")
+                ),
+                rel,
+            )
             changed = (
                 new_labels.join(labels.withColumnRenamed("lbl", "old"), "u")
                 .filter(F.col("lbl") != F.col("old"))
@@ -296,6 +341,8 @@ def connected_components_converged(
             labels = new_labels
             if changed == 0:
                 converged = True
+                if round_counter is not None:
+                    round_counter.append(rnd + 1)
                 break
         if not converged:
             raise RuntimeError(
@@ -310,7 +357,12 @@ def connected_components_converged(
         und.unpersist()
 
 
-def connected_components_lsss(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
+def connected_components_lsss(
+    edges: DataFrame,
+    max_rounds: int = 25,
+    reliable: bool | None = None,
+    round_counter: list | None = None,
+) -> DataFrame:
     """Connected components via alternating large-star / small-star
     contraction (Kiveris et al. 2014, "Connected Components in MapReduce
     and Beyond") — the real-scale default: converges in O(log^2 n) rounds
@@ -327,28 +379,35 @@ def connected_components_lsss(edges: DataFrame, max_rounds: int = 25) -> DataFra
     The edge frame shrinks toward the star graph parent->root; fixpoint is
     reached when a round changes nothing (hash-agnostic check: edge-set
     symmetric difference is empty, one count job). Fails loudly past
-    ``max_rounds`` like :func:`connected_components_converged`.
+    ``max_rounds`` like :func:`connected_components_converged`, and takes
+    the same ``reliable`` checkpoint-mode switch (None = auto-detect from
+    ``sc.getCheckpointDir()``) and ``round_counter`` telemetry list.
 
     Returns ``(part_key, component)`` where component = min vertex id of
     the part's component.
     """
-    # canonical (u > v) edge set; self-loops drop. Rounds are
-    # local-checkpointed, not persisted: each round references the
-    # previous edge frame several times (symmetrize, min, join, diff), so
-    # lineage must be truncated or the plan grows exponentially in rounds
+    rel = _resolve_reliable(edges, reliable)
+    # Rounds are lineage-truncated, not merely persisted: each round
+    # references the previous edge frame several times (symmetrize, min,
+    # join, diff), so the plan grows exponentially in rounds otherwise
     # (see connected_components_converged).
-    base = undirected(edges).select("u", "v").filter(F.col("u") != F.col("v"))
-    cur = base.select(
-        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-    ).distinct().localCheckpoint()
-    # vertex set from the CHECKPOINTED canonical edges — deriving it from
-    # `base` would re-run the upstream edge build (a self-join) a second time
+    und = _truncate_lineage(undirected(edges).select("u", "v"), rel)
+    # vertex coverage matches the other two component variants: nodes come
+    # from the PRE-self-loop-filter edge set, so a vertex whose only
+    # incident edges are self-loops still labels itself (self-loops are
+    # then dropped from the contraction — they carry no connectivity).
     all_nodes = compact_persist(
-        cur.select("u").union(cur.select(F.col("v").alias("u"))).distinct()
+        und.select("u").union(und.select(F.col("v").alias("u"))).distinct()
+    )
+    cur = _truncate_lineage(
+        und.filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct(),
+        rel,
     )
     converged = False
     try:
-        for _ in range(max_rounds):
+        for rnd in range(max_rounds):
             # ---- large-star over the SYMMETRIZED neighborhood: each u
             # attaches its strictly-larger neighbors to
             # m(u) = min(N(u) ∪ {u}). Emitted (v, m) has v > u >= m, so the
@@ -377,7 +436,7 @@ def connected_components_lsss(edges: DataFrame, max_rounds: int = 25) -> DataFra
                 .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
                 .distinct()
             )
-            nxt = small.localCheckpoint()
+            nxt = _truncate_lineage(small, rel)
             diff = (
                 nxt.join(cur, ["u", "v"], "left_anti")
                 .union(cur.join(nxt, ["u", "v"], "left_anti"))
@@ -387,6 +446,8 @@ def connected_components_lsss(edges: DataFrame, max_rounds: int = 25) -> DataFra
             cur = nxt
             if diff == 0:
                 converged = True
+                if round_counter is not None:
+                    round_counter.append(rnd + 1)
                 break
         if not converged:
             raise RuntimeError(

@@ -51,6 +51,60 @@ def test_lsss_exact_on_long_chain_and_multi_component(spark):
     }
 
 
+def test_lsss_labels_self_loop_only_vertices(spark):
+    """Vertex coverage parity across the three variants: a vertex whose
+    only incident edges are self-loops must still label itself (it IS a
+    singleton component), exactly as connected_components and
+    connected_components_converged treat it."""
+    rows = [(0, 1, 1), (7, 7, 1)]  # one real edge + a self-loop-only vertex
+    edges = spark.createDataFrame(rows, ["src", "dst", "w"])
+    lsss = _components(graph.connected_components_lsss(edges))
+    conv = _components(graph.connected_components_converged(edges))
+    fixed = _components(graph.connected_components(edges, iters=2))
+    assert lsss == conv == fixed == {0: {0, 1}, 7: {7}}
+
+
+def _clear_checkpoint_dir(spark):
+    """Reset sc.checkpointDir to unset (py4j — there is no public unset);
+    best-effort so a failure leaves later tests on the slower-but-correct
+    reliable path rather than failing this one."""
+    try:
+        sc = spark.sparkContext._jsc.sc()
+        empty = spark._jvm.scala.Option.empty()
+        getattr(sc, "checkpointDir_$eq")(empty)
+    except Exception:
+        pass
+
+
+def test_reliable_checkpoint_mode(spark, tmp_path):
+    """With a checkpoint dir set, the convergent loops auto-switch to
+    RELIABLE .checkpoint() frames (they survive executor loss, unlike
+    localCheckpoint blocks); reliable=True without a dir fails loudly
+    instead of silently faking fault-tolerance."""
+    edges = _path_edges(spark, 6)
+    assert spark.sparkContext.getCheckpointDir() is None
+    with pytest.raises(RuntimeError, match="setCheckpointDir"):
+        graph.connected_components_converged(edges, reliable=True)
+    ckpt = str(tmp_path / "ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    try:
+        conv = _components(graph.connected_components_converged(edges))
+        assert conv == {0: set(range(7))}
+        # reliable frames were actually written to the checkpoint dir
+        files = list((tmp_path / "ckpt").rglob("*"))
+        assert any(p.name.startswith("rdd-") for p in files), files
+        n_before = len(files)
+        lsss = _components(graph.connected_components_lsss(edges))
+        assert lsss == {0: set(range(7))}
+        assert len(list((tmp_path / "ckpt").rglob("*"))) > n_before
+        # explicit opt-out still localCheckpoints even with the dir set
+        shutil_count = len(list((tmp_path / "ckpt").rglob("*")))
+        graph.connected_components_converged(edges, reliable=False).collect()
+        assert len(list((tmp_path / "ckpt").rglob("*"))) == shutil_count
+    finally:
+        _clear_checkpoint_dir(spark)
+
+
 def test_converged_raises_past_round_cap(spark):
     edges = _path_edges(spark, 8)
     with pytest.raises(RuntimeError, match="no fixpoint"):
