@@ -53,8 +53,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return queries_map()
+    """One entry per implemented operator from SURVEY.md §2.
+
+    The driver runs its whole verification window sequentially in one
+    plain session, so each builder is wrapped to clear the SQL cache
+    first (stale CacheManager entries from earlier queries have NPE'd
+    under memory pressure). Library users importing the registry
+    directly get the UNWRAPPED builders — their session caches survive.
+    """
+    return queries_map(cache_hygiene=True)
 
 
 def oracle_sql() -> dict[str, str]:

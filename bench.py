@@ -25,6 +25,23 @@ from binance_etl_clickhouse_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_RUNS = int(os.environ.get("BENCH_RUNS", "2"))
 
+#: Iterative families persist several frames per round, so their cold-cache
+#: run-to-run variance is the highest in the suite (r6 verdict): best-of-3
+#: minimum converges where best-of-2 still swings ~1.5x.
+N_RUNS_ITERATIVE = max(N_RUNS, int(os.environ.get("BENCH_RUNS_ITERATIVE", "3")))
+ITERATIVE_FAMILIES = {
+    "graph_triangle_count",
+    "pagerank_copurchase",
+    "graph_connected_components",
+    "hits_hub_authority",
+    "cc_large_star_small_star",
+    "minhash_lsh_neardup",
+    "tfidf_cosine_pairs",
+    "embedding_pca_project",
+    "logreg_quality_classifier",
+    "entity_resolution_parts",
+}
+
 #: headline set — one per operator family (agg, join, window-dedup, top-k,
 #: month rollup, event-time resample, running window, anti-join), plus the
 #: expensive families where regressions would actually hurt at scale:
@@ -116,6 +133,11 @@ HEADLINE = [
     "doc_containment_pairs",
     "tokenizer_apply_bpe",
     "ngram_lm_kneser_ney",
+    # round-7 additions — the storm-guarded five-stage flagship (exact dedup
+    # -> capped minhash clustering -> substring dedup -> Gopher gate ->
+    # leakage-safe split) and the fixed-vocab unigram Viterbi encode
+    "training_data_prep_pipeline_v3",
+    "tokenizer_apply_unigram",
 ]
 
 
@@ -173,11 +195,34 @@ def _bench_corpus_scale(spark) -> dict:
         for name, op in ops.items():
             best = float("inf")
             for _ in range(1 if tag == "warmup" else N_RUNS):
+                spark.catalog.clearCache()  # cold-cache per run, like HEADLINE
                 t0 = time.perf_counter()
                 op(df).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
             if tag != "warmup":
                 out[tag][name] = round(best, 4)
+    # band_cap recall trade, measured not assumed (r6 verdict item 3): at
+    # the 10x storm, how many true >=0.5-Jaccard pairs does cap=64 lose?
+    # Capped candidates are a subset of uncapped ones (same verify filter),
+    # so the loss is a pair-count difference; evictions come from the wired
+    # Observation on the same run.
+    from pyspark.sql import Observation
+
+    from binance_etl_clickhouse_spark.operators import neardup
+
+    obs = Observation()
+    capped_n = neardup.minhash_lsh_pairs(
+        big, threshold=0.5, band_cap=64, overflow=obs
+    ).count()
+    uncapped_n = neardup.minhash_lsh_pairs(big, threshold=0.5).count()
+    band_cap_recall = {
+        "band_cap": 64,
+        "uncapped_pairs": int(uncapped_n),
+        "capped_pairs": int(capped_n),
+        "lost_pair_frac": round((uncapped_n - capped_n) / max(uncapped_n, 1), 6),
+        **{k: int(v) for k, v in obs.get.items()},
+    }
+
     import shutil
 
     shutil.rmtree(scratch, ignore_errors=True)
@@ -189,6 +234,7 @@ def _bench_corpus_scale(spark) -> dict:
         "scale_factor": {
             n: round(out[big_tag][n] / max(out["1x"][n], 1e-3), 2) for n in ops
         },
+        "band_cap_recall": band_cap_recall,
     }
 
 
@@ -204,8 +250,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         entry = QUERIES[name]
+        runs = N_RUNS_ITERATIVE if name in ITERATIVE_FAMILIES else N_RUNS
         best = float("inf")
-        for _ in range(N_RUNS):
+        for _ in range(runs):
+            # cold-cache per run (r6+ measurement series, see SCALE.md):
+            # the registry builders are unwrapped, so the sweep harness owns
+            # the cache hygiene — every run pays its own persist() cost, and
+            # stale CacheManager entries can't NPE the 50-query session.
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             entry.spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

@@ -12,6 +12,7 @@ from binance_etl_clickhouse_spark.queries.registry import (  # noqa: F401
     oracle_sql_map,
     queries_map,
     register,
+    with_cache_hygiene,
 )
 
 # Importing these modules populates the registry.
@@ -107,12 +108,9 @@ DRIVER_WINDOW = [
 # Names in DRIVER_WINDOW that are not yet registered are skipped IF listed
 # here (a window may name planned registrations before they land);
 # anything else unknown still fails loudly, so a typo in an existing query
-# name cannot silently shrink the verification window. These two land this
-# round (verdict items #4 and #5).
-PLANNED_NEW: set[str] = {
-    "training_data_prep_pipeline_v3",
-    "tokenizer_apply_unigram",
-}
+# name cannot silently shrink the verification window. Empty = every
+# round-7 registration has landed.
+PLANNED_NEW: set[str] = set()
 
 
 def _apply_driver_order() -> None:

@@ -22,7 +22,7 @@ class QueryEntry:
 QUERIES: dict[str, QueryEntry] = {}
 
 
-def _fresh_cache(fn: SparkQuery) -> SparkQuery:
+def with_cache_hygiene(fn: SparkQuery) -> SparkQuery:
     """Drop the SQL cache entries left by PREVIOUS query builds.
 
     The driver runs all 50 window queries sequentially in ONE plain
@@ -34,9 +34,15 @@ def _fresh_cache(fn: SparkQuery) -> SparkQuery:
     (CachedRDDBuilder -> recacheByPlan -> "SparkPlan.session() is null",
     observed nondeterministically under the driver-mirror sweep — it took
     the whole JVM down, failing every query after it). Clearing at build
-    time is safe by the driver contract (the previous query's result was
+    time is safe under a sweep contract (the previous query's result was
     already materialized) and touches only SQL cache entries —
-    localCheckpoint storage lives at the RDD layer and is unaffected."""
+    localCheckpoint storage lives at the RDD layer and is unaffected.
+
+    The wipe is session-global, so it is applied ONLY at the driver/bench
+    boundary (``queries_map(cache_hygiene=True)``, used by
+    ``__spark_entry__.queries()``) — never inside ``register`` — a
+    long-lived production session calling builders from this registry
+    keeps its own cached frames."""
 
     @functools.wraps(fn)
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,20 +56,26 @@ def _fresh_cache(fn: SparkQuery) -> SparkQuery:
 
 
 def register(name: str, oracle: str | None, survey_ref: str):
-    """Decorator: add a Spark query builder to the registry."""
+    """Decorator: add a Spark query builder to the registry (unwrapped —
+    see :func:`with_cache_hygiene` for the driver-sweep wrapper)."""
 
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
         QUERIES[name] = QueryEntry(
-            name=name, spark=_fresh_cache(fn), oracle=oracle, survey_ref=survey_ref
+            name=name, spark=fn, oracle=oracle, survey_ref=survey_ref
         )
         return fn
 
     return deco
 
 
-def queries_map() -> dict[str, SparkQuery]:
+def queries_map(cache_hygiene: bool = False) -> dict[str, SparkQuery]:
+    """Name -> builder map. ``cache_hygiene=True`` wraps every builder to
+    clear the session SQL cache first — for single-session many-query
+    sweeps (the correctness driver, bench) only."""
+    if cache_hygiene:
+        return {name: with_cache_hygiene(e.spark) for name, e in QUERIES.items()}
     return {name: e.spark for name, e in QUERIES.items()}
 
 

@@ -29,11 +29,17 @@ def main() -> int:
         a, b = sys.argv[2].split(":")
         sl = slice(int(a), int(b))
     from binance_etl_clickhouse_spark.queries import QUERIES, oracle_sql_map
+    from binance_etl_clickhouse_spark.queries import queries_map
     from binance_etl_clickhouse_spark.testing.parity import (
         compare_frames,
         run_oracle,
         spark_to_pandas,
     )
+
+    # the driver consumes __spark_entry__.queries() = the cache-hygiene-
+    # wrapped builders; mirror that exactly (raw builders would skip the
+    # per-build clearCache the real sweep relies on)
+    builders = queries_map(cache_hygiene=True)
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -48,7 +54,7 @@ def main() -> int:
     for i, name in enumerate(window):
         t0 = time.time()
         try:
-            sdf = spark_to_pandas(QUERIES[name].spark(spark, sf_dir))
+            sdf = spark_to_pandas(builders[name](spark, sf_dir))
         except Exception as e:  # noqa: BLE001 — report, keep sweeping
             failures.append(f"{name}: SPARK RAISED {e}")
             print(f"[{i + 1}/{len(window)}] {name}: SPARK RAISED {e}", flush=True)

@@ -10,7 +10,7 @@ import os
 
 import pytest
 
-from binance_etl_clickhouse_spark.queries import QUERIES
+from binance_etl_clickhouse_spark.queries import QUERIES, with_cache_hygiene
 from binance_etl_clickhouse_spark.testing import compare_frames, run_oracle
 
 SF_DIR = (
@@ -21,10 +21,14 @@ ORACLE_QUERIES = sorted(n for n, e in QUERIES.items() if e.oracle is not None)
 ROWS_ONLY_QUERIES = sorted(n for n, e in QUERIES.items() if e.oracle is None)
 
 
+# The sweep mirrors the driver: __spark_entry__.queries() serves WRAPPED
+# builders (clear the SQL cache before each build), because hundreds of
+# queries share this one session and stale CacheManager entries have NPE'd
+# Spark under memory pressure. Production callers get the raw builders.
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_oracle(spark, name):
     entry = QUERIES[name]
-    spark_pdf = entry.spark(spark, SF_DIR).toPandas()
+    spark_pdf = with_cache_hygiene(entry.spark)(spark, SF_DIR).toPandas()
     oracle_pdf = run_oracle(entry.oracle, SF_DIR)
     problems = compare_frames(spark_pdf, oracle_pdf, name)
     assert not problems, "\n".join(problems)
@@ -32,7 +36,7 @@ def test_query_matches_oracle(spark, name):
 
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
 def test_rows_only_query_runs(spark, name):
-    df = QUERIES[name].spark(spark, SF_DIR)
+    df = with_cache_hygiene(QUERIES[name].spark)(spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
 
@@ -83,17 +87,34 @@ def test_driver_window_is_the_verification_budget():
     }
 
 
-def test_registered_builders_drop_stale_cache_entries(spark):
+def test_raw_builders_leave_external_caches_alone(spark):
+    """Cache hygiene is scoped to the driver/bench sweep boundary (r6
+    verdict item 6): a production session calling registry builders
+    directly must NOT lose its own cached frames — a caller caching a
+    nondeterministic frame to pin its contents would otherwise get it
+    silently recomputed with different values."""
+    leftover = spark.range(64).cache()
+    try:
+        leftover.count()
+        assert leftover.storageLevel.useMemory
+        QUERIES["project_literals"].spark(spark, SF_DIR).collect()
+        assert leftover.storageLevel.useMemory
+    finally:
+        leftover.unpersist()
+
+
+def test_driver_facing_builders_drop_stale_cache_entries(spark):
     """Driver robustness: the window runs 50 queries sequentially in one
     plain session, and stale cache entries from earlier queries have
     NPE'd Spark's CacheManager rebuild under memory pressure (observed:
     CachedRDDBuilder -> recacheByPlan -> 'SparkPlan.session() is null',
-    taking the JVM down). Every registered builder must therefore start
-    from a clean SQL cache."""
-    from binance_etl_clickhouse_spark.queries import QUERIES
+    taking the JVM down). The map served to the driver via
+    __spark_entry__.queries() must therefore clear the SQL cache before
+    each build."""
+    import __spark_entry__ as mod
 
     leftover = spark.range(64).cache()
     leftover.count()
     assert leftover.storageLevel.useMemory
-    QUERIES["project_literals"].spark(spark, SF_DIR)
+    mod.queries()["project_literals"](spark, SF_DIR)
     assert not leftover.storageLevel.useMemory
