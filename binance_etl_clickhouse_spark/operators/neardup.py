@@ -432,42 +432,32 @@ def embedding_cosine_pairs_gemm(
     )
 
 
-def neardup_clusters(
-    df: DataFrame,
-    pairs: DataFrame,
-    id_col: str = "doc_id",
-    max_rounds: int = 20,
+#: driver-side-closure bound: 200k undirected edge rows ≈ 3 MB on the
+#: driver — far below any practical driver heap, far above any deduped
+#: corpus's near-dup pair graph. Past it, the distributed loop takes over.
+DRIVER_CLOSURE_MAX_EDGES = 200_000
+
+
+def _label_pair_graph_distributed(
+    edges: DataFrame, max_rounds: int
 ) -> DataFrame:
-    """Connected components over near-dup pairs: every document labeled with
-    the minimum id reachable through the pair graph (its canonical id).
+    """Min-label propagation over the (a, b) edge frame -> (node, lbl).
 
-    The standard dedup follow-on — pair detection says "these two match";
-    clustering turns matches into keep/drop decisions (keep doc ==
-    cluster_id, drop the rest) that are consistent across chains
-    (a~b, b~c => one cluster even if a,c never compared).
-
-    Algorithm: iterative min-label propagation to a fixpoint. Each round is
-    one equi-join (edges x labels) + one groupBy(min) — bounded shuffles on
-    the node key, no driver-side graph. Rounds needed = component diameter,
-    which for near-dup clusters is tiny (chains of re-posts, not long
-    paths); a cap guards the pathological case. At extreme scale swap the
-    loop body for the large-star/small-star contraction (same fixpoint,
-    O(log n) rounds); the interface and result are unchanged.
-
-    Deterministic: the fixpoint (min reachable id) is unique regardless of
-    iteration order, so a DuckDB recursive-CTE twin hash-matches exactly.
+    One equi-join + one groupBy(min) shuffle per round, both O(|pairs|);
+    rounds needed = component diameter (shallow for near-dup chains), with
+    a loud failure past the cap — part-propagated labels would silently
+    split a component, which leakage_safe_split cannot detect.
     """
-    nodes = df.select(F.col(id_col).alias("node")).distinct()
-    edges = (
-        pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
-        .union(pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b")))
+    labels = (
+        edges.select(F.col("a").alias("node"))
         .distinct()
+        .withColumn("lbl", F.col("node"))
         .cache()
     )
-    labels = nodes.select("node", F.col("node").alias("lbl")).cache()
     converged = False
+    loop_cache = labels  # the currently-persisted loop frame, for cleanup
     try:
-        for _ in range(max_rounds):  # diameter cap; near-dup components are shallow
+        for _ in range(max_rounds):
             prop = edges.join(
                 labels.select(F.col("node").alias("b"), F.col("lbl")), "b"
             ).select(F.col("a").alias("node"), "lbl")
@@ -481,24 +471,121 @@ def neardup_clusters(
                 .count()
             )
             labels.unpersist()
-            labels = new_labels
+            labels = loop_cache = new_labels
             if changed == 0:
                 converged = True
                 break
         if not converged:
-            # returning part-propagated labels would silently split one
-            # component into several cluster_ids — and leakage_safe_split
-            # would then scatter those docs across train/test, breaking the
-            # very guarantee it exists for. Fail loudly instead.
             raise RuntimeError(
                 f"neardup_clusters: min-label propagation did not reach the "
                 f"fixpoint within {max_rounds} rounds (component diameter "
                 "exceeds the cap); raise max_rounds or switch the loop body "
                 "to large-star/small-star contraction"
             )
-        sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
+        # Truncate the fixpoint labels' lineage BEFORE releasing the loop
+        # caches: the returned plan is consumed after the caches are gone,
+        # and each reference would otherwise re-run the whole rounds-deep
+        # propagation INCLUDING the pair detection upstream (measured 10x
+        # wall / 20x job blow-up). Reliable mode engages automatically when
+        # the session has a checkpoint dir (operators/graph).
+        from binance_etl_clickhouse_spark.operators.graph import (
+            _resolve_reliable,
+            _truncate_lineage,
+        )
+
+        return _truncate_lineage(labels, _resolve_reliable(labels, None))
+    finally:
+        loop_cache.unpersist()
+
+
+def _label_pair_graph_local(edges_rows, spark, dtype) -> DataFrame:
+    """Union-find closure on the driver -> (node, lbl) frame (min-id label
+    per component). Pure integer bookkeeping over a BOUNDED edge list."""
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edges_rows:
+        ra, rb = find(r[0]), find(r[1])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {v for r in edges_rows for v in (r[0], r[1])}
+    data = [(n, find(n)) for n in sorted(nodes)]
+    schema = StructType(
+        [StructField("node", dtype), StructField("lbl", dtype)]
+    )
+    return spark.createDataFrame(data, schema)
+
+
+def neardup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_rounds: int = 20,
+    driver_max_edges: int = DRIVER_CLOSURE_MAX_EDGES,
+) -> DataFrame:
+    """Connected components over near-dup pairs: every document labeled with
+    the minimum id reachable through the pair graph (its canonical id).
+
+    The standard dedup follow-on — pair detection says "these two match";
+    clustering turns matches into keep/drop decisions (keep doc ==
+    cluster_id, drop the rest) that are consistent across chains
+    (a~b, b~c => one cluster even if a,c never compared).
+
+    The closure runs over PAIRED nodes only — near-dup pairs are a tiny
+    fraction of a deduped corpus, so the component computation never
+    touches corpus-sized data; unpaired documents join their own singleton
+    label back in ONE final left join (coalesce to self). Two regimes,
+    switched on the MEASURED edge count (the cached edge frame is counted
+    anyway):
+
+    - ``<= driver_max_edges`` (the overwhelmingly common case): collect the
+      bounded edge list and union-find on the driver — 2 Spark actions
+      total instead of one count per propagation round, the same
+      bounded-collect collapse that took MMR from R+1 jobs to 4.
+    - past the bound (duplicate-storm pair graphs): distributed min-label
+      propagation, one O(|pairs|) join + groupBy shuffle per round, loud
+      failure past ``max_rounds``.
+
+    Deterministic in both regimes: the fixpoint (min reachable id) is
+    unique regardless of iteration order, so a DuckDB recursive-CTE twin
+    hash-matches exactly.
+    """
+    edges = (
+        pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+        .union(pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b")))
+        .distinct()
+        .cache()
+    )
+    try:
+        n_edges = edges.count()
+        if n_edges <= driver_max_edges:
+            # bounded collect: n_edges <= driver_max_edges (~3 MB at the cap)
+            labels = _label_pair_graph_local(
+                edges.collect(), df.sparkSession, edges.schema["a"].dataType
+            )
+        else:
+            labels = _label_pair_graph_distributed(edges, max_rounds)
+        # one pass back over the corpus: unpaired docs are their own
+        # singleton cluster (coalesce to self). No forced broadcasts here:
+        # the paired-label frame is usually tiny (AQE broadcasts it), but
+        # under a duplicate storm it tracks pair volume, and the sizes
+        # frame is cluster-count-sized (~|corpus|) — forcing either onto
+        # the driver is the 100 TB failure mode.
+        full = df.select(F.col(id_col).alias("node")).distinct().join(
+            labels, "node", "left"
+        ).select("node", F.coalesce("lbl", F.col("node")).alias("lbl"))
+        sizes = full.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
         return (
-            labels.join(F.broadcast(sizes), "lbl")
+            full.join(sizes, "lbl")
             .select(
                 F.col("node").alias(id_col),
                 F.col("lbl").alias("cluster_id"),
@@ -506,13 +593,10 @@ def neardup_clusters(
             )
         )
     finally:
-        # release BOTH caches: leaving the final labels persisted leaked one
-        # cached table per invocation for the session's lifetime. The
-        # returned plan recomputes the (rounds-deep, linear) propagation
-        # lineage on consumption — callers that will read the result
-        # repeatedly at scale should persist it themselves.
+        # release the edge cache: the returned plan reads either the
+        # driver-built label frame or the checkpointed fixpoint, so nothing
+        # recomputes on consumption.
         edges.unpersist()
-        labels.unpersist()
 
 
 def fuzzy_blocked_pairs(

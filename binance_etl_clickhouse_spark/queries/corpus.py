@@ -1488,3 +1488,91 @@ def unigram_lm_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     model = _unigram_model(spark, sf_dir)
     return unigram.encode_piece_counts(_t(spark, sf_dir, "documents"), model)
+
+
+# ---------------------------------------------------------------------------
+# Unigram encode under a FIXED literal vocab — the tokenizer_apply_bpe
+# treatment for the unigram side (r6 verdict item 5): the Viterbi
+# segmentation is exactly the trained encoder's code path
+# (operators/unigram.py word_segments -> encode_piece_counts), but the
+# piece table is a literal, so the DuckDB oracle can unroll the same DP
+# (the unigram_em_trace machinery, _em_dp_ctes) and value-hash the result.
+# With this, only the two full trainers + sketches remain rows-only.
+# ---------------------------------------------------------------------------
+#: literal (piece, count) vocab: subwords of the corpus vocabulary plus the
+#: full single-character floor, with fixed counts; both engines derive the
+#: log-probs via the same additive-smoothing formula (ALPHA = 0.1)
+_APPLY_UNIGRAM_VOCAB: tuple[tuple[str, int], ...] = (
+    ("scan", 120), ("wind", 110), ("ow", 105), ("col", 100), ("umn", 95),
+    ("sort", 90), ("part", 85), ("agg", 80), ("val", 75), ("ue", 70),
+    ("line", 65), ("key", 60), ("join", 55), ("mer", 50), ("ge", 45),
+    ("group", 40), ("qu", 35), ("ery", 30), ("hash", 25), ("st", 20),
+    ("ream", 18), ("fil", 16), ("ter", 14), ("table", 12), ("row", 10),
+    ("order", 9), ("er", 8), ("the", 7), ("an", 6), ("in", 5),
+    *((c, 2) for c in "abcdefghijklmnopqrstuvwxyz"),
+)
+
+
+def _apply_unigram_oracle() -> str:
+    vals = ", ".join(f"('{p}', {c})" for p, c in _APPLY_UNIGRAM_VOCAB)
+    ctes = [
+        """wc AS MATERIALIZED (
+      SELECT word, count(*)::BIGINT AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE word <> '' GROUP BY word
+    )""",
+        f"seedv AS (SELECT * FROM (VALUES {vals}) v(piece, cnt))",
+        "tot0 AS (SELECT sum(cnt)::BIGINT AS tot, count(*) AS nv FROM seedv)",
+        """lp0 AS MATERIALIZED (
+      SELECT piece, ln((cnt + 0.1) / (t.tot + 0.1 * t.nv)) AS lp
+      FROM seedv, tot0 t
+    )""",
+        *_em_dp_ctes(1),
+    ]
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body},
+    dw AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE word <> ''
+    ),
+    np AS (SELECT word, len(seq)::BIGINT AS n_pieces FROM seg1)
+    SELECT dw.doc_id, count(*)::BIGINT AS n_words,
+           sum(coalesce(np.n_pieces, len(dw.word)))::BIGINT AS n_pieces,
+           round(sum(len(dw.word))::DOUBLE
+                 / sum(coalesce(np.n_pieces, len(dw.word))), 6) AS chars_per_piece
+    FROM dw LEFT JOIN np USING (word)
+    GROUP BY dw.doc_id
+    """
+
+
+@register(
+    "tokenizer_apply_unigram",
+    _apply_unigram_oracle(),
+    survey_ref="tokenizer: unigram Viterbi encode under a fixed literal vocab (dictionary segment + broadcast equi-join, full value-hash oracle)",
+)
+def tokenizer_apply_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every document under the literal ``_APPLY_UNIGRAM_VOCAB``
+    table through the PRODUCTION encoder path: Viterbi-segment the
+    distinct-word dictionary once (mapInPandas, vocab in the closure),
+    one broadcast equi-join back to the corpus words, per-doc stats. The
+    oracle unrolls the identical (score, -n_pieces, seq)-composite DP in
+    SQL, so the fixed-vocab encode is fully value-hash pinned — the
+    trained-model twin (unigram_lm_token_counts) stays rows-only only
+    because its vocab comes from the iterative EM fit."""
+    from binance_etl_clickhouse_spark.operators import unigram
+
+    docs = _t(spark, sf_dir, "documents")
+    words = unigram.word_freqs(docs)
+    max_len = words.agg(F.max(F.length("word"))).first()[0]
+    assert max_len <= _EM_W, (
+        f"tokenizer_apply_unigram oracle unrolls {_EM_W} DP steps; corpus "
+        f"has a {max_len}-char word — raise _EM_W"
+    )
+    counts = dict(_APPLY_UNIGRAM_VOCAB)
+    logp = unigram._normalize(counts, sorted(counts))
+    model = unigram.UnigramModel(
+        pieces=tuple(sorted(logp.items(), key=lambda kv: (-kv[1], kv[0])))
+    )
+    return unigram.encode_piece_counts(docs, model)

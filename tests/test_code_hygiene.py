@@ -28,6 +28,11 @@ COLLECT_WHITELIST = {
     "operators/ivf.py": "k x dim centroid rows (codebook fit)",
     "operators/pca.py": "d + d^2 moment scalars (covariance fit)",
     "operators/corpus.py": "n_buckets-double gradient vector per GD step (logreg fit)",
+    "operators/neardup.py": (
+        "pair-graph edge list for the union-find closure, bounded by the "
+        "counted driver_max_edges cap (~3 MB); past the cap the distributed "
+        "loop runs instead"
+    ),
     "operators/sketches.py": "kilobyte-scale sketch states (CMS merge)",
     "operators/unigram.py": "vocab-sized piece-count tables per EM step (pieces, not rows)",
     "pipeline.py": "failed-symbol report list (per-run, symbols not rows)",

@@ -395,16 +395,22 @@ def test_neardup_clusters_raises_when_cap_too_small(spark):
 
     from binance_etl_clickhouse_spark.operators.neardup import neardup_clusters
 
-    # chain 0-1-2-3-4-5: min-label needs 5 rounds to reach the far end
+    # chain 0-1-2-3-4-5: min-label needs 5 rounds to reach the far end.
+    # driver_max_edges=0 forces the DISTRIBUTED regime (small graphs take
+    # the bounded driver-side union-find, which has no round cap).
     docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(5)], "d1 long, d2 long"
     )
     with _pytest.raises(RuntimeError, match="did not reach the fixpoint"):
-        neardup_clusters(docs, pairs, max_rounds=2).collect()
+        neardup_clusters(docs, pairs, max_rounds=2, driver_max_edges=0).collect()
     # with a sufficient cap the same chain converges to one cluster
-    out = neardup_clusters(docs, pairs, max_rounds=10).collect()
+    out = neardup_clusters(docs, pairs, max_rounds=10, driver_max_edges=0).collect()
     assert {r.cluster_id for r in out} == {0} and len(out) == 6
+    # and both regimes agree row-for-row (the driver-side union-find is the
+    # default path; the distributed loop is the storm fallback)
+    local = neardup_clusters(docs, pairs).collect()
+    assert sorted(map(tuple, local)) == sorted(map(tuple, out))
 
 
 def test_pq_ann_recall_and_codes(spark):

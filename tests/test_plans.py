@@ -115,6 +115,51 @@ def test_prep_pipeline_two_shuffles(spark):
     assert plan.count("Exchange hashpartitioning") == 2
 
 
+def test_prep_pipeline_v3_shuffle_and_job_budget(spark):
+    """The composed v3 flagship keeps its scale shape: the storm-guard
+    segment (exact dedup -> capped minhash pairs) is a FIXED 7-shuffle
+    plan, the full composition never degenerates into a nested-loop or
+    cartesian join, and end-to-end execution stays inside a constant job
+    budget (the near-dup closure is a bounded driver-side union-find +
+    one join-back — before that collapse the same pipeline ran 146 jobs).
+    """
+    from pyspark.sql import functions as F
+
+    from binance_etl_clickhouse_spark.operators import neardup
+    from binance_etl_clickhouse_spark.tables import load_table
+
+    # plan pins are properties of the CLEAN-session plan: registered cache
+    # entries from other tests substitute InMemoryRelations into matching
+    # subplans, and each reprints its build plan (27 exchanges instead of 7)
+    spark.catalog.clearCache()
+    docs = load_table(spark, SF, "documents")
+    canon = neardup.exact_dup_canonical(docs).select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    exact = docs.join(canon, "doc_id", "semi").select("doc_id", "lang", "text")
+    seg = neardup.minhash_lsh_pairs(exact, k=3, threshold=0.5, band_cap=4)
+    seg_plan = seg._jdf.queryExecution().executedPlan().toString()
+    assert seg_plan.count("Exchange hashpartitioning") == 7
+    assert "CartesianProduct" not in seg_plan
+    assert "BroadcastNestedLoopJoin" not in seg_plan
+
+    full_plan = _plan(spark, "training_data_prep_pipeline_v3")
+    assert "CartesianProduct" not in full_plan
+    assert "BroadcastNestedLoopJoin" not in full_plan
+
+    sc = spark.sparkContext
+    # the budget is a property of the COLD build (the driver/bench context);
+    # leftover suite caches change recompute shapes, so start clean
+    spark.catalog.clearCache()
+    sc.setJobGroup("v3_jobs", "v3 job-budget pin")
+    QUERIES["training_data_prep_pipeline_v3"].spark(spark, SF).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    jobs = len(sc.statusTracker().getJobIdsForGroup("v3_jobs"))
+    sc.setJobGroup("", "")
+    assert jobs <= 60, f"v3 ran {jobs} jobs; expected a constant ~41-job budget"
+
+
 def test_simhash_pairs_banded_no_nested_loop(spark):
     # the registered 60-bit banded form must never degenerate into the
     # all-pairs BroadcastNestedLoopJoin (the one scale-killer flagged in r1)
