@@ -437,6 +437,14 @@ def connected_components_lsss(
                 .distinct()
             )
             nxt = _truncate_lineage(small, rel)
+            # convergence check, cheapest-first and EXACT: unequal counts
+            # (one agg over the just-checkpointed frame) prove non-
+            # convergence without the two anti-joins; equal counts fall
+            # through to the symmetric-difference probe (count equality
+            # alone cannot prove edge-set equality).
+            if nxt.count() != cur.count():
+                cur = nxt
+                continue
             diff = (
                 nxt.join(cur, ["u", "v"], "left_anti")
                 .union(cur.join(nxt, ["u", "v"], "left_anti"))

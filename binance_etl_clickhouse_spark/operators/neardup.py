@@ -204,6 +204,16 @@ def minhash_band_values(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return sig.select(id_col, F.explode(F.array(*band_cols)).alias("bv"))
 
 
+#: production default band cap — measured, not guessed: at the bench's 10x
+#: duplicate storm (~45x duplicate density, BENCH_r07 band_cap_recall)
+#: cap=64 evicted 357 band rows across 21 overflowing buckets (max bucket
+#: 120) and lost ZERO of the 250,600 true >=0.5-Jaccard pairs — eviction
+#: decorrelates across the 12 bands exactly as designed. Pass
+#: ``band_cap=None`` for the unbounded-verify form (the uncapped oracle
+#: twin `minhash_lsh_neardup` does, explicitly).
+DEFAULT_BAND_CAP = 64
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -211,7 +221,7 @@ def minhash_lsh_pairs(
     k: int = 3,
     threshold: float = 0.5,
     persist_index: bool = True,
-    band_cap: int | None = None,
+    band_cap: int | None = DEFAULT_BAND_CAP,
     overflow: "Observation | None" = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs, verified with exact Jaccard.

@@ -227,7 +227,12 @@ def _minhash_oracle() -> str:
     survey_ref="dedup: MinHash+LSH (shingle -> minhash -> band -> bucket-join)",
 )
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return neardup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.5)
+    # band_cap=None EXPLICITLY: this is the uncapped oracle twin (the plain
+    # banded-LSH semantics the DuckDB CTE reproduces); the production
+    # default is DEFAULT_BAND_CAP=64, pinned by minhash_pairs_capped.
+    return neardup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.5, band_cap=None
+    )
 
 
 def _minhash_calibration_oracle() -> str:

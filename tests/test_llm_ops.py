@@ -637,6 +637,22 @@ def test_minhash_band_cap_bounds_verify_and_reports_overflow(spark):
     assert report and all(r.bucket_size == 40 and r.evicted_rows == 32 for r in report)
 
 
+def test_minhash_default_band_cap_is_engaged():
+    """The production default is the storm-guarded path: band_cap=64,
+    chosen from the measured trade (BENCH_r07 band_cap_recall: zero lost
+    pairs at the 10x storm, evictions reported). Uncapped verify requires
+    an explicit band_cap=None opt-out."""
+    import inspect
+
+    from binance_etl_clickhouse_spark.operators.neardup import (
+        DEFAULT_BAND_CAP,
+        minhash_lsh_pairs,
+    )
+
+    default = inspect.signature(minhash_lsh_pairs).parameters["band_cap"].default
+    assert default == DEFAULT_BAND_CAP == 64
+
+
 def test_minhash_band_cap_disengaged_matches_uncapped(spark):
     """A cap larger than every bucket is a no-op: identical pair set."""
     from binance_etl_clickhouse_spark.operators.neardup import minhash_lsh_pairs
@@ -648,7 +664,10 @@ def test_minhash_band_cap_disengaged_matches_uncapped(spark):
         (4, "alpha beta gamma delta epsilon zeta"),
     ]
     df = spark.createDataFrame(docs, ["doc_id", "text"])
-    base = {(r.d1, r.d2) for r in minhash_lsh_pairs(df, persist_index=False).collect()}
+    base = {
+        (r.d1, r.d2)
+        for r in minhash_lsh_pairs(df, persist_index=False, band_cap=None).collect()
+    }
     capped = {
         (r.d1, r.d2)
         for r in minhash_lsh_pairs(df, persist_index=False, band_cap=1000).collect()
@@ -683,7 +702,10 @@ def test_minhash_cap_yields_subset_of_uncapped_pairs(spark):
     from binance_etl_clickhouse_spark.operators.neardup import minhash_lsh_pairs
 
     docs = load_table(spark, SF, "documents").limit(120)
-    un = {(r.d1, r.d2): r.jaccard for r in minhash_lsh_pairs(docs, persist_index=False).collect()}
+    un = {
+        (r.d1, r.d2): r.jaccard
+        for r in minhash_lsh_pairs(docs, persist_index=False, band_cap=None).collect()
+    }
     cap = {(r.d1, r.d2): r.jaccard for r in minhash_lsh_pairs(docs, persist_index=False, band_cap=3).collect()}
     assert set(cap) <= set(un)
     assert all(un[k] == v for k, v in cap.items())
