@@ -287,3 +287,65 @@ def test_substring_dedup_matches_reference_on_random_corpus(spark):
         for r in substring_dedup(df, min_len=4).collect()
     }
     assert got == _substring_dedup_ref(docs, L=4)
+
+
+# ---------------------------------------------------------------------------
+# neardup_clusters two-regime equivalence: the driver-side union-find (the
+# default) and the distributed min-label loop must label ANY pair graph
+# identically — and both must equal a pure-Python transitive closure.
+# Adversarial shapes: chains (deep diameter), cliques-by-transitivity,
+# singleton docs, isolated pairs, merged components.
+# ---------------------------------------------------------------------------
+CLUSTER_CASES = [
+    [],  # no pairs: every doc its own singleton cluster
+    [(0, 1)],  # one isolated pair
+    [(0, 1), (1, 2), (2, 3), (3, 4)],  # chain, diameter 4
+    [(0, 1), (2, 3), (1, 2)],  # two pairs merged by a bridge
+    [(5, 9), (9, 7), (7, 5)],  # triangle stated redundantly
+    [(0, 9), (1, 8), (2, 7), (8, 9)],  # star-ish merge of two components
+]
+
+
+@pytest.mark.parametrize("edges", CLUSTER_CASES)
+def test_neardup_cluster_regimes_match_reference(spark, edges):
+    from binance_etl_clickhouse_spark.operators.neardup import neardup_clusters
+
+    n_docs = 10
+    docs = spark.createDataFrame([(i,) for i in range(n_docs)], "doc_id long")
+    pairs_df = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "d1 long, d2 long"
+    )
+    if not edges:
+        pairs_df = pairs_df.filter("d1 <> d2")  # empty frame, typed
+
+    # pure-Python reference: transitive closure, min id per component
+    ref = {i: i for i in range(n_docs)}
+    changed = True
+    while changed:
+        changed = False
+        for a, b in edges:
+            m = min(ref[a], ref[b])
+            if ref[a] != m or ref[b] != m:
+                ref[a] = ref[b] = m
+                changed = True
+            # propagate through shared labels
+            for k, v in list(ref.items()):
+                mv = ref[v]
+                if mv < v and ref[k] != mv:
+                    ref[k] = mv
+                    changed = True
+    sizes: dict[int, int] = {}
+    for v in ref.values():
+        sizes[v] = sizes.get(v, 0) + 1
+    expected = {(k, v, sizes[v]) for k, v in ref.items()}
+
+    local = {
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in neardup_clusters(docs, pairs_df).collect()
+    }
+    dist = {
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in neardup_clusters(docs, pairs_df, driver_max_edges=0).collect()
+    }
+    assert local == expected
+    assert dist == expected
