@@ -154,11 +154,21 @@ _SCALE_REPLICAS = int(os.environ.get("BENCH_SCALE_REPLICAS", "10"))
 
 
 def _corpus_scale_ops():
+    from pyspark.sql import functions as F
+
     from binance_etl_clickhouse_spark.operators import corpus as corpus_ops
     from binance_etl_clickhouse_spark.operators import neardup
     from binance_etl_clickhouse_spark.operators.text import simhash_wide
+    from binance_etl_clickhouse_spark.queries.dataset import prep_pipeline_v3_frame
 
     return {
+        # the FLAGSHIP under the storm: exact dedup collapses the 5 exact
+        # replicas, capped minhash + clustering canonicalize the near-dup
+        # variants — the composition's scale curve, not just each stage's
+        # (the synth frame carries no lang; a literal stands in)
+        "training_data_prep_pipeline_v3": lambda df: prep_pipeline_v3_frame(
+            df.withColumn("lang", F.lit("xx"))
+        ),
         # caps ENGAGED: the scale curve must reflect the production path —
         # band_cap bounds verify work under the synthesized duplicate storm
         "minhash_lsh_neardup": lambda df: neardup.minhash_lsh_pairs(

@@ -667,12 +667,19 @@ def training_data_prep_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFram
     survivor set; the split keys on the near-dup cluster id so the
     leakage guarantee is structural, not incidental.
     """
+    return prep_pipeline_v3_frame(_t(spark, sf_dir, "documents"))
+
+
+def prep_pipeline_v3_frame(docs: DataFrame) -> DataFrame:
+    """The v3 composition over any (doc_id, lang, text) frame — shared by
+    the registered query and the bench's 10x-storm measurement
+    (bench.py corpus_scale), so the flagship's scale curve is the exact
+    registered semantics."""
     from pyspark.sql import Observation
 
     from binance_etl_clickhouse_spark.operators import corpus as corpus_ops
     from binance_etl_clickhouse_spark.operators import neardup
 
-    docs = _t(spark, sf_dir, "documents")
     canon_ids = neardup.exact_dup_canonical(docs).select(
         F.col("canonical_id").alias("doc_id")
     )
