@@ -38,10 +38,12 @@ from binance_etl_clickhouse_spark.queries import quality  # noqa: F401,E402
 # budget. Round-7 window (per the round-6 verdict, item #1): the 50 STALEST
 # proofs — every query last driver-checked in round 1 (38 queries: the
 # relational/predicate/join/set-op, window, scalar-function, and first-wave
-# dedup/text families), the ten stalest round-2 shapes (TPC-H, window/scalar
-# families, set ops), and the two new round-7 registrations. Nothing in this
-# window was driver-proven later than round 2, so it re-proves the r1/r2-era
-# surface through the round-6 `_fresh_cache` layer change. The four queries
+# dedup/text families), nine stalest round-2 shapes (TPC-H, window/scalar
+# families, set ops), and the three new round-7 registrations (the v3
+# flagship, the fixed-vocab unigram encode, the per-source dup-rate
+# monitor). Nothing in this window was driver-proven later than round 2,
+# so it re-proves the r1/r2-era surface through the round-7 cache-hygiene
+# relocation. The four queries
 # whose builders this round's ADVICE fixes touch (salted_skew_agg,
 # minhash_estimator_calibration, ann_recall_at_k, cc_large_star_small_star)
 # are r6-green and stay outside the window; their parity is pinned by the
@@ -51,6 +53,7 @@ DRIVER_WINDOW = [
     # --- new round-7 registrations ---
     "training_data_prep_pipeline_v3",
     "tokenizer_apply_unigram",
+    "dup_rate_by_source",
     # --- round-1-era: last driver-checked in CORRECTNESS_r01 ---
     "project_literals",
     "filter_eq_project",
@@ -95,7 +98,6 @@ DRIVER_WINDOW = [
     "except_users",
     "window_rank_family",
     "window_distribution_family",
-    "grouping_sets_orders",
     "tpch_q3_shipping_priority",
     "tpch_q6_forecast_revenue",
     "tpch_q9_product_profit",

@@ -1034,6 +1034,45 @@ def substring_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.substring_dedup(docs, min_len=_SUB_L)
 
 
+@register(
+    "dup_rate_by_source",
+    f"""
+    WITH {_substring_dedup_ctes('documents')},
+    src AS (SELECT doc_id, source FROM documents)
+    SELECT src.source,
+           count(*)::BIGINT AS n_docs,
+           sum(sub.n_tokens)::BIGINT AS total_tokens,
+           sum(sub.n_removed)::BIGINT AS removed_tokens,
+           round(sum(sub.n_removed) * 1.0 / sum(sub.n_tokens), 6) AS dup_rate
+    FROM sub JOIN src USING (doc_id)
+    GROUP BY src.source
+    """,
+    survey_ref=(
+        "corpus monitoring: per-source substring-duplication rate (the "
+        "curation metric that decides which ingest source needs dedup "
+        "attention; composes the proven interval-merge substring pass)"
+    ),
+)
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source fraction of tokens sitting inside corpus-duplicated
+    >=12-token runs — the monitoring rollup a crawl-curation pipeline
+    tracks per ingest source (a source whose dup_rate spikes is re-posting
+    or mirroring content and needs upstream attention). One substring-dedup
+    pass + a (doc -> source) join + a |sources|-row aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    sub = corpus.substring_dedup(docs, min_len=_SUB_L)
+    return (
+        sub.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_removed").cast("long").alias("removed_tokens"),
+            F.round(F.sum("n_removed") / F.sum("n_tokens"), 6).alias("dup_rate"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # CCNet-style perplexity bucketing: per-language head/middle/tail split of
 # the unigram-LM quality score at the exact tercile thresholds. The bucket

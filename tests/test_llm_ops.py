@@ -637,6 +637,28 @@ def test_minhash_band_cap_bounds_verify_and_reports_overflow(spark):
     assert report and all(r.bucket_size == 40 and r.evicted_rows == 32 for r in report)
 
 
+def test_cluster_regimes_agree_on_real_corpus_pairs(spark):
+    """Regime boundary on REAL near-dup pairs (not a toy chain): forcing
+    the distributed loop with a tiny driver_max_edges must produce exactly
+    the local union-find's labeling on the sf0.001 corpus pair graph."""
+    from binance_etl_clickhouse_spark.operators.neardup import (
+        neardup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    local = {
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in neardup_clusters(docs, pairs).collect()
+    }
+    dist = {
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in neardup_clusters(docs, pairs, driver_max_edges=1).collect()
+    }
+    assert local == dist
+
+
 def test_minhash_default_band_cap_is_engaged():
     """The production default is the storm-guarded path: band_cap=64,
     chosen from the measured trade (BENCH_r07 band_cap_recall: zero lost
