@@ -224,7 +224,10 @@ def _bench_corpus_scale(spark) -> dict:
     capped_n = neardup.minhash_lsh_pairs(
         big, threshold=0.5, band_cap=64, overflow=obs
     ).count()
-    uncapped_n = neardup.minhash_lsh_pairs(big, threshold=0.5).count()
+    # band_cap=None EXPLICITLY: the baseline must stay uncapped now that the
+    # operator's default is 64, or this becomes a cap-vs-cap comparison that
+    # can never detect recall loss
+    uncapped_n = neardup.minhash_lsh_pairs(big, threshold=0.5, band_cap=None).count()
     band_cap_recall = {
         "band_cap": 64,
         "uncapped_pairs": int(uncapped_n),

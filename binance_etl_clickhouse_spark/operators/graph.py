@@ -406,6 +406,7 @@ def connected_components_lsss(
         rel,
     )
     converged = False
+    cur_n = cur.count()  # carried across rounds: each round counts only nxt
     try:
         for rnd in range(max_rounds):
             # ---- large-star over the SYMMETRIZED neighborhood: each u
@@ -438,12 +439,14 @@ def connected_components_lsss(
             )
             nxt = _truncate_lineage(small, rel)
             # convergence check, cheapest-first and EXACT: unequal counts
-            # (one agg over the just-checkpointed frame) prove non-
+            # (one agg over the just-checkpointed frame; the previous
+            # round's count is carried, not recomputed) prove non-
             # convergence without the two anti-joins; equal counts fall
             # through to the symmetric-difference probe (count equality
             # alone cannot prove edge-set equality).
-            if nxt.count() != cur.count():
-                cur = nxt
+            nxt_n = nxt.count()
+            if nxt_n != cur_n:
+                cur, cur_n = nxt, nxt_n
                 continue
             diff = (
                 nxt.join(cur, ["u", "v"], "left_anti")
@@ -451,7 +454,7 @@ def connected_components_lsss(
                 .limit(1)
                 .count()
             )
-            cur = nxt
+            cur, cur_n = nxt, nxt_n
             if diff == 0:
                 converged = True
                 if round_counter is not None:

@@ -520,8 +520,9 @@ def training_data_prep_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFram
 # exact dedup collapses byte-identical storms UPSTREAM of minhash (their
 # band-bucket evictions are perfectly correlated, so the cap alone cannot
 # protect them) -> CAPPED minhash-LSH near-dup pairs (band_cap bounds
-# verify work at buckets x cap^2; evictions REPORTED via the wired
-# Observation, never silent) -> near-dup clustering, keep each cluster's
+# verify work at buckets x cap^2; evictions observable through the
+# Observation pass-through and minhash_band_overflow, pytest-pinned on a
+# storm fixture) -> near-dup clustering, keep each cluster's
 # canonical (minimum id) -> substring dedup -> Gopher rule quality gate ->
 # leakage-safe split keyed on the near-dup CLUSTER id (for survivors the
 # cluster id is their own id, but the key documents the invariant: had any
@@ -651,7 +652,7 @@ def _prep_v3_oracle() -> str:
     _prep_v3_oracle(),
     survey_ref=(
         "training-data: exact dedup -> capped minhash near-dup clustering "
-        "(storm-guarded, eviction Observation wired) -> substring dedup -> "
+        "(storm-guarded, eviction Observation pass-through) -> substring dedup -> "
         "Gopher quality gate -> leakage-safe split, one composed pipeline"
     ),
 )
@@ -662,7 +663,8 @@ def training_data_prep_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFram
     that collapses byte-identical storms before they reach minhash (where
     their evictions would correlate across all bands); the capped minhash
     then bounds verify work against the near-identical tail, with
-    evictions observable via the wired ``Observation``; substring dedup
+    evictions observable via :func:`prep_pipeline_v3_frame`'s ``overflow``
+    Observation pass-through; substring dedup
     and the Gopher gate are per-doc passes over the already-shrunk
     survivor set; the split keys on the near-dup cluster id so the
     leakage guarantee is structural, not incidental.
@@ -670,37 +672,51 @@ def training_data_prep_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFram
     return prep_pipeline_v3_frame(_t(spark, sf_dir, "documents"))
 
 
-def prep_pipeline_v3_frame(docs: DataFrame) -> DataFrame:
+def prep_pipeline_v3_frame(docs: DataFrame, overflow=None) -> DataFrame:
     """The v3 composition over any (doc_id, lang, text) frame — shared by
     the registered query and the bench's 10x-storm measurement
     (bench.py corpus_scale), so the flagship's scale curve is the exact
-    registered semantics."""
-    from pyspark.sql import Observation
+    registered semantics.
 
+    Pass a ``pyspark.sql.Observation`` as ``overflow`` to read the capped
+    minhash's eviction counts (overflow_rows / overflow_buckets /
+    max_bucket) after the result is materialized; the per-bucket report is
+    :func:`operators.neardup.minhash_band_overflow`. Intermediate frames
+    are lineage-truncated (localCheckpoint, or reliable checkpoint when a
+    checkpoint dir is set), NOT persist()ed: checkpoint blocks are
+    released when the frames are garbage-collected, so a long-lived
+    session calling this repeatedly does not accrete CacheManager entries.
+    """
     from binance_etl_clickhouse_spark.operators import corpus as corpus_ops
     from binance_etl_clickhouse_spark.operators import neardup
+    from binance_etl_clickhouse_spark.operators.graph import (
+        _resolve_reliable,
+        _truncate_lineage,
+    )
 
+    rel = _resolve_reliable(docs, None)
     canon_ids = neardup.exact_dup_canonical(docs).select(
         F.col("canonical_id").alias("doc_id")
     )
     # exact-canonical survivors feed three stages (minhash, substring,
-    # gopher) — pin them once
-    exact = (
-        docs.join(canon_ids, "doc_id", "semi")
-        .select("doc_id", "lang", "text")
-        .persist()
+    # gopher) — materialize them once
+    exact = _truncate_lineage(
+        docs.join(canon_ids, "doc_id", "semi").select("doc_id", "lang", "text"),
+        rel,
     )
-    overflow = Observation()
     pairs = neardup.minhash_lsh_pairs(
         exact, k=3, threshold=0.5, band_cap=_V3_BAND_CAP, overflow=overflow
     )
     clusters = neardup.neardup_clusters(exact, pairs)
-    ndv = exact.join(
-        clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
-            "doc_id", "cluster_id"
+    ndv = _truncate_lineage(
+        exact.join(
+            clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
+                "doc_id", "cluster_id"
+            ),
+            "doc_id",
         ),
-        "doc_id",
-    ).persist()
+        rel,
+    )
     sub = corpus_ops.substring_dedup(ndv, min_len=12)
     surv = sub.filter(F.col("n_removed") * 2 <= F.col("n_tokens"))
     gq = corpus_ops.gopher_quality_filters(ndv).filter("keep").select("doc_id")

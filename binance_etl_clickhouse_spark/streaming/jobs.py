@@ -539,9 +539,19 @@ def stream_dedup_corpus(
         # no unpersist hook, and a persisted pair per epoch would leak
         # cache entries for the stream's lifetime — the localCheckpoint
         # above already bounds recompute to the signature projection.
+        # band_cap=None EXPLICITLY: this job has no exact-dedup stage
+        # upstream, so a micro-batch holding >cap byte-identical copies
+        # would evict the tail from EVERY band (correlated eviction) and
+        # admit the duplicates. A micro-batch is bounded by the trigger, so
+        # the uncapped verify is itself bounded — unlike the whole-corpus
+        # batch path, where the cap plus exact_dup_canonical is the guard.
         losers = (
             minhash_lsh_pairs(
-                clean, k=k, threshold=jaccard_threshold, persist_index=False
+                clean,
+                k=k,
+                threshold=jaccard_threshold,
+                persist_index=False,
+                band_cap=None,
             )
             .select(F.col("d2").alias("doc_id"))
             .distinct()

@@ -68,9 +68,16 @@ def main() -> None:
             print(f"  {tag} {name}: {out[name]} s", flush=True)
 
         run("exact_dedup", lambda: _noop(neardup.exact_dup_canonical(df)))
+        # band_cap stated EXPLICITLY so the measured semantics are pinned in
+        # the label: since r7 the operator defaults to the capped production
+        # path, and SCALE.md's series tracks capped vs uncapped separately
         run(
-            "minhash_lsh_pairs",
-            lambda: _noop(neardup.minhash_lsh_pairs(df, threshold=0.5)),
+            "minhash_lsh_pairs_cap64",
+            lambda: _noop(neardup.minhash_lsh_pairs(df, threshold=0.5, band_cap=64)),
+        )
+        run(
+            "minhash_lsh_pairs_uncapped",
+            lambda: _noop(neardup.minhash_lsh_pairs(df, threshold=0.5, band_cap=None)),
         )
         run(
             "simhash_banded_pairs",

@@ -637,6 +637,38 @@ def test_minhash_band_cap_bounds_verify_and_reports_overflow(spark):
     assert report and all(r.bucket_size == 40 and r.evicted_rows == 32 for r in report)
 
 
+def test_prep_v3_overflow_observation_reports_evictions(spark):
+    """The flagship's eviction reporting is REAL, not decorative: a
+    near-identical storm past the v3 band cap (4) fills the passed-through
+    Observation with nonzero eviction counts once the pipeline runs."""
+    from pyspark.sql import Observation
+
+    from binance_etl_clickhouse_spark.queries.dataset import prep_pipeline_v3_frame
+
+    base = "the quick brown fox jumps over the lazy dog and keeps running far"
+    # NEAR-identical (one distinct token each): survives exact dedup, so the
+    # storm reaches the capped bands
+    docs = spark.createDataFrame(
+        [(i, "en", f"{base} variant{i}") for i in range(20)],
+        ["doc_id", "lang", "text"],
+    )
+    obs = Observation()
+    out = prep_pipeline_v3_frame(docs, overflow=obs)
+    out.collect()
+    m = obs.get
+    assert m["overflow_rows"] > 0
+    assert m["overflow_buckets"] > 0
+    # the distinct suffix token perturbs an occasional band signature, so
+    # the hottest bucket holds most-but-not-necessarily-all 20 variants
+    assert m["max_bucket"] > _v3_cap()
+
+
+def _v3_cap() -> int:
+    from binance_etl_clickhouse_spark.queries.dataset import _V3_BAND_CAP
+
+    return _V3_BAND_CAP
+
+
 def test_cluster_regimes_agree_on_real_corpus_pairs(spark):
     """Regime boundary on REAL near-dup pairs (not a toy chain): forcing
     the distributed loop with a tiny driver_max_edges must produce exactly
