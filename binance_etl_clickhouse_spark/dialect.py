@@ -51,6 +51,16 @@ arrayFilter(f, a)   filter(a, f)         engines use x -> expr lambda
 arrayExists(f, a)   exists(a, f)         syntax]
 arrayAll(f, a)      forall(a, f)
 arraySort(a)        array_sort(a)       [1-arg form only]
+arrayMin/arrayMax/  array_min / array_max / array_distinct / reverse /
+arrayDistinct/      concat / slice / flatten       [pure renames, same
+arrayReverse/        argument order]
+arrayConcat/
+arraySlice/
+arrayFlatten
+arraySum(a)         aggregate(a, 0.0d, (acc, x) -> acc + x)  [empty -> 0]
+position(h, n[,s])  locate(n, h[, s])   [first two arguments SWAP]
+positionCaseInsensitive(h, n)   locate(lower(n), lower(h))
+startsWith/endsWith startswith / endswith
 retention(c1..cn)   array(max(c1-flag), least(max(c1-flag), max(ci-flag))..)
                     [windowFunnel and sequenceMatch are NOT translatable as
                      string rewrites — both are ordered state machines over
@@ -110,6 +120,16 @@ _NAME_MAP = {
     "has": "array_contains",
     "indexOf": "array_position",
     "arrayStringConcat": "array_join",
+    # round-7 widening: pure renames with identical argument order
+    "arrayMin": "array_min",
+    "arrayMax": "array_max",
+    "arrayDistinct": "array_distinct",
+    "arrayReverse": "reverse",
+    "arrayConcat": "concat",
+    "arraySlice": "slice",
+    "arrayFlatten": "flatten",
+    "startsWith": "startswith",
+    "endsWith": "endswith",
 }
 
 #: higher-order array functions: ClickHouse puts the lambda FIRST
@@ -178,6 +198,19 @@ def _sample_sub(m: re.Match) -> str:
         # never to 1 ROW
         return f"{m.group(1)} TABLESAMPLE ({val * 100.0:g} PERCENT)"
     return f"{m.group(1)} TABLESAMPLE ({int(val)} ROWS)"
+
+#: dateDiff('unit', a, b) -> boundary-crossing difference expressions.
+#: Epoch-second DIV is exact floor for the post-1970 data this engine
+#: carries; calendar units difference the calendar field positions.
+_DATEDIFF_UNITS = {
+    "second": "(unix_timestamp({b}) - unix_timestamp({a}))",
+    "minute": "(unix_timestamp({b}) DIV 60 - unix_timestamp({a}) DIV 60)",
+    "hour": "(unix_timestamp({b}) DIV 3600 - unix_timestamp({a}) DIV 3600)",
+    "day": "datediff(CAST({b} AS DATE), CAST({a} AS DATE))",
+    "month": "((year({b}) * 12 + month({b})) - (year({a}) * 12 + month({a})))",
+    "quarter": "((year({b}) * 4 + quarter({b})) - (year({a}) * 4 + quarter({a})))",
+    "year": "(year({b}) - year({a}))",
+}
 
 _IF_COMBINATORS = {"sumIf": "sum", "avgIf": "avg", "minIf": "min", "maxIf": "max"}
 
@@ -476,6 +509,34 @@ def translate_clickhouse_sql(sql: str) -> str:
                     out.append(f"percentile({args[0]}, 0.5, {args[1]})")
                 elif name in _HOF_SWAP and len(args) == 2:
                     out.append(f"{_HOF_SWAP[name]}({args[1]}, {args[0]})")
+                elif name == "position" and len(args) in (2, 3):
+                    # ClickHouse position(haystack, needle[, start]);
+                    # Spark locate(needle, haystack[, start]) — first two
+                    # arguments SWAP
+                    rest = f", {args[2]}" if len(args) == 3 else ""
+                    out.append(f"locate({args[1]}, {args[0]}{rest})")
+                elif name == "positionCaseInsensitive" and len(args) == 2:
+                    out.append(f"locate(lower({args[1]}), lower({args[0]}))")
+                elif (
+                    name == "dateDiff"
+                    and len(args) == 3
+                    and args[0].strip().lower().strip("'\"") in _DATEDIFF_UNITS
+                ):
+                    # ClickHouse dateDiff counts CROSSED UNIT BOUNDARIES
+                    # (dateDiff('day', 23:59, next 00:01) = 1), unlike
+                    # Spark's duration-based timestampdiff. Literal units
+                    # only; a non-literal/unknown unit passes through and
+                    # fails loudly on the builtin datediff's 2-arg arity.
+                    unit = args[0].strip().lower().strip("'\"")
+                    a, b = args[1], args[2]
+                    out.append(_DATEDIFF_UNITS[unit].format(a=a, b=b))
+                elif name == "arraySum" and len(args) == 1:
+                    # empty array -> 0, matching ClickHouse; result widens
+                    # to DOUBLE (ClickHouse widens to the element supertype)
+                    out.append(
+                        f"aggregate({args[0]}, CAST(0 AS DOUBLE), "
+                        f"(acc, x) -> acc + x)"
+                    )
                 elif name == "range" and len(args) in (1, 2):
                     # Spark's sequence(lo, hi) runs DESCENDING when hi < lo,
                     # so an unguarded rewrite of range(0) would yield [0,-1]

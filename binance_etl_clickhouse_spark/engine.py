@@ -63,6 +63,77 @@ CLICKHOUSE_COMPAT_FUNCTIONS: dict[str, str] = {
         "(sep STRING, s STRING) RETURNS ARRAY<STRING> RETURN "
         "split(s, concat('\\\\Q', sep, '\\\\E'))"
     ),
+    # ---- round-7 widening: the migration-frequency scalars (time buckets,
+    # date parts, dateDiff, the reference's ms-epoch converters, JSON
+    # extraction). All SQL UDFs — they inline to JVM expressions at plan
+    # time, no Python in the hot path.
+    "toStartOfMinute": "(ts TIMESTAMP) RETURNS TIMESTAMP RETURN date_trunc('minute', ts)",
+    # fixed-width buckets via epoch-second floor-div (exact for the
+    # post-1970 timestamps this engine carries; DIV truncation == floor
+    # for non-negative epochs)
+    "toStartOfFiveMinutes": (
+        "(ts TIMESTAMP) RETURNS TIMESTAMP RETURN "
+        "timestamp_seconds(unix_timestamp(ts) DIV 300 * 300)"
+    ),
+    "toStartOfFifteenMinutes": (
+        "(ts TIMESTAMP) RETURNS TIMESTAMP RETURN "
+        "timestamp_seconds(unix_timestamp(ts) DIV 900 * 900)"
+    ),
+    "toStartOfQuarter": "(ts TIMESTAMP) RETURNS TIMESTAMP RETURN date_trunc('quarter', ts)",
+    "toStartOfYear": "(ts TIMESTAMP) RETURNS TIMESTAMP RETURN date_trunc('year', ts)",
+    # ClickHouse toStartOfWeek default (mode 0) is SUNDAY-anchored and
+    # returns a Date — distinct from toStartOfISOWeek's Monday anchor
+    "toStartOfWeek": (
+        "(ts TIMESTAMP) RETURNS DATE RETURN "
+        "date_sub(CAST(ts AS DATE), dayofweek(ts) - 1)"
+    ),
+    "toHour": "(ts TIMESTAMP) RETURNS INT RETURN hour(ts)",
+    "toMinute": "(ts TIMESTAMP) RETURNS INT RETURN minute(ts)",
+    "toSecond": "(ts TIMESTAMP) RETURNS INT RETURN second(ts)",
+    "toDayOfMonth": "(ts TIMESTAMP) RETURNS INT RETURN day(ts)",
+    "toMonth": "(ts TIMESTAMP) RETURNS INT RETURN month(ts)",
+    "toYear": "(ts TIMESTAMP) RETURNS INT RETURN year(ts)",
+    "toQuarter": "(ts TIMESTAMP) RETURNS INT RETURN quarter(ts)",
+    # ClickHouse toDayOfWeek: Monday = 1 .. Sunday = 7 (Spark weekday is
+    # Monday = 0)
+    "toDayOfWeek": "(ts TIMESTAMP) RETURNS INT RETURN weekday(ts) + 1",
+    # the reference stores Binance timestamps as ms epochs — these two are
+    # the converters its SQL uses at every boundary
+    "fromUnixTimestamp64Milli": "(ms BIGINT) RETURNS TIMESTAMP RETURN timestamp_millis(ms)",
+    "toUnixTimestamp64Milli": "(ts TIMESTAMP) RETURNS BIGINT RETURN unix_millis(ts)",
+    "lowerUTF8": "(s STRING) RETURNS STRING RETURN lower(s)",
+    "upperUTF8": "(s STRING) RETURNS STRING RETURN upper(s)",
+    "substringUTF8": "(s STRING, p INT, n INT) RETURNS STRING RETURN substring(s, p, n)",
+    "addDays": "(ts TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN timestampadd(DAY, n, ts)",
+    "addHours": "(ts TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN timestampadd(HOUR, n, ts)",
+    "addMinutes": "(ts TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN timestampadd(MINUTE, n, ts)",
+    "addSeconds": "(ts TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN timestampadd(SECOND, n, ts)",
+    "addMonths": "(ts TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN timestampadd(MONTH, n, ts)",
+    "addYears": "(ts TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN timestampadd(YEAR, n, ts)",
+    "subtractDays": "(ts TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN timestampadd(DAY, -n, ts)",
+    "subtractHours": "(ts TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN timestampadd(HOUR, -n, ts)",
+    # NOTE: dateDiff cannot be a SQL-UDF shim — the name collides with
+    # Spark's builtin datediff (function names are case-insensitive and
+    # builtins cannot be replaced); the dialect rewriter translates it
+    # instead (dialect.py, literal-unit forms only).
+    # single-key JSON extraction (the common reference idiom); full
+    # JSONPath callers should use get_json_object directly
+    "JSONExtractString": (
+        "(j STRING, k STRING) RETURNS STRING RETURN "
+        "get_json_object(j, concat('$.', k))"
+    ),
+    "JSONExtractInt": (
+        "(j STRING, k STRING) RETURNS BIGINT RETURN "
+        "CAST(get_json_object(j, concat('$.', k)) AS BIGINT)"
+    ),
+    "JSONExtractFloat": (
+        "(j STRING, k STRING) RETURNS DOUBLE RETURN "
+        "CAST(get_json_object(j, concat('$.', k)) AS DOUBLE)"
+    ),
+    "JSONHas": (
+        "(j STRING, k STRING) RETURNS BOOLEAN RETURN "
+        "get_json_object(j, concat('$.', k)) IS NOT NULL"
+    ),
 }
 
 

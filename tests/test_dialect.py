@@ -478,3 +478,112 @@ def test_weighted_quantile_end_to_end(engine):
         FROM lineitem GROUP BY l_returnflag
         """,
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 widening: migration-frequency scalars (time buckets, date parts,
+# dateDiff boundary semantics, ms-epoch converters, JSON extraction) and
+# the array/string renames + argument swaps.
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize(
+    "ch,expected",
+    [
+        ("arrayMin(a)", "array_min(a)"),
+        ("arrayMax(a)", "array_max(a)"),
+        ("arrayDistinct(a)", "array_distinct(a)"),
+        ("arrayReverse(a)", "reverse(a)"),
+        ("arrayConcat(a, b)", "concat(a, b)"),
+        ("arraySlice(a, 2, 3)", "slice(a, 2, 3)"),
+        ("arrayFlatten(a)", "flatten(a)"),
+        ("startsWith(s, 'ab')", "startswith(s, 'ab')"),
+        ("endsWith(s, 'yz')", "endswith(s, 'yz')"),
+        ("position(s, 'x')", "locate('x', s)"),
+        ("position(s, 'x', 3)", "locate('x', s, 3)"),
+        ("positionCaseInsensitive(s, 'X')", "locate(lower('X'), lower(s))"),
+        ("arraySum(a)", "aggregate(a, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"),
+        # nesting still composes through the new rewrites
+        (
+            "arraySum(arrayDistinct(a))",
+            "aggregate(array_distinct(a), CAST(0 AS DOUBLE), (acc, x) -> acc + x)",
+        ),
+    ],
+)
+def test_round7_rewrites(ch, expected):
+    assert translate_clickhouse_sql(f"SELECT {ch} FROM t") == f"SELECT {expected} FROM t"
+
+
+def test_round7_scalars_end_to_end(engine):
+    row = engine.sql(
+        """
+        SELECT toStartOfFiveMinutes(fromUnixTimestamp64Milli(1700000000000)) AS b5,
+               toStartOfWeek(fromUnixTimestamp64Milli(1700000000000)) AS wk,
+               toDayOfWeek(fromUnixTimestamp64Milli(1700000000000)) AS dow,
+               toHour(fromUnixTimestamp64Milli(1700000000000)) AS h,
+               toQuarter(fromUnixTimestamp64Milli(1700000000000)) AS q,
+               toUnixTimestamp64Milli(fromUnixTimestamp64Milli(1700000000000)) AS ms,
+               addDays(fromUnixTimestamp64Milli(1700000000000), 3) AS plus3,
+               subtractHours(fromUnixTimestamp64Milli(1700000000000), 2) AS minus2h,
+               JSONExtractString('{"a": "x", "n": 7}', 'a') AS js,
+               JSONExtractInt('{"a": "x", "n": 7}', 'n') AS jn,
+               JSONHas('{"a": "x"}', 'missing') AS jh
+        """
+    ).first()
+    # 1700000000000 ms = 2023-11-14 22:13:20 UTC (a Tuesday)
+    assert str(row.b5) == "2023-11-14 22:10:00"
+    assert str(row.wk) == "2023-11-12"  # Sunday anchor (ClickHouse mode 0)
+    assert row.dow == 2  # ClickHouse: Monday=1, so Tuesday=2
+    assert row.h == 22 and row.q == 4
+    assert row.ms == 1700000000000
+    assert str(row.plus3) == "2023-11-17 22:13:20"
+    assert str(row.minus2h) == "2023-11-14 20:13:20"
+    assert row.js == "x" and row.jn == 7 and row.jh is False
+
+
+def test_datediff_counts_crossed_boundaries(engine):
+    """ClickHouse dateDiff counts crossed unit BOUNDARIES, not elapsed
+    duration: two minutes straddling midnight differ by one 'day'.
+    (Dialect rewrite, not a UDF shim — the name collides with Spark's
+    builtin 2-arg datediff, which cannot be replaced.)"""
+    row = engine.sql(
+        """
+        SELECT dateDiff('day',    TIMESTAMP'2024-01-31 23:59:00', TIMESTAMP'2024-02-01 00:01:00') AS d,
+               dateDiff('month',  TIMESTAMP'2024-01-31 23:59:00', TIMESTAMP'2024-02-01 00:01:00') AS m,
+               dateDiff('minute', TIMESTAMP'2024-01-31 23:59:00', TIMESTAMP'2024-02-01 00:01:00') AS mi,
+               dateDiff('hour',   TIMESTAMP'2024-01-31 23:59:00', TIMESTAMP'2024-02-01 00:01:00') AS h,
+               dateDiff('second', TIMESTAMP'2024-01-31 23:59:00', TIMESTAMP'2024-02-01 00:01:00') AS s,
+               dateDiff('year',   TIMESTAMP'2023-12-31 23:59:59', TIMESTAMP'2024-01-01 00:00:00') AS y,
+               dateDiff('quarter', TIMESTAMP'2024-03-31 23:00:00', TIMESTAMP'2024-04-01 01:00:00') AS qq,
+               dateDiff('day',    TIMESTAMP'2024-02-01 00:01:00', TIMESTAMP'2024-01-31 23:59:00') AS neg
+        """
+        , dialect="clickhouse"
+    ).first()
+    assert (row.d, row.m, row.mi, row.h, row.s) == (1, 1, 2, 1, 120)
+    assert row.y == 1 and row.qq == 1 and row.neg == -1
+
+
+def test_datediff_unknown_unit_fails_loudly(engine):
+    # unknown/non-literal units pass through untranslated and hit the
+    # builtin 2-arg datediff's arity check — loud, never silently NULL
+    with pytest.raises(Exception, match="datediff|DATEDIFF|parameter|argument"):
+        engine.sql(
+            "SELECT dateDiff('fortnight', now(), now())", dialect="clickhouse"
+        ).collect()
+
+
+def test_round7_array_rewrites_end_to_end(engine):
+    _match(
+        engine,
+        """
+        SELECT arraySum(arrayMap(x -> toFloat64(x), groupArray(l_quantity))) AS s,
+               arrayMax(groupArray(l_quantity)) AS mx,
+               position(max(l_returnflag), 'R') AS p
+        FROM lineitem WHERE l_orderkey < 100
+        """,
+        """
+        SELECT aggregate(transform(collect_list(l_quantity), x -> CAST(x AS DOUBLE)),
+                         CAST(0 AS DOUBLE), (acc, x) -> acc + x) AS s,
+               array_max(collect_list(l_quantity)) AS mx,
+               locate('R', max(l_returnflag)) AS p
+        FROM lineitem WHERE l_orderkey < 100
+        """,
+    )
