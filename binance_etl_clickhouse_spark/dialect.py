@@ -52,15 +52,22 @@ arrayExists(f, a)   exists(a, f)         syntax]
 arrayAll(f, a)      forall(a, f)
 arraySort(a)        array_sort(a)       [1-arg form only]
 arrayMin/arrayMax/  array_min / array_max / array_distinct / reverse /
-arrayDistinct/      concat / slice / flatten       [pure renames, same
-arrayReverse/        argument order]
-arrayConcat/
-arraySlice/
+arrayDistinct/      concat / flatten    [pure renames, same argument
+arrayReverse/        order. startsWith/endsWith need no rewrite at all:
+arrayConcat/         Spark resolves function names case-insensitively]
 arrayFlatten
-arraySum(a)         aggregate(a, 0.0d, (acc, x) -> acc + x)  [empty -> 0]
-position(h, n[,s])  locate(n, h[, s])   [first two arguments SWAP]
+arraySlice(a,o[,n]) slice(a, o, n)      [2-arg open-ended form maps to
+                                         slice(a, o, size(a))]
+arraySum(a)         aggregate(a, 0.0d, (acc, x) -> acc + x)  [empty -> 0;
+                     accumulates in DOUBLE for every element type, so
+                     integer sums past 2^53 lose exactness where
+                     ClickHouse keeps Int64/Int128]
+position(h, n[,s])  locate(n, h[, s])   [first two arguments SWAP.
+                     CHARACTER offsets — i.e. positionUTF8 semantics;
+                     ClickHouse's plain position counts BYTES, which
+                     differs on multibyte strings]
 positionCaseInsensitive(h, n)   locate(lower(n), lower(h))
-startsWith/endsWith startswith / endswith
+                    [full-Unicode case fold vs ClickHouse's ASCII-only]
 retention(c1..cn)   array(max(c1-flag), least(max(c1-flag), max(ci-flag))..)
                     [windowFunnel and sequenceMatch are NOT translatable as
                      string rewrites — both are ordered state machines over
@@ -120,16 +127,16 @@ _NAME_MAP = {
     "has": "array_contains",
     "indexOf": "array_position",
     "arrayStringConcat": "array_join",
-    # round-7 widening: pure renames with identical argument order
+    # round-7 widening: pure renames with identical argument order.
+    # (startsWith/endsWith need NO entry: Spark resolves SQL function
+    # names case-insensitively, so they already bind to the builtins.
+    # arraySlice is special-cased below for its 2-arg open-ended form.)
     "arrayMin": "array_min",
     "arrayMax": "array_max",
     "arrayDistinct": "array_distinct",
     "arrayReverse": "reverse",
     "arrayConcat": "concat",
-    "arraySlice": "slice",
     "arrayFlatten": "flatten",
-    "startsWith": "startswith",
-    "endsWith": "endswith",
 }
 
 #: higher-order array functions: ClickHouse puts the lambda FIRST
@@ -219,13 +226,22 @@ _QUANTILES = {"quantile": "percentile_approx", "quantileExact": "percentile"}
 _IDENT = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_")
 
 
+#: opaque quoted-token delimiters: ' (string literal), " and ` (quoted
+#: identifiers in ClickHouse / Spark). All three must be skipped as units —
+#: a comma or paren inside ANY of them would otherwise miscount call
+#: arguments and the rejoin would silently mutate the token's content.
+_QUOTES = "'\"`"
+
+
 def _skip_string(s: str, i: int) -> int:
-    """``s[i]`` is the opening ``'``; return the index just PAST the
-    closing quote. Handles BOTH ClickHouse escape styles — backslash
-    (``'O\\'Brien'``) and doubled quote (``'O''Brien'``) — so a quote after
-    a backslash never terminates the literal (the bug class where an
-    escaped quote flipped string parity and garbled the rest of the
-    statement). Unterminated literals return len(s)."""
+    """``s[i]`` is an opening quote (one of ``_QUOTES``); return the index
+    just PAST the matching close. Handles BOTH ClickHouse escape styles —
+    backslash (``'O\\'Brien'``) and doubled quote (``'O''Brien'``, and the
+    same doubling for quoted identifiers) — so a quote after a backslash
+    never terminates the token (the bug class where an escaped quote
+    flipped parity and garbled the rest of the statement). Unterminated
+    tokens return len(s)."""
+    q = s[i]
     j = i + 1
     n = len(s)
     while j < n:
@@ -233,8 +249,8 @@ def _skip_string(s: str, i: int) -> int:
         if ch == "\\":
             j += 2
             continue
-        if ch == "'":
-            if j + 1 < n and s[j + 1] == "'":  # doubled-quote escape
+        if ch == q:
+            if j + 1 < n and s[j + 1] == q:  # doubled-quote escape
                 j += 2
                 continue
             return j + 1
@@ -249,7 +265,7 @@ def _strip_comments(s: str) -> str:
     out, i, n = [], 0, len(s)
     while i < n:
         ch = s[i]
-        if ch == "'":
+        if ch in _QUOTES:
             j = _skip_string(s, i)
             out.append(s[i:j])
             i = j
@@ -277,7 +293,7 @@ def _split_args(s: str) -> list[str]:
     out, depth, cur, i = [], 0, [], 0
     while i < len(s):
         ch = s[i]
-        if ch == "'":
+        if ch in _QUOTES:
             j = _skip_string(s, i)
             cur.append(s[i:j])
             i = j
@@ -303,7 +319,7 @@ def _find_close(s: str, open_idx: int) -> int:
     depth, i = 0, open_idx
     while i < len(s):
         ch = s[i]
-        if ch == "'":
+        if ch in _QUOTES:
             i = _skip_string(s, i)
             continue
         if ch == "(":
@@ -322,7 +338,7 @@ def _top_level_keyword_spans(sql: str) -> list[tuple[int, int, str]]:
     out, depth, i, n = [], 0, 0, len(sql)
     while i < n:
         ch = sql[i]
-        if ch == "'":
+        if ch in _QUOTES:
             i = _skip_string(sql, i)
             continue
         if ch in "([":
@@ -420,7 +436,7 @@ def translate_clickhouse_sql(sql: str) -> str:
     n = len(sql)
     while i < n:
         ch = sql[i]
-        if ch == "'":  # string literal: copy verbatim (escape-aware)
+        if ch in _QUOTES:  # quoted token: copy verbatim (escape-aware)
             j = _skip_string(sql, i)
             out.append(sql[i:j])
             i = j
@@ -532,11 +548,24 @@ def translate_clickhouse_sql(sql: str) -> str:
                     out.append(_DATEDIFF_UNITS[unit].format(a=a, b=b))
                 elif name == "arraySum" and len(args) == 1:
                     # empty array -> 0, matching ClickHouse; result widens
-                    # to DOUBLE (ClickHouse widens to the element supertype)
+                    # to DOUBLE for every element type (ClickHouse keeps
+                    # exact Int64/Int128 for integer arrays — a string
+                    # rewrite cannot know the element type, so integer sums
+                    # past 2^53 lose exactness here; documented in the
+                    # module table)
                     out.append(
                         f"aggregate({args[0]}, CAST(0 AS DOUBLE), "
                         f"(acc, x) -> acc + x)"
                     )
+                elif name == "arraySlice" and len(args) in (2, 3):
+                    # ClickHouse's 2-arg form is open-ended (slice to the
+                    # array's end); Spark's slice requires a length
+                    if len(args) == 3:
+                        out.append(f"slice({args[0]}, {args[1]}, {args[2]})")
+                    else:
+                        out.append(
+                            f"slice({args[0]}, {args[1]}, size({args[0]}))"
+                        )
                 elif name == "range" and len(args) in (1, 2):
                     # Spark's sequence(lo, hi) runs DESCENDING when hi < lo,
                     # so an unguarded rewrite of range(0) would yield [0,-1]

@@ -117,22 +117,32 @@ CLICKHOUSE_COMPAT_FUNCTIONS: dict[str, str] = {
     # builtins cannot be replaced); the dialect rewriter translates it
     # instead (dialect.py, literal-unit forms only).
     # single-key JSON extraction (the common reference idiom); full
-    # JSONPath callers should use get_json_object directly
+    # JSONPath callers should use get_json_object directly. ClickHouse's
+    # JSONExtract* NEVER throw and default to ''/0/0.0 on missing or
+    # non-conforming values — so the casts are try_cast (a plain CAST
+    # aborts the whole query under Spark's ANSI mode on e.g. a float in an
+    # int-read field) and the defaults are coalesced in. JSONExtractInt
+    # truncates through DOUBLE exactly as ClickHouse does ('7.5' -> 7).
     "JSONExtractString": (
         "(j STRING, k STRING) RETURNS STRING RETURN "
-        "get_json_object(j, concat('$.', k))"
+        "coalesce(get_json_object(j, concat('$.', k)), '')"
     ),
     "JSONExtractInt": (
         "(j STRING, k STRING) RETURNS BIGINT RETURN "
-        "CAST(get_json_object(j, concat('$.', k)) AS BIGINT)"
+        "coalesce(try_cast(try_cast(get_json_object(j, concat('$.', k)) "
+        "AS DOUBLE) AS BIGINT), 0)"
     ),
     "JSONExtractFloat": (
         "(j STRING, k STRING) RETURNS DOUBLE RETURN "
-        "CAST(get_json_object(j, concat('$.', k)) AS DOUBLE)"
+        "coalesce(try_cast(get_json_object(j, concat('$.', k)) AS DOUBLE), "
+        "CAST(0 AS DOUBLE))"
     ),
+    # key EXISTENCE, not value non-nullness: a key holding JSON null still
+    # exists (get_json_object cannot distinguish the two; json_object_keys
+    # can). Invalid JSON -> false, matching ClickHouse's 0.
     "JSONHas": (
         "(j STRING, k STRING) RETURNS BOOLEAN RETURN "
-        "get_json_object(j, concat('$.', k)) IS NOT NULL"
+        "coalesce(array_contains(json_object_keys(j), k), false)"
     ),
 }
 

@@ -494,9 +494,13 @@ def test_weighted_quantile_end_to_end(engine):
         ("arrayReverse(a)", "reverse(a)"),
         ("arrayConcat(a, b)", "concat(a, b)"),
         ("arraySlice(a, 2, 3)", "slice(a, 2, 3)"),
+        # ClickHouse's 2-arg open-ended slice maps to an explicit length
+        ("arraySlice(a, 2)", "slice(a, 2, size(a))"),
         ("arrayFlatten(a)", "flatten(a)"),
-        ("startsWith(s, 'ab')", "startswith(s, 'ab')"),
-        ("endsWith(s, 'yz')", "endswith(s, 'yz')"),
+        # startsWith/endsWith pass through UNCHANGED — Spark resolves
+        # function names case-insensitively, so no rewrite is needed
+        ("startsWith(s, 'ab')", "startsWith(s, 'ab')"),
+        ("endsWith(s, 'yz')", "endsWith(s, 'yz')"),
         ("position(s, 'x')", "locate('x', s)"),
         ("position(s, 'x', 3)", "locate('x', s, 3)"),
         ("positionCaseInsensitive(s, 'X')", "locate(lower('X'), lower(s))"),
@@ -537,6 +541,57 @@ def test_round7_scalars_end_to_end(engine):
     assert str(row.plus3) == "2023-11-17 22:13:20"
     assert str(row.minus2h) == "2023-11-14 20:13:20"
     assert row.js == "x" and row.jn == 7 and row.jh is False
+
+
+def test_json_shims_match_clickhouse_edge_semantics(engine):
+    """ClickHouse's JSONExtract* never throw and default to ''/0/0.0;
+    JSONHas is about key EXISTENCE (a key holding JSON null exists).
+    try_cast keeps ANSI mode from aborting on non-conforming values."""
+    row = engine.sql(
+        """
+        SELECT JSONExtractInt('{"n": 7.5}', 'n') AS truncated,
+               JSONExtractInt('{}', 'n') AS missing_int,
+               JSONExtractInt('{"n": "abc"}', 'n') AS bad_int,
+               JSONExtractFloat('{}', 'x') AS missing_float,
+               JSONExtractString('{}', 's') AS missing_str,
+               JSONHas('{"a": null}', 'a') AS has_null_key,
+               JSONHas('{"a": 1}', 'b') AS has_absent,
+               JSONHas('not json', 'a') AS has_invalid
+        """
+    ).first()
+    assert row.truncated == 7
+    assert row.missing_int == 0 and row.bad_int == 0
+    assert row.missing_float == 0.0 and row.missing_str == ""
+    assert row.has_null_key is True
+    assert row.has_absent is False and row.has_invalid is False
+
+
+def test_startswith_passthrough_runs(engine):
+    # no rewrite needed: case-insensitive builtin resolution
+    row = engine.sql(
+        "SELECT startsWith('abc', 'ab') AS a, endsWith('abc', 'bc') AS b",
+        dialect="clickhouse",
+    ).first()
+    assert row.a is True and row.b is True
+
+
+def test_quoted_identifier_commas_survive_the_scanner():
+    """Commas inside double-quoted or backquoted tokens must not split
+    call arguments (the rejoin would silently mutate the token)."""
+    t = translate_clickhouse_sql
+    assert (
+        t('SELECT position(s, "a,b") FROM t')
+        == 'SELECT locate("a,b", s) FROM t'
+    )
+    assert (
+        t("SELECT arrayConcat(a, `x,y`) FROM t")
+        == "SELECT concat(a, `x,y`) FROM t"
+    )
+    # doubled-quote escape inside a quoted identifier keeps parity
+    assert (
+        t('SELECT argMax(a, "we""ird,name") FROM t')
+        == 'SELECT max_by(a, "we""ird,name") FROM t'
+    )
 
 
 def test_datediff_counts_crossed_boundaries(engine):
