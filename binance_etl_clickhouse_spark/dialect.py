@@ -75,9 +75,16 @@ retention(c1..cn)   array(max(c1-flag), least(max(c1-flag), max(ci-flag))..)
                      (operators/funnel.py) instead]
 range(n)/range(a,b) guarded sequence slice (empty when n<=0 / b<=a,
                     matching ClickHouse; bare sequence would descend)
-toFloat64/toInt64/  CAST(x AS DOUBLE/BIGINT/INT/STRING/DATE)
-toInt32/toString/
-toDate(x)
+toFloat64/toInt64/  CAST(x AS DOUBLE/BIGINT/INT/SMALLINT/TINYINT/STRING/
+toInt32/toInt16/     DATE); unsigned to* widen to the next signed type
+toInt8/toUInt8/      that holds the range (toUInt64 passes through — its
+toUInt16/toUInt32/   upper half exceeds BIGINT)
+toString/toDate(x)
+leftPad/rightPad/   lpad / rpad / ltrim / rtrim / trim
+trimLeft/trimRight/
+trimBoth
+assumeNotNull(x)/   x                   [nullability adapters unwrap]
+toNullable(x)
 today()             current_date()
 arrayJoin(x)        explode(x)          [one per SELECT, as in Spark; a
                                          second generator fails loudly in
@@ -109,6 +116,14 @@ _CASTS = {
     "toFloat32": "FLOAT",
     "toInt64": "BIGINT",
     "toInt32": "INT",
+    "toInt16": "SMALLINT",
+    "toInt8": "TINYINT",
+    # unsigned: widen to the next signed type that holds the full range
+    # (toUInt64 is NOT mapped — its upper half exceeds BIGINT; it passes
+    # through and fails loudly rather than silently wrapping)
+    "toUInt8": "SMALLINT",
+    "toUInt16": "INT",
+    "toUInt32": "BIGINT",
     "toString": "STRING",
     "toDate": "DATE",
 }
@@ -137,7 +152,16 @@ _NAME_MAP = {
     "arrayReverse": "reverse",
     "arrayConcat": "concat",
     "arrayFlatten": "flatten",
+    "leftPad": "lpad",
+    "rightPad": "rpad",
+    "trimLeft": "ltrim",
+    "trimRight": "rtrim",
+    "trimBoth": "trim",
 }
+
+#: identity unwraps: ClickHouse nullability adapters with no Spark
+#: counterpart or need — the argument IS the translation
+_UNWRAP = {"assumeNotNull", "toNullable"}
 
 #: higher-order array functions: ClickHouse puts the lambda FIRST
 #: (arrayMap(x -> e, arr)), Spark puts it LAST (transform(arr, x -> e));
@@ -594,6 +618,8 @@ def translate_clickhouse_sql(sql: str) -> str:
                         for p in range(0, len(args) - 1, 2)
                     )
                     out.append(f"CASE {clauses} ELSE {args[-1]} END")
+                elif name in _UNWRAP and len(args) == 1:
+                    out.append(args[0])
                 elif name in _NAME_MAP:
                     out.append(f"{_NAME_MAP[name]}({', '.join(args)})")
                 else:

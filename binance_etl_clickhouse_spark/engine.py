@@ -144,6 +144,17 @@ CLICKHOUSE_COMPAT_FUNCTIONS: dict[str, str] = {
         "(j STRING, k STRING) RETURNS BOOLEAN RETURN "
         "coalesce(array_contains(json_object_keys(j), k), false)"
     ),
+    "JSONExtractBool": (
+        "(j STRING, k STRING) RETURNS BOOLEAN RETURN "
+        "coalesce(try_cast(get_json_object(j, concat('$.', k)) AS BOOLEAN), "
+        "false)"
+    ),
+    # legacy simdjson-era name for flat-JSON string extraction — same
+    # contract as JSONExtractString on the single-key paths it supports
+    "visitParamExtractString": (
+        "(j STRING, k STRING) RETURNS STRING RETURN "
+        "coalesce(get_json_object(j, concat('$.', k)), '')"
+    ),
 }
 
 

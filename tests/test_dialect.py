@@ -505,6 +505,12 @@ def test_weighted_quantile_end_to_end(engine):
         ("position(s, 'x', 3)", "locate('x', s, 3)"),
         ("positionCaseInsensitive(s, 'X')", "locate(lower('X'), lower(s))"),
         ("arraySum(a)", "aggregate(a, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"),
+        ("leftPad(s, 5, '0')", "lpad(s, 5, '0')"),
+        ("trimBoth(s)", "trim(s)"),
+        ("toUInt32(n)", "CAST(n AS BIGINT)"),
+        ("toInt8(n)", "CAST(n AS TINYINT)"),
+        ("assumeNotNull(x)", "x"),
+        ("toNullable(sumIf(v, c))", "sum(CASE WHEN c THEN v END)"),
         # nesting still composes through the new rewrites
         (
             "arraySum(arrayDistinct(a))",
@@ -564,6 +570,14 @@ def test_json_shims_match_clickhouse_edge_semantics(engine):
     assert row.missing_float == 0.0 and row.missing_str == ""
     assert row.has_null_key is True
     assert row.has_absent is False and row.has_invalid is False
+    row2 = engine.sql(
+        """
+        SELECT JSONExtractBool('{"f": true}', 'f') AS b,
+               JSONExtractBool('{"f": "x"}', 'f') AS bad_b,
+               visitParamExtractString('{"a": "y"}', 'a') AS vp
+        """
+    ).first()
+    assert row2.b is True and row2.bad_b is False and row2.vp == "y"
 
 
 def test_startswith_passthrough_runs(engine):
