@@ -35,84 +35,82 @@ from binance_etl_clickhouse_spark.queries import quality  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 # Driver verification window. The correctness driver checks the FIRST 50
 # registered queries per round, so registration order is a verification
-# budget. Round-7 window (per the round-6 verdict, item #1): the 50 STALEST
-# proofs — every query last driver-checked in round 1 (38 queries: the
-# relational/predicate/join/set-op, window, scalar-function, and first-wave
-# dedup/text families), nine stalest round-2 shapes (TPC-H, window/scalar
-# families, set ops), and the three new round-7 registrations (the v3
-# flagship, the fixed-vocab unigram encode, the per-source dup-rate
-# monitor). Nothing in this window was driver-proven later than round 2,
-# so it re-proves the r1/r2-era surface through the round-7 cache-hygiene
-# relocation. The four queries
-# whose builders this round's ADVICE fixes touch (salted_skew_agg,
-# minhash_estimator_calibration, ann_recall_at_k, cc_large_star_small_star)
-# are r6-green and stay outside the window; their parity is pinned by the
-# full oracle sweep in tests/test_oracle_parity.py this round.
+# budget. Round-8 window (per the round-7 verdict, item #1): the 50 STALEST
+# proofs — all 34 queries last driver-checked in round 2 (the TPC-H long
+# tail q2/q4/q5/q7/q10-q17/q19-q22, the date/array/map function families,
+# the subquery shapes, grouping sets, stats, the 7-day range window,
+# gapfill LOCF, the r2-era near-dup/ANN/quantize shapes, and the dataset
+# split/sample/pack family), the rows-only `approx_aggregates` (sketches
+# have no cross-engine twin; the driver records its weaker rows-only
+# check), the 14 stalest round-4 proofs, and this round's new
+# registration (the traced fixed-budget BPE trainer, which converts one of
+# the remaining rows-only carve-outs into a fully hash-oracled query).
+# Nothing in this window was driver-proven later than round 4.
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW = [
-    # --- new round-7 registrations ---
-    "training_data_prep_pipeline_v3",
-    "tokenizer_apply_unigram",
-    "dup_rate_by_source",
-    # --- round-1-era: last driver-checked in CORRECTNESS_r01 ---
-    "project_literals",
-    "filter_eq_project",
-    "filter_range_ts",
-    "filter_in_list",
-    "distinct_where_flag",
-    "anti_join_completed",
-    "semi_join_exists",
-    "broadcast_dim_join",
-    "keep_last_dedup",
-    "max_watermark",
-    "window_lag_delta",
-    "window_running_sum",
-    "topk_per_group",
-    "orderby_limit_topn",
-    "union_pages_distinct",
-    "intersect_users",
-    "scalar_time_roundtrip",
-    "month_bucket_agg",
-    "coerce_fill_zero",
-    "regexp_json_extract",
-    "array_join_slice",
-    "rollup_orders",
-    "cube_events",
-    "count_rows_per_type",
-    "exact_dedup_canonical",
-    "ngram_jaccard_neardup",
-    "simhash_signatures",
-    "embedding_cosine_neardup",
-    "text_quality_scores",
-    "langid_heuristic",
-    "doc_fingerprints",
-    "multimodal_frame_samples",
-    "benchmark_decontamination",
-    "resample_ohlc_hourly",
-    "sessionization_stats",
-    "range_join_price_bands",
-    "pivot_event_counts",
-    "unpivot_lineitem_measures",
-    # --- round-2-era fills: the judge-named families (TPC-H, windows,
-    # scalar-function families, set ops), last checked in CORRECTNESS_r02 ---
-    "except_users",
-    "window_rank_family",
-    "window_distribution_family",
-    "tpch_q3_shipping_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q9_product_profit",
-    "tpch_q18_large_volume_customer",
-    "string_function_family",
-    "null_semantics_family",
+    # --- new round-8 registration: the fixed-merge-budget BPE trainer with
+    # the per-merge pair-argmax unrolled in the oracle (r7 verdict item 4) ---
+    "bpe_train_merges_traced",
+    # --- round-2-era: last driver-checked in CORRECTNESS_r02 ---
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_nation_volume",
+    "tpch_q10_returned_items",
+    "tpch_q11_value_concentration",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_excess_share_supplier",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_sales_opportunity",
+    "date_function_family",
+    "array_function_family",
+    "map_function_family",
+    "correlated_subquery_above_avg",
+    "scalar_subquery_above_global_avg",
+    "grouping_sets_orders",
+    "stats_family",
+    "window_range_rolling_7d",
+    "gapfill_hourly_locf",
+    "simhash_neardup_pairs",
+    "embedding_lsh_neardup",
+    "embedding_int8_quantize",
+    "ann_lsh_topk",
+    "ann_pq_topk",
+    "dataset_split_hash",
+    "leakage_safe_split",
+    "stratified_sample_per_lang",
+    "token_budget_pack",
+    "repetition_signals",
+    # --- rows-only carve-out, never hash-proven (no cross-engine twin) ---
+    "approx_aggregates",
+    # --- round-4-era fills: the 14 stalest CORRECTNESS_r04 proofs ---
+    "tpch_q1_pricing_summary",
+    "tumbling_resample_1h",
+    "ann_bruteforce_topk",
+    "multimodal_binary_features",
+    "knn_label_classifier",
+    "cluster_representative_select",
+    "kmeans_cluster_quality",
+    "ewma_anomaly_events",
+    "session_window_agg",
+    "trending_decayed_counts",
+    "pandas_zscore_per_user",
+    "heavy_hitters_event_types",
+    "jl_random_projection",
+    "ks_test_click_vs_purchase",
 ]
 
 
 # Names in DRIVER_WINDOW that are not yet registered are skipped IF listed
 # here (a window may name planned registrations before they land);
 # anything else unknown still fails loudly, so a typo in an existing query
-# name cannot silently shrink the verification window. Empty = every
-# round-7 registration has landed.
-PLANNED_NEW: set[str] = set()
+# name cannot silently shrink the verification window.
+PLANNED_NEW: set[str] = {"bpe_train_merges_traced"}
 
 
 def _apply_driver_order() -> None:
