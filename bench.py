@@ -236,6 +236,51 @@ def _bench_corpus_scale(spark) -> dict:
         **{k: int(v) for k, v in obs.get.items()},
     }
 
+    # DEEPER storm tier (r7 verdict item 7): the production claim "band_cap
+    # eviction decorrelates across bands" was measured lossless at the 10x
+    # storm; rehearse the two cap-sensitive shapes at 30x (~3x deeper bucket
+    # overflow) so the default cites the deepest measured point. Only the
+    # flagship + capped minhash run here — the full op set's curve is the
+    # 10x block above, kept unchanged for cross-round comparability.
+    deep_out: dict = {}
+    deep = int(os.environ.get("BENCH_SCALE_DEEP", "30"))
+    if deep > _SCALE_REPLICAS:
+        deep_scratch = scratch + "_deep"
+        deep_df = synth_replicated_corpus(base, deep_scratch, replicas=deep)
+        deep_tag = f"{deep}x"
+        times: dict[str, float] = {}
+        for name in ("training_data_prep_pipeline_v3", "minhash_lsh_neardup"):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            ops[name](deep_df).write.format("noop").mode("overwrite").save()
+            times[name] = round(time.perf_counter() - t0, 4)
+        d_obs = Observation()
+        d_capped = neardup.minhash_lsh_pairs(
+            deep_df, threshold=0.5, band_cap=64, overflow=d_obs
+        ).count()
+        d_uncapped = neardup.minhash_lsh_pairs(
+            deep_df, threshold=0.5, band_cap=None
+        ).count()
+        deep_out = {
+            "replicas": deep,
+            deep_tag: times,
+            "scale_factor_vs_1x": {
+                n: round(times[n] / max(out["1x"][n], 1e-3), 2) for n in times
+            },
+            "band_cap_recall": {
+                "band_cap": 64,
+                "uncapped_pairs": int(d_uncapped),
+                "capped_pairs": int(d_capped),
+                "lost_pair_frac": round(
+                    (d_uncapped - d_capped) / max(d_uncapped, 1), 6
+                ),
+                **{k: int(v) for k, v in d_obs.get.items()},
+            },
+        }
+        import shutil as _sh
+
+        _sh.rmtree(deep_scratch, ignore_errors=True)
+
     import shutil
 
     shutil.rmtree(scratch, ignore_errors=True)
@@ -248,6 +293,7 @@ def _bench_corpus_scale(spark) -> dict:
             n: round(out[big_tag][n] / max(out["1x"][n], 1e-3), 2) for n in ops
         },
         "band_cap_recall": band_cap_recall,
+        **({"deep_storm": deep_out} if deep_out else {}),
     }
 
 
@@ -296,6 +342,23 @@ def main() -> None:
     tmp.write_text(line + "\n")
     os.replace(tmp, out_path)
     print(line)
+    # The full payload (54 queries + corpus_scale) exceeds the driver's
+    # 2000-char tail capture, so BENCH_r07 recorded `parsed: null`. End with
+    # a compact, self-contained summary line (<600 chars) that carries the
+    # required metric/value/unit/queries/sf keys — queries limited to the
+    # five slowest — plus n and a pointer to the complete artifact. The
+    # driver parses the LAST line; this one always fits.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "sf": payload["sf"],
+        "n": len(timings),
+        "full": str(out_path),
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
