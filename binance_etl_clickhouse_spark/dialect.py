@@ -58,16 +58,26 @@ arrayConcat/         Spark resolves function names case-insensitively]
 arrayFlatten
 arraySlice(a,o[,n]) slice(a, o, n)      [2-arg open-ended form maps to
                                          slice(a, o, size(a))]
-arraySum(a)         aggregate(a, 0.0d, (acc, x) -> acc + x)  [empty -> 0;
-                     accumulates in DOUBLE for every element type, so
-                     integer sums past 2^53 lose exactness where
-                     ClickHouse keeps Int64/Int128]
-position(h, n[,s])  locate(n, h[, s])   [first two arguments SWAP.
-                     CHARACTER offsets — i.e. positionUTF8 semantics;
-                     ClickHouse's plain position counts BYTES, which
-                     differs on multibyte strings]
-positionCaseInsensitive(h, n)   locate(lower(n), lower(h))
-                    [full-Unicode case fold vs ClickHouse's ASCII-only]
+arraySum(a)         aggregate(a, coalesce((a[1]-a[1]) * 1::decimal(38,0),
+                    0), (acc,x) -> acc+x)
+                    [empty -> 0; the zero takes the ELEMENT type widened
+                     to max decimal precision: integer arrays sum in
+                     DECIMAL(38,0) — exact through the full int64 range,
+                     where ClickHouse's Int64 silently WRAPS on overflow —
+                     decimal(p,s) arrays in DECIMAL(38,s) (CH Decimal128
+                     analogue), float/double arrays in DOUBLE]
+position(h, n)      BYTE offset, matching ClickHouse exactly:
+                    if(locate(n,h)=0, 0,
+                       octet_length(substr(h,1,locate(n,h)-1))+1)
+position(h, n, s)   locate(n, h, s)  [3-arg keeps CHARACTER semantics:
+                     CH's start_pos is a byte offset and Spark has no
+                     byte-indexed substring — exact on ASCII, documented
+                     divergence on multibyte haystacks]
+positionUTF8(h, n[,s])          locate(n, h[, s])  [exact: both count
+                                 characters]
+positionCaseInsensitive(h, n) / locate(lower(n), lower(h))
+positionCaseInsensitiveUTF8     [full-Unicode case fold vs ClickHouse's
+                                 ASCII-only fold in the non-UTF8 name]
 retention(c1..cn)   array(max(c1-flag), least(max(c1-flag), max(ci-flag))..)
                     [windowFunnel and sequenceMatch are NOT translatable as
                      string rewrites — both are ordered state machines over
@@ -549,13 +559,33 @@ def translate_clickhouse_sql(sql: str) -> str:
                     out.append(f"percentile({args[0]}, 0.5, {args[1]})")
                 elif name in _HOF_SWAP and len(args) == 2:
                     out.append(f"{_HOF_SWAP[name]}({args[1]}, {args[0]})")
-                elif name == "position" and len(args) in (2, 3):
-                    # ClickHouse position(haystack, needle[, start]);
-                    # Spark locate(needle, haystack[, start]) — first two
-                    # arguments SWAP
+                elif name == "position" and len(args) == 2:
+                    # ClickHouse position(haystack, needle) counts BYTES.
+                    # locate gives the CHARACTER offset; the byte offset is
+                    # the octet length of the character prefix + 1 — exact
+                    # on any UTF-8 input, 0 when absent, and expression-only
+                    # (the haystack/needle texts repeat, so side-effect-free
+                    # arguments only — true of every rewrite in this module)
+                    hay, ndl = args[0], args[1]
+                    out.append(
+                        f"if(locate({ndl}, {hay}) = 0, 0, "
+                        f"octet_length(substr({hay}, 1, "
+                        f"locate({ndl}, {hay}) - 1)) + 1)"
+                    )
+                elif name == "position" and len(args) == 3:
+                    # 3-arg form: ClickHouse's start_pos is a BYTE offset;
+                    # a byte-indexed substring has no Spark builtin, so this
+                    # form keeps CHARACTER semantics (positionUTF8) — exact
+                    # for ASCII, documented divergence on multibyte
+                    out.append(f"locate({args[1]}, {args[0]}, {args[2]})")
+                elif name == "positionUTF8" and len(args) in (2, 3):
+                    # CHARACTER offsets — locate's native contract, exact
                     rest = f", {args[2]}" if len(args) == 3 else ""
                     out.append(f"locate({args[1]}, {args[0]}{rest})")
-                elif name == "positionCaseInsensitive" and len(args) == 2:
+                elif name in (
+                    "positionCaseInsensitive",
+                    "positionCaseInsensitiveUTF8",
+                ) and len(args) == 2:
                     out.append(f"locate(lower({args[1]}), lower({args[0]}))")
                 elif (
                     name == "dateDiff"
@@ -571,14 +601,25 @@ def translate_clickhouse_sql(sql: str) -> str:
                     a, b = args[1], args[2]
                     out.append(_DATEDIFF_UNITS[unit].format(a=a, b=b))
                 elif name == "arraySum" and len(args) == 1:
-                    # empty array -> 0, matching ClickHouse; result widens
-                    # to DOUBLE for every element type (ClickHouse keeps
-                    # exact Int64/Int128 for integer arrays — a string
-                    # rewrite cannot know the element type, so integer sums
-                    # past 2^53 lose exactness here; documented in the
-                    # module table)
+                    # Type-adaptive zero: ``a[1] - a[1]`` has the ELEMENT
+                    # type and equals 0; ``* cast(1 as decimal(38,0))``
+                    # pins exact types at Spark's max decimal precision so
+                    # the fold's ``acc + x`` cannot outgrow the accumulator
+                    # (decimal addition caps at precision 38 — a
+                    # lower-precision decimal zero fails analysis). Result:
+                    # integer arrays sum in DECIMAL(38,0) (exact through
+                    # the full int64 range and beyond, where the old DOUBLE
+                    # accumulator rounded past 2^53 and ClickHouse's Int64
+                    # silently WRAPS), decimal(p,s) arrays in DECIMAL(38,s)
+                    # (CH Decimal128 analogue), float/double arrays in
+                    # DOUBLE (decimal*double -> double). try_element_at +
+                    # coalesce keep the empty array -> 0 (typed) contract.
+                    a = args[0]
                     out.append(
-                        f"aggregate({args[0]}, CAST(0 AS DOUBLE), "
+                        f"aggregate({a}, "
+                        f"coalesce((try_element_at({a}, 1) - "
+                        f"try_element_at({a}, 1)) "
+                        f"* cast(1 as decimal(38, 0)), 0), "
                         f"(acc, x) -> acc + x)"
                     )
                 elif name == "arraySlice" and len(args) in (2, 3):

@@ -121,15 +121,30 @@ CLICKHOUSE_COMPAT_FUNCTIONS: dict[str, str] = {
     # JSONExtract* NEVER throw and default to ''/0/0.0 on missing or
     # non-conforming values — so the casts are try_cast (a plain CAST
     # aborts the whole query under Spark's ANSI mode on e.g. a float in an
-    # int-read field) and the defaults are coalesced in. JSONExtractInt
-    # truncates through DOUBLE exactly as ClickHouse does ('7.5' -> 7).
+    # int-read field) and the defaults are coalesced in.
+    #
+    # DOCUMENTED DIVERGENCE — type leniency: get_json_object returns the
+    # scalar's TEXT and cannot see the original JSON type, so these shims
+    # coerce where ClickHouse is type-strict and returns the default:
+    #   JSONExtractString('{"a":123}','a')  -> '123'  (CH: '')
+    #   JSONExtractInt('{"n":"7"}','n')     -> 7      (CH: 0)
+    #   JSONExtractBool('{"f":1}','f')      -> true   (CH: false)
+    # Callers relying on CH's wrong-type-to-default behavior must
+    # pre-filter on JSON type themselves. The VALUE semantics on
+    # correctly-typed fields match CH exactly (never-throw, ''/0/0.0
+    # defaults, DOUBLE-truncating fractional ints: '7.5' -> 7).
     "JSONExtractString": (
         "(j STRING, k STRING) RETURNS STRING RETURN "
         "coalesce(get_json_object(j, concat('$.', k)), '')"
     ),
+    # Integral values take the direct BIGINT cast (exact for the full
+    # int64 range — large Binance trade/order ids exceed 2^53 and would
+    # silently round through DOUBLE); only fractional values fall back to
+    # the DOUBLE-truncation path, which is also CH's behavior ('7.5' -> 7).
     "JSONExtractInt": (
         "(j STRING, k STRING) RETURNS BIGINT RETURN "
-        "coalesce(try_cast(try_cast(get_json_object(j, concat('$.', k)) "
+        "coalesce(try_cast(get_json_object(j, concat('$.', k)) AS BIGINT), "
+        "try_cast(try_cast(get_json_object(j, concat('$.', k)) "
         "AS DOUBLE) AS BIGINT), 0)"
     ),
     "JSONExtractFloat": (

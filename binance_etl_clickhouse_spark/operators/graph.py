@@ -276,6 +276,13 @@ def _truncate_lineage(df: DataFrame, reliable: bool) -> DataFrame:
     and survives executor loss, at the cost of a round-trip to storage per
     round — the right trade for long data-dependent loops on a real
     cluster, where some executor loss over hundreds of rounds is expected.
+
+    Storage hygiene: Spark does NOT delete reliable checkpoint files by
+    default — superseded rounds accrete until application exit unless
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` lets the
+    ContextCleaner reclaim them as the per-round frames are
+    garbage-collected. :func:`session.get_spark` sets it; long-lived
+    sessions built elsewhere must too.
     """
     return df.checkpoint(eager=True) if reliable else df.localCheckpoint()
 

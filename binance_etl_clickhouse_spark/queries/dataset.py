@@ -683,9 +683,15 @@ def prep_pipeline_v3_frame(docs: DataFrame, overflow=None) -> DataFrame:
     max_bucket) after the result is materialized; the per-bucket report is
     :func:`operators.neardup.minhash_band_overflow`. Intermediate frames
     are lineage-truncated (localCheckpoint, or reliable checkpoint when a
-    checkpoint dir is set), NOT persist()ed: checkpoint blocks are
-    released when the frames are garbage-collected, so a long-lived
-    session calling this repeatedly does not accrete CacheManager entries.
+    checkpoint dir is set), NOT persist()ed, so a long-lived session
+    calling this repeatedly does not accrete CacheManager entries. Block
+    reclamation differs by mode: localCheckpoint blocks are executor
+    memory/disk freed when the frames are garbage-collected; RELIABLE
+    checkpoint files are only removed by the ContextCleaner under
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (set by
+    :func:`session.get_spark`; a session built elsewhere with a checkpoint
+    dir but without that conf accretes one directory per truncation until
+    the application exits).
     """
     from binance_etl_clickhouse_spark.operators import corpus as corpus_ops
     from binance_etl_clickhouse_spark.operators import neardup

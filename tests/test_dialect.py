@@ -501,10 +501,30 @@ def test_weighted_quantile_end_to_end(engine):
         # function names case-insensitively, so no rewrite is needed
         ("startsWith(s, 'ab')", "startsWith(s, 'ab')"),
         ("endsWith(s, 'yz')", "endsWith(s, 'yz')"),
-        ("position(s, 'x')", "locate('x', s)"),
+        # r8: 2-arg position is BYTE-offset exact (ClickHouse's contract)
+        (
+            "position(s, 'x')",
+            "if(locate('x', s) = 0, 0, "
+            "octet_length(substr(s, 1, locate('x', s) - 1)) + 1)",
+        ),
+        # 3-arg keeps character semantics (CH's byte start_pos has no
+        # Spark builtin twin) — documented divergence
         ("position(s, 'x', 3)", "locate('x', s, 3)"),
+        ("positionUTF8(s, 'x')", "locate('x', s)"),
+        ("positionUTF8(s, 'x', 3)", "locate('x', s, 3)"),
         ("positionCaseInsensitive(s, 'X')", "locate(lower('X'), lower(s))"),
-        ("arraySum(a)", "aggregate(a, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"),
+        (
+            "positionCaseInsensitiveUTF8(s, 'X')",
+            "locate(lower('X'), lower(s))",
+        ),
+        # r8: type-adaptive zero — integer arrays sum exactly in
+        # DECIMAL(38,0), decimals in DECIMAL(38,s), floats in DOUBLE
+        (
+            "arraySum(a)",
+            "aggregate(a, coalesce((try_element_at(a, 1) - "
+            "try_element_at(a, 1)) * cast(1 as decimal(38, 0)), 0), "
+            "(acc, x) -> acc + x)",
+        ),
         ("leftPad(s, 5, '0')", "lpad(s, 5, '0')"),
         ("trimBoth(s)", "trim(s)"),
         ("toUInt32(n)", "CAST(n AS BIGINT)"),
@@ -514,12 +534,48 @@ def test_weighted_quantile_end_to_end(engine):
         # nesting still composes through the new rewrites
         (
             "arraySum(arrayDistinct(a))",
-            "aggregate(array_distinct(a), CAST(0 AS DOUBLE), (acc, x) -> acc + x)",
+            "aggregate(array_distinct(a), "
+            "coalesce((try_element_at(array_distinct(a), 1) - "
+            "try_element_at(array_distinct(a), 1)) "
+            "* cast(1 as decimal(38, 0)), 0), (acc, x) -> acc + x)",
         ),
     ],
 )
 def test_round7_rewrites(ch, expected):
     assert translate_clickhouse_sql(f"SELECT {ch} FROM t") == f"SELECT {expected} FROM t"
+
+
+def test_position_and_arraysum_fidelity_end_to_end(engine):
+    """r8 fidelity (r7 verdict item 5): 2-arg position returns BYTE
+    offsets on multibyte strings (ClickHouse: position('Hello, world!',
+    '!') = 13; on UTF-8, bytes != chars), and arraySum keeps integer
+    exactness through the full int64 range (ClickHouse Int64 parity —
+    the old DOUBLE accumulator rounded past 2^53)."""
+    big = 2**53 + 1  # not representable as a DOUBLE
+    row = engine.sql(
+        f"""
+        SELECT position('héllo wörld', 'wörld') AS byte_pos,
+               positionUTF8('héllo wörld', 'wörld') AS char_pos,
+               position('héllo', 'zz') AS absent,
+               position('', 'x') AS empty_h,
+               arraySum(array(toInt64({big}), toInt64(1))) AS big_sum,
+               arraySum(array(1.5, 2.25)) AS dec_sum,
+               arraySum(array(toFloat64(1.5), toFloat64(2.25))) AS float_sum,
+               arraySum(arraySlice(array(1), 2)) AS empty_sum
+        """,
+        dialect="clickhouse",
+    ).first()
+    # 'héllo ' = 7 bytes (é is 2) -> 'wörld' starts at byte 8, char 7
+    assert row.byte_pos == 8
+    assert row.char_pos == 7
+    assert row.absent == 0 and row.empty_h == 0
+    assert int(row.big_sum) == big + 1  # exact; DOUBLE would give 2^53 + 2
+    from decimal import Decimal
+
+    assert row.big_sum == Decimal(big + 1)  # DECIMAL(38,0) accumulator
+    assert row.dec_sum == Decimal("3.75")  # decimal literals stay exact
+    assert row.float_sum == 3.75 and isinstance(row.float_sum, float)
+    assert int(row.empty_sum) == 0
 
 
 def test_round7_scalars_end_to_end(engine):
@@ -580,6 +636,42 @@ def test_json_shims_match_clickhouse_edge_semantics(engine):
     assert row2.b is True and row2.bad_b is False and row2.vp == "y"
 
 
+def test_json_extract_int_exact_past_2_53(engine):
+    """r8 (ADVICE): int64 values above 2^53 — large Binance trade/order
+    ids live there — must extract EXACTLY; the old DOUBLE-first path
+    silently rounded them. Fractional values still truncate through the
+    DOUBLE fallback exactly as ClickHouse does."""
+    big = 2**53 + 1
+    row = engine.sql(
+        f"""
+        SELECT JSONExtractInt('{{"id": {big}}}', 'id') AS big_id,
+               JSONExtractInt('{{"id": -{big}}}', 'id') AS neg_id,
+               JSONExtractInt('{{"n": 7.5}}', 'n') AS frac
+        """
+    ).first()
+    assert row.big_id == big  # DOUBLE would give 2^53
+    assert row.neg_id == -big
+    assert row.frac == 7
+
+
+def test_json_shims_documented_type_leniency(engine):
+    """r8 (ADVICE): get_json_object sees only the scalar's TEXT, so the
+    shims coerce where type-strict ClickHouse returns the default. This
+    test PINS the documented divergence — if a future engine change makes
+    these type-strict, update the module docs alongside."""
+    row = engine.sql(
+        """
+        SELECT JSONExtractString('{"a": 123}', 'a') AS num_as_str,
+               JSONExtractInt('{"n": "7"}', 'n') AS str_as_int,
+               JSONExtractBool('{"f": 1}', 'f') AS int_as_bool
+        """
+    ).first()
+    # ClickHouse would return '', 0, false respectively
+    assert row.num_as_str == "123"
+    assert row.str_as_int == 7
+    assert row.int_as_bool is True
+
+
 def test_startswith_passthrough_runs(engine):
     # no rewrite needed: case-insensitive builtin resolution
     row = engine.sql(
@@ -595,7 +687,8 @@ def test_quoted_identifier_commas_survive_the_scanner():
     t = translate_clickhouse_sql
     assert (
         t('SELECT position(s, "a,b") FROM t')
-        == 'SELECT locate("a,b", s) FROM t'
+        == 'SELECT if(locate("a,b", s) = 0, 0, '
+        'octet_length(substr(s, 1, locate("a,b", s) - 1)) + 1) FROM t'
     )
     assert (
         t("SELECT arrayConcat(a, `x,y`) FROM t")
