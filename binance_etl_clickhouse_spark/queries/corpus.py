@@ -1490,7 +1490,11 @@ def unigram_em_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     words = unigram.word_freqs(docs).persist()
-    max_len = words.agg(F.max(F.length("word"))).first()[0]
+    # `or 0` so an empty corpus fails with the intended message instead of
+    # a NoneType comparison (this builder is eager by nature — it IS the
+    # unrolled trainer — so the action is fine here, unlike the plan-only
+    # apply path).
+    max_len = words.agg(F.max(F.length("word"))).first()[0] or 0
     assert max_len <= _EM_W, (
         f"unigram_em_trace oracle unrolls {_EM_W} DP steps; corpus has a "
         f"{max_len}-char word — raise _EM_W"
@@ -1603,12 +1607,11 @@ def tokenizer_apply_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from binance_etl_clickhouse_spark.operators import unigram
 
     docs = _t(spark, sf_dir, "documents")
-    words = unigram.word_freqs(docs)
-    max_len = words.agg(F.max(F.length("word"))).first()[0]
-    assert max_len <= _EM_W, (
-        f"tokenizer_apply_unigram oracle unrolls {_EM_W} DP steps; corpus "
-        f"has a {max_len}-char word — raise _EM_W"
-    )
+    # No build-time action: the max-word-length <= _EM_W precondition the
+    # oracle's unrolled DP depends on is pinned by the test suite
+    # (tests/test_tokenizers.py::test_em_w_covers_corpus) against every
+    # shipped sf, keeping this builder plan-only like the rest of the
+    # registry (r7 verdict item 8).
     counts = dict(_APPLY_UNIGRAM_VOCAB)
     logp = unigram._normalize(counts, sorted(counts))
     model = unigram.UnigramModel(

@@ -1691,7 +1691,21 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_TRACE_ROUNDS = 3
 
 
-def _bpe_trace_oracle(rounds: int = _BPE_TRACE_ROUNDS) -> str:
+def _bpe_trace_oracle(
+    rounds: int = _BPE_TRACE_ROUNDS,
+    round_alias: str = "round",
+    with_merged: bool = False,
+    min_freq: int | None = None,
+) -> str:
+    """Unrolled per-round BPE argmax CTE chain.
+
+    ``min_freq`` mirrors the trainer's stop condition: a round whose best
+    pair falls below it yields an EMPTY b{rd} (the WHERE filters it out
+    before the LIMIT), the CROSS JOIN empties every later word frame, and
+    the UNION ALL tail simply emits no rows from the stopped round on —
+    exactly :func:`operators.bpe.train_bpe`'s early exit. ``with_merged``
+    adds the fused-symbol column (the full merge-table schema)."""
+
     def merge_apply(prev: str, best: str) -> str:
         return (
             "string_split(trim(replace("
@@ -1700,6 +1714,7 @@ def _bpe_trace_oracle(rounds: int = _BPE_TRACE_ROUNDS) -> str:
             f" chr(1)||{best}.l||{best}.r||chr(2)), chr(1)||chr(2)), chr(2)||chr(1))"
         )
 
+    stop = f"WHERE freq >= {min_freq} " if min_freq is not None else ""
     ctes = []
     prev = "w0"
     for rd in range(1, rounds + 1):
@@ -1709,7 +1724,7 @@ def _bpe_trace_oracle(rounds: int = _BPE_TRACE_ROUNDS) -> str:
       FROM {prev}, unnest(range(1, len(s))) AS t(i)
       WHERE s[i] <> '</w>' GROUP BY 1, 2
     ),
-    b{rd} AS (SELECT l, r, freq FROM p{rd} ORDER BY freq DESC, l, r LIMIT 1)"""
+    b{rd} AS (SELECT l, r, freq FROM p{rd} {stop}ORDER BY freq DESC, l, r LIMIT 1)"""
         )
         if rd < rounds:
             ctes.append(
@@ -1720,8 +1735,10 @@ def _bpe_trace_oracle(rounds: int = _BPE_TRACE_ROUNDS) -> str:
             )
             prev = f"w{rd}"
     body = ",\n    ".join(ctes)
+    merged_col = ", l || r AS merged" if with_merged else ""
     tail = "\n    UNION ALL ".join(
-        f"SELECT {rd}::BIGINT AS round, l AS left_sym, r AS right_sym, freq FROM b{rd}"
+        f"SELECT {rd}::BIGINT AS {round_alias}, l AS left_sym, r AS right_sym"
+        f"{merged_col}, freq FROM b{rd}"
         for rd in range(1, rounds + 1)
     )
     return f"""
@@ -1766,6 +1783,56 @@ def bpe_merge_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("round"),
             F.col("left").alias("left_sym"),
             F.col("right").alias("right_sym"),
+            F.col("freq"),
+        )
+    )
+
+
+#: fixed merge budget for the fully-oracled trainer run (r7 verdict item 4:
+#: "a fixed small merge budget (e.g. 8 merges) with each merge's
+#: pair-argmax unrolled as a CTE chain"). Must stay <= _BPE_MERGES so the
+#: shared cached model covers it (the first N merges of an N'-merge run
+#: equal an N-merge run — each round depends only on the rounds before it).
+_BPE_TRAINED_BUDGET = 8
+
+
+@register(
+    "bpe_train_merges_traced",
+    _bpe_trace_oracle(
+        rounds=_BPE_TRAINED_BUDGET,
+        round_alias="rank",
+        with_merged=True,
+        min_freq=2,
+    ),
+    survey_ref=(
+        "tokenizer training: fixed-budget BPE trainer, the FULL merge "
+        "table value-hash oracled (per-merge argmax + min_freq stop "
+        "unrolled — shrinks the rows-only carve-outs to the unbounded "
+        "trainers + sketches)"
+    ),
+)
+def bpe_train_merges_traced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed BPE trainer under a FIXED 8-merge budget, returning
+    the complete merge table (rank, left_sym, right_sym, merged, freq) —
+    every row the trainer's driver loop produced, hash-checked against
+    the oracle's unrolled per-round argmax chain. Where ``bpe_merge_trace``
+    spot-checks the first 3 argmax picks, this pins the trainer END-TO-END
+    at its budget: merge application (the greedy-leftmost fold), the
+    (freq DESC, left, right) tie-break, AND the ``min_freq=2`` early stop
+    (the oracle's per-round WHERE empties all later rounds exactly like
+    the trainer's break). The unbounded trainer (``bpe_train_merges``,
+    n_merges=12 on this corpus but corpus-dependent in general) remains
+    rows-only with its pure-Python pytest oracle."""
+    from binance_etl_clickhouse_spark.operators import bpe
+
+    return (
+        bpe.merges_df(spark, _bpe_model(spark, sf_dir))
+        .filter(F.col("rank") <= _BPE_TRAINED_BUDGET)
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            F.col("left").alias("left_sym"),
+            F.col("right").alias("right_sym"),
+            F.col("merged"),
             F.col("freq"),
         )
     )

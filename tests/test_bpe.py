@@ -163,3 +163,40 @@ def test_encode_counts_oov_corpus_not_dropped(spark):
 
     assert got[10][0] == ref_count("low") + ref_count("slow") + ref_count("newest")
     assert got[11][0] == 2 * ref_count("slow")
+
+
+def test_traced_trainer_oracle_stop_semantics():
+    """The bpe_train_merges_traced oracle encodes the trainer's min_freq=2
+    early stop as a per-round WHERE that empties every later round. Pin
+    that unroll against reference_bpe on a corpus engineered to stop
+    BEFORE the 8-merge budget — the shipped corpora never stop early, so
+    driver parity alone cannot exercise this path."""
+    import duckdb
+
+    from binance_etl_clickhouse_spark.queries.llm import (
+        _BPE_TRAINED_BUDGET,
+        _bpe_trace_oracle,
+    )
+
+    # 'aaab' x3 -> (a,a) freq 6 then (aa,a) 3, (aaa,b) 3, (b,</w>) 3,
+    # then every remaining pair is unique -> stops at 4 merges
+    texts = ["aaab aaab aaab", "xy", "pq"]
+    word_cnt = Counter(w for t in texts for w in t.split(" ") if w)
+    ref_merges, _ = bpe.reference_bpe(
+        dict(word_cnt), n_merges=_BPE_TRAINED_BUDGET, min_freq=2
+    )
+    assert 0 < len(ref_merges) < _BPE_TRAINED_BUDGET  # the stop engages
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES " +
+                ", ".join(f"('{t}')" for t in texts) + ") v(text)")
+    sql = _bpe_trace_oracle(
+        rounds=_BPE_TRAINED_BUDGET, round_alias="rank",
+        with_merged=True, min_freq=2,
+    )
+    got = con.execute(f"SELECT * FROM ({sql}) ORDER BY rank").fetchall()
+    want = [
+        (i + 1, left, right, left + right, freq)
+        for i, (left, right, freq) in enumerate(ref_merges)
+    ]
+    assert got == want

@@ -134,3 +134,47 @@ def test_char_floor_always_covers_training_alphabet(trained):
     vocab = {p for p, _ in model.pieces}
     alphabet = {ch for w in wc for ch in w}
     assert alphabet <= vocab
+
+
+def test_em_w_covers_corpus(spark):
+    """The unrolled-DP oracles (unigram_em_trace, tokenizer_apply_unigram)
+    assume no corpus word exceeds _EM_W characters. The apply builder is
+    plan-only (no build-time guard action — r7 verdict item 8), so this
+    precondition is pinned here against every shipped sf instead."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from binance_etl_clickhouse_spark.queries.corpus import _EM_W
+    from binance_etl_clickhouse_spark.tables import load_table
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        d = f"/root/testdata/{sf}"
+        if not os.path.isdir(d):
+            continue
+        words = unigram.word_freqs(load_table(spark, d, "documents"))
+        max_len = words.agg(F.max(F.length("word"))).first()[0] or 0
+        assert max_len <= _EM_W, f"{sf}: {max_len}-char word > _EM_W={_EM_W}"
+
+
+def test_apply_unigram_builder_is_plan_only(spark):
+    """Building tokenizer_apply_unigram must run no COMPUTE action — the
+    r7-era build-time max-length guard agg was moved into
+    test_em_w_covers_corpus. The one remaining job is the parquet
+    footer-read every `spark.read.parquet` pays (measured as the baseline
+    here), so the pin is builder-jobs == read-baseline-jobs, not zero."""
+    from binance_etl_clickhouse_spark.queries import QUERIES
+    from binance_etl_clickhouse_spark.tables import load_table
+
+    sc = spark.sparkContext
+    sc.setJobGroup("read_baseline", "parquet footer-read baseline")
+    load_table(spark, SF, "documents")
+    baseline = len(sc.statusTracker().getJobIdsForGroup("read_baseline"))
+    sc.setJobGroup("apply_unigram_build", "plan-only pin")
+    QUERIES["tokenizer_apply_unigram"].spark(spark, SF)
+    jobs = len(sc.statusTracker().getJobIdsForGroup("apply_unigram_build"))
+    sc.setJobGroup("", "")
+    assert jobs <= baseline, (
+        f"builder ran {jobs} jobs vs read baseline {baseline}; "
+        "it must not run compute actions at build time"
+    )
