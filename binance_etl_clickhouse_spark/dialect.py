@@ -114,7 +114,25 @@ LIMIT n BY c1, c2   row_number() window per (c1, c2) keeping the first n
                     outer ORDER BY / LIMIT re-applied on top; top-level
                     clause only — plans as WindowGroupLimit, the per-group
                     partial top-n pushdown
+CREATE DATABASE /   handled by dialect_ddl (engine.sql routes them): the
+CREATE TABLE ...    reference's ReplacingMergeTree/MergeTree DDL provisions
+ENGINE = ...        a ServingTable verbatim — keys = ORDER BY, month dirs
+                    from PARTITION BY toYYYYMM, keep-last on read; INSERT
+                    INTO ... VALUES with rows-as-args matches the
+                    clickhouse-driver execute() idiom. DROP/TRUNCATE TABLE,
+                    OPTIMIZE TABLE [FINAL] (-> compact(): one version per
+                    key, FINAL-is-free reads), ALTER TABLE ADD COLUMN
+                    (old rows serve the default), and the mutations
+                    ALTER .. DELETE WHERE / UPDATE .. WHERE (month-pruned
+                    copy-on-write, immediate not async) all map; db.tbl
+                    qualifiers resolve to the bare serving views
 ==================  =========================================
+
+JSON shims (engine.py CLICKHOUSE_COMPAT_FUNCTIONS) carry a documented
+TYPE-LENIENCY divergence: get_json_object sees only the scalar's text, so
+JSONExtractString('{"a":123}','a') returns '123' (CH: ''), and numeric
+strings/ints coerce where type-strict ClickHouse returns the default — see
+the table in engine.py.
 """
 
 from __future__ import annotations

@@ -14,9 +14,11 @@ the reference's f-string interpolation (crypto_data_pipeline_clickhouse.py
 
 from __future__ import annotations
 
+import re
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from binance_etl_clickhouse_spark.pipeline import Pipeline
 
@@ -181,9 +183,41 @@ def register_clickhouse_compat(spark: SparkSession) -> None:
 
 
 class AnalyticsEngine:
-    def __init__(self, spark: SparkSession, verbose: bool = True):
+    def __init__(
+        self,
+        spark: SparkSession,
+        verbose: bool = True,
+        ddl_root: str | None = None,
+    ):
         self.spark = spark
         self.verbose = verbose
+        #: lazily-created home for tables provisioned from verbatim
+        #: ClickHouse DDL (dialect_ddl.DdlCatalog); explicit for durable
+        #: layouts, a per-engine temp dir otherwise
+        self._ddl_root = ddl_root
+        self._ddl_catalog = None
+
+    @property
+    def ddl_catalog(self):
+        """Tables created through ``sql(CREATE ..., dialect="clickhouse")``."""
+        if self._ddl_catalog is None:
+            from binance_etl_clickhouse_spark.dialect_ddl import DdlCatalog
+
+            if self._ddl_root is None:
+                import tempfile
+
+                self._ddl_root = tempfile.mkdtemp(prefix="spark_ch_ddl_")
+            self._ddl_catalog = DdlCatalog(self.spark, self._ddl_root)
+        return self._ddl_catalog
+
+    def insert(self, table: str, rows) -> int:
+        """≙ the reference's ``clickhouse_insert(client, table, df)``
+        (utils_clickhouse.py:46-58): conform ``rows`` (Spark/pandas
+        DataFrame or list of dicts) to the table's declared DDL schema,
+        append with keep-last versioning, refresh the serving view. The
+        table must have been created via ClickHouse DDL through
+        :meth:`sql`."""
+        return self.ddl_catalog.insert(table, rows)
 
     def register_pipeline_tables(self, pipeline: Pipeline) -> None:
         """Expose every serving table's dedup SNAPSHOT as a view (≙ querying
@@ -229,8 +263,34 @@ class AnalyticsEngine:
         """
         if dialect == "clickhouse":
             from binance_etl_clickhouse_spark.dialect import translate_clickhouse_sql
+            from binance_etl_clickhouse_spark.dialect_ddl import is_clickhouse_ddl
 
+            if is_clickhouse_ddl(query):
+                # CREATE DATABASE/TABLE: provision instead of querying —
+                # the reference's seven DDL strings run verbatim
+                return self.ddl_catalog.apply(query)
+            ins = re.match(
+                r"^\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\([^)]*\)\s*)?VALUES\s*$",
+                query,
+                re.I,
+            )
+            if ins is not None:
+                # the clickhouse-driver idiom: INSERT text + data rows as
+                # the params argument (reference run_pipeline.py:75-78)
+                if args is None:
+                    raise ValueError(
+                        "INSERT ... VALUES needs the rows as `args` "
+                        "(clickhouse-driver client.execute convention)"
+                    )
+                n = self.insert(ins.group(1), args)
+                return self.spark.range(n).select(
+                    F.lit(n).alias("rows_written")
+                ).limit(1)
             query = translate_clickhouse_sql(query)
+            if self._ddl_catalog is not None:
+                # qualified refs to DDL-created tables (db.tbl) resolve to
+                # their bare serving views
+                query = self._ddl_catalog.resolve_qualified(query)
         elif dialect is not None:
             raise ValueError(f"unknown dialect: {dialect!r}")
         t0 = time.perf_counter()

@@ -1,0 +1,519 @@
+"""The reference's DDL surface runs VERBATIM (r7 verdict item 2).
+
+Every CREATE the reference issues — the database, the six
+ReplacingMergeTree serving tables (`app/src/crypto_data_pipeline_clickhouse
+.py:537-608`, one spot + one perp klines table for the configured '1h'
+interval), and run_pipeline.py:65-73's MergeTree log table — feeds through
+``engine.sql(dialect="clickhouse")`` unchanged, provisions a ServingTable,
+and round-trips inserted data with keep-last semantics. The queries the
+reference then issues against those tables (:326-333,
+additional_data.py:218-219) also run unchanged.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from binance_etl_clickhouse_spark.engine import AnalyticsEngine
+
+DB = "binance_v2"
+
+# -- the reference's schema constants, verbatim (crypto_data_pipeline_
+# clickhouse.py:444-518) --------------------------------------------------
+KLINES_SCHEMA = """
+        symbol LowCardinality(String),
+        exchange LowCardinality(String),
+        type LowCardinality(String),
+        interval LowCardinality(String),
+        timestamp DateTime,
+        close_time DateTime,
+        open Float64,
+        high Float64,
+        low Float64,
+        close Float64,
+        volume Float64,
+        quote_volume Float64,
+        taker_buy_volume Float64,
+        taker_buy_quote_volume Float64,
+        trades_count UInt32
+"""
+
+SPOT_SYMBOLS_SCHEMA = """
+        symbol LowCardinality(String),
+        base_asset LowCardinality(String),
+        quote_asset LowCardinality(String),
+        exchange LowCardinality(String),
+        type LowCardinality(String),
+        status LowCardinality(String),
+        is_spot_trading_allowed UInt8,
+        is_margin_trading_allowed UInt8,
+        base_precision Int32,
+        quote_precision Int32,
+        min_price Float64,
+        max_price Float64,
+        tick_size Float64,
+        min_qty Float64,
+        max_qty Float64,
+        step_size Float64
+"""
+
+PERP_SYMBOLS_SCHEMA = """
+        symbol LowCardinality(String),
+        base_asset LowCardinality(String),
+        quote_asset LowCardinality(String),
+        margin_asset LowCardinality(String),
+        exchange LowCardinality(String),
+        type LowCardinality(String),
+        underlyingSubType String,
+        status LowCardinality(String),
+        onboard_date DateTime,
+        delivery_date DateTime,
+        price_precision Int32,
+        quantity_precision Int32,
+        min_price Float64,
+        max_price Float64,
+        tick_size Float64,
+        min_qty Float64,
+        max_qty Float64,
+        step_size Float64
+"""
+
+FUNDING_RATES_SCHEMA = """
+        symbol LowCardinality(String),
+        exchange LowCardinality(String),
+        type LowCardinality(String),
+        fundingTime DateTime,
+        fundingRate Float64,
+        markPrice Float64
+"""
+
+MARGIN_RATES_SCHEMA = """
+        asset LowCardinality(String),
+        exchange LowCardinality(String),
+        type LowCardinality(String),
+        timestamp DateTime,
+        dailyInterestRate Float64,
+        vipLevel Int32
+"""
+
+
+def _reference_ddl() -> list[str]:
+    """The CREATEs `_initialize_database` + `log_run` issue, verbatim,
+    for intervals=['1h'] (interval_safe = '1hour')."""
+    ddl = [f"CREATE DATABASE IF NOT EXISTS {DB}"]
+    ddl.append(f"""
+            CREATE TABLE IF NOT EXISTS {DB}.bn_spot_symbols (
+                {SPOT_SYMBOLS_SCHEMA}
+            )
+            ENGINE = ReplacingMergeTree()
+            PRIMARY KEY (symbol, exchange)
+            ORDER BY (symbol, exchange)
+            SETTINGS index_granularity = 8192
+        """)
+    ddl.append(f"""
+            CREATE TABLE IF NOT EXISTS {DB}.bn_perp_symbols (
+                {PERP_SYMBOLS_SCHEMA}
+            )
+            ENGINE = ReplacingMergeTree()
+            PRIMARY KEY (symbol, exchange)
+            ORDER BY (symbol, exchange)
+            SETTINGS index_granularity = 8192
+        """)
+    for market in ("spot", "perp"):
+        ddl.append(f"""
+                CREATE TABLE IF NOT EXISTS {DB}.bn_{market}_klines_1hour (
+                    {KLINES_SCHEMA}
+                )
+                ENGINE = ReplacingMergeTree()
+                PRIMARY KEY (symbol, interval, timestamp)
+                ORDER BY (symbol, interval, timestamp)
+                PARTITION BY toYYYYMM(timestamp)
+                SETTINGS index_granularity = 8192
+            """)
+    ddl.append(f"""
+            CREATE TABLE IF NOT EXISTS {DB}.bn_funding_rates (
+                {FUNDING_RATES_SCHEMA}
+            )
+            ENGINE = ReplacingMergeTree()
+            PRIMARY KEY (symbol, exchange, fundingTime)
+            ORDER BY (symbol, exchange, fundingTime)
+            PARTITION BY toYYYYMM(fundingTime)
+            SETTINGS index_granularity = 8192
+        """)
+    ddl.append(f"""
+            CREATE TABLE IF NOT EXISTS {DB}.bn_margin_rates (
+                {MARGIN_RATES_SCHEMA}
+            )
+            ENGINE = ReplacingMergeTree()
+            PRIMARY KEY (asset, exchange, timestamp)
+            ORDER BY (asset, exchange, timestamp)
+            PARTITION BY toYYYYMM(timestamp)
+            SETTINGS index_granularity = 8192
+        """)
+    ddl.append(f"""
+            CREATE TABLE IF NOT EXISTS {DB}.pipeline_logs (
+                timestamp DateTime DEFAULT now(),
+                status LowCardinality(String),
+                comment String
+            )
+            ENGINE = MergeTree()
+            ORDER BY timestamp
+        """)
+    return ddl
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    eng = AnalyticsEngine(spark, verbose=False, ddl_root=str(tmp_path / "ddl"))
+    for stmt in _reference_ddl():
+        eng.sql(stmt, dialect="clickhouse")
+    return eng
+
+
+def test_all_reference_ddl_provisions(engine):
+    cat = engine.ddl_catalog
+    assert DB in cat.databases
+    assert set(cat.tables) == {
+        "bn_spot_symbols",
+        "bn_perp_symbols",
+        "bn_spot_klines_1hour",
+        "bn_perp_klines_1hour",
+        "bn_funding_rates",
+        "bn_margin_rates",
+        "pipeline_logs",
+    }
+    # clause mapping landed: keys = ORDER BY, month partition col, engine
+    kl = cat.tables["bn_spot_klines_1hour"]
+    assert kl.table.keys == ["symbol", "interval", "timestamp"]
+    assert kl.table.time_col == "timestamp"
+    assert kl.dedup
+    assert kl.ddl.settings.get("index_granularity") == "8192"
+    logs = cat.tables["pipeline_logs"]
+    assert not logs.dedup and logs.table.keys == ["timestamp"]
+    # type mapping: UInt32 -> bigint, UInt8 -> smallint, DateTime -> ts
+    kschema = {f.name: f.dataType.simpleString() for f in kl.ddl.spark_schema}
+    assert kschema["trades_count"] == "bigint"
+    assert kschema["timestamp"] == "timestamp"
+    sschema = {
+        f.name: f.dataType.simpleString()
+        for f in cat.tables["bn_spot_symbols"].ddl.spark_schema
+    }
+    assert sschema["is_margin_trading_allowed"] == "smallint"
+
+
+def test_create_if_not_exists_is_idempotent(engine):
+    for stmt in _reference_ddl():
+        engine.sql(stmt, dialect="clickhouse")  # second pass: all no-ops
+    assert len(engine.ddl_catalog.tables) == 7
+
+
+def test_insert_and_reference_queries_run_verbatim(engine):
+    engine.insert(
+        f"{DB}.bn_spot_symbols",
+        pd.DataFrame(
+            {
+                "symbol": ["BTCUSDT", "ETHUSDT", "XXXBNB"],
+                "base_asset": ["BTC", "ETH", "XXX"],
+                "quote_asset": ["USDT", "USDT", "BNB"],
+                "exchange": ["binance"] * 3,
+                "type": ["SPOT"] * 3,
+                "status": ["TRADING"] * 3,
+                "is_spot_trading_allowed": [1, 1, 1],
+                "is_margin_trading_allowed": [1, 0, 1],
+            }
+        ),
+    )
+    engine.insert(
+        f"{DB}.bn_perp_symbols",
+        pd.DataFrame(
+            {
+                "symbol": ["BTCUSDT", "OLDUSDT"],
+                "base_asset": ["BTC", "OLD"],
+                "quote_asset": ["USDT", "USDT"],
+                "delivery_date": pd.to_datetime(["2030-01-01", "2020-01-01"]),
+            }
+        ),
+    )
+    # crypto_data_pipeline_clickhouse.py:326-333, verbatim
+    perp = engine.sql(
+        """SELECT symbol, delivery_date
+                        FROM bn_perp_symbols
+                        WHERE delivery_date >= '2024-01-01 00:00:00'""",
+        dialect="clickhouse",
+    ).collect()
+    assert [r.symbol for r in perp] == ["BTCUSDT"]
+    spot = engine.sql(
+        """SELECT symbol FROM bn_spot_symbols
+                       WHERE quote_asset IN ('USDT','USDC')""",
+        dialect="clickhouse",
+    ).collect()
+    assert {r.symbol for r in spot} == {"BTCUSDT", "ETHUSDT"}
+    # additional_data.py:218-219, verbatim
+    assets = engine.sql(
+        "SELECT DISTINCT base_asset as asset FROM bn_spot_symbols "
+        "WHERE is_margin_trading_allowed = 1",
+        dialect="clickhouse",
+    ).collect()
+    assert {r.asset for r in assets} == {"BTC", "XXX"}
+
+
+def test_keep_last_round_trip(engine):
+    """ReplacingMergeTree semantics: re-inserting a key serves the LAST
+    version; MergeTree keeps every row."""
+    t = "2024-03-01 10:00:00"
+    row = {
+        "symbol": "BTCUSDT",
+        "exchange": "binance",
+        "type": "SPOT",
+        "interval": "1h",
+        "timestamp": pd.Timestamp(t),
+        "open": 100.0,
+        "close": 101.0,
+    }
+    engine.insert(f"{DB}.bn_spot_klines_1hour", [row])
+    engine.insert(f"{DB}.bn_spot_klines_1hour", [{**row, "close": 999.0}])
+    got = engine.sql(
+        "SELECT close, trades_count FROM bn_spot_klines_1hour "
+        f"WHERE symbol = 'BTCUSDT' AND timestamp = '{t}'",
+        dialect="clickhouse",
+    ).collect()
+    assert len(got) == 1 and got[0].close == 999.0
+    assert got[0].trades_count == 0  # absent insert column -> type default
+    # month-partitioned layout actually landed on disk
+    import os
+
+    path = engine.ddl_catalog.tables["bn_spot_klines_1hour"].table.path
+    assert any(d.startswith("month=") for d in os.listdir(path))
+
+
+def test_log_insert_clickhouse_driver_idiom(engine):
+    """run_pipeline.py:75-78's client.execute(INSERT text, rows) shape,
+    plus DEFAULT now() when the column is omitted."""
+    from datetime import datetime, timezone
+
+    out = engine.sql(
+        f"INSERT INTO {DB}.pipeline_logs (timestamp, status, comment) VALUES",
+        args=[
+            {
+                "timestamp": datetime.now(timezone.utc),
+                "status": "success",
+                "comment": "",
+            }
+        ],
+        dialect="clickhouse",
+    ).collect()
+    assert out[0].rows_written == 1
+    engine.sql(
+        f"INSERT INTO {DB}.pipeline_logs (status, comment) VALUES",
+        args=[{"status": "failed", "comment": "boom"}],
+        dialect="clickhouse",
+    )
+    rows = engine.sql(
+        "SELECT timestamp, status FROM pipeline_logs ORDER BY status",
+        dialect="clickhouse",
+    ).collect()
+    # MergeTree: both rows served; DEFAULT now() stamped the omitted ts
+    assert [r.status for r in rows] == ["failed", "success"]
+    assert all(r.timestamp is not None for r in rows)
+
+
+def test_unsupported_ddl_fails_loudly(engine):
+    for bad in (
+        "CREATE TABLE t (a String) ENGINE = Log ORDER BY a",
+        "CREATE TABLE t (a UInt64) ENGINE = MergeTree() ORDER BY a",
+        "CREATE TABLE t (a String) ENGINE = MergeTree() "
+        "ORDER BY a PARTITION BY toDate(a)",
+        "CREATE TABLE t (a String, b String) ENGINE = MergeTree() "
+        "PRIMARY KEY (b) ORDER BY (a, b)",  # PK not a prefix of ORDER BY
+    ):
+        with pytest.raises((ValueError,)):
+            engine.sql(bad, dialect="clickhouse")
+
+
+def test_versioned_replacing_merge_tree(engine):
+    """ReplacingMergeTree(ver): the version column outranks arrival order —
+    a LOWER-versioned late insert must not displace the served row."""
+    engine.sql(
+        f"""CREATE TABLE {DB}.versioned (
+            k String, v Float64, ver UInt32
+        ) ENGINE = ReplacingMergeTree(ver) ORDER BY k""",
+        dialect="clickhouse",
+    )
+    engine.insert(f"{DB}.versioned", [{"k": "a", "v": 1.0, "ver": 5}])
+    engine.insert(f"{DB}.versioned", [{"k": "a", "v": 2.0, "ver": 3}])
+    got = engine.sql("SELECT v FROM versioned", dialect="clickhouse").collect()
+    assert len(got) == 1 and got[0].v == 1.0
+
+
+def test_qualified_names_resolve_in_queries(engine):
+    engine.insert(
+        f"{DB}.bn_funding_rates",
+        [
+            {
+                "symbol": "BTCUSDT",
+                "exchange": "binance",
+                "type": "PERPETUAL",
+                "fundingTime": pd.Timestamp("2024-02-01 08:00:00"),
+                "fundingRate": 0.0001,
+                "markPrice": 50000.0,
+            }
+        ],
+    )
+    got = engine.sql(
+        f"SELECT symbol, fundingRate FROM {DB}.bn_funding_rates "
+        "WHERE symbol = 'BTCUSDT'",  # the literal must NOT be rewritten
+        dialect="clickhouse",
+    ).collect()
+    assert len(got) == 1 and got[0].fundingRate == 0.0001
+    # a string literal containing "db." survives untouched
+    lit = engine.sql(
+        f"SELECT '{DB}.bn_funding_rates' AS s", dialect="clickhouse"
+    ).first()
+    assert lit.s == f"{DB}.bn_funding_rates"
+
+
+def test_truncate_drop_and_optimize(engine):
+    engine.insert(
+        f"{DB}.bn_margin_rates",
+        [
+            {
+                "asset": "BTC",
+                "exchange": "binance",
+                "type": "MARGIN",
+                "timestamp": pd.Timestamp("2024-02-01"),
+                "dailyInterestRate": 0.0002,
+                "vipLevel": 0,
+            },
+            {
+                "asset": "BTC",
+                "exchange": "binance",
+                "type": "MARGIN",
+                "timestamp": pd.Timestamp("2024-02-01"),
+                "dailyInterestRate": 0.0009,
+                "vipLevel": 0,
+            },
+        ],
+    )
+    # OPTIMIZE FINAL collapses to one version per key on disk; the served
+    # snapshot is unchanged (keep-last already resolved it)
+    engine.sql(f"OPTIMIZE TABLE {DB}.bn_margin_rates FINAL", dialect="clickhouse")
+    got = engine.sql(
+        "SELECT dailyInterestRate FROM bn_margin_rates", dialect="clickhouse"
+    ).collect()
+    assert [r.dailyInterestRate for r in got] == [0.0009]
+    engine.sql(f"TRUNCATE TABLE {DB}.bn_margin_rates", dialect="clickhouse")
+    assert (
+        engine.sql("SELECT * FROM bn_margin_rates", dialect="clickhouse").count()
+        == 0
+    )
+    # table still exists (insert works again), then DROP removes it
+    engine.insert(f"{DB}.bn_margin_rates", [{"asset": "ETH"}])
+    assert (
+        engine.sql("SELECT * FROM bn_margin_rates", dialect="clickhouse").count()
+        == 1
+    )
+    engine.sql(f"DROP TABLE {DB}.bn_margin_rates", dialect="clickhouse")
+    assert "bn_margin_rates" not in engine.ddl_catalog.tables
+    with pytest.raises(KeyError):
+        engine.insert(f"{DB}.bn_margin_rates", [{"asset": "ETH"}])
+    # idempotent forms
+    engine.sql(f"DROP TABLE IF EXISTS {DB}.bn_margin_rates", dialect="clickhouse")
+    engine.sql(
+        f"TRUNCATE TABLE IF EXISTS {DB}.bn_margin_rates", dialect="clickhouse"
+    )
+
+
+def test_alter_add_column_defaults_old_rows(engine):
+    engine.insert(
+        f"{DB}.bn_spot_symbols",
+        [{"symbol": "AAAUSDT", "base_asset": "AAA", "quote_asset": "USDT"}],
+    )
+    engine.sql(
+        f"ALTER TABLE {DB}.bn_spot_symbols ADD COLUMN listing_tier Int32 DEFAULT 3",
+        dialect="clickhouse",
+    )
+    # pre-ALTER rows serve the default; post-ALTER inserts carry their value
+    engine.insert(
+        f"{DB}.bn_spot_symbols",
+        [
+            {
+                "symbol": "BBBUSDT",
+                "base_asset": "BBB",
+                "quote_asset": "USDT",
+                "listing_tier": 1,
+            }
+        ],
+    )
+    got = {
+        r.symbol: r.listing_tier
+        for r in engine.sql(
+            "SELECT symbol, listing_tier FROM bn_spot_symbols "
+            "WHERE symbol IN ('AAAUSDT', 'BBBUSDT')",
+            dialect="clickhouse",
+        ).collect()
+    }
+    assert got == {"AAAUSDT": 3, "BBBUSDT": 1}
+    with pytest.raises(ValueError):
+        engine.sql(
+            f"ALTER TABLE {DB}.bn_spot_symbols ADD COLUMN listing_tier Int32",
+            dialect="clickhouse",
+        )
+    with pytest.raises(ValueError):
+        engine.sql(
+            f"ALTER TABLE {DB}.bn_spot_symbols DROP COLUMN listing_tier",
+            dialect="clickhouse",
+        )
+
+
+def test_mutations_delete_and_update_where(engine):
+    """ClickHouse mutations map onto the month-pruned copy-on-write
+    primitives: ALTER TABLE .. DELETE WHERE purges every version of
+    matching keys; ALTER TABLE .. UPDATE rewrites only matching months."""
+    rows = [
+        {
+            "symbol": s,
+            "exchange": "binance",
+            "type": "PERPETUAL",
+            "fundingTime": pd.Timestamp(t),
+            "fundingRate": r,
+            "markPrice": 1.0,
+        }
+        for s, t, r in [
+            ("AAAUSDT", "2024-01-01 00:00:00", 0.001),
+            ("BBBUSDT", "2024-01-01 08:00:00", 0.002),
+            ("AAAUSDT", "2024-02-01 00:00:00", -0.003),
+        ]
+    ]
+    engine.insert(f"{DB}.bn_funding_rates", rows)
+    out = engine.sql(
+        f"ALTER TABLE {DB}.bn_funding_rates DELETE WHERE symbol = 'BBBUSDT'",
+        dialect="clickhouse",
+    ).first()
+    assert out.rows_deleted == 1
+    left = engine.sql(
+        "SELECT symbol FROM bn_funding_rates ORDER BY fundingTime",
+        dialect="clickhouse",
+    ).collect()
+    assert [r.symbol for r in left] == ["AAAUSDT", "AAAUSDT"]
+    # UPDATE with a dialect expression in the assignment and the predicate
+    out = engine.sql(
+        f"ALTER TABLE {DB}.bn_funding_rates "
+        "UPDATE fundingRate = arraySum(array(fundingRate, toFloat64(1))) "
+        "WHERE fundingRate < 0",
+        dialect="clickhouse",
+    ).first()
+    assert out.rows_updated == 1
+    got = engine.sql(
+        "SELECT round(fundingRate, 6) AS r FROM bn_funding_rates "
+        "ORDER BY fundingTime",
+        dialect="clickhouse",
+    ).collect()
+    assert [r.r for r in got] == [0.001, 0.997]
+    # key columns cannot be assigned (dedup identity would move)
+    with pytest.raises(ValueError):
+        engine.sql(
+            f"ALTER TABLE {DB}.bn_funding_rates "
+            "UPDATE symbol = 'X' WHERE fundingRate > 0",
+            dialect="clickhouse",
+        )

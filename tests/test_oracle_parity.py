@@ -78,12 +78,16 @@ def test_driver_window_is_the_verification_budget():
     rows_only_in_window = [n for n in present if n not in oracle_sql_map()]
     # The BPE/unigram trainers are rows-only by the iterative-algorithm
     # carve-out (their per-step statistics ARE oracle-checked via
-    # bpe_pair_stats / bpe_merge_trace / unigram_seed_piece_stats);
-    # everything else carries a full value-hash oracle.
+    # bpe_pair_stats / bpe_merge_trace / bpe_train_merges_traced /
+    # unigram_seed_piece_stats); approx_aggregates is the sketch carve-out
+    # (no cross-engine exact twin) and sits in the r8 window DELIBERATELY —
+    # the r7 verdict ordered its never-hash-proven rows-only check driven.
+    # Everything else carries a full value-hash oracle.
     assert set(rows_only_in_window) <= {
         "bpe_train_merges",
         "bpe_token_counts",
         "unigram_lm_token_counts",
+        "approx_aggregates",
     }
 
 
