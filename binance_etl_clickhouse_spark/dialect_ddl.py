@@ -320,6 +320,12 @@ def _type_default(spark_type: str) -> F.Column:
 class CatalogEntry:
     ddl: ParsedDDL
     table: ServingTable
+    #: columns declared at CREATE time. ALTER-added columns may be missing
+    #: from pre-ALTER parquet batches and get the default filled on read;
+    #: original columns are default-materialized at INSERT and served RAW —
+    #: wrapping them in coalesce() on read would block predicate pushdown
+    #: and month-partition pruning (a full-scan-at-100TB hazard).
+    original_cols: frozenset[str] = frozenset()
 
     @property
     def dedup(self) -> bool:
@@ -370,6 +376,7 @@ class DdlCatalog:
                 time_col=ddl.partition_time_col,
                 sort_cols=list(ddl.order_by),
             ),
+            original_cols=frozenset(n for n, _, _ in ddl.columns),
         )
         self.tables[ddl.name] = entry
         self._refresh_view(entry)
@@ -529,17 +536,22 @@ class DdlCatalog:
         cols = []
         present = set(df.columns)
         for cname, ctype, dflt in entry.ddl.columns:
+            fill = (
+                self._default_col(dflt, ctype)
+                if dflt is not None
+                else _type_default(ctype)
+            )
             if cname in present:
-                cols.append(F.col(cname).cast(ctype).alias(cname))
-            elif dflt is not None:
-                # the default expr goes through the same scalar dialect as
-                # queries (SELECT-wrapped because the translator takes
-                # statements, not fragments)
-                cols.append(self._default_col(dflt, ctype).alias(cname))
+                # ClickHouse non-Nullable columns turn inserted NULLs into
+                # the default (input_format_null_as_default). Materializing
+                # that HERE keeps the at-rest data NULL-free, so reads can
+                # serve original columns raw — no coalesce wrapper blocking
+                # predicate pushdown / partition pruning.
+                cols.append(F.coalesce(F.col(cname).cast(ctype), fill).alias(cname))
             else:
-                # ClickHouse fills absent insert columns with the TYPE
-                # default (''/0/epoch/false/[]), not NULL — match it
-                cols.append(_type_default(ctype).alias(cname))
+                # absent insert columns take DEFAULT expr or the TYPE
+                # default (''/0/epoch/false/[]), not NULL — match CH
+                cols.append(fill.alias(cname))
         conformed = df.select(*cols)
         if entry.dedup:
             # within one insert block ReplacingMergeTree keeps the LAST row
@@ -571,7 +583,10 @@ class DdlCatalog:
         entry = self.tables[self._bare(name)]
         if not entry.table.exists():
             return self.spark.createDataFrame([], entry.ddl.spark_schema)
-        raw = entry.table.read_raw(self.spark, merge_schema=True)
+        altered = [c for c in entry.ddl.columns if c[0] not in entry.original_cols]
+        # mergeSchema only when an ALTER widened the schema — it reads every
+        # file footer, and steady-state tables take the single-footer path
+        raw = entry.table.read_raw(self.spark, merge_schema=bool(altered))
         if entry.dedup:
             order = (
                 [entry.ddl.version_col, INGEST_SEQ]
@@ -579,24 +594,33 @@ class DdlCatalog:
                 else INGEST_SEQ
             )
             raw = keep_last(raw, entry.table.keys, order)
+        if not altered:
+            # the common path: raw columns pass through untouched, so
+            # predicates reach the parquet scan (PushedFilters + per-file
+            # footer stats skip disjoint files — the key-sorted layout
+            # makes timestamp ranges narrow per file). Month-DIR pruning
+            # from a timestamp predicate would need predicate-to-partition
+            # derivation Spark doesn't do through a view; planned time
+            # scans use ServingTable.read_pruned for that.
+            return raw.drop(INGEST_SEQ)
         present = set(raw.columns)
         cols = []
         for cname, ctype, dflt in entry.ddl.columns:
-            if cname in present:
-                base = F.col(cname).cast(ctype)
-                fill = (
-                    self._default_col(dflt, ctype)
-                    if dflt is not None
-                    else _type_default(ctype)
-                )
-                cols.append(F.coalesce(base, fill).alias(cname))
-            else:
-                fill = (
-                    self._default_col(dflt, ctype)
-                    if dflt is not None
-                    else _type_default(ctype)
-                )
-                cols.append(fill.alias(cname))
+            if cname in entry.original_cols:
+                cols.append(F.col(cname))
+                continue
+            # ALTER-added column: pre-ALTER batches surface NULL through
+            # mergeSchema (or miss it entirely) — fill the declared default,
+            # ClickHouse's lazy-materialization semantics. These can never
+            # be key/partition columns (CREATE declares those), so pruning
+            # is unaffected.
+            fill = (
+                self._default_col(dflt, ctype)
+                if dflt is not None
+                else _type_default(ctype)
+            )
+            base = F.col(cname).cast(ctype) if cname in present else F.lit(None).cast(ctype)
+            cols.append(F.coalesce(base, fill).alias(cname))
         return raw.select(*cols)
 
     def _fragment(self, expr: str) -> str:
