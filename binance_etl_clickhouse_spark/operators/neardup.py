@@ -204,13 +204,22 @@ def minhash_band_values(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return sig.select(id_col, F.explode(F.array(*band_cols)).alias("bv"))
 
 
-#: production default band cap — measured, not guessed: at the bench's 10x
-#: duplicate storm (~45x duplicate density, BENCH_r07 band_cap_recall)
-#: cap=64 evicted 357 band rows across 21 overflowing buckets (max bucket
-#: 120) and lost ZERO of the 250,600 true >=0.5-Jaccard pairs — eviction
-#: decorrelates across the 12 bands exactly as designed. Pass
-#: ``band_cap=None`` for the unbounded-verify form (the uncapped oracle
-#: twin `minhash_lsh_neardup` does, explicitly).
+#: production default band cap — measured, not guessed, at two storm
+#: depths (bench corpus_scale, r8):
+#:   10x replicas (~45x duplicate density): 357 evicted band rows across
+#:     21 overflowing buckets (max bucket 120), ZERO of 250,600 true
+#:     >=0.5-Jaccard pairs lost — eviction decorrelates across the 12
+#:     bands exactly as designed.
+#:   30x replicas (max bucket 360 = 5.6x the cap): 12,164 evictions in
+#:     250 buckets, 0.74% of 2,405,400 true pairs lost — degradation is
+#:     GRACEFUL as overflow deepens, not a cliff. At that density the
+#:     pairs being lost are storm members; the intended pipeline collapses
+#:     byte-identical storms upstream (exact_dup_canonical) before the cap
+#:     ever bites.
+#: Pass ``band_cap=None`` for the unbounded-verify form (the uncapped
+#: oracle twin `minhash_lsh_neardup` does, explicitly); raise the cap if a
+#: corpus legitimately holds >64-member NEAR-identical (not exact) storms
+#: and the recall tail matters more than bounded verify cost.
 DEFAULT_BAND_CAP = 64
 
 

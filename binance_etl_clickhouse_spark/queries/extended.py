@@ -359,3 +359,88 @@ def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
         "(column_name, n_rows, n_null, n_distinct, min_val, max_val, mean_val)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Verbatim ClickHouse-DDL round trip (r8): the dialect_ddl surface driven as
+# a registered query — CREATE TABLE ... ReplacingMergeTree through
+# engine.sql(dialect="clickhouse"), three clickhouse-driver-idiom inserts
+# (one with a same-key duplicate INSIDE the block, one superseding a key
+# across batches, one adding a second month), serve the keep-last snapshot.
+# The oracle replays the identical insert history as a VALUES table with
+# explicit (batch, row-in-block) order and the same last-wins window.
+# ---------------------------------------------------------------------------
+#: (batch, rowi, symbol, ts, close) — the full insert history; keep-last per
+#: (symbol, ts) ordered by (batch, rowi) yields the served snapshot
+_DDL_RT_HISTORY: list[tuple[int, int, str, str, float]] = [
+    (1, 0, "BTCUSDT", "2024-01-01 00:00:00", 100.0),
+    (1, 1, "BTCUSDT", "2024-01-01 00:00:00", 101.0),  # in-block dup: wins
+    (1, 2, "ETHUSDT", "2024-01-01 00:00:00", 10.0),
+    (2, 0, "BTCUSDT", "2024-01-01 00:00:00", 102.0),  # cross-batch: wins
+    (2, 1, "ETHUSDT", "2024-02-01 00:00:00", 11.0),  # second month dir
+    (3, 0, "XRPUSDT", "2024-02-01 00:00:00", 1.0),
+]
+
+
+def _ddl_rt_oracle() -> str:
+    vals = ", ".join(
+        f"({b}, {i}, '{s}', TIMESTAMP '{t}', {c})"
+        for b, i, s, t, c in _DDL_RT_HISTORY
+    )
+    return f"""
+    WITH history(batch, rowi, symbol, ts, close) AS (VALUES {vals})
+    SELECT symbol, ts, close::DOUBLE AS close FROM (
+      SELECT symbol, ts, close,
+             row_number() OVER (PARTITION BY symbol, ts
+                                ORDER BY batch DESC, rowi DESC) AS rn
+      FROM history
+    ) WHERE rn = 1
+    """
+
+
+@register(
+    "ddl_verbatim_roundtrip",
+    _ddl_rt_oracle(),
+    survey_ref=(
+        "S8 DDL surface: ClickHouse CREATE TABLE/INSERT run verbatim, "
+        "served snapshot = ReplacingMergeTree keep-last (in-block last-wins "
+        "+ cross-batch supersede + month partitioning), value-hash oracled"
+    ),
+)
+def ddl_verbatim_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EAGER by nature (like the unrolled trainers): building it provisions
+    a scratch table through the verbatim-DDL path and replays the fixed
+    insert history, so the returned frame IS the served snapshot. Input is
+    the literal history, not the sf tables — identical at every sf."""
+    import tempfile
+
+    from binance_etl_clickhouse_spark.engine import AnalyticsEngine
+
+    eng = AnalyticsEngine(
+        spark, verbose=False, ddl_root=tempfile.mkdtemp(prefix="ddl_rt_")
+    )
+    eng.sql(
+        """CREATE TABLE rt.klines (
+            symbol LowCardinality(String),
+            ts DateTime,
+            close Float64
+        )
+        ENGINE = ReplacingMergeTree()
+        ORDER BY (symbol, ts)
+        PARTITION BY toYYYYMM(ts)""",
+        dialect="clickhouse",
+    )
+    batches: dict[int, list[dict]] = {}
+    for b, _i, s, t, c in _DDL_RT_HISTORY:
+        batches.setdefault(b, []).append(
+            {"symbol": s, "ts": pd.Timestamp(t), "close": c}
+        )
+    for b in sorted(batches):
+        eng.sql(
+            "INSERT INTO rt.klines (symbol, ts, close) VALUES",
+            args=batches[b],
+            dialect="clickhouse",
+        )
+    return eng.sql(
+        "SELECT symbol, ts, close FROM rt.klines", dialect="clickhouse"
+    )
