@@ -199,6 +199,69 @@ def ivf_topk_from_table(
     return _rerank(cand, query_vec, k, id_col, vec_col)
 
 
+def widened_nprobe(
+    nprobe: int,
+    k_cells: int,
+    n_vectors: int,
+    selectivity: float,
+    k: int,
+    alpha: int = 4,
+) -> int:
+    """Selectivity-aware probe count for FILTERED ANN.
+
+    A metadata pre-filter starves a fixed-``nprobe`` candidate set: with a
+    cell-uncorrelated filter keeping fraction ``s`` of vectors, the probed
+    cells hold ~``nprobe * (n/k_cells) * s`` matching candidates — a
+    selective filter can leave fewer than ``k``, silently degrading recall.
+    Widen to the smallest probe count whose EXPECTED matching candidates
+    reach ``alpha * k`` (a safety factor over the exact-k floor), clamped
+    to every cell: ``max(nprobe, ceil(alpha * k * k_cells / (n * s)))``.
+    Driver-side integer math over already-known stats — no extra scan.
+    """
+    if selectivity <= 0:
+        return k_cells  # filter matches nothing we know of: probe all
+    import math
+
+    need = math.ceil(alpha * k * k_cells / (n_vectors * selectivity))
+    return max(nprobe, min(k_cells, need))
+
+
+def ivf_filtered_topk_from_table(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    predicate,
+    selectivity: float,
+    n_vectors: int,
+    k: int = 10,
+    nprobe: int = 3,
+    alpha: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Metadata-FILTERED ANN over the cell-partitioned index layout.
+
+    Composes the two prunings the layout affords: ``cell IN probe`` lands
+    in PartitionFilters (only the probed cell dirs are read) and the
+    metadata ``predicate`` lands in PushedFilters (parquet row-group stats
+    skip inside them). The probe set is widened by :func:`widened_nprobe`
+    so a selective filter cannot starve the candidate pool — the failure
+    mode of naive pre-filtered IVF.
+    """
+    probe = probe_cells(
+        centroids,
+        query_vec,
+        widened_nprobe(nprobe, len(centroids), n_vectors, selectivity, k, alpha),
+    )
+    cand = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probe))
+        .filter(predicate)
+    )
+    return _rerank(cand, query_vec, k, id_col, vec_col)
+
+
 def ivf_batch_topk_from_table(
     spark,
     path: str,

@@ -883,6 +883,109 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# FILTERED ANN (r8): metadata predicate composed with IVF — the layout's two
+# prunings stack (PartitionFilters on cell + PushedFilters on the label),
+# and the probe set widens with measured selectivity so a selective filter
+# cannot starve the candidate pool (naive pre-filtered IVF's failure mode).
+# The oracle unrolls the identical k-means, computes the identical widened
+# probe count from the same counts, and replays filter + rerank.
+# ---------------------------------------------------------------------------
+_FILTER_LABEL = 2
+_FILTER_ALPHA = 4
+
+
+def _ann_ivf_filtered_oracle() -> str:
+    iters = []
+    prev = "c0"
+    for it in range(1, _IVF_ITERS + 1):
+        iters.append(_kmeans_assign_cte(f"a{it}", prev) + ",")
+        iters.append(_kmeans_update_cte(f"a{it}", prev, f"c{it}") + ",")
+        prev = f"c{it}"
+    body = "\n".join(iters)
+    need = _FILTER_ALPHA * 10 * _IVF_K  # alpha * k * k_cells
+    return f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_IVF_K})
+    ),
+    {body}
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    wid AS (
+      -- widened_nprobe(nprobe, k_cells, n, s, k, alpha) with
+      -- s = matched / n: max(nprobe, min(k_cells, ceil(alpha*k*k_cells / matched)))
+      SELECT greatest({_IVF_NPROBE},
+                      least({_IVF_K},
+                            CASE WHEN matched = 0 THEN {_IVF_K}
+                                 ELSE CAST(ceil({need}.0 / matched) AS BIGINT)
+                            END)) AS w
+      FROM (SELECT count(*) FILTER (WHERE label = {_FILTER_LABEL}) AS matched
+            FROM e)
+    ),
+    probe AS (
+      SELECT cell FROM (
+        SELECT {prev}.cell,
+               row_number() OVER (
+                 ORDER BY {_sqdist_sql('qv', f'{prev}.v')}, cell) AS rn
+        FROM {prev} CROSS JOIN q
+      ), wid WHERE rn <= wid.w
+    ),
+    {_kmeans_assign_cte('af', prev)}
+    SELECT af.vec_id,
+           round(list_inner_product(af.v, qv)
+                 / (sqrt(list_inner_product(af.v, af.v)) * sqrt(list_inner_product(qv, qv))), 6)
+             AS cos_sim
+    FROM af JOIN e USING (vec_id) CROSS JOIN q
+    WHERE af.cell IN (SELECT cell FROM probe) AND e.label = {_FILTER_LABEL}
+    ORDER BY cos_sim DESC, af.vec_id LIMIT 10
+    """
+
+
+@register(
+    "ann_ivf_filtered_topk",
+    _ann_ivf_filtered_oracle(),
+    survey_ref=(
+        "similarity: metadata-FILTERED ANN over the IVF layout — "
+        "PartitionFilters (cell) + PushedFilters (label) compose, probe "
+        "count widens with measured selectivity so selective filters "
+        "cannot starve recall"
+    ),
+)
+def ann_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_clickhouse_spark.buildonce import build_once
+    from binance_etl_clickhouse_spark.operators.ivf import (
+        ivf_filtered_topk_from_table,
+        write_ivf_table,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codebook = _ivf_codebook(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    stats = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("label") == _FILTER_LABEL).alias("matched"),
+    ).first()
+    path = build_once(
+        "ivf",
+        f"{sf_dir}:{codebook}",  # the SAME layout ann_ivf_topk reads
+        "_SUCCESS",
+        lambda p: write_ivf_table(emb, codebook, p),
+    )
+    return ivf_filtered_topk_from_table(
+        spark,
+        path,
+        codebook,
+        qv,
+        predicate=F.col("label") == _FILTER_LABEL,
+        selectivity=stats.matched / max(stats.n, 1),
+        n_vectors=int(stats.n),
+        k=10,
+        nprobe=_IVF_NPROBE,
+        alpha=_FILTER_ALPHA,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Fuzzy (edit-distance) matching with blocking: candidates share a snippet
 # prefix or suffix block key; Levenshtein verifies candidates only. The
 # oracle replicates the same blocking, so the candidate sets are identical

@@ -484,3 +484,25 @@ def test_ewma_banded_join_is_equi(spark):
     plan = _plan(spark, "ewma_anomaly_events")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ann_ivf_filtered_composed_pruning(spark):
+    """Filtered ANN must stack BOTH prunings the layout affords: the probe
+    set in PartitionFilters (only probed cell dirs read) and the metadata
+    predicate in PushedFilters (row-group stats skip inside them)."""
+    plan = _plan(spark, "ann_ivf_filtered_topk")
+    assert "PartitionFilters: [cell" in plan, plan[:2000]
+    assert "EqualTo(label,2)" in plan, plan[:2000]
+
+
+def test_widened_nprobe_math():
+    from binance_etl_clickhouse_spark.operators.ivf import widened_nprobe
+
+    # abundant matches: expected candidates cover alpha*k -> no widening
+    assert widened_nprobe(3, 8, 2000, 0.5, 10) == 3
+    # selective filter: ceil(4*10*8 / (2000*0.01)) = 16 -> clamp to k_cells
+    assert widened_nprobe(3, 8, 2000, 0.01, 10) == 8
+    # mid selectivity: ceil(320 / (2000*0.04)) = 4 -> widened past nprobe
+    assert widened_nprobe(3, 8, 2000, 0.04, 10) == 4
+    # zero selectivity (no known matches): probe everything, stay correct
+    assert widened_nprobe(3, 8, 2000, 0.0, 10) == 8
