@@ -114,6 +114,25 @@ LIMIT n BY c1, c2   row_number() window per (c1, c2) keeping the first n
                     outer ORDER BY / LIMIT re-applied on top; top-level
                     clause only — plans as WindowGroupLimit, the per-group
                     partial top-n pushdown
+replaceAll/         replace / regexp_replace (backrefs: CH \1 vs Spark $1
+replaceRegexpAll     — group-free replacements identical) / spliced
+replaceOne           first-occurrence replace expression
+extract/extractAll  regexp_extract(_all)(h, re, g) — g=1 iff the LITERAL
+                    pattern has a capture group (CH's rule); non-literal
+                    patterns pass through loudly
+splitByString(p,s)  split(s, '\\Qp\\E', -1)  [literal separator quoted]
+formatDateTime      date_format with the %-table mapped to Java patterns
+                    (%Y %y %m %d %H %M(=minute!) %S %F %T %e %j);
+                    unmapped specifiers pass through loudly
+toStartOfInterval   epoch-floor bucket for fixed-length INTERVAL n
+(t, INTERVAL n u)    SECOND/MINUTE/HOUR/DAY; calendar-variable units
+                     (WEEK/MONTH...) pass through loudly
+bitAnd/bitOr/       & | ^ ~ operators; shiftleft/shiftright
+bitXor/bitNot/
+bitShiftLeft/Right
+concatWithSeparator concat_ws;  leftUTF8/rightUTF8 -> left/right;
+uniqCombined/       approx_count_distinct
+uniqHLL12
 CREATE DATABASE /   handled by dialect_ddl (engine.sql routes them): the
 CREATE TABLE ...    reference's ReplacingMergeTree/MergeTree DDL provisions
 ENGINE = ...        a ServingTable verbatim — keys = ORDER BY, month dirs
@@ -138,6 +157,85 @@ the table in engine.py.
 from __future__ import annotations
 
 import re
+
+#: binary bit functions -> Spark operators (no bitand/bitor scalar
+#: builtins in Spark; bit_and/bit_or are AGGREGATES)
+_BIT_OPS = {"bitAnd": "&", "bitOr": "|", "bitXor": "^"}
+
+
+def _string_literal(tok: str) -> str | None:
+    """The content of a single-quoted literal token, else None."""
+    t = tok.strip()
+    if (
+        len(t) >= 2
+        and t[0] == "'"
+        and t[-1] == "'"
+        and "'" not in t[1:-1].replace("''", "")
+    ):
+        return t[1:-1]
+    return None
+
+
+def _regex_literal_group(tok: str) -> int | None:
+    """ClickHouse extract()'s group rule for a LITERAL pattern: 0 (whole
+    match) when the regex has no capture group, else 1. None = not a
+    literal (undecidable here)."""
+    lit = _string_literal(tok)
+    if lit is None:
+        return None
+    return 1 if re.findall(r"(?<!\\)\((?!\?:)", lit) else 0
+
+
+#: ClickHouse formatDateTime specifier -> Java SimpleDateFormat pattern.
+#: Only the unambiguous core set; a format using anything else passes
+#: through untranslated (loud failure). NOTE ClickHouse's %M is MINUTE.
+_CH_DATETIME_SPEC = {
+    "Y": "yyyy",
+    "y": "yy",
+    "m": "MM",
+    "d": "dd",
+    "H": "HH",
+    "M": "mm",
+    "S": "ss",
+    "F": "yyyy-MM-dd",
+    "T": "HH:mm:ss",
+    "e": "d",
+    "j": "DDD",
+    "%": "%",
+}
+
+
+def _format_datetime_java(fmt_tok: str) -> str | None:
+    """Translate a LITERAL ClickHouse %-format into a Java date pattern
+    (literal text single-quoted so stray letters can't become fields).
+    None when the token is not a literal or uses an unmapped specifier."""
+    lit = _string_literal(fmt_tok)
+    if lit is None:
+        return None
+    out: list[str] = []
+    i = 0
+    while i < len(lit):
+        ch = lit[i]
+        if ch == "%":
+            if i + 1 >= len(lit) or lit[i + 1] not in _CH_DATETIME_SPEC:
+                return None
+            spec = _CH_DATETIME_SPEC[lit[i + 1]]
+            out.append("%" if spec == "%" else spec)
+            i += 2
+        else:
+            # quote runs of literal text (letters would otherwise be
+            # pattern fields; quotes themselves double)
+            j = i
+            while j < len(lit) and lit[j] != "%":
+                j += 1
+            text = lit[i:j]
+            if re.search(r"[A-Za-z']", text):
+                out.append("'" + text.replace("'", "''") + "'")
+            else:
+                out.append(text)
+            i = j
+    return "".join(out)
+
 
 _CASTS = {
     "toFloat64": "DOUBLE",
@@ -184,6 +282,20 @@ _NAME_MAP = {
     "rightPad": "rpad",
     "trimLeft": "ltrim",
     "trimRight": "rtrim",
+    # round-8 widening: pure renames with identical argument order.
+    # replaceAll(h, p, r) == replace(h, p, r) (both literal, all
+    # occurrences); replaceRegexpAll -> regexp_replace with a DOCUMENTED
+    # divergence: backreferences are \1 in ClickHouse (re2) but $1 in
+    # Spark (Java regex) — group-free replacements are identical.
+    "replaceAll": "replace",
+    "replaceRegexpAll": "regexp_replace",
+    "concatWithSeparator": "concat_ws",
+    "leftUTF8": "left",
+    "rightUTF8": "right",
+    "bitShiftLeft": "shiftleft",
+    "bitShiftRight": "shiftright",
+    "uniqCombined": "approx_count_distinct",
+    "uniqHLL12": "approx_count_distinct",
     "trimBoth": "trim",
 }
 
@@ -671,6 +783,75 @@ def translate_clickhouse_sql(sql: str) -> str:
                         for a in args[1:]
                     ]
                     out.append(f"array({', '.join(elems)})")
+                elif name == "replaceOne" and len(args) == 3:
+                    # first-occurrence replace has no Spark builtin; splice
+                    # around the located match (args repeat — documented
+                    # side-effect-free-arguments contract)
+                    h, p, r = args
+                    out.append(
+                        f"if(locate({p}, {h}) = 0, {h}, "
+                        f"concat(substr({h}, 1, locate({p}, {h}) - 1), {r}, "
+                        f"substr({h}, locate({p}, {h}) + length({p}))))"
+                    )
+                elif name in ("extract", "extractAll") and len(args) == 2:
+                    # ClickHouse: whole match when the pattern has no capture
+                    # group, else group 1. Decidable only for LITERAL
+                    # patterns; a non-literal pattern falls through (loud
+                    # analyzer failure, never silent wrong-group extraction).
+                    grp = _regex_literal_group(args[1])
+                    if grp is None:
+                        out.append(f"{name}({', '.join(args)})")
+                    else:
+                        fn = (
+                            "regexp_extract"
+                            if name == "extract"
+                            else "regexp_extract_all"
+                        )
+                        out.append(f"{fn}({args[0]}, {args[1]}, {grp})")
+                elif name == "splitByString" and len(args) == 2:
+                    # ClickHouse splits on a LITERAL separator; Spark's
+                    # split takes a regex — \Q..\E quotes a literal pattern
+                    sep, s = args
+                    lit = _string_literal(sep)
+                    if lit is None:
+                        out.append(f"splitByString({sep}, {s})")
+                    else:
+                        out.append(f"split({s}, '\\\\Q{lit}\\\\E', -1)")
+                elif name == "formatDateTime" and len(args) in (2, 3):
+                    java = _format_datetime_java(args[1])
+                    if java is None:
+                        out.append(f"formatDateTime({', '.join(args)})")
+                    else:
+                        # Java-pattern quoting ('T') must survive SQL
+                        # string-literal embedding: double the quotes
+                        sql_lit = java.replace("'", "''")
+                        out.append(f"date_format({args[0]}, '{sql_lit}')")
+                elif name == "toStartOfInterval" and len(args) == 2:
+                    iv = re.fullmatch(
+                        r"INTERVAL\s+(\d+)\s+(SECOND|MINUTE|HOUR|DAY)S?",
+                        args[1].strip(),
+                        re.I,
+                    )
+                    if iv is None:
+                        # WEEK/MONTH buckets are calendar-variable — only
+                        # fixed-length units map to the epoch-floor form;
+                        # anything else fails loudly in the analyzer
+                        out.append(f"toStartOfInterval({', '.join(args)})")
+                    else:
+                        step = int(iv.group(1)) * {
+                            "second": 1,
+                            "minute": 60,
+                            "hour": 3600,
+                            "day": 86400,
+                        }[iv.group(2).lower()]
+                        out.append(
+                            f"timestamp_seconds((unix_timestamp({args[0]}) "
+                            f"div {step}) * {step})"
+                        )
+                elif name in _BIT_OPS and len(args) == 2:
+                    out.append(f"(({args[0]}) {_BIT_OPS[name]} ({args[1]}))")
+                elif name == "bitNot" and len(args) == 1:
+                    out.append(f"(~({args[0]}))")
                 elif name == "multiIf" and len(args) >= 3 and len(args) % 2 == 1:
                     clauses = " ".join(
                         f"WHEN {args[p]} THEN {args[p + 1]}"

@@ -749,3 +749,74 @@ def test_round7_array_rewrites_end_to_end(engine):
         FROM lineitem WHERE l_orderkey < 100
         """,
     )
+
+
+@pytest.mark.parametrize(
+    "ch,expected",
+    [
+        ("replaceAll(h, 'x', 'y')", "replace(h, 'x', 'y')"),
+        ("replaceRegexpAll(h, 'a+', 'b')", "regexp_replace(h, 'a+', 'b')"),
+        ("concatWithSeparator('-', a, b)", "concat_ws('-', a, b)"),
+        ("leftUTF8(s, 2)", "left(s, 2)"),
+        ("rightUTF8(s, 2)", "right(s, 2)"),
+        ("bitAnd(a, b)", "((a) & (b))"),
+        ("bitOr(a, b)", "((a) | (b))"),
+        ("bitXor(a, b)", "((a) ^ (b))"),
+        ("bitNot(a)", "(~(a))"),
+        ("bitShiftLeft(a, 2)", "shiftleft(a, 2)"),
+        ("uniqCombined(u)", "approx_count_distinct(u)"),
+        # extract: literal pattern WITH a group -> group 1, without -> 0
+        ("extract(s, 'k=(\\d+)')", "regexp_extract(s, 'k=(\\d+)', 1)"),
+        ("extract(s, '\\d+')", "regexp_extract(s, '\\d+', 0)"),
+        ("extractAll(s, '\\d+')", "regexp_extract_all(s, '\\d+', 0)"),
+        # non-literal pattern: undecidable group rule -> loud passthrough
+        ("extract(s, p)", "extract(s, p)"),
+        ("splitByString('||', s)", "split(s, '\\\\Q||\\\\E', -1)"),
+        (
+            "toStartOfInterval(ts, INTERVAL 4 HOUR)",
+            "timestamp_seconds((unix_timestamp(ts) div 14400) * 14400)",
+        ),
+        (
+            "toStartOfInterval(ts, INTERVAL 15 MINUTE)",
+            "timestamp_seconds((unix_timestamp(ts) div 900) * 900)",
+        ),
+        # calendar-variable units: loud passthrough, never a wrong bucket
+        (
+            "toStartOfInterval(ts, INTERVAL 1 MONTH)",
+            "toStartOfInterval(ts, INTERVAL 1 MONTH)",
+        ),
+    ],
+)
+def test_round8_rewrites(ch, expected):
+    assert translate_clickhouse_sql(f"SELECT {ch} FROM t") == f"SELECT {expected} FROM t"
+
+
+def test_round8_scalars_end_to_end(engine):
+    row = engine.sql(
+        r"""
+        SELECT replaceOne('aXbXc', 'X', '-') AS r1,
+               replaceAll('aXbXc', 'X', '-') AS rall,
+               extract('key=42;', 'key=(\\d+)') AS grp,
+               extract('abc123', '\\d+') AS whole,
+               extractAll('a1b22c333', '\\d+') AS all_matches,
+               splitByString('||', 'a||b||c') AS parts,
+               formatDateTime(fromUnixTimestamp64Milli(1700000000000),
+                              '%Y-%m-%d %H:%M:%S') AS fmt,
+               formatDateTime(fromUnixTimestamp64Milli(1700000000000),
+                              '%FT%T') AS iso,
+               toStartOfInterval(fromUnixTimestamp64Milli(1700000000000),
+                                 INTERVAL 4 HOUR) AS bucket4h,
+               bitAnd(12, 10) AS band, bitXor(12, 10) AS bxor
+        """,
+        dialect="clickhouse",
+    ).first()
+    assert row.r1 == "a-bXc"  # FIRST occurrence only
+    assert row.rall == "a-b-c"
+    assert row.grp == "42" and row.whole == "123"
+    assert row.all_matches == ["1", "22", "333"]
+    assert row.parts == ["a", "b", "c"]
+    # 1700000000000 ms = 2023-11-14 22:13:20 UTC
+    assert row.fmt == "2023-11-14 22:13:20"
+    assert row.iso == "2023-11-14T22:13:20"  # %M is MINUTE in ClickHouse
+    assert str(row.bucket4h) == "2023-11-14 20:00:00"
+    assert row.band == 8 and row.bxor == 6
