@@ -138,6 +138,9 @@ HEADLINE = [
     # leakage-safe split) and the fixed-vocab unigram Viterbi encode
     "training_data_prep_pipeline_v3",
     "tokenizer_apply_unigram",
+    # round-8 addition — metadata-FILTERED ANN over the shared IVF layout
+    # (composed PartitionFilters + PushedFilters, selectivity-widened probe)
+    "ann_ivf_filtered_topk",
 ]
 
 
