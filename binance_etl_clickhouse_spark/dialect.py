@@ -133,6 +133,14 @@ bitShiftLeft/Right
 concatWithSeparator concat_ws;  leftUTF8/rightUTF8 -> left/right;
 uniqCombined/       approx_count_distinct
 uniqHLL12
+<agg>If(args, c)    base(CASE WHEN c THEN arg END, ...) for the whole
+                    mapped family: any/anyLast (ignoreNulls=true), uniq,
+                    uniqExact (count DISTINCT), argMax/argMin (both value
+                    AND order args wrap), groupArray/groupUniqArray, plus
+                    the r1 sum/avg/min/max/count forms
+quantileTDigest/    percentile_approx(x, p) [Spark's one approximate
+Timing/Determin-     rank sketch stands in for the CH sketch family;
+istic/BFloat16(p)(x) error models differ]
 CREATE DATABASE /   handled by dialect_ddl (engine.sql routes them): the
 CREATE TABLE ...    reference's ReplacingMergeTree/MergeTree DDL provisions
 ENGINE = ...        a ServingTable verbatim — keys = ORDER BY, month dirs
@@ -383,9 +391,38 @@ _DATEDIFF_UNITS = {
     "year": "(year({b}) - year({a}))",
 }
 
-_IF_COMBINATORS = {"sumIf": "sum", "avgIf": "avg", "minIf": "min", "maxIf": "max"}
+#: <agg>If(args..., cond) — ClickHouse's If combinator attaches to ANY
+#: aggregate; each base maps to its Spark twin with every VALUE argument
+#: wrapped in CASE WHEN cond (Spark aggregates skip NULL inputs, which is
+#: exactly the If combinator's skip-row semantic; count/collect need no
+#: special casing for the same reason). sum/avg/min/max handled since r1;
+#: r8 generalizes to the rest of the mapped aggregate surface.
+_IF_COMBINATORS = {
+    "sumIf": "sum",
+    "avgIf": "avg",
+    "minIf": "min",
+    "maxIf": "max",
+    "anyIf": "any_value",
+    "anyLastIf": "any_value",
+    "uniqIf": "approx_count_distinct",
+    "argMaxIf": "max_by",
+    "argMinIf": "min_by",
+    "groupArrayIf": "collect_list",
+    "groupUniqArrayIf": "collect_set",
+}
 
-_QUANTILES = {"quantile": "percentile_approx", "quantileExact": "percentile"}
+#: approximate-sketch quantile variants all land on percentile_approx —
+#: Spark's one approximate-percentile sketch plays the role of ClickHouse's
+#: tdigest/timing/deterministic family (same contract: approximate rank
+#: statistics; error models differ and are documented here)
+_QUANTILES = {
+    "quantile": "percentile_approx",
+    "quantileExact": "percentile",
+    "quantileTDigest": "percentile_approx",
+    "quantileTiming": "percentile_approx",
+    "quantileDeterministic": "percentile_approx",
+    "quantileBFloat16": "percentile_approx",
+}
 
 _IDENT = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_")
 
@@ -666,15 +703,28 @@ def translate_clickhouse_sql(sql: str) -> str:
                     continue
                 if name in _CASTS and len(args) == 1:
                     out.append(f"CAST({args[0]} AS {_CASTS[name]})")
-                elif name in _IF_COMBINATORS and len(args) == 2:
-                    out.append(
-                        f"{_IF_COMBINATORS[name]}(CASE WHEN {args[1]} THEN {args[0]} END)"
-                    )
+                elif name in _IF_COMBINATORS and len(args) >= 2:
+                    # last argument is the condition; every value argument
+                    # wraps (a FALSE condition yields NULLs, which Spark
+                    # aggregates skip — the If combinator's row-skip)
+                    cond = args[-1]
+                    wrapped = [f"CASE WHEN {cond} THEN {a} END" for a in args[:-1]]
+                    base = _IF_COMBINATORS[name]
+                    if base == "any_value":
+                        # ignoreNulls=true, or a non-matching row's NULL
+                        # could be picked over the matching rows
+                        out.append(f"any_value({', '.join(wrapped)}, true)")
+                    else:
+                        out.append(f"{base}({', '.join(wrapped)})")
                 elif name == "countIf":
                     if len(args) == 1:
                         out.append(f"count_if({args[0]})")
                     else:
                         out.append(f"count(CASE WHEN {args[1]} THEN {args[0]} END)")
+                elif name == "uniqExactIf" and len(args) >= 2:
+                    cond = args[-1]
+                    wrapped = [f"CASE WHEN {cond} THEN {a} END" for a in args[:-1]]
+                    out.append(f"count(DISTINCT {', '.join(wrapped)})")
                 elif name == "uniqExact":
                     out.append(f"count(DISTINCT {', '.join(args)})")
                 elif name == "arraySort" and len(args) == 1:

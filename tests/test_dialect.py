@@ -820,3 +820,55 @@ def test_round8_scalars_end_to_end(engine):
     assert row.iso == "2023-11-14T22:13:20"  # %M is MINUTE in ClickHouse
     assert str(row.bucket4h) == "2023-11-14 20:00:00"
     assert row.band == 8 and row.bxor == 6
+
+
+@pytest.mark.parametrize(
+    "ch,expected",
+    [
+        ("anyIf(x, c)", "any_value(CASE WHEN c THEN x END, true)"),
+        ("uniqIf(x, c)", "approx_count_distinct(CASE WHEN c THEN x END)"),
+        (
+            "argMaxIf(a, b, c)",
+            "max_by(CASE WHEN c THEN a END, CASE WHEN c THEN b END)",
+        ),
+        (
+            "argMinIf(a, b, c)",
+            "min_by(CASE WHEN c THEN a END, CASE WHEN c THEN b END)",
+        ),
+        ("groupArrayIf(x, c)", "collect_list(CASE WHEN c THEN x END)"),
+        ("groupUniqArrayIf(x, c)", "collect_set(CASE WHEN c THEN x END)"),
+        ("uniqExactIf(x, c)", "count(DISTINCT CASE WHEN c THEN x END)"),
+        ("quantileTDigest(0.9)(x)", "percentile_approx(x, 0.9)"),
+        ("quantileTiming(0.5)(x)", "percentile_approx(x, 0.5)"),
+    ],
+)
+def test_if_combinator_family(ch, expected):
+    assert translate_clickhouse_sql(f"SELECT {ch} FROM t") == f"SELECT {expected} FROM t"
+
+
+def test_if_combinators_end_to_end(engine):
+    """The generalized If family against hand-written Spark SQL on real
+    data: value/order args wrap, non-matching rows are skipped (not
+    NULL-polluting), argMaxIf orders only within matching rows."""
+    _match(
+        engine,
+        """
+        SELECT user_id,
+               argMaxIf(event_type, ts, value > 0) AS last_paid_type,
+               uniqExactIf(event_type, value > 0)  AS n_paid_types,
+               arrayStringConcat(arraySort(
+                   groupUniqArrayIf(event_type, value > 100)), ',') AS big_types
+        FROM events GROUP BY user_id
+        """,
+        """
+        SELECT user_id,
+               max_by(CASE WHEN value > 0 THEN event_type END,
+                      CASE WHEN value > 0 THEN ts END)     AS last_paid_type,
+               count(DISTINCT CASE WHEN value > 0 THEN event_type END)
+                                                           AS n_paid_types,
+               array_join(array_sort(
+                   collect_set(CASE WHEN value > 100 THEN event_type END)), ',')
+                                                           AS big_types
+        FROM events GROUP BY user_id
+        """,
+    )
