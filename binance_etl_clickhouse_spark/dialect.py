@@ -105,6 +105,10 @@ FROM t FINAL        FROM t              [the engine's registered views ARE
 PREWHERE c          WHERE c             [PREWHERE is a scan-order hint;
                                          Spark's optimizer already pushes
                                          predicates to the scan]
+... SETTINGS k = v  stripped             [trailing per-query execution
+                                         hints (max_threads, ...) — like
+                                         PREWHERE, advice Spark's planner
+                                         makes itself]
 FROM t SAMPLE 0.1   FROM t TABLESAMPLE (10 PERCENT)   [k<=1 is a fraction
                                          (SAMPLE 1 = all data), k>1 ->
                                          (k ROWS); Bernoulli, not
@@ -378,6 +382,20 @@ def _sample_sub(m: re.Match) -> str:
         return f"{m.group(1)} TABLESAMPLE ({val * 100.0:g} PERCENT)"
     return f"{m.group(1)} TABLESAMPLE ({int(val)} ROWS)"
 
+#: trailing per-query ``SETTINGS k = v[, ...]`` clause: a ClickHouse
+#: execution hint (max_threads, max_memory_usage, ...), meaningless to
+#: Spark's planner — stripped, like PREWHERE's scan-order hint. Anchored at
+#: end-of-statement (optional trailing semicolon/format noise excluded
+#: upstream); values may be numbers or quoted strings. Only TOP-LEVEL:
+#: the lookahead refuses a closing paren after the clause, so a
+#: subquery-embedded SETTINGS (not valid CH anyway) is left to fail loudly.
+_TRAILING_SETTINGS_RE = re.compile(
+    r"\s+SETTINGS\s+\w+\s*=\s*(?:'[^']*'|[\w.]+)"
+    r"(?:\s*,\s*\w+\s*=\s*(?:'[^']*'|[\w.]+))*\s*(;?)\s*$",
+    re.IGNORECASE,
+)
+
+
 #: dateDiff('unit', a, b) -> boundary-crossing difference expressions.
 #: Epoch-second DIV is exact floor for the post-1970 data this engine
 #: carries; calendar units difference the calendar field positions.
@@ -631,6 +649,7 @@ def translate_clickhouse_sql(sql: str) -> str:
     # "FROM x FINAL" inside a string — not worth a second scanner)
     sql = _FINAL_RE.sub(r"\1", sql)
     sql = _SAMPLE_RE.sub(_sample_sub, sql)
+    sql = _TRAILING_SETTINGS_RE.sub(r"\1", sql)
     sql = _rewrite_limit_by(sql)
     out: list[str] = []
     i = 0

@@ -872,3 +872,27 @@ def test_if_combinators_end_to_end(engine):
         FROM events GROUP BY user_id
         """,
     )
+
+
+def test_trailing_settings_clause_stripped(engine):
+    t = translate_clickhouse_sql
+    assert (
+        t("SELECT 1 FROM t SETTINGS max_threads = 8")
+        == "SELECT 1 FROM t"
+    )
+    assert (
+        t("SELECT a FROM t WHERE x > 0 SETTINGS max_memory_usage = 17179869184, "
+          "use_numpy = 'true';")
+        == "SELECT a FROM t WHERE x > 0;"
+    )
+    # a string literal containing the word is untouched
+    assert (
+        t("SELECT 'SETTINGS max_threads = 8' AS s FROM t")
+        == "SELECT 'SETTINGS max_threads = 8' AS s FROM t"
+    )
+    # end-to-end: the reference's session-style hints ride along harmlessly
+    row = engine.sql(
+        "SELECT count(*) AS n FROM events SETTINGS max_threads = 4",
+        dialect="clickhouse",
+    ).first()
+    assert row.n > 0
