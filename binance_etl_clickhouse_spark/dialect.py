@@ -118,6 +118,15 @@ LIMIT n BY c1, c2   row_number() window per (c1, c2) keeping the first n
                     outer ORDER BY / LIMIT re-applied on top; top-level
                     clause only — plans as WindowGroupLimit, the per-group
                     partial top-n pushdown
+L la ASOF [LEFT]    union-tag + ONE window per equality key + last(right
+JOIN R ra ON        row-struct, ignorenulls) derived table — a single
+k-eqs AND           shuffle, never a range/nested-loop join. Each side is
+la.ts >= ra.ts      struct-packed under its ORIGINAL alias, so qualified
+                    refs (la.x, ra.*) in the outer query resolve unchanged.
+                    All four ordered ops (>= > <= <) and both keyword
+                    orders (ASOF LEFT / LEFT ASOF) map; see the
+                    _rewrite_asof_join comment for the documented limits
+                    (qualified refs only, one join per FROM, no USING/OR)
 replaceAll/         replace / regexp_replace (backrefs: CH \1 vs Spark $1
 replaceRegexpAll     — group-free replacements identical) / spliced
 replaceOne           first-occurrence replace expression
@@ -639,6 +648,288 @@ def _rewrite_limit_by(sql: str) -> str:
     return out
 
 
+# ---------------------------------------------------------------------------
+# ASOF JOIN — ClickHouse's point-in-time join. Spark has neither the syntax
+# nor the operator, and the two obvious SQL encodings both fail at scale:
+# a range join plans as a nested loop, and a correlated LATERAL ... ORDER BY
+# ... LIMIT 1 decorrelates through a CartesianProduct against the DISTINCT
+# outer timestamps (measured on Spark 4.1). The scalable shape is the one
+# operators/asof.py uses: union-tag both sides, ONE window per equality key
+# ordered by (ts, side), last(right-row-struct, ignorenulls), keep left
+# rows — a single shuffle on the join key, no range explosion.
+#
+# The rewrite packs each side into a struct aliased by its ORIGINAL table
+# alias, so qualified references (``t.px``, ``q.*``) in the outer query
+# resolve unchanged as struct-field accesses. Documented limits (each fails
+# loudly, never silently):
+#   * column references in the outer query and the ON clause must be
+#     QUALIFIED by the join aliases (a bare ``px`` cannot see inside the
+#     packed structs; ClickHouse itself recommends qualified refs here);
+#   * the ASOF JOIN must be the only join in its FROM clause;
+#   * USING form and OR in the ON clause are not supported;
+#   * ``SELECT *`` returns the two row-structs — use ``t.*, q.*``.
+# NULL handling matches SQL join semantics (never ClickHouse's, which
+# forbids NULLs in ASOF keys outright): right rows with a NULL key or NULL
+# asof-ts are filtered (can never match), and a left row with a NULL asof-ts
+# matches nothing — NULLS FIRST ordering puts it before every right row.
+# ---------------------------------------------------------------------------
+
+#: tokens that end an ON condition / start a clause after the join
+_ASOF_STOP = {
+    "WHERE",
+    "PREWHERE",
+    "GROUP",
+    "HAVING",
+    "ORDER",
+    "LIMIT",
+    "UNION",
+    "INTERSECT",
+    "EXCEPT",
+    "WINDOW",
+    "QUALIFY",
+    "SETTINGS",
+    "FORMAT",
+}
+_ASOF_JOIN_KW = {"JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "ASOF", "SEMI", "ANTI"}
+
+#: comparison operators, two-char forms first so ``>=`` never matches ``>``
+_ASOF_CMP = (">=", "<=", "!=", "<>", "=", ">", "<")
+
+#: leftover ASOF JOIN syntax after rewriting (e.g. in a position the
+#: fragment-level scanner cannot see) must abort, or Spark would parse
+#: ``t ASOF JOIN u ON a = b AND x >= y`` as alias ``ASOF`` + INNER join
+#: with the inequality silently folded into the join condition
+_ASOF_LEFTOVER_RE = re.compile(
+    r"\bASOF\s+(?:LEFT\s+|INNER\s+)?JOIN\b|\b(?:LEFT|INNER)\s+ASOF\s+JOIN\b",
+    re.IGNORECASE,
+)
+
+
+def _blank_quoted(s: str) -> str:
+    """Copy of ``s`` with every quoted token replaced by spaces — lets the
+    regex-based scans below ignore string/identifier contents."""
+    out, i, n = [], 0, len(s)
+    while i < n:
+        if s[i] in _QUOTES:
+            j = _skip_string(s, i)
+            out.append(" " * (j - i))
+            i = j
+            continue
+        out.append(s[i])
+        i += 1
+    return "".join(out)
+
+
+def _refs_alias(expr: str, alias: str) -> bool:
+    """True iff ``expr`` contains a qualified reference ``alias.<col>``."""
+    return bool(
+        re.search(
+            rf"(?<![\w.]){re.escape(alias)}\s*\.", _blank_quoted(expr), re.IGNORECASE
+        )
+    )
+
+
+def _split_top_level_and(cond: str) -> list[str]:
+    """Split a boolean expression on its top-level ANDs (quote/paren aware);
+    a top-level OR is not decomposable into asof conjuncts -> ValueError."""
+    parts, last = [], 0
+    for s, e, tok in _top_level_keyword_spans(cond):
+        if tok == "AND":
+            parts.append(cond[last:s])
+            last = e
+        elif tok == "OR":
+            raise ValueError("ASOF JOIN: OR in the ON clause is not supported")
+    parts.append(cond[last:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _find_top_cmp(expr: str) -> tuple[str, int] | None:
+    """(operator, index) of the top-level comparison in a conjunct."""
+    depth, i, n = 0, 0, len(expr)
+    while i < n:
+        ch = expr[i]
+        if ch in _QUOTES:
+            i = _skip_string(expr, i)
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0 and ch in "<>=!":
+            for op in _ASOF_CMP:
+                if expr.startswith(op, i):
+                    return op, i
+        i += 1
+    return None
+
+
+def _parse_join_term(sql: str, i: int) -> tuple[str, str | None, int]:
+    """Parse a join term at ``i``: a table name (dotted ok) or a
+    parenthesized subquery, then an optional ``[AS] alias``. Returns
+    (term_text, alias, index_past)."""
+    n = len(sql)
+    while i < n and sql[i].isspace():
+        i += 1
+    if i < n and sql[i] == "(":
+        close = _find_close(sql, i)
+        term = sql[i : close + 1]
+        j = close + 1
+    else:
+        j = i
+        while j < n and (sql[j] in _IDENT or sql[j] == "."):
+            j += 1
+        term = sql[i:j]
+        if not term:
+            raise ValueError(f"ASOF JOIN: expected a table or subquery at {i}")
+    # optional alias (AS word | bare word that is not a keyword)
+    k = j
+    while k < n and sql[k].isspace():
+        k += 1
+    if k < n and sql[k] in _IDENT and not sql[k].isdigit():
+        m = k
+        while m < n and sql[m] in _IDENT:
+            m += 1
+        word = sql[k:m]
+        up = word.upper()
+        if up == "AS":
+            k2 = m
+            while k2 < n and sql[k2].isspace():
+                k2 += 1
+            m2 = k2
+            while m2 < n and sql[m2] in _IDENT:
+                m2 += 1
+            if k2 == m2:
+                raise ValueError("ASOF JOIN: dangling AS")
+            return term, sql[k2:m2], m2
+        if up not in _ASOF_JOIN_KW and up not in _ASOF_STOP and up != "ON":
+            return term, word, m
+    return term, None, j
+
+
+def _rewrite_asof_join(sql: str) -> str:
+    """``FROM L la ASOF [LEFT] JOIN R ra ON k-eqs AND la.ts >= ra.ts`` ->
+    the union + keyed window + last(ignorenulls) derived table (module
+    comment above). Applies to the first top-level ASOF join of the
+    fragment; nested subqueries are handled when the recursive translator
+    descends into them."""
+    toks = _top_level_keyword_spans(sql)
+    asof_pos = next((x for x in range(len(toks)) if toks[x][2] == "ASOF"), None)
+    if asof_pos is None:
+        return sql
+    # ---- join keywords: [LEFT|INNER] ASOF [LEFT|INNER] JOIN ----
+    is_left = False
+    kw_start = toks[asof_pos][0]
+    if asof_pos > 0 and toks[asof_pos - 1][2] in ("LEFT", "INNER"):
+        prev = toks[asof_pos - 1]
+        if sql[prev[1] : kw_start].strip() == "":
+            is_left = prev[2] == "LEFT"
+            kw_start = prev[0]
+            asof_pos = asof_pos  # keyword group extended backwards
+    q = asof_pos + 1
+    if q < len(toks) and toks[q][2] in ("LEFT", "INNER"):
+        is_left = is_left or toks[q][2] == "LEFT"
+        q += 1
+    if q >= len(toks) or toks[q][2] != "JOIN":
+        return sql  # not join syntax; the leftover backstop decides
+    # ---- left side: between the governing FROM and the join keywords ----
+    from_tok = None
+    for t in toks:
+        if t[2] == "FROM" and t[1] <= kw_start:
+            from_tok = t
+    if from_tok is None:
+        return sql
+    left_term, left_alias, li = _parse_join_term(sql, from_tok[1])
+    if sql[li:kw_start].strip() != "":
+        raise ValueError(
+            "ASOF JOIN must be the only join in its FROM clause "
+            f"(unparsed text before the join: {sql[li:kw_start].strip()!r})"
+        )
+    # ---- right side and ON ----
+    right_term, right_alias, ri = _parse_join_term(sql, toks[q][1])
+    on_tok = next((t for t in toks if t[0] >= ri), None)
+    if on_tok is None or on_tok[2] != "ON":
+        raise ValueError("ASOF JOIN: USING / missing ON is not supported")
+    cond_start = on_tok[1]
+    cond_end = len(sql)
+    for t in toks:
+        if t[0] >= cond_start and t[2] in _ASOF_STOP:
+            cond_end = t[0]
+            break
+        if t[0] >= cond_start and t[2] in _ASOF_JOIN_KW:
+            raise ValueError("ASOF JOIN: only one join per FROM clause")
+    semi = _blank_quoted(sql[cond_start:cond_end]).find(";")
+    if semi != -1:
+        cond_end = cond_start + semi
+    la = left_alias or left_term.split(".")[-1]
+    ra = right_alias or right_term.split(".")[-1]
+    if la.startswith("(") or ra.startswith("(") or not la or not ra:
+        raise ValueError("ASOF JOIN: subquery sides need an alias")
+    # ---- classify conjuncts ----
+    eqs: list[tuple[str, str]] = []
+    ineq: tuple[str, str, str] | None = None
+    for conj in _split_top_level_and(sql[cond_start:cond_end]):
+        hit = _find_top_cmp(conj)
+        if hit is None:
+            raise ValueError(f"ASOF JOIN: no comparison in conjunct {conj!r}")
+        op, pos = hit
+        a, b = conj[:pos].strip(), conj[pos + len(op) :].strip()
+        a_l, a_r = _refs_alias(a, la), _refs_alias(a, ra)
+        b_l, b_r = _refs_alias(b, la), _refs_alias(b, ra)
+        if a_l and not a_r and b_r and not b_l:
+            lx, rx = a, b
+        elif a_r and not a_l and b_l and not b_r:
+            lx, rx = b, a
+            op = {">=": "<=", "<=": ">=", ">": "<", "<": ">"}.get(op, op)
+        else:
+            raise ValueError(
+                f"ASOF JOIN: conjunct {conj!r} must compare one "
+                f"{la}-qualified side with one {ra}-qualified side"
+            )
+        if op == "=":
+            eqs.append((lx, rx))
+        elif op in ("!=", "<>"):
+            raise ValueError("ASOF JOIN: inequality key must be ordered, not !=")
+        elif ineq is not None:
+            raise ValueError("ASOF JOIN: exactly one ordered condition allowed")
+        else:
+            ineq = (lx, op, rx)
+    if ineq is None:
+        raise ValueError("ASOF JOIN: needs exactly one ordered (>=, >, <=, <) condition")
+    if not eqs:
+        # ClickHouse requires >=1 equality key; a keyless asof would also
+        # serialize the window into one partition — refuse both for one
+        raise ValueError("ASOF JOIN: at least one equality condition required")
+    l_ts, op, r_ts = ineq
+    backward = op in (">=", ">")
+    inclusive = op in (">=", "<=")
+    # side order decides whether a right row at EXACTLY the left row's ts is
+    # visible (mirrors operators/asof.py's allow_exact_matches ordering)
+    r_side, l_side = (0, 1) if inclusive else (1, 0)
+    order = "__t ASC NULLS FIRST" if backward else "__t DESC NULLS FIRST"
+    k_l = ", ".join(f"{le} AS __k{i}" for i, (le, _) in enumerate(eqs))
+    k_r = ", ".join(f"{rx} AS __k{i}" for i, (_, rx) in enumerate(eqs))
+    parts = ", ".join(f"__k{i}" for i in range(len(eqs)))
+    r_guards = " AND ".join(
+        [f"({rx}) IS NOT NULL" for _, rx in eqs] + [f"({r_ts}) IS NOT NULL"]
+    )
+    inner_filter = "" if is_left else " AND __rrow IS NOT NULL"
+    derived = (
+        f"(SELECT __lrow AS {la}, __rrow AS {ra} FROM ("
+        f"SELECT __lrow, last(__rrow, true) OVER (PARTITION BY {parts} "
+        f"ORDER BY {order}, __s ASC "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __rrow, __s "
+        f"FROM ("
+        f"SELECT {k_l}, {l_ts} AS __t, {l_side} AS __s, "
+        f"struct({la}.*) AS __lrow, NULL AS __rrow FROM {left_term} AS {la} "
+        f"UNION ALL "
+        f"SELECT {k_r}, {r_ts} AS __t, {r_side} AS __s, "
+        f"NULL AS __lrow, struct({ra}.*) AS __rrow FROM {right_term} AS {ra} "
+        f"WHERE {r_guards}"
+        f") __asof_u) __asof_m WHERE __s = {l_side}{inner_filter}) __asof_j"
+    )
+    return f"{sql[: from_tok[1]]} {derived} {sql[cond_end:]}"
+
+
 def translate_clickhouse_sql(sql: str) -> str:
     """Rewrite ClickHouse-flavored SQL into Spark SQL (see module doc)."""
     # comments first: a quote inside a -- or /* */ comment would flip
@@ -650,6 +941,7 @@ def translate_clickhouse_sql(sql: str) -> str:
     sql = _FINAL_RE.sub(r"\1", sql)
     sql = _SAMPLE_RE.sub(_sample_sub, sql)
     sql = _TRAILING_SETTINGS_RE.sub(r"\1", sql)
+    sql = _rewrite_asof_join(sql)
     sql = _rewrite_limit_by(sql)
     out: list[str] = []
     i = 0
@@ -940,4 +1232,15 @@ def translate_clickhouse_sql(sql: str) -> str:
             continue
         out.append(ch)
         i += 1
-    return "".join(out)
+    result = "".join(out)
+    # fail-loud backstop: ASOF JOIN syntax the fragment scanners could not
+    # reach (e.g. split mid-subquery) must never reach Spark's parser — it
+    # would silently parse as an alias plus a plain INNER join with the
+    # ordering condition folded into the join predicate
+    if _ASOF_LEFTOVER_RE.search(_blank_quoted(result)):
+        raise ValueError(
+            "ASOF JOIN could not be translated in this position; supported "
+            "shape: FROM <term> <alias> ASOF [LEFT] JOIN <term> <alias> "
+            "ON <equality conjuncts> AND <one ordered condition>"
+        )
+    return result

@@ -444,3 +444,47 @@ def ddl_verbatim_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.sql(
         "SELECT symbol, ts, close FROM rt.klines", dialect="clickhouse"
     )
+
+
+# ---------------------------------------------------------------------------
+# Verbatim ClickHouse ASOF JOIN (r8): the dialect's point-in-time join
+# surface driven as a registered query. The ClickHouse text runs unchanged
+# through engine.sql(dialect="clickhouse") — translated into the union +
+# keyed-window + last(ignorenulls) derived table (ONE shuffle on the
+# equality key; dialect.py _rewrite_asof_join) — and the oracle is DuckDB's
+# NATIVE ASOF JOIN on the identical query shape, so the semantics are
+# pinned engine-to-engine, not against a hand-rewritten twin. The right
+# side pre-aggregates to one row per (user_id, ts): both engines pick an
+# arbitrary candidate among exact ties, so uniqueness is what makes the
+# value-hash comparable.
+# ---------------------------------------------------------------------------
+_ASOF_CH_SQL = """
+SELECT p.event_id AS purchase_id,
+       p.user_id  AS user_id,
+       p.ts       AS purchase_ts,
+       c.ts       AS click_ts,
+       c.value    AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value FROM events
+                WHERE event_type = 'click' GROUP BY user_id, ts) c
+ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+@register(
+    "asof_join_verbatim_sql",
+    _ASOF_CH_SQL,  # DuckDB parses the ClickHouse ASOF JOIN text natively
+    survey_ref=(
+        "S8 dialect: ClickHouse ASOF [LEFT] JOIN runs verbatim — union-tag "
+        "+ one keyed window + last(ignorenulls), single shuffle, oracled "
+        "against DuckDB's native ASOF JOIN"
+    ),
+)
+def asof_join_verbatim_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_clickhouse_spark.engine import AnalyticsEngine
+    from binance_etl_clickhouse_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return AnalyticsEngine(spark, verbose=False).sql(
+        _ASOF_CH_SQL, dialect="clickhouse"
+    )

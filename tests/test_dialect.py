@@ -896,3 +896,131 @@ def test_trailing_settings_clause_stripped(engine):
         dialect="clickhouse",
     ).first()
     assert row.n > 0
+
+
+# ---------------------------------------------------------------------------
+# ASOF JOIN (r8): ClickHouse's point-in-time join rewritten into the
+# union + keyed-window + last(ignorenulls) derived table — one shuffle on
+# the equality key, never a range/nested-loop join. Reference anchor: the
+# klines<->funding-rates alignment the reference does in pandas
+# (additional_data.py), which ClickHouse users type as ASOF JOIN.
+# ---------------------------------------------------------------------------
+
+_ASOF_QUOTES = "(SELECT * FROM VALUES ('a', 1, 10.0), ('a', 2, 20.0), ('b', 5, 50.0) AS v(sym, ts, px))"
+_ASOF_TRADES = "(SELECT * FROM VALUES ('a', 2), ('a', 0), ('b', 9), ('c', 1) AS w(sym, ts))"
+
+
+def _asof_rows(engine, join_kw: str, cond: str):
+    df = engine.sql(
+        f"SELECT t.sym AS sym, t.ts AS tts, q.ts AS qts, q.px AS px "
+        f"FROM {_ASOF_TRADES} t {join_kw} {_ASOF_QUOTES} q ON {cond} "
+        f"ORDER BY t.sym, t.ts",
+        dialect="clickhouse",
+    )
+    return [tuple(r) for r in df.collect()]
+
+
+def test_asof_join_backward_inclusive_and_strict(engine):
+    # >= : trade@2 sees quote@2 (exact match counts); trade@0 has none
+    assert _asof_rows(
+        engine, "ASOF LEFT JOIN", "t.sym = q.sym AND t.ts >= q.ts"
+    ) == [
+        ("a", 0, None, None),
+        ("a", 2, 2, 20.0),
+        ("b", 9, 5, 50.0),
+        ("c", 1, None, None),
+    ]
+    # > : the exact-ts quote is no longer visible -> falls back one row
+    assert _asof_rows(
+        engine, "ASOF LEFT JOIN", "t.sym = q.sym AND t.ts > q.ts"
+    ) == [
+        ("a", 0, None, None),
+        ("a", 2, 1, 10.0),
+        ("b", 9, 5, 50.0),
+        ("c", 1, None, None),
+    ]
+
+
+def test_asof_join_forward_directions(engine):
+    # <= forward: earliest quote at-or-after the trade
+    assert _asof_rows(
+        engine, "LEFT ASOF JOIN", "t.sym = q.sym AND t.ts <= q.ts"
+    ) == [
+        ("a", 0, 1, 10.0),
+        ("a", 2, 2, 20.0),
+        ("b", 9, None, None),
+        ("c", 1, None, None),
+    ]
+    # < forward strict + inner: the exact-ts quote is skipped, and the
+    # now-unmatched left rows drop (ClickHouse ASOF JOIN default is inner)
+    assert _asof_rows(engine, "ASOF JOIN", "t.sym = q.sym AND t.ts < q.ts") == [
+        ("a", 0, 1, 10.0),
+    ]
+
+
+def test_asof_join_inner_drops_unmatched(engine):
+    assert _asof_rows(engine, "ASOF JOIN", "t.sym = q.sym AND t.ts >= q.ts") == [
+        ("a", 2, 2, 20.0),
+        ("b", 9, 5, 50.0),
+    ]
+
+
+def test_asof_join_flipped_conjuncts_normalize(engine):
+    # q-side written first in both conjuncts: op mirrors, same result
+    assert _asof_rows(
+        engine, "ASOF JOIN", "q.sym = t.sym AND q.ts <= t.ts"
+    ) == _asof_rows(engine, "ASOF JOIN", "t.sym = q.sym AND t.ts >= q.ts")
+
+
+def test_asof_join_single_shuffle_no_nlj(engine):
+    df = engine.sql(
+        f"SELECT t.sym AS sym, q.px AS px FROM {_ASOF_TRADES} t "
+        f"ASOF JOIN {_ASOF_QUOTES} q ON t.sym = q.sym AND t.ts >= q.ts",
+        dialect="clickhouse",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "SortMergeJoin" not in plan  # no join operator at all: one window
+
+
+@pytest.mark.parametrize(
+    "cond,msg",
+    [
+        ("t.sym = q.sym OR t.ts >= q.ts", "OR in the ON clause"),
+        ("t.ts >= q.ts", "at least one equality"),
+        ("t.sym = q.sym AND t.ts >= q.ts AND t.ts < q.px", "exactly one ordered"),
+        ("t.sym = q.sym AND t.ts != q.ts", "ordered, not !="),
+        ("t.sym = q.sym", "needs exactly one ordered"),
+    ],
+)
+def test_asof_join_unsupported_shapes_raise(cond, msg):
+    with pytest.raises(ValueError, match=msg.replace("(", "\\(")):
+        translate_clickhouse_sql(
+            f"SELECT t.sym FROM trades t ASOF JOIN quotes q ON {cond}"
+        )
+
+
+def test_asof_join_leftover_backstop_raises():
+    # a fragment split mid-subquery leaves un-rewritable ASOF syntax; it
+    # must abort, or Spark would parse 'ASOF' as an alias + plain join
+    with pytest.raises(ValueError):
+        translate_clickhouse_sql(
+            "SELECT f(x, (SELECT 1 FROM a, b ASOF JOIN c ON a.x = c.x)) FROM t"
+        )
+    # ...but the word inside a string literal is not syntax
+    assert "ASOF JOIN" in translate_clickhouse_sql("SELECT 'ASOF JOIN' AS s FROM t")
+
+
+def test_asof_join_composes_with_dialect_functions(engine):
+    # combinators translate inside the subquery terms and the outer select
+    df = engine.sql(
+        "SELECT t.sym AS sym, toFloat64(q.px) AS px "
+        f"FROM {_ASOF_TRADES} t ASOF JOIN "
+        f"(SELECT sym, ts, argMax(px, ts) AS px FROM {_ASOF_QUOTES} raw "
+        "GROUP BY sym, ts) q "
+        "ON t.sym = q.sym AND t.ts >= q.ts",
+        dialect="clickhouse",
+    )
+    rows = {(r.sym, r.px) for r in df.collect()}
+    assert rows == {("a", 20.0), ("b", 50.0)}
