@@ -79,10 +79,16 @@ positionCaseInsensitive(h, n) / locate(lower(n), lower(h))
 positionCaseInsensitiveUTF8     [full-Unicode case fold vs ClickHouse's
                                  ASCII-only fold in the non-UTF8 name]
 retention(c1..cn)   array(max(c1-flag), least(max(c1-flag), max(ci-flag))..)
-                    [windowFunnel and sequenceMatch are NOT translatable as
-                     string rewrites — both are ordered state machines over
-                     event time; use the native funnel operators
-                     (operators/funnel.py) instead]
+windowFunnel(W)     aggregate() fold over array_sort(collect_list(...)) —
+(ts, c1..cN)        the exact CH chain algorithm ((t, idx) points, c1
+                    re-anchors, chain start propagates within W) as a pure
+                    JVM expression; max 8 conditions, strictness modes
+                    refused loudly. Result INT level 0..N
+sequenceMatch(pat)  boolean-DP aggregate() fold over the time-sorted
+(ts, c1..cK)        matched-event points; (?N) and .* atoms only ((?t...)
+                    time conditions refused loudly); adjacency counts
+                    events matching any DESCRIBED condition (the CH
+                    interruption rule). Result INT 1/0
 range(n)/range(a,b) guarded sequence slice (empty when n<=0 / b<=a,
                     matching ClickHouse; bare sequence would descend)
 toFloat64/toInt64/  CAST(x AS DOUBLE/BIGINT/INT/SMALLINT/TINYINT/STRING/
@@ -649,6 +655,170 @@ def _rewrite_limit_by(sql: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# windowFunnel / sequenceMatch — ClickHouse's ordered event-chain aggregates,
+# previously documented as non-translatable. Both ARE expressible as pure
+# Spark expressions: collect the group's (event-time, condition) points,
+# array_sort them, and run the ClickHouse state machine as an aggregate()
+# fold — JVM expressions end to end, no UDF, no extra shuffle beyond the
+# enclosing GROUP BY. Per-group state is O(#conditions); the collected array
+# is O(group events), same as ClickHouse's own AggregateFunctionWindowFunnel
+# buffer.
+#
+# windowFunnel(W)(ts, c1..cN) replicates the CH algorithm exactly
+# (AggregateFunctionWindowFunnel::getEventLevel, default mode): events
+# explode into (t, cond-idx) pairs sorted by (t, idx); a c1 point OVERWRITES
+# the level-1 chain start; a c_i point within W of the level-(i-1) CHAIN
+# START propagates that start to level i; result = deepest level reached.
+# Strictness modes ('strict_order', 'strict_dedup', 'strict_increase') are
+# refused loudly.
+#
+# sequenceMatch('(?1).*(?2)')(ts, c1..cK) supports (?N) and .* pattern
+# atoms (time conditions (?t<=x) are refused loudly): one point per matched
+# EVENT (not per condition — adjacency counts events, and an event matching
+# any DESCRIBED condition interrupts an adjacent pair, per CH docs), sorted
+# by time, folded through a reachable/ends-here boolean DP per pattern
+# prefix. CH documents same-second ordering as undefined; here ties order by
+# the condition flags.
+# ---------------------------------------------------------------------------
+
+#: merge-lambda size is O(N^2); ClickHouse caps conditions at 32, this
+#: translation at 8 — past that the generated expression gets silly
+_FUNNEL_MAX_CONDS = 8
+
+
+def _window_funnel_expr(window: str, ts: str, conds: list[str]) -> str:
+    n = len(conds)
+    if n > _FUNNEL_MAX_CONDS:
+        raise ValueError(
+            f"windowFunnel: at most {_FUNNEL_MAX_CONDS} conditions supported"
+        )
+    # one point per MATCHED CONDITION (CH pushes a (t, idx) pair per matched
+    # condition, so one event can advance several levels); CAST AS DOUBLE is
+    # epoch seconds for timestamps and identity for numerics — both CH forms
+    pairs = ", ".join(
+        f"named_struct('t', CAST({ts} AS DOUBLE), 'i', {i + 1}, "
+        f"'m', coalesce(CAST({c} AS BOOLEAN), false))"
+        for i, c in enumerate(conds)
+    )
+    entries = (
+        f"array_sort(flatten(collect_list("
+        f"filter(array({pairs}), p -> p.m AND p.t IS NOT NULL))))"
+    )
+    zero = (
+        "named_struct("
+        + ", ".join(f"'t{i}', CAST(NULL AS DOUBLE)" for i in range(1, n + 1))
+        + ")"
+    )
+    branches = []
+    for lvl in range(1, n + 1):
+        fields = []
+        for i in range(1, n + 1):
+            if i == lvl == 1:
+                # a level-1 point overwrites the chain start (CH semantics:
+                # the LATEST c1 so far anchors future chains)
+                fields.append("'t1', e.t")
+            elif i == lvl:
+                fields.append(
+                    f"'t{i}', CASE WHEN acc.t{i - 1} IS NOT NULL AND "
+                    f"e.t <= acc.t{i - 1} + ({window}) THEN acc.t{i - 1} "
+                    f"ELSE acc.t{i} END"
+                )
+            else:
+                fields.append(f"'t{i}', acc.t{i}")
+        branches.append(
+            f"WHEN e.i = {lvl} THEN named_struct({', '.join(fields)})"
+        )
+    merge = f"(acc, e) -> CASE {' '.join(branches)} ELSE acc END"
+    level = (
+        "CASE "
+        + " ".join(f"WHEN acc.t{i} IS NOT NULL THEN {i}" for i in range(n, 0, -1))
+        + " ELSE 0 END"
+    )
+    return f"aggregate({entries}, {zero}, {merge}, acc -> CAST({level} AS INT))"
+
+
+def _parse_sequence_pattern(pat: str) -> list[tuple[int, bool]]:
+    """'(?1).*(?2)(?3)' -> [(1, False), (2, False), (3, True)] — (cond-idx,
+    must-be-adjacent-to-previous-matched-event). The first step is never
+    adjacency-constrained (the pattern is unanchored). Unsupported atoms
+    ((?t...) time conditions, '.', anchors) raise."""
+    steps: list[tuple[int, bool]] = []
+    i, gap = 0, True
+    while i < len(pat):
+        if pat.startswith(".*", i):
+            gap = True
+            i += 2
+            continue
+        m = re.match(r"\(\?(\d+)\)", pat[i:])
+        if m is None:
+            raise ValueError(
+                f"sequenceMatch: unsupported pattern atom at {pat[i:]!r} "
+                "(only (?N) and .* are translatable; (?t...) time "
+                "conditions are not)"
+            )
+        steps.append((int(m.group(1)), not gap))
+        gap = False
+        i += m.end()
+    if not steps:
+        raise ValueError("sequenceMatch: empty pattern")
+    return steps
+
+
+def _sequence_match_expr(pattern: str, ts: str, conds: list[str]) -> str:
+    lit = _string_literal(pattern)
+    if lit is None:
+        raise ValueError("sequenceMatch: the pattern must be a string literal")
+    if len(conds) > _FUNNEL_MAX_CONDS:
+        raise ValueError(
+            f"sequenceMatch: at most {_FUNNEL_MAX_CONDS} conditions supported"
+        )
+    steps = _parse_sequence_pattern(lit)
+    for idx, _ in steps:
+        if not 1 <= idx <= len(conds):
+            raise ValueError(
+                f"sequenceMatch: pattern references condition {idx} but only "
+                f"{len(conds)} conditions were given"
+            )
+    k = len(steps)
+    # one point per matched EVENT with its condition flags: adjacency counts
+    # events matching ANY described condition (an interposed described event
+    # interrupts an adjacent pair — the CH-documented interruption rule)
+    flags = ", ".join(
+        f"'c{i + 1}', coalesce(CAST({c} AS BOOLEAN), false)"
+        for i, c in enumerate(conds)
+    )
+    any_flag = " OR ".join(
+        f"coalesce(CAST({c} AS BOOLEAN), false)" for c in conds
+    )
+    entries = (
+        f"array_sort(collect_list(CASE WHEN ({any_flag}) "
+        f"AND CAST({ts} AS DOUBLE) IS NOT NULL THEN "
+        f"named_struct('t', CAST({ts} AS DOUBLE), {flags}) END))"
+    )
+    zero = (
+        "named_struct("
+        + ", ".join(f"'a{p}', false, 'r{p}', false" for p in range(1, k + 1))
+        + ")"
+    )
+    # boolean DP, all transitions read the PRE-event state: a_p = prefix p
+    # ends exactly at this point, r_p = prefix p has completed at some point
+    fields = []
+    for p, (cidx, adjacent) in enumerate(steps, start=1):
+        if p == 1:
+            a = f"e.c{cidx}"
+        elif adjacent:
+            a = f"(e.c{cidx} AND acc.a{p - 1})"
+        else:
+            a = f"(e.c{cidx} AND acc.r{p - 1})"
+        fields.append(f"'a{p}', {a}, 'r{p}', (acc.r{p} OR {a})")
+    merge = f"(acc, e) -> named_struct({', '.join(fields)})"
+    return (
+        f"aggregate({entries}, {zero}, {merge}, "
+        f"acc -> CAST(CASE WHEN acc.r{k} THEN 1 ELSE 0 END AS INT))"
+    )
+
+
+# ---------------------------------------------------------------------------
 # ASOF JOIN — ClickHouse's point-in-time join. Spark has neither the syntax
 # nor the operator, and the two obvious SQL encodings both fail at scale:
 # a range join plans as a nested loop, and a correlated LATERAL ... ORDER BY
@@ -974,6 +1144,7 @@ def translate_clickhouse_sql(sql: str) -> str:
                     or name in _MULTI_QUANTILES
                     or name in _SLICED_COLLECT
                     or name in _WEIGHTED_QUANTILES
+                    or name in ("windowFunnel", "sequenceMatch")
                 ):
                     # parameterized combinator: fn(params)(x)
                     k2 = i
@@ -986,7 +1157,32 @@ def translate_clickhouse_sql(sql: str) -> str:
                             for a in _split_args(sql[k2 + 1 : close2])
                         ]
                         i = close2 + 1
-                        if name in _WEIGHTED_QUANTILES and len(inner) == 2:
+                        if name == "windowFunnel":
+                            if len(args) != 1:
+                                raise ValueError(
+                                    "windowFunnel: strictness modes "
+                                    f"({args[1:]}) are not supported"
+                                )
+                            if len(inner) < 2:
+                                raise ValueError(
+                                    "windowFunnel needs (timestamp, cond...)"
+                                )
+                            out.append(
+                                _window_funnel_expr(args[0], inner[0], inner[1:])
+                            )
+                        elif name == "sequenceMatch":
+                            if len(args) != 1:
+                                raise ValueError(
+                                    "sequenceMatch takes exactly one pattern"
+                                )
+                            if len(inner) < 2:
+                                raise ValueError(
+                                    "sequenceMatch needs (timestamp, cond...)"
+                                )
+                            out.append(
+                                _sequence_match_expr(args[0], inner[0], inner[1:])
+                            )
+                        elif name in _WEIGHTED_QUANTILES and len(inner) == 2:
                             # quantileExactWeighted(p)(x, w) -> percentile(x, p, w)
                             out.append(
                                 f"{_WEIGHTED_QUANTILES[name]}({inner[0]}, "

@@ -488,3 +488,119 @@ def asof_join_verbatim_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AnalyticsEngine(spark, verbose=False).sql(
         _ASOF_CH_SQL, dialect="clickhouse"
     )
+
+
+# ---------------------------------------------------------------------------
+# Verbatim windowFunnel / sequenceMatch (r8): the ordered event-chain
+# aggregates run unchanged through the dialect, translated into pure
+# aggregate() folds over array_sort(collect_list(...)) — no UDF, no shuffle
+# beyond the GROUP BY (dialect.py _window_funnel_expr/_sequence_match_expr).
+#
+# The windowFunnel oracle uses the chain-EXISTS equivalence of the CH
+# algorithm (default mode): level >= k iff a chain e1 <= e2 <= ... <= ek
+# exists with every element within the window of the FIRST — provable by
+# induction because the stored chain-start timestamps are monotone
+# non-decreasing over processing, so any feasible chain is eventually
+# found. The sequenceMatch '(?1).*(?2).*(?3)' pattern is a pure ordered
+# subsequence — EXISTS over a 3-way self-join. Events carry unique
+# microsecond timestamps per user (no ties), so both sides are
+# deterministic.
+# ---------------------------------------------------------------------------
+_FUNNEL_CH_SQL = """
+SELECT user_id,
+       windowFunnel(86400)(ts, event_type = 'view', event_type = 'click',
+                           event_type = 'purchase') AS funnel_level
+FROM events GROUP BY user_id
+"""
+
+_FUNNEL_ORACLE = """
+WITH e AS (SELECT user_id, ts, event_type FROM events),
+l1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+l2 AS (SELECT DISTINCT a.user_id
+       FROM e a JOIN e b ON b.user_id = a.user_id
+       WHERE a.event_type = 'view' AND b.event_type = 'click'
+         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 86400 SECOND),
+l3 AS (SELECT DISTINCT a.user_id
+       FROM e a JOIN e b ON b.user_id = a.user_id
+                JOIN e c ON c.user_id = a.user_id
+       WHERE a.event_type = 'view' AND b.event_type = 'click'
+         AND c.event_type = 'purchase'
+         AND b.ts >= a.ts AND c.ts >= b.ts
+         AND c.ts <= a.ts + INTERVAL 86400 SECOND)
+SELECT u.user_id AS user_id,
+       CAST(CASE WHEN l3.user_id IS NOT NULL THEN 3
+                 WHEN l2.user_id IS NOT NULL THEN 2
+                 WHEN l1.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS funnel_level
+FROM (SELECT DISTINCT user_id FROM e) u
+LEFT JOIN l1 ON l1.user_id = u.user_id
+LEFT JOIN l2 ON l2.user_id = u.user_id
+LEFT JOIN l3 ON l3.user_id = u.user_id
+"""
+
+
+@register(
+    "windowfunnel_verbatim_sql",
+    _FUNNEL_ORACLE,
+    survey_ref=(
+        "S8 dialect: ClickHouse windowFunnel(W)(ts, c1..cN) runs verbatim "
+        "as an aggregate() fold replicating the CH chain algorithm, "
+        "oracled via the chain-EXISTS equivalence"
+    ),
+)
+def windowfunnel_verbatim_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_clickhouse_spark.engine import AnalyticsEngine
+    from binance_etl_clickhouse_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return AnalyticsEngine(spark, verbose=False).sql(
+        _FUNNEL_CH_SQL, dialect="clickhouse"
+    )
+
+
+#: first-week slice — over the full range every user eventually completes
+#: the chain (all-1 result proves nothing); the slice splits ~60/40
+_SEQMATCH_CH_SQL = """
+SELECT user_id,
+       sequenceMatch('(?1).*(?2).*(?3)')(ts, event_type = 'signup',
+                                         event_type = 'click',
+                                         event_type = 'purchase')
+           AS seq_matched
+FROM (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00')
+GROUP BY user_id
+"""
+
+_SEQMATCH_ORACLE = """
+WITH e AS (SELECT user_id, ts, event_type FROM events
+           WHERE ts < TIMESTAMP '2024-01-08 00:00:00'),
+hit AS (SELECT DISTINCT a.user_id
+        FROM e a JOIN e b ON b.user_id = a.user_id
+                 JOIN e c ON c.user_id = a.user_id
+        WHERE a.event_type = 'signup' AND b.event_type = 'click'
+          AND c.event_type = 'purchase'
+          AND b.ts >= a.ts AND c.ts >= b.ts)
+SELECT u.user_id AS user_id,
+       CAST(CASE WHEN hit.user_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+           AS seq_matched
+FROM (SELECT DISTINCT user_id FROM e) u
+LEFT JOIN hit ON hit.user_id = u.user_id
+"""
+
+
+@register(
+    "sequencematch_verbatim_sql",
+    _SEQMATCH_ORACLE,
+    survey_ref=(
+        "S8 dialect: ClickHouse sequenceMatch('(?N)'/'.*' patterns) runs "
+        "verbatim as a boolean-DP aggregate() fold, oracled as an ordered "
+        "subsequence EXISTS"
+    ),
+)
+def sequencematch_verbatim_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_clickhouse_spark.engine import AnalyticsEngine
+    from binance_etl_clickhouse_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return AnalyticsEngine(spark, verbose=False).sql(
+        _SEQMATCH_CH_SQL, dialect="clickhouse"
+    )

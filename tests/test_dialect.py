@@ -1024,3 +1024,133 @@ def test_asof_join_composes_with_dialect_functions(engine):
     )
     rows = {(r.sym, r.px) for r in df.collect()}
     assert rows == {("a", 20.0), ("b", 50.0)}
+
+
+# ---------------------------------------------------------------------------
+# windowFunnel / sequenceMatch (r8): the ordered event-chain aggregates as
+# pure aggregate() folds. The funnel fold is pinned against a line-by-line
+# Python port of ClickHouse's published algorithm
+# (AggregateFunctionWindowFunnel::getEventLevel, default mode) on seeded
+# random event streams; sequenceMatch is pinned on the CH documentation
+# examples, including the described-event interruption rule.
+# ---------------------------------------------------------------------------
+
+
+def _ch_funnel_reference(events, window, ncond):
+    """(t, idx) points sorted by (t, idx); a c1 point re-anchors level 1;
+    a c_i point within `window` of the level-(i-1) CHAIN START propagates
+    that start; result = deepest level reached."""
+    pairs = sorted((t, i) for t, cs in events for i, m in enumerate(cs, 1) if m)
+    starts = [None] * ncond
+    for t, idx in pairs:
+        if idx == 1:
+            starts[0] = t
+        elif starts[idx - 2] is not None and t <= starts[idx - 2] + window:
+            starts[idx - 1] = starts[idx - 2]
+    for i in range(ncond - 1, -1, -1):
+        if starts[i] is not None:
+            return i + 1
+    return 0
+
+
+def _run_funnel(engine, events, window, ncond):
+    vals = ", ".join(
+        f"({t}, {', '.join('true' if m else 'false' for m in cs)})"
+        for t, cs in events
+    )
+    cols = ", ".join(f"c{i}" for i in range(1, ncond + 1))
+    return engine.sql(
+        f"SELECT windowFunnel({window})(t, {cols}) AS lvl "
+        f"FROM (SELECT * FROM VALUES {vals} AS v(t, {cols})) GROUP BY 1 = 1",
+        dialect="clickhouse",
+    ).first().lvl
+
+
+def test_window_funnel_matches_clickhouse_algorithm(engine):
+    import random
+
+    rng = random.Random(8)
+    for _ in range(25):
+        ncond = rng.choice([2, 3, 4])
+        events = [
+            (rng.randint(0, 12), [rng.random() < 0.45 for _ in range(ncond)])
+            for _ in range(rng.randint(1, 8))
+        ]
+        window = rng.choice([0, 2, 5, 100])
+        assert _run_funnel(engine, events, window, ncond) == _ch_funnel_reference(
+            events, window, ncond
+        ), (events, window, ncond)
+
+
+def test_window_funnel_pinned_semantics(engine):
+    # window cutoff: click at t=10 is outside view@0 + 5
+    assert _run_funnel(engine, [(0, [True, False]), (10, [False, True])], 5, 2) == 1
+    # c1 re-anchor: the LATER view@8 lets click@10 chain
+    assert (
+        _run_funnel(
+            engine,
+            [(0, [True, False]), (8, [True, False]), (10, [False, True])],
+            5,
+            2,
+        )
+        == 2
+    )
+    # one event matching several conditions cascades within the event
+    assert _run_funnel(engine, [(3, [True, True, True])], 0, 3) == 3
+    # no c1 -> level 0 regardless of later conditions
+    assert _run_funnel(engine, [(1, [False, True])], 100, 2) == 0
+
+
+def _run_seqmatch(engine, pattern, rows, ncond):
+    vals = ", ".join(
+        f"({t}, {', '.join('true' if m else 'false' for m in cs)})"
+        for t, cs in rows
+    )
+    cols = ", ".join(f"c{i}" for i in range(1, ncond + 1))
+    return engine.sql(
+        f"SELECT sequenceMatch('{pattern}')(t, {cols}) AS m "
+        f"FROM (SELECT * FROM VALUES {vals} AS v(t, {cols})) GROUP BY 1 = 1",
+        dialect="clickhouse",
+    ).first().m
+
+
+def test_sequence_match_docs_semantics(engine):
+    # CH docs: (?1)(?2) matches when the in-between event is NOT described
+    rows2 = [(1, [True, False]), (2, [False, False]), (3, [False, True])]
+    assert _run_seqmatch(engine, "(?1)(?2)", rows2, 2) == 1
+    # ...but a DESCRIBED in-between event interrupts the adjacent pair
+    rows3 = [
+        (1, [True, False, False]),
+        (2, [False, False, True]),
+        (3, [False, True, False]),
+    ]
+    assert _run_seqmatch(engine, "(?1)(?2)", rows3, 3) == 0
+    # .* re-allows it
+    assert _run_seqmatch(engine, "(?1).*(?2)", rows3, 3) == 1
+    # pattern order is the match order
+    assert _run_seqmatch(engine, "(?2)(?1)", rows2, 2) == 0
+
+
+@pytest.mark.parametrize(
+    "sql,msg",
+    [
+        (
+            "SELECT windowFunnel(10, 'strict_order')(t, c1) FROM x GROUP BY u",
+            "strictness modes",
+        ),
+        ("SELECT windowFunnel(10)(t) FROM x GROUP BY u", "needs"),
+        (
+            "SELECT sequenceMatch('(?1)(?t<=36)(?2)')(t, c1, c2) FROM x GROUP BY u",
+            "unsupported pattern atom",
+        ),
+        ("SELECT sequenceMatch('')(t, c1) FROM x GROUP BY u", "empty pattern"),
+        (
+            "SELECT sequenceMatch('(?3)')(t, c1, c2) FROM x GROUP BY u",
+            "references condition 3",
+        ),
+        ("SELECT sequenceMatch(pat)(t, c1) FROM x GROUP BY u", "string literal"),
+    ],
+)
+def test_funnel_aggregates_unsupported_forms_raise(sql, msg):
+    with pytest.raises(ValueError, match=msg):
+        translate_clickhouse_sql(sql)
