@@ -89,6 +89,15 @@ sequenceMatch(pat)  boolean-DP aggregate() fold over the time-sorted
                     time conditions refused loudly); adjacency counts
                     events matching any DESCRIBED condition (the CH
                     interruption rule). Result INT 1/0
+sequenceCount(pat)  same DP with a counter: each full-pattern completion
+(ts, c1..cK)        increments and resets every prefix — greedy leftmost
+                    NON-OVERLAPPING matches (CH resumes after a match's
+                    last event). Result INT
+GLOBAL IN/JOIN      GLOBAL stripped (a ClickHouse shard-broadcast hint;
+ALL [kind] JOIN     Spark's planner picks broadcast-vs-shuffle itself) and
+                    ALL join strictness stripped (it IS the default
+                    multiplicity); quote-safe, and ANY strictness is left
+                    to fail loudly — it changes row multiplicity
 range(n)/range(a,b) guarded sequence slice (empty when n<=0 / b<=a,
                     matching ClickHouse; bare sequence would descend)
 toFloat64/toInt64/  CAST(x AS DOUBLE/BIGINT/INT/SMALLINT/TINYINT/STRING/
@@ -409,6 +418,38 @@ _TRAILING_SETTINGS_RE = re.compile(
     r"(?:\s*,\s*\w+\s*=\s*(?:'[^']*'|[\w.]+))*\s*(;?)\s*$",
     re.IGNORECASE,
 )
+
+
+#: ``GLOBAL IN`` / ``GLOBAL [kind] JOIN`` — ClickHouse's distributed-
+#: execution hint (ship the right side to every shard, i.e. a broadcast);
+#: Spark's planner makes the broadcast-vs-shuffle call itself (AQE +
+#: autoBroadcastJoinThreshold), so the hint strips like PREWHERE. ``ALL``
+#: join strictness is ClickHouse's DEFAULT (standard multiplicity) and
+#: strips too; ``ANY``/``ASOF`` strictness is NOT stripped — ANY changes
+#: row multiplicity and must fail loudly (ASOF has its own rewrite). Same
+#: regex-pre-pass tradeoff as FINAL: the only false positive is literal
+#: text inside a string.
+_GLOBAL_HINT_RE = re.compile(
+    r"\bGLOBAL\s+(?=(?:NOT\s+)?IN\b|(?:(?:ANY|ALL|LEFT|RIGHT|INNER|FULL|"
+    r"CROSS|SEMI|ANTI)\s+)*JOIN\b)",
+    re.IGNORECASE,
+)
+_ALL_STRICTNESS_RE = re.compile(
+    r"\bALL\s+(?=(?:(?:LEFT|RIGHT|INNER|FULL)\s+)*JOIN\b)",
+    re.IGNORECASE,
+)
+
+def _strip_outside_quotes(regex: re.Pattern, sql: str) -> str:
+    """Delete every ``regex`` match, matching against the quote-blanked
+    text so 'GLOBAL IN' inside a string literal survives (unlike the FINAL
+    regex, these hint words plausibly appear in stored query text)."""
+    blanked = _blank_quoted(sql)
+    out, last = [], 0
+    for m in regex.finditer(blanked):
+        out.append(sql[last : m.start()])
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
 
 
 #: dateDiff('unit', a, b) -> boundary-crossing difference expressions.
@@ -764,19 +805,26 @@ def _parse_sequence_pattern(pat: str) -> list[tuple[int, bool]]:
     return steps
 
 
-def _sequence_match_expr(pattern: str, ts: str, conds: list[str]) -> str:
+def _sequence_match_expr(
+    pattern: str, ts: str, conds: list[str], count: bool = False
+) -> str:
+    """sequenceMatch -> 1/0; with ``count=True``, sequenceCount -> the
+    number of NON-OVERLAPPING matches, greedy leftmost (ClickHouse resumes
+    scanning after a completed match's last event — here: the counter
+    increments and every prefix resets when the full pattern completes)."""
+    fn = "sequenceCount" if count else "sequenceMatch"
     lit = _string_literal(pattern)
     if lit is None:
-        raise ValueError("sequenceMatch: the pattern must be a string literal")
+        raise ValueError(f"{fn}: the pattern must be a string literal")
     if len(conds) > _FUNNEL_MAX_CONDS:
         raise ValueError(
-            f"sequenceMatch: at most {_FUNNEL_MAX_CONDS} conditions supported"
+            f"{fn}: at most {_FUNNEL_MAX_CONDS} conditions supported"
         )
     steps = _parse_sequence_pattern(lit)
     for idx, _ in steps:
         if not 1 <= idx <= len(conds):
             raise ValueError(
-                f"sequenceMatch: pattern references condition {idx} but only "
+                f"{fn}: pattern references condition {idx} but only "
                 f"{len(conds)} conditions were given"
             )
     k = len(steps)
@@ -795,14 +843,9 @@ def _sequence_match_expr(pattern: str, ts: str, conds: list[str]) -> str:
         f"AND CAST({ts} AS DOUBLE) IS NOT NULL THEN "
         f"named_struct('t', CAST({ts} AS DOUBLE), {flags}) END))"
     )
-    zero = (
-        "named_struct("
-        + ", ".join(f"'a{p}', false, 'r{p}', false" for p in range(1, k + 1))
-        + ")"
-    )
     # boolean DP, all transitions read the PRE-event state: a_p = prefix p
     # ends exactly at this point, r_p = prefix p has completed at some point
-    fields = []
+    fields, a_exprs = [], []
     for p, (cidx, adjacent) in enumerate(steps, start=1):
         if p == 1:
             a = f"e.c{cidx}"
@@ -810,12 +853,31 @@ def _sequence_match_expr(pattern: str, ts: str, conds: list[str]) -> str:
             a = f"(e.c{cidx} AND acc.a{p - 1})"
         else:
             a = f"(e.c{cidx} AND acc.r{p - 1})"
+        a_exprs.append(a)
         fields.append(f"'a{p}', {a}, 'r{p}', (acc.r{p} OR {a})")
-    merge = f"(acc, e) -> named_struct({', '.join(fields)})"
-    return (
-        f"aggregate({entries}, {zero}, {merge}, "
-        f"acc -> CAST(CASE WHEN acc.r{k} THEN 1 ELSE 0 END AS INT))"
-    )
+    state = f"named_struct({', '.join(fields)})"
+    if not count:
+        zero = (
+            "named_struct("
+            + ", ".join(f"'a{p}', false, 'r{p}', false" for p in range(1, k + 1))
+            + ")"
+        )
+        merge = f"(acc, e) -> {state}"
+        return (
+            f"aggregate({entries}, {zero}, {merge}, "
+            f"acc -> CAST(CASE WHEN acc.r{k} THEN 1 ELSE 0 END AS INT))"
+        )
+    # sequenceCount: on full-pattern completion, bump the counter and reset
+    # every prefix so the next match cannot reuse any consumed event
+    reset = "named_struct('n', acc.n + 1, " + ", ".join(
+        f"'a{p}', false, 'r{p}', false" for p in range(1, k + 1)
+    ) + ")"
+    keep = f"named_struct('n', acc.n, {', '.join(fields)})"
+    zero = "named_struct('n', CAST(0 AS INT), " + ", ".join(
+        f"'a{p}', false, 'r{p}', false" for p in range(1, k + 1)
+    ) + ")"
+    merge = f"(acc, e) -> CASE WHEN {a_exprs[-1]} THEN {reset} ELSE {keep} END"
+    return f"aggregate({entries}, {zero}, {merge}, acc -> acc.n)"
 
 
 # ---------------------------------------------------------------------------
@@ -1111,6 +1173,8 @@ def translate_clickhouse_sql(sql: str) -> str:
     sql = _FINAL_RE.sub(r"\1", sql)
     sql = _SAMPLE_RE.sub(_sample_sub, sql)
     sql = _TRAILING_SETTINGS_RE.sub(r"\1", sql)
+    sql = _strip_outside_quotes(_GLOBAL_HINT_RE, sql)
+    sql = _strip_outside_quotes(_ALL_STRICTNESS_RE, sql)
     sql = _rewrite_asof_join(sql)
     sql = _rewrite_limit_by(sql)
     out: list[str] = []
@@ -1144,7 +1208,7 @@ def translate_clickhouse_sql(sql: str) -> str:
                     or name in _MULTI_QUANTILES
                     or name in _SLICED_COLLECT
                     or name in _WEIGHTED_QUANTILES
-                    or name in ("windowFunnel", "sequenceMatch")
+                    or name in ("windowFunnel", "sequenceMatch", "sequenceCount")
                 ):
                     # parameterized combinator: fn(params)(x)
                     k2 = i
@@ -1170,17 +1234,22 @@ def translate_clickhouse_sql(sql: str) -> str:
                             out.append(
                                 _window_funnel_expr(args[0], inner[0], inner[1:])
                             )
-                        elif name == "sequenceMatch":
+                        elif name in ("sequenceMatch", "sequenceCount"):
                             if len(args) != 1:
                                 raise ValueError(
-                                    "sequenceMatch takes exactly one pattern"
+                                    f"{name} takes exactly one pattern"
                                 )
                             if len(inner) < 2:
                                 raise ValueError(
-                                    "sequenceMatch needs (timestamp, cond...)"
+                                    f"{name} needs (timestamp, cond...)"
                                 )
                             out.append(
-                                _sequence_match_expr(args[0], inner[0], inner[1:])
+                                _sequence_match_expr(
+                                    args[0],
+                                    inner[0],
+                                    inner[1:],
+                                    count=name == "sequenceCount",
+                                )
                             )
                         elif name in _WEIGHTED_QUANTILES and len(inner) == 2:
                             # quantileExactWeighted(p)(x, w) -> percentile(x, p, w)

@@ -1154,3 +1154,121 @@ def test_sequence_match_docs_semantics(engine):
 def test_funnel_aggregates_unsupported_forms_raise(sql, msg):
     with pytest.raises(ValueError, match=msg):
         translate_clickhouse_sql(sql)
+
+
+def test_sequence_count_greedy_nonoverlapping(engine):
+    # three full signup->click chains, greedy leftmost: events at
+    # t=1(c1) 2(c2) 3(c1) 4(c2) 5(c1) count 2 full '(?1).*(?2)' matches
+    rows = [
+        (1, [True, False]),
+        (2, [False, True]),
+        (3, [True, False]),
+        (4, [False, True]),
+        (5, [True, False]),
+    ]
+    assert _run_seqcount(engine, "(?1).*(?2)", rows, 2) == 2
+    # overlap is NOT double-counted: c1 c1 c2 is one match, not two
+    rows2 = [(1, [True, False]), (2, [True, False]), (3, [False, True])]
+    assert _run_seqcount(engine, "(?1).*(?2)", rows2, 2) == 1
+    # adjacency: interposed described event breaks pairs
+    rows3 = [
+        (1, [True, False]),
+        (2, [True, False]),
+        (3, [False, True]),
+        (4, [False, True]),
+    ]
+    assert _run_seqcount(engine, "(?1)(?2)", rows3, 2) == 1
+
+
+def _run_seqcount(engine, pattern, rows, ncond):
+    vals = ", ".join(
+        f"({t}, {', '.join('true' if m else 'false' for m in cs)})"
+        for t, cs in rows
+    )
+    cols = ", ".join(f"c{i}" for i in range(1, ncond + 1))
+    return engine.sql(
+        f"SELECT sequenceCount('{pattern}')(t, {cols}) AS n "
+        f"FROM (SELECT * FROM VALUES {vals} AS v(t, {cols})) GROUP BY 1 = 1",
+        dialect="clickhouse",
+    ).first().n
+
+
+def test_global_and_all_join_hints_strip_quote_safe():
+    t = translate_clickhouse_sql
+    assert (
+        t("SELECT a FROM t WHERE x GLOBAL IN (SELECT x FROM u)")
+        == "SELECT a FROM t WHERE x IN(SELECT x FROM u)"
+    )
+    assert (
+        t("SELECT a FROM t GLOBAL ALL LEFT JOIN u ON t.x = u.x")
+        == "SELECT a FROM t LEFT JOIN u ON t.x = u.x"
+    )
+    # UNION ALL is not join strictness; string literals survive
+    assert (
+        t("SELECT 'GLOBAL IN' AS s FROM t UNION ALL SELECT s FROM u")
+        == "SELECT 'GLOBAL IN' AS s FROM t UNION ALL SELECT s FROM u"
+    )
+    # ANY strictness changes row multiplicity -> left for the analyzer to
+    # reject, never silently stripped
+    assert "ANY LEFT JOIN" in t("SELECT a FROM t GLOBAL ANY LEFT JOIN u ON t.x = u.x")
+
+
+def test_sequence_count_matches_bruteforce_greedy(engine):
+    """Seeded random streams vs an independent brute-force reference:
+    enumerate every pattern match in the remaining suffix, take the one
+    with the earliest END (greedy leftmost completion = the fold's reset
+    point), repeat — ClickHouse's non-overlapping contract."""
+    import random
+
+    def ref_count(evs, steps):
+        stream = [
+            flags
+            for _t, flags in sorted(evs)
+            if any(flags[c - 1] for c, _ in steps)
+        ]
+
+        def match_ends(lo):
+            ends = []
+
+            def rec(p, last):
+                if p == len(steps):
+                    ends.append(last)
+                    return
+                cidx, adj = steps[p]
+                cand = (
+                    [last + 1]
+                    if adj and p > 0
+                    else range(lo if p == 0 else last + 1, len(stream))
+                )
+                for i2 in cand:
+                    if i2 < len(stream) and stream[i2][cidx - 1]:
+                        rec(p + 1, i2)
+
+            rec(0, -1)
+            return ends
+
+        cnt, lo = 0, 0
+        while True:
+            ends = match_ends(lo)
+            if not ends:
+                return cnt
+            cnt, lo = cnt + 1, min(ends) + 1
+
+    pats = {
+        "(?1).*(?2)": [(1, False), (2, False)],
+        "(?1)(?2)": [(1, False), (2, True)],
+        "(?2)(?1)": [(2, False), (1, True)],
+        "(?1).*(?2).*(?1)": [(1, False), (2, False), (1, False)],
+    }
+    rng = random.Random(81)
+    for _ in range(15):
+        n = rng.randint(1, 8)
+        evs = [
+            (t, [rng.random() < 0.5 for _ in range(2)])
+            for t in rng.sample(range(30), n)
+        ]
+        pat = rng.choice(list(pats))
+        assert _run_seqcount(engine, pat, evs, 2) == ref_count(evs, pats[pat]), (
+            pat,
+            sorted(evs),
+        )
