@@ -96,8 +96,22 @@ sequenceCount(pat)  same DP with a counter: each full-pattern completion
 GLOBAL IN/JOIN      GLOBAL stripped (a ClickHouse shard-broadcast hint;
 ALL [kind] JOIN     Spark's planner picks broadcast-vs-shuffle itself) and
                     ALL join strictness stripped (it IS the default
-                    multiplicity); quote-safe, and ANY strictness is left
-                    to fail loudly — it changes row multiplicity
+                    multiplicity); both quote-safe
+L la ANY [LEFT|     dedup-join: the right side (both sides for INNER)
+INNER] JOIN R ra    collapses to one row per equality key BEFORE the join
+ON k-eqs            — min over struct(side.*), deterministic and inside
+                    ClickHouse's pick-any contract — struct-packed under
+                    the original aliases like ASOF. RIGHT ANY refused
+                    (swap the sides); leftover backstop prevents silent
+                    plain-join multiplicity
+... FORMAT X        stripped (clickhouse-client output-format clause,
+                    end-anchored, before the SETTINGS strip per the
+                    ... [SETTINGS] [FORMAT] grammar)
+GROUP BY c          GROUP BY GROUPING SETS ((c), ()) — the out-of-band
+  WITH TOTALS       totals block surfaces as the grand-total row with
+                    every group column NULL (same values a client reads
+                    from the totals block; totals_mode variants are not
+                    modeled). A CTE named totals does not trigger
 range(n)/range(a,b) guarded sequence slice (empty when n<=0 / b<=a,
                     matching ClickHouse; bare sequence would descend)
 toFloat64/toInt64/  CAST(x AS DOUBLE/BIGINT/INT/SMALLINT/TINYINT/STRING/
@@ -438,6 +452,13 @@ _ALL_STRICTNESS_RE = re.compile(
     r"\bALL\s+(?=(?:(?:LEFT|RIGHT|INNER|FULL)\s+)*JOIN\b)",
     re.IGNORECASE,
 )
+
+#: trailing ``FORMAT <name>`` — the clickhouse-client output-format clause
+#: (``FORMAT TabSeparated`` etc.), meaningless to a DataFrame-returning
+#: engine; stripped like the trailing SETTINGS hint. End-anchored, so a
+#: column or table named format is untouched.
+_TRAILING_FORMAT_RE = re.compile(r"\s+FORMAT\s+\w+\s*(;?)\s*$", re.IGNORECASE)
+
 
 def _strip_outside_quotes(regex: re.Pattern, sql: str) -> str:
     """Delete every ``regex`` match, matching against the quote-blanked
@@ -922,7 +943,18 @@ _ASOF_STOP = {
     "SETTINGS",
     "FORMAT",
 }
-_ASOF_JOIN_KW = {"JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "ASOF", "SEMI", "ANTI"}
+_ASOF_JOIN_KW = {
+    "JOIN",
+    "INNER",
+    "LEFT",
+    "RIGHT",
+    "FULL",
+    "CROSS",
+    "ASOF",
+    "SEMI",
+    "ANTI",
+    "ANY",
+}
 
 #: comparison operators, two-char forms first so ``>=`` never matches ``>``
 _ASOF_CMP = (">=", "<=", "!=", "<>", "=", ">", "<")
@@ -1162,6 +1194,163 @@ def _rewrite_asof_join(sql: str) -> str:
     return f"{sql[: from_tok[1]]} {derived} {sql[cond_end:]}"
 
 
+def _rewrite_with_totals(sql: str) -> str:
+    """``GROUP BY cols WITH TOTALS`` -> ``GROUP BY GROUPING SETS ((cols),
+    ())``: the totals row ClickHouse ships out-of-band surfaces as the
+    grand-total row with every group column NULL — the same values a
+    client reads from the totals block. A CTE named ``totals`` does not
+    trigger (the WITH must follow a top-level GROUP)."""
+    toks = _top_level_keyword_spans(sql)
+    for x in range(len(toks) - 1):
+        if toks[x][2] != "WITH" or toks[x + 1][2] != "TOTALS":
+            continue
+        g = None
+        for y in range(x):
+            if toks[y][2] == "GROUP":
+                g = y
+        if g is None or g + 1 >= len(toks) or toks[g + 1][2] != "BY":
+            continue  # e.g. a CTE named totals — not the clause
+        cols = sql[toks[g + 1][1] : toks[x][0]].strip()
+        if not cols:
+            continue
+        return (
+            sql[: toks[g][0]]
+            + f"GROUP BY GROUPING SETS (({cols}), ())"
+            + sql[toks[x + 1][1] :]
+        )
+    return sql
+
+
+# ---------------------------------------------------------------------------
+# ANY JOIN — ClickHouse's dedup-join strictness: at most one right row per
+# left row (ANY LEFT), or one row per key pair (ANY INNER). ClickHouse picks
+# an arbitrary matching row; this rewrite picks the LEXICOGRAPHICALLY
+# SMALLEST packed row (min over struct(side.*)) — inside the "any" contract
+# and, unlike ClickHouse, deterministic. Sides struct-pack under their
+# original aliases exactly like the ASOF rewrite, so qualified outer refs
+# resolve unchanged. The same fail-loud rules apply (qualified equality-only
+# ON, one join per FROM, no USING), with a leftover backstop — un-rewritten
+# ANY syntax would otherwise parse as a table alias plus a PLAIN join,
+# silently multiplying rows. RIGHT ANY is refused (rewrite the query with
+# the sides swapped).
+# ---------------------------------------------------------------------------
+
+_ANY_LEFTOVER_RE = re.compile(
+    r"\bANY\s+(?:LEFT\s+|RIGHT\s+|INNER\s+)?JOIN\b"
+    r"|\b(?:LEFT|RIGHT|INNER)\s+ANY\s+JOIN\b",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_any_join(sql: str) -> str:
+    toks = _top_level_keyword_spans(sql)
+    any_pos = next((x for x in range(len(toks)) if toks[x][2] == "ANY"), None)
+    if any_pos is None:
+        return sql
+    is_left = False
+    kw_start = toks[any_pos][0]
+    if any_pos > 0 and toks[any_pos - 1][2] in ("LEFT", "INNER", "RIGHT"):
+        prev = toks[any_pos - 1]
+        if sql[prev[1] : kw_start].strip() == "":
+            if prev[2] == "RIGHT":
+                raise ValueError(
+                    "RIGHT ANY JOIN is not supported — swap the sides"
+                )
+            is_left = prev[2] == "LEFT"
+            kw_start = prev[0]
+    q = any_pos + 1
+    if q < len(toks) and toks[q][2] in ("LEFT", "INNER", "RIGHT"):
+        if toks[q][2] == "RIGHT":
+            raise ValueError("ANY RIGHT JOIN is not supported — swap the sides")
+        is_left = is_left or toks[q][2] == "LEFT"
+        q += 1
+    if q >= len(toks) or toks[q][2] != "JOIN":
+        return sql  # not join syntax (e.g. a column named any); backstop rules
+    from_tok = None
+    for t in toks:
+        if t[2] == "FROM" and t[1] <= kw_start:
+            from_tok = t
+    if from_tok is None:
+        return sql
+    left_term, left_alias, li = _parse_join_term(sql, from_tok[1])
+    if sql[li:kw_start].strip() != "":
+        raise ValueError(
+            "ANY JOIN must be the only join in its FROM clause "
+            f"(unparsed text before the join: {sql[li:kw_start].strip()!r})"
+        )
+    right_term, right_alias, ri = _parse_join_term(sql, toks[q][1])
+    on_tok = next((t for t in toks if t[0] >= ri), None)
+    if on_tok is None or on_tok[2] != "ON":
+        raise ValueError("ANY JOIN: USING / missing ON is not supported")
+    cond_start = on_tok[1]
+    cond_end = len(sql)
+    for t in toks:
+        if t[0] >= cond_start and t[2] in _ASOF_STOP:
+            cond_end = t[0]
+            break
+        if t[0] >= cond_start and t[2] in _ASOF_JOIN_KW:
+            raise ValueError("ANY JOIN: only one join per FROM clause")
+    semi = _blank_quoted(sql[cond_start:cond_end]).find(";")
+    if semi != -1:
+        cond_end = cond_start + semi
+    la = left_alias or left_term.split(".")[-1]
+    ra = right_alias or right_term.split(".")[-1]
+    if la.startswith("(") or ra.startswith("(") or not la or not ra:
+        raise ValueError("ANY JOIN: subquery sides need an alias")
+    eqs: list[tuple[str, str]] = []
+    for conj in _split_top_level_and(sql[cond_start:cond_end]):
+        hit = _find_top_cmp(conj)
+        if hit is None or hit[0] != "=":
+            raise ValueError(
+                f"ANY JOIN: only equality conjuncts are supported, got {conj!r}"
+            )
+        op, pos = hit
+        a, b = conj[:pos].strip(), conj[pos + len(op) :].strip()
+        a_l, a_r = _refs_alias(a, la), _refs_alias(a, ra)
+        b_l, b_r = _refs_alias(b, la), _refs_alias(b, ra)
+        if a_l and not a_r and b_r and not b_l:
+            eqs.append((a, b))
+        elif a_r and not a_l and b_l and not b_r:
+            eqs.append((b, a))
+        else:
+            raise ValueError(
+                f"ANY JOIN: conjunct {conj!r} must compare one "
+                f"{la}-qualified side with one {ra}-qualified side"
+            )
+    if not eqs:
+        raise ValueError("ANY JOIN: at least one equality condition required")
+
+    def _dedup(term: str, alias: str, key_exprs: list[str]) -> str:
+        keys = ", ".join(f"{k} AS __k{i}" for i, k in enumerate(key_exprs))
+        group = ", ".join(f"__k{i}" for i in range(len(key_exprs)))
+        return (
+            f"(SELECT {keys}, min(struct({alias}.*)) AS {alias} "
+            f"FROM {term} AS {alias} GROUP BY {group})"
+        )
+
+    r_derived = _dedup(right_term, ra, [rx for _, rx in eqs])
+    join_kw = "LEFT JOIN" if is_left else "JOIN"
+    on = " AND ".join(
+        f"({lx}) = __any_r.__k{i}" for i, (lx, _) in enumerate(eqs)
+    )
+    if is_left:
+        # ANY LEFT: all left rows, right side deduped per key
+        derived = (
+            f"{left_term} AS {la} {join_kw} {r_derived} AS __any_r ON {on}"
+        )
+        repl = f"{derived}"
+        # expose ra as a selectable struct: alias the derived table's struct
+        # column — it already IS named {ra}; __any_r.__k* stay internal
+        return f"{sql[: from_tok[1]]} {repl} {sql[cond_end:]}"
+    # ANY INNER: ClickHouse dedupes BOTH sides — one row per key pair
+    l_derived = _dedup(left_term, la, [lx for lx, _ in eqs])
+    on_inner = " AND ".join(
+        f"__any_l.__k{i} = __any_r.__k{i}" for i in range(len(eqs))
+    )
+    repl = f"{l_derived} AS __any_l JOIN {r_derived} AS __any_r ON {on_inner}"
+    return f"{sql[: from_tok[1]]} {repl} {sql[cond_end:]}"
+
+
 def translate_clickhouse_sql(sql: str) -> str:
     """Rewrite ClickHouse-flavored SQL into Spark SQL (see module doc)."""
     # comments first: a quote inside a -- or /* */ comment would flip
@@ -1172,10 +1361,15 @@ def translate_clickhouse_sql(sql: str) -> str:
     # "FROM x FINAL" inside a string — not worth a second scanner)
     sql = _FINAL_RE.sub(r"\1", sql)
     sql = _SAMPLE_RE.sub(_sample_sub, sql)
+    # FORMAT strips first: the grammar is ... [SETTINGS ...] [FORMAT ...],
+    # so SETTINGS is only end-anchored once FORMAT is gone
+    sql = _TRAILING_FORMAT_RE.sub(r"\1", sql)
     sql = _TRAILING_SETTINGS_RE.sub(r"\1", sql)
     sql = _strip_outside_quotes(_GLOBAL_HINT_RE, sql)
     sql = _strip_outside_quotes(_ALL_STRICTNESS_RE, sql)
     sql = _rewrite_asof_join(sql)
+    sql = _rewrite_any_join(sql)
+    sql = _rewrite_with_totals(sql)
     sql = _rewrite_limit_by(sql)
     out: list[str] = []
     i = 0
@@ -1502,10 +1696,17 @@ def translate_clickhouse_sql(sql: str) -> str:
     # reach (e.g. split mid-subquery) must never reach Spark's parser — it
     # would silently parse as an alias plus a plain INNER join with the
     # ordering condition folded into the join predicate
-    if _ASOF_LEFTOVER_RE.search(_blank_quoted(result)):
+    blanked = _blank_quoted(result)
+    if _ASOF_LEFTOVER_RE.search(blanked):
         raise ValueError(
             "ASOF JOIN could not be translated in this position; supported "
             "shape: FROM <term> <alias> ASOF [LEFT] JOIN <term> <alias> "
             "ON <equality conjuncts> AND <one ordered condition>"
+        )
+    if _ANY_LEFTOVER_RE.search(blanked):
+        raise ValueError(
+            "ANY JOIN could not be translated in this position; supported "
+            "shape: FROM <term> <alias> ANY [LEFT|INNER] JOIN <term> "
+            "<alias> ON <equality conjuncts>"
         )
     return result

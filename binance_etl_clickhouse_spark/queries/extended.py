@@ -604,3 +604,83 @@ def sequencematch_verbatim_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AnalyticsEngine(spark, verbose=False).sql(
         _SEQMATCH_CH_SQL, dialect="clickhouse"
     )
+
+
+# ---------------------------------------------------------------------------
+# Verbatim WITH TOTALS + ANY JOIN (r8): the remaining ClickHouse query-shape
+# surface. WITH TOTALS surfaces the out-of-band totals block as the
+# GROUPING SETS grand-total row (group column NULL); ANY LEFT JOIN dedupes
+# the right side to ONE row per key before joining — min over the packed
+# row-struct, deterministic inside ClickHouse's pick-any contract — which
+# the oracle replicates as row_number over the same column order (event_id
+# is unique, so lexicographic min == min event_id).
+# ---------------------------------------------------------------------------
+_TOTALS_CH_SQL = """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY event_type WITH TOTALS
+"""
+
+_TOTALS_ORACLE = """
+SELECT event_type, count(*) AS n,
+       round(sum(value), 2)::DOUBLE AS total_value
+FROM events GROUP BY GROUPING SETS ((event_type), ())
+"""
+
+
+@register(
+    "with_totals_verbatim_sql",
+    _TOTALS_ORACLE,
+    survey_ref=(
+        "S8 dialect: GROUP BY ... WITH TOTALS runs verbatim as GROUPING "
+        "SETS ((cols), ()) — the totals block as the NULL-key grand-total "
+        "row"
+    ),
+)
+def with_totals_verbatim_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_clickhouse_spark.engine import AnalyticsEngine
+    from binance_etl_clickhouse_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return AnalyticsEngine(spark, verbose=False).sql(
+        _TOTALS_CH_SQL, dialect="clickhouse"
+    )
+
+
+_ANY_JOIN_CH_SQL = """
+SELECT p.event_id AS purchase_id, s.event_id AS signup_event, s.ts AS signup_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ANY LEFT JOIN (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'signup') s
+ON p.user_id = s.user_id
+"""
+
+_ANY_JOIN_ORACLE = """
+SELECT p.event_id AS purchase_id, s.event_id AS signup_event, s.ts AS signup_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (
+  SELECT user_id, event_id, ts FROM (
+    SELECT user_id, event_id, ts,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY user_id, event_id, ts) AS rn
+    FROM events WHERE event_type = 'signup') WHERE rn = 1) s
+ON p.user_id = s.user_id
+"""
+
+
+@register(
+    "any_join_verbatim_sql",
+    _ANY_JOIN_ORACLE,
+    survey_ref=(
+        "S8 dialect: ClickHouse ANY LEFT JOIN runs verbatim — right side "
+        "deduped to one row per key (deterministic min-struct pick) before "
+        "a plain join"
+    ),
+)
+def any_join_verbatim_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_clickhouse_spark.engine import AnalyticsEngine
+    from binance_etl_clickhouse_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return AnalyticsEngine(spark, verbose=False).sql(
+        _ANY_JOIN_CH_SQL, dialect="clickhouse"
+    )

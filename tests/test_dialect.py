@@ -1208,9 +1208,10 @@ def test_global_and_all_join_hints_strip_quote_safe():
         t("SELECT 'GLOBAL IN' AS s FROM t UNION ALL SELECT s FROM u")
         == "SELECT 'GLOBAL IN' AS s FROM t UNION ALL SELECT s FROM u"
     )
-    # ANY strictness changes row multiplicity -> left for the analyzer to
-    # reject, never silently stripped
-    assert "ANY LEFT JOIN" in t("SELECT a FROM t GLOBAL ANY LEFT JOIN u ON t.x = u.x")
+    # ANY strictness changes row multiplicity -> translated to the
+    # dedup-join, never silently stripped
+    rewritten = t("SELECT u.a FROM t GLOBAL ANY LEFT JOIN u ON t.x = u.x")
+    assert "ANY" not in rewritten and "min(struct(u.*))" in rewritten
 
 
 def test_sequence_count_matches_bruteforce_greedy(engine):
@@ -1272,3 +1273,85 @@ def test_sequence_count_matches_bruteforce_greedy(engine):
             pat,
             sorted(evs),
         )
+
+
+def test_any_join_dedup_semantics(engine):
+    L = "(SELECT * FROM VALUES ('a', 1), ('a', 2), ('b', 3), ('c', 4) AS v(k, lv))"
+    R = "(SELECT * FROM VALUES ('a', 10, 'x'), ('a', 5, 'y'), ('b', 7, 'z') AS w(k, rv, tag))"
+    rows = [
+        tuple(r)
+        for r in engine.sql(
+            f"SELECT t.k AS k, t.lv AS lv, u.rv AS rv, u.tag AS tag "
+            f"FROM {L} t ANY LEFT JOIN {R} u ON t.k = u.k ORDER BY t.k, t.lv",
+            dialect="clickhouse",
+        ).collect()
+    ]
+    # every left row kept once; the right pick is the lexicographic-min
+    # packed row (('a', 5, 'y') < ('a', 10, 'x')); unmatched -> NULLs
+    assert rows == [
+        ("a", 1, 5, "y"),
+        ("a", 2, 5, "y"),
+        ("b", 3, 7, "z"),
+        ("c", 4, None, None),
+    ]
+    # ANY INNER dedupes BOTH sides: one row per key pair
+    inner = [
+        tuple(r)
+        for r in engine.sql(
+            f"SELECT t.k AS k, t.lv AS lv, u.rv AS rv FROM {L} t "
+            f"ANY INNER JOIN {R} u ON t.k = u.k ORDER BY t.k",
+            dialect="clickhouse",
+        ).collect()
+    ]
+    assert inner == [("a", 1, 5), ("b", 3, 7)]
+
+
+@pytest.mark.parametrize(
+    "sql,msg",
+    [
+        (
+            "SELECT t.a FROM t ANY LEFT JOIN u ON t.k < u.k",
+            "only equality conjuncts",
+        ),
+        (
+            "SELECT t.a FROM t RIGHT ANY JOIN u ON t.k = u.k",
+            "swap the sides",
+        ),
+        (
+            # the join sits at paren depth 1 of this fragment, invisible to
+            # the top-level rewriter — the leftover backstop aborts rather
+            # than let Spark parse ANY as an alias + a plain join
+            "SELECT f(x, (SELECT 1 FROM a, b ANY JOIN c ON b.x = c.x)) FROM t",
+            "ANY JOIN could not be translated",
+        ),
+    ],
+)
+def test_any_join_unsupported_shapes_raise(sql, msg):
+    with pytest.raises(ValueError, match=msg):
+        translate_clickhouse_sql(sql)
+
+
+def test_with_totals_and_format_clause(engine):
+    t = translate_clickhouse_sql
+    # (the call-scanner reconstructs SETS(...) without the space — cosmetic)
+    assert (
+        t("SELECT a, count(*) AS n FROM t GROUP BY a WITH TOTALS")
+        == "SELECT a, count(*) AS n FROM t GROUP BY GROUPING SETS((a), ())"
+    )
+    # a CTE named totals is untouched
+    assert (
+        t("WITH totals AS (SELECT 1 AS x) SELECT x FROM totals")
+        == "WITH totals AS(SELECT 1 AS x) SELECT x FROM totals"
+    )
+    # FORMAT strips before SETTINGS (the ... [SETTINGS] [FORMAT] grammar)
+    assert t("SELECT a FROM t SETTINGS max_threads = 2 FORMAT JSON;") == "SELECT a FROM t;"
+    assert t("SELECT format FROM t") == "SELECT format FROM t"
+    # end to end: the totals row carries a NULL group key and the grand sum
+    rows = engine.sql(
+        "SELECT event_type, count(*) AS n FROM events "
+        "GROUP BY event_type WITH TOTALS FORMAT TabSeparated",
+        dialect="clickhouse",
+    ).collect()
+    totals = [r for r in rows if r.event_type is None]
+    assert len(totals) == 1
+    assert totals[0].n == sum(r.n for r in rows if r.event_type is not None)
