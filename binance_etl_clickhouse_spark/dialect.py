@@ -107,6 +107,14 @@ ON k-eqs            — min over struct(side.*), deterministic and inside
 ... FORMAT X        stripped (clickhouse-client output-format clause,
                     end-anchored, before the SETTINGS strip per the
                     ... [SETTINGS] [FORMAT] grammar)
+uniqUpTo(N)(x, ..)  least(count(DISTINCT x, ..), N + 1)  [exact contract]
+groupBitAnd/Or/Xor  bit_and / bit_or / bit_xor
+plus/minus/multiply + - * / % operators (same semantics pairwise: % keeps
+divide/modulo/      the dividend's sign, / on integers is float division
+negate              in both engines); intDivOrZero guards the zero divisor
+countEqual(a, x)    size(filter(a, e -> e <=> x))  [NULL-safe like CH]
+arrayCount([f,] a)  size(filter(a, f))  [1-arg form counts non-zero]
+arrayEnumerate(a)   guarded sequence(1, size(a))  [empty -> []]
 GROUP BY c          GROUP BY GROUPING SETS ((c), ()) — the out-of-band
   WITH TOTALS       totals block surfaces as the grand-total row with
                     every group column NULL (same values a client reads
@@ -347,6 +355,22 @@ _NAME_MAP = {
     "uniqCombined": "approx_count_distinct",
     "uniqHLL12": "approx_count_distinct",
     "trimBoth": "trim",
+    # r8 second wave: bit-reduction aggregates are pure renames
+    "groupBitAnd": "bit_and",
+    "groupBitOr": "bit_or",
+    "groupBitXor": "bit_xor",
+}
+
+#: ClickHouse spells arithmetic as functions; Spark's operators carry the
+#: SAME semantics on each pair: % keeps the dividend's sign like modulo,
+#: and / on integers is float division like divide (Spark's `/` always
+#: yields DOUBLE for integral inputs, matching ClickHouse's divide)
+_ARITH_FNS = {
+    "plus": "+",
+    "minus": "-",
+    "multiply": "*",
+    "divide": "/",
+    "modulo": "%",
 }
 
 #: identity unwraps: ClickHouse nullability adapters with no Spark
@@ -1402,7 +1426,8 @@ def translate_clickhouse_sql(sql: str) -> str:
                     or name in _MULTI_QUANTILES
                     or name in _SLICED_COLLECT
                     or name in _WEIGHTED_QUANTILES
-                    or name in ("windowFunnel", "sequenceMatch", "sequenceCount")
+                    or name
+                    in ("windowFunnel", "sequenceMatch", "sequenceCount", "uniqUpTo")
                 ):
                     # parameterized combinator: fn(params)(x)
                     k2 = i
@@ -1444,6 +1469,13 @@ def translate_clickhouse_sql(sql: str) -> str:
                                     inner[1:],
                                     count=name == "sequenceCount",
                                 )
+                            )
+                        elif name == "uniqUpTo" and len(args) == 1:
+                            # exact CH contract: the true distinct count
+                            # when <= N, else N + 1
+                            out.append(
+                                f"least(count(DISTINCT {', '.join(inner)}), "
+                                f"({args[0]}) + 1)"
                             )
                         elif name in _WEIGHTED_QUANTILES and len(inner) == 2:
                             # quantileExactWeighted(p)(x, w) -> percentile(x, p, w)
@@ -1672,6 +1704,37 @@ def translate_clickhouse_sql(sql: str) -> str:
                     out.append(f"(({args[0]}) {_BIT_OPS[name]} ({args[1]}))")
                 elif name == "bitNot" and len(args) == 1:
                     out.append(f"(~({args[0]}))")
+                elif name in _ARITH_FNS and len(args) == 2:
+                    out.append(f"(({args[0]}) {_ARITH_FNS[name]} ({args[1]}))")
+                elif name == "negate" and len(args) == 1:
+                    out.append(f"(-({args[0]}))")
+                elif name == "intDivOrZero" and len(args) == 2:
+                    # floor division, 0 instead of the divide-by-zero error
+                    # (intDiv itself is a SQL-UDF shim in engine.py)
+                    out.append(
+                        f"coalesce(intDiv({args[0]}, nullif({args[1]}, 0)), 0)"
+                    )
+                elif name == "countEqual" and len(args) == 2:
+                    # elements equal to x, NULL-safe like ClickHouse's
+                    # countEqual(arr, NULL) counting NULL elements
+                    out.append(f"size(filter({args[0]}, __ce -> __ce <=> {args[1]}))")
+                elif name == "arrayCount" and len(args) in (1, 2):
+                    if len(args) == 2:
+                        # ClickHouse lambda-first: arrayCount(f, a)
+                        out.append(f"size(filter({args[1]}, {args[0]}))")
+                    else:
+                        # 1-arg form counts truthy (non-zero) elements
+                        out.append(
+                            f"size(filter({args[0]}, __ac -> __ac != 0))"
+                        )
+                elif name == "arrayEnumerate" and len(args) == 1:
+                    # [1, 2, ..., size(a)]; empty arrays -> [] (sequence
+                    # would descend from 1 to 0, so guard like range())
+                    a = args[0]
+                    out.append(
+                        f"slice(sequence(1, greatest(size({a}), 1)), "
+                        f"1, greatest(size({a}), 0))"
+                    )
                 elif name == "multiIf" and len(args) >= 3 and len(args) % 2 == 1:
                     clauses = " ".join(
                         f"WHEN {args[p]} THEN {args[p + 1]}"

@@ -1355,3 +1355,55 @@ def test_with_totals_and_format_clause(engine):
     totals = [r for r in rows if r.event_type is None]
     assert len(totals) == 1
     assert totals[0].n == sum(r.n for r in rows if r.event_type is not None)
+
+
+@pytest.mark.parametrize(
+    "ch,expected",
+    [
+        ("uniqUpTo(5)(u)", "least(count(DISTINCT u), (5) + 1)"),
+        ("groupBitAnd(x)", "bit_and(x)"),
+        ("groupBitXor(x)", "bit_xor(x)"),
+        ("plus(a, b)", "((a) + (b))"),
+        ("divide(a, 2)", "((a) / (2))"),
+        ("modulo(a, 7)", "((a) % (7))"),
+        ("negate(a)", "(-(a))"),
+        (
+            "intDivOrZero(a, b)",
+            "coalesce(intDiv(a, nullif(b, 0)), 0)",
+        ),
+        ("countEqual(xs, 3)", "size(filter(xs, __ce -> __ce <=> 3))"),
+        ("arrayCount(x -> x > 1, xs)", "size(filter(xs, x -> x > 1))"),
+        ("arrayCount(xs)", "size(filter(xs, __ac -> __ac != 0))"),
+    ],
+)
+def test_round8_second_wave_rewrites(ch, expected):
+    assert (
+        translate_clickhouse_sql(f"SELECT {ch} FROM t")
+        == f"SELECT {expected} FROM t"
+    )
+
+
+def test_round8_second_wave_end_to_end(engine):
+    row = engine.sql(
+        """
+        SELECT uniqUpTo(2)(event_type)                 AS up_to,
+               groupBitOr(CAST(user_id AS BIGINT))     AS bits,
+               modulo(max(user_id), 7)                 AS m,
+               intDivOrZero(10, 0)                     AS div0,
+               countEqual(array(1, 2, 2, NULL), 2)     AS eq2,
+               countEqual(array(1, NULL), NULL)        AS eqnull,
+               arrayCount(x -> x > 1, array(1, 2, 3))  AS gt1,
+               arrayCount(array(0, 1, 2))              AS truthy,
+               arrayEnumerate(array('a', 'b'))         AS idx,
+               arrayEnumerate(array())                 AS idx_empty
+        FROM events
+        """,
+        dialect="clickhouse",
+    ).first()
+    assert row.up_to == 3  # 5 types > N=2 -> N + 1
+    assert row.div0 == 0
+    assert row.eq2 == 2 and row.eqnull == 1
+    assert row.gt1 == 2 and row.truthy == 2
+    assert row.idx == [1, 2] and row.idx_empty == []
+    assert 0 <= row.m < 7
+    assert row.bits is not None
