@@ -141,6 +141,11 @@ HEADLINE = [
     # round-8 addition — metadata-FILTERED ANN over the shared IVF layout
     # (composed PartitionFilters + PushedFilters, selectivity-widened probe)
     "ann_ivf_filtered_topk",
+    # round-8 dialect surfaces at sf scale: ClickHouse ASOF JOIN verbatim
+    # (union-tag + one keyed window, single shuffle) and windowFunnel
+    # verbatim (array_sort + aggregate() fold, state O(conditions))
+    "asof_join_verbatim_sql",
+    "windowfunnel_verbatim_sql",
 ]
 
 

@@ -1089,7 +1089,11 @@ def _parse_join_term(sql: str, i: int) -> tuple[str, str | None, int]:
             if k2 == m2:
                 raise ValueError("ASOF JOIN: dangling AS")
             return term, sql[k2:m2], m2
-        if up not in _ASOF_JOIN_KW and up not in _ASOF_STOP and up != "ON":
+        if (
+            up not in _ASOF_JOIN_KW
+            and up not in _ASOF_STOP
+            and up not in ("ON", "USING")
+        ):
             return term, word, m
     return term, None, j
 
@@ -1135,8 +1139,38 @@ def _rewrite_asof_join(sql: str) -> str:
     # ---- right side and ON ----
     right_term, right_alias, ri = _parse_join_term(sql, toks[q][1])
     on_tok = next((t for t in toks if t[0] >= ri), None)
-    if on_tok is None or on_tok[2] != "ON":
-        raise ValueError("ASOF JOIN: USING / missing ON is not supported")
+    if on_tok is None or on_tok[2] not in ("ON", "USING"):
+        raise ValueError("ASOF JOIN: missing ON / USING clause")
+    la = left_alias or left_term.split(".")[-1]
+    ra = right_alias or right_term.split(".")[-1]
+    if la.startswith("(") or ra.startswith("(") or not la or not ra:
+        raise ValueError("ASOF JOIN: subquery sides need an alias")
+    if on_tok[2] == "USING":
+        # USING (k1, .., km, ts): equality on all but the LAST column,
+        # which carries the implied >= (ClickHouse's USING-form contract).
+        # Rewritten into the qualified ON form — the same documented
+        # qualified-refs-only limit applies to the outer query (ClickHouse
+        # coalesces USING columns; here each side's column stays inside
+        # its alias struct).
+        j2 = on_tok[1]
+        while j2 < len(sql) and sql[j2].isspace():
+            j2 += 1
+        if j2 >= len(sql) or sql[j2] != "(":
+            raise ValueError("ASOF JOIN: USING needs a parenthesized column list")
+        close_u = _find_close(sql, j2)
+        cols = [c.strip() for c in _split_args(sql[j2 + 1 : close_u])]
+        if len(cols) < 2 or not all(cols):
+            raise ValueError(
+                "ASOF JOIN: USING needs at least one key column plus the "
+                "asof column (last)"
+            )
+        cond_text = (
+            " AND ".join(f"{la}.{c} = {ra}.{c}" for c in cols[:-1])
+            + f" AND {la}.{cols[-1]} >= {ra}.{cols[-1]}"
+        )
+        return _rewrite_asof_join(
+            f"{sql[: on_tok[0]]}ON {cond_text} {sql[close_u + 1 :]}"
+        )
     cond_start = on_tok[1]
     cond_end = len(sql)
     for t in toks:
@@ -1148,10 +1182,6 @@ def _rewrite_asof_join(sql: str) -> str:
     semi = _blank_quoted(sql[cond_start:cond_end]).find(";")
     if semi != -1:
         cond_end = cond_start + semi
-    la = left_alias or left_term.split(".")[-1]
-    ra = right_alias or right_term.split(".")[-1]
-    if la.startswith("(") or ra.startswith("(") or not la or not ra:
-        raise ValueError("ASOF JOIN: subquery sides need an alias")
     # ---- classify conjuncts ----
     eqs: list[tuple[str, str]] = []
     ineq: tuple[str, str, str] | None = None
@@ -1304,8 +1334,24 @@ def _rewrite_any_join(sql: str) -> str:
         )
     right_term, right_alias, ri = _parse_join_term(sql, toks[q][1])
     on_tok = next((t for t in toks if t[0] >= ri), None)
-    if on_tok is None or on_tok[2] != "ON":
-        raise ValueError("ANY JOIN: USING / missing ON is not supported")
+    if on_tok is None or on_tok[2] not in ("ON", "USING"):
+        raise ValueError("ANY JOIN: missing ON / USING clause")
+    if on_tok[2] == "USING":
+        la0 = left_alias or left_term.split(".")[-1]
+        ra0 = right_alias or right_term.split(".")[-1]
+        j2 = on_tok[1]
+        while j2 < len(sql) and sql[j2].isspace():
+            j2 += 1
+        if j2 >= len(sql) or sql[j2] != "(":
+            raise ValueError("ANY JOIN: USING needs a parenthesized column list")
+        close_u = _find_close(sql, j2)
+        cols = [c.strip() for c in _split_args(sql[j2 + 1 : close_u])]
+        if not cols or not all(cols):
+            raise ValueError("ANY JOIN: empty USING column list")
+        cond_text = " AND ".join(f"{la0}.{c} = {ra0}.{c}" for c in cols)
+        return _rewrite_any_join(
+            f"{sql[: on_tok[0]]}ON {cond_text} {sql[close_u + 1 :]}"
+        )
     cond_start = on_tok[1]
     cond_end = len(sql)
     for t in toks:

@@ -1407,3 +1407,42 @@ def test_round8_second_wave_end_to_end(engine):
     assert row.idx == [1, 2] and row.idx_empty == []
     assert 0 <= row.m < 7
     assert row.bits is not None
+
+
+def test_asof_and_any_join_using_form(engine):
+    # USING (k.., ts): equality on all but the last column, implied >= on
+    # the last — ClickHouse's USING-form contract, rewritten into ON
+    rows = [
+        tuple(r)
+        for r in engine.sql(
+            f"SELECT t.sym AS sym, t.ts AS tts, q.ts AS qts, q.px AS px "
+            f"FROM {_ASOF_TRADES} t ASOF LEFT JOIN {_ASOF_QUOTES} q "
+            f"USING (sym, ts) ORDER BY t.sym, t.ts",
+            dialect="clickhouse",
+        ).collect()
+    ]
+    assert rows == [
+        ("a", 0, None, None),
+        ("a", 2, 2, 20.0),
+        ("b", 9, 5, 50.0),
+        ("c", 1, None, None),
+    ]
+    any_rows = [
+        tuple(r)
+        for r in engine.sql(
+            f"SELECT t.sym AS sym, u.px AS px FROM {_ASOF_TRADES} t "
+            f"ANY LEFT JOIN {_ASOF_QUOTES} u USING (sym) ORDER BY t.sym, t.ts",
+            dialect="clickhouse",
+        ).collect()
+    ]
+    # min-struct pick per sym: ('a',1,10.0) and ('b',5,50.0)
+    assert any_rows == [
+        ("a", 10.0),
+        ("a", 10.0),
+        ("b", 50.0),
+        ("c", None),
+    ]
+    with pytest.raises(ValueError, match="at least one key column"):
+        translate_clickhouse_sql(
+            "SELECT t.a FROM t ASOF JOIN u USING (ts)"
+        )
