@@ -191,6 +191,17 @@ uniqHLL12
 quantileTDigest/    percentile_approx(x, p) [Spark's one approximate
 Timing/Determin-     rank sketch stands in for the CH sketch family;
 istic/BFloat16(p)(x) error models differ]
+CREATE MATERIAL-    ClickHouse's insert trigger, verbatim (dialect_ddl):
+IZED VIEW [TO tgt]  each inserted block runs the SELECT and appends to the
+[ENGINE = Summing-  view's storage (ENGINE form) or the TO target —
+MergeTree ORDER BY  per-insert cost O(block). SummingMergeTree storage
+...] [POPULATE]     holds the per-block PARTIAL aggregates and collapses
+AS SELECT ...       per ORDER BY key at read (min() for non-summed
+                    columns, deterministic where CH keeps an arbitrary
+                    survivor); POPULATE folds pre-existing rows in.
+                    Single-table SELECT only; AggregatingMergeTree and
+                    MV-on-MV refused loudly. DROP VIEW stops the trigger
+                    (a TO target keeps its data)
 CREATE DATABASE /   handled by dialect_ddl (engine.sql routes them): the
 CREATE TABLE ...    reference's ReplacingMergeTree/MergeTree DDL provisions
 ENGINE = ...        a ServingTable verbatim — keys = ORDER BY, month dirs
@@ -1564,6 +1575,9 @@ def translate_clickhouse_sql(sql: str) -> str:
                         out.append(f"any_value({', '.join(wrapped)}, true)")
                     else:
                         out.append(f"{base}({', '.join(wrapped)})")
+                elif name == "count" and not args:
+                    # ClickHouse's zero-arg count() is count(*)
+                    out.append("count(*)")
                 elif name == "countIf":
                     if len(args) == 1:
                         out.append(f"count_if({args[0]})")

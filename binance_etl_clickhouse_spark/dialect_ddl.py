@@ -137,6 +137,9 @@ class ParsedDDL:
     primary_key: list[str] = field(default_factory=list)
     partition_time_col: str | None = None
     settings: dict[str, str] = field(default_factory=dict)
+    #: SummingMergeTree: the columns its merges sum (empty = every numeric
+    #: non-key column, ClickHouse's default)
+    sum_cols: list[str] = field(default_factory=list)
 
     @property
     def spark_schema(self) -> T.StructType:
@@ -146,8 +149,8 @@ class ParsedDDL:
 
 
 _DDL_RE = re.compile(
-    r"^\s*(CREATE\s+(DATABASE|TABLE)|DROP\s+TABLE|TRUNCATE\s+TABLE"
-    r"|OPTIMIZE\s+TABLE|ALTER\s+TABLE)\b",
+    r"^\s*(CREATE\s+(DATABASE|TABLE|MATERIALIZED\s+VIEW)|DROP\s+(TABLE|VIEW)"
+    r"|TRUNCATE\s+TABLE|OPTIMIZE\s+TABLE|ALTER\s+TABLE)\b",
     re.I,
 )
 
@@ -194,6 +197,114 @@ def _cols_list(clause: str) -> list[str]:
     return [clause.strip().strip("`")]
 
 
+def _apply_tail_clauses(out: ParsedDDL, tail: str) -> None:
+    """PRIMARY KEY / ORDER BY / PARTITION BY / SETTINGS after the engine."""
+    clause_re = re.compile(
+        r"(PRIMARY\s+KEY|ORDER\s+BY|PARTITION\s+BY|SETTINGS)\s+", re.I
+    )
+    marks = [(c.start(), c.end(), c.group(1).upper()) for c in clause_re.finditer(tail)]
+    for i, (_, body_start, kw) in enumerate(marks):
+        body = tail[body_start : marks[i + 1][0] if i + 1 < len(marks) else len(tail)]
+        body = body.strip()
+        kw = re.sub(r"\s+", " ", kw)
+        if kw == "PRIMARY KEY":
+            out.primary_key = _cols_list(body)
+        elif kw == "ORDER BY":
+            out.order_by = _cols_list(body)
+        elif kw == "PARTITION BY":
+            pm = re.fullmatch(r"toYYYYMM\s*\(\s*`?(\w+)`?\s*\)", body, re.I)
+            if not pm:
+                raise ValueError(
+                    f"only PARTITION BY toYYYYMM(col) maps to the month "
+                    f"layout; got {body!r}"
+                )
+            out.partition_time_col = pm.group(1)
+        elif kw == "SETTINGS":
+            for item in body.split(","):
+                if "=" in item:
+                    k, v = item.split("=", 1)
+                    out.settings[k.strip()] = v.strip()
+
+
+@dataclass
+class MaterializedViewDDL:
+    """CREATE MATERIALIZED VIEW — an INSERT TRIGGER in ClickHouse: every
+    block inserted into the source table is transformed by the SELECT and
+    appended to the view's storage (or the TO target). Reads of a
+    SummingMergeTree-backed view collapse per ORDER BY key at query time —
+    per-block partial aggregation + merge-on-read, ClickHouse's own
+    architecture and exactly Spark's partial/final aggregate split."""
+
+    database: str | None
+    name: str
+    if_not_exists: bool
+    to_target: str | None
+    engine: str | None
+    sum_cols: list[str]
+    order_by: list[str]
+    partition_time_col: str | None
+    populate: bool
+    select_sql: str  # ClickHouse-flavored; translated at registration
+
+
+def parse_materialized_view(sql: str) -> MaterializedViewDDL | None:
+    m = re.match(
+        r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+        r"(?:(?P<db>\w+)\.)?(?P<name>\w+)\s+"
+        r"(?:TO\s+(?P<to>[\w.]+)\s+)?"
+        r"(?:ENGINE\s*=\s*(?P<eng>\w+)\s*(?:\((?P<engargs>[^)]*)\))?\s*"
+        r"(?P<tail>.*?))?"
+        r"(?P<pop>POPULATE\s+)?AS\s+(?P<select>SELECT\s.+)$",
+        sql.strip(),
+        re.I | re.S,
+    )
+    if m is None:
+        return None
+    out = MaterializedViewDDL(
+        database=m.group("db"),
+        name=m.group("name"),
+        if_not_exists=bool(m.group("ine")),
+        to_target=m.group("to"),
+        engine=m.group("eng"),
+        sum_cols=[],
+        order_by=[],
+        partition_time_col=None,
+        populate=bool(m.group("pop")),
+        select_sql=m.group("select").strip(),
+    )
+    if out.to_target and out.engine:
+        raise ValueError(
+            "CREATE MATERIALIZED VIEW takes TO target OR ENGINE, not both"
+        )
+    if not out.to_target and not out.engine:
+        raise ValueError("CREATE MATERIALIZED VIEW needs TO target or ENGINE")
+    if out.engine:
+        if out.engine.lower() not in (
+            "summingmergetree",
+            "mergetree",
+            "replacingmergetree",
+        ):
+            raise ValueError(
+                f"materialized view ENGINE = {out.engine} is not supported "
+                "(SummingMergeTree, MergeTree, ReplacingMergeTree; "
+                "AggregatingMergeTree's AggregateFunction states have no "
+                "portable storage here)"
+            )
+        if (m.group("engargs") or "").strip():
+            if out.engine.lower() != "summingmergetree":
+                raise ValueError(
+                    f"unexpected engine arguments: {m.group('engargs')!r}"
+                )
+            out.sum_cols = _cols_list(m.group("engargs"))
+        shim = ParsedDDL(kind="mv_tail", database=None, name=None)
+        _apply_tail_clauses(shim, m.group("tail") or "")
+        out.order_by = shim.order_by
+        out.partition_time_col = shim.partition_time_col
+        if not out.order_by:
+            raise ValueError("materialized view ENGINE form requires ORDER BY")
+    return out
+
+
 def parse_clickhouse_ddl(sql: str) -> ParsedDDL:
     """Parse the reference's DDL shapes. Anything outside them — other
     engines, codecs, TTL, materialized/alias columns — raises."""
@@ -226,16 +337,23 @@ def parse_clickhouse_ddl(sql: str) -> ParsedDDL:
         if_not_exists=bool(m.group(1)),
         engine=m.group("engine"),
     )
-    if out.engine.lower() not in ("replacingmergetree", "mergetree"):
+    if out.engine.lower() not in (
+        "replacingmergetree",
+        "mergetree",
+        "summingmergetree",
+    ):
         raise ValueError(
             f"ENGINE = {out.engine} has no native equivalent here "
-            "(supported: ReplacingMergeTree, MergeTree)"
+            "(supported: ReplacingMergeTree, MergeTree, SummingMergeTree)"
         )
     engargs = (m.group("engargs") or "").strip()
     if engargs:
-        if out.engine.lower() != "replacingmergetree":
+        if out.engine.lower() == "replacingmergetree":
+            out.version_col = engargs.strip().strip("`")
+        elif out.engine.lower() == "summingmergetree":
+            out.sum_cols = _cols_list(engargs)
+        else:
             raise ValueError(f"unexpected engine arguments: {engargs!r}")
-        out.version_col = engargs.strip().strip("`")
 
     for coldef in _split_top_level(m.group("cols")):
         cm = re.match(
@@ -249,32 +367,7 @@ def parse_clickhouse_ddl(sql: str) -> ParsedDDL:
             (cm.group(1), ch_type_to_spark(cm.group("type")), cm.group("dflt"))
         )
 
-    tail = m.group("tail")
-    clause_re = re.compile(
-        r"(PRIMARY\s+KEY|ORDER\s+BY|PARTITION\s+BY|SETTINGS)\s+", re.I
-    )
-    marks = [(c.start(), c.end(), c.group(1).upper()) for c in clause_re.finditer(tail)]
-    for i, (_, body_start, kw) in enumerate(marks):
-        body = tail[body_start : marks[i + 1][0] if i + 1 < len(marks) else len(tail)]
-        body = body.strip()
-        kw = re.sub(r"\s+", " ", kw)
-        if kw == "PRIMARY KEY":
-            out.primary_key = _cols_list(body)
-        elif kw == "ORDER BY":
-            out.order_by = _cols_list(body)
-        elif kw == "PARTITION BY":
-            pm = re.fullmatch(r"toYYYYMM\s*\(\s*`?(\w+)`?\s*\)", body, re.I)
-            if not pm:
-                raise ValueError(
-                    f"only PARTITION BY toYYYYMM(col) maps to the month "
-                    f"layout; got {body!r}"
-                )
-            out.partition_time_col = pm.group(1)
-        elif kw == "SETTINGS":
-            for item in body.split(","):
-                if "=" in item:
-                    k, v = item.split("=", 1)
-                    out.settings[k.strip()] = v.strip()
+    _apply_tail_clauses(out, m.group("tail"))
     if not out.order_by:
         raise ValueError("MergeTree-family DDL requires ORDER BY")
     if out.primary_key and out.order_by[: len(out.primary_key)] != out.primary_key:
@@ -331,6 +424,22 @@ class CatalogEntry:
     def dedup(self) -> bool:
         return self.ddl.engine.lower() == "replacingmergetree"
 
+    @property
+    def summing(self) -> bool:
+        return self.ddl.engine.lower() == "summingmergetree"
+
+
+@dataclass
+class MvEntry:
+    """A registered materialized view: the insert trigger (src -> select ->
+    target) plus whether the catalog owns the target storage (ENGINE form)
+    or it belongs to an independent table (TO form)."""
+
+    src: str
+    select: str  # Spark SQL, dialect-translated at registration
+    target: str
+    owns_storage: bool
+
 
 class DdlCatalog:
     """Tables provisioned from verbatim ClickHouse DDL.
@@ -349,11 +458,20 @@ class DdlCatalog:
         self.root = root
         self.databases: set[str] = set()
         self.tables: dict[str, CatalogEntry] = {}
+        #: materialized views: name -> (source table, translated SELECT,
+        #: storage table name, whether this catalog owns that storage)
+        self.views: dict[str, MvEntry] = {}
 
     # -- DDL --------------------------------------------------------------
 
     def apply(self, sql: str) -> DataFrame:
-        for handler in (self._drop, self._truncate, self._optimize, self._alter):
+        for handler in (
+            self._create_materialized_view,
+            self._drop,
+            self._truncate,
+            self._optimize,
+            self._alter,
+        ):
             out = handler(sql)
             if out is not None:
                 return out
@@ -382,13 +500,106 @@ class DdlCatalog:
         self._refresh_view(entry)
         return self.spark.createDataFrame([], ddl.spark_schema)
 
+    def _create_materialized_view(self, sql: str) -> DataFrame | None:
+        mv = parse_materialized_view(sql)
+        if mv is None:
+            return None
+        from binance_etl_clickhouse_spark.dialect import translate_clickhouse_sql
+
+        if mv.name in self.views or mv.name in self.tables:
+            if mv.if_not_exists:
+                return self.spark.createDataFrame([], T.StructType([]))
+            raise ValueError(f"view/table {mv.name} already exists")
+        if mv.database:
+            self.databases.add(mv.database)
+        select = self.resolve_qualified(translate_clickhouse_sql(mv.select_sql))
+        # single-table SELECT over an existing base table: the trigger fires
+        # on that table's inserts. Joins/subqueries and MV-on-MV chains are
+        # refused loudly (ClickHouse triggers only on the FIRST table too,
+        # a classic footgun this engine declines to reproduce silently).
+        from binance_etl_clickhouse_spark.dialect import _blank_quoted
+
+        froms = re.findall(r"\bFROM\s+([\w.]+)", _blank_quoted(select), re.I)
+        if len(froms) != 1 or re.search(
+            r"\bJOIN\b", _blank_quoted(select), re.I
+        ):
+            raise ValueError(
+                "materialized view SELECT must read exactly one table "
+                f"(found FROM {froms!r})"
+            )
+        src = self._bare(froms[0])
+        if src in self.views:
+            raise ValueError("materialized view over a materialized view is not supported")
+        if src not in self.tables:
+            raise KeyError(f"unknown source table {froms[0]!r} (CREATE it first)")
+        if mv.to_target:
+            target = self._bare(mv.to_target)
+            if target not in self.tables:
+                raise KeyError(f"unknown TO target {mv.to_target!r} (CREATE it first)")
+            owns = False
+        else:
+            # ENGINE form: provision the view's own storage from the
+            # SELECT's analyzed schema (planned against the source view —
+            # plan-only, nothing executes)
+            schema = self.spark.sql(select).schema
+            cols = [(f.name, f.dataType.simpleString(), None) for f in schema.fields]
+            declared = {n for n, _, _ in cols}
+            for c in mv.order_by:
+                if c not in declared:
+                    raise ValueError(
+                        f"ORDER BY column {c!r} is not in the SELECT output"
+                    )
+            ddl = ParsedDDL(
+                kind="create_table",
+                database=mv.database,
+                name=mv.name,
+                columns=cols,
+                engine=mv.engine,
+                order_by=mv.order_by,
+                partition_time_col=mv.partition_time_col,
+                sum_cols=mv.sum_cols,
+            )
+            path = os.path.join(self.root, mv.database or "_default", mv.name)
+            self.tables[mv.name] = CatalogEntry(
+                ddl=ddl,
+                table=ServingTable(
+                    path=path,
+                    keys=list(mv.order_by),
+                    time_col=mv.partition_time_col,
+                    sort_cols=list(mv.order_by),
+                ),
+                original_cols=frozenset(declared),
+            )
+            target, owns = mv.name, True
+        self.views[mv.name] = MvEntry(
+            src=src, select=select, target=target, owns_storage=owns
+        )
+        if mv.populate:
+            # POPULATE folds the PRE-EXISTING source rows in at create time
+            # (without it, like ClickHouse, only future inserts materialize)
+            if self.tables[src].table.exists():
+                self.insert(target, self.spark.sql(select), _fire=False)
+        self._refresh_mv_view(mv.name)
+        return self.spark.createDataFrame([], T.StructType([]))
+
     def _drop(self, sql: str) -> DataFrame | None:
         m = re.match(
-            r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$", sql.strip(), re.I
+            r"^\s*DROP\s+(?:TABLE|VIEW)\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$",
+            sql.strip(),
+            re.I,
         )
         if not m:
             return None
         bare = self._bare(m.group(2))
+        mv = self.views.pop(bare, None)
+        if mv is not None:
+            # dropping the view stops the trigger; a TO target keeps its
+            # table and data (ClickHouse's contract), owned storage goes
+            if mv.owns_storage:
+                entry = self.tables.pop(bare)
+                self._rm_data(entry)
+            self.spark.catalog.dropTempView(bare)
+            return self.spark.createDataFrame([], T.StructType([]))
         entry = self.tables.pop(bare, None)
         if entry is None:
             if not m.group(1):
@@ -514,10 +725,13 @@ class DdlCatalog:
                 return bare
         return name
 
-    def insert(self, name: str, rows) -> int:
+    def insert(self, name: str, rows, _fire: bool = True) -> int:
         """≙ ``clickhouse_insert`` (reference ``utils_clickhouse.py:46-58``):
         accepts a Spark DataFrame, a pandas DataFrame, or a list of dicts;
-        conforms to the declared schema; returns rows written."""
+        conforms to the declared schema; returns rows written. Registered
+        materialized views on this table fire per block, like ClickHouse's
+        insert trigger (``_fire=False`` breaks the recursion when the
+        trigger itself inserts into its target)."""
         entry = self.tables.get(self._bare(name))
         if entry is None:
             raise KeyError(f"unknown table {name!r} (CREATE it first)")
@@ -568,7 +782,38 @@ class DdlCatalog:
             conformed, ingest_seq=entry.table.max_ingest_seq(self.spark) + 1
         )
         self._refresh_view(entry)
+        if _fire:
+            self._fire_materialized_views(entry.ddl.name, conformed)
         return int(n)
+
+    def _fire_materialized_views(self, src: str, block: DataFrame) -> None:
+        """ClickHouse's insert-trigger semantics: each view's SELECT runs
+        over the INSERTED BLOCK ALONE (never the whole table) and the
+        result appends to the view's storage. With a GROUP BY SELECT over a
+        SummingMergeTree target this is per-block partial aggregation +
+        merge-on-read — cost per insert is O(block), never O(table); the
+        read-side collapse shuffles |stored partial rows|, bounded by
+        blocks x keys, not raw rows."""
+        targets = [mv for mv in self.views.values() if mv.src == src]
+        if not targets:
+            return
+        for mv in targets:
+            # shadow the source view with the block; insert() below runs
+            # count() + append while the shadow is active, so the lazy
+            # SELECT resolves against the block
+            block.createOrReplaceTempView(src)
+            try:
+                self.insert(mv.target, self.spark.sql(mv.select), _fire=False)
+            finally:
+                self._refresh_view(self.tables[src])
+
+    def _refresh_mv_view(self, name: str) -> None:
+        """(Re)register the view's queryable name. The ENGINE form IS its
+        storage table (refreshed by insert); the TO form aliases the
+        target's snapshot."""
+        mv = self.views[name]
+        if not mv.owns_storage:
+            self.snapshot(mv.target).createOrReplaceTempView(name)
 
     # -- views ------------------------------------------------------------
 
@@ -594,6 +839,14 @@ class DdlCatalog:
                 else INGEST_SEQ
             )
             raw = keep_last(raw, entry.table.keys, order)
+        if entry.summing:
+            # SummingMergeTree's fully-merged state, computed at read time:
+            # one row per ORDER BY key, summed columns re-aggregated —
+            # Spark's partial/final aggregate split made explicit (the
+            # stored rows ARE the partials). Non-summed non-key columns get
+            # min() — deterministic where ClickHouse keeps an arbitrary
+            # survivor.
+            return self._summing_collapse(entry, raw)
         if not altered:
             # the common path: raw columns pass through untouched, so
             # predicates reach the parquet scan (PushedFilters + per-file
@@ -623,6 +876,32 @@ class DdlCatalog:
             cols.append(F.coalesce(base, fill).alias(cname))
         return raw.select(*cols)
 
+    _NUMERIC_SPARK = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+
+    def _summing_collapse(self, entry: CatalogEntry, raw: DataFrame) -> DataFrame:
+        keys = list(entry.table.keys)
+        aggs = []
+        for cname, ctype, _ in entry.ddl.columns:
+            if cname in keys:
+                continue
+            low = ctype.lower()
+            is_numeric = low in self._NUMERIC_SPARK or low.startswith("decimal")
+            summed = (
+                cname in entry.ddl.sum_cols
+                if entry.ddl.sum_cols
+                else is_numeric
+            )
+            if summed:
+                # cast back: Spark widens sum(int) to BIGINT; the declared
+                # type is the contract (ClickHouse sums in the column type)
+                aggs.append(F.sum(cname).cast(ctype).alias(cname))
+            else:
+                aggs.append(F.min(cname).alias(cname))
+        if not aggs:  # every declared column is a key: one row per key
+            return raw.drop(INGEST_SEQ).distinct()
+        out = raw.drop(INGEST_SEQ).groupBy(*keys).agg(*aggs)
+        return out.select(*[n for n, _, _ in entry.ddl.columns])
+
     def _fragment(self, expr: str) -> str:
         """Run one expression through the scalar dialect (the translator
         takes statements, so SELECT-wrap and unwrap)."""
@@ -635,6 +914,11 @@ class DdlCatalog:
 
     def _refresh_view(self, entry: CatalogEntry) -> None:
         self.snapshot(entry.ddl.name).createOrReplaceTempView(entry.ddl.name)
+        # TO-form materialized views alias their target's snapshot — keep
+        # the alias current when the target refreshes
+        for name, mv in self.views.items():
+            if not mv.owns_storage and mv.target == entry.ddl.name:
+                self.snapshot(mv.target).createOrReplaceTempView(name)
 
     # -- query-side name resolution ----------------------------------------
 

@@ -684,3 +684,81 @@ def any_join_verbatim_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AnalyticsEngine(spark, verbose=False).sql(
         _ANY_JOIN_CH_SQL, dialect="clickhouse"
     )
+
+
+# ---------------------------------------------------------------------------
+# Verbatim MATERIALIZED VIEW round trip (r8): CREATE MATERIALIZED VIEW ...
+# ENGINE = SummingMergeTree through the dialect, three insert blocks fired
+# through the trigger (per-block partial aggregates in the view's storage),
+# served state = merge-on-read collapse. The oracle replays the identical
+# history as one global GROUP BY — equal because sum/count are additive
+# over any block partition of the rows.
+# ---------------------------------------------------------------------------
+_MV_RT_BLOCKS: list[list[tuple[str, str, float]]] = [
+    [("BTC", "2024-01-01 01:00:00", 1.5), ("BTC", "2024-01-01 02:00:00", 2.5)],
+    [("BTC", "2024-01-01 03:00:00", 3.0), ("ETH", "2024-01-02 01:00:00", 5.0)],
+    [("BTC", "2024-01-02 09:00:00", 7.0), ("ETH", "2024-01-02 10:00:00", 1.0)],
+]
+
+
+def _mv_rt_oracle() -> str:
+    vals = ", ".join(
+        f"('{s}', TIMESTAMP '{t}', {v})"
+        for block in _MV_RT_BLOCKS
+        for s, t, v in block
+    )
+    return f"""
+    WITH history(symbol, ts, vol) AS (VALUES {vals})
+    SELECT symbol, date_trunc('day', ts) AS day,
+           round(sum(vol), 2)::DOUBLE AS vol, count(*)::BIGINT AS n
+    FROM history GROUP BY symbol, day
+    """
+
+
+@register(
+    "mv_verbatim_roundtrip",
+    _mv_rt_oracle(),
+    survey_ref=(
+        "S8 DDL surface: CREATE MATERIALIZED VIEW ... SummingMergeTree runs "
+        "verbatim — per-block insert trigger + merge-on-read collapse equals "
+        "the global GROUP BY, value-hash oracled"
+    ),
+)
+def mv_verbatim_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EAGER by nature (like ddl_verbatim_roundtrip): building it provisions
+    scratch tables and replays the fixed insert history through the MV
+    trigger; the returned frame is the view's served (merge-on-read) state.
+    Input is the literal history — identical at every sf."""
+    import tempfile
+
+    from binance_etl_clickhouse_spark.engine import AnalyticsEngine
+
+    eng = AnalyticsEngine(
+        spark, verbose=False, ddl_root=tempfile.mkdtemp(prefix="mv_rt_")
+    )
+    eng.register_clickhouse_compat()
+    eng.sql(
+        """CREATE TABLE mvrt.klines (symbol String, ts DateTime, vol Float64)
+        ENGINE = MergeTree ORDER BY (symbol, ts)""",
+        dialect="clickhouse",
+    )
+    eng.sql(
+        """CREATE MATERIALIZED VIEW mvrt.daily
+        ENGINE = SummingMergeTree ORDER BY (symbol, day)
+        AS SELECT symbol, toStartOfDay(ts) AS day,
+                  round(sum(vol), 2) AS vol, count() AS n
+        FROM mvrt.klines GROUP BY symbol, day""",
+        dialect="clickhouse",
+    )
+    for block in _MV_RT_BLOCKS:
+        eng.sql(
+            "INSERT INTO mvrt.klines (symbol, ts, vol) VALUES",
+            args=[
+                {"symbol": s, "ts": pd.Timestamp(t), "vol": v}
+                for s, t, v in block
+            ],
+            dialect="clickhouse",
+        )
+    return eng.sql(
+        "SELECT symbol, day, vol, n FROM mvrt.daily", dialect="clickhouse"
+    )

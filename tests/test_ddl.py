@@ -517,3 +517,170 @@ def test_mutations_delete_and_update_where(engine):
             "UPDATE symbol = 'X' WHERE fundingRate > 0",
             dialect="clickhouse",
         )
+
+
+# ---------------------------------------------------------------------------
+# CREATE MATERIALIZED VIEW (r8): ClickHouse's insert trigger. Each inserted
+# block runs the SELECT and appends to the view's storage; a
+# SummingMergeTree-backed view stores per-block PARTIAL aggregates and
+# collapses per ORDER BY key at read time — per-insert cost O(block), never
+# O(table), and the read-side shuffle carries stored partials, not raw rows.
+# ---------------------------------------------------------------------------
+
+_MV_SRC_DDL = """CREATE TABLE m.klines (
+    symbol LowCardinality(String),
+    ts DateTime,
+    vol Float64,
+    trades Int64
+) ENGINE = MergeTree ORDER BY (symbol, ts) PARTITION BY toYYYYMM(ts)"""
+
+_MV_DDL = """CREATE MATERIALIZED VIEW m.daily
+ENGINE = SummingMergeTree ORDER BY (symbol, day)
+AS SELECT symbol, toStartOfDay(ts) AS day,
+          sum(vol) AS vol, sum(trades) AS trades, count() AS n
+FROM m.klines GROUP BY symbol, day"""
+
+
+def _mv_blocks(engine):
+    blocks = [
+        [
+            {"symbol": "BTC", "ts": pd.Timestamp("2024-01-01 01:00"), "vol": 1.0, "trades": 10},
+            {"symbol": "BTC", "ts": pd.Timestamp("2024-01-01 02:00"), "vol": 2.0, "trades": 20},
+        ],
+        [
+            {"symbol": "BTC", "ts": pd.Timestamp("2024-01-01 03:00"), "vol": 3.0, "trades": 30},
+            {"symbol": "ETH", "ts": pd.Timestamp("2024-01-02 01:00"), "vol": 5.0, "trades": 50},
+        ],
+        [
+            {"symbol": "BTC", "ts": pd.Timestamp("2024-01-02 09:00"), "vol": 7.0, "trades": 70},
+        ],
+    ]
+    for b in blocks:
+        engine.sql("INSERT INTO m.klines (symbol, ts, vol, trades) VALUES",
+                   args=b, dialect="clickhouse")
+
+
+def test_materialized_view_summing_trigger(engine, spark):
+    engine.register_clickhouse_compat()
+    engine.sql(_MV_SRC_DDL, dialect="clickhouse")
+    engine.sql(_MV_DDL, dialect="clickhouse")
+    _mv_blocks(engine)
+    served = [
+        tuple(r)
+        for r in engine.sql(
+            "SELECT * FROM m.daily ORDER BY symbol, day", dialect="clickhouse"
+        ).collect()
+    ]
+    recomputed = [
+        tuple(r)
+        for r in engine.sql(
+            "SELECT symbol, toStartOfDay(ts) AS day, sum(vol) AS vol, "
+            "sum(trades) AS trades, count() AS n FROM m.klines "
+            "GROUP BY symbol, day ORDER BY symbol, day",
+            dialect="clickhouse",
+        ).collect()
+    ]
+    assert served == recomputed and len(served) == 3
+    # the storage holds PER-BLOCK partials (BTC day-1 appears once per
+    # contributing block) — merge happens at read, like SummingMergeTree
+    raw = engine.ddl_catalog.tables["daily"].table.read_raw(spark)
+    assert raw.count() == 4
+    # dropping the view stops the trigger and removes its owned storage
+    engine.sql("DROP VIEW m.daily", dialect="clickhouse")
+    assert "daily" not in engine.ddl_catalog.views
+    assert "daily" not in engine.ddl_catalog.tables
+
+
+def test_materialized_view_to_target_and_populate(engine):
+    engine.register_clickhouse_compat()
+    engine.sql(_MV_SRC_DDL, dialect="clickhouse")
+    engine.sql(
+        """CREATE TABLE m.sym_counts (symbol String, n Int64)
+        ENGINE = SummingMergeTree(n) ORDER BY symbol""",
+        dialect="clickhouse",
+    )
+    # one pre-existing block, then the MV with POPULATE folds it in
+    engine.sql(
+        "INSERT INTO m.klines (symbol, ts, vol, trades) VALUES",
+        args=[{"symbol": "XRP", "ts": pd.Timestamp("2024-01-01"), "vol": 1.0, "trades": 1}],
+        dialect="clickhouse",
+    )
+    engine.sql(
+        """CREATE MATERIALIZED VIEW m.counter TO m.sym_counts POPULATE
+        AS SELECT symbol, count() AS n FROM m.klines GROUP BY symbol""",
+        dialect="clickhouse",
+    )
+    _mv_blocks(engine)
+    got = {
+        (r.symbol, r.n)
+        for r in engine.sql("SELECT * FROM m.counter", dialect="clickhouse").collect()
+    }
+    assert got == {("BTC", 4), ("ETH", 1), ("XRP", 1)}
+    # the TO target is independently queryable with the same state
+    tgt = {
+        (r.symbol, r.n)
+        for r in engine.sql("SELECT * FROM m.sym_counts", dialect="clickhouse").collect()
+    }
+    assert tgt == got
+    # DROP VIEW stops the trigger but KEEPS the target table + data
+    engine.sql("DROP VIEW m.counter", dialect="clickhouse")
+    engine.sql(
+        "INSERT INTO m.klines (symbol, ts, vol, trades) VALUES",
+        args=[{"symbol": "BTC", "ts": pd.Timestamp("2024-02-01"), "vol": 1.0, "trades": 1}],
+        dialect="clickhouse",
+    )
+    after = {
+        (r.symbol, r.n)
+        for r in engine.sql("SELECT * FROM m.sym_counts", dialect="clickhouse").collect()
+    }
+    assert after == got  # unchanged: no trigger anymore
+
+
+@pytest.mark.parametrize(
+    "ddl,msg",
+    [
+        (
+            "CREATE MATERIALIZED VIEW m.x ENGINE = AggregatingMergeTree "
+            "ORDER BY k AS SELECT k FROM m.klines",
+            "AggregatingMergeTree",
+        ),
+        (
+            "CREATE MATERIALIZED VIEW m.x TO m.t ENGINE = MergeTree "
+            "ORDER BY k AS SELECT k FROM m.klines",
+            "TO target OR ENGINE",
+        ),
+        (
+            "CREATE MATERIALIZED VIEW m.x ENGINE = MergeTree "
+            "AS SELECT k FROM m.klines",
+            "requires ORDER BY",
+        ),
+        (
+            "CREATE MATERIALIZED VIEW m.x ENGINE = MergeTree ORDER BY symbol "
+            "AS SELECT a.symbol FROM m.klines a JOIN m.klines b ON a.ts = b.ts",
+            "exactly one table",
+        ),
+    ],
+)
+def test_materialized_view_unsupported_shapes(engine, ddl, msg):
+    engine.sql(_MV_SRC_DDL, dialect="clickhouse")
+    with pytest.raises((ValueError, KeyError), match=msg):
+        engine.sql(ddl, dialect="clickhouse")
+
+
+def test_summing_merge_tree_plain_table(engine):
+    # CREATE TABLE ENGINE = SummingMergeTree also works outside the MV path
+    engine.sql(
+        """CREATE TABLE m.tot (k String, v Int64, note String)
+        ENGINE = SummingMergeTree ORDER BY k""",
+        dialect="clickhouse",
+    )
+    for block in ([{"k": "a", "v": 1, "note": "x"}],
+                  [{"k": "a", "v": 2, "note": "y"}, {"k": "b", "v": 5, "note": "z"}]):
+        engine.sql("INSERT INTO m.tot (k, v, note) VALUES", args=block,
+                   dialect="clickhouse")
+    rows = {
+        (r.k, r.v, r.note)
+        for r in engine.sql("SELECT * FROM m.tot", dialect="clickhouse").collect()
+    }
+    # v sums per key; the non-summed string keeps the deterministic min
+    assert rows == {("a", 3, "x"), ("b", 5, "z")}
