@@ -191,6 +191,12 @@ uniqHLL12
 quantileTDigest/    percentile_approx(x, p) [Spark's one approximate
 Timing/Determin-     rank sketch stands in for the CH sketch family;
 istic/BFloat16(p)(x) error models differ]
+INSERT INTO t       the ClickHouse ETL idiom: the query runs through the
+[cols] SELECT ...   full dialect, rows append through the catalog
+                    (defaults, keep-last versioning, MV triggers fire)
+CREATE TABLE t      CTAS: schema from the analyzed SELECT (plan-only),
+ENGINE = ... ORDER  one insert of its result; same engine family rules
+BY ... AS SELECT    as the column-list form
 CREATE MATERIAL-    ClickHouse's insert trigger, verbatim (dialect_ddl):
 IZED VIEW [TO tgt]  each inserted block runs the SELECT and appends to the
 [ENGINE = Summing-  view's storage (ENGINE form) or the TO target —

@@ -467,6 +467,7 @@ class DdlCatalog:
     def apply(self, sql: str) -> DataFrame:
         for handler in (
             self._create_materialized_view,
+            self._create_table_as_select,
             self._drop,
             self._truncate,
             self._optimize,
@@ -581,6 +582,78 @@ class DdlCatalog:
                 self.insert(target, self.spark.sql(select), _fire=False)
         self._refresh_mv_view(mv.name)
         return self.spark.createDataFrame([], T.StructType([]))
+
+    def _create_table_as_select(self, sql: str) -> DataFrame | None:
+        """``CREATE TABLE t ENGINE = ... ORDER BY ... AS SELECT ...`` —
+        ClickHouse CTAS: schema from the analyzed SELECT (plan-only), one
+        insert of its result. Distinct from the column-list form by the
+        ENGINE directly after the name."""
+        m = re.match(
+            r"^\s*CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+            r"(?:(?P<db>\w+)\.)?(?P<name>\w+)\s+"
+            r"ENGINE\s*=\s*(?P<eng>\w+)\s*(?:\((?P<engargs>[^)]*)\))?\s*"
+            r"(?P<tail>.*?)\s*AS\s+(?P<select>(?:SELECT|WITH)\b.+)$",
+            sql.strip(),
+            re.I | re.S,
+        )
+        if m is None:
+            return None
+        from binance_etl_clickhouse_spark.dialect import translate_clickhouse_sql
+
+        name = m.group("name")
+        if name in self.tables or name in self.views:
+            if m.group("ine"):
+                return self.spark.createDataFrame([], T.StructType([]))
+            raise ValueError(f"table {name} already exists")
+        eng = m.group("eng")
+        if eng.lower() not in ("replacingmergetree", "mergetree", "summingmergetree"):
+            raise ValueError(
+                f"ENGINE = {eng} has no native equivalent here "
+                "(supported: ReplacingMergeTree, MergeTree, SummingMergeTree)"
+            )
+        if m.group("db"):
+            self.databases.add(m.group("db"))
+        select = self.resolve_qualified(translate_clickhouse_sql(m.group("select")))
+        schema = self.spark.sql(select).schema  # plan-only
+        ddl = ParsedDDL(
+            kind="create_table",
+            database=m.group("db"),
+            name=name,
+            columns=[(f.name, f.dataType.simpleString(), None) for f in schema.fields],
+            engine=eng,
+        )
+        engargs = (m.group("engargs") or "").strip()
+        if engargs:
+            if eng.lower() == "replacingmergetree":
+                ddl.version_col = engargs.strip("`")
+            elif eng.lower() == "summingmergetree":
+                ddl.sum_cols = _cols_list(engargs)
+            else:
+                raise ValueError(f"unexpected engine arguments: {engargs!r}")
+        _apply_tail_clauses(ddl, m.group("tail") or "")
+        if not ddl.order_by:
+            raise ValueError("CREATE TABLE ... AS SELECT requires ORDER BY")
+        declared = {n for n, _, _ in ddl.columns}
+        for c in ddl.order_by:
+            if c not in declared:
+                raise ValueError(
+                    f"ORDER BY column {c!r} is not in the SELECT output"
+                )
+        path = os.path.join(self.root, m.group("db") or "_default", name)
+        entry = CatalogEntry(
+            ddl=ddl,
+            table=ServingTable(
+                path=path,
+                keys=list(ddl.order_by),
+                time_col=ddl.partition_time_col,
+                sort_cols=list(ddl.order_by),
+            ),
+            original_cols=frozenset(declared),
+        )
+        self.tables[name] = entry
+        self._refresh_view(entry)  # insert() skips refresh on 0 rows
+        self.insert(name, self.spark.sql(select), _fire=False)
+        return self.spark.createDataFrame([], ddl.spark_schema)
 
     def _drop(self, sql: str) -> DataFrame | None:
         m = re.match(

@@ -286,6 +286,29 @@ class AnalyticsEngine:
                 return self.spark.range(n).select(
                     F.lit(n).alias("rows_written")
                 ).limit(1)
+            ins_sel = re.match(
+                r"^\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\)\s*)?"
+                r"(SELECT\b.*|WITH\b.*)$",
+                query,
+                re.I | re.S,
+            )
+            if ins_sel is not None:
+                # INSERT INTO t [cols] SELECT ... — the ClickHouse ETL
+                # idiom: the query runs through the full dialect and the
+                # rows append through the catalog (defaults filled,
+                # keep-last versioning, materialized-view triggers fire)
+                df = self.sql(ins_sel.group(3), dialect="clickhouse")
+                cols = ins_sel.group(2)
+                if cols:
+                    names = [c.strip().strip("`") for c in cols.split(",")]
+                    if len(names) != len(df.columns):
+                        raise ValueError(
+                            f"INSERT column list {names} does not match the "
+                            f"SELECT's {len(df.columns)} output columns"
+                        )
+                    df = df.toDF(*names)
+                n = self.insert(ins_sel.group(1), df)
+                return self.spark.range(1).select(F.lit(n).alias("rows_written"))
             query = translate_clickhouse_sql(query)
             if self._ddl_catalog is not None:
                 # qualified refs to DDL-created tables (db.tbl) resolve to

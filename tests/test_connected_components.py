@@ -76,6 +76,20 @@ def _clear_checkpoint_dir(spark):
         pass
 
 
+def _rglob_safe(root):
+    """Scan the checkpoint tree tolerating concurrent deletion: with
+    cleanCheckpoints=true (session default since r8) the ContextCleaner
+    reclaims superseded rdd-* dirs in the background, and a directory can
+    vanish between being listed and being descended into — retry rather
+    than crash on that race."""
+    for _ in range(20):
+        try:
+            return set(root.rglob("*"))
+        except FileNotFoundError:
+            continue
+    return set(root.rglob("*"))
+
+
 def test_reliable_checkpoint_mode(spark, tmp_path):
     """With a checkpoint dir set, the convergent loops auto-switch to
     RELIABLE .checkpoint() frames (they survive executor loss, unlike
@@ -91,20 +105,20 @@ def test_reliable_checkpoint_mode(spark, tmp_path):
         conv = _components(graph.connected_components_converged(edges))
         assert conv == {0: set(range(7))}
         # reliable frames were actually written to the checkpoint dir
-        files = list((tmp_path / "ckpt").rglob("*"))
+        files = _rglob_safe(tmp_path / "ckpt")
         assert any(p.name.startswith("rdd-") for p in files), files
-        n_before = len(files)
         lsss = _components(graph.connected_components_lsss(edges))
         assert lsss == {0: set(range(7))}
-        assert len(list((tmp_path / "ckpt").rglob("*"))) > n_before
+        # NEW checkpoint paths appeared (a set diff, not a count: the
+        # background cleaner may delete old ones concurrently)
+        assert _rglob_safe(tmp_path / "ckpt") - files
         # explicit opt-out still localCheckpoints even with the dir set:
-        # NO NEW checkpoint files may appear. Subset, not equality — with
-        # cleanCheckpoints=true (session default since r8) the
-        # ContextCleaner reclaims superseded dirs in the background, so
-        # the count can legitimately SHRINK while this runs.
-        before = set((tmp_path / "ckpt").rglob("*"))
+        # NO NEW checkpoint files may appear. Subset, not equality — the
+        # background cleaner can legitimately SHRINK the set while this
+        # runs (see _rglob_safe).
+        before = _rglob_safe(tmp_path / "ckpt")
         graph.connected_components_converged(edges, reliable=False).collect()
-        assert set((tmp_path / "ckpt").rglob("*")) <= before
+        assert _rglob_safe(tmp_path / "ckpt") <= before
     finally:
         _clear_checkpoint_dir(spark)
 

@@ -684,3 +684,56 @@ def test_summing_merge_tree_plain_table(engine):
     }
     # v sums per key; the non-summed string keeps the deterministic min
     assert rows == {("a", 3, "x"), ("b", 5, "z")}
+
+
+def test_ctas_and_insert_select(engine):
+    engine.register_clickhouse_compat()
+    engine.sql(
+        "CREATE TABLE c.src (k String, v Int64) ENGINE = MergeTree ORDER BY k",
+        dialect="clickhouse",
+    )
+    engine.sql(
+        "INSERT INTO c.src (k, v) VALUES",
+        args=[{"k": "a", "v": 1}, {"k": "a", "v": 2}, {"k": "b", "v": 5}],
+        dialect="clickhouse",
+    )
+    # CTAS: schema from the SELECT, dialect combinators translate inside
+    engine.sql(
+        """CREATE TABLE c.agg ENGINE = MergeTree ORDER BY k
+        AS SELECT k, sumIf(v, v > 1) AS big, count() AS n
+        FROM c.src GROUP BY k""",
+        dialect="clickhouse",
+    )
+    rows = [
+        tuple(r)
+        for r in engine.sql(
+            "SELECT * FROM c.agg ORDER BY k", dialect="clickhouse"
+        ).collect()
+    ]
+    assert rows == [("a", 2, 2), ("b", 5, 1)]
+    # INSERT ... SELECT appends through the catalog and fires MV triggers
+    # on the block it inserts (the MV was created AFTER the first rows, so
+    # only the INSERT-SELECT block materializes: 10 + 20 + 50)
+    engine.sql(
+        """CREATE MATERIALIZED VIEW c.totals
+        ENGINE = SummingMergeTree ORDER BY one
+        AS SELECT 1 AS one, sum(v) AS total FROM c.src GROUP BY one""",
+        dialect="clickhouse",
+    )
+    n = engine.sql(
+        "INSERT INTO c.src (k, v) "
+        "SELECT concat(k, '2') AS k, v * 10 AS v FROM c.src",
+        dialect="clickhouse",
+    ).first()
+    assert n.rows_written == 3
+    assert engine.sql("SELECT * FROM c.src", dialect="clickhouse").count() == 6
+    assert [
+        tuple(r)
+        for r in engine.sql("SELECT * FROM c.totals", dialect="clickhouse").collect()
+    ] == [(1, 80)]
+    # CTAS requires ORDER BY, like the column-list form
+    with pytest.raises(ValueError, match="requires ORDER BY"):
+        engine.sql(
+            "CREATE TABLE c.bad ENGINE = MergeTree AS SELECT k FROM c.src",
+            dialect="clickhouse",
+        )
