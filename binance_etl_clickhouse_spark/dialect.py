@@ -496,9 +496,15 @@ _ALL_STRICTNESS_RE = re.compile(
 
 #: trailing ``FORMAT <name>`` — the clickhouse-client output-format clause
 #: (``FORMAT TabSeparated`` etc.), meaningless to a DataFrame-returning
-#: engine; stripped like the trailing SETTINGS hint. End-anchored, so a
-#: column or table named format is untouched.
-_TRAILING_FORMAT_RE = re.compile(r"\s+FORMAT\s+\w+\s*(;?)\s*$", re.IGNORECASE)
+#: engine; stripped like the trailing SETTINGS hint. End-anchored, and the
+#: format name must not be a sort-spec keyword: ``ORDER BY format DESC``
+#: ends in the two words ``format DESC`` and would otherwise read as a
+#: format clause, deleting a real sort term (a lone trailing column named
+#: format never matches — the clause needs two words).
+_TRAILING_FORMAT_RE = re.compile(
+    r"\s+FORMAT\s+(?!(?:ASC|DESC|NULLS|FIRST|LAST)\b)\w+\s*(;?)\s*$",
+    re.IGNORECASE,
+)
 
 
 def _strip_outside_quotes(regex: re.Pattern, sql: str) -> str:
@@ -1122,24 +1128,30 @@ def _rewrite_asof_join(sql: str) -> str:
     fragment; nested subqueries are handled when the recursive translator
     descends into them."""
     toks = _top_level_keyword_spans(sql)
-    asof_pos = next((x for x in range(len(toks)) if toks[x][2] == "ASOF"), None)
-    if asof_pos is None:
-        return sql
-    # ---- join keywords: [LEFT|INNER] ASOF [LEFT|INNER] JOIN ----
-    is_left = False
-    kw_start = toks[asof_pos][0]
-    if asof_pos > 0 and toks[asof_pos - 1][2] in ("LEFT", "INNER"):
-        prev = toks[asof_pos - 1]
-        if sql[prev[1] : kw_start].strip() == "":
-            is_left = prev[2] == "LEFT"
-            kw_start = prev[0]
-            asof_pos = asof_pos  # keyword group extended backwards
-    q = asof_pos + 1
-    if q < len(toks) and toks[q][2] in ("LEFT", "INNER"):
-        is_left = is_left or toks[q][2] == "LEFT"
-        q += 1
-    if q >= len(toks) or toks[q][2] != "JOIN":
-        return sql  # not join syntax; the leftover backstop decides
+    # scan EVERY top-level ASOF token for the one that is join syntax — a
+    # column or function named asof earlier in the statement must not make
+    # the real join invisible (same scan in _rewrite_any_join, where the
+    # any() aggregate makes the collision routine)
+    hit = None
+    for asof_pos in (x for x in range(len(toks)) if toks[x][2] == "ASOF"):
+        # ---- join keywords: [LEFT|INNER] ASOF [LEFT|INNER] JOIN ----
+        is_left = False
+        kw_start = toks[asof_pos][0]
+        if asof_pos > 0 and toks[asof_pos - 1][2] in ("LEFT", "INNER"):
+            prev = toks[asof_pos - 1]
+            if sql[prev[1] : kw_start].strip() == "":
+                is_left = prev[2] == "LEFT"
+                kw_start = prev[0]
+        q = asof_pos + 1
+        if q < len(toks) and toks[q][2] in ("LEFT", "INNER"):
+            is_left = is_left or toks[q][2] == "LEFT"
+            q += 1
+        if q < len(toks) and toks[q][2] == "JOIN":
+            hit = (kw_start, is_left, q)
+            break
+    if hit is None:
+        return sql  # no join syntax; the leftover backstop decides
+    kw_start, is_left, q = hit
     # ---- left side: between the governing FROM and the join keywords ----
     from_tok = None
     for t in toks:
@@ -1315,28 +1327,33 @@ _ANY_LEFTOVER_RE = re.compile(
 
 def _rewrite_any_join(sql: str) -> str:
     toks = _top_level_keyword_spans(sql)
-    any_pos = next((x for x in range(len(toks)) if toks[x][2] == "ANY"), None)
-    if any_pos is None:
-        return sql
-    is_left = False
-    kw_start = toks[any_pos][0]
-    if any_pos > 0 and toks[any_pos - 1][2] in ("LEFT", "INNER", "RIGHT"):
-        prev = toks[any_pos - 1]
-        if sql[prev[1] : kw_start].strip() == "":
-            if prev[2] == "RIGHT":
-                raise ValueError(
-                    "RIGHT ANY JOIN is not supported — swap the sides"
-                )
-            is_left = prev[2] == "LEFT"
-            kw_start = prev[0]
-    q = any_pos + 1
-    if q < len(toks) and toks[q][2] in ("LEFT", "INNER", "RIGHT"):
-        if toks[q][2] == "RIGHT":
-            raise ValueError("ANY RIGHT JOIN is not supported — swap the sides")
-        is_left = is_left or toks[q][2] == "LEFT"
-        q += 1
-    if q >= len(toks) or toks[q][2] != "JOIN":
-        return sql  # not join syntax (e.g. a column named any); backstop rules
+    # scan EVERY top-level ANY token for actual join syntax: the any()
+    # aggregate (mapped by this same dialect) routinely appears in the
+    # select list of a query whose FROM carries the ANY JOIN
+    hit = None
+    for any_pos in (x for x in range(len(toks)) if toks[x][2] == "ANY"):
+        is_left = False
+        is_right = False
+        kw_start = toks[any_pos][0]
+        if any_pos > 0 and toks[any_pos - 1][2] in ("LEFT", "INNER", "RIGHT"):
+            prev = toks[any_pos - 1]
+            if sql[prev[1] : kw_start].strip() == "":
+                is_right = prev[2] == "RIGHT"
+                is_left = prev[2] == "LEFT"
+                kw_start = prev[0]
+        q = any_pos + 1
+        if q < len(toks) and toks[q][2] in ("LEFT", "INNER", "RIGHT"):
+            is_right = is_right or toks[q][2] == "RIGHT"
+            is_left = is_left or toks[q][2] == "LEFT"
+            q += 1
+        if q < len(toks) and toks[q][2] == "JOIN":
+            hit = (kw_start, is_left, is_right, q)
+            break
+    if hit is None:
+        return sql  # no join syntax (e.g. only any() calls); backstop rules
+    kw_start, is_left, is_right, q = hit
+    if is_right:
+        raise ValueError("RIGHT ANY JOIN is not supported — swap the sides")
     from_tok = None
     for t in toks:
         if t[2] == "FROM" and t[1] <= kw_start:
@@ -1421,14 +1438,13 @@ def _rewrite_any_join(sql: str) -> str:
         f"({lx}) = __any_r.__k{i}" for i, (lx, _) in enumerate(eqs)
     )
     if is_left:
-        # ANY LEFT: all left rows, right side deduped per key
-        derived = (
-            f"{left_term} AS {la} {join_kw} {r_derived} AS __any_r ON {on}"
+        # ANY LEFT: all left rows, right side deduped per key; ra stays a
+        # selectable struct — the derived table's struct column already
+        # carries that name, __any_r.__k* stay internal
+        return (
+            f"{sql[: from_tok[1]]} {left_term} AS {la} {join_kw} "
+            f"{r_derived} AS __any_r ON {on} {sql[cond_end:]}"
         )
-        repl = f"{derived}"
-        # expose ra as a selectable struct: alias the derived table's struct
-        # column — it already IS named {ra}; __any_r.__k* stay internal
-        return f"{sql[: from_tok[1]]} {repl} {sql[cond_end:]}"
     # ANY INNER: ClickHouse dedupes BOTH sides — one row per key pair
     l_derived = _dedup(left_term, la, [lx for lx, _ in eqs])
     on_inner = " AND ".join(
@@ -1775,10 +1791,15 @@ def translate_clickhouse_sql(sql: str) -> str:
                 elif name == "negate" and len(args) == 1:
                     out.append(f"(-({args[0]}))")
                 elif name == "intDivOrZero" and len(args) == 2:
-                    # floor division, 0 instead of the divide-by-zero error
-                    # (intDiv itself is a SQL-UDF shim in engine.py)
+                    # floor division, 0 instead of the divide-by-zero
+                    # error (intDiv itself is a SQL-UDF shim in engine.py).
+                    # NULL inputs stay NULL — ClickHouse propagates NULL
+                    # through Nullable args; only the zero DIVISOR maps to 0
+                    a, b = args
                     out.append(
-                        f"coalesce(intDiv({args[0]}, nullif({args[1]}, 0)), 0)"
+                        f"if(({a}) IS NULL OR ({b}) IS NULL, "
+                        f"CAST(NULL AS BIGINT), "
+                        f"coalesce(intDiv({a}, nullif({b}, 0)), 0))"
                     )
                 elif name == "countEqual" and len(args) == 2:
                     # elements equal to x, NULL-safe like ClickHouse's

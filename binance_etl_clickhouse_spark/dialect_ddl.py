@@ -657,26 +657,34 @@ class DdlCatalog:
 
     def _drop(self, sql: str) -> DataFrame | None:
         m = re.match(
-            r"^\s*DROP\s+(?:TABLE|VIEW)\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$",
+            r"^\s*DROP\s+(TABLE|VIEW)\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$",
             sql.strip(),
             re.I,
         )
         if not m:
             return None
-        bare = self._bare(m.group(2))
+        kind = m.group(1).upper()
+        bare = self._bare(m.group(3))
         mv = self.views.pop(bare, None)
         if mv is not None:
             # dropping the view stops the trigger; a TO target keeps its
-            # table and data (ClickHouse's contract), owned storage goes
+            # table and data (ClickHouse's contract), owned storage goes.
+            # (DROP TABLE on a materialized view is valid ClickHouse.)
             if mv.owns_storage:
                 entry = self.tables.pop(bare)
                 self._rm_data(entry)
             self.spark.catalog.dropTempView(bare)
             return self.spark.createDataFrame([], T.StructType([]))
+        if kind == "VIEW":
+            # ClickHouse rejects DROP VIEW on a plain table; silently
+            # deleting table data on a typo'd statement is data loss
+            if not m.group(2):
+                raise KeyError(f"{m.group(3)!r} is not a VIEW")
+            return self.spark.createDataFrame([], T.StructType([]))
         entry = self.tables.pop(bare, None)
         if entry is None:
-            if not m.group(1):
-                raise KeyError(f"unknown table {m.group(2)!r}")
+            if not m.group(2):
+                raise KeyError(f"unknown table {m.group(3)!r}")
         else:
             self._rm_data(entry)
             self.spark.catalog.dropTempView(bare)
@@ -882,10 +890,13 @@ class DdlCatalog:
 
     def _refresh_mv_view(self, name: str) -> None:
         """(Re)register the view's queryable name. The ENGINE form IS its
-        storage table (refreshed by insert); the TO form aliases the
-        target's snapshot."""
+        storage table — registered here so a freshly created (or
+        not-yet-populated) view reads as EMPTY, not TABLE_NOT_FOUND; the
+        TO form aliases the target's snapshot."""
         mv = self.views[name]
-        if not mv.owns_storage:
+        if mv.owns_storage:
+            self._refresh_view(self.tables[name])
+        else:
             self.snapshot(mv.target).createOrReplaceTempView(name)
 
     # -- views ------------------------------------------------------------

@@ -296,18 +296,31 @@ class AnalyticsEngine:
                 # INSERT INTO t [cols] SELECT ... — the ClickHouse ETL
                 # idiom: the query runs through the full dialect and the
                 # rows append through the catalog (defaults filled,
-                # keep-last versioning, materialized-view triggers fire)
+                # keep-last versioning, materialized-view triggers fire).
+                # ClickHouse matches SELECT output to target columns BY
+                # POSITION, so the frame is renamed positionally — without
+                # this, an unaliased output like `x + 1` would miss the
+                # catalog's by-name conformance and silently take the
+                # column's type default
                 df = self.sql(ins_sel.group(3), dialect="clickhouse")
                 cols = ins_sel.group(2)
                 if cols:
                     names = [c.strip().strip("`") for c in cols.split(",")]
-                    if len(names) != len(df.columns):
-                        raise ValueError(
-                            f"INSERT column list {names} does not match the "
-                            f"SELECT's {len(df.columns)} output columns"
+                else:
+                    entry = self.ddl_catalog.tables.get(
+                        self.ddl_catalog._bare(ins_sel.group(1))
+                    )
+                    if entry is None:
+                        raise KeyError(
+                            f"unknown table {ins_sel.group(1)!r} (CREATE it first)"
                         )
-                    df = df.toDF(*names)
-                n = self.insert(ins_sel.group(1), df)
+                    names = [c for c, _, _ in entry.ddl.columns]
+                if len(names) != len(df.columns):
+                    raise ValueError(
+                        f"INSERT target columns {names} do not match the "
+                        f"SELECT's {len(df.columns)} output columns"
+                    )
+                n = self.insert(ins_sel.group(1), df.toDF(*names))
                 return self.spark.range(1).select(F.lit(n).alias("rows_written"))
             query = translate_clickhouse_sql(query)
             if self._ddl_catalog is not None:

@@ -737,3 +737,56 @@ def test_ctas_and_insert_select(engine):
             "CREATE TABLE c.bad ENGINE = MergeTree AS SELECT k FROM c.src",
             dialect="clickhouse",
         )
+
+
+def test_insert_select_matches_by_position(engine):
+    # ClickHouse matches SELECT output to target columns BY POSITION: an
+    # unaliased expression column must land in the right target column,
+    # not silently fall back to the type default
+    engine.sql(
+        "CREATE TABLE p.t (a Float64, b Int64) ENGINE = MergeTree ORDER BY b",
+        dialect="clickhouse",
+    )
+    engine.sql(
+        "CREATE TABLE p.src (x Int64, y Int64) ENGINE = MergeTree ORDER BY x",
+        dialect="clickhouse",
+    )
+    engine.sql("INSERT INTO p.src (x, y) VALUES",
+               args=[{"x": 1, "y": 7}], dialect="clickhouse")
+    engine.sql("INSERT INTO p.t SELECT x + 0.5, y FROM p.src", dialect="clickhouse")
+    assert [tuple(r) for r in engine.sql("SELECT * FROM p.t", dialect="clickhouse").collect()] == [(1.5, 7)]
+    with pytest.raises(ValueError, match="do not match"):
+        engine.sql("INSERT INTO p.t SELECT x FROM p.src", dialect="clickhouse")
+
+
+def test_fresh_materialized_view_reads_empty(engine):
+    # a just-created (unpopulated) view must read as EMPTY, not
+    # TABLE_OR_VIEW_NOT_FOUND — its first rows only arrive with the first
+    # triggered insert
+    engine.sql(
+        "CREATE TABLE f.src (k String, v Int64) ENGINE = MergeTree ORDER BY k",
+        dialect="clickhouse",
+    )
+    engine.sql(
+        """CREATE MATERIALIZED VIEW f.mv ENGINE = SummingMergeTree ORDER BY k
+        AS SELECT k, sum(v) AS v FROM f.src GROUP BY k""",
+        dialect="clickhouse",
+    )
+    assert engine.sql("SELECT * FROM f.mv", dialect="clickhouse").count() == 0
+
+
+def test_drop_view_on_a_plain_table_refuses(engine):
+    # ClickHouse rejects DROP VIEW on a non-view — silently deleting table
+    # data on a typo'd statement would be data loss
+    engine.sql(
+        "CREATE TABLE d.keep (k String) ENGINE = MergeTree ORDER BY k",
+        dialect="clickhouse",
+    )
+    with pytest.raises(KeyError, match="not a VIEW"):
+        engine.sql("DROP VIEW d.keep", dialect="clickhouse")
+    assert "keep" in engine.ddl_catalog.tables
+    # IF EXISTS stays a no-op; DROP TABLE still works
+    engine.sql("DROP VIEW IF EXISTS d.keep", dialect="clickhouse")
+    assert "keep" in engine.ddl_catalog.tables
+    engine.sql("DROP TABLE d.keep", dialect="clickhouse")
+    assert "keep" not in engine.ddl_catalog.tables

@@ -1369,7 +1369,8 @@ def test_with_totals_and_format_clause(engine):
         ("negate(a)", "(-(a))"),
         (
             "intDivOrZero(a, b)",
-            "coalesce(intDiv(a, nullif(b, 0)), 0)",
+            "if((a) IS NULL OR (b) IS NULL, CAST(NULL AS BIGINT), "
+            "coalesce(intDiv(a, nullif(b, 0)), 0))",
         ),
         ("countEqual(xs, 3)", "size(filter(xs, __ce -> __ce <=> 3))"),
         ("arrayCount(x -> x > 1, xs)", "size(filter(xs, x -> x > 1))"),
@@ -1446,3 +1447,44 @@ def test_asof_and_any_join_using_form(engine):
         translate_clickhouse_sql(
             "SELECT t.a FROM t ASOF JOIN u USING (ts)"
         )
+
+
+# -- round-8 review fixes: regression pins -----------------------------------
+
+
+def test_any_aggregate_coexists_with_any_join(engine):
+    # the any() AGGREGATE in the select list must not hide the ANY JOIN
+    L = "(SELECT * FROM VALUES ('a', 1), ('a', 2), ('b', 3) AS v(k, lv))"
+    R = "(SELECT * FROM VALUES ('a', 10), ('a', 5) AS w(k, rv))"
+    rows = [
+        tuple(r)
+        for r in engine.sql(
+            f"SELECT t.k AS k, any(u.rv) AS rv FROM {L} t "
+            f"ANY LEFT JOIN {R} u ON t.k = u.k GROUP BY t.k ORDER BY t.k",
+            dialect="clickhouse",
+        ).collect()
+    ]
+    assert rows == [("a", 5), ("b", None)]
+
+
+def test_format_strip_never_eats_a_sort_term():
+    t = translate_clickhouse_sql
+    assert (
+        t("SELECT * FROM t ORDER BY format DESC")
+        == "SELECT * FROM t ORDER BY format DESC"
+    )
+    assert (
+        t("SELECT * FROM t ORDER BY ts, format ASC")
+        == "SELECT * FROM t ORDER BY ts, format ASC"
+    )
+    assert t("SELECT a FROM t FORMAT TabSeparated") == "SELECT a FROM t"
+
+
+def test_int_div_or_zero_null_propagation(engine):
+    row = engine.sql(
+        "SELECT intDivOrZero(CAST(NULL AS BIGINT), 2) AS a, "
+        "intDivOrZero(10, CAST(NULL AS BIGINT)) AS b, "
+        "intDivOrZero(10, 0) AS c, intDivOrZero(10, 3) AS d",
+        dialect="clickhouse",
+    ).first()
+    assert row.a is None and row.b is None and row.c == 0 and row.d == 3
