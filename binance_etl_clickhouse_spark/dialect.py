@@ -232,6 +232,7 @@ the table in engine.py.
 from __future__ import annotations
 
 import re
+from dataclasses import dataclass as _dataclass
 
 #: binary bit functions -> Spark operators (no bitand/bitor scalar
 #: builtins in Spark; bit_and/bit_or are AGGREGATES)
@@ -1121,73 +1122,163 @@ def _parse_join_term(sql: str, i: int) -> tuple[str, str | None, int]:
     return term, None, j
 
 
-def _rewrite_asof_join(sql: str) -> str:
-    """``FROM L la ASOF [LEFT] JOIN R ra ON k-eqs AND la.ts >= ra.ts`` ->
-    the union + keyed window + last(ignorenulls) derived table (module
-    comment above). Applies to the first top-level ASOF join of the
-    fragment; nested subqueries are handled when the recursive translator
-    descends into them."""
+@_dataclass
+class _ParsedJoin:
+    """One strictness-modified join parsed out of a FROM clause — the
+    shared front half of the ASOF and ANY rewrites (candidate scan, term
+    and alias parsing, ON/USING detection, condition span)."""
+
+    from_end: int  # index just past the governing FROM keyword
+    left_term: str
+    la: str
+    right_term: str
+    ra: str
+    is_left: bool
+    is_right: bool
+    on_start: int  # start of the ON/USING keyword (USING-splice anchor)
+    cond_start: int  # ON form: condition span
+    cond_end: int
+    using_cols: list[str] | None  # USING form instead
+    using_end: int  # USING form: index past the closing paren
+
+
+def _parse_single_join(sql: str, kw: str, prefixes: tuple[str, ...]):
+    """Find the ``[prefix] {kw} [prefix] JOIN`` of this fragment and parse
+    its shape; None when the fragment has no such join syntax (a column or
+    function named like the keyword — e.g. the any() aggregate — must not
+    hide or fake a join, so EVERY top-level token is tried)."""
+    label = f"{kw} JOIN"
     toks = _top_level_keyword_spans(sql)
-    # scan EVERY top-level ASOF token for the one that is join syntax — a
-    # column or function named asof earlier in the statement must not make
-    # the real join invisible (same scan in _rewrite_any_join, where the
-    # any() aggregate makes the collision routine)
     hit = None
-    for asof_pos in (x for x in range(len(toks)) if toks[x][2] == "ASOF"):
-        # ---- join keywords: [LEFT|INNER] ASOF [LEFT|INNER] JOIN ----
-        is_left = False
-        kw_start = toks[asof_pos][0]
-        if asof_pos > 0 and toks[asof_pos - 1][2] in ("LEFT", "INNER"):
-            prev = toks[asof_pos - 1]
+    for pos in (x for x in range(len(toks)) if toks[x][2] == kw):
+        is_left = is_right = False
+        kw_start = toks[pos][0]
+        if pos > 0 and toks[pos - 1][2] in prefixes:
+            prev = toks[pos - 1]
             if sql[prev[1] : kw_start].strip() == "":
                 is_left = prev[2] == "LEFT"
+                is_right = prev[2] == "RIGHT"
                 kw_start = prev[0]
-        q = asof_pos + 1
-        if q < len(toks) and toks[q][2] in ("LEFT", "INNER"):
+        q = pos + 1
+        if q < len(toks) and toks[q][2] in prefixes:
             is_left = is_left or toks[q][2] == "LEFT"
+            is_right = is_right or toks[q][2] == "RIGHT"
             q += 1
         if q < len(toks) and toks[q][2] == "JOIN":
-            hit = (kw_start, is_left, q)
+            hit = (kw_start, is_left, is_right, q)
             break
     if hit is None:
-        return sql  # no join syntax; the leftover backstop decides
-    kw_start, is_left, q = hit
+        return None  # no join syntax; the leftover backstop decides
+    kw_start, is_left, is_right, q = hit
     # ---- left side: between the governing FROM and the join keywords ----
     from_tok = None
     for t in toks:
         if t[2] == "FROM" and t[1] <= kw_start:
             from_tok = t
     if from_tok is None:
-        return sql
+        return None
     left_term, left_alias, li = _parse_join_term(sql, from_tok[1])
     if sql[li:kw_start].strip() != "":
         raise ValueError(
-            "ASOF JOIN must be the only join in its FROM clause "
+            f"{label} must be the only join in its FROM clause "
             f"(unparsed text before the join: {sql[li:kw_start].strip()!r})"
         )
-    # ---- right side and ON ----
+    # ---- right side and ON/USING ----
     right_term, right_alias, ri = _parse_join_term(sql, toks[q][1])
     on_tok = next((t for t in toks if t[0] >= ri), None)
     if on_tok is None or on_tok[2] not in ("ON", "USING"):
-        raise ValueError("ASOF JOIN: missing ON / USING clause")
+        raise ValueError(f"{label}: missing ON / USING clause")
     la = left_alias or left_term.split(".")[-1]
     ra = right_alias or right_term.split(".")[-1]
     if la.startswith("(") or ra.startswith("(") or not la or not ra:
-        raise ValueError("ASOF JOIN: subquery sides need an alias")
+        raise ValueError(f"{label}: subquery sides need an alias")
     if on_tok[2] == "USING":
+        j2 = on_tok[1]
+        while j2 < len(sql) and sql[j2].isspace():
+            j2 += 1
+        if j2 >= len(sql) or sql[j2] != "(":
+            raise ValueError(f"{label}: USING needs a parenthesized column list")
+        close_u = _find_close(sql, j2)
+        cols = [c.strip() for c in _split_args(sql[j2 + 1 : close_u])]
+        return _ParsedJoin(
+            from_tok[1], left_term, la, right_term, ra, is_left, is_right,
+            on_tok[0], -1, -1, cols, close_u + 1,
+        )
+    cond_start = on_tok[1]
+    cond_end = len(sql)
+    for t in toks:
+        if t[0] >= cond_start and t[2] in _ASOF_STOP:
+            cond_end = t[0]
+            break
+        if t[0] >= cond_start and t[2] in _ASOF_JOIN_KW:
+            raise ValueError(f"{label}: only one join per FROM clause")
+    semi = _blank_quoted(sql[cond_start:cond_end]).find(";")
+    if semi != -1:
+        cond_end = cond_start + semi
+    return _ParsedJoin(
+        from_tok[1], left_term, la, right_term, ra, is_left, is_right,
+        on_tok[0], cond_start, cond_end, None, -1,
+    )
+
+
+def _classify_join_conjuncts(
+    sql: str, p: _ParsedJoin, kw: str, allow_ordered: bool
+) -> tuple[list[tuple[str, str]], list[tuple[str, str, str]]]:
+    """Split the ON condition into (left-expr, right-expr) equality pairs
+    and normalized (left, op, right) ordered conditions, orienting each
+    conjunct by which alias its sides reference."""
+    label = f"{kw} JOIN"
+    eqs: list[tuple[str, str]] = []
+    ordered: list[tuple[str, str, str]] = []
+    for conj in _split_top_level_and(sql[p.cond_start : p.cond_end]):
+        hit = _find_top_cmp(conj)
+        if hit is None:
+            raise ValueError(f"{label}: no comparison in conjunct {conj!r}")
+        op, pos = hit
+        if not allow_ordered and op != "=":
+            raise ValueError(
+                f"{label}: only equality conjuncts are supported, got {conj!r}"
+            )
+        a, b = conj[:pos].strip(), conj[pos + len(op) :].strip()
+        a_l, a_r = _refs_alias(a, p.la), _refs_alias(a, p.ra)
+        b_l, b_r = _refs_alias(b, p.la), _refs_alias(b, p.ra)
+        if a_l and not a_r and b_r and not b_l:
+            lx, rx = a, b
+        elif a_r and not a_l and b_l and not b_r:
+            lx, rx = b, a
+            op = {">=": "<=", "<=": ">=", ">": "<", "<": ">"}.get(op, op)
+        else:
+            raise ValueError(
+                f"{label}: conjunct {conj!r} must compare one "
+                f"{p.la}-qualified side with one {p.ra}-qualified side"
+            )
+        if op == "=":
+            eqs.append((lx, rx))
+        elif op in ("!=", "<>"):
+            raise ValueError(f"{label}: inequality key must be ordered, not !=")
+        else:
+            ordered.append((lx, op, rx))
+    return eqs, ordered
+
+
+def _rewrite_asof_join(sql: str) -> str:
+    """``FROM L la ASOF [LEFT] JOIN R ra ON k-eqs AND la.ts >= ra.ts`` ->
+    the union + keyed window + last(ignorenulls) derived table (module
+    comment above). Applies to the first top-level ASOF join of the
+    fragment; nested subqueries are handled when the recursive translator
+    descends into them."""
+    p = _parse_single_join(sql, "ASOF", ("LEFT", "INNER"))
+    if p is None:
+        return sql
+    la, ra = p.la, p.ra
+    if p.using_cols is not None:
         # USING (k1, .., km, ts): equality on all but the LAST column,
         # which carries the implied >= (ClickHouse's USING-form contract).
         # Rewritten into the qualified ON form — the same documented
         # qualified-refs-only limit applies to the outer query (ClickHouse
         # coalesces USING columns; here each side's column stays inside
         # its alias struct).
-        j2 = on_tok[1]
-        while j2 < len(sql) and sql[j2].isspace():
-            j2 += 1
-        if j2 >= len(sql) or sql[j2] != "(":
-            raise ValueError("ASOF JOIN: USING needs a parenthesized column list")
-        close_u = _find_close(sql, j2)
-        cols = [c.strip() for c in _split_args(sql[j2 + 1 : close_u])]
+        cols = p.using_cols
         if len(cols) < 2 or not all(cols):
             raise ValueError(
                 "ASOF JOIN: USING needs at least one key column plus the "
@@ -1198,55 +1289,21 @@ def _rewrite_asof_join(sql: str) -> str:
             + f" AND {la}.{cols[-1]} >= {ra}.{cols[-1]}"
         )
         return _rewrite_asof_join(
-            f"{sql[: on_tok[0]]}ON {cond_text} {sql[close_u + 1 :]}"
+            f"{sql[: p.on_start]}ON {cond_text} {sql[p.using_end :]}"
         )
-    cond_start = on_tok[1]
-    cond_end = len(sql)
-    for t in toks:
-        if t[0] >= cond_start and t[2] in _ASOF_STOP:
-            cond_end = t[0]
-            break
-        if t[0] >= cond_start and t[2] in _ASOF_JOIN_KW:
-            raise ValueError("ASOF JOIN: only one join per FROM clause")
-    semi = _blank_quoted(sql[cond_start:cond_end]).find(";")
-    if semi != -1:
-        cond_end = cond_start + semi
-    # ---- classify conjuncts ----
-    eqs: list[tuple[str, str]] = []
-    ineq: tuple[str, str, str] | None = None
-    for conj in _split_top_level_and(sql[cond_start:cond_end]):
-        hit = _find_top_cmp(conj)
-        if hit is None:
-            raise ValueError(f"ASOF JOIN: no comparison in conjunct {conj!r}")
-        op, pos = hit
-        a, b = conj[:pos].strip(), conj[pos + len(op) :].strip()
-        a_l, a_r = _refs_alias(a, la), _refs_alias(a, ra)
-        b_l, b_r = _refs_alias(b, la), _refs_alias(b, ra)
-        if a_l and not a_r and b_r and not b_l:
-            lx, rx = a, b
-        elif a_r and not a_l and b_l and not b_r:
-            lx, rx = b, a
-            op = {">=": "<=", "<=": ">=", ">": "<", "<": ">"}.get(op, op)
-        else:
-            raise ValueError(
-                f"ASOF JOIN: conjunct {conj!r} must compare one "
-                f"{la}-qualified side with one {ra}-qualified side"
-            )
-        if op == "=":
-            eqs.append((lx, rx))
-        elif op in ("!=", "<>"):
-            raise ValueError("ASOF JOIN: inequality key must be ordered, not !=")
-        elif ineq is not None:
-            raise ValueError("ASOF JOIN: exactly one ordered condition allowed")
-        else:
-            ineq = (lx, op, rx)
-    if ineq is None:
+    eqs, ordered = _classify_join_conjuncts(sql, p, "ASOF", allow_ordered=True)
+    if len(ordered) > 1:
+        raise ValueError("ASOF JOIN: exactly one ordered condition allowed")
+    if not ordered:
         raise ValueError("ASOF JOIN: needs exactly one ordered (>=, >, <=, <) condition")
     if not eqs:
         # ClickHouse requires >=1 equality key; a keyless asof would also
         # serialize the window into one partition — refuse both for one
         raise ValueError("ASOF JOIN: at least one equality condition required")
-    l_ts, op, r_ts = ineq
+    is_left = p.is_left
+    left_term, right_term = p.left_term, p.right_term
+    from_end, cond_end = p.from_end, p.cond_end
+    l_ts, op, r_ts = ordered[0]
     backward = op in (">=", ">")
     inclusive = op in (">=", "<=")
     # side order decides whether a right row at EXACTLY the left row's ts is
@@ -1274,7 +1331,7 @@ def _rewrite_asof_join(sql: str) -> str:
         f"WHERE {r_guards}"
         f") __asof_u) __asof_m WHERE __s = {l_side}{inner_filter}) __asof_j"
     )
-    return f"{sql[: from_tok[1]]} {derived} {sql[cond_end:]}"
+    return f"{sql[:from_end]} {derived} {sql[cond_end:]}"
 
 
 def _rewrite_with_totals(sql: str) -> str:
@@ -1326,101 +1383,24 @@ _ANY_LEFTOVER_RE = re.compile(
 
 
 def _rewrite_any_join(sql: str) -> str:
-    toks = _top_level_keyword_spans(sql)
-    # scan EVERY top-level ANY token for actual join syntax: the any()
-    # aggregate (mapped by this same dialect) routinely appears in the
-    # select list of a query whose FROM carries the ANY JOIN
-    hit = None
-    for any_pos in (x for x in range(len(toks)) if toks[x][2] == "ANY"):
-        is_left = False
-        is_right = False
-        kw_start = toks[any_pos][0]
-        if any_pos > 0 and toks[any_pos - 1][2] in ("LEFT", "INNER", "RIGHT"):
-            prev = toks[any_pos - 1]
-            if sql[prev[1] : kw_start].strip() == "":
-                is_right = prev[2] == "RIGHT"
-                is_left = prev[2] == "LEFT"
-                kw_start = prev[0]
-        q = any_pos + 1
-        if q < len(toks) and toks[q][2] in ("LEFT", "INNER", "RIGHT"):
-            is_right = is_right or toks[q][2] == "RIGHT"
-            is_left = is_left or toks[q][2] == "LEFT"
-            q += 1
-        if q < len(toks) and toks[q][2] == "JOIN":
-            hit = (kw_start, is_left, is_right, q)
-            break
-    if hit is None:
+    """``FROM L la ANY [LEFT|INNER] JOIN R ra ON k-eqs`` -> dedup-before-
+    join (module comment above): the right side (both sides for INNER)
+    collapses to one deterministic row per key, then a plain join."""
+    p = _parse_single_join(sql, "ANY", ("LEFT", "INNER", "RIGHT"))
+    if p is None:
         return sql  # no join syntax (e.g. only any() calls); backstop rules
-    kw_start, is_left, is_right, q = hit
-    if is_right:
+    if p.is_right:
         raise ValueError("RIGHT ANY JOIN is not supported — swap the sides")
-    from_tok = None
-    for t in toks:
-        if t[2] == "FROM" and t[1] <= kw_start:
-            from_tok = t
-    if from_tok is None:
-        return sql
-    left_term, left_alias, li = _parse_join_term(sql, from_tok[1])
-    if sql[li:kw_start].strip() != "":
-        raise ValueError(
-            "ANY JOIN must be the only join in its FROM clause "
-            f"(unparsed text before the join: {sql[li:kw_start].strip()!r})"
-        )
-    right_term, right_alias, ri = _parse_join_term(sql, toks[q][1])
-    on_tok = next((t for t in toks if t[0] >= ri), None)
-    if on_tok is None or on_tok[2] not in ("ON", "USING"):
-        raise ValueError("ANY JOIN: missing ON / USING clause")
-    if on_tok[2] == "USING":
-        la0 = left_alias or left_term.split(".")[-1]
-        ra0 = right_alias or right_term.split(".")[-1]
-        j2 = on_tok[1]
-        while j2 < len(sql) and sql[j2].isspace():
-            j2 += 1
-        if j2 >= len(sql) or sql[j2] != "(":
-            raise ValueError("ANY JOIN: USING needs a parenthesized column list")
-        close_u = _find_close(sql, j2)
-        cols = [c.strip() for c in _split_args(sql[j2 + 1 : close_u])]
+    la, ra = p.la, p.ra
+    if p.using_cols is not None:
+        cols = p.using_cols
         if not cols or not all(cols):
             raise ValueError("ANY JOIN: empty USING column list")
-        cond_text = " AND ".join(f"{la0}.{c} = {ra0}.{c}" for c in cols)
+        cond_text = " AND ".join(f"{la}.{c} = {ra}.{c}" for c in cols)
         return _rewrite_any_join(
-            f"{sql[: on_tok[0]]}ON {cond_text} {sql[close_u + 1 :]}"
+            f"{sql[: p.on_start]}ON {cond_text} {sql[p.using_end :]}"
         )
-    cond_start = on_tok[1]
-    cond_end = len(sql)
-    for t in toks:
-        if t[0] >= cond_start and t[2] in _ASOF_STOP:
-            cond_end = t[0]
-            break
-        if t[0] >= cond_start and t[2] in _ASOF_JOIN_KW:
-            raise ValueError("ANY JOIN: only one join per FROM clause")
-    semi = _blank_quoted(sql[cond_start:cond_end]).find(";")
-    if semi != -1:
-        cond_end = cond_start + semi
-    la = left_alias or left_term.split(".")[-1]
-    ra = right_alias or right_term.split(".")[-1]
-    if la.startswith("(") or ra.startswith("(") or not la or not ra:
-        raise ValueError("ANY JOIN: subquery sides need an alias")
-    eqs: list[tuple[str, str]] = []
-    for conj in _split_top_level_and(sql[cond_start:cond_end]):
-        hit = _find_top_cmp(conj)
-        if hit is None or hit[0] != "=":
-            raise ValueError(
-                f"ANY JOIN: only equality conjuncts are supported, got {conj!r}"
-            )
-        op, pos = hit
-        a, b = conj[:pos].strip(), conj[pos + len(op) :].strip()
-        a_l, a_r = _refs_alias(a, la), _refs_alias(a, ra)
-        b_l, b_r = _refs_alias(b, la), _refs_alias(b, ra)
-        if a_l and not a_r and b_r and not b_l:
-            eqs.append((a, b))
-        elif a_r and not a_l and b_l and not b_r:
-            eqs.append((b, a))
-        else:
-            raise ValueError(
-                f"ANY JOIN: conjunct {conj!r} must compare one "
-                f"{la}-qualified side with one {ra}-qualified side"
-            )
+    eqs, _ = _classify_join_conjuncts(sql, p, "ANY", allow_ordered=False)
     if not eqs:
         raise ValueError("ANY JOIN: at least one equality condition required")
 
@@ -1432,26 +1412,25 @@ def _rewrite_any_join(sql: str) -> str:
             f"FROM {term} AS {alias} GROUP BY {group})"
         )
 
-    r_derived = _dedup(right_term, ra, [rx for _, rx in eqs])
-    join_kw = "LEFT JOIN" if is_left else "JOIN"
+    r_derived = _dedup(p.right_term, ra, [rx for _, rx in eqs])
     on = " AND ".join(
         f"({lx}) = __any_r.__k{i}" for i, (lx, _) in enumerate(eqs)
     )
-    if is_left:
+    if p.is_left:
         # ANY LEFT: all left rows, right side deduped per key; ra stays a
         # selectable struct — the derived table's struct column already
         # carries that name, __any_r.__k* stay internal
         return (
-            f"{sql[: from_tok[1]]} {left_term} AS {la} {join_kw} "
-            f"{r_derived} AS __any_r ON {on} {sql[cond_end:]}"
+            f"{sql[: p.from_end]} {p.left_term} AS {la} LEFT JOIN "
+            f"{r_derived} AS __any_r ON {on} {sql[p.cond_end:]}"
         )
     # ANY INNER: ClickHouse dedupes BOTH sides — one row per key pair
-    l_derived = _dedup(left_term, la, [lx for lx, _ in eqs])
+    l_derived = _dedup(p.left_term, la, [lx for lx, _ in eqs])
     on_inner = " AND ".join(
         f"__any_l.__k{i} = __any_r.__k{i}" for i in range(len(eqs))
     )
     repl = f"{l_derived} AS __any_l JOIN {r_derived} AS __any_r ON {on_inner}"
-    return f"{sql[: from_tok[1]]} {repl} {sql[cond_end:]}"
+    return f"{sql[: p.from_end]} {repl} {sql[p.cond_end:]}"
 
 
 def translate_clickhouse_sql(sql: str) -> str:
