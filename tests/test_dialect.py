@@ -1488,3 +1488,27 @@ def test_int_div_or_zero_null_propagation(engine):
         dialect="clickhouse",
     ).first()
     assert row.a is None and row.b is None and row.c == 0 and row.d == 3
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        "SELECT t.sym, q.px FROM trades t ASOF LEFT JOIN quotes q "
+        "ON t.sym = q.sym AND t.ts >= q.ts",
+        "SELECT t.k, u.v FROM a t ANY LEFT JOIN b u ON t.k = u.k",
+        "SELECT a, count(*) AS n FROM t GROUP BY a WITH TOTALS",
+        "SELECT user_id, windowFunnel(60)(ts, c1, c2) AS lvl "
+        "FROM e GROUP BY user_id",
+        "SELECT user_id, sequenceCount('(?1).*(?2)')(ts, c1, c2) AS n "
+        "FROM e GROUP BY user_id",
+    ],
+)
+def test_clause_rewrites_reach_a_fixed_point(q):
+    # feeding a translated query back through the translator must never
+    # re-trigger a clause rewrite; the only second-pass delta is the call
+    # scanner's cosmetic whitespace normalization ('WHEN (' -> 'WHEN('),
+    # so the SECOND pass is the exact fixed point
+    once = translate_clickhouse_sql(q)
+    twice = translate_clickhouse_sql(once)
+    assert "".join(once.split()) == "".join(twice.split())
+    assert translate_clickhouse_sql(twice) == twice
