@@ -115,6 +115,11 @@ negate              in both engines); intDivOrZero guards the zero divisor
 countEqual(a, x)    size(filter(a, e -> e <=> x))  [NULL-safe like CH]
 arrayCount([f,] a)  size(filter(a, f))  [1-arg form counts non-zero]
 arrayEnumerate(a)   guarded sequence(1, size(a))  [empty -> []]
+arrayDifference(a)  indexed transform: a[i] - a[i-1], first 0, type-
+                    preserving, O(n)
+arrayCumSum(a)      prefix re-folds with the arraySum DECIMAL(38,_)/DOUBLE
+                    accumulator (exact integer sums); O(n^2) in the small
+                    per-row array length
 GROUP BY c          GROUP BY GROUPING SETS ((c), ()) — the out-of-band
   WITH TOTALS       totals block surfaces as the grand-total row with
                     every group column NULL (same values a client reads
@@ -1793,6 +1798,32 @@ def translate_clickhouse_sql(sql: str) -> str:
                         out.append(
                             f"size(filter({args[0]}, __ac -> __ac != 0))"
                         )
+                elif name == "arrayDifference" and len(args) == 1:
+                    # a[i] - a[i-1], first element 0 — type-preserving and
+                    # O(n): the indexed-lambda transform reads the previous
+                    # element via 1-based element_at
+                    a = args[0]
+                    out.append(
+                        f"transform({a}, (__x, __i) -> CASE WHEN __i = 0 "
+                        f"THEN __x - __x ELSE __x - element_at({a}, __i) END)"
+                    )
+                elif name == "arrayCumSum" and len(args) == 1:
+                    # running prefix sums; the accumulator takes the
+                    # arraySum zero (element type widened to DECIMAL(38,_)
+                    # for exact integer/decimal sums, DOUBLE for floats).
+                    # O(n^2) prefix re-folds — ClickHouse arrays are small
+                    # per-row values, not relations
+                    a = args[0]
+                    zero = (
+                        f"coalesce((try_element_at({a}, 1) - "
+                        f"try_element_at({a}, 1)) "
+                        f"* cast(1 as decimal(38, 0)), 0)"
+                    )
+                    out.append(
+                        f"transform({a}, (__x, __i) -> "
+                        f"aggregate(slice({a}, 1, __i + 1), {zero}, "
+                        f"(__s, __y) -> __s + __y))"
+                    )
                 elif name == "arrayEnumerate" and len(args) == 1:
                     # [1, 2, ..., size(a)]; empty arrays -> [] (sequence
                     # would descend from 1 to 0, so guard like range())

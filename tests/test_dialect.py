@@ -1512,3 +1512,24 @@ def test_clause_rewrites_reach_a_fixed_point(q):
     twice = translate_clickhouse_sql(once)
     assert "".join(once.split()) == "".join(twice.split())
     assert translate_clickhouse_sql(twice) == twice
+
+
+def test_array_difference_and_cumsum(engine):
+    row = engine.sql(
+        "SELECT arrayDifference(array(1, 4, 2)) AS d, "
+        "arrayDifference(array()) AS d0, "
+        "arrayCumSum(array(1, 2, 3)) AS c, "
+        "arrayCumSum(array(0.5, 0.25)) AS cf, "
+        "arrayCumSum(array()) AS c0",
+        dialect="clickhouse",
+    ).first()
+    assert row.d == [0, 3, -2] and row.d0 == []
+    assert [int(x) for x in row.c] == [1, 3, 6]
+    assert [float(x) for x in row.cf] == [0.5, 0.75]
+    assert row.c0 == []
+    # exact past 2^53 — the DECIMAL accumulator, like arraySum
+    big = engine.sql(
+        "SELECT arrayCumSum(array(9007199254740993, 1)) AS c",
+        dialect="clickhouse",
+    ).first()
+    assert [int(x) for x in big.c] == [9007199254740993, 9007199254740994]
