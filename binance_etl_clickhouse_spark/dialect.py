@@ -125,6 +125,18 @@ GROUP BY c          GROUP BY GROUPING SETS ((c), ()) — the out-of-band
                     every group column NULL (same values a client reads
                     from the totals block; totals_mode variants are not
                     modeled). A CTE named totals does not trigger
+ORDER BY x          gap-fill: per-row lead() + exploded per-gap sequence,
+WITH FILL [FROM f]  STEP RE-ANCHORED at every original row (CH
+[TO t] [STEP s]     FillingTransform semantics, NOT a global grid), TO
+[INTERPOLATE (c..)] exclusive, FROM-edge fills before the first row,
+                    originals always kept; filled rows NULL everywhere
+                    (struct-pack blanking) except INTERPOLATE columns,
+                    which carry the anchor row's value (LOCF — CH's
+                    default compounding; `c AS expr` refused loudly).
+                    Single bare-column ASC key only; integral /
+                    date / timestamp fill columns (sequence()'s types —
+                    give an INTERVAL STEP for DateTime; CH's default
+                    there is 1 second, Spark dates default 1 day)
 range(n)/range(a,b) guarded sequence slice (empty when n<=0 / b<=a,
                     matching ClickHouse; bare sequence would descend)
 toFloat64/toInt64/  CAST(x AS DOUBLE/BIGINT/INT/SMALLINT/TINYINT/STRING/
@@ -141,6 +153,16 @@ today()             current_date()
 arrayJoin(x)        explode(x)          [one per SELECT, as in Spark; a
                                          second generator fails loudly in
                                          the analyzer, never silently]
+FROM t [LEFT]       LATERAL VIEW [OUTER] explode/posexplode derived table
+ARRAY JOIN e1 AS a, aliased back to the FROM alias: multiple items zip
+e2 AS b, col        POSITIONALLY off the first (CH errors on unequal
+                    sizes, here short arrays yield NULL); an unaliased
+                    item must be a plain column and its element REPLACES
+                    the column (t.* EXCEPT + re-alias, column moves to
+                    row end); LEFT keeps empty-array rows with NULL
+                    elements (the Nullable default, where non-Nullable
+                    CH takes the type default). Joins before/after the
+                    clause and nested/COLUMNS forms refused loudly
 FROM t FINAL        FROM t              [the engine's registered views ARE
                                          the deduped (FINAL) snapshot —
                                          see register_pipeline_tables]
@@ -1438,6 +1460,387 @@ def _rewrite_any_join(sql: str) -> str:
     return f"{sql[: p.from_end]} {repl} {sql[p.cond_end:]}"
 
 
+# ---------------------------------------------------------------------------
+# ARRAY JOIN — ClickHouse's unnest clause: ``FROM t [LEFT] ARRAY JOIN arr
+# [AS x][, more]``. Spark's equivalent is LATERAL VIEW [OUTER] explode /
+# posexplode, wrapped in a derived table aliased back to the original table
+# alias so every outer reference resolves unchanged:
+#
+#   FROM T t ARRAY JOIN e1 AS x, e2 AS y WHERE ...
+#   -> FROM (SELECT t.*, __aj_e0 AS x, (e2)[__aj_pos] AS y
+#            FROM T AS t LATERAL VIEW posexplode(e1) __aj AS __aj_pos,
+#            __aj_e0) AS t WHERE ...
+#
+# Semantics mapped (ClickHouse docs, "ARRAY JOIN clause"):
+#   * plain ARRAY JOIN drops empty/NULL-array rows (explode); LEFT ARRAY
+#     JOIN keeps them (OUTER) with the element NULL — the Nullable-element
+#     default, where non-Nullable ClickHouse columns would take the type
+#     default (0, '') instead. Documented divergence.
+#   * an UNALIASED item must be a plain column; its unnested element
+#     REPLACES the column (t.* EXCEPT (col) + element AS col) — the
+#     replaced column moves to the end of the row, a column-ORDER
+#     divergence only.
+#   * multiple items are zipped POSITIONALLY (never a cross product): the
+#     first item drives posexplode, the rest subscript at the shared
+#     position. ClickHouse errors when sizes differ; here a shorter array
+#     yields NULL and a longer one truncates — documented divergence.
+#   * aliased items may be arbitrary array EXPRESSIONS (arrayEnumerate(a)
+#     AS i, arrayMap(...) AS m); expressions are translated by the main
+#     scanner after the splice.
+# Unsupported (fail loudly, never a silent plain-join misparse): ARRAY
+# JOIN after another join, a join after the clause, and the nested
+# COLUMNS/Nested-table forms.
+# ---------------------------------------------------------------------------
+
+_ARRAY_JOIN_LEFTOVER_RE = re.compile(r"\bARRAY\s+JOIN\b", re.IGNORECASE)
+
+
+def _split_trailing_as(item: str) -> tuple[str, str | None]:
+    """Split one ARRAY JOIN item into (expr, alias): alias iff the item
+    ends with a top-level ``AS <ident>``."""
+    ts = _top_level_keyword_spans(item)
+    if len(ts) >= 2 and ts[-2][2] == "AS":
+        a_end = ts[-2][1]
+        id_start, id_end, ident = ts[-1]
+        if (
+            item[a_end:id_start].strip() == ""
+            and item[id_end:].strip() == ""
+            and not ident[0].isdigit()
+        ):
+            expr = item[: ts[-2][0]].rstrip()
+            if expr:
+                return expr, item[id_start:id_end]
+    return item, None
+
+
+def _rewrite_array_join(sql: str) -> str:
+    """``FROM <term> [alias] [LEFT] ARRAY JOIN item, ...`` -> the LATERAL
+    VIEW derived table (comment above). First top-level clause of the
+    fragment; subqueries are handled when the translator descends."""
+    toks = _top_level_keyword_spans(sql)
+    hit = None
+    for x in range(len(toks) - 1):
+        if (
+            toks[x][2] == "ARRAY"
+            and toks[x + 1][2] == "JOIN"
+            and sql[toks[x][1] : toks[x + 1][0]].strip() == ""
+        ):
+            hit = x
+            break
+    if hit is None:
+        return sql
+    x = hit
+    clause_start = toks[x][0]
+    join_end = toks[x + 1][1]
+    is_left = False
+    if (
+        x > 0
+        and toks[x - 1][2] == "LEFT"
+        and sql[toks[x - 1][1] : toks[x][0]].strip() == ""
+    ):
+        is_left = True
+        clause_start = toks[x - 1][0]
+    # ---- governing FROM and its single term ----
+    from_tok = None
+    for t in toks:
+        if t[2] == "FROM" and t[1] <= clause_start:
+            from_tok = t
+    if from_tok is None:
+        raise ValueError("ARRAY JOIN: no governing FROM clause")
+    term_text = sql[from_tok[1] : clause_start]
+    term, alias, consumed = _parse_join_term(term_text, 0)
+    if term_text[consumed:].strip():
+        raise ValueError(
+            "ARRAY JOIN: FROM must be a single table or aliased subquery "
+            f"(unparsed text before the clause: {term_text[consumed:].strip()!r})"
+        )
+    al = alias or term.split(".")[-1]
+    if al.startswith("(") or not al:
+        raise ValueError("ARRAY JOIN: a subquery FROM term needs an alias")
+    # ---- item list: up to the next top-level clause keyword / ';' / end ----
+    items_end = len(sql)
+    for t in toks:
+        if t[0] < join_end:
+            continue
+        if t[2] in _ASOF_STOP:
+            items_end = t[0]
+            break
+        if t[2] in _ASOF_JOIN_KW:
+            raise ValueError("ARRAY JOIN: a join after the clause is not supported")
+    semi = _blank_quoted(sql[join_end:items_end]).find(";")
+    if semi != -1:
+        items_end = join_end + semi
+    items = _split_args(sql[join_end:items_end])
+    if not items:
+        raise ValueError("ARRAY JOIN: needs at least one array item")
+    # ---- parse items: (element expr, output name, replaced column or None)
+    parsed: list[tuple[str, str, str | None]] = []
+    for it in items:
+        expr, it_alias = _split_trailing_as(it)
+        if it_alias is not None:
+            parsed.append((expr, it_alias, None))
+            continue
+        m = re.fullmatch(r"(?:([A-Za-z_]\w*)\s*\.\s*)?([A-Za-z_]\w*)", expr.strip())
+        if m is None:
+            raise ValueError(
+                "ARRAY JOIN: an item without AS must be a plain column "
+                f"(its element replaces the column), got {expr.strip()!r}"
+            )
+        qual, col = m.groups()
+        if qual is not None and qual != al:
+            raise ValueError(
+                f"ARRAY JOIN: item {expr.strip()!r} is qualified by an "
+                f"unknown alias (FROM term is {al!r})"
+            )
+        parsed.append((f"{al}.{col}", col, col))
+    # ---- splice the derived table ----
+    outer = "OUTER " if is_left else ""
+    drive_expr, drive_name, _ = parsed[0]
+    replaced = [p[2] for p in parsed if p[2] is not None]
+    except_clause = f" EXCEPT ({', '.join(replaced)})" if replaced else ""
+    if len(parsed) == 1:
+        lv = f"LATERAL VIEW {outer}explode({drive_expr}) __aj AS __aj_e0"
+    else:
+        lv = (
+            f"LATERAL VIEW {outer}posexplode({drive_expr}) __aj "
+            f"AS __aj_pos, __aj_e0"
+        )
+    sel = [f"__aj_e0 AS {drive_name}"]
+    sel += [f"({expr})[__aj_pos] AS {nm}" for expr, nm, _ in parsed[1:]]
+    derived = (
+        f"(SELECT {al}.*{except_clause}, {', '.join(sel)} "
+        f"FROM {term} AS {al} {lv}) AS {al}"
+    )
+    return f"{sql[: from_tok[1]]} {derived} {sql[items_end:]}"
+
+
+# ---------------------------------------------------------------------------
+# ORDER BY ... WITH FILL — ClickHouse's gap-fill clause:
+#
+#   ORDER BY x WITH FILL [FROM f] [TO t] [STEP s]
+#                        [INTERPOLATE (c1 [, c2 ...])]
+#
+# Rewritten into a fill-spine FULL OUTER JOIN over the query result:
+#
+#   SELECT r.* EXCEPT (x[, interp..], __wf_orig),
+#          coalesce(r.x, sp.__wf_x) AS x
+#          [, CASE WHEN r.__wf_orig THEN r.c ELSE (last original c before
+#             this position, via last(struct(c), ignorenulls) OVER the
+#             fill order) END AS c ...]
+#   FROM (SELECT explode(<spine array>) AS __wf_x FROM <bounds>) sp
+#   FULL OUTER JOIN (SELECT *, true AS __wf_orig FROM (<query>) __wf_s) r
+#     ON r.x = sp.__wf_x
+#   ORDER BY x <tail>
+#
+# * the spine is sequence(FROM|min(x), TO|max(x)[, STEP]) with values >= TO
+#   filtered out (CH's TO is exclusive) and an empty-range guard; bounds
+#   come from a one-row min/max aggregate over the query (column-pruned by
+#   Catalyst), or from (SELECT 1) when FROM and TO are both literal — the
+#   result plan evaluates twice otherwise (once pruned to the fill column),
+#   the same cost shape as the ASOF union
+# * filled rows carry NULL in every non-fill column (the Nullable default;
+#   non-Nullable ClickHouse would take the type default — same documented
+#   divergence as LEFT ARRAY JOIN); INTERPOLATE(c) carries the last
+#   ORIGINAL row's value (LOCF) — including a genuine NULL, via the
+#   struct-wrap — exactly CH's default `INTERPOLATE (c)` compounding
+# * original rows are ALWAYS kept (full outer), on or off the spine grid
+# * the fill column moves to the end of the row (column-ORDER divergence
+#   only, like the unaliased ARRAY JOIN item)
+# * supported shape: single bare-identifier ASC sort key; DESC fill,
+#   multiple WITH FILL keys, sort expressions, and `INTERPOLATE (c AS
+#   expr)` (iteratively compounding, not window-expressible) are refused
+#   loudly. STEP defaults to Spark's sequence default (1 for numbers, 1
+#   day for dates) — give an explicit INTERVAL step for DateTime columns
+#   (CH's default there is 1 second)
+# * the INTERPOLATE window is unpartitioned — WITH FILL is inherently a
+#   single-stream pass over the FINAL sorted result (post-aggregation,
+#   bounded), in ClickHouse too
+# ---------------------------------------------------------------------------
+
+#: leftover detection requires a preceding ORDER BY — a CTE or table named
+#: ``fill`` (``WITH fill AS ...``) must not trip the backstop
+_WITH_FILL_LEFTOVER_RE = re.compile(
+    r"\bORDER\s+BY\b[\s\S]*?\bWITH\s+FILL\b", re.IGNORECASE
+)
+
+#: keywords that end a FROM/TO/STEP value span in the fill tail
+_FILL_KW = {"TO", "STEP", "INTERPOLATE", "LIMIT", "UNION", "FROM"}
+
+
+def _rewrite_with_fill(sql: str) -> str:
+    toks = _top_level_keyword_spans(sql)
+    if not toks or toks[0][2] not in ("SELECT", "WITH"):
+        return sql
+    hit = None
+    for x in range(len(toks) - 1):
+        if (
+            toks[x][2] == "WITH"
+            and toks[x + 1][2] == "FILL"
+            and sql[toks[x][1] : toks[x + 1][0]].strip() == ""
+        ):
+            hit = x
+            break
+    if hit is None:
+        return sql
+    # governing ORDER BY (a CTE named fill has none before it -> not the
+    # clause, leave it alone)
+    order_idx = None
+    for y in range(hit):
+        if (
+            toks[y][2] == "ORDER"
+            and y + 1 < len(toks)
+            and toks[y + 1][2] == "BY"
+        ):
+            order_idx = y
+    if order_idx is None:
+        return sql
+    by_end = toks[order_idx + 1][1]
+    sort_item = sql[by_end : toks[hit][0]].strip()
+    m = re.fullmatch(r"([A-Za-z_]\w*)(?:\s+ASC)?", sort_item, re.IGNORECASE)
+    if m is None:
+        raise ValueError(
+            "WITH FILL: only a single bare-column ASC sort key is supported, "
+            f"got ORDER BY {sort_item!r} (DESC fill, expressions and "
+            "multiple fill keys are not translated)"
+        )
+    xcol = m.group(1)
+    select_part = sql[: toks[order_idx][0]].strip()
+    # ---- FROM / TO / STEP / INTERPOLATE tail ----
+    pos = toks[hit + 1][1]  # past FILL
+    t_after = [t for t in toks if t[0] >= pos]
+    frm = to = step = None
+    interp_cols: list[str] = []
+    tail_start = len(sql)
+    i = 0
+    while i < len(t_after):
+        kw = t_after[i][2]
+        if kw in ("FROM", "TO", "STEP"):
+            vstart = t_after[i][1]
+            vend = len(sql)
+            j = i + 1
+            while j < len(t_after):
+                if t_after[j][2] in _FILL_KW and t_after[j][0] >= vstart:
+                    vend = t_after[j][0]
+                    break
+                j += 1
+            val = sql[vstart:vend].strip().rstrip(";")
+            if not val:
+                raise ValueError(f"WITH FILL: {kw} needs a value")
+            if kw == "FROM":
+                frm = val
+            elif kw == "TO":
+                to = val
+            else:
+                step = val
+            i = j
+            continue
+        if kw == "INTERPOLATE":
+            k = t_after[i][1]
+            while k < len(sql) and sql[k].isspace():
+                k += 1
+            if k >= len(sql) or sql[k] != "(":
+                raise ValueError("WITH FILL: INTERPOLATE needs a column list")
+            close = _find_close(sql, k)
+            for item in _split_args(sql[k + 1 : close]):
+                if not re.fullmatch(r"[A-Za-z_]\w*", item):
+                    raise ValueError(
+                        "WITH FILL: INTERPOLATE supports bare columns (LOCF) "
+                        f"only; {item!r} compounds iteratively and is not "
+                        "window-expressible"
+                    )
+                interp_cols.append(item)
+            tail_start = close + 1
+            break
+        # anything else ends the fill clause (LIMIT tail, next sort item...)
+        tail_start = t_after[i][0]
+        break
+    else:
+        tail_start = len(sql)
+    if tail_start == len(sql) and (frm or to or step) is None and not interp_cols:
+        tail_start = pos  # bare WITH FILL, tail begins right after
+    tail = sql[tail_start:].strip().rstrip(";")
+    if tail and not re.match(r"(?i)LIMIT\b", tail):
+        raise ValueError(
+            f"WITH FILL: unsupported trailing clause {tail!r} (multiple "
+            "fill keys / OFFSET tails are not translated)"
+        )
+    # ---- per-row fill arrays (CH re-anchors the step at EVERY original
+    # row — FillingTransform sets the running fill value from each row it
+    # passes — so fills are generated per gap from the anchor row, never
+    # from a global min..max grid) ----
+    step_sfx = f", ({step})" if step is not None else ""
+    empty = f"slice(array({xcol}), 1, 0)"  # typed empty array
+    gap_bound = f"least(__wf_next, ({to}))" if to is not None else "__wf_next"
+    gap_part = (
+        f"CASE WHEN __wf_gb IS NOT NULL AND {xcol} <= __wf_gb "
+        f"THEN filter(sequence({xcol}, __wf_gb{step_sfx}), "
+        f"__wf_v -> __wf_v > {xcol} AND __wf_v < __wf_gb) ELSE {empty} END"
+    )
+    if frm is not None:
+        edge_bound = f"least({xcol}, ({to}))" if to is not None else xcol
+        edge_part = (
+            f"CASE WHEN __wf_rn = 1 AND ({frm}) <= __wf_eb "
+            f"THEN filter(sequence(({frm}), __wf_eb{step_sfx}), "
+            f"__wf_v -> __wf_v < __wf_eb) ELSE {empty} END"
+        )
+        fills = f"concat({edge_part}, {gap_part})"
+        eb_col = f", {edge_bound} AS __wf_eb"
+        internal = ["__wf_next", "__wf_rn", "__wf_gb", "__wf_eb", "__wf_fills"]
+    else:
+        fills = gap_part
+        eb_col = ""
+        internal = ["__wf_next", "__wf_rn", "__wf_gb", "__wf_fills"]
+    # NULLS LAST everywhere: rn=1 is the smallest NON-NULL fill value (the
+    # FROM-edge anchor) and the last non-null row's lead skips to NULL so
+    # least() falls through to the TO bound for the trailing fill
+    win = f"OVER (ORDER BY {xcol} ASC NULLS LAST)"
+    # ---- projection: the explode prepends one typed-NULL element per row
+    # (the original row itself; fill values are never NULL), so original
+    # rows are __wf_fx IS NULL. Generated rows blank every non-carried
+    # column by expanding a NULL struct (struct-pack of the whole original
+    # row under CASE, `.* EXCEPT` on the expansion) ----
+    pack = (
+        f"CASE WHEN __wf_fx IS NULL THEN "
+        f"struct(__wf_r.* EXCEPT ({', '.join(internal)})) END"
+    )
+    l1 = [
+        f"{pack} AS __wf_p",
+        f"coalesce(__wf_fx, __wf_r.{xcol}) AS __wf_ax",
+    ]
+    l2 = [
+        f"__wf_p.* EXCEPT ({', '.join([xcol, *interp_cols])})"
+        if interp_cols
+        else f"__wf_p.* EXCEPT ({xcol})",
+        f"__wf_ax AS {xcol}",
+    ]
+    for idx, c in enumerate(interp_cols):
+        # gap/TO-edge fills (fx > anchor x) carry the anchor's value —
+        # including a genuine NULL, CH's compounding INTERPOLATE(c);
+        # FROM-edge fills (fx < first x) have no previous row -> NULL
+        l1.append(
+            f"CASE WHEN __wf_fx IS NULL OR __wf_fx > __wf_r.{xcol} "
+            f"THEN __wf_r.{c} END AS __wf_c{idx}"
+        )
+        l2.append(f"__wf_c{idx} AS {c}")
+    out = (
+        f"SELECT {', '.join(l2)} FROM ("
+        f"SELECT {', '.join(l1)} FROM ("
+        f"SELECT *, {fills} AS __wf_fills FROM ("
+        f"SELECT *, {gap_bound} AS __wf_gb"
+        f"{eb_col} FROM ("
+        f"SELECT *, lead({xcol}) {win} AS __wf_next, "
+        f"row_number() {win} AS __wf_rn "
+        f"FROM ({select_part}) __wf_s) __wf_n1) __wf_n0"
+        f") __wf_r "
+        f"LATERAL VIEW explode(concat(array(IF(true, NULL, __wf_r.{xcol})), "
+        f"__wf_r.__wf_fills)) __wf AS __wf_fx"
+        f") __wf_l ORDER BY {xcol}"
+    )
+    if tail:
+        out += f" {tail}"
+    return out
+
+
 def translate_clickhouse_sql(sql: str) -> str:
     """Rewrite ClickHouse-flavored SQL into Spark SQL (see module doc)."""
     # comments first: a quote inside a -- or /* */ comment would flip
@@ -1456,6 +1859,10 @@ def translate_clickhouse_sql(sql: str) -> str:
     sql = _strip_outside_quotes(_ALL_STRICTNESS_RE, sql)
     sql = _rewrite_asof_join(sql)
     sql = _rewrite_any_join(sql)
+    # before LIMIT BY: that rewrite wraps the FROM clause into a depth-1
+    # subselect where this top-level scanner could no longer see the clause
+    sql = _rewrite_array_join(sql)
+    sql = _rewrite_with_fill(sql)
     sql = _rewrite_with_totals(sql)
     sql = _rewrite_limit_by(sql)
     out: list[str] = []
@@ -1868,5 +2275,18 @@ def translate_clickhouse_sql(sql: str) -> str:
             "ANY JOIN could not be translated in this position; supported "
             "shape: FROM <term> <alias> ANY [LEFT|INNER] JOIN <term> "
             "<alias> ON <equality conjuncts>"
+        )
+    if _ARRAY_JOIN_LEFTOVER_RE.search(blanked):
+        raise ValueError(
+            "ARRAY JOIN could not be translated in this position; supported "
+            "shape: FROM <term> [alias] [LEFT] ARRAY JOIN <array-expr> "
+            "[AS <name>][, ...] — un-rewritten it would parse as an alias "
+            "plus a plain join"
+        )
+    if _WITH_FILL_LEFTOVER_RE.search(blanked):
+        raise ValueError(
+            "WITH FILL could not be translated in this position; supported "
+            "shape: a top-level ORDER BY <column> WITH FILL [FROM f] [TO t] "
+            "[STEP s] [INTERPOLATE (bare columns)]"
         )
     return result

@@ -762,3 +762,113 @@ def mv_verbatim_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.sql(
         "SELECT symbol, day, vol, n FROM mvrt.daily", dialect="clickhouse"
     )
+
+
+# ---------------------------------------------------------------------------
+# Verbatim ARRAY JOIN clause (r8): ClickHouse's unnest clause runs unchanged
+# through the dialect — rewritten into a LATERAL VIEW posexplode derived
+# table aliased back to the FROM alias (dialect.py _rewrite_array_join).
+# The query zips TWO items (the element plus arrayEnumerate's 1-based
+# position), exactly the CH idiom, and aggregates over the unnested rows.
+# Oracle: DuckDB's positional multi-unnest of the same shape. The ORDER BY
+# (cnt DESC, word, lang) is a total order over the (lang, word) output
+# keys, so the LIMIT cut is deterministic on both engines.
+# Reference anchor: the delegated SQL surface (utils_clickhouse.py:36-43);
+# capability extension beyond the reference's own queries.
+# ---------------------------------------------------------------------------
+_ARRAY_JOIN_CH_SQL = """
+SELECT lang, w AS word, count() AS cnt, toInt64(min(i)) AS first_pos
+FROM (SELECT lang, splitByChar(' ', text) AS words FROM documents) d
+ARRAY JOIN words AS w, arrayEnumerate(words) AS i
+WHERE length(w) >= 6
+GROUP BY lang, w
+ORDER BY cnt DESC, word, lang
+LIMIT 100
+"""
+
+_ARRAY_JOIN_ORACLE = """
+SELECT lang, w AS word, count(*) AS cnt, CAST(min(i) AS BIGINT) AS first_pos
+FROM (
+  SELECT lang, unnest(words) AS w, unnest(range(1, len(words) + 1)) AS i
+  FROM (SELECT lang, string_split(text, ' ') AS words FROM documents) d0
+) d
+WHERE length(w) >= 6
+GROUP BY lang, w
+ORDER BY cnt DESC, word, lang
+LIMIT 100
+"""
+
+
+@register(
+    "array_join_verbatim_sql",
+    _ARRAY_JOIN_ORACLE,
+    survey_ref=(
+        "S8 dialect: ClickHouse ARRAY JOIN clause runs verbatim — LATERAL "
+        "VIEW posexplode derived table, positional multi-item zip with "
+        "arrayEnumerate, oracled against DuckDB's positional multi-unnest"
+    ),
+)
+def array_join_verbatim_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_clickhouse_spark.engine import AnalyticsEngine
+    from binance_etl_clickhouse_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    eng = AnalyticsEngine(spark, verbose=False)
+    eng.register_clickhouse_compat()
+    return eng.sql(_ARRAY_JOIN_CH_SQL, dialect="clickhouse")
+
+
+# ---------------------------------------------------------------------------
+# Verbatim ORDER BY ... WITH FILL (r8): ClickHouse's gap-fill clause runs
+# unchanged through the dialect — per-row lead() + exploded per-gap
+# sequence with the step re-anchored at every original row (FillingTransform
+# semantics), struct-pack blanking on generated rows, INTERPOLATE = LOCF
+# (dialect.py _rewrite_with_fill). Hour-truncated keys step by exactly
+# INTERVAL 1 HOUR, so the re-anchored fill equals the global hourly grid and
+# a DuckDB generate_series spine + IGNORE NULLS window is an exact oracle.
+# Reference anchor: the delegated SQL surface (utils_clickhouse.py:36-43);
+# capability extension beyond the reference's own queries.
+# ---------------------------------------------------------------------------
+_WITH_FILL_CH_SQL = """
+SELECT h, cnt, cnt AS cnt_locf
+FROM (SELECT toStartOfHour(ts) AS h, count() AS cnt
+      FROM events WHERE event_type = 'signup' GROUP BY h) hourly
+ORDER BY h WITH FILL STEP INTERVAL 1 HOUR INTERPOLATE (cnt_locf)
+"""
+
+_WITH_FILL_ORACLE = """
+WITH agg AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS cnt
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+grid AS (
+  SELECT unnest(generate_series((SELECT min(h) FROM agg),
+                                (SELECT max(h) FROM agg),
+                                INTERVAL 1 HOUR)) AS h
+)
+SELECT g.h AS h, a.cnt AS cnt,
+       last_value(a.cnt IGNORE NULLS) OVER (
+         ORDER BY g.h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS cnt_locf
+FROM grid g LEFT JOIN agg a ON a.h = g.h
+ORDER BY h
+"""
+
+
+@register(
+    "with_fill_verbatim_sql",
+    _WITH_FILL_ORACLE,
+    survey_ref=(
+        "S8 dialect: ClickHouse ORDER BY ... WITH FILL STEP INTERPOLATE "
+        "runs verbatim — re-anchored per-gap sequence explode + struct-pack "
+        "blanking + LOCF carry, oracled against a DuckDB grid spine"
+    ),
+)
+def with_fill_verbatim_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_clickhouse_spark.engine import AnalyticsEngine
+    from binance_etl_clickhouse_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    eng = AnalyticsEngine(spark, verbose=False)
+    eng.register_clickhouse_compat()
+    return eng.sql(_WITH_FILL_CH_SQL, dialect="clickhouse")

@@ -1533,3 +1533,234 @@ def test_array_difference_and_cumsum(engine):
         dialect="clickhouse",
     ).first()
     assert [int(x) for x in big.c] == [9007199254740993, 9007199254740994]
+
+
+# ---------------------------------------------------------------------------
+# ARRAY JOIN clause (r8): the unnest clause runs verbatim — rewritten into a
+# LATERAL VIEW explode/posexplode derived table aliased back to the FROM
+# alias (dialect.py _rewrite_array_join)
+# ---------------------------------------------------------------------------
+
+
+class TestArrayJoinClause:
+    @pytest.fixture(scope="class")
+    def aj_view(self, spark):
+        spark.sql(
+            """SELECT * FROM VALUES
+             (1, array(10, 20, 30), array('a', 'b', 'c')),
+             (2, array(), array()),
+             (3, array(7), array('z')),
+             (4, CAST(NULL AS array<int>), CAST(NULL AS array<string>))
+             AS t(k, arr, tags)"""
+        ).createOrReplaceTempView("aj_t")
+        return "aj_t"
+
+    def _run(self, engine, sql):
+        return sorted(
+            map(tuple, engine.sql(sql, dialect="clickhouse").collect())
+        )
+
+    def test_single_aliased(self, engine, aj_view):
+        got = self._run(engine, "SELECT k, x FROM aj_t ARRAY JOIN arr AS x")
+        assert got == [(1, 10), (1, 20), (1, 30), (3, 7)]
+
+    def test_unaliased_replaces_column(self, engine, aj_view):
+        got = self._run(engine, "SELECT k, arr FROM aj_t ARRAY JOIN arr")
+        assert got == [(1, 10), (1, 20), (1, 30), (3, 7)]
+
+    def test_left_keeps_empty_and_null_rows(self, engine, aj_view):
+        got = self._run(
+            engine, "SELECT k, x FROM aj_t LEFT ARRAY JOIN arr AS x"
+        )
+        assert got == [(1, 10), (1, 20), (1, 30), (2, None), (3, 7), (4, None)]
+
+    def test_multi_item_zip_with_enumerate(self, engine, aj_view):
+        got = self._run(
+            engine,
+            "SELECT k, x, tg, i FROM aj_t "
+            "ARRAY JOIN arr AS x, tags AS tg, arrayEnumerate(arr) AS i",
+        )
+        assert got == [
+            (1, 10, "a", 1),
+            (1, 20, "b", 2),
+            (1, 30, "c", 3),
+            (3, 7, "z", 1),
+        ]
+
+    def test_expression_item_and_downstream_clauses(self, engine, aj_view):
+        got = self._run(
+            engine,
+            "SELECT k, sum(x) AS s FROM aj_t "
+            "ARRAY JOIN arrayMap(v -> v * 2, arr) AS x "
+            "WHERE x > 20 GROUP BY k ORDER BY k",
+        )
+        assert got == [(1, 100)]
+
+    def test_subquery_from_term(self, engine, aj_view):
+        got = self._run(
+            engine,
+            "SELECT s, x FROM (SELECT k + 100 AS s, arr FROM aj_t) q "
+            "ARRAY JOIN arr AS x WHERE x >= 20",
+        )
+        assert got == [(101, 20), (101, 30)]
+
+    def test_qualified_unaliased_item(self, engine, aj_view):
+        got = self._run(
+            engine, "SELECT a.k, arr FROM aj_t AS a ARRAY JOIN a.arr"
+        )
+        assert got == [(1, 10), (1, 20), (1, 30), (3, 7)]
+
+    def test_string_rewrite_shape(self):
+        out = translate_clickhouse_sql(
+            "SELECT k, x FROM t ARRAY JOIN arr AS x"
+        )
+        assert "LATERAL VIEW explode(arr)" in out
+        assert ") AS t" in out
+
+    def test_join_before_clause_refused(self):
+        with pytest.raises(ValueError, match="ARRAY JOIN"):
+            translate_clickhouse_sql(
+                "SELECT * FROM t JOIN u ON t.k = u.k ARRAY JOIN arr AS x"
+            )
+
+    def test_join_after_clause_refused(self):
+        with pytest.raises(ValueError, match="ARRAY JOIN"):
+            translate_clickhouse_sql(
+                "SELECT * FROM t ARRAY JOIN arr AS x JOIN u ON t.k = u.k"
+            )
+
+    def test_unaliased_expression_refused(self):
+        with pytest.raises(ValueError, match="plain column"):
+            translate_clickhouse_sql(
+                "SELECT * FROM t ARRAY JOIN arrayMap(v -> v, arr)"
+            )
+
+    def test_literal_text_untouched(self):
+        sql = "SELECT 'ARRAY JOIN arr AS x' AS s FROM t"
+        assert translate_clickhouse_sql(sql) == sql
+
+
+# ---------------------------------------------------------------------------
+# ORDER BY ... WITH FILL (r8): ClickHouse's gap-fill clause — per-row lead()
+# + exploded per-gap sequence, step RE-ANCHORED at every original row
+# (FillingTransform semantics), struct-pack blanking, INTERPOLATE = LOCF
+# ---------------------------------------------------------------------------
+
+
+class TestWithFill:
+    @pytest.fixture(scope="class")
+    def wf_view(self, spark):
+        spark.sql(
+            """SELECT * FROM VALUES
+             (1, 10.0, 'a'), (4, 40.0, 'c'),
+             (7, CAST(NULL AS double), 'd'), (11, 70.0, 'g')
+             AS t(x, v, s)"""
+        ).createOrReplaceTempView("wf_t")
+        return "wf_t"
+
+    def _run(self, engine, sql):
+        df = engine.sql(sql, dialect="clickhouse")
+        cols = df.columns
+        return [tuple(r[c] for c in sorted(cols)) for r in df.collect()]
+
+    def test_bare_fill_defaults_step_one(self, engine, wf_view):
+        got = self._run(engine, "SELECT x, v FROM wf_t ORDER BY x WITH FILL")
+        # sorted cols: (v, x); fills 2,3,5,6,8,9,10 with v NULL
+        assert got == [
+            (10.0, 1), (None, 2), (None, 3), (40.0, 4), (None, 5),
+            (None, 6), (None, 7), (None, 8), (None, 9), (None, 10),
+            (70.0, 11),
+        ]
+
+    def test_step_reanchors_at_each_original_row(self, engine, wf_view):
+        got = self._run(
+            engine, "SELECT x, v FROM wf_t ORDER BY x WITH FILL STEP 2"
+        )
+        # anchors 1 -> 3; 4 -> 6; 7 -> 9; NEVER the global grid's 5
+        assert got == [
+            (10.0, 1), (None, 3), (40.0, 4), (None, 6), (None, 7),
+            (None, 9), (70.0, 11),
+        ]
+
+    def test_from_to_step(self, engine, wf_view):
+        got = self._run(
+            engine,
+            "SELECT x, v FROM wf_t ORDER BY x WITH FILL FROM 0 TO 14 STEP 3",
+        )
+        # FROM edge emits 0 (< first row 1); TO=14 exclusive caps 11+3
+        assert got == [
+            (None, 0), (10.0, 1), (40.0, 4), (None, 7), (None, 10),
+            (70.0, 11),
+        ]
+
+    def test_interpolate_locf_carries_null(self, engine, wf_view):
+        got = self._run(
+            engine,
+            "SELECT x, v, s FROM wf_t ORDER BY x WITH FILL INTERPOLATE (v)",
+        )
+        # sorted cols: (s, v, x) — v carried per anchor (incl. x=7's NULL),
+        # s blanked on filled rows
+        assert got == [
+            ("a", 10.0, 1), (None, 10.0, 2), (None, 10.0, 3),
+            ("c", 40.0, 4), (None, 40.0, 5), (None, 40.0, 6),
+            ("d", None, 7), (None, None, 8), (None, None, 9),
+            (None, None, 10), ("g", 70.0, 11),
+        ]
+
+    def test_from_edge_does_not_interpolate(self, engine, wf_view):
+        got = self._run(
+            engine,
+            "SELECT x, v FROM wf_t "
+            "ORDER BY x WITH FILL FROM -1 TO 3 INTERPOLATE (v)",
+        )
+        # FROM-edge rows (-1, 0) precede any original row -> NULL, not LOCF
+        assert got[:2] == [(None, -1), (None, 0)]
+        assert (10.0, 1) in got and (10.0, 2) in got
+
+    def test_limit_applies_after_fill(self, engine, wf_view):
+        got = self._run(
+            engine,
+            "SELECT x, v FROM wf_t WHERE x > 1 ORDER BY x WITH FILL LIMIT 4",
+        )
+        assert got == [(40.0, 4), (None, 5), (None, 6), (None, 7)]
+
+    def test_timestamp_fill_with_interval_step(self, engine, spark):
+        spark.sql(
+            """SELECT * FROM VALUES
+             (TIMESTAMP '2024-01-01 00:00:00', 1.0),
+             (TIMESTAMP '2024-01-01 03:00:00', 4.0)
+             AS t(h, v)"""
+        ).createOrReplaceTempView("wf_ts")
+        got = self._run(
+            engine,
+            "SELECT h, v FROM wf_ts "
+            "ORDER BY h WITH FILL STEP INTERVAL 1 HOUR INTERPOLATE (v)",
+        )
+        assert [r[1] for r in got] == [1.0, 1.0, 1.0, 4.0]
+        assert [r[0].hour for r in got] == [0, 1, 2, 3]
+
+    def test_desc_refused(self):
+        with pytest.raises(ValueError, match="WITH FILL"):
+            translate_clickhouse_sql(
+                "SELECT x FROM t ORDER BY x DESC WITH FILL"
+            )
+
+    def test_multi_key_refused(self):
+        with pytest.raises(ValueError, match="WITH FILL"):
+            translate_clickhouse_sql(
+                "SELECT x, y FROM t ORDER BY x, y WITH FILL"
+            )
+
+    def test_interpolate_expression_refused(self):
+        with pytest.raises(ValueError, match="INTERPOLATE"):
+            translate_clickhouse_sql(
+                "SELECT x, v FROM t ORDER BY x WITH FILL "
+                "INTERPOLATE (v AS v + 1)"
+            )
+
+    def test_cte_named_fill_untouched(self):
+        # no gap-fill rewrite and no leftover backstop — only the
+        # translator's usual call-whitespace normalization may differ
+        sql = "WITH fill AS (SELECT 1 AS x) SELECT x FROM fill"
+        out = translate_clickhouse_sql(sql)
+        assert out.replace("AS(", "AS (") == sql
