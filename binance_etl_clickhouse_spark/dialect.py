@@ -235,6 +235,12 @@ AS SELECT ...       per ORDER BY key at read (min() for non-summed
                     Single-table SELECT only; AggregatingMergeTree and
                     MV-on-MV refused loudly. DROP VIEW stops the trigger
                     (a TO target keeps its data)
+CREATE DICTIONARY / dialect_ddl: dictionary = lookup metadata over a
+dictGet/dictGetOr-  table; dictGet-family calls rewrite into correlated
+Default/OrNull/     aggregated scalar subqueries (broadcast left-outer
+dictHas/            join plans — the lookup distributes, no per-node RAM
+dictGet<Type>       hash table); declared DEFAULT or type zero on miss;
+                    bare key names colliding with source columns refused
 CREATE DATABASE /   handled by dialect_ddl (engine.sql routes them): the
 CREATE TABLE ...    reference's ReplacingMergeTree/MergeTree DDL provisions
 ENGINE = ...        a ServingTable verbatim — keys = ORDER BY, month dirs

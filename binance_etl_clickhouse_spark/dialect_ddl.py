@@ -31,6 +31,21 @@ SETTINGS index_granularity = N        accepted and recorded; parquet row
                                       groups + page stats play this role
 col DEFAULT expr                      applied on insert when the column is
                                       absent (expr through the dialect)
+CREATE DICTIONARY name (cols)         metadata-only lookup registration
+PRIMARY KEY k[, k2] SOURCE(           over a catalog table or session view;
+CLICKHOUSE(TABLE 't')) LAYOUT(...)    dictGet/dictGetOrDefault/dictGetOrNull
+LIFETIME(...)                         /dictHas/dictGet<Type> rewrite into
+                                      correlated aggregated scalar
+                                      subqueries -> broadcast left-outer
+                                      join plans (the lookup DISTRIBUTES
+                                      instead of pinning a hash table into
+                                      every node's RAM). Declared DEFAULT
+                                      (else the type zero) on miss; every
+                                      LAYOUT is the same join; always-fresh
+                                      reads (LIFETIME(0) behavior). A bare
+                                      key column name that also exists in
+                                      the source is refused loudly (inner
+                                      scope would win — qualify it)
 ====================================  =====================================
 
 Type mapping follows the same decisions as ``schemas.py`` and the
@@ -149,7 +164,8 @@ class ParsedDDL:
 
 
 _DDL_RE = re.compile(
-    r"^\s*(CREATE\s+(DATABASE|TABLE|MATERIALIZED\s+VIEW)|DROP\s+(TABLE|VIEW)"
+    r"^\s*(CREATE\s+(DATABASE|TABLE|MATERIALIZED\s+VIEW|DICTIONARY)"
+    r"|DROP\s+(TABLE|VIEW|DICTIONARY)"
     r"|TRUNCATE\s+TABLE|OPTIMIZE\s+TABLE|ALTER\s+TABLE)\b",
     re.I,
 )
@@ -224,6 +240,138 @@ def _apply_tail_clauses(out: ParsedDDL, tail: str) -> None:
                 if "=" in item:
                     k, v = item.split("=", 1)
                     out.settings[k.strip()] = v.strip()
+
+
+# ---------------------------------------------------------------------------
+# CREATE DICTIONARY — ClickHouse's RAM-resident lookup table over a source
+# table, read through dictGet()/dictHas(). Here a dictionary is METADATA
+# only: key columns, attribute types/defaults, and the source table. Every
+# dictGet call rewrites into a correlated aggregated scalar subquery
+# (`(SELECT max(attr) FROM src WHERE key = (expr))`), which Catalyst plans
+# as a left outer join — broadcast for dictionary-sized sources — so the
+# lookup DISTRIBUTES instead of pinning a hash table into every node's RAM.
+# LAYOUT(...) is accepted and recorded (all layouts are the same join
+# here); LIFETIME(...) likewise — the source view's current state is always
+# read, i.e. the dictionary behaves as LIFETIME(0)/always-fresh.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DictionaryDDL:
+    database: str | None
+    name: str
+    if_not_exists: bool
+    key_cols: list[str]
+    #: every declared column (keys included): name -> (spark_type,
+    #: ClickHouse DEFAULT expr or None)
+    columns: dict[str, tuple[str, str | None]]
+    source_table: str
+    layout: str
+    lifetime: str | None
+
+
+_DICT_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+DICTIONARY\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    r"(?:(?P<db>\w+)\.)?(?P<name>\w+)\s*\((?P<cols>.*)\)\s*"
+    r"PRIMARY\s+KEY\s+(?P<pk>[`\w,\s]+?)\s*"
+    r"(?=\b(?:SOURCE|LAYOUT|LIFETIME)\b)(?P<tail>.*)$",
+    re.I | re.S,
+)
+
+
+def parse_dictionary_ddl(sql: str) -> DictionaryDDL | None:
+    m = _DICT_CREATE_RE.match(sql.strip())
+    if m is None:
+        if re.match(r"^\s*CREATE\s+DICTIONARY\b", sql, re.I):
+            raise ValueError(
+                "unsupported CREATE DICTIONARY shape — expected "
+                "(cols) PRIMARY KEY k[, ...] SOURCE(CLICKHOUSE(TABLE 't')) "
+                "[LAYOUT(...)] [LIFETIME(...)]"
+            )
+        return None
+    tail = m.group("tail")
+    sm = re.search(
+        r"\bSOURCE\s*\(\s*(?P<kind>\w+)\s*\((?P<args>[^)]*)\)\s*\)", tail, re.I
+    )
+    if sm is None:
+        raise ValueError("CREATE DICTIONARY needs SOURCE(CLICKHOUSE(TABLE 't'))")
+    if sm.group("kind").upper() != "CLICKHOUSE":
+        raise ValueError(
+            f"only SOURCE(CLICKHOUSE(...)) maps to a table lookup; got "
+            f"SOURCE({sm.group('kind')}(...))"
+        )
+    tm = re.search(r"\bTABLE\s+'([^']+)'", sm.group("args"), re.I)
+    if tm is None:
+        raise ValueError("SOURCE(CLICKHOUSE(...)) needs TABLE 'name'")
+    lm = re.search(r"\bLAYOUT\s*\(\s*(\w+)", tail, re.I)
+    fm = re.search(r"\bLIFETIME\s*\(([^)]*)\)", tail, re.I)
+    columns: dict[str, tuple[str, str | None]] = {}
+    for coldef in _split_top_level(m.group("cols")):
+        cm = re.match(
+            r"^`?(\w+)`?\s+(?P<type>[\w()\s',]+?)(?:\s+DEFAULT\s+(?P<dflt>.+))?$",
+            coldef.strip(),
+            re.I | re.S,
+        )
+        if not cm:
+            raise ValueError(f"unsupported dictionary column: {coldef!r}")
+        columns[cm.group(1)] = (
+            ch_type_to_spark(cm.group("type")),
+            cm.group("dflt"),
+        )
+    key_cols = [c.strip().strip("`") for c in m.group("pk").split(",") if c.strip()]
+    for k in key_cols:
+        if k not in columns:
+            raise ValueError(f"PRIMARY KEY column {k!r} not in the column list")
+    return DictionaryDDL(
+        database=m.group("db"),
+        name=m.group("name"),
+        if_not_exists=bool(m.group("ine")),
+        key_cols=key_cols,
+        columns=columns,
+        source_table=tm.group(1),
+        layout=(lm.group(1).upper() if lm else "HASHED"),
+        lifetime=(fm.group(1).strip() if fm else None),
+    )
+
+
+def _type_default_sql(spark_type: str) -> str:
+    """SQL text of ClickHouse's implicit non-Nullable default (the type's
+    zero value) — the dictGet miss result when no DEFAULT is declared."""
+    t = spark_type.lower()
+    if t == "string":
+        return "''"
+    if t == "date":
+        return "DATE '1970-01-01'"
+    if t == "timestamp":
+        return "TIMESTAMP '1970-01-01 00:00:00'"
+    if t == "boolean":
+        return "false"
+    if t.startswith("array<"):
+        return f"CAST(array() AS {spark_type})"
+    return f"CAST(0 AS {spark_type})"
+
+
+#: dictGet name suffix grammar: dictGet[<Type>][OrDefault|OrNull]
+_DICT_GET_RE = re.compile(
+    r"^dictGet(?P<typ>String|U?Int(?:8|16|32|64)|Float(?:32|64)|DateTime|Date)?"
+    r"(?P<var>OrDefault|OrNull)?$"
+)
+
+#: typed-variant result casts; UInt64 refused like ch_type_to_spark
+_DICT_TYPED_CASTS = {
+    "String": "STRING",
+    "Int8": "TINYINT",
+    "Int16": "SMALLINT",
+    "Int32": "INT",
+    "Int64": "BIGINT",
+    "UInt8": "SMALLINT",
+    "UInt16": "INT",
+    "UInt32": "BIGINT",
+    "Float32": "FLOAT",
+    "Float64": "DOUBLE",
+    "Date": "DATE",
+    "DateTime": "TIMESTAMP",
+}
 
 
 @dataclass
@@ -461,11 +609,15 @@ class DdlCatalog:
         #: materialized views: name -> (source table, translated SELECT,
         #: storage table name, whether this catalog owns that storage)
         self.views: dict[str, MvEntry] = {}
+        #: dictionaries: name -> metadata; read through dictGet()/dictHas()
+        #: via :meth:`rewrite_dict_functions`
+        self.dictionaries: dict[str, DictionaryDDL] = {}
 
     # -- DDL --------------------------------------------------------------
 
     def apply(self, sql: str) -> DataFrame:
         for handler in (
+            self._create_dictionary,
             self._create_materialized_view,
             self._create_table_as_select,
             self._drop,
@@ -500,6 +652,32 @@ class DdlCatalog:
         self.tables[ddl.name] = entry
         self._refresh_view(entry)
         return self.spark.createDataFrame([], ddl.spark_schema)
+
+    def _create_dictionary(self, sql: str) -> DataFrame | None:
+        d = parse_dictionary_ddl(sql)
+        if d is None:
+            return None
+        if d.name in self.dictionaries:
+            if d.if_not_exists:
+                return self.spark.createDataFrame([], T.StructType([]))
+            raise ValueError(f"dictionary {d.name} already exists")
+        if d.database:
+            self.databases.add(d.database)
+        # the source must resolve NOW (ClickHouse loads the dictionary at
+        # create/first-use): a catalog table's bare serving view or any
+        # session view
+        src = self._bare(d.source_table)
+        if src not in self.tables:
+            try:
+                self.spark.table(src)
+            except Exception:
+                raise KeyError(
+                    f"dictionary source table {d.source_table!r} not found "
+                    "(CREATE it or register the view first)"
+                ) from None
+        d.source_table = src
+        self.dictionaries[d.name] = d
+        return self.spark.createDataFrame([], T.StructType([]))
 
     def _create_materialized_view(self, sql: str) -> DataFrame | None:
         mv = parse_materialized_view(sql)
@@ -657,7 +835,7 @@ class DdlCatalog:
 
     def _drop(self, sql: str) -> DataFrame | None:
         m = re.match(
-            r"^\s*DROP\s+(TABLE|VIEW)\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$",
+            r"^\s*DROP\s+(TABLE|VIEW|DICTIONARY)\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$",
             sql.strip(),
             re.I,
         )
@@ -665,6 +843,10 @@ class DdlCatalog:
             return None
         kind = m.group(1).upper()
         bare = self._bare(m.group(3))
+        if kind == "DICTIONARY":
+            if self.dictionaries.pop(bare, None) is None and not m.group(2):
+                raise KeyError(f"unknown dictionary {m.group(3)!r}")
+            return self.spark.createDataFrame([], T.StructType([]))
         mv = self.views.pop(bare, None)
         if mv is not None:
             # dropping the view stops the trigger; a TO target keeps its
@@ -1005,6 +1187,183 @@ class DdlCatalog:
                 self.snapshot(mv.target).createOrReplaceTempView(name)
 
     # -- query-side name resolution ----------------------------------------
+
+    # -- dictGet / dictHas ------------------------------------------------
+
+    def rewrite_dict_functions(self, sql: str) -> str:
+        """Rewrite dictGet-family calls against registered dictionaries
+        into correlated aggregated scalar subqueries (class comment at
+        :class:`DictionaryDDL`). No dictionaries, or no dict* call in the
+        text -> returned unchanged (an unregistered dictGet then fails
+        loudly as an unknown function in Spark's analyzer).
+
+        A key EXPRESSION whose bare column names also exist in the
+        dictionary source would resolve to the SOURCE column inside the
+        subquery (inner scope wins) and silently degenerate to an
+        uncorrelated lookup — that collision is DETECTED and refused
+        loudly; qualify the outer reference (``t.user_id``) instead.
+        """
+        if "dictGet" not in sql and "dictHas" not in sql:
+            return sql
+        from binance_etl_clickhouse_spark import dialect as _d
+
+        out: list[str] = []
+        i, n = 0, len(sql)
+        while i < n:
+            ch = sql[i]
+            if ch in "'\"`":
+                j = _d._skip_string(sql, i)
+                out.append(sql[i:j])
+                i = j
+                continue
+            if (ch.isalpha() or ch == "_") and (
+                i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] in "_.")
+            ):
+                j = i
+                while j < n and (sql[j].isalnum() or sql[j] == "_"):
+                    j += 1
+                name = sql[i:j]
+                k = j
+                while k < n and sql[k].isspace():
+                    k += 1
+                if (
+                    k < n
+                    and sql[k] == "("
+                    and (name.startswith("dictGet") or name == "dictHas")
+                ):
+                    close = _d._find_close(sql, k)
+                    args = [
+                        self.rewrite_dict_functions(a)
+                        for a in _d._split_args(sql[k + 1 : close])
+                    ]
+                    out.append(self._dict_call_sql(name, args))
+                    i = close + 1
+                    continue
+                out.append(name)
+                i = j
+                continue
+            out.append(ch)
+            i += 1
+        return "".join(out)
+
+    def _guard_key_collision(self, d: DictionaryDDL, expr: str) -> None:
+        """Refuse a key expression whose BARE identifiers name columns of
+        the dictionary's source table: inside the lookup subquery the inner
+        scope wins, so `dictGet('d', 'a', asset)` over a source that also
+        has `asset` would silently become an uncorrelated self-lookup.
+        Qualified references (``t.asset``) pass."""
+        from binance_etl_clickhouse_spark.dialect import _blank_quoted
+
+        try:
+            src_cols = {c.lower() for c in self.spark.table(d.source_table).columns}
+        except Exception:
+            src_cols = {c.lower() for c in d.columns}
+        for m in re.finditer(
+            r"(?<![\w.`'\"])([A-Za-z_]\w*)\b(?!\s*[(.])", _blank_quoted(expr)
+        ):
+            if m.group(1).lower() in src_cols:
+                raise ValueError(
+                    f"dictGet key expression {expr.strip()!r} references "
+                    f"{m.group(1)!r}, which is also a column of the "
+                    f"dictionary source {d.source_table!r} — inside the "
+                    "lookup subquery the source column would win. Alias the "
+                    "outer table and qualify the reference (t."
+                    f"{m.group(1)})"
+                )
+
+    def _dict_key_conds(self, d: DictionaryDDL, key_arg: str) -> str:
+        """WHERE conjuncts matching the dictionary's key column(s) against
+        the caller's key expression (a tuple for composite keys)."""
+        if len(d.key_cols) == 1:
+            exprs = [key_arg]
+        else:
+            inner = key_arg.strip()
+            m = re.fullmatch(r"tuple\s*\((.*)\)", inner, re.I | re.S)
+            if m is not None:
+                inner = m.group(1)
+            elif inner.startswith("(") and inner.endswith(")"):
+                inner = inner[1:-1]
+            from binance_etl_clickhouse_spark import dialect as _d
+
+            exprs = _d._split_args(inner)
+            if len(exprs) != len(d.key_cols):
+                raise ValueError(
+                    f"dictionary {d.name} has a {len(d.key_cols)}-part key "
+                    f"{d.key_cols}; got {len(exprs)} key expressions"
+                )
+        for ke in exprs:
+            self._guard_key_collision(d, ke)
+        return " AND ".join(
+            f"`{kc}` = ({ke})" for kc, ke in zip(d.key_cols, exprs)
+        )
+
+    def _dict_call_sql(self, name: str, args: list[str]) -> str:
+        from binance_etl_clickhouse_spark.dialect import (
+            _string_literal,
+            translate_clickhouse_sql,
+        )
+
+        def _dict_of(tok: str) -> DictionaryDDL:
+            dname = _string_literal(tok)
+            if dname is None:
+                raise ValueError(
+                    f"{name}: the dictionary name must be a string literal"
+                )
+            d = self.dictionaries.get(self._bare(dname))
+            if d is None:
+                raise KeyError(f"unknown dictionary {dname!r} (CREATE it first)")
+            return d
+
+        if name == "dictHas":
+            if len(args) != 2:
+                raise ValueError("dictHas takes (dict_name, key)")
+            d = _dict_of(args[0])
+            return (
+                f"coalesce((SELECT count(*) FROM {d.source_table} "
+                f"WHERE {self._dict_key_conds(d, args[1])}) > 0, false)"
+            )
+        m = _DICT_GET_RE.match(name)
+        if m is None:
+            raise ValueError(f"unsupported dictionary function {name!r}")
+        variant = m.group("var")
+        want_default = variant == "OrDefault"
+        if len(args) != (4 if want_default else 3):
+            raise ValueError(
+                f"{name} takes (dict_name, attr, key"
+                f"{', default' if want_default else ''})"
+            )
+        d = _dict_of(args[0])
+        attr = _string_literal(args[1])
+        if attr is None:
+            raise ValueError(
+                f"{name}: the attribute name must be a string literal"
+            )
+        if attr not in d.columns:
+            raise KeyError(
+                f"dictionary {d.name} has no attribute {attr!r} "
+                f"(declared: {sorted(d.columns)})"
+            )
+        attr_type, attr_default = d.columns[attr]
+        # max() guarantees the single-row contract Spark requires of a
+        # correlated scalar subquery; on duplicate source keys it picks the
+        # largest value — deterministic, inside ClickHouse's
+        # arbitrary-survivor contract for dictionary loads
+        core = (
+            f"(SELECT max(`{attr}`) FROM {d.source_table} "
+            f"WHERE {self._dict_key_conds(d, args[2])})"
+        )
+        if m.group("typ"):
+            core = f"CAST({core} AS {_DICT_TYPED_CASTS[m.group('typ')]})"
+        if variant == "OrNull":
+            return core
+        if want_default:
+            return f"coalesce({core}, ({args[3]}))"
+        miss = (
+            translate_clickhouse_sql(attr_default)
+            if attr_default is not None
+            else _type_default_sql(attr_type)
+        )
+        return f"coalesce({core}, {miss})"
 
     def resolve_qualified(self, query: str) -> str:
         """Strip created-database qualifiers from table references

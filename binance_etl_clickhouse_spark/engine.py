@@ -327,6 +327,9 @@ class AnalyticsEngine:
                 # qualified refs to DDL-created tables (db.tbl) resolve to
                 # their bare serving views
                 query = self._ddl_catalog.resolve_qualified(query)
+                # dictGet/dictHas over CREATE DICTIONARY entries become
+                # correlated lookup subqueries (broadcast-joinable)
+                query = self._ddl_catalog.rewrite_dict_functions(query)
         elif dialect is not None:
             raise ValueError(f"unknown dialect: {dialect!r}")
         t0 = time.perf_counter()

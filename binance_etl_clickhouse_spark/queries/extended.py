@@ -872,3 +872,70 @@ def with_fill_verbatim_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = AnalyticsEngine(spark, verbose=False)
     eng.register_clickhouse_compat()
     return eng.sql(_WITH_FILL_CH_SQL, dialect="clickhouse")
+
+
+# ---------------------------------------------------------------------------
+# Verbatim CREATE DICTIONARY + dictGet (r8): ClickHouse's RAM-dictionary
+# lookup surface runs unchanged — CREATE DICTIONARY records key/attr/source
+# metadata and every dictGet/dictHas call rewrites into a correlated
+# aggregated scalar subquery that Catalyst plans as a BROADCAST left outer
+# join (dialect_ddl.rewrite_dict_functions): the lookup distributes instead
+# of pinning a hash table into every node's RAM. Keys are shifted (+20) so
+# the query exercises both the hit path and the declared-DEFAULT miss path.
+# Oracle: the equivalent DuckDB LEFT JOIN + coalesce.
+# ---------------------------------------------------------------------------
+_DICT_CH_DDL = """
+CREATE DICTIONARY nation_dict (
+    n_nationkey Int32,
+    n_name String DEFAULT 'unknown',
+    n_regionkey Int32
+) PRIMARY KEY n_nationkey
+SOURCE(CLICKHOUSE(TABLE 'nation'))
+LAYOUT(HASHED())
+LIFETIME(MIN 0 MAX 300)
+"""
+
+_DICT_CH_SQL = """
+SELECT dictGet('nation_dict', 'n_name', c_nationkey + 20) AS nation,
+       count() AS cnt,
+       sum(toInt64(dictHas('nation_dict', c_nationkey + 20))) AS hits
+FROM customer
+GROUP BY nation
+ORDER BY nation
+"""
+
+_DICT_ORACLE = """
+SELECT coalesce(n.n_name, 'unknown') AS nation,
+       count(*) AS cnt,
+       CAST(sum(CAST(n.n_nationkey IS NOT NULL AS BIGINT)) AS BIGINT) AS hits
+FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey + 20
+GROUP BY nation
+ORDER BY nation
+"""
+
+
+@register(
+    "dictionary_verbatim_sql",
+    _DICT_ORACLE,
+    survey_ref=(
+        "S8 DDL surface: CREATE DICTIONARY + dictGet/dictHas run verbatim "
+        "— correlated aggregated lookup subqueries planned as broadcast "
+        "left-outer joins, declared DEFAULT on miss, oracled against the "
+        "equivalent DuckDB join"
+    ),
+)
+def dictionary_verbatim_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EAGER at build like the other DDL round trips: building it registers
+    the dictionary in a scratch catalog; the returned frame is plan-only."""
+    import tempfile
+
+    from binance_etl_clickhouse_spark.engine import AnalyticsEngine
+    from binance_etl_clickhouse_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    eng = AnalyticsEngine(
+        spark, verbose=False, ddl_root=tempfile.mkdtemp(prefix="dict_rt_")
+    )
+    eng.register_clickhouse_compat()
+    eng.sql(_DICT_CH_DDL, dialect="clickhouse")
+    return eng.sql(_DICT_CH_SQL, dialect="clickhouse")

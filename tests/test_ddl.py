@@ -790,3 +790,196 @@ def test_drop_view_on_a_plain_table_refuses(engine):
     assert "keep" in engine.ddl_catalog.tables
     engine.sql("DROP TABLE d.keep", dialect="clickhouse")
     assert "keep" not in engine.ddl_catalog.tables
+
+
+# ---------------------------------------------------------------------------
+# CREATE DICTIONARY + dictGet family (r8): ClickHouse's RAM-dictionary
+# lookup surface — metadata-only registration, dictGet rewritten into a
+# correlated aggregated scalar subquery (broadcast left-outer join plan)
+# ---------------------------------------------------------------------------
+
+
+class TestDictionary:
+    @pytest.fixture()
+    def dict_engine(self, spark, tmp_path):
+        eng = AnalyticsEngine(
+            spark, verbose=False, ddl_root=str(tmp_path / "dict")
+        )
+        eng.register_clickhouse_compat()
+        eng.sql(
+            """CREATE TABLE dim.assets (
+                asset LowCardinality(String),
+                chain LowCardinality(String),
+                decimals Int32,
+                listed DateTime
+            ) ENGINE = MergeTree ORDER BY asset""",
+            dialect="clickhouse",
+        )
+        eng.sql(
+            "INSERT INTO dim.assets (asset, chain, decimals, listed) VALUES",
+            args=[
+                {"asset": "BTC", "chain": "bitcoin", "decimals": 8,
+                 "listed": pd.Timestamp("2017-01-01")},
+                {"asset": "ETH", "chain": "ethereum", "decimals": 18,
+                 "listed": pd.Timestamp("2017-08-01")},
+            ],
+            dialect="clickhouse",
+        )
+        eng.sql(
+            """CREATE DICTIONARY dim.asset_dict (
+                asset String,
+                chain String DEFAULT 'none',
+                decimals Int32
+            ) PRIMARY KEY asset
+            SOURCE(CLICKHOUSE(TABLE 'assets'))
+            LAYOUT(FLAT())
+            LIFETIME(300)""",
+            dialect="clickhouse",
+        )
+        return eng
+
+    def _one(self, eng, expr):
+        return eng.sql(f"SELECT {expr} AS x", dialect="clickhouse").collect()[0][0]
+
+    def test_hit_and_declared_default_miss(self, dict_engine):
+        assert self._one(
+            dict_engine, "dictGet('asset_dict', 'chain', 'BTC')"
+        ) == "bitcoin"
+        assert self._one(
+            dict_engine, "dictGet('asset_dict', 'chain', 'DOGE')"
+        ) == "none"
+
+    def test_type_zero_default_when_undeclared(self, dict_engine):
+        assert self._one(
+            dict_engine, "dictGet('asset_dict', 'decimals', 'DOGE')"
+        ) == 0
+
+    def test_or_default_and_or_null(self, dict_engine):
+        assert self._one(
+            dict_engine,
+            "dictGetOrDefault('asset_dict', 'decimals', 'DOGE', -1)",
+        ) == -1
+        assert self._one(
+            dict_engine, "dictGetOrNull('asset_dict', 'chain', 'DOGE')"
+        ) is None
+
+    def test_dict_has(self, dict_engine):
+        assert self._one(dict_engine, "dictHas('asset_dict', 'ETH')") is True
+        assert self._one(dict_engine, "dictHas('asset_dict', 'DOGE')") is False
+
+    def test_typed_variant_casts(self, dict_engine):
+        got = self._one(
+            dict_engine, "dictGetInt64('asset_dict', 'decimals', 'ETH')"
+        )
+        assert got == 18 and isinstance(got, int)
+
+    def test_nested_call_translates(self, dict_engine):
+        # dictGet argument through the dialect (toString) and dictGet
+        # nested inside another translated call (upper)
+        assert self._one(
+            dict_engine,
+            "upper(dictGet('asset_dict', 'chain', toString('BTC')))",
+        ) == "BITCOIN"
+
+    def test_lookup_joins_against_keep_last_snapshot(self, dict_engine):
+        # dictionary over a catalog table reads the SERVED view: after a
+        # re-insert the lookup must see the new row (LIFETIME(0) behavior)
+        dict_engine.sql(
+            "INSERT INTO dim.assets (asset, chain, decimals, listed) VALUES",
+            args=[{"asset": "DOGE", "chain": "dogecoin", "decimals": 8,
+                   "listed": pd.Timestamp("2019-07-05")}],
+            dialect="clickhouse",
+        )
+        assert self._one(
+            dict_engine, "dictGet('asset_dict', 'chain', 'DOGE')"
+        ) == "dogecoin"
+
+    def test_broadcast_join_plan(self, dict_engine):
+        df = dict_engine.sql(
+            "SELECT a.asset, dictGet('asset_dict', 'decimals', a.asset) AS d "
+            "FROM assets a",
+            dialect="clickhouse",
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_bare_key_collision_refused(self, dict_engine):
+        # a BARE key column that also exists in the source would resolve to
+        # the source column inside the subquery (silent uncorrelated
+        # lookup) — must refuse loudly, qualified form must pass
+        with pytest.raises(ValueError, match="qualify"):
+            dict_engine.sql(
+                "SELECT dictGet('asset_dict', 'decimals', asset) AS d "
+                "FROM assets",
+                dialect="clickhouse",
+            )
+
+    def test_composite_key(self, spark, tmp_path):
+        eng = AnalyticsEngine(
+            spark, verbose=False, ddl_root=str(tmp_path / "dict2")
+        )
+        eng.sql(
+            """CREATE TABLE pairs (
+                base String, quote String, tick Float64
+            ) ENGINE = MergeTree ORDER BY (base, quote)""",
+            dialect="clickhouse",
+        )
+        eng.sql(
+            "INSERT INTO pairs (base, quote, tick) VALUES",
+            args=[{"base": "BTC", "quote": "USDT", "tick": 0.01}],
+            dialect="clickhouse",
+        )
+        eng.sql(
+            """CREATE DICTIONARY pair_dict (
+                base String, quote String, tick Float64
+            ) PRIMARY KEY base, quote
+            SOURCE(CLICKHOUSE(TABLE 'pairs'))
+            LAYOUT(COMPLEX_KEY_HASHED())""",
+            dialect="clickhouse",
+        )
+        got = eng.sql(
+            "SELECT dictGet('pair_dict', 'tick', tuple('BTC', 'USDT')) AS x",
+            dialect="clickhouse",
+        ).collect()[0][0]
+        assert got == 0.01
+        with pytest.raises(ValueError, match="2-part key"):
+            eng.sql(
+                "SELECT dictGet('pair_dict', 'tick', 'BTC') AS x",
+                dialect="clickhouse",
+            )
+
+    def test_errors(self, dict_engine):
+        with pytest.raises(KeyError, match="unknown dictionary"):
+            dict_engine.sql(
+                "SELECT dictGet('nope', 'a', 1) AS x", dialect="clickhouse"
+            )
+        with pytest.raises(KeyError, match="no attribute"):
+            dict_engine.sql(
+                "SELECT dictGet('asset_dict', 'nope', 'BTC') AS x",
+                dialect="clickhouse",
+            )
+        with pytest.raises(ValueError, match="string literal"):
+            dict_engine.sql(
+                "SELECT dictGet(asset_col, 'chain', 'BTC') AS x",
+                dialect="clickhouse",
+            )
+        with pytest.raises(KeyError, match="source table"):
+            dict_engine.sql(
+                """CREATE DICTIONARY bad_dict (k Int32) PRIMARY KEY k
+                SOURCE(CLICKHOUSE(TABLE 'no_such_table')) LAYOUT(HASHED())""",
+                dialect="clickhouse",
+            )
+
+    def test_drop_dictionary(self, dict_engine):
+        dict_engine.sql("DROP DICTIONARY asset_dict", dialect="clickhouse")
+        with pytest.raises(KeyError, match="unknown dictionary"):
+            dict_engine.sql(
+                "SELECT dictGet('asset_dict', 'chain', 'BTC') AS x",
+                dialect="clickhouse",
+            )
+        # idempotent with IF EXISTS; loud without
+        dict_engine.sql(
+            "DROP DICTIONARY IF EXISTS asset_dict", dialect="clickhouse"
+        )
+        with pytest.raises(KeyError):
+            dict_engine.sql("DROP DICTIONARY asset_dict", dialect="clickhouse")
