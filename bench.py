@@ -146,6 +146,14 @@ HEADLINE = [
     # verbatim (array_sort + aggregate() fold, state O(conditions))
     "asof_join_verbatim_sql",
     "windowfunnel_verbatim_sql",
+    # round-8 third wave: the ARRAY JOIN unnest clause (posexplode fan-out
+    # + re-aggregation), gap-fill WITH FILL (lead + per-gap sequence
+    # explode), the dictGet broadcast-lookup join, and the PII scrub (the
+    # heaviest pure-projection regex/Luhn pass — map-only, zero shuffles)
+    "array_join_verbatim_sql",
+    "with_fill_verbatim_sql",
+    "dictionary_verbatim_sql",
+    "pii_detect_redact",
 ]
 
 

@@ -108,6 +108,14 @@ ON k-eqs            — min over struct(side.*), deterministic and inside
                     end-anchored, before the SETTINGS strip per the
                     ... [SETTINGS] [FORMAT] grammar)
 uniqUpTo(N)(x, ..)  least(count(DISTINCT x, ..), N + 1)  [exact contract]
+topK(k)(x)          EXACT top-k most-frequent values (slice over a
+                    count-sorted array_distinct of collect_list) where CH
+                    topK is a space-saving SKETCH; ties break ascending by
+                    value (deterministic). O(n·distinct) per group — the
+                    Misra-Gries heavy-hitters operator is the 100 TB path
+anyHeavy(x)         mode(x)  [exact most-frequent ⊃ CH's "a frequently
+                    occurring value"]
+avgWeighted(x, w)   sum(x*w)/sum(w), NaN on zero/empty weight like CH
 groupBitAnd/Or/Xor  bit_and / bit_or / bit_xor
 plus/minus/multiply + - * / % operators (same semantics pairwise: % keeps
 divide/modulo/      the dividend's sign, / on integers is float division
@@ -1903,7 +1911,13 @@ def translate_clickhouse_sql(sql: str) -> str:
                     or name in _SLICED_COLLECT
                     or name in _WEIGHTED_QUANTILES
                     or name
-                    in ("windowFunnel", "sequenceMatch", "sequenceCount", "uniqUpTo")
+                    in (
+                        "windowFunnel",
+                        "sequenceMatch",
+                        "sequenceCount",
+                        "uniqUpTo",
+                        "topK",
+                    )
                 ):
                     # parameterized combinator: fn(params)(x)
                     k2 = i
@@ -1945,6 +1959,27 @@ def translate_clickhouse_sql(sql: str) -> str:
                                     inner[1:],
                                     count=name == "sequenceCount",
                                 )
+                            )
+                        elif name == "topK" and len(args) == 1:
+                            # EXACT top-k most-frequent values where
+                            # ClickHouse's topK is a space-saving sketch
+                            # (approximate) — exactness is within contract.
+                            # Ties break ascending by value (deterministic
+                            # where CH is arbitrary). collect_list appears
+                            # twice but semantically-equal aggregates share
+                            # one buffer; per-group cost is O(n·distinct) —
+                            # fine for bounded groups, and the Misra-Gries
+                            # heavy-hitters operator is the 100 TB path
+                            if len(inner) != 1:
+                                raise ValueError("topK(k) takes one column")
+                            x = inner[0]
+                            cl = f"collect_list({x})"
+                            out.append(
+                                f"slice(transform(array_sort(transform("
+                                f"array_distinct({cl}), __tv -> struct("
+                                f"-size(filter({cl}, __te -> __te <=> __tv)) "
+                                f"AS __tc, __tv AS __tval))), "
+                                f"__ts -> __ts.__tval), 1, {args[0]})"
                             )
                         elif name == "uniqUpTo" and len(args) == 1:
                             # exact CH contract: the true distinct count
@@ -2008,6 +2043,20 @@ def translate_clickhouse_sql(sql: str) -> str:
                     out.append(f"count(DISTINCT {', '.join(wrapped)})")
                 elif name == "uniqExact":
                     out.append(f"count(DISTINCT {', '.join(args)})")
+                elif name == "anyHeavy" and len(args) == 1:
+                    # heavy-hitters pick -> Spark's exact mode(): the most
+                    # frequent value is a strictly stronger guarantee than
+                    # CH's "a frequently occurring value"
+                    out.append(f"mode({args[0]})")
+                elif name == "avgWeighted" and len(args) == 2:
+                    # sum(x*w)/sum(w); ClickHouse returns NaN on zero/empty
+                    # weight where Spark's division yields NULL — coalesce
+                    # restores the CH result exactly
+                    x, w = args
+                    out.append(
+                        f"coalesce(try_divide(sum(({x}) * ({w})), sum({w})), "
+                        f"cast('NaN' as double))"
+                    )
                 elif name == "arraySort" and len(args) == 1:
                     # 1-arg form only: the ClickHouse 2-arg form takes a KEY
                     # function first, Spark's takes a 3-way COMPARATOR second

@@ -172,6 +172,106 @@ CLICKHOUSE_COMPAT_FUNCTIONS: dict[str, str] = {
         "(j STRING, k STRING) RETURNS STRING RETURN "
         "coalesce(get_json_object(j, concat('$.', k)), '')"
     ),
+    # ---- round-8 widening: the ClickHouse URL function family. All map to
+    # parse_url (Java URI parsing, JVM-side) plus string expressions.
+    # ClickHouse's URL functions return '' (never NULL) on anything they
+    # cannot parse — every shim coalesces accordingly — and most accept
+    # scheme-LESS input ('example.com/x'), which parse_url cannot; the
+    # domain/port/netloc shims retry with an http:// prefix to match.
+    "protocol": (
+        "(u STRING) RETURNS STRING RETURN coalesce(parse_url(u, 'PROTOCOL'), '')"
+    ),
+    "domain": (
+        "(u STRING) RETURNS STRING RETURN coalesce(parse_url(u, 'HOST'), "
+        "parse_url(concat('http://', u), 'HOST'), '')"
+    ),
+    "domainWithoutWWW": (
+        "(u STRING) RETURNS STRING RETURN regexp_replace("
+        "coalesce(parse_url(u, 'HOST'), parse_url(concat('http://', u), "
+        "'HOST'), ''), '^www\\\\.', '')"
+    ),
+    # last dot-separated label of the host; '' when the host has no dot or
+    # cannot be parsed (regexp_extract's no-match result is '' like CH)
+    "topLevelDomain": (
+        "(u STRING) RETURNS STRING RETURN regexp_extract("
+        "coalesce(parse_url(u, 'HOST'), parse_url(concat('http://', u), "
+        "'HOST'), ''), '\\\\.([^.]+)$', 1)"
+    ),
+    # ClickHouse's documented rule: the label before the TLD, except that a
+    # second-from-last label in {com, net, org, co} shifts it one left
+    # ('news.yandex.com.tr' -> 'yandex', 'example.com' -> 'example')
+    "firstSignificantSubdomain": (
+        "(u STRING) RETURNS STRING RETURN coalesce(CASE WHEN "
+        "size(split(coalesce(parse_url(u, 'HOST'), parse_url(concat("
+        "'http://', u), 'HOST'), ''), '\\\\.')) >= 3 AND "
+        "element_at(split(coalesce(parse_url(u, 'HOST'), parse_url(concat("
+        "'http://', u), 'HOST'), ''), '\\\\.'), -2) IN "
+        "('com', 'net', 'org', 'co') THEN try_element_at(split(coalesce("
+        "parse_url(u, 'HOST'), parse_url(concat('http://', u), 'HOST'), "
+        "''), '\\\\.'), -3) ELSE try_element_at(split(coalesce(parse_url(u, "
+        "'HOST'), parse_url(concat('http://', u), 'HOST'), ''), '\\\\.'), "
+        "-2) END, '')"
+    ),
+    # Java URI's HOST excludes the port; it lives at the AUTHORITY's tail
+    "port": (
+        "(u STRING) RETURNS INT RETURN coalesce(try_cast(regexp_extract("
+        "coalesce(parse_url(u, 'AUTHORITY'), parse_url(concat('http://', "
+        "u), 'AUTHORITY'), ''), ':(\\\\d+)$', 1) AS INT), 0)"
+    ),
+    "netloc": (
+        "(u STRING) RETURNS STRING RETURN coalesce(parse_url(u, "
+        "'AUTHORITY'), parse_url(concat('http://', u), 'AUTHORITY'), '')"
+    ),
+    "path": "(u STRING) RETURNS STRING RETURN coalesce(parse_url(u, 'PATH'), '')",
+    # FILE = path?query — exactly ClickHouse's pathFull
+    "pathFull": (
+        "(u STRING) RETURNS STRING RETURN coalesce(parse_url(u, 'FILE'), '')"
+    ),
+    "queryString": (
+        "(u STRING) RETURNS STRING RETURN coalesce(parse_url(u, 'QUERY'), '')"
+    ),
+    "fragment": (
+        "(u STRING) RETURNS STRING RETURN coalesce(parse_url(u, 'REF'), '')"
+    ),
+    "queryStringAndFragment": (
+        "(u STRING) RETURNS STRING RETURN concat("
+        "coalesce(parse_url(u, 'QUERY'), ''), "
+        "CASE WHEN parse_url(u, 'REF') IS NOT NULL THEN "
+        "concat('#', parse_url(u, 'REF')) ELSE '' END)"
+    ),
+    "extractURLParameter": (
+        "(u STRING, k STRING) RETURNS STRING RETURN "
+        "coalesce(parse_url(u, 'QUERY', k), '')"
+    ),
+    # removes the query string (and its '?') but KEEPS the fragment
+    "cutQueryString": (
+        "(u STRING) RETURNS STRING RETURN CASE WHEN locate('?', u) = 0 "
+        "THEN u ELSE concat(substring_index(u, '?', 1), "
+        "CASE WHEN parse_url(u, 'REF') IS NOT NULL THEN "
+        "concat('#', parse_url(u, 'REF')) ELSE '' END) END"
+    ),
+    "cutFragment": (
+        "(u STRING) RETURNS STRING RETURN substring_index(u, '#', 1)"
+    ),
+    "cutQueryStringAndFragment": (
+        "(u STRING) RETURNS STRING RETURN "
+        "substring_index(substring_index(u, '#', 1), '?', 1)"
+    ),
+    "cutWWW": (
+        "(u STRING) RETURNS STRING RETURN regexp_replace(u, "
+        "'^((?:[a-zA-Z]+://)?)www\\\\.', '$1')"
+    ),
+    # ClickHouse percent-decodes WITHOUT form semantics ('+' stays '+');
+    # Spark's url_decode is form decoding — protecting '+' first makes the
+    # two agree exactly
+    "decodeURLComponent": (
+        "(u STRING) RETURNS STRING RETURN "
+        "url_decode(replace(u, '+', '%2B'))"
+    ),
+    # inverse fix: Spark form-encodes space as '+' where CH emits %20
+    "encodeURLComponent": (
+        "(u STRING) RETURNS STRING RETURN replace(url_encode(u), '+', '%20')"
+    ),
 }
 
 

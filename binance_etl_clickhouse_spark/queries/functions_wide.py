@@ -408,3 +408,106 @@ def mad_outlier_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z_raw, 6).alias("robust_z"),
         (F.abs(z_raw) > 3.5).alias("is_outlier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ClickHouse URL function family (r8): domain / firstSignificantSubdomain /
+# topLevelDomain / port / path / extractURLParameter / fragment /
+# cutQueryStringAndFragment over per-doc synthesized URLs (the corpus has
+# none). The Spark side runs the VERBATIM ClickHouse names — SQL-UDF shims
+# over parse_url (engine.CLICKHOUSE_COMPAT_FUNCTIONS) — while the oracle
+# re-derives every part with INDEPENDENT DuckDB regexes over the same
+# strings, so Java-URI parsing is pinned against a second parser, not
+# against itself. Hostnames use '-' (underscores make Java URI's getHost
+# return null — registry-based authority).
+# ---------------------------------------------------------------------------
+
+_URL_BUILD_CH = """
+concat('https://',
+       CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END,
+       replace(lower(source), '_', '-'),
+       CASE WHEN doc_id % 3 = 0 THEN '.example.com.tr'
+            WHEN doc_id % 3 = 1 THEN '.example.net'
+            ELSE '.shop.io' END,
+       CASE WHEN doc_id % 5 = 0 THEN ':8443' ELSE '' END,
+       '/p/', CAST(doc_id AS STRING),
+       CASE WHEN doc_id % 2 = 0
+            THEN concat('?q=doc', CAST(doc_id AS STRING), '&lang=', lang)
+            ELSE '' END,
+       CASE WHEN doc_id % 7 = 0 THEN '#sec2' ELSE '' END)
+"""
+
+_URL_ORACLE = r"""
+WITH urls AS (
+  SELECT doc_id,
+         'https://'
+         || CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END
+         || replace(lower(source), '_', '-')
+         || CASE WHEN doc_id % 3 = 0 THEN '.example.com.tr'
+                 WHEN doc_id % 3 = 1 THEN '.example.net'
+                 ELSE '.shop.io' END
+         || CASE WHEN doc_id % 5 = 0 THEN ':8443' ELSE '' END
+         || '/p/' || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 2 = 0
+                 THEN '?q=doc' || CAST(doc_id AS VARCHAR) || '&lang=' || lang
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN '#sec2' ELSE '' END AS u
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, u,
+         regexp_extract(u, 'https://([^/:?#]+)', 1) AS host
+  FROM urls
+)
+SELECT doc_id,
+       host,
+       coalesce(regexp_extract(host, '\.([^.]+)$', 1), '') AS tld,
+       CASE WHEN len(string_split(host, '.')) >= 3
+             AND string_split(host, '.')[len(string_split(host, '.')) - 1]
+                 IN ('com', 'net', 'org', 'co')
+            THEN string_split(host, '.')[len(string_split(host, '.')) - 2]
+            ELSE string_split(host, '.')[len(string_split(host, '.')) - 1]
+       END AS fsd,
+       CAST(coalesce(try_cast(regexp_extract(u, 'https://[^/?#]*:(\d+)', 1)
+                              AS INT), 0) AS INT) AS prt,
+       coalesce(regexp_extract(u, 'https://[^/?#]+(/[^?#]*)', 1), '') AS pth,
+       coalesce(regexp_extract(u, '[?&]q=([^&#]*)', 1), '') AS qparam,
+       coalesce(regexp_extract(u, '#(.*)$', 1), '') AS frag,
+       regexp_replace(u, '[?#].*$', '') AS cut_all
+FROM parts
+"""
+
+
+@register(
+    "url_function_family",
+    _URL_ORACLE,
+    survey_ref=(
+        "S8 dialect: ClickHouse URL function family (domain, "
+        "firstSignificantSubdomain, topLevelDomain, port, path, "
+        "extractURLParameter, fragment, cutQueryStringAndFragment) runs "
+        "verbatim via parse_url SQL-UDF shims, pinned against an "
+        "independent DuckDB regex parser"
+    ),
+)
+def url_function_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_clickhouse_spark.engine import AnalyticsEngine
+    from binance_etl_clickhouse_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    eng = AnalyticsEngine(spark, verbose=False)
+    eng.register_clickhouse_compat()
+    return eng.sql(
+        f"""
+        SELECT doc_id,
+               domain(u) AS host,
+               topLevelDomain(u) AS tld,
+               firstSignificantSubdomain(u) AS fsd,
+               port(u) AS prt,
+               path(u) AS pth,
+               extractURLParameter(u, 'q') AS qparam,
+               fragment(u) AS frag,
+               cutQueryStringAndFragment(u) AS cut_all
+        FROM (SELECT doc_id, {_URL_BUILD_CH} AS u FROM documents) t
+        """,
+        dialect="clickhouse",
+    )

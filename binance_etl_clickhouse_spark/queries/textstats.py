@@ -352,3 +352,115 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         F.col("part_key").alias("word"), F.col("pagerank").alias("textrank")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction (r8) — operators/pii.py driven as a registered
+# query. The synthetic corpus carries no PII, so deterministic spans are
+# INJECTED per doc (email, phone, SSN, IP, and a credit card that is
+# Luhn-VALID on even doc_ids and Luhn-INVALID on odd ones — the invalid run
+# must survive redaction). Counts are measured on the original text; the
+# redacted text is pinned end-to-end by md5. The DuckDB oracle replicates
+# the same regexes (Java ∩ RE2 subset), the same Luhn fold (list lambdas)
+# and the same fixed redaction order; DuckDB regexp_replace needs the
+# explicit 'g' flag where Spark's is global by default.
+# ---------------------------------------------------------------------------
+
+_PII_ORACLE = r"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or (555) 123-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' ssn 123-45-6789 from 10.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.0.1 card '
+              || CASE WHEN doc_id % 2 = 0
+                      THEN '4111111111111111' ELSE '4111111111111112' END
+             AS txt
+  FROM documents
+),
+carded AS (
+  SELECT doc_id, txt,
+         list_filter(
+           regexp_extract_all(txt, '\b\d(?:[ -]?\d){12,18}\b'),
+           c -> length(regexp_replace(c, '[^0-9]', '', 'g')) BETWEEN 13 AND 19
+            AND list_sum(list_transform(
+                  range(1, length(regexp_replace(c, '[^0-9]', '', 'g')) + 1),
+                  i -> CASE WHEN i % 2 = 1
+                       THEN CAST(substr(regexp_replace(c, '[^0-9]', '', 'g'), -i, 1) AS INT)
+                       ELSE CASE WHEN CAST(substr(regexp_replace(c, '[^0-9]', '', 'g'), -i, 1) AS INT) * 2 > 9
+                            THEN CAST(substr(regexp_replace(c, '[^0-9]', '', 'g'), -i, 1) AS INT) * 2 - 9
+                            ELSE CAST(substr(regexp_replace(c, '[^0-9]', '', 'g'), -i, 1) AS INT) * 2 END
+                       END)) % 10 = 0
+         ) AS cards
+  FROM injected
+),
+redacted AS (
+  SELECT doc_id, txt, cards,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 list_reduce(list_prepend(txt, cards),
+                             (acc, c) -> replace(acc, c, '<CREDIT_CARD>')),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+             '\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}\b', '<PHONE>', 'g'),
+           '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS red
+  FROM carded
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(txt, '\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}\b')) AS INT) AS n_phone,
+       CAST(len(regexp_extract_all(txt, '\b\d{3}-\d{2}-\d{4}\b')) AS INT) AS n_ssn,
+       CAST(len(regexp_extract_all(txt, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS INT) AS n_ipv4,
+       CAST(len(cards) AS INT) AS n_credit_card,
+       md5(red) AS red_md5,
+       CAST(length(red) AS INT) AS red_len
+FROM redacted
+"""
+
+
+@register(
+    "pii_detect_redact",
+    _PII_ORACLE,
+    survey_ref=(
+        "LLM-pipeline extension: PII detection + redaction — regex counts "
+        "per class, expression-level Luhn validation of card candidates, "
+        "fixed-order placeholder redaction pinned end-to-end by md5; pure "
+        "JVM expressions, map-only at any scale (operators/pii.py)"
+    ),
+)
+def pii_detect_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from binance_etl_clickhouse_spark.operators.pii import pii_scrub
+
+    docs = _docs(spark, sf_dir)
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or (555) 123-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ssn 123-45-6789 from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1 card "),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("4111111111111111")).otherwise(
+                F.lit("4111111111111112")
+            ),
+        ).alias("text"),
+    )
+    out = pii_scrub(injected, "text")
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("int").alias("n_email"),
+        F.col("n_phone").cast("int").alias("n_phone"),
+        F.col("n_ssn").cast("int").alias("n_ssn"),
+        F.col("n_ipv4").cast("int").alias("n_ipv4"),
+        F.col("n_credit_card").cast("int").alias("n_credit_card"),
+        F.md5(F.col("text_redacted")).alias("red_md5"),
+        F.length("text_redacted").cast("int").alias("red_len"),
+    )

@@ -1764,3 +1764,89 @@ class TestWithFill:
         sql = "WITH fill AS (SELECT 1 AS x) SELECT x FROM fill"
         out = translate_clickhouse_sql(sql)
         assert out.replace("AS(", "AS (") == sql
+
+
+# ---------------------------------------------------------------------------
+# topK / anyHeavy / avgWeighted (r8)
+# ---------------------------------------------------------------------------
+
+
+class TestTopKFamily:
+    @pytest.fixture(scope="class")
+    def tk_view(self, spark):
+        spark.sql(
+            """SELECT * FROM VALUES
+             ('a', 'x', 1.0, 2.0), ('a', 'x', 2.0, 1.0),
+             ('a', 'y', 3.0, 0.0), ('a', 'z', 4.0, 0.0),
+             ('b', 'q', 5.0, 0.0)
+             AS t(g, s, v, w)"""
+        ).createOrReplaceTempView("tk_t")
+        return "tk_t"
+
+    def test_topk_exact_counts_and_tie_break(self, engine, tk_view):
+        got = engine.sql(
+            "SELECT g, topK(2)(s) AS top2 FROM tk_t GROUP BY g ORDER BY g",
+            dialect="clickhouse",
+        ).collect()
+        # 'x' occurs twice; the y/z tie breaks ascending by value
+        assert [(r.g, r.top2) for r in got] == [("a", ["x", "y"]), ("b", ["q"])]
+
+    def test_any_heavy_is_mode(self, engine, tk_view):
+        got = engine.sql(
+            "SELECT anyHeavy(s) AS h FROM tk_t WHERE g = 'a'",
+            dialect="clickhouse",
+        ).collect()
+        assert got[0].h == "x"
+
+    def test_avg_weighted_and_nan_on_zero_weight(self, engine, tk_view):
+        import math
+
+        got = engine.sql(
+            "SELECT g, avgWeighted(v, w) AS aw FROM tk_t GROUP BY g ORDER BY g",
+            dialect="clickhouse",
+        ).collect()
+        assert abs(got[0].aw - 4.0 / 3.0) < 1e-12
+        assert math.isnan(got[1].aw)
+
+
+# ---------------------------------------------------------------------------
+# ClickHouse URL function family (r8): parse_url SQL-UDF shims pinned on
+# ClickHouse's documented examples
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "expr,want",
+    [
+        ("protocol('https://example.com/a')", "https"),
+        ("domain('https://news.yandex.com.tr/sport?x=1')", "news.yandex.com.tr"),
+        ("domain('example.com/path')", "example.com"),  # scheme-less, like CH
+        ("domainWithoutWWW('http://www.example.com')", "example.com"),
+        ("topLevelDomain('https://news.yandex.com.tr/')", "tr"),
+        ("topLevelDomain('http://localhost/x')", ""),  # no dot -> '' like CH
+        ("firstSignificantSubdomain('https://news.yandex.com.tr/')", "yandex"),
+        ("firstSignificantSubdomain('https://www.example.com/')", "example"),
+        ("port('http://h.io:8080/x')", 8080),
+        ("port('http://h.io/x')", 0),
+        ("netloc('http://u:p@h.io:80/p')", "u:p@h.io:80"),
+        ("path('https://h.io/a/b?q=1#f')", "/a/b"),
+        ("pathFull('https://h.io/a/b?q=1#f')", "/a/b?q=1"),
+        ("queryString('https://h.io/a?q=1&r=2#f')", "q=1&r=2"),
+        ("fragment('https://h.io/a#frag')", "frag"),
+        ("queryStringAndFragment('https://h.io/a?q=1#f')", "q=1#f"),
+        ("extractURLParameter('https://h.io/a?q=1&r=two', 'r')", "two"),
+        ("extractURLParameter('https://h.io/a?q=1', 'zz')", ""),
+        # query strips, fragment KEPT (ClickHouse cutQueryString contract)
+        ("cutQueryString('https://h.io/a?q=1#f')", "https://h.io/a#f"),
+        ("cutQueryString('https://h.io/a')", "https://h.io/a"),
+        ("cutFragment('https://h.io/a?q=1#f')", "https://h.io/a?q=1"),
+        ("cutQueryStringAndFragment('https://h.io/a?q=1#f')", "https://h.io/a"),
+        ("cutWWW('https://www.example.com/x')", "https://example.com/x"),
+        ("cutWWW('www.example.com/x')", "example.com/x"),
+        # CH percent-decoding: '+' is NOT a space; encoding: space is %20
+        ("decodeURLComponent('a%20b+c')", "a b+c"),
+        ("encodeURLComponent('a b/c')", "a%20b%2Fc"),
+    ],
+)
+def test_url_function_family_shims(engine, expr, want):
+    assert engine.sql(f"SELECT {expr} AS x").collect()[0][0] == want
