@@ -116,6 +116,14 @@ topK(k)(x)          EXACT top-k most-frequent values (slice over a
 anyHeavy(x)         mode(x)  [exact most-frequent ⊃ CH's "a frequently
                     occurring value"]
 avgWeighted(x, w)   sum(x*w)/sum(w), NaN on zero/empty weight like CH
+sumMap(k[], v[])    key-wise aggregation of zipped (keys, values) rows —
+minMap / maxMap     one struct(keys SORTED, values) per group (access
+                    .keys/.values where CH tuples use .1/.2). sumMap sums
+                    in the arraySum DECIMAL(38,_)/DOUBLE accumulator
+                    (exact ints, capped decimals); min/max keep the
+                    element type. O(pairs x distinct keys) per group —
+                    CH metric maps are small per-row values. NULL keys
+                    drop (CH arrays are non-nullable)
 groupBitAnd/Or/Xor  bit_and / bit_or / bit_xor
 plus/minus/multiply + - * / % operators (same semantics pairwise: % keeps
 divide/modulo/      the dividend's sign, / on integers is float division
@@ -133,6 +141,16 @@ GROUP BY c          GROUP BY GROUPING SETS ((c), ()) — the out-of-band
                     every group column NULL (same values a client reads
                     from the totals block; totals_mode variants are not
                     modeled). A CTE named totals does not trigger
+WITH expr AS name,  ClickHouse's SCALAR WITH (standard SQL WITH only
+... SELECT ...      names subqueries): each expression alias — constants,
+                    expressions, parenthesized scalar subqueries — inlines
+                    as (expr) at every BARE reference (alias-wins
+                    shadowing like CH; qualified t.x refs and AS-alias
+                    positions untouched; a bare alias as a select item
+                    keeps its output name). CTE items in the same WITH
+                    stay CTEs; later scalar items may reference earlier
+                    ones. Catalyst's MergeScalarSubqueries dedups repeated
+                    inlined scalar subqueries
 ORDER BY x          gap-fill: per-row lead() + exploded per-gap sequence,
 WITH FILL [FROM f]  STEP RE-ANCHORED at every original row (CH
 [TO t] [STEP s]     FillingTransform semantics, NOT a global grid), TO
@@ -1855,11 +1873,121 @@ def _rewrite_with_fill(sql: str) -> str:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Scalar WITH — ClickHouse's expression-alias form of the WITH clause:
+#
+#   WITH toStartOfDay(ts0) AS today, (SELECT max(v) FROM t) AS mx
+#   SELECT today, v / mx FROM t
+#
+# Standard SQL's WITH only names SUBQUERIES; ClickHouse additionally names
+# EXPRESSIONS (including parenthesized scalar subqueries), referenced bare
+# in the rest of the query. The rewrite inlines each scalar alias as a
+# parenthesized expression at every bare reference — alias-wins shadowing,
+# matching ClickHouse (qualified refs ``t.x`` are never touched). CTE items
+# (``name AS (SELECT ...)``) in the same WITH are kept as CTEs. Later
+# scalar items may reference earlier ones (inlined transitively). Repeated
+# scalar-subquery references are deduplicated by Catalyst's
+# MergeScalarSubqueries, so inlining does not multiply execution.
+# ---------------------------------------------------------------------------
+
+
+def _rewrite_scalar_with(sql: str) -> str:
+    toks = _top_level_keyword_spans(sql)
+    if not toks or toks[0][2] != "WITH":
+        return sql
+    sel = next((t for t in toks if t[2] == "SELECT"), None)
+    if sel is None:
+        return sql
+    items = _split_args(sql[toks[0][1] : sel[0]])
+    ctes: list[str] = []
+    scalars: list[tuple[str, str]] = []  # (ident, expr)
+    for it in items:
+        if re.match(r"^\s*[A-Za-z_]\w*\s+AS\s*\(", it, re.I):
+            ctes.append(it.strip())  # standard CTE — keep
+            continue
+        expr, alias = _split_trailing_as(it)
+        if alias is None:
+            return sql  # not the scalar form; leave for the analyzer
+        scalars.append((alias, expr.strip()))
+    if not scalars:
+        return sql
+
+    def _inline(text: str, ident: str, expr: str) -> str:
+        # bare identifier occurrences only: not qualified (x.id), not a
+        # call (id(...)), not an ALIAS position (... AS id), not inside
+        # quoted tokens
+        pat = re.compile(rf"(?<![\w.`])({re.escape(ident)})\b(?!\s*[(.])")
+
+        def _sub(m: re.Match) -> str:
+            before = m.string[: m.start()].rstrip()
+            if re.search(r"(?i)\bAS$", before):
+                return m.group(0)  # alias position: keep the name
+            return f"({expr})"
+
+        parts: list[str] = []
+        i, n = 0, len(text)
+        while i < n:
+            ch = text[i]
+            if ch in _QUOTES:
+                j = _skip_string(text, i)
+                parts.append(text[i:j])
+                i = j
+                continue
+            j = n
+            for q in _QUOTES:
+                k = text.find(q, i)
+                if k != -1:
+                    j = min(j, k)
+            parts.append(pat.sub(_sub, text[i:j]))
+            i = j
+        return "".join(parts)
+
+    def _name_bare_select_items(text: str, idents: set[str]) -> str:
+        # a scalar alias standing ALONE as a top-level select item keeps
+        # its name in ClickHouse output — rewrite `SELECT ..., b, ...` to
+        # `SELECT ..., b AS b, ...` before inlining so the result column
+        # stays `b` (the AS-position guard above preserves it)
+        ts = _top_level_keyword_spans(text)
+        sel_t = next((t for t in ts if t[2] == "SELECT"), None)
+        if sel_t is None:
+            return text
+        end = len(text)
+        for t in ts:
+            if t[0] >= sel_t[1] and t[2] == "FROM":
+                end = t[0]
+                break
+        items = _split_args(text[sel_t[1] : end])
+        if not any(it.strip() in idents for it in items):
+            return text
+        named = [
+            f"{it.strip()} AS {it.strip()}" if it.strip() in idents else it
+            for it in items
+        ]
+        return f"{text[: sel_t[1]]} {', '.join(named)} {text[end:]}"
+
+    # later scalar exprs may reference earlier aliases — inline forward
+    resolved: list[tuple[str, str]] = []
+    for ident, expr in scalars:
+        for done_ident, done_expr in resolved:
+            expr = _inline(expr, done_ident, done_expr)
+        resolved.append((ident, expr))
+    rest = _name_bare_select_items(sql[sel[0] :], {i for i, _ in resolved})
+    for ident, expr in resolved:
+        rest = _inline(rest, ident, expr)
+        ctes = [_inline(c, ident, expr) for c in ctes]
+    if ctes:
+        return f"WITH {', '.join(ctes)} {rest}"
+    return rest
+
+
 def translate_clickhouse_sql(sql: str) -> str:
     """Rewrite ClickHouse-flavored SQL into Spark SQL (see module doc)."""
     # comments first: a quote inside a -- or /* */ comment would flip
     # string parity for every scanner below
     sql = _strip_comments(sql)
+    # scalar WITH inlining first: aliases may appear inside any later
+    # clause, so every other rewrite should see the resolved text
+    sql = _rewrite_scalar_with(sql)
     # FROM-position FINAL strip (regex pre-pass: the pattern is anchored on
     # the FROM keyword, so the only false positive would be the literal text
     # "FROM x FINAL" inside a string — not worth a second scanner)
@@ -2043,6 +2171,57 @@ def translate_clickhouse_sql(sql: str) -> str:
                     out.append(f"count(DISTINCT {', '.join(wrapped)})")
                 elif name == "uniqExact":
                     out.append(f"count(DISTINCT {', '.join(args)})")
+                elif name in ("sumMap", "minMap", "maxMap") and len(args) == 2:
+                    # key-wise aggregation of (keys[], values[]) rows — CH's
+                    # metric-map idiom. Pure aggregate expression: collect
+                    # the zipped pairs, fold per distinct key. Result is a
+                    # named struct (keys, values) with keys SORTED (CH's
+                    # tuple-of-arrays contract; access .keys/.values where
+                    # CH uses .1/.2). The per-key fold seeds from the
+                    # group's OWN first matching value, so the value type is
+                    # preserved (ints stay ints, doubles stay doubles).
+                    # O(pairs * distinct keys) per group — metric maps are
+                    # small per-row values, same trade as arrayCumSum; NULL
+                    # keys are dropped like ClickHouse's non-nullable arrays
+                    karr, varr = args
+                    pairs = (
+                        f"flatten(collect_list(filter(zip_with({karr}, "
+                        f"{varr}, (__mk, __mv) -> struct(__mk AS k, __mv "
+                        f"AS v)), __mp -> __mp.k IS NOT NULL)))"
+                    )
+                    fold = {
+                        "sumMap": "__ma + __mp.v",
+                        "minMap": "least(__ma, __mp.v)",
+                        "maxMap": "greatest(__ma, __mp.v)",
+                    }[name]
+                    first_v = (
+                        f"element_at(filter({pairs}, __mp -> __mp.k <=> __mk), 1).v"
+                    )
+                    # sum seeds from the typed ZERO (first - first) widened
+                    # by the arraySum DECIMAL(38,_) accumulator rule —
+                    # decimal element types would otherwise outgrow the
+                    # fold's accumulator precision (HOF aggregate requires a
+                    # fixed acc type), and integer sums stay exact past
+                    # int64. min/max seed from the first value itself (the
+                    # re-visit is idempotent under least/greatest) and keep
+                    # the element type
+                    seed = (
+                        f"coalesce(({first_v} - {first_v}) "
+                        f"* cast(1 as decimal(38, 0)), 0)"
+                        if name == "sumMap"
+                        else first_v
+                    )
+                    per_key = (
+                        f"aggregate(filter({pairs}, __mp -> __mp.k <=> __mk), "
+                        f"{seed}, (__ma, __mp) -> {fold})"
+                    )
+                    out.append(
+                        f"struct(array_sort(array_distinct(transform({pairs}, "
+                        f"__mp -> __mp.k))) AS keys, "
+                        f"transform(array_sort(array_distinct(transform("
+                        f"{pairs}, __mp -> __mp.k))), __mk -> {per_key}) "
+                        f"AS values)"
+                    )
                 elif name == "anyHeavy" and len(args) == 1:
                     # heavy-hitters pick -> Spark's exact mode(): the most
                     # frequent value is a strictly stronger guarantee than

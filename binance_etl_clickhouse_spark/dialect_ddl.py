@@ -31,6 +31,14 @@ SETTINGS index_granularity = N        accepted and recorded; parquet row
                                       groups + page stats play this role
 col DEFAULT expr                      applied on insert when the column is
                                       absent (expr through the dialect)
+RENAME TABLE a TO b[, c TO d]         metadata-only rename (catalog key +
+                                      serving view move, storage path
+                                      stays); refused when the table backs
+                                      a materialized view
+EXISTS TABLE t                        1-row result 1/0
+SHOW TABLES [FROM db] [LIKE '%pat%']  one name per row (tables + MVs)
+DESCRIBE TABLE t                      (name, type, default_expression) —
+                                      Spark type names, not ClickHouse's
 CREATE DICTIONARY name (cols)         metadata-only lookup registration
 PRIMARY KEY k[, k2] SOURCE(           over a catalog table or session view;
 CLICKHOUSE(TABLE 't')) LAYOUT(...)    dictGet/dictGetOrDefault/dictGetOrNull
@@ -166,7 +174,9 @@ class ParsedDDL:
 _DDL_RE = re.compile(
     r"^\s*(CREATE\s+(DATABASE|TABLE|MATERIALIZED\s+VIEW|DICTIONARY)"
     r"|DROP\s+(TABLE|VIEW|DICTIONARY)"
-    r"|TRUNCATE\s+TABLE|OPTIMIZE\s+TABLE|ALTER\s+TABLE)\b",
+    r"|TRUNCATE\s+TABLE|OPTIMIZE\s+TABLE|ALTER\s+TABLE"
+    r"|RENAME\s+TABLE|EXISTS\s+TABLE|SHOW\s+TABLES|DESCRIBE\s+TABLE"
+    r"|DESC\s+TABLE)\b",
     re.I,
 )
 
@@ -624,6 +634,10 @@ class DdlCatalog:
             self._truncate,
             self._optimize,
             self._alter,
+            self._rename,
+            self._exists,
+            self._show_tables,
+            self._describe,
         ):
             out = handler(sql)
             if out is not None:
@@ -1187,6 +1201,94 @@ class DdlCatalog:
                 self.snapshot(mv.target).createOrReplaceTempView(name)
 
     # -- query-side name resolution ----------------------------------------
+
+    # -- introspection / rename conveniences --------------------------------
+
+    def _rename(self, sql: str) -> DataFrame | None:
+        """``RENAME TABLE a TO b[, c TO d]`` — metadata-only, like
+        ClickHouse: the catalog key and serving view move, the storage path
+        stays. Renaming a table wired into a materialized view (source,
+        target, or the MV's own storage) is refused loudly rather than
+        silently breaking the trigger."""
+        if not re.match(r"^\s*RENAME\s+TABLE\b", sql, re.I):
+            return None
+        body = re.sub(r"^\s*RENAME\s+TABLE\s+", "", sql.strip(), flags=re.I)
+        for item in _split_top_level(body):
+            m = re.fullmatch(r"([\w.]+)\s+TO\s+([\w.]+)", item.strip(), re.I)
+            if m is None:
+                raise ValueError(f"unsupported RENAME TABLE item: {item!r}")
+            old, new = self._bare(m.group(1)), self._bare(m.group(2))
+            if old not in self.tables:
+                raise KeyError(f"unknown table {m.group(1)!r}")
+            if new in self.tables or new in self.views:
+                raise ValueError(f"table {new!r} already exists")
+            for vname, mv in self.views.items():
+                if old in (mv.src, mv.target) or vname == old:
+                    raise ValueError(
+                        f"table {old!r} backs materialized view {vname!r} — "
+                        "drop the view first"
+                    )
+            self.tables[new] = self.tables.pop(old)
+            self.tables[new].ddl.name = new  # snapshot/view key follows
+            self.spark.catalog.dropTempView(old)
+            self._refresh_view(self.tables[new])
+        return self.spark.createDataFrame([], T.StructType([]))
+
+    def _exists(self, sql: str) -> DataFrame | None:
+        m = re.match(r"^\s*EXISTS\s+TABLE\s+([\w.]+)\s*$", sql.strip(), re.I)
+        if m is None:
+            return None
+        found = self._bare(m.group(1)) in self.tables
+        return self.spark.createDataFrame(
+            [(1 if found else 0,)], "result int"
+        )
+
+    def _show_tables(self, sql: str) -> DataFrame | None:
+        m = re.match(
+            r"^\s*SHOW\s+TABLES(?:\s+FROM\s+(\w+))?(?:\s+LIKE\s+'([^']*)')?\s*$",
+            sql.strip(),
+            re.I,
+        )
+        if m is None:
+            return None
+        names = sorted(self.tables) + sorted(self.views)
+        if m.group(1):
+            db = m.group(1)
+            names = [
+                n
+                for n in names
+                if (
+                    n in self.tables
+                    and (self.tables[n].ddl.database or "_default") == db
+                )
+                or n in self.views
+            ]
+        if m.group(2):
+            pat = re.escape(m.group(2)).replace("%", ".*").replace("_", ".")
+            # re.escape turned % into \% — undo before building the regex
+            pat = pat.replace("\\.*", ".*").replace("\\.", ".")
+            names = [n for n in names if re.fullmatch(pat, n)]
+        return self.spark.createDataFrame([(n,) for n in names], "name string")
+
+    def _describe(self, sql: str) -> DataFrame | None:
+        m = re.match(
+            r"^\s*DESC(?:RIBE)?\s+TABLE\s+([\w.]+)\s*$", sql.strip(), re.I
+        )
+        if m is None:
+            return None
+        bare = self._bare(m.group(1))
+        if bare not in self.tables:
+            raise KeyError(f"unknown table {m.group(1)!r}")
+        ddl = self.tables[bare].ddl
+        rows = [
+            (n, t, d if d is not None else "")
+            for n, t, d in ddl.columns
+        ]
+        # Spark type names, not ClickHouse ones — the DDL already mapped
+        # them (documented; the default expression column mirrors CH's)
+        return self.spark.createDataFrame(
+            rows, "name string, type string, default_expression string"
+        )
 
     # -- dictGet / dictHas ------------------------------------------------
 

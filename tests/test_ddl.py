@@ -983,3 +983,113 @@ class TestDictionary:
         )
         with pytest.raises(KeyError):
             dict_engine.sql("DROP DICTIONARY asset_dict", dialect="clickhouse")
+
+
+# ---------------------------------------------------------------------------
+# RENAME / EXISTS / SHOW TABLES / DESCRIBE (r8): the clickhouse-client
+# introspection conveniences
+# ---------------------------------------------------------------------------
+
+
+class TestIntrospection:
+    @pytest.fixture()
+    def intro_engine(self, spark, tmp_path):
+        eng = AnalyticsEngine(
+            spark, verbose=False, ddl_root=str(tmp_path / "intro")
+        )
+        eng.sql(
+            """CREATE TABLE db1.alpha (k String, v Float64 DEFAULT 1.5)
+            ENGINE = MergeTree ORDER BY k""",
+            dialect="clickhouse",
+        )
+        eng.sql(
+            """CREATE TABLE db1.beta (k String, n Int32)
+            ENGINE = ReplacingMergeTree ORDER BY k""",
+            dialect="clickhouse",
+        )
+        eng.sql(
+            "INSERT INTO db1.alpha (k, v) VALUES",
+            args=[{"k": "a", "v": 2.0}],
+            dialect="clickhouse",
+        )
+        return eng
+
+    def test_exists_table(self, intro_engine):
+        assert intro_engine.sql(
+            "EXISTS TABLE db1.alpha", dialect="clickhouse"
+        ).collect()[0].result == 1
+        assert intro_engine.sql(
+            "EXISTS TABLE nope", dialect="clickhouse"
+        ).collect()[0].result == 0
+
+    def test_show_tables_and_like(self, intro_engine):
+        names = [
+            r.name
+            for r in intro_engine.sql(
+                "SHOW TABLES", dialect="clickhouse"
+            ).collect()
+        ]
+        assert names == ["alpha", "beta"]
+        liked = [
+            r.name
+            for r in intro_engine.sql(
+                "SHOW TABLES LIKE 'al%'", dialect="clickhouse"
+            ).collect()
+        ]
+        assert liked == ["alpha"]
+
+    def test_describe_table(self, intro_engine):
+        rows = [
+            tuple(r)
+            for r in intro_engine.sql(
+                "DESCRIBE TABLE alpha", dialect="clickhouse"
+            ).collect()
+        ]
+        assert rows == [("k", "string", ""), ("v", "double", "1.5")]
+
+    def test_rename_moves_view_and_data(self, intro_engine):
+        intro_engine.sql(
+            "RENAME TABLE db1.alpha TO db1.gamma", dialect="clickhouse"
+        )
+        names = [
+            r.name
+            for r in intro_engine.sql(
+                "SHOW TABLES", dialect="clickhouse"
+            ).collect()
+        ]
+        assert names == ["beta", "gamma"]
+        got = intro_engine.sql(
+            "SELECT k, v FROM gamma", dialect="clickhouse"
+        ).collect()
+        assert [(r.k, r.v) for r in got] == [("a", 2.0)]
+        # inserts under the NEW name land; the old name is gone
+        intro_engine.sql(
+            "INSERT INTO db1.gamma (k, v) VALUES",
+            args=[{"k": "b", "v": 3.0}],
+            dialect="clickhouse",
+        )
+        assert intro_engine.sql(
+            "SELECT count(*) AS c FROM gamma", dialect="clickhouse"
+        ).collect()[0].c == 2
+        with pytest.raises(Exception):
+            intro_engine.sql(
+                "SELECT * FROM alpha", dialect="clickhouse"
+            ).collect()
+
+    def test_rename_to_existing_refused(self, intro_engine):
+        with pytest.raises(ValueError, match="already exists"):
+            intro_engine.sql(
+                "RENAME TABLE db1.alpha TO db1.beta", dialect="clickhouse"
+            )
+
+    def test_rename_mv_backed_refused(self, intro_engine, spark):
+        intro_engine.sql(
+            """CREATE MATERIALIZED VIEW db1.mv1
+            ENGINE = SummingMergeTree ORDER BY (k)
+            AS SELECT k, sum(v) AS v FROM db1.alpha GROUP BY k""",
+            dialect="clickhouse",
+        )
+        with pytest.raises(ValueError, match="materialized view"):
+            intro_engine.sql(
+                "RENAME TABLE db1.alpha TO db1.gamma", dialect="clickhouse"
+            )

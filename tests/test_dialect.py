@@ -1850,3 +1850,140 @@ class TestTopKFamily:
 )
 def test_url_function_family_shims(engine, expr, want):
     assert engine.sql(f"SELECT {expr} AS x").collect()[0][0] == want
+
+
+# ---------------------------------------------------------------------------
+# sumMap / minMap / maxMap (r8): key-wise map aggregation over zipped
+# (keys[], values[]) rows — one struct(keys SORTED, values) per group
+# ---------------------------------------------------------------------------
+
+
+class TestSumMapFamily:
+    @pytest.fixture(scope="class")
+    def sm_view(self, spark):
+        spark.sql(
+            """SELECT * FROM VALUES
+             ('g1', array('a', 'b'), array(10, 20)),
+             ('g1', array('b', 'c'), array(5, 7)),
+             ('g2', array('x'), array(100)),
+             ('g3', array(CAST(NULL AS STRING), 'k'), array(1, 2))
+             AS t(g, ks, vs)"""
+        ).createOrReplaceTempView("sm_t")
+        return "sm_t"
+
+    def _rows(self, engine, sql):
+        return {
+            r.g: r
+            for r in engine.sql(sql, dialect="clickhouse").collect()
+        }
+
+    def test_summap_keywise_sums_sorted_keys(self, engine, sm_view):
+        got = self._rows(
+            engine, "SELECT g, sumMap(ks, vs) AS m FROM sm_t GROUP BY g"
+        )
+        assert got["g1"].m.keys == ["a", "b", "c"]
+        assert [int(v) for v in got["g1"].m.values] == [10, 25, 7]
+        assert got["g2"].m.keys == ["x"]
+
+    def test_null_keys_drop(self, engine, sm_view):
+        got = self._rows(
+            engine, "SELECT g, sumMap(ks, vs) AS m FROM sm_t GROUP BY g"
+        )
+        assert got["g3"].m.keys == ["k"]
+        assert [int(v) for v in got["g3"].m.values] == [2]
+
+    def test_min_max_map_keep_element_type(self, engine, sm_view):
+        got = self._rows(
+            engine,
+            "SELECT g, minMap(ks, vs) AS mn, maxMap(ks, vs) AS mx "
+            "FROM sm_t GROUP BY g",
+        )
+        assert got["g1"].mn.values == [10, 5, 7]
+        assert got["g1"].mx.values == [10, 20, 7]
+
+    def test_field_access_on_result(self, engine, sm_view):
+        got = self._rows(
+            engine,
+            "SELECT g, sumMap(ks, vs).values AS g_vals FROM sm_t "
+            "GROUP BY g",
+        )
+        assert [int(v) for v in got["g1"].g_vals] == [10, 25, 7]
+
+
+# ---------------------------------------------------------------------------
+# Scalar WITH (r8): ClickHouse's expression-alias WITH form — aliases
+# inline as parenthesized expressions at every bare reference
+# ---------------------------------------------------------------------------
+
+
+class TestScalarWith:
+    @pytest.fixture(scope="class")
+    def sw_view(self, spark):
+        spark.sql(
+            "SELECT * FROM VALUES (1, 10.0), (2, 20.0), (3, 30.0) AS t(id, v)"
+        ).createOrReplaceTempView("sw_t")
+        return "sw_t"
+
+    def test_constant_alias(self, engine, sw_view):
+        got = engine.sql(
+            "WITH 2 AS lim SELECT id FROM sw_t WHERE id <= lim ORDER BY id",
+            dialect="clickhouse",
+        ).collect()
+        assert [r.id for r in got] == [1, 2]
+
+    def test_chained_aliases_and_output_name(self, engine, sw_view):
+        df = engine.sql(
+            "WITH 2 AS a, a + 1 AS b SELECT id, b FROM sw_t WHERE id >= b",
+            dialect="clickhouse",
+        )
+        assert df.columns == ["id", "b"]
+        assert [tuple(r) for r in df.collect()] == [(3, 3)]
+
+    def test_scalar_subquery_alias(self, engine, sw_view):
+        got = engine.sql(
+            "WITH (SELECT max(v) FROM sw_t) AS mx "
+            "SELECT id, round(v / mx, 3) AS frac FROM sw_t ORDER BY id",
+            dialect="clickhouse",
+        ).collect()
+        assert [float(r.frac) for r in got] == [0.333, 0.667, 1.0]
+
+    def test_mixed_cte_and_scalar(self, engine, sw_view):
+        got = engine.sql(
+            "WITH big AS (SELECT id FROM sw_t WHERE v > 15), 1 AS one "
+            "SELECT id + one AS x FROM big ORDER BY x",
+            dialect="clickhouse",
+        ).collect()
+        assert [r.x for r in got] == [3, 4]
+
+    def test_alias_shadows_column_but_not_qualified(self, engine, sw_view):
+        got = engine.sql(
+            "WITH 99 AS v SELECT id, v, sw_t.v AS real_v FROM sw_t "
+            "WHERE id = 1",
+            dialect="clickhouse",
+        ).collect()[0]
+        assert (got.v, float(got.real_v)) == (99, 10.0)
+
+    def test_explicit_as_alias_position_untouched(self, engine, sw_view):
+        # `AS k` names an output column; the scalar alias k must not
+        # rewrite the alias POSITION
+        df = engine.sql(
+            "WITH 9 AS k SELECT id + 1 AS k FROM sw_t WHERE id = 1",
+            dialect="clickhouse",
+        )
+        assert df.columns == ["k"]
+        assert df.collect()[0].k == 2
+
+    def test_compat_function_in_alias_expr(self, engine, sw_view):
+        got = engine.sql(
+            "WITH toStartOfDay(toDateTime(90000)) AS day0 "
+            "SELECT day0 FROM sw_t LIMIT 1",
+            dialect="clickhouse",
+        ).collect()[0]
+        assert got.day0.hour == 0 and got.day0.day == 2
+
+    def test_plain_cte_only_untouched(self, engine):
+        got = engine.sql(
+            "WITH q AS (SELECT 1 AS z) SELECT z FROM q",
+            dialect="clickhouse",
+        ).collect()
+        assert got[0].z == 1
