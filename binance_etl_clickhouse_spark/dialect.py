@@ -84,11 +84,13 @@ windowFunnel(W)     aggregate() fold over array_sort(collect_list(...)) —
                     re-anchors, chain start propagates within W) as a pure
                     JVM expression; max 8 conditions, strictness modes
                     refused loudly. Result INT level 0..N
-sequenceMatch(pat)  boolean-DP aggregate() fold over the time-sorted
-(ts, c1..cK)        matched-event points; (?N) and .* atoms only ((?t...)
-                    time conditions refused loudly); adjacency counts
-                    events matching any DESCRIBED condition (the CH
-                    interruption rule). Result INT 1/0
+sequenceMatch(pat)  DP aggregate() fold over the time-sorted matched-event
+(ts, c1..cK)        points; (?N), .* AND (?t op N) time-condition atoms
+                    (r8: per-prefix earliest/latest completion times make
+                    >,>=,<,<= gaps exact; (?t==N) and multi-condition gaps
+                    refused loudly — they need the full completion-time
+                    set); adjacency counts events matching any DESCRIBED
+                    condition (the CH interruption rule). Result INT 1/0
 sequenceCount(pat)  same DP with a counter: each full-pattern completion
 (ts, c1..cK)        increments and resets every prefix — greedy leftmost
                     NON-OVERLAPPING matches (CH resumes after a match's
@@ -116,6 +118,15 @@ topK(k)(x)          EXACT top-k most-frequent values (slice over a
 anyHeavy(x)         mode(x)  [exact most-frequent ⊃ CH's "a frequently
                     occurring value"]
 avgWeighted(x, w)   sum(x*w)/sum(w), NaN on zero/empty weight like CH
+sumArray/minArray/  -Array combinator: aggregate over every ELEMENT of
+maxArray/avgArray/  the per-row arrays (sum in the arraySum DECIMAL
+countArray/         accumulator; avgArray NaN on zero elements like CH;
+uniqArray/group-    uniqArray EXACT where CH sketches; NULL arrays
+ArrayArray/group-   contribute nothing; empty-group min/max are NULL —
+UniqArrayArray      the Nullable convention — where non-Nullable CH
+                    returns the type default)
+sum/avg/min/max/    -OrNull combinator: NULL on the empty set — Spark's
+any/countOrNull     own empty-set semantics for all but count (nullif 0)
 sumMap(k[], v[])    key-wise aggregation of zipped (keys, values) rows —
 minMap / maxMap     one struct(keys SORTED, values) per group (access
                     .keys/.values where CH tuples use .1/.2). sumMap sums
@@ -131,6 +142,20 @@ negate              in both engines); intDivOrZero guards the zero divisor
 countEqual(a, x)    size(filter(a, e -> e <=> x))  [NULL-safe like CH]
 arrayCount([f,] a)  size(filter(a, f))  [1-arg form counts non-zero]
 arrayEnumerate(a)   guarded sequence(1, size(a))  [empty -> []]
+hasAll/hasAny(a, b) subset / overlap with NULL-safe element compares
+arrayUniq(a)        size(array_distinct(a))  [distinct COUNT]
+arrayCompact(a)     drop consecutive duplicates (indexed filter)
+arrayPushBack/      concat with a one-element array / guarded slices
+Front, arrayPop-
+Back/Front
+arrayIntersect(..)  n-ary set intersect (binary array_intersect folded)
+arrayResize(a,n,f)  truncate or pad with the EXPLICIT filler (the 2-arg
+                    type-default form passes through loudly)
+arrayReverseSort(a) reverse(array_sort(a))  [1-arg form]
+arrayElement(a, i)  try_element_at — 1-based, negative-from-end, NULL out
+                    of bounds (Nullable convention vs CH's type default)
+arrayZip(a, b)      arrays_zip; arrayShuffle -> shuffle (both engines:
+                    random order, no seed contract)
 arrayDifference(a)  indexed transform: a[i] - a[i-1], first 0, type-
                     preserving, O(n)
 arrayCumSum(a)      prefix re-folds with the arraySum DECIMAL(38,_)/DOUBLE
@@ -297,6 +322,29 @@ from dataclasses import dataclass as _dataclass
 #: builtins in Spark; bit_and/bit_or are AGGREGATES)
 _BIT_OPS = {"bitAnd": "&", "bitOr": "|", "bitXor": "^"}
 
+#: -Array combinator family (aggregate over every element of per-row
+#: arrays) — explicit allowlist, fail-loud on unmapped bases
+_ARRAY_COMBINATORS = {
+    "sumArray",
+    "minArray",
+    "maxArray",
+    "countArray",
+    "avgArray",
+    "uniqArray",
+    "groupArrayArray",
+    "groupUniqArrayArray",
+}
+
+#: -OrNull combinator: NULL on the empty set instead of the type default
+_ORNULL_AGGS = {
+    "sumOrNull": "sum",
+    "avgOrNull": "avg",
+    "minOrNull": "min",
+    "maxOrNull": "max",
+    "anyOrNull": "any_value",
+    "countOrNull": "count",
+}
+
 
 def _string_literal(tok: str) -> str | None:
     """The content of a single-quoted literal token, else None."""
@@ -410,6 +458,8 @@ _NAME_MAP = {
     "arrayMin": "array_min",
     "arrayMax": "array_max",
     "arrayDistinct": "array_distinct",
+    "arrayZip": "arrays_zip",
+    "arrayShuffle": "shuffle",
     "arrayReverse": "reverse",
     "arrayConcat": "concat",
     "arrayFlatten": "flatten",
@@ -906,27 +956,49 @@ def _window_funnel_expr(window: str, ts: str, conds: list[str]) -> str:
     return f"aggregate({entries}, {zero}, {merge}, acc -> CAST({level} AS INT))"
 
 
-def _parse_sequence_pattern(pat: str) -> list[tuple[int, bool]]:
-    """'(?1).*(?2)(?3)' -> [(1, False), (2, False), (3, True)] — (cond-idx,
-    must-be-adjacent-to-previous-matched-event). The first step is never
-    adjacency-constrained (the pattern is unanchored). Unsupported atoms
-    ((?t...) time conditions, '.', anchors) raise."""
-    steps: list[tuple[int, bool]] = []
-    i, gap = 0, True
+def _parse_sequence_pattern(
+    pat: str,
+) -> list[tuple[int, str | tuple[str, str]]]:
+    """'(?1).*(?2)(?t>=1800)(?3)' -> [(1, 'star'), (2, 'adj'),
+    (3, ('>=', '1800'))] — (cond-idx, gap to the PREVIOUS matched atom).
+    Gaps: 'adj' (immediately next described event), 'star' (any number of
+    events between), or an ('op', seconds) time condition — which, per the
+    ClickHouse contract, also allows any number of events between (a
+    ``.*`` in the same gap is therefore absorbed). The first step is
+    unanchored. '(?t==N)' and multiple time conditions in one gap are not
+    extreme-trackable and raise; '.', anchors raise."""
+    steps: list[tuple[int, str | tuple[str, str]]] = []
+    i = 0
+    gap: str | tuple[str, str] = "star"
     while i < len(pat):
         if pat.startswith(".*", i):
-            gap = True
+            if isinstance(gap, str):
+                gap = "star"  # a time condition in the same gap wins
             i += 2
+            continue
+        m = re.match(r"\(\?t\s*(<=|>=|==|<|>)\s*(\d+(?:\.\d+)?)\)", pat[i:])
+        if m is not None:
+            if m.group(1) == "==":
+                raise ValueError(
+                    "sequenceMatch: (?t==N) needs the full completion-time "
+                    "set, not its extremes — not translatable"
+                )
+            if isinstance(gap, tuple):
+                raise ValueError(
+                    "sequenceMatch: multiple (?t...) conditions in one gap "
+                    "are not supported"
+                )
+            gap = (m.group(1), m.group(2))
+            i += m.end()
             continue
         m = re.match(r"\(\?(\d+)\)", pat[i:])
         if m is None:
             raise ValueError(
                 f"sequenceMatch: unsupported pattern atom at {pat[i:]!r} "
-                "(only (?N) and .* are translatable; (?t...) time "
-                "conditions are not)"
+                "(only (?N), .* and (?t op N) are translatable)"
             )
-        steps.append((int(m.group(1)), not gap))
-        gap = False
+        steps.append((int(m.group(1)), gap))
+        gap = "adj"
         i += m.end()
     if not steps:
         raise ValueError("sequenceMatch: empty pattern")
@@ -971,39 +1043,55 @@ def _sequence_match_expr(
         f"AND CAST({ts} AS DOUBLE) IS NOT NULL THEN "
         f"named_struct('t', CAST({ts} AS DOUBLE), {flags}) END))"
     )
-    # boolean DP, all transitions read the PRE-event state: a_p = prefix p
-    # ends exactly at this point, r_p = prefix p has completed at some point
+    # DP over the time-sorted points, all transitions reading the PRE-event
+    # state. Per prefix p: a_p = prefix p ends exactly at this point,
+    # e_p / l_p = EARLIEST / LATEST completion time of prefix p so far
+    # (NULL = never). The extremes are exact for the supported gap kinds:
+    # '>'/'>=' time gaps are best served by the earliest prior completion
+    # (maximizes the separation), '<'/'<=' by the latest (minimizes it),
+    # '.*' by existence, adjacency by a_{p-1} — and both extremes stay
+    # exact maintained event-by-event because each actual completion
+    # updates them (the achievable-completion set only grows).
     fields, a_exprs = [], []
-    for p, (cidx, adjacent) in enumerate(steps, start=1):
+    for p, (cidx, gap) in enumerate(steps, start=1):
         if p == 1:
             a = f"e.c{cidx}"
-        elif adjacent:
+        elif gap == "adj":
             a = f"(e.c{cidx} AND acc.a{p - 1})"
+        elif gap == "star":
+            a = f"(e.c{cidx} AND acc.e{p - 1} IS NOT NULL)"
         else:
-            a = f"(e.c{cidx} AND acc.r{p - 1})"
+            op, secs = gap
+            anchor = f"acc.e{p - 1}" if op in (">", ">=") else f"acc.l{p - 1}"
+            a = (
+                f"(e.c{cidx} AND {anchor} IS NOT NULL "
+                f"AND (e.t - {anchor}) {op} {secs})"
+            )
         a_exprs.append(a)
-        fields.append(f"'a{p}', {a}, 'r{p}', (acc.r{p} OR {a})")
-    state = f"named_struct({', '.join(fields)})"
-    if not count:
-        zero = (
-            "named_struct("
-            + ", ".join(f"'a{p}', false, 'r{p}', false" for p in range(1, k + 1))
-            + ")"
+        fields.append(
+            f"'a{p}', {a}, "
+            f"'e{p}', CASE WHEN {a} AND acc.e{p} IS NULL THEN e.t "
+            f"ELSE acc.e{p} END, "
+            f"'l{p}', CASE WHEN {a} THEN e.t ELSE acc.l{p} END"
         )
-        merge = f"(acc, e) -> {state}"
+    empty = ", ".join(
+        f"'a{p}', false, 'e{p}', CAST(NULL AS DOUBLE), "
+        f"'l{p}', CAST(NULL AS DOUBLE)"
+        for p in range(1, k + 1)
+    )
+    if not count:
+        zero = f"named_struct({empty})"
+        merge = f"(acc, e) -> named_struct({', '.join(fields)})"
         return (
             f"aggregate({entries}, {zero}, {merge}, "
-            f"acc -> CAST(CASE WHEN acc.r{k} THEN 1 ELSE 0 END AS INT))"
+            f"acc -> CAST(CASE WHEN acc.e{k} IS NOT NULL THEN 1 ELSE 0 END "
+            f"AS INT))"
         )
     # sequenceCount: on full-pattern completion, bump the counter and reset
     # every prefix so the next match cannot reuse any consumed event
-    reset = "named_struct('n', acc.n + 1, " + ", ".join(
-        f"'a{p}', false, 'r{p}', false" for p in range(1, k + 1)
-    ) + ")"
+    reset = f"named_struct('n', acc.n + 1, {empty})"
     keep = f"named_struct('n', acc.n, {', '.join(fields)})"
-    zero = "named_struct('n', CAST(0 AS INT), " + ", ".join(
-        f"'a{p}', false, 'r{p}', false" for p in range(1, k + 1)
-    ) + ")"
+    zero = f"named_struct('n', CAST(0 AS INT), {empty})"
     merge = f"(acc, e) -> CASE WHEN {a_exprs[-1]} THEN {reset} ELSE {keep} END"
     return f"aggregate({entries}, {zero}, {merge}, acc -> acc.n)"
 
@@ -2171,6 +2259,50 @@ def translate_clickhouse_sql(sql: str) -> str:
                     out.append(f"count(DISTINCT {', '.join(wrapped)})")
                 elif name == "uniqExact":
                     out.append(f"count(DISTINCT {', '.join(args)})")
+                elif name in _ARRAY_COMBINATORS and len(args) == 1:
+                    # -Array combinator: aggregate over every ELEMENT of
+                    # the per-row arrays. sum rides the arraySum
+                    # DECIMAL(38,_)/DOUBLE accumulator; uniqArray is exact
+                    # where CH sketches (within contract); NULL arrays
+                    # contribute nothing (size() alone would yield -1)
+                    a = args[0]
+                    per_row_sum = (
+                        f"aggregate({a}, "
+                        f"coalesce((try_element_at({a}, 1) - "
+                        f"try_element_at({a}, 1)) "
+                        f"* cast(1 as decimal(38, 0)), 0), "
+                        f"(__sa, __sx) -> __sa + __sx)"
+                    )
+                    n_elems = f"sum(CASE WHEN {a} IS NULL THEN 0 ELSE size({a}) END)"
+                    out.append(
+                        {
+                            "sumArray": f"sum({per_row_sum})",
+                            "minArray": f"min(array_min({a}))",
+                            "maxArray": f"max(array_max({a}))",
+                            "countArray": f"coalesce({n_elems}, 0)",
+                            "avgArray": (
+                                f"coalesce(try_divide(sum({per_row_sum}), "
+                                f"{n_elems}), cast('NaN' as double))"
+                            ),
+                            "uniqArray": (
+                                f"size(array_distinct(flatten("
+                                f"collect_list({a}))))"
+                            ),
+                            "groupArrayArray": f"flatten(collect_list({a}))",
+                            "groupUniqArrayArray": (
+                                f"array_distinct(flatten(collect_list({a})))"
+                            ),
+                        }[name]
+                    )
+                elif name in _ORNULL_AGGS and len(args) >= 1:
+                    # -OrNull combinator: NULL instead of the type default
+                    # on an empty set. Spark's sum/avg/min/max/any_value
+                    # already return NULL there; count needs the nullif
+                    base = _ORNULL_AGGS[name]
+                    if base == "count":
+                        out.append(f"nullif(count({', '.join(args)}), 0)")
+                    else:
+                        out.append(f"{base}({', '.join(args)})")
                 elif name in ("sumMap", "minMap", "maxMap") and len(args) == 2:
                     # key-wise aggregation of (keys[], values[]) rows — CH's
                     # metric-map idiom. Pure aggregate expression: collect
@@ -2465,6 +2597,68 @@ def translate_clickhouse_sql(sql: str) -> str:
                         f"aggregate(slice({a}, 1, __i + 1), {zero}, "
                         f"(__s, __y) -> __s + __y))"
                     )
+                elif name == "hasAll" and len(args) == 2:
+                    # hasAll(a, b): every element of b is in a (NULL-safe
+                    # element compare like countEqual)
+                    out.append(
+                        f"forall({args[1]}, __hb -> "
+                        f"exists({args[0]}, __ha -> __ha <=> __hb))"
+                    )
+                elif name == "hasAny" and len(args) == 2:
+                    out.append(
+                        f"exists({args[1]}, __hb -> "
+                        f"exists({args[0]}, __ha -> __ha <=> __hb))"
+                    )
+                elif name == "arrayUniq" and len(args) == 1:
+                    # number of DISTINCT elements (not the distinct array)
+                    out.append(f"size(array_distinct({args[0]}))")
+                elif name == "arrayCompact" and len(args) == 1:
+                    # drop CONSECUTIVE duplicates (keep the first of each
+                    # run); element_at(a, i) is the 1-based PREVIOUS element
+                    # of 0-based position i
+                    a = args[0]
+                    out.append(
+                        f"transform(filter(transform({a}, (__cx, __ci) -> "
+                        f"struct(__cx AS x, __ci AS i)), __cp -> __cp.i = 0 "
+                        f"OR NOT (__cp.x <=> element_at({a}, __cp.i))), "
+                        f"__cp -> __cp.x)"
+                    )
+                elif name == "arrayPushBack" and len(args) == 2:
+                    out.append(f"concat({args[0]}, array({args[1]}))")
+                elif name == "arrayPushFront" and len(args) == 2:
+                    out.append(f"concat(array({args[1]}), {args[0]})")
+                elif name == "arrayPopBack" and len(args) == 1:
+                    a = args[0]
+                    out.append(f"slice({a}, 1, greatest(size({a}) - 1, 0))")
+                elif name == "arrayPopFront" and len(args) == 1:
+                    a = args[0]
+                    out.append(f"slice({a}, 2, greatest(size({a}) - 1, 0))")
+                elif name == "arrayIntersect" and len(args) >= 2:
+                    # n-ary in ClickHouse; Spark's builtin is binary — fold.
+                    # CH returns DISTINCT elements (set semantics), as does
+                    # array_intersect
+                    expr = args[0]
+                    for nxt in args[1:]:
+                        expr = f"array_intersect({expr}, {nxt})"
+                    out.append(expr)
+                elif name == "arrayResize" and len(args) == 3:
+                    # truncate or pad with the EXPLICIT filler (the 2-arg
+                    # type-default form passes through loudly — the element
+                    # type's zero is not derivable at the string level)
+                    a, new_len, fill = args
+                    out.append(
+                        f"CASE WHEN size({a}) >= ({new_len}) "
+                        f"THEN slice({a}, 1, ({new_len})) "
+                        f"ELSE concat({a}, array_repeat({fill}, "
+                        f"({new_len}) - size({a}))) END"
+                    )
+                elif name == "arrayReverseSort" and len(args) == 1:
+                    out.append(f"reverse(array_sort({args[0]}))")
+                elif name == "arrayElement" and len(args) == 2:
+                    # 1-based, negative-from-end, NULL out of bounds (the
+                    # Nullable convention; non-Nullable CH returns the type
+                    # default)
+                    out.append(f"try_element_at({args[0]}, {args[1]})")
                 elif name == "arrayEnumerate" and len(args) == 1:
                     # [1, 2, ..., size(a)]; empty arrays -> [] (sequence
                     # would descend from 1 to 0, so guard like range())

@@ -20,6 +20,11 @@ Redaction order matters and is fixed: credit cards (longest digit spans)
 → emails (their host part may contain IP-shaped text) → SSNs → phones →
 IPv4. Counts are always measured on the ORIGINAL text, independent of
 that order.
+
+Supersedes the two-class (email + 7-digit-phone) ``operators/text.py
+redact_pii``, which stays as the r1-era ``pii_redaction`` query's pinned
+shape; new callers should use this module (``pii_detect_redact`` is the
+registered end-to-end query).
 """
 
 from __future__ import annotations

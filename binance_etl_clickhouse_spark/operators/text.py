@@ -250,7 +250,12 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Redact email / phone spans with typed placeholders and count the
     replacements per document. Pure per-row projection (regexp_replace +
     regexp_count, codegen'd) — runs at scan speed, no shuffle, trivially
-    partition-parallel at any scale."""
+    partition-parallel at any scale.
+
+    The r1-era two-class shape, kept as the ``pii_redaction`` query's
+    pinned oracle twin; the full five-class family (SSN, IPv4,
+    Luhn-validated credit cards, fixed redaction order) lives in
+    ``operators/pii.py`` (``pii_detect_redact``)."""
     c = F.col(text_col)
     red = F.regexp_replace(
         F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"

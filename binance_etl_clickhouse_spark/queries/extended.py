@@ -939,3 +939,54 @@ def dictionary_verbatim_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng.register_clickhouse_compat()
     eng.sql(_DICT_CH_DDL, dialect="clickhouse")
     return eng.sql(_DICT_CH_SQL, dialect="clickhouse")
+
+
+# ---------------------------------------------------------------------------
+# Verbatim sequenceMatch with a (?t op N) TIME condition (r8): the
+# time-gap form runs unchanged through the dialect — the DP fold tracks
+# per-prefix earliest/latest completion times, which are exact for
+# >,>=,<,<= gaps (dialect.py _sequence_match_expr). Oracle: the direct
+# EXISTS pair with the same strict-order + window constraint (a time gap
+# permits any events between, so no interruption rule applies). Events
+# carry unique per-user timestamps, so both sides are deterministic.
+# ---------------------------------------------------------------------------
+_SEQ_TIME_CH_SQL = """
+SELECT user_id,
+       sequenceMatch('(?1)(?t<=14400)(?2)')(ts, event_type = 'signup',
+                                            event_type = 'click')
+           AS matched
+FROM events GROUP BY user_id
+"""
+
+_SEQ_TIME_ORACLE = """
+WITH e AS (SELECT user_id, ts, event_type FROM events)
+SELECT u.user_id AS user_id,
+       CAST(CASE WHEN EXISTS (
+         SELECT 1 FROM e a, e b
+         WHERE a.user_id = u.user_id AND b.user_id = u.user_id
+           AND a.event_type = 'signup' AND b.event_type = 'click'
+           AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 14400 SECOND
+       ) THEN 1 ELSE 0 END AS INT) AS matched
+FROM (SELECT DISTINCT user_id FROM e) u
+"""
+
+
+@register(
+    "sequencematch_time_verbatim_sql",
+    _SEQ_TIME_ORACLE,
+    survey_ref=(
+        "S8 dialect: sequenceMatch('(?1)(?t<=N)(?2)') time-condition gaps "
+        "run verbatim — per-prefix earliest/latest completion-time DP, "
+        "oracled against the direct EXISTS window pair"
+    ),
+)
+def sequencematch_time_verbatim_sql(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from binance_etl_clickhouse_spark.engine import AnalyticsEngine
+    from binance_etl_clickhouse_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return AnalyticsEngine(spark, verbose=False).sql(
+        _SEQ_TIME_CH_SQL, dialect="clickhouse"
+    )

@@ -1140,8 +1140,12 @@ def test_sequence_match_docs_semantics(engine):
         ),
         ("SELECT windowFunnel(10)(t) FROM x GROUP BY u", "needs"),
         (
-            "SELECT sequenceMatch('(?1)(?t<=36)(?2)')(t, c1, c2) FROM x GROUP BY u",
-            "unsupported pattern atom",
+            "SELECT sequenceMatch('(?1)(?t==36)(?2)')(t, c1, c2) FROM x GROUP BY u",
+            "completion-time set",
+        ),
+        (
+            "SELECT sequenceMatch('(?1)(?t>5)(?t<9)(?2)')(t, c1, c2) FROM x GROUP BY u",
+            "multiple",
         ),
         ("SELECT sequenceMatch('')(t, c1) FROM x GROUP BY u", "empty pattern"),
         (
@@ -1987,3 +1991,175 @@ class TestScalarWith:
             dialect="clickhouse",
         ).collect()
         assert got[0].z == 1
+
+
+# ---------------------------------------------------------------------------
+# sequenceMatch (?t op N) time conditions (r8): per-prefix earliest/latest
+# completion times make >,>=,<,<= gaps exact (hand-computed streams)
+# ---------------------------------------------------------------------------
+
+
+class TestSequenceTimeConditions:
+    @pytest.fixture(scope="class")
+    def sq_view(self, spark):
+        spark.sql(
+            """SELECT * FROM VALUES
+             ('u1', 0, 'A'), ('u1', 100, 'B'), ('u1', 2000, 'B'),
+             ('u2', 0, 'A'), ('u2', 10, 'B'),
+             ('w1', 0, 'A'), ('w1', 500, 'A'), ('w1', 600, 'B'),
+             ('w1', 650, 'C'),
+             ('w2', 0, 'A'), ('w2', 600, 'B'), ('w2', 6000, 'C')
+             AS t(u, ts, et)"""
+        ).createOrReplaceTempView("sq_time")
+        return "sq_time"
+
+    def _match(self, engine, pat, n_conds=2):
+        conds = ", ".join(f"et = '{c}'" for c in "ABC"[:n_conds])
+        got = engine.sql(
+            f"SELECT u, sequenceMatch('{pat}')(ts, {conds}) AS m "
+            "FROM sq_time GROUP BY u",
+            dialect="clickhouse",
+        ).collect()
+        return {r.u: r.m for r in got}
+
+    def test_greater_uses_earliest_anchor(self, engine, sq_view):
+        m = self._match(engine, "(?1)(?t>1800)(?2)")
+        assert (m["u1"], m["u2"]) == (1, 0)  # only B@2000 is >1800 after A@0
+
+    def test_less_uses_latest_anchor(self, engine, sq_view):
+        m = self._match(engine, "(?1)(?t<50)(?2)")
+        # u2's B@10; u1's closest B is 100s after A; w1's latest A@500 is
+        # 100s before B@600 — none under 50 but u2
+        assert (m["u1"], m["u2"], m["w1"]) == (0, 1, 0)
+
+    def test_inclusive_boundary(self, engine, sq_view):
+        m = self._match(engine, "(?1)(?t<=100)(?2)")
+        assert (m["u1"], m["u2"], m["w1"]) == (1, 1, 1)
+        m = self._match(engine, "(?1)(?t>=2000)(?2)")
+        assert (m["u1"], m["u2"]) == (1, 0)
+
+    def test_chained_mixed_gaps(self, engine, sq_view):
+        m = self._match(engine, "(?1)(?t<200)(?2)(?t<100)(?3)", 3)
+        # w1: A@500 -> B@600 (100 < 200) -> C@650 (50 < 100); w2's B is
+        # 600s after its only A
+        assert (m["w1"], m["w2"]) == (1, 0)
+        m = self._match(engine, "(?1)(?t>550)(?2)(?t>1000)(?3)", 3)
+        # w1's only B completion is 600 (from A@0); C@650 is 50 later.
+        # w2: B@600 (>550 after A@0), C@6000 is 5400 later
+        assert (m["w1"], m["w2"]) == (0, 1)
+
+    def test_star_with_time_in_same_gap_absorbed(self, engine, sq_view):
+        # '.*(?t>1800)' == '(?t>1800)' — the time gap already allows any
+        # events between
+        m = self._match(engine, "(?1).*(?t>1800)(?2)")
+        assert (m["u1"], m["u2"]) == (1, 0)
+
+    def test_sequence_count_with_time_gap(self, engine, sq_view):
+        got = engine.sql(
+            "SELECT u, sequenceCount('(?1)(?t<200)(?2)')(ts, et = 'A', "
+            "et = 'B') AS n FROM sq_time GROUP BY u",
+            dialect="clickhouse",
+        ).collect()
+        n = {r.u: r.n for r in got}
+        assert (n["u1"], n["u2"], n["w1"]) == (1, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# -Array and -OrNull aggregate combinators (r8)
+# ---------------------------------------------------------------------------
+
+
+class TestArrayCombinators:
+    @pytest.fixture(scope="class")
+    def ac_view(self, spark):
+        spark.sql(
+            """SELECT * FROM VALUES
+             ('g1', array(1, 2, 2)), ('g1', array(3)),
+             ('g1', CAST(NULL AS array<int>)),
+             ('g2', array())
+             AS t(g, a)"""
+        ).createOrReplaceTempView("ac_t")
+        return "ac_t"
+
+    def test_element_wise_aggregates(self, engine, ac_view):
+        import math
+
+        got = {
+            r.g: r
+            for r in engine.sql(
+                "SELECT g, sumArray(a) AS s, minArray(a) AS mn, "
+                "maxArray(a) AS mx, countArray(a) AS c, avgArray(a) AS av, "
+                "uniqArray(a) AS u FROM ac_t GROUP BY g",
+                dialect="clickhouse",
+            ).collect()
+        }
+        g1 = got["g1"]
+        assert (int(g1.s), g1.mn, g1.mx, g1.c, g1.av, g1.u) == (8, 1, 3, 4, 2.0, 3)
+        g2 = got["g2"]
+        assert (int(g2.s), g2.mn, g2.c, g2.u) == (0, None, 0, 0)
+        assert math.isnan(g2.av)
+
+    def test_group_array_array(self, engine, ac_view):
+        got = {
+            r.g: r
+            for r in engine.sql(
+                "SELECT g, groupArrayArray(a) AS ga, "
+                "groupUniqArrayArray(a) AS gu FROM ac_t GROUP BY g",
+                dialect="clickhouse",
+            ).collect()
+        }
+        assert sorted(got["g1"].ga) == [1, 2, 2, 3]
+        assert sorted(got["g1"].gu) == [1, 2, 3]
+        assert got["g2"].ga == []
+
+    def test_or_null_combinators(self, engine, ac_view):
+        got = engine.sql(
+            "SELECT sumOrNull(try_element_at(a, 9)) AS s, "
+            "countOrNull(try_element_at(a, 9)) AS c, "
+            "maxOrNull(try_element_at(a, 1)) AS m FROM ac_t",
+            dialect="clickhouse",
+        ).collect()[0]
+        assert (got.s, got.c, got.m) == (None, None, 3)
+
+
+# ---------------------------------------------------------------------------
+# Array function widening (r8): hasAll/hasAny, compact/uniq, push/pop,
+# n-ary intersect, resize, reverse-sort, safe element access
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "expr,want",
+    [
+        ("hasAll(array(1, 2, 3), array(2, 3))", True),
+        ("hasAll(array(1, 2), array(2, 9))", False),
+        ("hasAll(array(1, 2), array())", True),  # empty subset: CH true
+        ("hasAny(array(1, 2), array(9, 2))", True),
+        ("hasAny(array(1, 2), array(9))", False),
+        ("arrayUniq(array(1, 2, 2, 3))", 3),
+        ("arrayCompact(array(1, 1, 2, 2, 1))", [1, 2, 1]),
+        ("arrayCompact(array())", []),
+        ("arrayPushBack(array(1, 2), 9)", [1, 2, 9]),
+        ("arrayPushFront(array(1, 2), 9)", [9, 1, 2]),
+        ("arrayPopBack(array(1, 2, 3))", [1, 2]),
+        ("arrayPopFront(array(1, 2, 3))", [2, 3]),
+        ("arrayPopBack(array())", []),
+        ("arrayIntersect(array(1, 2, 3), array(2, 3, 4), array(3, 2))", [2, 3]),
+        ("arrayResize(array(1, 2, 3), 2, 0)", [1, 2]),
+        ("arrayResize(array(1), 3, 7)", [1, 7, 7]),
+        ("arrayReverseSort(array(2, 3, 1))", [3, 2, 1]),
+        ("arrayElement(array(10, 20), 2)", 20),
+        ("arrayElement(array(10, 20), -1)", 20),
+        ("arrayElement(array(10, 20), 5)", None),
+        ("arrayZip(array(1, 2), array('a', 'b'))[0]", {"0": 1, "1": "a"}),
+    ],
+)
+def test_array_function_widening(engine, expr, want):
+    got = engine.sql(f"SELECT {expr} AS x", dialect="clickhouse").collect()[0][0]
+    if isinstance(want, dict):
+        got = got.asDict()
+        assert got == want
+    elif isinstance(got, list) and got and hasattr(got[0], "asDict"):
+        assert [g.asDict() for g in got] == want
+    else:
+        assert got == want

@@ -102,6 +102,12 @@ def test_registered_queries_lint_clean_modulo_whitelist(spark):
         "contrastive_negative_sample",  # cumulative-offset window over
         # the 16-row bucket-count frame of the two-phase numbering (the
         # corpus-sized ranking itself is partitioned by bucket)
+        "with_fill_verbatim_sql",  # ORDER BY ... WITH FILL: gap-filling is
+        # inherently a single-stream pass over the FINAL sorted result
+        # (ClickHouse's FillingTransform runs after its ORDER BY the same
+        # way); here over the HOURLY aggregate, bounded by the time span.
+        # Keyed gap-fill at scale goes through operators/resample.py's
+        # per-symbol windows instead (documented in SCALE.md)
     }
     dirty = {}
     for name, e in QUERIES.items():
