@@ -997,11 +997,21 @@ def _parse_sequence_pattern(
                 f"sequenceMatch: unsupported pattern atom at {pat[i:]!r} "
                 "(only (?N), .* and (?t op N) are translatable)"
             )
+        if not steps and isinstance(gap, tuple):
+            raise ValueError(
+                "sequenceMatch: a (?t...) time condition must sit BETWEEN "
+                "two conditions (pattern starts with one)"
+            )
         steps.append((int(m.group(1)), gap))
         gap = "adj"
         i += m.end()
     if not steps:
         raise ValueError("sequenceMatch: empty pattern")
+    if isinstance(gap, tuple):
+        raise ValueError(
+            "sequenceMatch: a (?t...) time condition must sit BETWEEN two "
+            "conditions (pattern ends with one)"
+        )
     return steps
 
 
@@ -2006,6 +2016,13 @@ def _rewrite_scalar_with(sql: str) -> str:
         # quoted tokens
         pat = re.compile(rf"(?<![\w.`])({re.escape(ident)})\b(?!\s*[(.])")
 
+        # a bare INTEGER literal would inline as `(5)`, which GROUP BY /
+        # ORDER BY positions resolve as a column ORDINAL — `+ 0` keeps the
+        # value and type but is no longer a literal, so it groups/sorts as
+        # the constant expression ClickHouse means
+        if re.fullmatch(r"-?\d+", expr.strip()):
+            expr = f"{expr.strip()} + 0"
+
         def _sub(m: re.Match) -> str:
             before = m.string[: m.start()].rstrip()
             if re.search(r"(?i)\bAS$", before):
@@ -2176,6 +2193,13 @@ def translate_clickhouse_sql(sql: str) -> str:
                                     count=name == "sequenceCount",
                                 )
                             )
+                        elif name == "topK" and len(args) != 1:
+                            raise ValueError(
+                                "topK: only the 1-parameter topK(k)(x) "
+                                f"form is supported, got {len(args)} "
+                                "parameters (load_factor/counts_mode are "
+                                "sketch tuning knobs with no exact twin)"
+                            )
                         elif name == "topK" and len(args) == 1:
                             # EXACT top-k most-frequent values where
                             # ClickHouse's topK is a space-saving sketch
@@ -2316,10 +2340,23 @@ def translate_clickhouse_sql(sql: str) -> str:
                     # small per-row values, same trade as arrayCumSum; NULL
                     # keys are dropped like ClickHouse's non-nullable arrays
                     karr, varr = args
-                    pairs = (
-                        f"flatten(collect_list(filter(zip_with({karr}, "
+                    # assert_true throws on a keys/values length mismatch
+                    # (ClickHouse errors there too; zip_with would silently
+                    # NULL-pad) and returns NULL on success, so the CASE
+                    # always takes the pairs branch. NULL keys AND NULL
+                    # values both drop — min/max folds skip NULLs anyway
+                    # and sum would otherwise poison the key to NULL.
+                    guarded_zip = (
+                        f"CASE WHEN assert_true(size({karr}) <=> "
+                        f"size({varr}), '{name}: keys/values arrays differ "
+                        f"in length') IS NULL THEN zip_with({karr}, "
                         f"{varr}, (__mk, __mv) -> struct(__mk AS k, __mv "
-                        f"AS v)), __mp -> __mp.k IS NOT NULL)))"
+                        f"AS v)) END"
+                    )
+                    pairs = (
+                        f"flatten(collect_list(filter({guarded_zip}, "
+                        f"__mp -> __mp.k IS NOT NULL AND __mp.v IS NOT "
+                        f"NULL)))"
                     )
                     fold = {
                         "sumMap": "__ma + __mp.v",

@@ -597,6 +597,7 @@ class MvEntry:
     select: str  # Spark SQL, dialect-translated at registration
     target: str
     owns_storage: bool
+    database: str | None = None  # the CREATE's db qualifier (introspection)
 
 
 class DdlCatalog:
@@ -765,7 +766,11 @@ class DdlCatalog:
             )
             target, owns = mv.name, True
         self.views[mv.name] = MvEntry(
-            src=src, select=select, target=target, owns_storage=owns
+            src=src,
+            select=select,
+            target=target,
+            owns_storage=owns,
+            database=mv.database,
         )
         if mv.populate:
             # POPULATE folds the PRE-EXISTING source rows in at create time
@@ -1217,7 +1222,11 @@ class DdlCatalog:
             m = re.fullmatch(r"([\w.]+)\s+TO\s+([\w.]+)", item.strip(), re.I)
             if m is None:
                 raise ValueError(f"unsupported RENAME TABLE item: {item!r}")
-            old, new = self._bare(m.group(1)), self._bare(m.group(2))
+            old = self._bare(m.group(1))
+            # the target may name a database the catalog has never seen —
+            # _bare() only strips KNOWN prefixes, so split explicitly
+            new_db, _, new = m.group(2).rpartition(".")
+            new_db = new_db or None
             if old not in self.tables:
                 raise KeyError(f"unknown table {m.group(1)!r}")
             if new in self.tables or new in self.views:
@@ -1230,6 +1239,11 @@ class DdlCatalog:
                     )
             self.tables[new] = self.tables.pop(old)
             self.tables[new].ddl.name = new  # snapshot/view key follows
+            if new_db is not None:
+                # cross-database rename: the catalog record moves too (the
+                # storage path stays — metadata-only, like ClickHouse)
+                self.databases.add(new_db)
+                self.tables[new].ddl.database = new_db
             self.spark.catalog.dropTempView(old)
             self._refresh_view(self.tables[new])
         return self.spark.createDataFrame([], T.StructType([]))
@@ -1238,7 +1252,8 @@ class DdlCatalog:
         m = re.match(r"^\s*EXISTS\s+TABLE\s+([\w.]+)\s*$", sql.strip(), re.I)
         if m is None:
             return None
-        found = self._bare(m.group(1)) in self.tables
+        bare = self._bare(m.group(1))
+        found = bare in self.tables or bare in self.views
         return self.spark.createDataFrame(
             [(1 if found else 0,)], "result int"
         )
@@ -1251,22 +1266,25 @@ class DdlCatalog:
         )
         if m is None:
             return None
-        names = sorted(self.tables) + sorted(self.views)
+        # an ENGINE-form MV registers BOTH a view entry and its storage
+        # table under the same name — list it once
+        names = sorted(set(self.tables) | set(self.views))
         if m.group(1):
             db = m.group(1)
-            names = [
-                n
-                for n in names
-                if (
-                    n in self.tables
-                    and (self.tables[n].ddl.database or "_default") == db
-                )
-                or n in self.views
-            ]
+
+            def _db_of(n: str) -> str:
+                if n in self.tables:
+                    return self.tables[n].ddl.database or "_default"
+                return self.views[n].database or "_default"
+
+            names = [n for n in names if _db_of(n) == db]
         if m.group(2):
-            pat = re.escape(m.group(2)).replace("%", ".*").replace("_", ".")
-            # re.escape turned % into \% — undo before building the regex
-            pat = pat.replace("\\.*", ".*").replace("\\.", ".")
+            # SQL LIKE -> anchored regex: % any run, _ any single char,
+            # everything else LITERAL (re.escape keeps '.' literal)
+            pat = "".join(
+                ".*" if ch == "%" else "." if ch == "_" else re.escape(ch)
+                for ch in m.group(2)
+            )
             names = [n for n in names if re.fullmatch(pat, n)]
         return self.spark.createDataFrame([(n,) for n in names], "name string")
 
@@ -1277,6 +1295,10 @@ class DdlCatalog:
         if m is None:
             return None
         bare = self._bare(m.group(1))
+        if bare in self.views:
+            # a materialized view describes its storage (the TO target or
+            # its own ENGINE-form table), like ClickHouse
+            bare = self.views[bare].target
         if bare not in self.tables:
             raise KeyError(f"unknown table {m.group(1)!r}")
         ddl = self.tables[bare].ddl

@@ -185,32 +185,29 @@ CLICKHOUSE_COMPAT_FUNCTIONS: dict[str, str] = {
         "(u STRING) RETURNS STRING RETURN coalesce(parse_url(u, 'HOST'), "
         "parse_url(concat('http://', u), 'HOST'), '')"
     ),
+    # the shims below call domain(u) — SQL UDFs may reference earlier-
+    # registered ones, and Catalyst inlines the whole chain at analysis
+    # time, so the host extraction is written once instead of repeated
     "domainWithoutWWW": (
-        "(u STRING) RETURNS STRING RETURN regexp_replace("
-        "coalesce(parse_url(u, 'HOST'), parse_url(concat('http://', u), "
-        "'HOST'), ''), '^www\\\\.', '')"
+        "(u STRING) RETURNS STRING RETURN "
+        "regexp_replace(domain(u), '^www\\\\.', '')"
     ),
     # last dot-separated label of the host; '' when the host has no dot or
     # cannot be parsed (regexp_extract's no-match result is '' like CH)
     "topLevelDomain": (
-        "(u STRING) RETURNS STRING RETURN regexp_extract("
-        "coalesce(parse_url(u, 'HOST'), parse_url(concat('http://', u), "
-        "'HOST'), ''), '\\\\.([^.]+)$', 1)"
+        "(u STRING) RETURNS STRING RETURN "
+        "regexp_extract(domain(u), '\\\\.([^.]+)$', 1)"
     ),
     # ClickHouse's documented rule: the label before the TLD, except that a
     # second-from-last label in {com, net, org, co} shifts it one left
     # ('news.yandex.com.tr' -> 'yandex', 'example.com' -> 'example')
     "firstSignificantSubdomain": (
         "(u STRING) RETURNS STRING RETURN coalesce(CASE WHEN "
-        "size(split(coalesce(parse_url(u, 'HOST'), parse_url(concat("
-        "'http://', u), 'HOST'), ''), '\\\\.')) >= 3 AND "
-        "element_at(split(coalesce(parse_url(u, 'HOST'), parse_url(concat("
-        "'http://', u), 'HOST'), ''), '\\\\.'), -2) IN "
-        "('com', 'net', 'org', 'co') THEN try_element_at(split(coalesce("
-        "parse_url(u, 'HOST'), parse_url(concat('http://', u), 'HOST'), "
-        "''), '\\\\.'), -3) ELSE try_element_at(split(coalesce(parse_url(u, "
-        "'HOST'), parse_url(concat('http://', u), 'HOST'), ''), '\\\\.'), "
-        "-2) END, '')"
+        "size(split(domain(u), '\\\\.')) >= 3 AND "
+        "element_at(split(domain(u), '\\\\.'), -2) IN "
+        "('com', 'net', 'org', 'co') "
+        "THEN try_element_at(split(domain(u), '\\\\.'), -3) "
+        "ELSE try_element_at(split(domain(u), '\\\\.'), -2) END, '')"
     ),
     # Java URI's HOST excludes the port; it lives at the AUTHORITY's tail
     "port": (
@@ -243,9 +240,12 @@ CLICKHOUSE_COMPAT_FUNCTIONS: dict[str, str] = {
         "(u STRING, k STRING) RETURNS STRING RETURN "
         "coalesce(parse_url(u, 'QUERY', k), '')"
     ),
-    # removes the query string (and its '?') but KEEPS the fragment
+    # removes the query string (and its '?') but KEEPS the fragment; a '?'
+    # that only appears INSIDE the fragment is not a query string — the
+    # test runs on the pre-fragment part
     "cutQueryString": (
-        "(u STRING) RETURNS STRING RETURN CASE WHEN locate('?', u) = 0 "
+        "(u STRING) RETURNS STRING RETURN "
+        "CASE WHEN locate('?', substring_index(u, '#', 1)) = 0 "
         "THEN u ELSE concat(substring_index(u, '?', 1), "
         "CASE WHEN parse_url(u, 'REF') IS NOT NULL THEN "
         "concat('#', parse_url(u, 'REF')) ELSE '' END) END"

@@ -1093,3 +1093,74 @@ class TestIntrospection:
             intro_engine.sql(
                 "RENAME TABLE db1.alpha TO db1.gamma", dialect="clickhouse"
             )
+
+
+# ---------------------------------------------------------------------------
+# r8 review regressions (DDL introspection side)
+# ---------------------------------------------------------------------------
+
+
+class TestIntrospectionRegressions:
+    @pytest.fixture()
+    def mv_engine(self, spark, tmp_path):
+        eng = AnalyticsEngine(
+            spark, verbose=False, ddl_root=str(tmp_path / "ir")
+        )
+        eng.sql(
+            "CREATE TABLE db1.base (k String, v Float64) "
+            "ENGINE = MergeTree ORDER BY k",
+            dialect="clickhouse",
+        )
+        eng.sql(
+            """CREATE MATERIALIZED VIEW db2.mv1
+            ENGINE = SummingMergeTree ORDER BY (k)
+            AS SELECT k, sum(v) AS v FROM db1.base GROUP BY k""",
+            dialect="clickhouse",
+        )
+        return eng
+
+    def _names(self, eng, sql):
+        return [r.name for r in eng.sql(sql, dialect="clickhouse").collect()]
+
+    def test_show_from_db_filters_mvs_too(self, mv_engine):
+        assert self._names(mv_engine, "SHOW TABLES FROM db1") == ["base"]
+        assert self._names(mv_engine, "SHOW TABLES FROM db2") == ["mv1"]
+
+    def test_like_dot_is_literal(self, mv_engine):
+        mv_engine.sql(
+            "CREATE TABLE db1.axb (k String) ENGINE = MergeTree ORDER BY k",
+            dialect="clickhouse",
+        )
+        # 'a.b' must NOT match 'axb' (dot is literal in SQL LIKE)
+        assert self._names(mv_engine, "SHOW TABLES LIKE 'a.b'") == []
+        assert self._names(mv_engine, "SHOW TABLES LIKE 'a_b'") == ["axb"]
+
+    def test_exists_and_describe_cover_mvs(self, mv_engine):
+        assert mv_engine.sql(
+            "EXISTS TABLE mv1", dialect="clickhouse"
+        ).collect()[0].result == 1
+        cols = [
+            r.name
+            for r in mv_engine.sql(
+                "DESCRIBE TABLE mv1", dialect="clickhouse"
+            ).collect()
+        ]
+        assert cols == ["k", "v"]
+
+    def test_cross_database_rename_moves_record(self, mv_engine):
+        mv_engine.sql(
+            "CREATE TABLE db1.solo (k String) ENGINE = MergeTree ORDER BY k",
+            dialect="clickhouse",
+        )
+        mv_engine.sql(
+            "RENAME TABLE db1.solo TO db3.moved", dialect="clickhouse"
+        )
+        assert self._names(mv_engine, "SHOW TABLES FROM db3") == ["moved"]
+        assert "solo" not in self._names(mv_engine, "SHOW TABLES FROM db1")
+        # the new qualifier resolves in queries
+        assert (
+            mv_engine.sql(
+                "SELECT count(*) AS c FROM db3.moved", dialect="clickhouse"
+            ).collect()[0].c
+            == 0
+        )

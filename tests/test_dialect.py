@@ -2163,3 +2163,71 @@ def test_array_function_widening(engine, expr, want):
         assert [g.asDict() for g in got] == want
     else:
         assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r8 review regressions (dialect side)
+# ---------------------------------------------------------------------------
+
+
+class TestReviewRegressions:
+    def test_scalar_with_integer_alias_in_group_by(self, engine, spark):
+        # a bare integer alias must NOT inline as a literal that GROUP BY /
+        # ORDER BY would resolve as a column ORDINAL
+        spark.sql(
+            "SELECT * FROM VALUES (1, 'a'), (5, 'a'), (9, 'b') AS t(v, g)"
+        ).createOrReplaceTempView("swi_t")
+        got = engine.sql(
+            "WITH 5 AS thr SELECT g, count() AS n FROM swi_t "
+            "WHERE v >= thr GROUP BY g ORDER BY g",
+            dialect="clickhouse",
+        ).collect()
+        assert [(r.g, r.n) for r in got] == [("a", 1), ("b", 1)]
+        # constant alias IN the group-by list: groups by the constant
+        got = engine.sql(
+            "WITH 5 AS thr SELECT thr, count() AS n FROM swi_t GROUP BY thr",
+            dialect="clickhouse",
+        ).collect()
+        assert [(r.thr, r.n) for r in got] == [(5, 3)]
+
+    def test_cut_query_string_fragment_only_question_mark(self, engine):
+        got = engine.sql(
+            "SELECT cutQueryString('https://h.io/a#f?x') AS x",
+            dialect="clickhouse",
+        ).collect()[0].x
+        assert got == "https://h.io/a#f?x"  # no query string: unchanged
+
+    @pytest.mark.parametrize(
+        "pat", ["(?t<=36)(?1)(?2)", "(?1)(?2)(?t<10)"]
+    )
+    def test_dangling_time_condition_refused(self, pat):
+        with pytest.raises(ValueError, match="BETWEEN two"):
+            translate_clickhouse_sql(
+                f"SELECT sequenceMatch('{pat}')(t, c1, c2) FROM x GROUP BY u"
+            )
+
+    def test_topk_extra_parameters_refused(self):
+        with pytest.raises(ValueError, match="1-parameter"):
+            translate_clickhouse_sql("SELECT topK(10, 3)(x) FROM t")
+
+    def test_summap_null_value_drops_not_poisons(self, engine, spark):
+        spark.sql(
+            "SELECT * FROM VALUES ('g', array('a', 'b'), "
+            "array(CAST(NULL AS INT), 2)) AS t(g, ks, vs)"
+        ).createOrReplaceTempView("smn_t")
+        got = engine.sql(
+            "SELECT sumMap(ks, vs) AS m FROM smn_t GROUP BY g",
+            dialect="clickhouse",
+        ).collect()[0].m
+        assert got.keys == ["b"] and [int(v) for v in got.values] == [2]
+
+    def test_summap_length_mismatch_throws(self, engine, spark):
+        spark.sql(
+            "SELECT * FROM VALUES ('g', array('a', 'b'), array(1)) "
+            "AS t(g, ks, vs)"
+        ).createOrReplaceTempView("smm_t")
+        with pytest.raises(Exception, match="differ in length"):
+            engine.sql(
+                "SELECT sumMap(ks, vs) AS m FROM smm_t GROUP BY g",
+                dialect="clickhouse",
+            ).collect()
