@@ -195,7 +195,25 @@ def _corpus_scale_ops():
         ),
         "span_dedup_corpus": lambda df: corpus_ops.span_dedup(df),
         "substring_dedup_corpus": lambda df: corpus_ops.substring_dedup(df),
+        # map-only control: the PII scrub has no shuffle at all, so its
+        # curve should track the replica factor ~1:1 — a measured floor
+        # that separates scan-bound cost growth from shuffle amplification
+        # in the shapes above
+        "pii_scrub": lambda df: _pii_scrub_frame(df),
     }
+
+
+def _pii_scrub_frame(df):
+    from pyspark.sql import functions as F
+
+    from binance_etl_clickhouse_spark.operators.pii import pii_scrub
+
+    out = pii_scrub(df, "text")
+    return out.select(
+        F.sum("n_email").alias("e"),
+        F.sum("n_credit_card").alias("c"),
+        F.sum(F.length("text_redacted")).alias("red_chars"),
+    )
 
 
 def _bench_corpus_scale(spark) -> dict:

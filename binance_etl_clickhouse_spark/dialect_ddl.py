@@ -35,6 +35,18 @@ RENAME TABLE a TO b[, c TO d]         metadata-only rename (catalog key +
                                       serving view move, storage path
                                       stays); refused when the table backs
                                       a materialized view
+EXCHANGE TABLES a AND b               atomic swap (the blue/green rebuild
+                                      idiom) — each name serves the
+                                      other's data; MV-wired refused
+ALTER TABLE t DROP COLUMN c           metadata-only: old batches keep the
+                                      bytes, the snapshot projection hides
+                                      them (CH's DROP is a deferred
+                                      mutation too); key/partition/version
+                                      columns refused
+ALTER TABLE t RENAME COLUMN a TO b    declared name changes; pre-rename
+                                      batches coalesce through the
+                                      original storage name on read;
+                                      structural columns refused
 EXISTS TABLE t                        1-row result 1/0
 SHOW TABLES [FROM db] [LIKE '%pat%']  one name per row (tables + MVs)
 DESCRIBE TABLE t                      (name, type, default_expression) —
@@ -175,8 +187,8 @@ _DDL_RE = re.compile(
     r"^\s*(CREATE\s+(DATABASE|TABLE|MATERIALIZED\s+VIEW|DICTIONARY)"
     r"|DROP\s+(TABLE|VIEW|DICTIONARY)"
     r"|TRUNCATE\s+TABLE|OPTIMIZE\s+TABLE|ALTER\s+TABLE"
-    r"|RENAME\s+TABLE|EXISTS\s+TABLE|SHOW\s+TABLES|DESCRIBE\s+TABLE"
-    r"|DESC\s+TABLE)\b",
+    r"|RENAME\s+TABLE|EXCHANGE\s+TABLES|EXISTS\s+TABLE|SHOW\s+TABLES"
+    r"|DESCRIBE\s+TABLE|DESC\s+TABLE)\b",
     re.I,
 )
 
@@ -577,6 +589,14 @@ class CatalogEntry:
     #: wrapping them in coalesce() on read would block predicate pushdown
     #: and month-partition pruning (a full-scan-at-100TB hazard).
     original_cols: frozenset[str] = frozenset()
+    #: ALTER RENAME COLUMN: declared name -> every PRIOR storage name,
+    #: newest first (each rename's batches carry the name current at
+    #: write time; the snapshot coalesces the whole history)
+    renamed_cols: dict[str, list[str]] = field(default_factory=dict)
+    #: ALTER DROP COLUMN: metadata-only — old batches keep the bytes, the
+    #: snapshot projection hides them (ClickHouse's DROP is likewise a
+    #: deferred mutation); the set forces mergeSchema on read
+    dropped_cols: set[str] = field(default_factory=set)
 
     @property
     def dedup(self) -> bool:
@@ -636,6 +656,7 @@ class DdlCatalog:
             self._optimize,
             self._alter,
             self._rename,
+            self._exchange,
             self._exists,
             self._show_tables,
             self._describe,
@@ -963,6 +984,49 @@ class DdlCatalog:
             )
             self._refresh_view(entry)
             return self.spark.range(1).select(F.lit(n).alias("rows_updated"))
+        dc = re.match(
+            r"^DROP\s+COLUMN\s+(IF\s+EXISTS\s+)?`?(\w+)`?\s*$", rest, re.I
+        )
+        if dc:
+            cname = dc.group(2)
+            if not any(n == cname for n, _, _ in entry.ddl.columns):
+                if dc.group(1):
+                    return self.spark.createDataFrame([], entry.ddl.spark_schema)
+                raise KeyError(f"column {cname!r} does not exist")
+            self._guard_structural_column(entry, cname, "DROP")
+            entry.ddl.columns = [
+                c for c in entry.ddl.columns if c[0] != cname
+            ]
+            # the storage names (every rename-era one) keep their bytes;
+            # the snapshot projection hides them from every read
+            entry.dropped_cols.update(
+                [cname, *entry.renamed_cols.pop(cname, [])]
+            )
+            self._refresh_view(entry)
+            return self.spark.createDataFrame([], entry.ddl.spark_schema)
+        rc = re.match(
+            r"^RENAME\s+COLUMN\s+(IF\s+EXISTS\s+)?`?(\w+)`?\s+TO\s+`?(\w+)`?\s*$",
+            rest,
+            re.I,
+        )
+        if rc:
+            old, new = rc.group(2), rc.group(3)
+            if not any(n == old for n, _, _ in entry.ddl.columns):
+                if rc.group(1):
+                    return self.spark.createDataFrame([], entry.ddl.spark_schema)
+                raise KeyError(f"column {old!r} does not exist")
+            if any(n == new for n, _, _ in entry.ddl.columns):
+                raise ValueError(f"column {new!r} already exists")
+            self._guard_structural_column(entry, old, "RENAME")
+            entry.ddl.columns = [
+                (new, t, d) if n == old else (n, t, d)
+                for n, t, d in entry.ddl.columns
+            ]
+            # chained renames keep the FULL history: batches written under
+            # any prior name must still resolve
+            entry.renamed_cols[new] = [old, *entry.renamed_cols.pop(old, [])]
+            self._refresh_view(entry)
+            return self.spark.createDataFrame([], entry.ddl.spark_schema)
         am = re.match(
             r"^ADD\s+COLUMN\s+(IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s+"
             r"(?P<type>[\w()\s',]+?)(?:\s+DEFAULT\s+(?P<dflt>.+))?$",
@@ -971,8 +1035,8 @@ class DdlCatalog:
         )
         if not am:
             raise ValueError(
-                "unsupported ALTER (ADD COLUMN, DELETE WHERE and "
-                f"UPDATE .. WHERE map): {rest!r}"
+                "unsupported ALTER (ADD/DROP/RENAME COLUMN, DELETE WHERE "
+                f"and UPDATE .. WHERE map): {rest!r}"
             )
         cname = am.group(2)
         if any(n == cname for n, _, _ in entry.ddl.columns):
@@ -984,6 +1048,27 @@ class DdlCatalog:
         )
         self._refresh_view(entry)
         return self.spark.createDataFrame([], entry.ddl.spark_schema)
+
+    def _guard_structural_column(
+        self, entry: CatalogEntry, cname: str, verb: str
+    ) -> None:
+        """DROP/RENAME COLUMN must not touch the table's structure: ORDER
+        BY keys, the partition column, the version column, SummingMergeTree
+        tables (their collapse reads the declared schema against raw
+        storage names) — ClickHouse refuses key-column mutations too."""
+        ddl = entry.ddl
+        if cname in ddl.order_by or cname in ddl.primary_key:
+            raise ValueError(f"cannot {verb} key column {cname!r}")
+        if cname == ddl.partition_time_col:
+            raise ValueError(f"cannot {verb} partition column {cname!r}")
+        if cname == ddl.version_col:
+            raise ValueError(f"cannot {verb} version column {cname!r}")
+        if entry.summing:
+            raise ValueError(
+                f"cannot {verb} columns of a SummingMergeTree table "
+                "(the read-time collapse binds the declared schema to "
+                "storage names)"
+            )
 
     def _rm_data(self, entry: CatalogEntry) -> None:
         import shutil
@@ -1114,9 +1199,10 @@ class DdlCatalog:
         if not entry.table.exists():
             return self.spark.createDataFrame([], entry.ddl.spark_schema)
         altered = [c for c in entry.ddl.columns if c[0] not in entry.original_cols]
-        # mergeSchema only when an ALTER widened the schema — it reads every
+        reshaped = bool(altered or entry.renamed_cols or entry.dropped_cols)
+        # mergeSchema only when an ALTER changed the shape — it reads every
         # file footer, and steady-state tables take the single-footer path
-        raw = entry.table.read_raw(self.spark, merge_schema=bool(altered))
+        raw = entry.table.read_raw(self.spark, merge_schema=reshaped)
         if entry.dedup:
             order = (
                 [entry.ddl.version_col, INGEST_SEQ]
@@ -1132,7 +1218,7 @@ class DdlCatalog:
             # min() — deterministic where ClickHouse keeps an arbitrary
             # survivor.
             return self._summing_collapse(entry, raw)
-        if not altered:
+        if not reshaped:
             # the common path: raw columns pass through untouched, so
             # predicates reach the parquet scan (PushedFilters + per-file
             # footer stats skip disjoint files — the key-sorted layout
@@ -1144,6 +1230,19 @@ class DdlCatalog:
         present = set(raw.columns)
         cols = []
         for cname, ctype, dflt in entry.ddl.columns:
+            if cname in entry.renamed_cols:
+                # each batch carries the name current at ITS write time —
+                # coalesce the current name plus the full rename history
+                # (newest first; values always exist, no default fill)
+                chain = [cname, *entry.renamed_cols[cname]]
+                parts = [F.col(n) for n in chain if n in present]
+                if len(parts) > 1:
+                    cols.append(F.coalesce(*parts).alias(cname))
+                elif parts:
+                    cols.append(parts[0].alias(cname))
+                else:
+                    cols.append(F.lit(None).cast(ctype).alias(cname))
+                continue
             if cname in entry.original_cols:
                 cols.append(F.col(cname))
                 continue
@@ -1246,6 +1345,37 @@ class DdlCatalog:
                 self.tables[new].ddl.database = new_db
             self.spark.catalog.dropTempView(old)
             self._refresh_view(self.tables[new])
+        return self.spark.createDataFrame([], T.StructType([]))
+
+    def _exchange(self, sql: str) -> DataFrame | None:
+        """``EXCHANGE TABLES a AND b`` — ClickHouse's atomic swap (the
+        blue/green rebuild idiom: build the new layout under a scratch
+        name, swap, drop the scratch). Both entries swap names in place —
+        each name now serves the other's data; MV-wired tables are refused
+        like RENAME."""
+        m = re.match(
+            r"^\s*EXCHANGE\s+TABLES\s+([\w.]+)\s+AND\s+([\w.]+)\s*$",
+            sql.strip(),
+            re.I,
+        )
+        if m is None:
+            return None
+        a, b = self._bare(m.group(1)), self._bare(m.group(2))
+        for name in (a, b):
+            if name not in self.tables:
+                raise KeyError(f"unknown table {name!r}")
+            for vname, mv in self.views.items():
+                if name in (mv.src, mv.target) or vname == name:
+                    raise ValueError(
+                        f"table {name!r} backs materialized view {vname!r} "
+                        "— drop the view first"
+                    )
+        ea, eb = self.tables[a], self.tables[b]
+        ea.ddl.name, eb.ddl.name = b, a
+        ea.ddl.database, eb.ddl.database = eb.ddl.database, ea.ddl.database
+        self.tables[a], self.tables[b] = eb, ea
+        self._refresh_view(ea)
+        self._refresh_view(eb)
         return self.spark.createDataFrame([], T.StructType([]))
 
     def _exists(self, sql: str) -> DataFrame | None:

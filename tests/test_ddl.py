@@ -459,11 +459,15 @@ def test_alter_add_column_defaults_old_rows(engine):
             f"ALTER TABLE {DB}.bn_spot_symbols ADD COLUMN listing_tier Int32",
             dialect="clickhouse",
         )
-    with pytest.raises(ValueError):
-        engine.sql(
-            f"ALTER TABLE {DB}.bn_spot_symbols DROP COLUMN listing_tier",
-            dialect="clickhouse",
-        )
+    # DROP COLUMN is supported since r8 (metadata-only): the round trip
+    # removes the ALTER-added column again
+    engine.sql(
+        f"ALTER TABLE {DB}.bn_spot_symbols DROP COLUMN listing_tier",
+        dialect="clickhouse",
+    )
+    assert "listing_tier" not in engine.sql(
+        "SELECT * FROM bn_spot_symbols", dialect="clickhouse"
+    ).columns
 
 
 def test_mutations_delete_and_update_where(engine):
@@ -1164,3 +1168,129 @@ class TestIntrospectionRegressions:
             ).collect()[0].c
             == 0
         )
+
+
+# ---------------------------------------------------------------------------
+# ALTER DROP/RENAME COLUMN + EXCHANGE TABLES (r8)
+# ---------------------------------------------------------------------------
+
+
+class TestColumnMutationsAndExchange:
+    @pytest.fixture()
+    def mut_engine(self, spark, tmp_path):
+        eng = AnalyticsEngine(
+            spark, verbose=False, ddl_root=str(tmp_path / "mut")
+        )
+        eng.sql(
+            """CREATE TABLE m.t1 (k String, a Int32, b String DEFAULT 'x')
+            ENGINE = ReplacingMergeTree ORDER BY k""",
+            dialect="clickhouse",
+        )
+        eng.sql(
+            "INSERT INTO m.t1 (k, a, b) VALUES",
+            args=[{"k": "r1", "a": 1, "b": "b1"},
+                  {"k": "r2", "a": 2, "b": "b2"}],
+            dialect="clickhouse",
+        )
+        return eng
+
+    def test_drop_column_hides_old_bytes(self, mut_engine):
+        mut_engine.sql("ALTER TABLE m.t1 DROP COLUMN b", dialect="clickhouse")
+        df = mut_engine.sql("SELECT * FROM t1", dialect="clickhouse")
+        assert df.columns == ["k", "a"]
+        # inserts conform to the NEW schema; reads stay consistent
+        mut_engine.sql(
+            "INSERT INTO m.t1 (k, a) VALUES",
+            args=[{"k": "r3", "a": 3}],
+            dialect="clickhouse",
+        )
+        got = sorted(
+            (r.k, r.a)
+            for r in mut_engine.sql(
+                "SELECT k, a FROM t1", dialect="clickhouse"
+            ).collect()
+        )
+        assert got == [("r1", 1), ("r2", 2), ("r3", 3)]
+
+    def test_drop_column_guards(self, mut_engine):
+        with pytest.raises(ValueError, match="key column"):
+            mut_engine.sql(
+                "ALTER TABLE m.t1 DROP COLUMN k", dialect="clickhouse"
+            )
+        with pytest.raises(KeyError, match="does not exist"):
+            mut_engine.sql(
+                "ALTER TABLE m.t1 DROP COLUMN nope", dialect="clickhouse"
+            )
+        mut_engine.sql(
+            "ALTER TABLE m.t1 DROP COLUMN IF EXISTS nope",
+            dialect="clickhouse",
+        )
+
+    def test_rename_column_coalesces_old_batches(self, mut_engine):
+        mut_engine.sql(
+            "ALTER TABLE m.t1 RENAME COLUMN a TO amount",
+            dialect="clickhouse",
+        )
+        mut_engine.sql(
+            "INSERT INTO m.t1 (k, amount, b) VALUES",
+            args=[{"k": "r3", "amount": 3, "b": "b3"}],
+            dialect="clickhouse",
+        )
+        got = sorted(
+            (r.k, r.amount)
+            for r in mut_engine.sql(
+                "SELECT k, amount FROM t1", dialect="clickhouse"
+            ).collect()
+        )
+        # pre-rename rows read through the original storage name
+        assert got == [("r1", 1), ("r2", 2), ("r3", 3)]
+        # chained rename still reaches the original bytes
+        mut_engine.sql(
+            "ALTER TABLE m.t1 RENAME COLUMN amount TO qty",
+            dialect="clickhouse",
+        )
+        got = {r.k: r.qty for r in mut_engine.sql(
+            "SELECT k, qty FROM t1", dialect="clickhouse").collect()}
+        assert got == {"r1": 1, "r2": 2, "r3": 3}
+
+    def test_rename_then_drop_hides_original_bytes(self, mut_engine):
+        mut_engine.sql(
+            "ALTER TABLE m.t1 RENAME COLUMN a TO amount",
+            dialect="clickhouse",
+        )
+        mut_engine.sql(
+            "ALTER TABLE m.t1 DROP COLUMN amount", dialect="clickhouse"
+        )
+        df = mut_engine.sql("SELECT * FROM t1", dialect="clickhouse")
+        assert df.columns == ["k", "b"]
+
+    def test_exchange_tables_swaps_data(self, mut_engine):
+        mut_engine.sql(
+            """CREATE TABLE m.t1_new (k String, a Int32, b String)
+            ENGINE = ReplacingMergeTree ORDER BY k""",
+            dialect="clickhouse",
+        )
+        mut_engine.sql(
+            "INSERT INTO m.t1_new (k, a, b) VALUES",
+            args=[{"k": "fresh", "a": 9, "b": "nb"}],
+            dialect="clickhouse",
+        )
+        mut_engine.sql(
+            "EXCHANGE TABLES m.t1 AND m.t1_new", dialect="clickhouse"
+        )
+        live = [r.k for r in mut_engine.sql(
+            "SELECT k FROM t1", dialect="clickhouse").collect()]
+        assert live == ["fresh"]
+        old = sorted(r.k for r in mut_engine.sql(
+            "SELECT k FROM t1_new", dialect="clickhouse").collect())
+        assert old == ["r1", "r2"]
+        # the blue/green epilogue: drop the scratch name
+        mut_engine.sql("DROP TABLE m.t1_new", dialect="clickhouse")
+        assert [r.k for r in mut_engine.sql(
+            "SELECT k FROM t1", dialect="clickhouse").collect()] == ["fresh"]
+
+    def test_exchange_unknown_refused(self, mut_engine):
+        with pytest.raises(KeyError, match="unknown table"):
+            mut_engine.sql(
+                "EXCHANGE TABLES m.t1 AND m.nope", dialect="clickhouse"
+            )
