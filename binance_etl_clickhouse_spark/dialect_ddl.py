@@ -87,6 +87,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from binance_etl_clickhouse_spark.operators.dedup import keep_last
+from binance_etl_clickhouse_spark.schemas import MONTH_COL
 from binance_etl_clickhouse_spark.storage.table import INGEST_SEQ, ServingTable
 
 # -- type mapping -----------------------------------------------------------
@@ -942,7 +943,14 @@ class DdlCatalog:
         if entry is None:
             raise KeyError(f"unknown table {m.group(1)!r}")
         if entry.table.exists():
+            # compact reads through the read_transform, so a pending column
+            # reshape MATERIALIZES into the rewritten files (ClickHouse
+            # mutations rewrite parts with the current schema the same way)
             entry.table.compact(self.spark)
+            entry.original_cols = frozenset(n for n, _, _ in entry.ddl.columns)
+            entry.renamed_cols.clear()
+            entry.dropped_cols.clear()
+            self._sync_read_transform(entry)  # single-footer path restored
             self._refresh_view(entry)
         return self.spark.createDataFrame([], T.StructType([]))
 
@@ -998,10 +1006,11 @@ class DdlCatalog:
                 c for c in entry.ddl.columns if c[0] != cname
             ]
             # the storage names (every rename-era one) keep their bytes;
-            # the snapshot projection hides them from every read
+            # the read-time projection hides them from every read
             entry.dropped_cols.update(
                 [cname, *entry.renamed_cols.pop(cname, [])]
             )
+            self._sync_read_transform(entry)
             self._refresh_view(entry)
             return self.spark.createDataFrame([], entry.ddl.spark_schema)
         rc = re.match(
@@ -1017,6 +1026,13 @@ class DdlCatalog:
                 raise KeyError(f"column {old!r} does not exist")
             if any(n == new for n, _, _ in entry.ddl.columns):
                 raise ValueError(f"column {new!r} already exists")
+            if new in self._residual_names(entry):
+                raise ValueError(
+                    f"column name {new!r} still has residual storage bytes "
+                    "from a prior DROP/RENAME — the read-time coalesce "
+                    "would resurrect them; OPTIMIZE TABLE "
+                    f"{entry.ddl.name} FINAL first"
+                )
             self._guard_structural_column(entry, old, "RENAME")
             entry.ddl.columns = [
                 (new, t, d) if n == old else (n, t, d)
@@ -1025,6 +1041,7 @@ class DdlCatalog:
             # chained renames keep the FULL history: batches written under
             # any prior name must still resolve
             entry.renamed_cols[new] = [old, *entry.renamed_cols.pop(old, [])]
+            self._sync_read_transform(entry)
             self._refresh_view(entry)
             return self.spark.createDataFrame([], entry.ddl.spark_schema)
         am = re.match(
@@ -1043,9 +1060,17 @@ class DdlCatalog:
             if not am.group(1):
                 raise ValueError(f"column {cname!r} already exists")
             return self.spark.createDataFrame([], entry.ddl.spark_schema)
+        if cname in self._residual_names(entry):
+            raise ValueError(
+                f"column name {cname!r} still has residual storage bytes "
+                "from a prior DROP/RENAME — a new column under that name "
+                "would resurrect them; OPTIMIZE TABLE "
+                f"{entry.ddl.name} FINAL first"
+            )
         entry.ddl.columns.append(
             (cname, ch_type_to_spark(am.group("type")), am.group("dflt"))
         )
+        self._sync_read_transform(entry)
         self._refresh_view(entry)
         return self.spark.createDataFrame([], entry.ddl.spark_schema)
 
@@ -1069,6 +1094,13 @@ class DdlCatalog:
                 "(the read-time collapse binds the declared schema to "
                 "storage names)"
             )
+        for vname, mv in self.views.items():
+            if entry.ddl.name in (mv.src, mv.target) or vname == entry.ddl.name:
+                raise ValueError(
+                    f"cannot {verb} columns of {entry.ddl.name!r}: it backs "
+                    f"materialized view {vname!r} (the trigger's SELECT "
+                    "binds the old name) — drop the view first"
+                )
 
     def _rm_data(self, entry: CatalogEntry) -> None:
         import shutil
@@ -1198,11 +1230,11 @@ class DdlCatalog:
         entry = self.tables[self._bare(name)]
         if not entry.table.exists():
             return self.spark.createDataFrame([], entry.ddl.spark_schema)
-        altered = [c for c in entry.ddl.columns if c[0] not in entry.original_cols]
-        reshaped = bool(altered or entry.renamed_cols or entry.dropped_cols)
-        # mergeSchema only when an ALTER changed the shape — it reads every
-        # file footer, and steady-state tables take the single-footer path
-        raw = entry.table.read_raw(self.spark, merge_schema=reshaped)
+        # any pending column reshape (ALTER ADD/DROP/RENAME) is applied by
+        # the table's read_transform INSIDE read_raw — installed by
+        # _sync_read_transform, shared by compact/delete/update so
+        # maintenance ops materialize the reshape instead of losing data
+        raw = entry.table.read_raw(self.spark)
         if entry.dedup:
             order = (
                 [entry.ddl.version_col, INGEST_SEQ]
@@ -1218,47 +1250,84 @@ class DdlCatalog:
             # min() — deterministic where ClickHouse keeps an arbitrary
             # survivor.
             return self._summing_collapse(entry, raw)
-        if not reshaped:
-            # the common path: raw columns pass through untouched, so
-            # predicates reach the parquet scan (PushedFilters + per-file
-            # footer stats skip disjoint files — the key-sorted layout
-            # makes timestamp ranges narrow per file). Month-DIR pruning
-            # from a timestamp predicate would need predicate-to-partition
-            # derivation Spark doesn't do through a view; planned time
-            # scans use ServingTable.read_pruned for that.
-            return raw.drop(INGEST_SEQ)
-        present = set(raw.columns)
+        # raw is already in the DECLARED shape (the common, un-reshaped
+        # path passes storage columns through untouched, so predicates
+        # reach the parquet scan — PushedFilters + per-file footer stats.
+        # Month-DIR pruning from a timestamp predicate would need
+        # predicate-to-partition derivation Spark doesn't do through a
+        # view; planned time scans use ServingTable.read_pruned for that.)
+        return raw.drop(INGEST_SEQ)
+
+    def _declared_projection(self, entry: CatalogEntry, present: set[str]):
+        """Columns projecting a union-schema raw frame onto the DECLARED
+        schema: rename histories coalesce (each batch carries the name
+        current at its write time), ALTER-added columns fill their default
+        for pre-ADD batches — including through a later RENAME — and
+        dropped columns simply aren't selected."""
         cols = []
         for cname, ctype, dflt in entry.ddl.columns:
-            if cname in entry.renamed_cols:
-                # each batch carries the name current at ITS write time —
-                # coalesce the current name plus the full rename history
-                # (newest first; values always exist, no default fill)
-                chain = [cname, *entry.renamed_cols[cname]]
-                parts = [F.col(n) for n in chain if n in present]
-                if len(parts) > 1:
-                    cols.append(F.coalesce(*parts).alias(cname))
-                elif parts:
-                    cols.append(parts[0].alias(cname))
-                else:
-                    cols.append(F.lit(None).cast(ctype).alias(cname))
+            chain = [cname, *entry.renamed_cols.get(cname, [])]
+            parts = [F.col(n) for n in chain if n in present]
+            base = (
+                F.coalesce(*parts)
+                if len(parts) > 1
+                else (parts[0] if parts else F.lit(None).cast(ctype))
+            )
+            if chain[-1] in entry.original_cols:
+                # CREATE-time column (possibly renamed): values exist in
+                # every batch, no fill — and on the un-renamed fast shape
+                # this stays a bare column reference
+                cols.append(base.alias(cname) if len(chain) > 1 else F.col(cname))
                 continue
-            if cname in entry.original_cols:
-                cols.append(F.col(cname))
-                continue
-            # ALTER-added column: pre-ALTER batches surface NULL through
-            # mergeSchema (or miss it entirely) — fill the declared default,
-            # ClickHouse's lazy-materialization semantics. These can never
-            # be key/partition columns (CREATE declares those), so pruning
-            # is unaffected.
+            # ALTER-added column: pre-ADD batches surface NULL through
+            # mergeSchema (or miss it entirely) — fill the declared
+            # default, ClickHouse's lazy-materialization semantics. These
+            # can never be key/partition columns (CREATE declares those),
+            # so pruning is unaffected.
             fill = (
                 self._default_col(dflt, ctype)
                 if dflt is not None
                 else _type_default(ctype)
             )
-            base = F.col(cname).cast(ctype) if cname in present else F.lit(None).cast(ctype)
-            cols.append(F.coalesce(base, fill).alias(cname))
-        return raw.select(*cols)
+            cols.append(F.coalesce(base.cast(ctype), fill).alias(cname))
+        return cols
+
+    def _sync_read_transform(self, entry: CatalogEntry) -> None:
+        """Install (or clear) the table's read-time projection. Applied by
+        EVERY raw read — snapshot, compact, DELETE/UPDATE mutations — so a
+        pending column reshape serves consistently everywhere and
+        MATERIALIZES whenever a maintenance op rewrites storage (the
+        projection is idempotent: post-materialize files re-project to
+        themselves)."""
+        altered = [
+            c for c in entry.ddl.columns if c[0] not in entry.original_cols
+        ]
+        if not (altered or entry.renamed_cols or entry.dropped_cols):
+            entry.table.read_transform = None
+            return
+
+        def _project(df: DataFrame) -> DataFrame:
+            present = set(df.columns)
+            # the bookkeeping columns ride along: dedup orders by
+            # INGEST_SEQ and the mutation/compact paths partition by month
+            extras = [
+                F.col(c) for c in (INGEST_SEQ, MONTH_COL) if c in present
+            ]
+            return df.select(
+                *self._declared_projection(entry, present), *extras
+            )
+
+        entry.table.read_transform = _project
+
+    def _residual_names(self, entry: CatalogEntry) -> set[str]:
+        """Storage column names whose BYTES still exist in old batches
+        (dropped columns + every rename-era name): re-using one for a new
+        column would resurrect stale values — refused until OPTIMIZE
+        rewrites the table in the declared shape."""
+        res = set(entry.dropped_cols)
+        for hist in entry.renamed_cols.values():
+            res.update(hist)
+        return res
 
     _NUMERIC_SPARK = {"tinyint", "smallint", "int", "bigint", "float", "double"}
 

@@ -84,6 +84,16 @@ class ServingTable:
     keys: list[str]  # ReplacingMergeTree ORDER BY key (dedup identity)
     time_col: str | None  # event-time column driving the month partition
     sort_cols: list[str] = field(default_factory=list)  # physical sort (defaults to keys)
+    #: optional read-time projection applied by EVERY raw read (and thus by
+    #: snapshot/compact/delete/update uniformly): the DdlCatalog installs
+    #: one after ALTER ADD/DROP/RENAME COLUMN so pending column reshapes
+    #: serve consistently AND materialize whenever a maintenance op
+    #: rewrites storage — ClickHouse mutations rewrite parts with the
+    #: current schema the same way. Must be IDEMPOTENT (post-materialize
+    #: files re-project to themselves) and must preserve INGEST_SEQ.
+    #: Setting it forces mergeSchema (reshaped tables have heterogeneous
+    #: file footers).
+    read_transform: object | None = None
 
     # -- crash recovery ---------------------------------------------------
 
@@ -289,11 +299,17 @@ class ServingTable:
         """
         self._recover()
         reader = spark.read
-        if merge_schema:
+        if merge_schema or self.read_transform is not None:
+            # a read_transform implies heterogeneous file footers (pending
+            # column reshape) — the union schema is required for the
+            # projection's coalesce chains to see every storage name
             reader = reader.option("mergeSchema", "true")
         # symlink-resolved: an atomic compact repoint after this call leaves
         # the returned frame reading its original (retained) snapshot dir
-        return reader.parquet(self.resolved_path())
+        out = reader.parquet(self.resolved_path())
+        if self.read_transform is not None:
+            out = self.read_transform(out)
+        return out
 
     def read(
         self,

@@ -1294,3 +1294,133 @@ class TestColumnMutationsAndExchange:
             mut_engine.sql(
                 "EXCHANGE TABLES m.t1 AND m.nope", dialect="clickhouse"
             )
+
+
+# ---------------------------------------------------------------------------
+# r8 review regressions: reshape materialization + residual-name guards
+# ---------------------------------------------------------------------------
+
+
+class TestReshapeMaterialization:
+    @pytest.fixture()
+    def rs_engine(self, spark, tmp_path):
+        eng = AnalyticsEngine(
+            spark, verbose=False, ddl_root=str(tmp_path / "rs")
+        )
+        eng.sql(
+            """CREATE TABLE r.t (k String, a Int32, b String)
+            ENGINE = ReplacingMergeTree ORDER BY k""",
+            dialect="clickhouse",
+        )
+        eng.sql(
+            "INSERT INTO r.t (k, a, b) VALUES",
+            args=[{"k": "r1", "a": 1, "b": "B1"}],
+            dialect="clickhouse",
+        )
+        return eng
+
+    def test_optimize_materializes_rename(self, rs_engine):
+        rs_engine.sql(
+            "ALTER TABLE r.t RENAME COLUMN a TO amount", dialect="clickhouse"
+        )
+        rs_engine.sql(
+            "INSERT INTO r.t (k, amount, b) VALUES",
+            args=[{"k": "r2", "amount": 2, "b": "B2"}],
+            dialect="clickhouse",
+        )
+        rs_engine.sql("OPTIMIZE TABLE r.t FINAL", dialect="clickhouse")
+        got = {r.k: r.amount for r in rs_engine.sql(
+            "SELECT k, amount FROM t", dialect="clickhouse").collect()}
+        assert got == {"r1": 1, "r2": 2}  # pre-rename bytes survived
+        # bookkeeping cleared: the name is reusable again
+        rs_engine.sql(
+            "ALTER TABLE r.t ADD COLUMN a Int32 DEFAULT -1",
+            dialect="clickhouse",
+        )
+        got = {r.k: r.a for r in rs_engine.sql(
+            "SELECT k, a FROM t", dialect="clickhouse").collect()}
+        assert got == {"r1": -1, "r2": -1}  # fresh column, NOT old bytes
+
+    def test_mutation_materializes_rename(self, rs_engine):
+        rs_engine.sql(
+            "ALTER TABLE r.t RENAME COLUMN a TO amount", dialect="clickhouse"
+        )
+        rs_engine.sql(
+            "INSERT INTO r.t (k, amount, b) VALUES",
+            args=[{"k": "r3", "amount": 3, "b": "B3"}],
+            dialect="clickhouse",
+        )
+        rs_engine.sql(
+            "ALTER TABLE r.t DELETE WHERE k = 'r3'", dialect="clickhouse"
+        )
+        got = {r.k: r.amount for r in rs_engine.sql(
+            "SELECT k, amount FROM t", dialect="clickhouse").collect()}
+        assert got == {"r1": 1}  # the copy-on-write rewrite kept r1.amount
+
+    def test_update_where_sees_renamed_values(self, rs_engine):
+        rs_engine.sql(
+            "ALTER TABLE r.t RENAME COLUMN a TO amount", dialect="clickhouse"
+        )
+        rs_engine.sql(
+            "ALTER TABLE r.t UPDATE b = 'hit' WHERE amount = 1",
+            dialect="clickhouse",
+        )
+        got = rs_engine.sql(
+            "SELECT b FROM t WHERE k = 'r1'", dialect="clickhouse"
+        ).collect()[0].b
+        assert got == "hit"  # the predicate resolved pre-rename bytes
+
+    def test_residual_name_reuse_refused_until_optimize(self, rs_engine):
+        rs_engine.sql("ALTER TABLE r.t DROP COLUMN b", dialect="clickhouse")
+        with pytest.raises(ValueError, match="residual"):
+            rs_engine.sql(
+                "ALTER TABLE r.t ADD COLUMN b String DEFAULT 'z'",
+                dialect="clickhouse",
+            )
+        with pytest.raises(ValueError, match="residual"):
+            rs_engine.sql(
+                "ALTER TABLE r.t RENAME COLUMN a TO b", dialect="clickhouse"
+            )
+        rs_engine.sql("OPTIMIZE TABLE r.t FINAL", dialect="clickhouse")
+        rs_engine.sql(
+            "ALTER TABLE r.t ADD COLUMN b String DEFAULT 'z'",
+            dialect="clickhouse",
+        )
+        got = rs_engine.sql(
+            "SELECT b FROM t WHERE k = 'r1'", dialect="clickhouse"
+        ).collect()[0].b
+        assert got == "z"  # the old 'B1' bytes are physically gone
+
+    def test_renamed_added_column_keeps_default_fill(self, rs_engine):
+        rs_engine.sql(
+            "ALTER TABLE r.t ADD COLUMN x Int32 DEFAULT 7",
+            dialect="clickhouse",
+        )
+        rs_engine.sql(
+            "INSERT INTO r.t (k, a, b, x) VALUES",
+            args=[{"k": "r2", "a": 2, "b": "B2", "x": 9}],
+            dialect="clickhouse",
+        )
+        rs_engine.sql(
+            "ALTER TABLE r.t RENAME COLUMN x TO y", dialect="clickhouse"
+        )
+        got = {r.k: r.y for r in rs_engine.sql(
+            "SELECT k, y FROM t", dialect="clickhouse").collect()}
+        assert got == {"r1": 7, "r2": 9}  # pre-ADD rows keep the default
+
+    def test_column_mutation_on_mv_wired_table_refused(self, rs_engine):
+        rs_engine.sql(
+            """CREATE MATERIALIZED VIEW r.mv1
+            ENGINE = SummingMergeTree ORDER BY (k)
+            AS SELECT k, sum(a) AS a FROM r.t GROUP BY k""",
+            dialect="clickhouse",
+        )
+        with pytest.raises(ValueError, match="materialized view"):
+            rs_engine.sql(
+                "ALTER TABLE r.t RENAME COLUMN a TO amount",
+                dialect="clickhouse",
+            )
+        with pytest.raises(ValueError, match="materialized view"):
+            rs_engine.sql(
+                "ALTER TABLE r.t DROP COLUMN b", dialect="clickhouse"
+            )
