@@ -39,14 +39,25 @@ EXCHANGE TABLES a AND b               atomic swap (the blue/green rebuild
                                       idiom) — each name serves the
                                       other's data; MV-wired refused
 ALTER TABLE t DROP COLUMN c           metadata-only: old batches keep the
-                                      bytes, the snapshot projection hides
-                                      them (CH's DROP is a deferred
-                                      mutation too); key/partition/version
-                                      columns refused
-ALTER TABLE t RENAME COLUMN a TO b    declared name changes; pre-rename
-                                      batches coalesce through the
-                                      original storage name on read;
-                                      structural columns refused
+                                      bytes; a read-time projection
+                                      (installed on the ServingTable,
+                                      shared by snapshot AND
+                                      compact/DELETE/UPDATE) hides them,
+                                      and any of those maintenance ops
+                                      MATERIALIZES the reshape into the
+                                      files it rewrites — CH's deferred
+                                      mutations behave the same.
+                                      Key/partition/version/MV-wired
+                                      columns refused; re-using a dropped
+                                      name refused until OPTIMIZE purges
+                                      the residual bytes
+ALTER TABLE t RENAME COLUMN a TO b    declared name changes; reads
+                                      coalesce the FULL rename history of
+                                      storage names (ALTER-added columns
+                                      keep their default fill through the
+                                      rename); structural/MV-wired
+                                      columns and residual target names
+                                      refused; OPTIMIZE normalizes
 EXISTS TABLE t                        1-row result 1/0
 SHOW TABLES [FROM db] [LIKE '%pat%']  one name per row (tables + MVs)
 DESCRIBE TABLE t                      (name, type, default_expression) —
