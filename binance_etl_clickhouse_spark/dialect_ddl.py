@@ -938,6 +938,7 @@ class DdlCatalog:
                 raise KeyError(f"unknown table {m.group(2)!r}")
             return self.spark.createDataFrame([], T.StructType([]))
         self._rm_data(entry)
+        self._clear_reshape(entry)  # no bytes left to disagree
         self._refresh_view(entry)
         return self.spark.createDataFrame([], T.StructType([]))
 
@@ -956,14 +957,34 @@ class DdlCatalog:
         if entry.table.exists():
             # compact reads through the read_transform, so a pending column
             # reshape MATERIALIZES into the rewritten files (ClickHouse
-            # mutations rewrite parts with the current schema the same way)
-            entry.table.compact(self.spark)
-            entry.original_cols = frozenset(n for n, _, _ in entry.ddl.columns)
-            entry.renamed_cols.clear()
-            entry.dropped_cols.clear()
-            self._sync_read_transform(entry)  # single-footer path restored
-            self._refresh_view(entry)
+            # mutations rewrite parts with the current schema the same way).
+            # Version-aware survivor order for ReplacingMergeTree(ver) —
+            # compaction must keep the row the snapshot serves — and NO
+            # dedup for plain/Summing engines (duplicate keys are
+            # legitimate rows; partials must survive: OPTIMIZE there only
+            # merges and re-sorts parts, like ClickHouse)
+            entry.table.compact(
+                self.spark,
+                dedup=entry.dedup,
+                dedup_order=(
+                    [entry.ddl.version_col, INGEST_SEQ]
+                    if entry.dedup and entry.ddl.version_col
+                    else None
+                ),
+            )
+        self._clear_reshape(entry)
+        self._refresh_view(entry)
         return self.spark.createDataFrame([], T.StructType([]))
+
+    def _clear_reshape(self, entry: CatalogEntry) -> None:
+        """Reshape bookkeeping resets once no storage bytes can disagree
+        with the declared schema — after OPTIMIZE materializes (or when the
+        table holds no data at all): residual names free up and reads
+        return to the single-footer fast path."""
+        entry.original_cols = frozenset(n for n, _, _ in entry.ddl.columns)
+        entry.renamed_cols.clear()
+        entry.dropped_cols.clear()
+        self._sync_read_transform(entry)
 
     def _alter(self, sql: str) -> DataFrame | None:
         """ALTER TABLE ... ADD COLUMN: the declared schema grows; rows
@@ -1037,7 +1058,11 @@ class DdlCatalog:
                 raise KeyError(f"column {old!r} does not exist")
             if any(n == new for n, _, _ in entry.ddl.columns):
                 raise ValueError(f"column {new!r} already exists")
-            if new in self._residual_names(entry):
+            # a rename-BACK (a->b then b->a) is fine: the residual names in
+            # this column's OWN history are its bytes, not stale ones
+            if new in self._residual_names(entry) - set(
+                entry.renamed_cols.get(old, [])
+            ):
                 raise ValueError(
                     f"column name {new!r} still has residual storage bytes "
                     "from a prior DROP/RENAME — the read-time coalesce "
@@ -1105,12 +1130,19 @@ class DdlCatalog:
                 "(the read-time collapse binds the declared schema to "
                 "storage names)"
             )
+        self._guard_mv_wired(entry.ddl.name, f"{verb} columns of")
+
+    def _guard_mv_wired(self, name: str, action: str) -> None:
+        """Refuse structural changes to tables wired into a materialized
+        view (source, target, or the MV's own storage): the trigger's
+        SELECT binds names at CREATE time and would break at the next
+        INSERT — a deferred, partially-applied failure. Shared by the
+        column mutations, RENAME TABLE and EXCHANGE TABLES."""
         for vname, mv in self.views.items():
-            if entry.ddl.name in (mv.src, mv.target) or vname == entry.ddl.name:
+            if name in (mv.src, mv.target) or vname == name:
                 raise ValueError(
-                    f"cannot {verb} columns of {entry.ddl.name!r}: it backs "
-                    f"materialized view {vname!r} (the trigger's SELECT "
-                    "binds the old name) — drop the view first"
+                    f"cannot {action} {name!r}: it backs materialized "
+                    f"view {vname!r} — drop the view first"
                 )
 
     def _rm_data(self, entry: CatalogEntry) -> None:
@@ -1410,12 +1442,7 @@ class DdlCatalog:
                 raise KeyError(f"unknown table {m.group(1)!r}")
             if new in self.tables or new in self.views:
                 raise ValueError(f"table {new!r} already exists")
-            for vname, mv in self.views.items():
-                if old in (mv.src, mv.target) or vname == old:
-                    raise ValueError(
-                        f"table {old!r} backs materialized view {vname!r} — "
-                        "drop the view first"
-                    )
+            self._guard_mv_wired(old, "RENAME")
             self.tables[new] = self.tables.pop(old)
             self.tables[new].ddl.name = new  # snapshot/view key follows
             if new_db is not None:
@@ -1444,12 +1471,7 @@ class DdlCatalog:
         for name in (a, b):
             if name not in self.tables:
                 raise KeyError(f"unknown table {name!r}")
-            for vname, mv in self.views.items():
-                if name in (mv.src, mv.target) or vname == name:
-                    raise ValueError(
-                        f"table {name!r} backs materialized view {vname!r} "
-                        "— drop the view first"
-                    )
+            self._guard_mv_wired(name, "EXCHANGE")
         ea, eb = self.tables[a], self.tables[b]
         ea.ddl.name, eb.ddl.name = b, a
         ea.ddl.database, eb.ddl.database = eb.ddl.database, ea.ddl.database

@@ -395,7 +395,14 @@ class ServingTable:
             df = self.read_raw(spark).limit(0)
         else:
             # basePath keeps the month= dir column in scope for partial reads
-            df = spark.read.option("basePath", self.path).parquet(*files)
+            reader = spark.read.option("basePath", self.path)
+            if self.read_transform is not None:
+                reader = reader.option("mergeSchema", "true")
+            df = reader.parquet(*files)
+            if self.read_transform is not None:
+                # the reshape projection applies to EVERY read path — the
+                # read_raw branches above already did
+                df = self.read_transform(df)
         for col, pred in predicates.items():
             if pred[0] == "eq":
                 df = df.filter(F.col(col) == F.lit(pred[1]))
@@ -695,8 +702,19 @@ class ServingTable:
         spark: SparkSession,
         zorder: tuple[str, str] | None = None,
         versioned: bool | None = None,
+        dedup: bool = True,
+        dedup_order=None,
     ) -> None:
         """Rewrite to exactly one version per key (≙ OPTIMIZE TABLE FINAL).
+
+        ``dedup=False`` rewrites WITHOUT collapsing versions — the
+        OPTIMIZE semantics for plain-append (MergeTree) tables, where
+        duplicate keys are legitimate rows and SummingMergeTree partials
+        must survive: files merge and re-sort, nothing drops.
+        ``dedup_order`` overrides the survivor ordering (e.g. a declared
+        ReplacingMergeTree version column ordered before arrival:
+        ``[ver, INGEST_SEQ]``) so compaction keeps the same row the
+        version-aware snapshot serves, not merely the latest arrival.
 
         Reads the deduped snapshot and atomically replaces the table dir.
         Partition-parallel: each month rewrites independently; at 100 TB this
@@ -726,7 +744,12 @@ class ServingTable:
             versioned = os.path.islink(self.path)
         cur_seq = self._read_sidecar()
         prior_zm = _zm.read_zonemap(self.path)
-        snap = self.read(spark)
+        if not dedup:
+            snap = self.read_raw(spark)  # merge + re-sort, keep every row
+        elif dedup_order is not None:
+            snap = keep_last(self.read_raw(spark), self.keys, dedup_order)
+        else:
+            snap = self.read(spark)
         import shutil
 
         if versioned:
@@ -770,9 +793,12 @@ class ServingTable:
             shutil.rmtree(bak)
         # compaction preserves versions (it keeps max-per-key), so the
         # sidecar's max carries over unchanged; the compacted flag lets
-        # read() skip the dedup window until the next append
+        # read() skip the dedup window until the next append — only valid
+        # when this rewrite actually collapsed to one row per key
         if cur_seq is not None:
-            self._write_sidecar(cur_seq, compacted_seq=cur_seq)
+            self._write_sidecar(
+                cur_seq, compacted_seq=cur_seq if dedup else None
+            )
         # every file was rewritten -> the sparse index rebuilds over the new
         # layout (same columns); one footer pass over the compacted files
         if prior_zm is not None:

@@ -1424,3 +1424,110 @@ class TestReshapeMaterialization:
             rs_engine.sql(
                 "ALTER TABLE r.t DROP COLUMN b", dialect="clickhouse"
             )
+
+
+class TestOptimizeEngineSemantics:
+    """r8 second review pass: OPTIMIZE must respect the table ENGINE."""
+
+    def test_optimize_mergetree_keeps_duplicate_keys(self, spark, tmp_path):
+        eng = AnalyticsEngine(
+            spark, verbose=False, ddl_root=str(tmp_path / "oe")
+        )
+        eng.sql(
+            "CREATE TABLE o.logs (ts DateTime, msg String) "
+            "ENGINE = MergeTree ORDER BY ts",
+            dialect="clickhouse",
+        )
+        t = pd.Timestamp("2024-01-01 00:00:00")
+        eng.sql(
+            "INSERT INTO o.logs (ts, msg) VALUES",
+            args=[{"ts": t, "msg": f"m{i}"} for i in range(5)],
+            dialect="clickhouse",
+        )
+        eng.sql("OPTIMIZE TABLE o.logs FINAL", dialect="clickhouse")
+        # duplicate keys are legitimate rows on a plain MergeTree — the
+        # rewrite merges parts, it must NOT keep-last per ORDER BY key
+        n = eng.sql(
+            "SELECT count(*) AS c FROM logs", dialect="clickhouse"
+        ).collect()[0].c
+        assert n == 5
+
+    def test_optimize_respects_version_column(self, spark, tmp_path):
+        eng = AnalyticsEngine(
+            spark, verbose=False, ddl_root=str(tmp_path / "ov")
+        )
+        eng.sql(
+            "CREATE TABLE o.v (k String, ver Int32, val String) "
+            "ENGINE = ReplacingMergeTree(ver) ORDER BY k",
+            dialect="clickhouse",
+        )
+        # higher version arrives FIRST; a later lower-version append must
+        # not survive compaction (the snapshot serves ver=2)
+        eng.sql(
+            "INSERT INTO o.v (k, ver, val) VALUES",
+            args=[{"k": "a", "ver": 2, "val": "new"}],
+            dialect="clickhouse",
+        )
+        eng.sql(
+            "INSERT INTO o.v (k, ver, val) VALUES",
+            args=[{"k": "a", "ver": 1, "val": "old"}],
+            dialect="clickhouse",
+        )
+        before = eng.sql(
+            "SELECT val FROM v", dialect="clickhouse"
+        ).collect()[0].val
+        eng.sql("OPTIMIZE TABLE o.v FINAL", dialect="clickhouse")
+        after = eng.sql(
+            "SELECT val FROM v", dialect="clickhouse"
+        ).collect()[0].val
+        assert before == after == "new"
+
+    def test_residuals_clear_on_empty_table_and_truncate(self, spark, tmp_path):
+        eng = AnalyticsEngine(
+            spark, verbose=False, ddl_root=str(tmp_path / "oc")
+        )
+        eng.sql(
+            "CREATE TABLE o.e (k String, b String) "
+            "ENGINE = MergeTree ORDER BY k",
+            dialect="clickhouse",
+        )
+        # drop before any insert: OPTIMIZE on the EMPTY table must still
+        # free the name (there are no bytes to disagree)
+        eng.sql("ALTER TABLE o.e DROP COLUMN b", dialect="clickhouse")
+        eng.sql("OPTIMIZE TABLE o.e FINAL", dialect="clickhouse")
+        eng.sql(
+            "ALTER TABLE o.e ADD COLUMN b String DEFAULT 'z'",
+            dialect="clickhouse",
+        )
+        # TRUNCATE likewise purges residual bytes
+        eng.sql(
+            "INSERT INTO o.e (k, b) VALUES",
+            args=[{"k": "r", "b": "B"}],
+            dialect="clickhouse",
+        )
+        eng.sql("ALTER TABLE o.e DROP COLUMN b", dialect="clickhouse")
+        eng.sql("TRUNCATE TABLE o.e", dialect="clickhouse")
+        eng.sql(
+            "ALTER TABLE o.e ADD COLUMN b String DEFAULT 'y'",
+            dialect="clickhouse",
+        )
+        assert "b" in eng.sql("SELECT * FROM e", dialect="clickhouse").columns
+
+    def test_rename_back_allowed(self, spark, tmp_path):
+        eng = AnalyticsEngine(
+            spark, verbose=False, ddl_root=str(tmp_path / "rb")
+        )
+        eng.sql(
+            "CREATE TABLE o.r (k String, a Int32) "
+            "ENGINE = MergeTree ORDER BY k",
+            dialect="clickhouse",
+        )
+        eng.sql(
+            "INSERT INTO o.r (k, a) VALUES",
+            args=[{"k": "x", "a": 1}],
+            dialect="clickhouse",
+        )
+        eng.sql("ALTER TABLE o.r RENAME COLUMN a TO b", dialect="clickhouse")
+        eng.sql("ALTER TABLE o.r RENAME COLUMN b TO a", dialect="clickhouse")
+        got = eng.sql("SELECT k, a FROM r", dialect="clickhouse").collect()
+        assert [(r.k, r.a) for r in got] == [("x", 1)]
