@@ -35,83 +35,79 @@ from binance_etl_clickhouse_spark.queries import quality  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 # Driver verification window. The correctness driver checks the FIRST 50
 # registered queries per round, so registration order is a verification
-# budget. Round-8 window (per the round-7 verdict, item #1): the 50 STALEST
-# proofs — all 34 queries last driver-checked in round 2 (the TPC-H long
-# tail q2/q4/q5/q7/q10-q17/q19-q22, the date/array/map function families,
-# the subquery shapes, grouping sets, stats, the 7-day range window,
-# gapfill LOCF, the r2-era near-dup/ANN/quantize shapes, and the dataset
-# split/sample/pack family), the rows-only `approx_aggregates` (sketches
-# have no cross-engine twin; the driver records its weaker rows-only
-# check), the 14 stalest round-4 proofs, and this round's new
-# registration (the traced fixed-budget BPE trainer, which converts one of
-# the remaining rows-only carve-outs into a fully hash-oracled query).
-# Nothing in this window was driver-proven later than round 4.
+# budget. Round-9 window (per the round-8 verdict, item #1): the 14
+# round-8 verbatim-surface registrations that have never been
+# driver-checked (local sf0.001 pytest parity only), this round's new
+# registration (the traced-budget BPE encode, converting another rows-only
+# carve-out into a fully hash-oracled query), ALL 28 queries whose last
+# driver proof is round 4, and the 7 stalest round-5 proofs. After this
+# rotation every registered query has been driver-proven at least once.
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW = [
-    # --- new round-8 registration: the fixed-merge-budget BPE trainer with
-    # the per-merge pair-argmax unrolled in the oracle (r7 verdict item 4) ---
-    "bpe_train_merges_traced",
-    # --- round-2-era: last driver-checked in CORRECTNESS_r02 ---
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q7_nation_volume",
-    "tpch_q10_returned_items",
-    "tpch_q11_value_concentration",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_excess_share_supplier",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_sales_opportunity",
-    "date_function_family",
-    "array_function_family",
-    "map_function_family",
-    "correlated_subquery_above_avg",
-    "scalar_subquery_above_global_avg",
-    "grouping_sets_orders",
-    "stats_family",
-    "window_range_rolling_7d",
-    "gapfill_hourly_locf",
-    "simhash_neardup_pairs",
-    "embedding_lsh_neardup",
-    "embedding_int8_quantize",
-    "ann_lsh_topk",
-    "ann_pq_topk",
-    "dataset_split_hash",
-    "leakage_safe_split",
-    "stratified_sample_per_lang",
-    "token_budget_pack",
-    "repetition_signals",
-    # --- rows-only carve-out, never hash-proven (no cross-engine twin) ---
-    "approx_aggregates",
-    # --- round-4-era fills: the 14 stalest CORRECTNESS_r04 proofs ---
-    "tpch_q1_pricing_summary",
-    "tumbling_resample_1h",
-    "ann_bruteforce_topk",
-    "multimodal_binary_features",
-    "knn_label_classifier",
-    "cluster_representative_select",
-    "kmeans_cluster_quality",
-    "ewma_anomaly_events",
-    "session_window_agg",
-    "trending_decayed_counts",
-    "pandas_zscore_per_user",
-    "heavy_hitters_event_types",
-    "jl_random_projection",
-    "ks_test_click_vs_purchase",
+    # --- round-8 registrations, never driver-checked (lead the window) ---
+    "asof_join_verbatim_sql",
+    "any_join_verbatim_sql",
+    "windowfunnel_verbatim_sql",
+    "sequencematch_verbatim_sql",
+    "sequencematch_time_verbatim_sql",
+    "with_totals_verbatim_sql",
+    "ddl_verbatim_roundtrip",
+    "mv_verbatim_roundtrip",
+    "array_join_verbatim_sql",
+    "with_fill_verbatim_sql",
+    "dictionary_verbatim_sql",
+    "url_function_family",
+    "pii_detect_redact",
+    "ann_ivf_filtered_topk",
+    # --- new round-9 registration: trained-model BPE encode pinned to the
+    # traced 8-merge budget (r8 verdict item 5 — rows-only carve-outs 5->4) ---
+    "bpe_token_counts_traced",
+    # --- round-4-era: every query last driver-checked in CORRECTNESS_r04 ---
+    "ab_conversion_ztest",
+    "assoc_rules_copurchase",
+    "attribution_last_touch",
+    "attribution_linear",
+    "bloom_decontaminate",
+    "cdc_chunk_dedup",
+    "chi2_event_cohort_independence",
+    "contrastive_negative_sample",
+    "curriculum_interleave",
+    "cusum_changepoint_daily",
+    "event_sequence_trigrams",
+    "graph_degree_stats",
+    "graph_triangle_count",
+    "hits_hub_authority",
+    "keyword_tag_docs",
+    "minimizer_fingerprints",
+    "normalize_dedup_docs",
+    "pagerank_copurchase",
+    "personalized_pagerank_seeded",
+    "pmi_cooccurrence_pairs",
+    "profile_lineitem_columns",
+    "rfm_customer_segments",
+    "score_calibration_bins",
+    "seasonal_hourly_anomaly",
+    "source_budget_waterfill",
+    "unigram_lm_train",
+    "unigram_seed_piece_stats",
+    "zipf_vocab_stats",
+    # --- round-5-era fills: 7 of the 42 CORRECTNESS_r05-stale proofs ---
+    "ann_batch_topk",
+    "asof_nearest_purchase_click",
+    "bm25_topk_docs",
+    "cohort_retention_daily",
+    "dq_expectations_lineitem",
+    "funnel_signup_click_purchase",
+    "gopher_quality_filters",
 ]
 
 
 # Names in DRIVER_WINDOW that are not yet registered are skipped IF listed
 # here (a window may name planned registrations before they land);
 # anything else unknown still fails loudly, so a typo in an existing query
-# name cannot silently shrink the verification window. Empty = every
-# round-8 registration has landed.
-PLANNED_NEW: set[str] = set()
+# name cannot silently shrink the verification window. The round-9 traced
+# encode lands this round and is removed from this set when it registers.
+PLANNED_NEW: set[str] = {"bpe_token_counts_traced"}
 
 
 def _apply_driver_order() -> None:
