@@ -1853,6 +1853,21 @@ def _rewrite_with_fill(sql: str) -> str:
                     vend = t_after[j][0]
                     break
                 j += 1
+            # a top-level comma ends the value too: ``STEP 2, y`` is a
+            # SECOND sort key, not part of the step expression — cut the
+            # span there so the remainder routes through the loud
+            # unsupported-trailing-clause refusal below instead of being
+            # silently absorbed into the value
+            comma_cut = None
+            blanked, depth = _blank_quoted(sql[vstart:vend]), 0
+            for c, bch in enumerate(blanked):
+                if bch in "([":
+                    depth += 1
+                elif bch in ")]":
+                    depth -= 1
+                elif bch == "," and depth == 0:
+                    vend = comma_cut = vstart + c
+                    break
             val = sql[vstart:vend].strip().rstrip(";")
             if not val:
                 raise ValueError(f"WITH FILL: {kw} needs a value")
@@ -1862,6 +1877,9 @@ def _rewrite_with_fill(sql: str) -> str:
                 to = val
             else:
                 step = val
+            if comma_cut is not None:
+                tail_start = comma_cut
+                break
             i = j
             continue
         if kw == "INTERPOLATE":
@@ -2288,16 +2306,22 @@ def translate_clickhouse_sql(sql: str) -> str:
                     # the per-row arrays. sum rides the arraySum
                     # DECIMAL(38,_)/DOUBLE accumulator; uniqArray is exact
                     # where CH sketches (within contract); NULL arrays
-                    # contribute nothing (size() alone would yield -1)
+                    # contribute nothing (size() alone would yield -1).
+                    # NULL ELEMENTS are skipped element-wise like
+                    # ClickHouse's aggregates over Array(Nullable): the
+                    # filter keeps one NULL from poisoning the whole
+                    # array's fold (acc + NULL -> NULL), and the non-null
+                    # element count keeps avgArray's denominator honest
                     a = args[0]
+                    nn = f"filter({a}, __ne -> __ne IS NOT NULL)"
                     per_row_sum = (
-                        f"aggregate({a}, "
+                        f"aggregate({nn}, "
                         f"coalesce((try_element_at({a}, 1) - "
                         f"try_element_at({a}, 1)) "
                         f"* cast(1 as decimal(38, 0)), 0), "
                         f"(__sa, __sx) -> __sa + __sx)"
                     )
-                    n_elems = f"sum(CASE WHEN {a} IS NULL THEN 0 ELSE size({a}) END)"
+                    n_elems = f"sum(CASE WHEN {a} IS NULL THEN 0 ELSE size({nn}) END)"
                     out.append(
                         {
                             "sumArray": f"sum({per_row_sum})",
@@ -2472,9 +2496,12 @@ def translate_clickhouse_sql(sql: str) -> str:
                     # (CH Decimal128 analogue), float/double arrays in
                     # DOUBLE (decimal*double -> double). try_element_at +
                     # coalesce keep the empty array -> 0 (typed) contract.
+                    # NULL elements are filtered before the fold — CH
+                    # skips them on Array(Nullable); acc + NULL would
+                    # otherwise poison the whole array's sum to NULL.
                     a = args[0]
                     out.append(
-                        f"aggregate({a}, "
+                        f"aggregate(filter({a}, __ne -> __ne IS NOT NULL), "
                         f"coalesce((try_element_at({a}, 1) - "
                         f"try_element_at({a}, 1)) "
                         f"* cast(1 as decimal(38, 0)), 0), "

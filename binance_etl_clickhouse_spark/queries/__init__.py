@@ -105,9 +105,9 @@ DRIVER_WINDOW = [
 # Names in DRIVER_WINDOW that are not yet registered are skipped IF listed
 # here (a window may name planned registrations before they land);
 # anything else unknown still fails loudly, so a typo in an existing query
-# name cannot silently shrink the verification window. The round-9 traced
-# encode lands this round and is removed from this set when it registers.
-PLANNED_NEW: set[str] = {"bpe_token_counts_traced"}
+# name cannot silently shrink the verification window. Empty = every
+# round-9 registration has landed.
+PLANNED_NEW: set[str] = set()
 
 
 def _apply_driver_order() -> None:

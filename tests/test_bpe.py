@@ -114,7 +114,7 @@ def test_pair_stats_plan_partial_agg_no_join(spark):
 
 def test_token_counts_plan_dict_join_no_nested_loop(spark):
     plan = (
-        QUERIES["bpe_token_counts"]
+        QUERIES["bpe_token_counts_traced"]
         .spark(spark, SF)
         ._jdf.queryExecution()
         .executedPlan()

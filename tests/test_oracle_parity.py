@@ -79,16 +79,14 @@ def test_driver_window_is_the_verification_budget():
     # The BPE/unigram trainers are rows-only by the iterative-algorithm
     # carve-out (their per-step statistics ARE oracle-checked via
     # bpe_pair_stats / bpe_merge_trace / bpe_train_merges_traced /
-    # unigram_seed_piece_stats); approx_aggregates is the sketch carve-out
-    # (no cross-engine exact twin) and sits in the r8 window DELIBERATELY —
-    # the r7 verdict ordered its never-hash-proven rows-only check driven.
-    # Everything else carries a full value-hash oracle.
-    assert set(rows_only_in_window) <= {
-        "bpe_train_merges",
-        "bpe_token_counts",
-        "unigram_lm_token_counts",
-        "approx_aggregates",
-    }
+    # bpe_token_counts_traced / unigram_seed_piece_stats);
+    # approx_aggregates is the sketch carve-out (no cross-engine exact
+    # twin), driver rows-only-proven in r8. The round-9 window refreshes
+    # the whole r4-stale cohort, which includes the unbounded unigram
+    # trainer — the one rows-only entry in an otherwise fully hash-oracled
+    # window (its seed statistics and fixed-vocab encode ARE hash-oracled
+    # via unigram_seed_piece_stats / tokenizer_apply_unigram).
+    assert set(rows_only_in_window) <= {"unigram_lm_train"}
 
 
 def test_raw_builders_leave_external_caches_alone(spark):
