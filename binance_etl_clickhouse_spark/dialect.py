@@ -2151,10 +2151,20 @@ def translate_clickhouse_sql(sql: str) -> str:
                 k += 1
             if k < n and sql[k] == "(":
                 close = _find_close(sql, k)
-                args = [
-                    translate_clickhouse_sql(a)
-                    for a in _split_args(sql[k + 1 : close])
-                ]
+                inner_text = sql[k + 1 : close]
+                if re.match(r"\s*(SELECT|WITH)\b", inner_text, re.I):
+                    # parenthesized SUBQUERY (``FROM (SELECT ...) q``,
+                    # ``IN (SELECT ...)``): translate it as ONE unit — a
+                    # comma-split would fragment its select list, and a
+                    # clause rewrite inside (ARRAY JOIN, LIMIT BY) would
+                    # then see only the text up to the first top-level
+                    # comma and silently rewrite a partial statement
+                    args = [translate_clickhouse_sql(inner_text)]
+                else:
+                    args = [
+                        translate_clickhouse_sql(a)
+                        for a in _split_args(inner_text)
+                    ]
                 i = close + 1
                 if (
                     name in _QUANTILES

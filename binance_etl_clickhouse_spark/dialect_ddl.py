@@ -1440,7 +1440,10 @@ class DdlCatalog:
             new_db = new_db or None
             if old not in self.tables:
                 raise KeyError(f"unknown table {m.group(1)!r}")
-            if new in self.tables or new in self.views:
+            if new != old and (new in self.tables or new in self.views):
+                # new == old is NOT a collision: ``RENAME db1.t TO db2.t``
+                # (ClickHouse's cross-database move keeping the table name)
+                # is a pure database update on this bare-name-keyed catalog
                 raise ValueError(f"table {new!r} already exists")
             self._guard_mv_wired(old, "RENAME")
             self.tables[new] = self.tables.pop(old)
@@ -1450,7 +1453,8 @@ class DdlCatalog:
                 # storage path stays — metadata-only, like ClickHouse)
                 self.databases.add(new_db)
                 self.tables[new].ddl.database = new_db
-            self.spark.catalog.dropTempView(old)
+            if new != old:
+                self.spark.catalog.dropTempView(old)
             self._refresh_view(self.tables[new])
         return self.spark.createDataFrame([], T.StructType([]))
 

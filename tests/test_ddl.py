@@ -1531,3 +1531,78 @@ class TestOptimizeEngineSemantics:
         eng.sql("ALTER TABLE o.r RENAME COLUMN b TO a", dialect="clickhouse")
         got = eng.sql("SELECT k, a FROM r", dialect="clickhouse").collect()
         assert [(r.k, r.a) for r in got] == [("x", 1)]
+
+
+# ---------------------------------------------------------------------------
+# r9 review regression (DDL side): cross-database RENAME keeping the bare
+# table name — ClickHouse's standard 'move between databases' form — used
+# to be refused with a misleading 'already exists' (the collision check
+# compared bare names and new == old).
+# ---------------------------------------------------------------------------
+
+
+class TestCrossDbRenameKeepingName:
+    @pytest.fixture()
+    def move_engine(self, spark, tmp_path):
+        eng = AnalyticsEngine(
+            spark, verbose=False, ddl_root=str(tmp_path / "movekeep")
+        )
+        eng.sql(
+            "CREATE TABLE db1.keep (k String) ENGINE = MergeTree ORDER BY k",
+            dialect="clickhouse",
+        )
+        eng.sql(
+            "INSERT INTO db1.keep (k) VALUES",
+            args=[{"k": "a"}],
+            dialect="clickhouse",
+        )
+        return eng
+
+    def _names(self, eng, sql):
+        return [r.name for r in eng.sql(sql, dialect="clickhouse").collect()]
+
+    def test_move_keeps_name_and_data(self, move_engine):
+        move_engine.sql(
+            "RENAME TABLE db1.keep TO db2.keep", dialect="clickhouse"
+        )
+        assert "keep" in self._names(move_engine, "SHOW TABLES FROM db2")
+        assert "keep" not in self._names(move_engine, "SHOW TABLES FROM db1")
+        assert (
+            move_engine.sql(
+                "SELECT count(*) AS c FROM db2.keep", dialect="clickhouse"
+            ).collect()[0].c
+            == 1
+        )
+        # inserts under the moved qualifier still land
+        move_engine.sql(
+            "INSERT INTO db2.keep (k) VALUES",
+            args=[{"k": "b"}],
+            dialect="clickhouse",
+        )
+        assert (
+            move_engine.sql(
+                "SELECT count(*) AS c FROM keep", dialect="clickhouse"
+            ).collect()[0].c
+            == 2
+        )
+
+    def test_same_database_self_rename_is_noop(self, move_engine):
+        move_engine.sql(
+            "RENAME TABLE db1.keep TO db1.keep", dialect="clickhouse"
+        )
+        assert (
+            move_engine.sql(
+                "SELECT count(*) AS c FROM keep", dialect="clickhouse"
+            ).collect()[0].c
+            == 1
+        )
+
+    def test_real_collision_still_refused(self, move_engine):
+        move_engine.sql(
+            "CREATE TABLE db2.other (k String) ENGINE = MergeTree ORDER BY k",
+            dialect="clickhouse",
+        )
+        with pytest.raises(ValueError, match="already exists"):
+            move_engine.sql(
+                "RENAME TABLE db1.keep TO db2.other", dialect="clickhouse"
+            )

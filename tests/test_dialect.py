@@ -436,14 +436,19 @@ def test_final_strip_never_eats_a_column_named_final():
 
 def test_limit_by_rewrite_only_applies_to_whole_queries():
     t = translate_clickhouse_sql
-    # multi-column select list in a subquery: the comma-split fragments are
-    # not queries -> pass through verbatim (nested LIMIT BY fails loudly in
-    # the analyzer instead of being garbled)
+    # r9: a parenthesized SELECT descends as ONE unit (no comma-split), so
+    # LIMIT BY now rewrites inside multi-column subqueries too — previously
+    # the fragmented pieces passed through and failed in the analyzer
     q = "SELECT * FROM (SELECT sym, price FROM t ORDER BY ts DESC LIMIT 1 BY sym)"
-    assert "LIMIT 1 BY sym" in t(q) and "__lb_rn" not in t(q)
-    # single-fragment subquery IS a query -> rewritten
+    assert "__lb_rn" in t(q) and "LIMIT 1 BY sym" not in t(q)
+    # single-fragment subquery unchanged
     q2 = "SELECT * FROM (SELECT sym FROM t LIMIT 1 BY sym)"
     assert "__lb_rn" in t(q2)
+    # a NON-query fragment containing LIMIT ... BY text still passes
+    # through (the guard that kept tails of select lists from being
+    # wrapped in a subselect)
+    frag = "price FROM t ORDER BY ts DESC LIMIT 1 BY sym"
+    assert "__lb_rn" not in t(frag)
 
 
 def test_comment_is_a_token_separator_and_as_alias_survives():
@@ -518,10 +523,12 @@ def test_weighted_quantile_end_to_end(engine):
             "locate(lower('X'), lower(s))",
         ),
         # r8: type-adaptive zero — integer arrays sum exactly in
-        # DECIMAL(38,0), decimals in DECIMAL(38,s), floats in DOUBLE
+        # DECIMAL(38,0), decimals in DECIMAL(38,s), floats in DOUBLE;
+        # r9: NULL elements filtered before the fold (CH skips them)
         (
             "arraySum(a)",
-            "aggregate(a, coalesce((try_element_at(a, 1) - "
+            "aggregate(filter(a, __ne -> __ne IS NOT NULL), "
+            "coalesce((try_element_at(a, 1) - "
             "try_element_at(a, 1)) * cast(1 as decimal(38, 0)), 0), "
             "(acc, x) -> acc + x)",
         ),
@@ -534,7 +541,7 @@ def test_weighted_quantile_end_to_end(engine):
         # nesting still composes through the new rewrites
         (
             "arraySum(arrayDistinct(a))",
-            "aggregate(array_distinct(a), "
+            "aggregate(filter(array_distinct(a), __ne -> __ne IS NOT NULL), "
             "coalesce((try_element_at(array_distinct(a), 1) - "
             "try_element_at(array_distinct(a), 1)) "
             "* cast(1 as decimal(38, 0)), 0), (acc, x) -> acc + x)",
@@ -2231,3 +2238,118 @@ class TestReviewRegressions:
                 "SELECT sumMap(ks, vs) AS m FROM smm_t GROUP BY g",
                 dialect="clickhouse",
             ).collect()
+
+
+# ---------------------------------------------------------------------------
+# r9 review regressions (dialect side): the four ADVICE items — subquery
+# descent must not comma-split a parenthesized SELECT (silent ARRAY JOIN
+# fragmentation), WITH FILL value spans must stop at a top-level comma,
+# and -Array / arraySum folds must skip NULL elements like ClickHouse
+# does on Array(Nullable).
+# ---------------------------------------------------------------------------
+
+
+class TestR9ReviewRegressions:
+    @pytest.fixture(scope="class")
+    def aj2_view(self, spark):
+        spark.sql(
+            """SELECT * FROM VALUES
+             (1, array(10, 20, 30), array('a', 'b', 'c')),
+             (3, array(7), array('z'))
+             AS t(k, arr, tags)"""
+        ).createOrReplaceTempView("aj2_t")
+        return "aj2_t"
+
+    def test_multi_item_array_join_inside_subquery(self, engine, aj2_view):
+        """ADVICE r8 (medium): 'FROM (SELECT ... ARRAY JOIN a AS x, b AS y) q'
+        used to comma-split the subquery, rewriting only the first item and
+        re-joining the rest as a bare FROM term — a silent cross join. The
+        descent now translates a parenthesized SELECT as one unit."""
+        got = sorted(
+            map(
+                tuple,
+                engine.sql(
+                    "SELECT k, x, tg FROM (SELECT k, x, tg FROM aj2_t "
+                    "ARRAY JOIN arr AS x, tags AS tg) q WHERE x >= 20",
+                    dialect="clickhouse",
+                ).collect(),
+            )
+        )
+        assert got == [(1, 20, "b"), (1, 30, "c")]
+
+    def test_single_item_array_join_inside_subquery(self, engine, aj2_view):
+        got = sorted(
+            map(
+                tuple,
+                engine.sql(
+                    "SELECT k, x FROM (SELECT k, x FROM aj2_t "
+                    "ARRAY JOIN arr AS x) q WHERE x > 7",
+                    dialect="clickhouse",
+                ).collect(),
+            )
+        )
+        assert got == [(1, 10), (1, 20), (1, 30)]
+
+    def test_subquery_select_list_commas_survive_descent(self, engine):
+        """A multi-column select list inside IN (...) / FROM (...) must not
+        fragment: each comma-split piece would translate (and potentially
+        clause-rewrite) independently."""
+        got = engine.sql(
+            "SELECT count(*) AS c FROM (SELECT 1 AS a, 2 AS b, 3 AS d) q",
+            dialect="clickhouse",
+        ).collect()[0].c
+        assert got == 1
+
+    def test_with_fill_trailing_sort_key_refused(self):
+        """ADVICE r8: 'ORDER BY x WITH FILL STEP 2, y' used to absorb the
+        trailing sort key into the STEP value; it now routes through the
+        loud unsupported-trailing-clause refusal like bare 'WITH FILL, y'."""
+        with pytest.raises(ValueError, match="unsupported trailing clause"):
+            translate_clickhouse_sql(
+                "SELECT x, y FROM t ORDER BY x WITH FILL STEP 2, y"
+            )
+
+    def test_with_fill_from_to_trailing_key_refused(self):
+        with pytest.raises(ValueError, match="unsupported trailing clause"):
+            translate_clickhouse_sql(
+                "SELECT x, y FROM t ORDER BY x WITH FILL FROM 1 TO 9, y"
+            )
+
+    def test_with_fill_step_function_value_still_parses(self):
+        """The comma cut is TOP-LEVEL only: a comma inside a parenthesized
+        STEP expression stays part of the value."""
+        out = translate_clickhouse_sql(
+            "SELECT x FROM t ORDER BY x WITH FILL STEP greatest(1, 2)"
+        )
+        assert "greatest(1, 2)" in out
+
+    def test_array_combinators_skip_null_elements(self, engine, spark):
+        """ADVICE r8: one NULL element used to poison the whole array's
+        fold (acc + NULL -> NULL) — sumArray silently dropped the array,
+        avgArray dropped the numerator while size() still counted the
+        elements. ClickHouse skips NULL elements element-wise."""
+        spark.sql(
+            """SELECT * FROM VALUES
+             (array(1, CAST(NULL AS INT), 3)),
+             (array(CAST(NULL AS INT))),
+             (CAST(NULL AS array<int>))
+             AS t(a)"""
+        ).createOrReplaceTempView("nae_t")
+        row = engine.sql(
+            "SELECT sumArray(a) AS s, avgArray(a) AS m, countArray(a) AS c, "
+            "minArray(a) AS lo, maxArray(a) AS hi FROM nae_t",
+            dialect="clickhouse",
+        ).first()
+        assert int(row.s) == 4
+        assert float(row.m) == 2.0  # 4 / 2 non-null elements, not 4 / 3
+        assert row.c == 2
+        assert row.lo == 1 and row.hi == 3
+
+    def test_arraysum_skips_null_elements(self, engine):
+        row = engine.sql(
+            "SELECT arraySum(array(1, CAST(NULL AS INT), 3)) AS s, "
+            "arraySum(array(CAST(NULL AS INT))) AS all_null",
+            dialect="clickhouse",
+        ).first()
+        assert int(row.s) == 4
+        assert int(row.all_null) == 0
