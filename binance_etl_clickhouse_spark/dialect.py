@@ -958,37 +958,33 @@ def _window_funnel_expr(window: str, ts: str, conds: list[str]) -> str:
 
 def _parse_sequence_pattern(
     pat: str,
-) -> list[tuple[int, str | tuple[str, str]]]:
+) -> list[tuple[int, str | list[tuple[str, str]]]]:
     """'(?1).*(?2)(?t>=1800)(?3)' -> [(1, 'star'), (2, 'adj'),
-    (3, ('>=', '1800'))] — (cond-idx, gap to the PREVIOUS matched atom).
+    (3, [('>=', '1800')])] — (cond-idx, gap to the PREVIOUS matched atom).
     Gaps: 'adj' (immediately next described event), 'star' (any number of
-    events between), or an ('op', seconds) time condition — which, per the
-    ClickHouse contract, also allows any number of events between (a
-    ``.*`` in the same gap is therefore absorbed). The first step is
-    unanchored. '(?t==N)' and multiple time conditions in one gap are not
-    extreme-trackable and raise; '.', anchors raise."""
-    steps: list[tuple[int, str | tuple[str, str]]] = []
+    events between), or a LIST of ('op', seconds) time conditions — which,
+    per the ClickHouse contract, also allow any number of events between
+    (a ``.*`` in the same gap is therefore absorbed), and which must ALL
+    hold against the same anchor event ('(?t>10)(?t<100)' is a band).
+    '==' is allowed (exact gap). The first step is unanchored. '.',
+    anchors and other atoms raise."""
+    steps: list[tuple[int, str | list[tuple[str, str]]]] = []
     i = 0
-    gap: str | tuple[str, str] = "star"
+    gap: str | list[tuple[str, str]] = "star"
     while i < len(pat):
         if pat.startswith(".*", i):
+            # a time condition in the same gap wins (it already allows
+            # any number of interposed events)
             if isinstance(gap, str):
-                gap = "star"  # a time condition in the same gap wins
+                gap = "star"
             i += 2
             continue
         m = re.match(r"\(\?t\s*(<=|>=|==|<|>)\s*(\d+(?:\.\d+)?)\)", pat[i:])
         if m is not None:
-            if m.group(1) == "==":
-                raise ValueError(
-                    "sequenceMatch: (?t==N) needs the full completion-time "
-                    "set, not its extremes — not translatable"
-                )
-            if isinstance(gap, tuple):
-                raise ValueError(
-                    "sequenceMatch: multiple (?t...) conditions in one gap "
-                    "are not supported"
-                )
-            gap = (m.group(1), m.group(2))
+            if isinstance(gap, list):
+                gap.append((m.group(1), m.group(2)))
+            else:
+                gap = [(m.group(1), m.group(2))]
             i += m.end()
             continue
         m = re.match(r"\(\?(\d+)\)", pat[i:])
@@ -997,7 +993,7 @@ def _parse_sequence_pattern(
                 f"sequenceMatch: unsupported pattern atom at {pat[i:]!r} "
                 "(only (?N), .* and (?t op N) are translatable)"
             )
-        if not steps and isinstance(gap, tuple):
+        if not steps and isinstance(gap, list):
             raise ValueError(
                 "sequenceMatch: a (?t...) time condition must sit BETWEEN "
                 "two conditions (pattern starts with one)"
@@ -1007,7 +1003,7 @@ def _parse_sequence_pattern(
         i += m.end()
     if not steps:
         raise ValueError("sequenceMatch: empty pattern")
-    if isinstance(gap, tuple):
+    if isinstance(gap, list):
         raise ValueError(
             "sequenceMatch: a (?t...) time condition must sit BETWEEN two "
             "conditions (pattern ends with one)"
@@ -1056,13 +1052,20 @@ def _sequence_match_expr(
     # DP over the time-sorted points, all transitions reading the PRE-event
     # state. Per prefix p: a_p = prefix p ends exactly at this point,
     # e_p / l_p = EARLIEST / LATEST completion time of prefix p so far
-    # (NULL = never). The extremes are exact for the supported gap kinds:
-    # '>'/'>=' time gaps are best served by the earliest prior completion
-    # (maximizes the separation), '<'/'<=' by the latest (minimizes it),
-    # '.*' by existence, adjacency by a_{p-1} — and both extremes stay
-    # exact maintained event-by-event because each actual completion
-    # updates them (the achievable-completion set only grows).
-    fields, a_exprs = [], []
+    # (NULL = never). The extremes are exact for the single-bound gap
+    # kinds: '>'/'>=' time gaps are best served by the earliest prior
+    # completion (maximizes the separation), '<'/'<=' by the latest
+    # (minimizes it), '.*' by existence, adjacency by a_{p-1} — and both
+    # extremes stay exact maintained event-by-event because each actual
+    # completion updates them (the achievable-completion set only grows).
+    # '(?t==N)' and multi-condition gaps ('(?t>10)(?t<100)' — a band the
+    # same anchor must satisfy) are NOT extreme-decidable: the feeding
+    # prefix additionally tracks its full completion-time SET s_{p-1}
+    # (array, probed with exists()) — O(completions) per group, the same
+    # order as the collected entries array and as ClickHouse's own event
+    # buffer.
+    set_prefixes: set[int] = set()
+    a_exprs = []
     for p, (cidx, gap) in enumerate(steps, start=1):
         if p == 1:
             a = f"e.c{cidx}"
@@ -1070,23 +1073,39 @@ def _sequence_match_expr(
             a = f"(e.c{cidx} AND acc.a{p - 1})"
         elif gap == "star":
             a = f"(e.c{cidx} AND acc.e{p - 1} IS NOT NULL)"
-        else:
-            op, secs = gap
+        elif len(gap) == 1 and gap[0][0] != "==":
+            op, secs = gap[0]
             anchor = f"acc.e{p - 1}" if op in (">", ">=") else f"acc.l{p - 1}"
             a = (
                 f"(e.c{cidx} AND {anchor} IS NOT NULL "
                 f"AND (e.t - {anchor}) {op} {secs})"
             )
+        else:
+            set_prefixes.add(p - 1)
+            conj = " AND ".join(
+                f"(e.t - __sc) {'=' if op == '==' else op} {secs}"
+                for op, secs in gap
+            )
+            a = f"(e.c{cidx} AND exists(acc.s{p - 1}, __sc -> {conj}))"
         a_exprs.append(a)
+    fields = []
+    for p in range(1, k + 1):
+        a = a_exprs[p - 1]
         fields.append(
             f"'a{p}', {a}, "
             f"'e{p}', CASE WHEN {a} AND acc.e{p} IS NULL THEN e.t "
             f"ELSE acc.e{p} END, "
             f"'l{p}', CASE WHEN {a} THEN e.t ELSE acc.l{p} END"
         )
+        if p in set_prefixes:
+            fields.append(
+                f"'s{p}', CASE WHEN {a} THEN array_append(acc.s{p}, e.t) "
+                f"ELSE acc.s{p} END"
+            )
     empty = ", ".join(
         f"'a{p}', false, 'e{p}', CAST(NULL AS DOUBLE), "
         f"'l{p}', CAST(NULL AS DOUBLE)"
+        + (f", 's{p}', CAST(array() AS array<double>)" if p in set_prefixes else "")
         for p in range(1, k + 1)
     )
     if not count:

@@ -942,31 +942,56 @@ def dictionary_verbatim_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Verbatim sequenceMatch with a (?t op N) TIME condition (r8): the
-# time-gap form runs unchanged through the dialect — the DP fold tracks
-# per-prefix earliest/latest completion times, which are exact for
-# >,>=,<,<= gaps (dialect.py _sequence_match_expr). Oracle: the direct
-# EXISTS pair with the same strict-order + window constraint (a time gap
-# permits any events between, so no interruption rule applies). Events
-# carry unique per-user timestamps, so both sides are deterministic.
+# Verbatim sequenceMatch with (?t op N) TIME conditions (r8; == and
+# multi-condition bands r9): the single-bound form rides the per-prefix
+# earliest/latest completion-time DP; '(?t==N)' and '(?t>a)(?t<=b)' band
+# gaps additionally track the feeding prefix's full completion-time SET
+# (dialect.py _sequence_match_expr). The == / band columns run over
+# hour-truncated timestamps so exact gaps actually occur in the data
+# (raw event gaps are near-unique). Oracle: the direct EXISTS pair with
+# the same constraint (a time gap permits any events between, so no
+# interruption rule applies); the anchors sit in strictly earlier hour
+# buckets, so same-bucket tie order cannot affect any column.
 # ---------------------------------------------------------------------------
 _SEQ_TIME_CH_SQL = """
 SELECT user_id,
        sequenceMatch('(?1)(?t<=14400)(?2)')(ts, event_type = 'signup',
                                             event_type = 'click')
-           AS matched
+           AS matched,
+       sequenceMatch('(?1)(?t==3600)(?2)')(toStartOfHour(ts),
+                                           event_type = 'signup',
+                                           event_type = 'click')
+           AS matched_eq,
+       sequenceMatch('(?1)(?t>3600)(?t<=10800)(?2)')(toStartOfHour(ts),
+                                                     event_type = 'signup',
+                                                     event_type = 'click')
+           AS matched_band
 FROM events GROUP BY user_id
 """
 
 _SEQ_TIME_ORACLE = """
-WITH e AS (SELECT user_id, ts, event_type FROM events)
+WITH e AS (SELECT user_id, ts, date_trunc('hour', ts) AS h, event_type
+           FROM events)
 SELECT u.user_id AS user_id,
        CAST(CASE WHEN EXISTS (
          SELECT 1 FROM e a, e b
          WHERE a.user_id = u.user_id AND b.user_id = u.user_id
            AND a.event_type = 'signup' AND b.event_type = 'click'
            AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 14400 SECOND
-       ) THEN 1 ELSE 0 END AS INT) AS matched
+       ) THEN 1 ELSE 0 END AS INT) AS matched,
+       CAST(CASE WHEN EXISTS (
+         SELECT 1 FROM e a, e b
+         WHERE a.user_id = u.user_id AND b.user_id = u.user_id
+           AND a.event_type = 'signup' AND b.event_type = 'click'
+           AND b.h = a.h + INTERVAL 3600 SECOND
+       ) THEN 1 ELSE 0 END AS INT) AS matched_eq,
+       CAST(CASE WHEN EXISTS (
+         SELECT 1 FROM e a, e b
+         WHERE a.user_id = u.user_id AND b.user_id = u.user_id
+           AND a.event_type = 'signup' AND b.event_type = 'click'
+           AND b.h > a.h + INTERVAL 3600 SECOND
+           AND b.h <= a.h + INTERVAL 10800 SECOND
+       ) THEN 1 ELSE 0 END AS INT) AS matched_band
 FROM (SELECT DISTINCT user_id FROM e) u
 """
 
@@ -975,9 +1000,10 @@ FROM (SELECT DISTINCT user_id FROM e) u
     "sequencematch_time_verbatim_sql",
     _SEQ_TIME_ORACLE,
     survey_ref=(
-        "S8 dialect: sequenceMatch('(?1)(?t<=N)(?2)') time-condition gaps "
-        "run verbatim — per-prefix earliest/latest completion-time DP, "
-        "oracled against the direct EXISTS window pair"
+        "S8 dialect: sequenceMatch time-condition gaps run verbatim — "
+        "(?t<=N) via the earliest/latest completion-time DP, (?t==N) and "
+        "(?t>a)(?t<=b) bands via the completion-time set (r9), all "
+        "oracled against direct EXISTS window pairs"
     ),
 )
 def sequencematch_time_verbatim_sql(
@@ -987,6 +1013,6 @@ def sequencematch_time_verbatim_sql(
     from binance_etl_clickhouse_spark.tables import register_views
 
     register_views(spark, sf_dir)
-    return AnalyticsEngine(spark, verbose=False).sql(
-        _SEQ_TIME_CH_SQL, dialect="clickhouse"
-    )
+    eng = AnalyticsEngine(spark, verbose=False)
+    eng.register_clickhouse_compat()  # toStartOfHour shim
+    return eng.sql(_SEQ_TIME_CH_SQL, dialect="clickhouse")

@@ -1146,13 +1146,15 @@ def test_sequence_match_docs_semantics(engine):
             "strictness modes",
         ),
         ("SELECT windowFunnel(10)(t) FROM x GROUP BY u", "needs"),
+        # r9: (?t==N) and multi-condition gaps are now SUPPORTED (set
+        # tracking); the positional constraints still refuse loudly
         (
-            "SELECT sequenceMatch('(?1)(?t==36)(?2)')(t, c1, c2) FROM x GROUP BY u",
-            "completion-time set",
+            "SELECT sequenceMatch('(?t>5)(?1)')(t, c1) FROM x GROUP BY u",
+            "BETWEEN",
         ),
         (
-            "SELECT sequenceMatch('(?1)(?t>5)(?t<9)(?2)')(t, c1, c2) FROM x GROUP BY u",
-            "multiple",
+            "SELECT sequenceMatch('(?1)(?t==5)')(t, c1) FROM x GROUP BY u",
+            "BETWEEN",
         ),
         ("SELECT sequenceMatch('')(t, c1) FROM x GROUP BY u", "empty pattern"),
         (
@@ -2069,6 +2071,44 @@ class TestSequenceTimeConditions:
         ).collect()
         n = {r.u: r.n for r in got}
         assert (n["u1"], n["u2"], n["w1"]) == (1, 1, 1)
+
+    # -- r9: (?t==N) exact gaps and multi-condition bands (set tracking) --
+
+    def test_exact_gap(self, engine, sq_view):
+        m = self._match(engine, "(?1)(?t==100)(?2)")
+        # u1: B@100 is exactly 100 after A@0; w1: B@600 is exactly 100
+        # after A@500; w2's only gap is 600
+        assert (m["u1"], m["u2"], m["w1"], m["w2"]) == (1, 0, 1, 0)
+        m = self._match(engine, "(?1)(?t==600)(?2)")
+        assert (m["u1"], m["w1"], m["w2"]) == (0, 1, 1)
+
+    def test_band_needs_a_single_anchor(self, engine, sq_view):
+        m = self._match(engine, "(?1)(?t>50)(?t<550)(?2)")
+        # u1: gap 100 in (50, 550); u2: 10 too small; w1: anchor A@500
+        # gives 100; w2: 600 too big
+        assert (m["u1"], m["u2"], m["w1"], m["w2"]) == (1, 0, 1, 0)
+
+    def test_band_rejects_split_extremes(self, engine, sq_view):
+        # w1 anchors {0, 500} vs B@600: earliest gives 600 > 550 (lower
+        # bound OK), latest gives 100 < 590 (upper bound OK) — but NO
+        # single anchor satisfies both. Extremes-only tracking would
+        # wrongly match; the completion-time set must not.
+        m = self._match(engine, "(?1)(?t>550)(?t<590)(?2)")
+        assert m["w1"] == 0
+
+    def test_exact_gap_chained_with_extreme_gap(self, engine, sq_view):
+        # w1: A@500 -> B@600 (==100) -> C@650 (50 < 100)
+        m = self._match(engine, "(?1)(?t==100)(?2)(?t<100)(?3)", 3)
+        assert (m["w1"], m["w2"]) == (1, 0)
+
+    def test_sequence_count_with_exact_gap(self, engine, sq_view):
+        got = engine.sql(
+            "SELECT u, sequenceCount('(?1)(?t==100)(?2)')(ts, et = 'A', "
+            "et = 'B') AS n FROM sq_time GROUP BY u",
+            dialect="clickhouse",
+        ).collect()
+        n = {r.u: r.n for r in got}
+        assert (n["u1"], n["u2"], n["w1"], n["w2"]) == (1, 0, 1, 0)
 
 
 # ---------------------------------------------------------------------------
