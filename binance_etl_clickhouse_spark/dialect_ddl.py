@@ -58,6 +58,17 @@ ALTER TABLE t RENAME COLUMN a TO b    declared name changes; reads
                                       rename); structural/MV-wired
                                       columns and residual target names
                                       refused; OPTIMIZE normalizes
+ALTER TABLE t MODIFY COLUMN c Type    metadata-only type WIDEN (integer
+                                      chain, float->double): old batches
+                                      keep their narrow bytes and the
+                                      scan upcasts them under an explicit
+                                      declared-type read schema; new
+                                      inserts write the wide type;
+                                      maintenance ops MATERIALIZE like
+                                      DROP/RENAME. Lossy narrows and
+                                      cross-family changes refused;
+                                      key/partition/version/MV-wired
+                                      columns refused
 EXISTS TABLE t                        1-row result 1/0
 SHOW TABLES [FROM db] [LIKE '%pat%']  one name per row (tables + MVs)
 DESCRIBE TABLE t                      (name, type, default_expression) —
@@ -588,6 +599,19 @@ def _type_default(spark_type: str) -> F.Column:
     return F.lit(0).cast(spark_type)
 
 
+#: ALTER MODIFY COLUMN: declared-type changes servable METADATA-ONLY over
+#: existing parquet bytes — exactly the widens Spark 4's parquet readers
+#: perform in the scan (verified: vectorized + non-vectorized). Anything
+#: else (narrowing, cross-family, decimal reshapes) would need a full
+#: rewrite and is refused loudly.
+_TYPE_WIDENS: dict[str, set[str]] = {
+    "tinyint": {"smallint", "int", "bigint", "double"},
+    "smallint": {"int", "bigint", "double"},
+    "int": {"bigint", "double"},
+    "float": {"double"},
+}
+
+
 # -- catalog ------------------------------------------------------------------
 
 
@@ -609,6 +633,12 @@ class CatalogEntry:
     #: snapshot projection hides them (ClickHouse's DROP is likewise a
     #: deferred mutation); the set forces mergeSchema on read
     dropped_cols: set[str] = field(default_factory=set)
+    #: ALTER MODIFY COLUMN type: declared type widened past the storage
+    #: bytes of pre-MODIFY batches. Reads switch from mergeSchema to an
+    #: EXPLICIT declared-type schema (Spark 4's parquet reader widens
+    #: int8/16/32 -> wider int/double, float -> double in the scan);
+    #: maintenance ops materialize like DROP/RENAME
+    retyped_cols: set[str] = field(default_factory=set)
 
     @property
     def dedup(self) -> bool:
@@ -984,6 +1014,7 @@ class DdlCatalog:
         entry.original_cols = frozenset(n for n, _, _ in entry.ddl.columns)
         entry.renamed_cols.clear()
         entry.dropped_cols.clear()
+        entry.retyped_cols.clear()
         self._sync_read_transform(entry)
 
     def _alter(self, sql: str) -> DataFrame | None:
@@ -1077,6 +1108,47 @@ class DdlCatalog:
             # chained renames keep the FULL history: batches written under
             # any prior name must still resolve
             entry.renamed_cols[new] = [old, *entry.renamed_cols.pop(old, [])]
+            if old in entry.retyped_cols:  # the widen marker follows the name
+                entry.retyped_cols.discard(old)
+                entry.retyped_cols.add(new)
+            self._sync_read_transform(entry)
+            self._refresh_view(entry)
+            return self.spark.createDataFrame([], entry.ddl.spark_schema)
+        mc = re.match(
+            r"^MODIFY\s+COLUMN\s+(IF\s+EXISTS\s+)?`?(\w+)`?\s+"
+            r"(?P<type>[\w()\s',]+?)\s*$",
+            rest,
+            re.I,
+        )
+        if mc:
+            cname = mc.group(2)
+            cur = next(
+                (c for c in entry.ddl.columns if c[0] == cname), None
+            )
+            if cur is None:
+                if mc.group(1):
+                    return self.spark.createDataFrame([], entry.ddl.spark_schema)
+                raise KeyError(f"column {cname!r} does not exist")
+            new_t = ch_type_to_spark(mc.group("type")).lower()
+            old_t = cur[1].lower()
+            if new_t == old_t:
+                return self.spark.createDataFrame([], entry.ddl.spark_schema)
+            self._guard_structural_column(entry, cname, "MODIFY")
+            if new_t not in _TYPE_WIDENS.get(old_t, set()):
+                raise ValueError(
+                    f"MODIFY COLUMN {cname!r} {old_t} -> {new_t} is not a "
+                    "lossless widen the parquet reader can serve over the "
+                    "existing storage bytes (supported: integer chain "
+                    "widening, float -> double); a narrowing or "
+                    "cross-family change would need a full rewrite — "
+                    "CREATE a new table and INSERT ... SELECT with an "
+                    "explicit cast instead"
+                )
+            entry.ddl.columns = [
+                (cname, new_t, d) if n == cname else (n, t, d)
+                for n, t, d in entry.ddl.columns
+            ]
+            entry.retyped_cols.add(cname)
             self._sync_read_transform(entry)
             self._refresh_view(entry)
             return self.spark.createDataFrame([], entry.ddl.spark_schema)
@@ -1088,8 +1160,8 @@ class DdlCatalog:
         )
         if not am:
             raise ValueError(
-                "unsupported ALTER (ADD/DROP/RENAME COLUMN, DELETE WHERE "
-                f"and UPDATE .. WHERE map): {rest!r}"
+                "unsupported ALTER (ADD/DROP/RENAME/MODIFY COLUMN, DELETE "
+                f"WHERE and UPDATE .. WHERE map): {rest!r}"
             )
         cname = am.group(2)
         if any(n == cname for n, _, _ in entry.ddl.columns):
@@ -1345,9 +1417,32 @@ class DdlCatalog:
         altered = [
             c for c in entry.ddl.columns if c[0] not in entry.original_cols
         ]
-        if not (altered or entry.renamed_cols or entry.dropped_cols):
+        if not (
+            altered
+            or entry.renamed_cols
+            or entry.dropped_cols
+            or entry.retyped_cols
+        ):
             entry.table.read_transform = None
+            entry.table.read_schema = None
             return
+        if entry.retyped_cols:
+            # MODIFY COLUMN: mergeSchema cannot union int32/int64 footers —
+            # read under the EXPLICIT declared-type schema instead (every
+            # storage name of every declared column at its declared —
+            # widened — type; the parquet reader upcasts narrow bytes in
+            # the scan). The bookkeeping columns ride along; the month
+            # partition-dir column only exists on partitioned tables.
+            parts = []
+            for cname, ctype, _ in entry.ddl.columns:
+                for n in [cname, *entry.renamed_cols.get(cname, [])]:
+                    parts.append(f"`{n}` {ctype}")
+            parts.append(f"`{INGEST_SEQ}` bigint")
+            if entry.ddl.partition_time_col:
+                parts.append(f"`{MONTH_COL}` int")
+            entry.table.read_schema = T.StructType.fromDDL(", ".join(parts))
+        else:
+            entry.table.read_schema = None
 
         def _project(df: DataFrame) -> DataFrame:
             present = set(df.columns)

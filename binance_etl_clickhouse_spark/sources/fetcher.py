@@ -114,6 +114,12 @@ def _with_retry(page_fn: PageFn, symbol: str, start: int, end: int, cfg: FetchCo
         try:
             return page_fn(symbol, start, end, cfg.page_limit)
         except Exception as e:  # noqa: BLE001 — source-edge tolerance
+            if "-1102" in str(e):
+                # unsupported asset (reference additional_data.py:164-165:
+                # margin-rate history for an asset the endpoint doesn't
+                # carry) — BENIGN empty result, not a failure: no retries,
+                # no sentinel; the pagination loop sees end-of-data
+                return []
             err = e
             if attempt + 1 < cfg.max_retries:  # no dead sleep after the last try
                 time.sleep(cfg.backoff_base_s * (2**attempt))
@@ -301,14 +307,19 @@ def binance_rest_page_fn(
             with _opener().open(q, timeout=30) as resp:
                 return json.loads(resp.read())
         except urllib.error.HTTPError as e:
+            body = e.read().decode("utf-8", "replace")
             if e.code in (418, 429):
                 # ban/backoff: parse "banned until <ms>" and sleep it off
-                body = e.read().decode("utf-8", "replace")
                 m = re.search(r"banned until (\d+)", body)
                 wait_s = (
                     max(0.0, int(m.group(1)) / 1000.0 - time.time()) if m else 60.0
                 )
                 time.sleep(min(wait_s, 300.0))
+            else:
+                # surface the Binance error body (the reference's client
+                # embeds codes like -1102 in the exception text; the
+                # retry loop's benign-empty check reads str(e))
+                e.msg = f"{e.msg or ''} {body[:200]}".strip()
             raise
 
     return page

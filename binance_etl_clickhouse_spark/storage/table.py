@@ -94,6 +94,12 @@ class ServingTable:
     #: Setting it forces mergeSchema (reshaped tables have heterogeneous
     #: file footers).
     read_transform: object | None = None
+    #: optional EXPLICIT read schema (pyspark StructType), installed by the
+    #: DdlCatalog after ALTER MODIFY COLUMN: mergeSchema cannot union
+    #: int32/int64 footers, but the parquet reader can serve narrow bytes
+    #: under a declared wider schema (Spark 4 scan-level type widening).
+    #: Takes precedence over mergeSchema on every raw read.
+    read_schema: object | None = None
 
     # -- crash recovery ---------------------------------------------------
 
@@ -299,7 +305,12 @@ class ServingTable:
         """
         self._recover()
         reader = spark.read
-        if merge_schema or self.read_transform is not None:
+        if self.read_schema is not None:
+            # pending MODIFY COLUMN widen: the explicit declared-type
+            # schema both unions the storage names (like mergeSchema) and
+            # upcasts pre-MODIFY narrow bytes in the scan
+            reader = reader.schema(self.read_schema)
+        elif merge_schema or self.read_transform is not None:
             # a read_transform implies heterogeneous file footers (pending
             # column reshape) — the union schema is required for the
             # projection's coalesce chains to see every storage name
@@ -396,7 +407,9 @@ class ServingTable:
         else:
             # basePath keeps the month= dir column in scope for partial reads
             reader = spark.read.option("basePath", self.path)
-            if self.read_transform is not None:
+            if self.read_schema is not None:
+                reader = reader.schema(self.read_schema)
+            elif self.read_transform is not None:
                 reader = reader.option("mergeSchema", "true")
             df = reader.parquet(*files)
             if self.read_transform is not None:

@@ -1606,3 +1606,173 @@ class TestCrossDbRenameKeepingName:
             move_engine.sql(
                 "RENAME TABLE db1.keep TO db2.other", dialect="clickhouse"
             )
+
+
+# ---------------------------------------------------------------------------
+# ALTER MODIFY COLUMN type (r9, r8 verdict item 7): metadata-declared type
+# WIDEN — old batches keep their narrow bytes, reads serve them under the
+# explicit declared-type schema (Spark 4 scan-level widening), new inserts
+# write the wide type, and maintenance ops materialize the reshape exactly
+# like DROP/RENAME. Lossy narrows refuse loudly.
+# ---------------------------------------------------------------------------
+
+
+class TestModifyColumnType:
+    @pytest.fixture()
+    def mod_engine(self, spark, tmp_path):
+        eng = AnalyticsEngine(
+            spark, verbose=False, ddl_root=str(tmp_path / "modcol")
+        )
+        eng.sql(
+            """CREATE TABLE mc.t (k String, v Int32, f Float32)
+            ENGINE = ReplacingMergeTree ORDER BY k""",
+            dialect="clickhouse",
+        )
+        eng.sql(
+            "INSERT INTO mc.t (k, v, f) VALUES",
+            args=[{"k": "r1", "v": 1, "f": 1.5}, {"k": "r2", "v": 2, "f": 2.5}],
+            dialect="clickhouse",
+        )
+        return eng
+
+    def _rows(self, eng):
+        return sorted(
+            (r.k, r.v, float(r.f))
+            for r in eng.sql("SELECT k, v, f FROM t", dialect="clickhouse").collect()
+        )
+
+    def test_widen_int32_to_int64_round_trip(self, mod_engine):
+        mod_engine.sql(
+            "ALTER TABLE mc.t MODIFY COLUMN v Int64", dialect="clickhouse"
+        )
+        df = mod_engine.sql("SELECT * FROM t", dialect="clickhouse")
+        assert dict(df.dtypes)["v"] == "bigint"
+        # pre-MODIFY narrow bytes still serve
+        assert self._rows(mod_engine) == [("r1", 1, 1.5), ("r2", 2, 2.5)]
+        # a value past int32 range lands and reads back next to them
+        big = 2**40
+        mod_engine.sql(
+            "INSERT INTO mc.t (k, v, f) VALUES",
+            args=[{"k": "r3", "v": big, "f": 3.5}],
+            dialect="clickhouse",
+        )
+        assert self._rows(mod_engine) == [
+            ("r1", 1, 1.5), ("r2", 2, 2.5), ("r3", big, 3.5)
+        ]
+        # DESCRIBE reflects the declared (widened) type
+        types = {
+            r.name: r.type
+            for r in mod_engine.sql(
+                "DESCRIBE TABLE t", dialect="clickhouse"
+            ).collect()
+        }
+        assert types["v"] == "bigint"
+
+    def test_widen_float_to_double(self, mod_engine):
+        mod_engine.sql(
+            "ALTER TABLE mc.t MODIFY COLUMN f Float64", dialect="clickhouse"
+        )
+        df = mod_engine.sql("SELECT * FROM t", dialect="clickhouse")
+        assert dict(df.dtypes)["f"] == "double"
+        assert self._rows(mod_engine) == [("r1", 1, 1.5), ("r2", 2, 2.5)]
+
+    def test_lossy_narrow_refused(self, mod_engine):
+        mod_engine.sql(
+            "ALTER TABLE mc.t MODIFY COLUMN v Int64", dialect="clickhouse"
+        )
+        with pytest.raises(ValueError, match="not a lossless widen"):
+            mod_engine.sql(
+                "ALTER TABLE mc.t MODIFY COLUMN v Int32", dialect="clickhouse"
+            )
+        with pytest.raises(ValueError, match="not a lossless widen"):
+            mod_engine.sql(
+                "ALTER TABLE mc.t MODIFY COLUMN f String", dialect="clickhouse"
+            )
+
+    def test_key_column_and_missing_guards(self, mod_engine):
+        with pytest.raises(ValueError, match="key column"):
+            mod_engine.sql(
+                "ALTER TABLE mc.t MODIFY COLUMN k Int64", dialect="clickhouse"
+            )
+        with pytest.raises(KeyError, match="does not exist"):
+            mod_engine.sql(
+                "ALTER TABLE mc.t MODIFY COLUMN nope Int64", dialect="clickhouse"
+            )
+        # IF EXISTS tolerates; same-type MODIFY is a no-op
+        mod_engine.sql(
+            "ALTER TABLE mc.t MODIFY COLUMN IF EXISTS nope Int64",
+            dialect="clickhouse",
+        )
+        mod_engine.sql(
+            "ALTER TABLE mc.t MODIFY COLUMN v Int32", dialect="clickhouse"
+        )
+
+    def test_optimize_materializes_the_widen(self, mod_engine):
+        mod_engine.sql(
+            "ALTER TABLE mc.t MODIFY COLUMN v Int64", dialect="clickhouse"
+        )
+        mod_engine.sql(
+            "INSERT INTO mc.t (k, v, f) VALUES",
+            args=[{"k": "r3", "v": 2**40, "f": 3.5}],
+            dialect="clickhouse",
+        )
+        mod_engine.sql("OPTIMIZE TABLE mc.t FINAL", dialect="clickhouse")
+        # post-materialize: files carry the wide type, the fast path (no
+        # read transform / explicit schema) serves, data intact
+        entry = mod_engine.ddl_catalog.tables["t"]
+        assert entry.table.read_schema is None
+        assert entry.table.read_transform is None
+        assert not entry.retyped_cols
+        assert self._rows(mod_engine) == [
+            ("r1", 1, 1.5), ("r2", 2, 2.5), ("r3", 2**40, 3.5)
+        ]
+
+    def test_widen_then_rename_keeps_serving(self, mod_engine):
+        mod_engine.sql(
+            "ALTER TABLE mc.t MODIFY COLUMN v Int64", dialect="clickhouse"
+        )
+        mod_engine.sql(
+            "ALTER TABLE mc.t RENAME COLUMN v TO amount", dialect="clickhouse"
+        )
+        mod_engine.sql(
+            "INSERT INTO mc.t (k, amount, f) VALUES",
+            args=[{"k": "r3", "amount": 2**40, "f": 3.5}],
+            dialect="clickhouse",
+        )
+        got = sorted(
+            (r.k, r.amount)
+            for r in mod_engine.sql(
+                "SELECT k, amount FROM t", dialect="clickhouse"
+            ).collect()
+        )
+        assert got == [("r1", 1), ("r2", 2), ("r3", 2**40)]
+
+    def test_widen_partitioned_table_keeps_pruning_column(self, spark, tmp_path):
+        eng = AnalyticsEngine(
+            spark, verbose=False, ddl_root=str(tmp_path / "modpart")
+        )
+        eng.sql(
+            """CREATE TABLE mp.e (ts DateTime, v Int32)
+            ENGINE = MergeTree PARTITION BY toYYYYMM(ts) ORDER BY ts""",
+            dialect="clickhouse",
+        )
+        eng.sql(
+            "INSERT INTO mp.e (ts, v) VALUES",
+            args=[{"ts": "2024-01-05 00:00:00", "v": 1},
+                  {"ts": "2024-02-05 00:00:00", "v": 2}],
+            dialect="clickhouse",
+        )
+        eng.sql("ALTER TABLE mp.e MODIFY COLUMN v Int64", dialect="clickhouse")
+        eng.sql(
+            "INSERT INTO mp.e (ts, v) VALUES",
+            args=[{"ts": "2024-03-05 00:00:00", "v": 2**40}],
+            dialect="clickhouse",
+        )
+        got = sorted(
+            int(r.v)
+            for r in eng.sql(
+                "SELECT v FROM e WHERE ts >= '2024-02-01 00:00:00'",
+                dialect="clickhouse",
+            ).collect()
+        )
+        assert got == [2, 2**40]

@@ -143,3 +143,32 @@ def test_rest_persistent_failure_raises_after_retries(scripted_server, recorded_
     # exponential backoff BETWEEN attempts only: no dead sleep after the
     # final failure (3 attempts -> 2 sleeps)
     assert recorded_sleeps == [0.1, 0.2]
+
+
+def test_rest_1102_unsupported_asset_is_benign_empty(scripted_server, recorded_sleeps):
+    """r9 (r8 verdict item 6, reference additional_data.py:164-165): a
+    -1102 'asset not supported' error is END-OF-DATA for the symbol —
+    empty result, no retries, no fetch_error sentinel."""
+    url, script, seen = scripted_server
+    script += [
+        (400, json.dumps({"code": -1102, "msg": "Mandatory parameter asset "
+                          "was not sent, was empty/null, or malformed."})),
+    ]
+    page_fn = binance_rest_page_fn(base_url=url)
+    cfg = FetchConfig(page_limit=5, max_retries=3, backoff_base_s=0.1)
+    pages = list(paginate_symbol("NOPEUSDT", T0, T0 + H, page_fn, cfg))
+    assert pages == []          # benign empty, not an exception
+    assert len(seen) == 1       # and NOT retried three times
+    assert recorded_sleeps == []  # no backoff sleeps for the benign path
+
+
+def test_rest_other_400_errors_still_fail(scripted_server, recorded_sleeps):
+    """Only -1102 maps to benign-empty; any other client error keeps the
+    per-symbol failure semantics (retry then sentinel upstream)."""
+    url, script, seen = scripted_server
+    script += [(400, json.dumps({"code": -1121, "msg": "Invalid symbol."}))] * 3
+    page_fn = binance_rest_page_fn(base_url=url)
+    cfg = FetchConfig(page_limit=5, max_retries=3, backoff_base_s=0.1)
+    with pytest.raises(RuntimeError, match="after 3 tries"):
+        list(paginate_symbol("BADUSDT", T0, T0 + H, page_fn, cfg))
+    assert len(seen) == 3
