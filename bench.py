@@ -40,6 +40,11 @@ ITERATIVE_FAMILIES = {
     "embedding_pca_project",
     "logreg_quality_classifier",
     "entity_resolution_parts",
+    # not iterative, but its ~1.3 s wall swings 1.3-2.1 s run-to-run under
+    # best-of-2 (the r8 "regression" was exactly this noise — best-of-5
+    # reproduces 1.31 s, and the r8 neardup.py diff was comment-only):
+    # best-of-3 is the stable statistic (r8 verdict item 2)
+    "doc_containment_pairs",
 }
 
 #: headline set — one per operator family (agg, join, window-dedup, top-k,
@@ -141,18 +146,30 @@ HEADLINE = [
     # round-8 addition — metadata-FILTERED ANN over the shared IVF layout
     # (composed PartitionFilters + PushedFilters, selectivity-widened probe)
     "ann_ivf_filtered_topk",
-    # round-8 dialect surfaces at sf scale: ClickHouse ASOF JOIN verbatim
-    # (union-tag + one keyed window, single shuffle) and windowFunnel
-    # verbatim (array_sort + aggregate() fold, state O(conditions))
+]
+
+#: dialect tier (r8 verdict item 8): the verbatim ClickHouse-SQL surfaces
+#: are sub-1.5 s micro-queries — real coverage, but folding ~7 of them per
+#: round into the headline total would swamp the cross-round comparison
+#: with registration growth. They time exactly like headline queries
+#: (cold cache, best-of-N, noop sink) and report under the separate
+#: "dialect" key; the headline keeps the >=1 s operator shapes. The PII
+#: scrub rides here too — also a sub-second projection pass, and its
+#: scale curve is already tracked as corpus_scale's map-only control.
+DIALECT_TIER = [
+    # ASOF JOIN verbatim (union-tag + one keyed window, single shuffle);
+    # windowFunnel verbatim (array_sort + aggregate() fold)
     "asof_join_verbatim_sql",
     "windowfunnel_verbatim_sql",
-    # round-8 third wave: the ARRAY JOIN unnest clause (posexplode fan-out
-    # + re-aggregation), gap-fill WITH FILL (lead + per-gap sequence
-    # explode), the dictGet broadcast-lookup join, and the PII scrub (the
-    # heaviest pure-projection regex/Luhn pass — map-only, zero shuffles)
+    # ARRAY JOIN unnest (posexplode fan-out), WITH FILL gap-fill (lead +
+    # per-gap sequence explode), dictGet broadcast-lookup join
     "array_join_verbatim_sql",
     "with_fill_verbatim_sql",
     "dictionary_verbatim_sql",
+    # sequenceMatch with (?t<=N) / (?t==N) / band gaps (r9: completion-time
+    # set DP) — the newest dialect state machine, tracked from day one
+    "sequencematch_time_verbatim_sql",
+    # expression-only PII detect/redact (regex + Luhn fold, zero Exchange)
     "pii_detect_redact",
 ]
 
@@ -288,13 +305,27 @@ def _bench_corpus_scale(spark) -> dict:
             t0 = time.perf_counter()
             ops[name](deep_df).write.format("noop").mode("overwrite").save()
             times[name] = round(time.perf_counter() - t0, 4)
-        d_obs = Observation()
-        d_capped = neardup.minhash_lsh_pairs(
-            deep_df, threshold=0.5, band_cap=64, overflow=d_obs
-        ).count()
         d_uncapped = neardup.minhash_lsh_pairs(
             deep_df, threshold=0.5, band_cap=None
         ).count()
+        # cap sweep (r8 verdict item 4): the recall/wall frontier at the
+        # deepest measured storm — the data behind
+        # neardup.recommended_band_cap's widening thresholds
+        cap_sweep: dict[str, dict] = {}
+        for cap in (64, 128, 256):
+            o = Observation()
+            t0 = time.perf_counter()
+            n_pairs = neardup.minhash_lsh_pairs(
+                deep_df, threshold=0.5, band_cap=cap, overflow=o
+            ).count()
+            cap_sweep[str(cap)] = {
+                "pairs": int(n_pairs),
+                "lost_pair_frac": round(
+                    (d_uncapped - n_pairs) / max(d_uncapped, 1), 6
+                ),
+                "wall_s": round(time.perf_counter() - t0, 2),
+                **{k: int(v) for k, v in o.get.items()},
+            }
         deep_out = {
             "replicas": deep,
             deep_tag: times,
@@ -304,12 +335,15 @@ def _bench_corpus_scale(spark) -> dict:
             "band_cap_recall": {
                 "band_cap": 64,
                 "uncapped_pairs": int(d_uncapped),
-                "capped_pairs": int(d_capped),
-                "lost_pair_frac": round(
-                    (d_uncapped - d_capped) / max(d_uncapped, 1), 6
-                ),
-                **{k: int(v) for k, v in d_obs.get.items()},
+                "capped_pairs": cap_sweep["64"]["pairs"],
+                "lost_pair_frac": cap_sweep["64"]["lost_pair_frac"],
+                **{
+                    k: cap_sweep["64"][k]
+                    for k in ("overflow_rows", "overflow_buckets", "max_bucket")
+                    if k in cap_sweep["64"]
+                },
             },
+            "cap_sweep": cap_sweep,
         }
         import shutil as _sh
 
@@ -340,21 +374,29 @@ def main() -> None:
     # warmup: JVM / codegen / filesystem cache
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        entry = QUERIES[name]
-        runs = N_RUNS_ITERATIVE if name in ITERATIVE_FAMILIES else N_RUNS
-        best = float("inf")
-        for _ in range(runs):
-            # cold-cache per run (r6+ measurement series, see SCALE.md):
-            # the registry builders are unwrapped, so the sweep harness owns
-            # the cache hygiene — every run pays its own persist() cost, and
-            # stale CacheManager entries can't NPE the 50-query session.
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            entry.spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+    def _sweep(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            entry = QUERIES[name]
+            runs = N_RUNS_ITERATIVE if name in ITERATIVE_FAMILIES else N_RUNS
+            best = float("inf")
+            for _ in range(runs):
+                # cold-cache per run (r6+ measurement series, see SCALE.md):
+                # the registry builders are unwrapped, so the sweep harness
+                # owns the cache hygiene — every run pays its own persist()
+                # cost, and stale CacheManager entries can't NPE the
+                # 50-query session.
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                entry.spark(spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            out[name] = round(best, 4)
+        return out
+
+    timings = _sweep(HEADLINE)
+    dialect_timings = _sweep(DIALECT_TIER)
 
     total = round(sum(timings.values()), 4)
     payload = {
@@ -363,6 +405,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
+        "dialect": {
+            "total": round(sum(dialect_timings.values()), 4),
+            "queries": dialect_timings,
+        },
         "corpus_scale": _bench_corpus_scale(spark),
     }
     line = json.dumps(payload)

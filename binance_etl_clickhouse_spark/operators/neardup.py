@@ -217,10 +217,53 @@ def minhash_band_values(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
 #:     byte-identical storms upstream (exact_dup_canonical) before the cap
 #:     ever bites.
 #: Pass ``band_cap=None`` for the unbounded-verify form (the uncapped
-#: oracle twin `minhash_lsh_neardup` does, explicitly); raise the cap if a
-#: corpus legitimately holds >64-member NEAR-identical (not exact) storms
-#: and the recall tail matters more than bounded verify cost.
+#: oracle twin `minhash_lsh_neardup` does, explicitly). If a corpus
+#: legitimately holds >64-member NEAR-identical (not exact) storms, feed
+#: the observed ``max_bucket`` to :func:`recommended_band_cap` — the r9
+#: cap sweep measured cap=128 LOSSLESS at the 30x storm (where 64 loses
+#: 0.744%), so widening one ladder step recovers the tail at bounded cost.
 DEFAULT_BAND_CAP = 64
+
+
+def recommended_band_cap(
+    max_bucket: int, ladder: tuple[int, ...] = (64, 128, 256, 512)
+) -> int:
+    """The band cap the storm measurements support, from the observed
+    ``max_bucket`` (largest band-bucket membership — read it from the
+    ``overflow`` Observation any capped run can attach, or from
+    :func:`minhash_band_overflow`).
+
+    Measured regime guide (bench ``corpus_scale`` / ``deep_storm`` +
+    the r9 ``cap_sweep``, sf0.1 corpus, 12 bands x 2 rows):
+
+    ==============  ==========  ===================================
+    max_bucket/cap  loss        evidence
+    ==============  ==========  ===================================
+    <= 1            0 (exact)   cap never engages
+    1.9x            measured 0  10x storm: max_bucket 120, cap 64 ->
+                                0 of 250,600 true pairs lost
+    2.8x            measured 0  30x storm: max_bucket 360, cap 128 ->
+                                0 of 2,405,400 true pairs lost
+    1.4x            measured 0  30x storm, cap 256
+    5.6x            0.744%      30x storm, cap 64 (12,164 evictions
+                                in 250 buckets)
+    ==============  ==========  ===================================
+
+    Policy: the smallest ladder cap with ``max_bucket <= 2 * cap`` —
+    strictly inside the measured-lossless region (lossless up to 2.8x
+    overflow; band eviction decorrelates across the 12 bands to at least
+    that depth, and the 2x margin leaves headroom below the deepest
+    lossless point). Past the ladder top the function
+    returns the top and the caller should collapse exact duplicates
+    upstream first (``exact_dup_canonical``): a >1024-member near-identical
+    (not byte-identical) storm costs cap^2-bounded verify work per bucket,
+    and widening further trades quadratic cost for a recall tail the
+    storm's own members dominate.
+    """
+    for cap in ladder:
+        if max_bucket <= 2 * cap:
+            return cap
+    return ladder[-1]
 
 
 def minhash_lsh_pairs(

@@ -778,3 +778,32 @@ def test_containment_dominates_jaccard(spark):
     con = {(r.d1, r.d2): r.containment for r in containment_pairs(docs, threshold=0.5, persist_index=False).collect()}
     assert set(jac) <= set(con)
     assert all(con[k] >= jac[k] for k in jac)
+
+
+def test_recommended_band_cap_policy():
+    """r9 (r8 verdict item 4): the cap-per-duplication-regime policy —
+    smallest ladder cap whose 2x margin covers the observed max_bucket
+    (the deepest overflow measured LOSSLESS at the 10x storm), topping
+    out at the ladder end where exact-dup collapse upstream is the
+    answer, not a wider cap."""
+    from binance_etl_clickhouse_spark.operators.neardup import (
+        DEFAULT_BAND_CAP,
+        recommended_band_cap,
+    )
+
+    # no overflow / measured-lossless depth -> the default stands
+    assert recommended_band_cap(0) == DEFAULT_BAND_CAP
+    assert recommended_band_cap(64) == DEFAULT_BAND_CAP
+    assert recommended_band_cap(120) == DEFAULT_BAND_CAP  # the 10x point
+    assert recommended_band_cap(128) == DEFAULT_BAND_CAP  # 2x margin edge
+    # the 30x storm's max_bucket 360 (5.6x the default, 0.74% measured
+    # loss) widens to 256 — within its own 2x margin
+    assert recommended_band_cap(360) == 256
+    assert recommended_band_cap(129) == 128
+    assert recommended_band_cap(512) == 256
+    # ladder top: past 1024 the function refuses to grow quadratic verify
+    # cost further (collapse exact duplicates upstream instead)
+    assert recommended_band_cap(10_000) == 512
+    # monotone in max_bucket over the ladder
+    caps = [recommended_band_cap(m) for m in range(0, 1200, 7)]
+    assert caps == sorted(caps)
