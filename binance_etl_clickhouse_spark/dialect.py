@@ -79,11 +79,13 @@ positionCaseInsensitive(h, n) / locate(lower(n), lower(h))
 positionCaseInsensitiveUTF8     [full-Unicode case fold vs ClickHouse's
                                  ASCII-only fold in the non-UTF8 name]
 retention(c1..cn)   array(max(c1-flag), least(max(c1-flag), max(ci-flag))..)
-windowFunnel(W)     aggregate() fold over array_sort(collect_list(...)) —
-(ts, c1..cN)        the exact CH chain algorithm ((t, idx) points, c1
-                    re-anchors, chain start propagates within W) as a pure
-                    JVM expression; max 8 conditions, strictness modes
-                    refused loudly. Result INT level 0..N
+windowFunnel(W[,    aggregate() fold over array_sort(collect_list(...)) —
+ mode...])          the exact CH chain algorithm ((t, idx) points, c1
+(ts, c1..cN)        re-anchors, chain start propagates within W) as a pure
+                    JVM expression; max 8 conditions. r9: strict_order /
+                    strict_deduplication / strict_increase modes run too
+                    (break markers, repeat-interrupt, strictly-increasing
+                    advance). Result INT level 0..N
 sequenceMatch(pat)  DP aggregate() fold over the time-sorted matched-event
 (ts, c1..cK)        points; (?N), .* AND (?t op N) time-condition atoms
                     (r8: per-prefix earliest/latest completion times make
@@ -883,13 +885,16 @@ def _rewrite_limit_by(sql: str) -> str:
 # is O(group events), same as ClickHouse's own AggregateFunctionWindowFunnel
 # buffer.
 #
-# windowFunnel(W)(ts, c1..cN) replicates the CH algorithm exactly
-# (AggregateFunctionWindowFunnel::getEventLevel, default mode): events
-# explode into (t, cond-idx) pairs sorted by (t, idx); a c1 point OVERWRITES
-# the level-1 chain start; a c_i point within W of the level-(i-1) CHAIN
+# windowFunnel(W[, mode...])(ts, c1..cN) replicates the CH algorithm
+# exactly (AggregateFunctionWindowFunnel::getEventLevel): events explode
+# into (t, cond-idx) pairs sorted by (t, idx); a c1 point OVERWRITES the
+# level-1 chain start; a c_i point within W of the level-(i-1) CHAIN
 # START propagates that start to level i; result = deepest level reached.
-# Strictness modes ('strict_order', 'strict_dedup', 'strict_increase') are
-# refused loudly.
+# r9: the strictness modes run too — see _window_funnel_expr's docstring
+# for the branch-for-branch mapping (break markers for strict_order,
+# repeat-interrupt for strict_deduplication, per-level completion times
+# for strict_increase; the algorithm's early returns become a frozen
+# `ret` field).
 #
 # sequenceMatch('(?1).*(?2)')(ts, c1..cK) supports (?N) and .* pattern
 # atoms (time conditions (?t<=x) are refused loudly): one point per matched
@@ -905,55 +910,148 @@ def _rewrite_limit_by(sql: str) -> str:
 _FUNNEL_MAX_CONDS = 8
 
 
-def _window_funnel_expr(window: str, ts: str, conds: list[str]) -> str:
+#: windowFunnel strictness modes (ClickHouse names; 'strict' is the
+#: deprecated alias of strict_deduplication)
+_FUNNEL_MODES = {"strict_order", "strict_deduplication", "strict_increase", "strict"}
+
+
+def _window_funnel_expr(
+    window: str, ts: str, conds: list[str], modes: frozenset[str] = frozenset()
+) -> str:
+    """The ClickHouse getEventLevel state machine as one aggregate() fold,
+    INCLUDING the strictness modes (r9) — branch-for-branch with the
+    published algorithm (AggregateFunctionWindowFunnel::getEventLevel):
+
+    * default: a c1 point OVERWRITES the chain start; a c_k point within
+      W of the level-(k-1) CHAIN START propagates that start to level k
+      (the window is anchored at the chain start, not the previous step);
+      reaching the top level ends the scan.
+    * strict_deduplication: a c_k point while level k is ALREADY reached
+      ends the scan with result k (CH returns the repeated condition's
+      index — including when that truncates a deeper later completion).
+    * strict_order: rows matching NO condition become (t, 0) break
+      markers; after the first c1, a break marker OR an out-of-order c_k
+      (its k-1 prefix unreached) ends the scan with the deepest
+      contiguous level so far. Markers before the first c1 are skipped.
+    * strict_increase: a chain only advances on a strictly LATER
+      timestamp than the event that completed its previous level (the
+      fold tracks that completion time per level as u_k).
+
+    The scan-terminating returns become a frozen ``ret`` field — every
+    later point no-ops once it is set, exactly the early ``return``s.
+    """
     n = len(conds)
     if n > _FUNNEL_MAX_CONDS:
         raise ValueError(
             f"windowFunnel: at most {_FUNNEL_MAX_CONDS} conditions supported"
         )
+    bad = modes - _FUNNEL_MODES
+    if bad:
+        raise ValueError(f"windowFunnel: unknown mode(s) {sorted(bad)}")
+    s_order = "strict_order" in modes
+    s_dedup = "strict_deduplication" in modes or "strict" in modes
+    s_inc = "strict_increase" in modes
     # one point per MATCHED CONDITION (CH pushes a (t, idx) pair per matched
     # condition, so one event can advance several levels); CAST AS DOUBLE is
-    # epoch seconds for timestamps and identity for numerics — both CH forms
-    pairs = ", ".join(
+    # epoch seconds for timestamps and identity for numerics — both CH
+    # forms. strict_order additionally keeps rows matching NO condition as
+    # i=0 break markers (CH add()'s `if (strict_order && !has_event)`);
+    # i=0 sorts before any match at the same timestamp, like CH's pair sort.
+    pair_list = [
         f"named_struct('t', CAST({ts} AS DOUBLE), 'i', {i + 1}, "
         f"'m', coalesce(CAST({c} AS BOOLEAN), false))"
         for i, c in enumerate(conds)
-    )
+    ]
+    if s_order:
+        any_flag = " OR ".join(
+            f"coalesce(CAST({c} AS BOOLEAN), false)" for c in conds
+        )
+        pair_list.append(
+            f"named_struct('t', CAST({ts} AS DOUBLE), 'i', 0, "
+            f"'m', NOT ({any_flag}))"
+        )
     entries = (
         f"array_sort(flatten(collect_list("
-        f"filter(array({pairs}), p -> p.m AND p.t IS NOT NULL))))"
+        f"filter(array({', '.join(pair_list)}), p -> p.m AND p.t IS NOT NULL))))"
     )
+
+    def pack(upd: dict[str, str]) -> str:
+        parts = [f"'ret', {upd.get('ret', 'acc.ret')}"]
+        if s_order:
+            parts.append(f"'st', {upd.get('st', 'acc.st')}")
+        for i in range(1, n + 1):
+            parts.append(f"'t{i}', {upd.get(f't{i}', f'acc.t{i}')}")
+            if s_inc:
+                parts.append(f"'u{i}', {upd.get(f'u{i}', f'acc.u{i}')}")
+        return f"named_struct({', '.join(parts)})"
+
+    zero_fields = {"ret": "CAST(NULL AS INT)"}
+    if s_order:
+        zero_fields["st"] = "false"
+    for i in range(1, n + 1):
+        zero_fields[f"t{i}"] = "CAST(NULL AS DOUBLE)"
+        if s_inc:
+            zero_fields[f"u{i}"] = "CAST(NULL AS DOUBLE)"
     zero = (
         "named_struct("
-        + ", ".join(f"'t{i}', CAST(NULL AS DOUBLE)" for i in range(1, n + 1))
+        + ", ".join(f"'{k}', {v}" for k, v in zero_fields.items())
         + ")"
     )
-    branches = []
-    for lvl in range(1, n + 1):
-        fields = []
-        for i in range(1, n + 1):
-            if i == lvl == 1:
-                # a level-1 point overwrites the chain start (CH semantics:
-                # the LATEST c1 so far anchors future chains)
-                fields.append("'t1', e.t")
-            elif i == lvl:
-                fields.append(
-                    f"'t{i}', CASE WHEN acc.t{i - 1} IS NOT NULL AND "
-                    f"e.t <= acc.t{i - 1} + ({window}) THEN acc.t{i - 1} "
-                    f"ELSE acc.t{i} END"
-                )
-            else:
-                fields.append(f"'t{i}', acc.t{i}")
-        branches.append(
-            f"WHEN e.i = {lvl} THEN named_struct({', '.join(fields)})"
-        )
-    merge = f"(acc, e) -> CASE {' '.join(branches)} ELSE acc END"
-    level = (
-        "CASE "
+    deepest = (
+        "CAST(CASE "
         + " ".join(f"WHEN acc.t{i} IS NOT NULL THEN {i}" for i in range(n, 0, -1))
-        + " ELSE 0 END"
+        + " ELSE 0 END AS INT)"
     )
-    return f"aggregate({entries}, {zero}, {merge}, acc -> CAST({level} AS INT))"
+    branches = []
+    if s_order:
+        # break marker: ends the scan once a chain has started
+        branches.append(
+            f"WHEN e.i = 0 THEN CASE WHEN acc.st "
+            f"THEN {pack({'ret': deepest})} ELSE acc END"
+        )
+    lvl1 = {"t1": "e.t"}
+    if s_inc:
+        lvl1["u1"] = "e.t"
+    if s_order:
+        lvl1["st"] = "true"
+    branches.append(f"WHEN e.i = 1 THEN {pack(lvl1)}")
+    for k in range(2, n + 1):
+        inner = []
+        if s_dedup:
+            inner.append(
+                f"WHEN acc.t{k} IS NOT NULL THEN "
+                f"{pack({'ret': f'CAST({k} AS INT)'})}"
+            )
+        if s_order:
+            inner.append(
+                f"WHEN acc.st AND acc.t{k - 1} IS NULL THEN "
+                f"{pack({'ret': deepest})}"
+            )
+        adv = (
+            f"acc.t{k - 1} IS NOT NULL AND e.t <= acc.t{k - 1} + ({window})"
+        )
+        if s_inc:
+            adv += f" AND e.t > acc.u{k - 1}"
+        upd = {f"t{k}": f"acc.t{k - 1}"}
+        if s_inc:
+            upd[f"u{k}"] = "e.t"
+        if k == n:
+            # reaching the top level ends the scan (CH returns events_size
+            # immediately — load-bearing under strict_deduplication, where
+            # a later repeat would otherwise truncate the result)
+            upd["ret"] = f"CAST({n} AS INT)"
+        inner.append(f"WHEN {adv} THEN {pack(upd)}")
+        branches.append(
+            f"WHEN e.i = {k} THEN CASE {' '.join(inner)} ELSE acc END"
+        )
+    merge = (
+        f"(acc, e) -> CASE WHEN acc.ret IS NOT NULL THEN acc "
+        f"{' '.join(branches)} ELSE acc END"
+    )
+    return (
+        f"aggregate({entries}, {zero}, {merge}, "
+        f"acc -> coalesce(acc.ret, {deepest}))"
+    )
 
 
 def _parse_sequence_pattern(
@@ -2211,17 +2309,28 @@ def translate_clickhouse_sql(sql: str) -> str:
                         ]
                         i = close2 + 1
                         if name == "windowFunnel":
-                            if len(args) != 1:
-                                raise ValueError(
-                                    "windowFunnel: strictness modes "
-                                    f"({args[1:]}) are not supported"
-                                )
+                            modes = set()
+                            for m_arg in args[1:]:
+                                lit = _string_literal(m_arg)
+                                if lit is None or lit not in _FUNNEL_MODES:
+                                    raise ValueError(
+                                        "windowFunnel: unsupported mode "
+                                        f"{m_arg!r} (supported: "
+                                        "strict_order, strict_deduplication"
+                                        "/strict, strict_increase)"
+                                    )
+                                modes.add(lit)
                             if len(inner) < 2:
                                 raise ValueError(
                                     "windowFunnel needs (timestamp, cond...)"
                                 )
                             out.append(
-                                _window_funnel_expr(args[0], inner[0], inner[1:])
+                                _window_funnel_expr(
+                                    args[0],
+                                    inner[0],
+                                    inner[1:],
+                                    frozenset(modes),
+                                )
                             )
                         elif name in ("sequenceMatch", "sequenceCount"):
                             if len(args) != 1:

@@ -69,6 +69,21 @@ ALTER TABLE t MODIFY COLUMN c Type    metadata-only type WIDEN (integer
                                       cross-family changes refused;
                                       key/partition/version/MV-wired
                                       columns refused
+ALTER TABLE t ADD INDEX n c TYPE ...  ClickHouse skip index -> the REAL
+                                      sidecars: minmax builds/extends the
+                                      zone map (file-level min/max
+                                      pruning); tokenbf_v1/ngrambf_v1/
+                                      bloom_filter build the token bloom;
+                                      set(N) recorded (parquet dictionary
+                                      + page stats play that role). DROP
+                                      INDEX removes owned sidecar columns;
+                                      MATERIALIZE INDEX validated no-op
+                                      (ADD already scans existing files)
+OPTIMIZE TABLE t [FINAL]              compact; DEDUPLICATE drops full-row
+  [DEDUPLICATE [BY c1, c2]]           (or BY-column) duplicates keeping
+                                      the FIRST arrival (deterministic
+                                      where ClickHouse keeps an arbitrary
+                                      row)
 EXISTS TABLE t                        1-row result 1/0
 SHOW TABLES [FROM db] [LIKE '%pat%']  one name per row (tables + MVs)
 DESCRIBE TABLE t                      (name, type, default_expression) —
@@ -639,6 +654,15 @@ class CatalogEntry:
     #: int8/16/32 -> wider int/double, float -> double in the scan);
     #: maintenance ops materialize like DROP/RENAME
     retyped_cols: set[str] = field(default_factory=set)
+    #: ALTER ADD INDEX: name -> (column, clickhouse index type, owned).
+    #: minmax indexes are REAL — they build/extend the zone-map sidecar
+    #: (file-level min/max pruning, the parquet analogue of CH's skip
+    #: index); tokenbf_v1/ngrambf_v1/bloom_filter build the token-bloom
+    #: sidecar when data exists; set(N) is recorded metadata-only
+    #: (parquet dictionary encoding + page stats play that role).
+    #: ``owned`` = the zonemap column was added BY this index, so DROP
+    #: INDEX may remove it (never an engine-managed watermark column).
+    indexes: dict[str, tuple[str, str, bool]] = field(default_factory=dict)
 
     @property
     def dedup(self) -> bool:
@@ -973,17 +997,46 @@ class DdlCatalog:
         return self.spark.createDataFrame([], T.StructType([]))
 
     def _optimize(self, sql: str) -> DataFrame | None:
-        """OPTIMIZE TABLE [FINAL] ≙ ServingTable.compact(): rewrite to
-        exactly one version per key; subsequent reads skip the keep-last
-        window entirely (the FINAL-is-free fast path)."""
+        """OPTIMIZE TABLE [FINAL] [DEDUPLICATE [BY cols]] ≙
+        ServingTable.compact(): rewrite to exactly one version per key;
+        subsequent reads skip the keep-last window entirely (the
+        FINAL-is-free fast path). DEDUPLICATE additionally drops
+        full-row duplicates (r9) — or one row per the BY column list —
+        keeping the FIRST arrival (deterministic where ClickHouse keeps
+        an arbitrary one). BY expressions/COLUMNS() matchers refuse
+        loudly; bare column names only."""
         m = re.match(
-            r"^\s*OPTIMIZE\s+TABLE\s+([\w.]+)(\s+FINAL)?\s*$", sql.strip(), re.I
+            r"^\s*OPTIMIZE\s+TABLE\s+([\w.]+)(\s+FINAL)?"
+            r"(?:\s+(DEDUPLICATE)(?:\s+BY\s+(?P<by>.+?))?)?\s*$",
+            sql.strip(),
+            re.I,
         )
         if not m:
             return None
         entry = self.tables.get(self._bare(m.group(1)))
         if entry is None:
             raise KeyError(f"unknown table {m.group(1)!r}")
+        distinct_by: list[str] | None = None
+        if m.group(3):
+            declared = [n for n, _, _ in entry.ddl.columns]
+            if m.group("by") is not None:
+                distinct_by = []
+                for item in _split_top_level(m.group("by")):
+                    cname = item.strip().strip("`")
+                    if not re.fullmatch(r"\w+", cname):
+                        raise ValueError(
+                            "OPTIMIZE ... DEDUPLICATE BY supports bare "
+                            f"column names only, got {item.strip()!r}"
+                        )
+                    if cname not in declared:
+                        raise KeyError(
+                            f"DEDUPLICATE BY: column {cname!r} does not exist"
+                        )
+                    distinct_by.append(cname)
+                if not distinct_by:
+                    raise ValueError("DEDUPLICATE BY: empty column list")
+            else:
+                distinct_by = declared  # full-row comparison
         if entry.table.exists():
             # compact reads through the read_transform, so a pending column
             # reshape MATERIALIZES into the rewritten files (ClickHouse
@@ -1001,6 +1054,7 @@ class DdlCatalog:
                     if entry.dedup and entry.ddl.version_col
                     else None
                 ),
+                distinct_by=distinct_by,
             )
         self._clear_reshape(entry)
         self._refresh_view(entry)
@@ -1114,6 +1168,58 @@ class DdlCatalog:
             self._sync_read_transform(entry)
             self._refresh_view(entry)
             return self.spark.createDataFrame([], entry.ddl.spark_schema)
+        ai = re.match(
+            r"^ADD\s+INDEX\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?`?(?P<iname>\w+)`?"
+            r"\s+`?(?P<icol>\w+)`?\s+TYPE\s+(?P<itype>\w+)\s*(\([^)]*\))?"
+            r"(\s+GRANULARITY\s+\d+)?\s*$",
+            rest,
+            re.I,
+        )
+        if ai:
+            return self._add_index(entry, ai)
+        di = re.match(
+            r"^DROP\s+INDEX\s+(?P<ie>IF\s+EXISTS\s+)?`?(?P<iname>\w+)`?\s*$",
+            rest,
+            re.I,
+        )
+        if di:
+            return self._drop_index(entry, di)
+        mi = re.match(
+            r"^MATERIALIZE\s+INDEX\s+`?(?P<iname>\w+)`?\s*$", rest, re.I
+        )
+        if mi:
+            # CH materializes a later-added index over existing parts; here
+            # ADD INDEX already footer-scans every existing file, so this
+            # is a (validated) no-op
+            if mi.group("iname") not in entry.indexes:
+                raise KeyError(f"unknown index {mi.group('iname')!r}")
+            return self.spark.createDataFrame([], T.StructType([]))
+        md = re.match(
+            r"^MODIFY\s+COLUMN\s+(IF\s+EXISTS\s+)?`?(\w+)`?\s+"
+            r"DEFAULT\s+(?P<dflt>.+)$",
+            rest,
+            re.I | re.S,
+        )
+        if md:
+            # default-only change: pure metadata, like ClickHouse — future
+            # inserts missing the column take the new default, and
+            # ALTER-added columns' read-time fill for pre-ADD batches
+            # re-evaluates under it (CH's un-materialized parts re-read
+            # the current default the same way)
+            cname = md.group(2)
+            if not any(n == cname for n, _, _ in entry.ddl.columns):
+                if md.group(1):
+                    return self.spark.createDataFrame([], entry.ddl.spark_schema)
+                raise KeyError(f"column {cname!r} does not exist")
+            dflt = md.group("dflt").strip()
+            self._fragment(dflt)  # validate it translates NOW, not at read
+            entry.ddl.columns = [
+                (n, t, dflt if n == cname else d)
+                for n, t, d in entry.ddl.columns
+            ]
+            self._sync_read_transform(entry)
+            self._refresh_view(entry)
+            return self.spark.createDataFrame([], entry.ddl.spark_schema)
         mc = re.match(
             r"^MODIFY\s+COLUMN\s+(IF\s+EXISTS\s+)?`?(\w+)`?\s+"
             r"(?P<type>[\w()\s',]+?)\s*$",
@@ -1160,8 +1266,9 @@ class DdlCatalog:
         )
         if not am:
             raise ValueError(
-                "unsupported ALTER (ADD/DROP/RENAME/MODIFY COLUMN, DELETE "
-                f"WHERE and UPDATE .. WHERE map): {rest!r}"
+                "unsupported ALTER (ADD/DROP/RENAME/MODIFY COLUMN, "
+                "ADD/DROP/MATERIALIZE INDEX, DELETE WHERE and "
+                f"UPDATE .. WHERE map): {rest!r}"
             )
         cname = am.group(2)
         if any(n == cname for n, _, _ in entry.ddl.columns):
@@ -1181,6 +1288,98 @@ class DdlCatalog:
         self._sync_read_transform(entry)
         self._refresh_view(entry)
         return self.spark.createDataFrame([], entry.ddl.spark_schema)
+
+    #: ClickHouse skip-index types with a REAL sidecar here; everything
+    #: else (set(N), minmax over expressions) is recorded metadata-only —
+    #: parquet dictionary encoding + page statistics play that role
+    _BLOOM_INDEX_TYPES = {"tokenbf_v1", "ngrambf_v1", "bloom_filter"}
+
+    def _add_index(self, entry: CatalogEntry, m: "re.Match") -> DataFrame:
+        """``ALTER TABLE t ADD INDEX name col TYPE type(...) [GRANULARITY n]``
+        — ClickHouse's data-skipping index, mapped onto the engine's real
+        sidecars: ``minmax`` builds (or extends) the zone-map (file-level
+        min/max pruning — footer-scan once, O(1) planning after);
+        token/ngram blooms build the token-bloom sidecar. Both sidecars
+        fail SAFE on staleness (a file missing from the map falls back to
+        the full scan), so an index is never a correctness hazard. Bare
+        column expressions only; ``set(N)`` records metadata-only."""
+        from binance_etl_clickhouse_spark.storage import tokenbloom as _tb
+        from binance_etl_clickhouse_spark.storage import zonemap as _zm
+
+        name, col = m.group("iname"), m.group("icol")
+        itype = m.group("itype").lower()
+        if name in entry.indexes:
+            if m.group("ine"):
+                return self.spark.createDataFrame([], T.StructType([]))
+            raise ValueError(f"index {name!r} already exists")
+        declared = {n for n, _, _ in entry.ddl.columns}
+        if col not in declared:
+            raise KeyError(f"ADD INDEX: column {col!r} does not exist")
+        if itype not in self._BLOOM_INDEX_TYPES and itype not in ("minmax", "set"):
+            raise ValueError(
+                f"ADD INDEX: unsupported type {itype!r} (supported: "
+                "minmax, tokenbf_v1/ngrambf_v1/bloom_filter, set)"
+            )
+        owned = False
+        if itype == "minmax":
+            zm = _zm.read_zonemap(entry.table.path)
+            cols = list(zm["columns"]) if zm else []
+            owned = col not in cols
+            if owned:
+                cols.append(col)
+            os.makedirs(entry.table.path, exist_ok=True)
+            _zm.build_zonemap(entry.table.path, cols)
+        elif itype in self._BLOOM_INDEX_TYPES:
+            # one scan now when data exists; an index added on an empty
+            # table builds at the next OPTIMIZE (until then the pruner's
+            # stale-sidecar fallback keeps correctness ahead of pruning)
+            owned = True
+            if entry.table.exists():
+                _tb.build_token_bloom(
+                    self.spark, entry.table.resolved_path(), text_col=col
+                )
+        entry.indexes[name] = (col, itype, owned)
+        return self.spark.createDataFrame([], T.StructType([]))
+
+    def _drop_index(self, entry: CatalogEntry, m: "re.Match") -> DataFrame:
+        from binance_etl_clickhouse_spark.storage import tokenbloom as _tb
+        from binance_etl_clickhouse_spark.storage import zonemap as _zm
+
+        name = m.group("iname")
+        if name not in entry.indexes:
+            if m.group("ie"):
+                return self.spark.createDataFrame([], T.StructType([]))
+            raise KeyError(f"unknown index {name!r}")
+        col, itype, owned = entry.indexes.pop(name)
+        if itype == "minmax" and owned:
+            # remove the column from the zonemap ONLY if this index added
+            # it (never an engine-managed watermark column), and only when
+            # no other index still covers it
+            still = any(
+                c == col and t == "minmax" for c, t, _ in entry.indexes.values()
+            )
+            zm = _zm.read_zonemap(entry.table.path)
+            if zm and not still:
+                cols = [c for c in zm["columns"] if c != col]
+                if cols:
+                    _zm.build_zonemap(entry.table.path, cols)
+                else:
+                    try:
+                        os.remove(
+                            os.path.join(entry.table.path, _zm.ZONEMAP_SIDECAR)
+                        )
+                    except FileNotFoundError:
+                        pass
+        elif itype in self._BLOOM_INDEX_TYPES and owned:
+            try:
+                os.remove(
+                    os.path.join(
+                        entry.table.resolved_path(), _tb.TOKENBLOOM_SIDECAR
+                    )
+                )
+            except FileNotFoundError:
+                pass
+        return self.spark.createDataFrame([], T.StructType([]))
 
     def _guard_structural_column(
         self, entry: CatalogEntry, cname: str, verb: str

@@ -717,6 +717,7 @@ class ServingTable:
         versioned: bool | None = None,
         dedup: bool = True,
         dedup_order=None,
+        distinct_by: list[str] | None = None,
     ) -> None:
         """Rewrite to exactly one version per key (≙ OPTIMIZE TABLE FINAL).
 
@@ -763,6 +764,29 @@ class ServingTable:
             snap = keep_last(self.read_raw(spark), self.keys, dedup_order)
         else:
             snap = self.read(spark)
+        if distinct_by:
+            # OPTIMIZE ... DEDUPLICATE [BY cols]: one row per distinct
+            # value of ``distinct_by`` — DETERMINISTIC survivor (first
+            # arrival by INGEST_SEQ; same-batch ties break by the
+            # remaining column VALUES, since one batch shares one seq)
+            # where ClickHouse keeps an arbitrary one, so repeated runs
+            # and the oracle agree. Composes after the version collapse
+            # (FINAL) like CH's own clause order.
+            from pyspark.sql.window import Window as _W
+
+            tie = [
+                F.col(c).asc_nulls_last()
+                for c in snap.columns
+                if c not in distinct_by and c != INGEST_SEQ
+            ]
+            dd_w = _W.partitionBy(*distinct_by).orderBy(
+                F.col(INGEST_SEQ).asc(), *tie
+            )
+            snap = (
+                snap.withColumn("__dd_rn", F.row_number().over(dd_w))
+                .filter(F.col("__dd_rn") == 1)
+                .drop("__dd_rn")
+            )
         import shutil
 
         if versioned:

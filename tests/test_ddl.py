@@ -1776,3 +1776,257 @@ class TestModifyColumnType:
             ).collect()
         )
         assert got == [2, 2**40]
+
+
+class TestModifyColumnMaintenancePaths:
+    def test_widen_then_delete_where_materializes(self, spark, tmp_path):
+        """DELETE WHERE after a widen reads through the explicit schema
+        (including the zone-map month-pruned partial-read path) and
+        rewrites the touched files in the declared type."""
+        eng = AnalyticsEngine(
+            spark, verbose=False, ddl_root=str(tmp_path / "modmut")
+        )
+        eng.sql(
+            """CREATE TABLE md.e (ts DateTime, v Int32)
+            ENGINE = MergeTree PARTITION BY toYYYYMM(ts) ORDER BY ts""",
+            dialect="clickhouse",
+        )
+        eng.sql(
+            "INSERT INTO md.e (ts, v) VALUES",
+            args=[{"ts": "2024-01-05 00:00:00", "v": 1},
+                  {"ts": "2024-02-05 00:00:00", "v": 2},
+                  {"ts": "2024-02-06 00:00:00", "v": 3}],
+            dialect="clickhouse",
+        )
+        eng.sql("ALTER TABLE md.e MODIFY COLUMN v Int64", dialect="clickhouse")
+        eng.sql(
+            "INSERT INTO md.e (ts, v) VALUES",
+            args=[{"ts": "2024-03-05 00:00:00", "v": 2**40}],
+            dialect="clickhouse",
+        )
+        n = eng.sql(
+            "ALTER TABLE md.e DELETE WHERE v = 2", dialect="clickhouse"
+        ).collect()[0].rows_deleted
+        assert n == 1
+        got = sorted(
+            int(r.v) for r in eng.sql("SELECT v FROM e", dialect="clickhouse").collect()
+        )
+        assert got == [1, 3, 2**40]
+        # UPDATE through the same machinery
+        eng.sql(
+            "ALTER TABLE md.e UPDATE v = v + 1 WHERE v = 3",
+            dialect="clickhouse",
+        )
+        got = sorted(
+            int(r.v) for r in eng.sql("SELECT v FROM e", dialect="clickhouse").collect()
+        )
+        assert got == [1, 4, 2**40]
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE ... DEDUPLICATE + ALTER ADD/DROP INDEX (r9)
+# ---------------------------------------------------------------------------
+
+
+class TestOptimizeDeduplicate:
+    @pytest.fixture()
+    def dup_engine(self, spark, tmp_path):
+        eng = AnalyticsEngine(
+            spark, verbose=False, ddl_root=str(tmp_path / "dedup9")
+        )
+        eng.sql(
+            "CREATE TABLE dd.t (k String, v Int32) ENGINE = MergeTree ORDER BY k",
+            dialect="clickhouse",
+        )
+        eng.sql(
+            "INSERT INTO dd.t (k, v) VALUES",
+            args=[{"k": "a", "v": 1}, {"k": "a", "v": 1},  # full-row dup
+                  {"k": "a", "v": 2},                       # same k, new v
+                  {"k": "b", "v": 9}],
+            dialect="clickhouse",
+        )
+        return eng
+
+    def _rows(self, eng):
+        return sorted(
+            (r.k, r.v)
+            for r in eng.sql("SELECT k, v FROM t", dialect="clickhouse").collect()
+        )
+
+    def test_full_row_deduplicate(self, dup_engine):
+        dup_engine.sql("OPTIMIZE TABLE dd.t DEDUPLICATE", dialect="clickhouse")
+        assert self._rows(dup_engine) == [("a", 1), ("a", 2), ("b", 9)]
+
+    def test_deduplicate_by_columns(self, dup_engine):
+        dup_engine.sql(
+            "OPTIMIZE TABLE dd.t FINAL DEDUPLICATE BY k", dialect="clickhouse"
+        )
+        # first arrival per k survives (deterministic, NOT arbitrary)
+        assert self._rows(dup_engine) == [("a", 1), ("b", 9)]
+
+    def test_plain_optimize_keeps_duplicates(self, dup_engine):
+        # MergeTree OPTIMIZE without DEDUPLICATE merges parts only
+        dup_engine.sql("OPTIMIZE TABLE dd.t FINAL", dialect="clickhouse")
+        assert self._rows(dup_engine) == [("a", 1), ("a", 1), ("a", 2), ("b", 9)]
+
+    def test_deduplicate_by_guards(self, dup_engine):
+        with pytest.raises(KeyError, match="does not exist"):
+            dup_engine.sql(
+                "OPTIMIZE TABLE dd.t DEDUPLICATE BY nope", dialect="clickhouse"
+            )
+        with pytest.raises(ValueError, match="bare column names"):
+            dup_engine.sql(
+                "OPTIMIZE TABLE dd.t DEDUPLICATE BY lower(k)",
+                dialect="clickhouse",
+            )
+
+
+class TestSkipIndexes:
+    @pytest.fixture()
+    def idx_engine(self, spark, tmp_path):
+        eng = AnalyticsEngine(
+            spark, verbose=False, ddl_root=str(tmp_path / "skidx")
+        )
+        eng.sql(
+            """CREATE TABLE ix.t (ts DateTime, sym String, px Float64)
+            ENGINE = MergeTree PARTITION BY toYYYYMM(ts) ORDER BY (sym, ts)""",
+            dialect="clickhouse",
+        )
+        eng.sql(
+            "INSERT INTO ix.t (ts, sym, px) VALUES",
+            args=[{"ts": "2024-01-05 00:00:00", "sym": "AAA", "px": 1.0},
+                  {"ts": "2024-02-05 00:00:00", "sym": "BBB", "px": 2.0}],
+            dialect="clickhouse",
+        )
+        return eng
+
+    def test_minmax_index_builds_real_zonemap(self, idx_engine):
+        from binance_etl_clickhouse_spark.storage import zonemap as _zm
+
+        idx_engine.sql(
+            "ALTER TABLE ix.t ADD INDEX px_idx px TYPE minmax GRANULARITY 4",
+            dialect="clickhouse",
+        )
+        entry = idx_engine.ddl_catalog.tables["t"]
+        zm = _zm.read_zonemap(entry.table.path)
+        assert zm is not None and "px" in zm["columns"]
+        assert len(zm["files"]) > 0  # existing files footer-scanned
+        # the sidecar actually prunes: px=1.0 lives in one month's file
+        kept = _zm.prune_files(zm, entry.table.path, {"px": ("eq", 1.0)})
+        assert kept is not None and len(kept) < len(zm["files"])
+        # appends maintain it incrementally
+        idx_engine.sql(
+            "INSERT INTO ix.t (ts, sym, px) VALUES",
+            args=[{"ts": "2024-03-05 00:00:00", "sym": "CCC", "px": 3.0}],
+            dialect="clickhouse",
+        )
+        zm2 = _zm.read_zonemap(entry.table.path)
+        assert len(zm2["files"]) > len(zm["files"])
+
+    def test_bloom_index_builds_token_sidecar(self, idx_engine):
+        from binance_etl_clickhouse_spark.storage import tokenbloom as _tb
+
+        idx_engine.sql(
+            "ALTER TABLE ix.t ADD INDEX sym_bf sym TYPE tokenbf_v1(256, 3, 0)",
+            dialect="clickhouse",
+        )
+        entry = idx_engine.ddl_catalog.tables["t"]
+        idx = _tb.read_token_bloom(entry.table.resolved_path())
+        assert idx is not None
+        kept = _tb.prune_files_with_token(
+            idx, entry.table.resolved_path(), "AAA"
+        )
+        assert kept is not None and len(kept) >= 1
+
+    def test_index_guards_and_drop(self, idx_engine):
+        from binance_etl_clickhouse_spark.storage import zonemap as _zm
+
+        idx_engine.sql(
+            "ALTER TABLE ix.t ADD INDEX px_idx px TYPE minmax",
+            dialect="clickhouse",
+        )
+        with pytest.raises(ValueError, match="already exists"):
+            idx_engine.sql(
+                "ALTER TABLE ix.t ADD INDEX px_idx px TYPE minmax",
+                dialect="clickhouse",
+            )
+        idx_engine.sql(  # tolerated
+            "ALTER TABLE ix.t ADD INDEX IF NOT EXISTS px_idx px TYPE minmax",
+            dialect="clickhouse",
+        )
+        with pytest.raises(KeyError, match="does not exist"):
+            idx_engine.sql(
+                "ALTER TABLE ix.t ADD INDEX bad nope TYPE minmax",
+                dialect="clickhouse",
+            )
+        with pytest.raises(ValueError, match="unsupported type"):
+            idx_engine.sql(
+                "ALTER TABLE ix.t ADD INDEX h px TYPE hypothetical",
+                dialect="clickhouse",
+            )
+        # MATERIALIZE validates the name
+        idx_engine.sql(
+            "ALTER TABLE ix.t MATERIALIZE INDEX px_idx", dialect="clickhouse"
+        )
+        with pytest.raises(KeyError, match="unknown index"):
+            idx_engine.sql(
+                "ALTER TABLE ix.t MATERIALIZE INDEX nope", dialect="clickhouse"
+            )
+        entry = idx_engine.ddl_catalog.tables["t"]
+        idx_engine.sql("ALTER TABLE ix.t DROP INDEX px_idx", dialect="clickhouse")
+        zm = _zm.read_zonemap(entry.table.path)
+        assert zm is None or "px" not in zm["columns"]
+        with pytest.raises(KeyError, match="unknown index"):
+            idx_engine.sql(
+                "ALTER TABLE ix.t DROP INDEX px_idx", dialect="clickhouse"
+            )
+        idx_engine.sql(
+            "ALTER TABLE ix.t DROP INDEX IF EXISTS px_idx", dialect="clickhouse"
+        )
+
+
+class TestModifyColumnDefault:
+    def test_default_change_is_metadata_only(self, spark, tmp_path):
+        eng = AnalyticsEngine(
+            spark, verbose=False, ddl_root=str(tmp_path / "moddflt")
+        )
+        eng.sql(
+            """CREATE TABLE df.t (k String, v Float64 DEFAULT 1.5)
+            ENGINE = MergeTree ORDER BY k""",
+            dialect="clickhouse",
+        )
+        eng.sql(
+            "INSERT INTO df.t (k) VALUES", args=[{"k": "a"}], dialect="clickhouse"
+        )
+        eng.sql(
+            "ALTER TABLE df.t MODIFY COLUMN v DEFAULT 9.25", dialect="clickhouse"
+        )
+        # the already-materialized row keeps its insert-time default;
+        # new inserts take the new one (CH materializes at insert too)
+        eng.sql(
+            "INSERT INTO df.t (k) VALUES", args=[{"k": "b"}], dialect="clickhouse"
+        )
+        got = {r.k: r.v for r in eng.sql("SELECT k, v FROM t", dialect="clickhouse").collect()}
+        assert got == {"a": 1.5, "b": 9.25}
+        # DESCRIBE shows the new default
+        d = {r.name: r.default_expression for r in eng.sql("DESCRIBE TABLE t", dialect="clickhouse").collect()}
+        assert d["v"] == "9.25"
+        # ALTER-added column: pre-ADD batches re-read the CURRENT default
+        eng.sql(
+            "ALTER TABLE df.t ADD COLUMN w Int32 DEFAULT 7", dialect="clickhouse"
+        )
+        eng.sql(
+            "ALTER TABLE df.t MODIFY COLUMN w DEFAULT 11", dialect="clickhouse"
+        )
+        got = {r.k: r.w for r in eng.sql("SELECT k, w FROM t", dialect="clickhouse").collect()}
+        assert got == {"a": 11, "b": 11}
+        # guards
+        with pytest.raises(KeyError, match="does not exist"):
+            eng.sql(
+                "ALTER TABLE df.t MODIFY COLUMN nope DEFAULT 1",
+                dialect="clickhouse",
+            )
+        eng.sql(
+            "ALTER TABLE df.t MODIFY COLUMN IF EXISTS nope DEFAULT 1",
+            dialect="clickhouse",
+        )

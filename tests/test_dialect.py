@@ -1141,9 +1141,15 @@ def test_sequence_match_docs_semantics(engine):
 @pytest.mark.parametrize(
     "sql,msg",
     [
+        # r9: strict_order/strict_deduplication/strict_increase now RUN;
+        # unknown modes still refuse loudly
         (
-            "SELECT windowFunnel(10, 'strict_order')(t, c1) FROM x GROUP BY u",
-            "strictness modes",
+            "SELECT windowFunnel(10, 'strict_nonsense')(t, c1) FROM x GROUP BY u",
+            "unsupported mode",
+        ),
+        (
+            "SELECT windowFunnel(10, mode_col)(t, c1) FROM x GROUP BY u",
+            "unsupported mode",
         ),
         ("SELECT windowFunnel(10)(t) FROM x GROUP BY u", "needs"),
         # r9: (?t==N) and multi-condition gaps are now SUPPORTED (set
@@ -2393,3 +2399,89 @@ class TestR9ReviewRegressions:
         ).first()
         assert int(row.s) == 4
         assert int(row.all_null) == 0
+
+
+# ---------------------------------------------------------------------------
+# windowFunnel strictness modes (r9): strict_order / strict_deduplication /
+# strict_increase, hand-traced through the published getEventLevel
+# algorithm (each user below is one hand-computed trace)
+# ---------------------------------------------------------------------------
+
+
+class TestWindowFunnelStrictModes:
+    @pytest.fixture(scope="class")
+    def wfm_view(self, spark):
+        rows = [
+            # u_ok: clean A->B->C
+            ("u_ok", 1.0, "A"), ("u_ok", 2.0, "B"), ("u_ok", 3.0, "C"),
+            # u_inter: unmatched D between B and C
+            ("u_inter", 1.0, "A"), ("u_inter", 2.0, "B"),
+            ("u_inter", 3.0, "D"), ("u_inter", 4.0, "C"),
+            # u_repeat: B repeats before C completes
+            ("u_repeat", 1.0, "A"), ("u_repeat", 2.0, "B"),
+            ("u_repeat", 3.0, "B"), ("u_repeat", 4.0, "C"),
+            # u_ooo: C arrives before its B prefix
+            ("u_ooo", 1.0, "A"), ("u_ooo", 2.0, "C"),
+            ("u_ooo", 3.0, "B"), ("u_ooo", 4.0, "C"),
+            # u_tie: A and B share a timestamp
+            ("u_tie", 5.0, "A"), ("u_tie", 5.0, "B"), ("u_tie", 6.0, "C"),
+            # u_top: full chain completes BEFORE a later B repeat
+            ("u_top", 1.0, "A"), ("u_top", 2.0, "B"),
+            ("u_top", 3.0, "C"), ("u_top", 4.0, "B"),
+            # u_lead: unmatched noise before the chain starts
+            ("u_lead", 0.0, "D"), ("u_lead", 1.0, "A"), ("u_lead", 2.0, "B"),
+        ]
+        spark.createDataFrame(rows, ["u", "ts", "et"]).createOrReplaceTempView(
+            "wfm_t"
+        )
+        return "wfm_t"
+
+    def _levels(self, engine, modes=""):
+        got = engine.sql(
+            f"SELECT u, windowFunnel(10{modes})(ts, et = 'A', et = 'B', "
+            "et = 'C') AS lvl FROM wfm_t GROUP BY u",
+            dialect="clickhouse",
+        ).collect()
+        return {r.u: r.lvl for r in got}
+
+    def test_default_mode_unchanged(self, engine, wfm_view):
+        m = self._levels(engine)
+        assert m == {
+            "u_ok": 3, "u_inter": 3, "u_repeat": 3, "u_ooo": 3,
+            "u_tie": 3, "u_top": 3, "u_lead": 2,
+        }
+
+    def test_strict_order_breaks_on_interleaved_and_out_of_order(
+        self, engine, wfm_view
+    ):
+        m = self._levels(engine, ", 'strict_order'")
+        # u_inter: D@3 after the chain started -> scan ends at level 2;
+        # u_ooo: C@2 with B unreached -> ends at deepest contiguous (1);
+        # u_lead: leading noise before the first A is skipped (CH's
+        # `continue` before first_event)
+        assert m["u_inter"] == 2
+        assert m["u_ooo"] == 1
+        assert m["u_lead"] == 2
+        assert m["u_ok"] == 3 and m["u_top"] == 3
+
+    def test_strict_deduplication_interrupts_on_repeat(self, engine, wfm_view):
+        m = self._levels(engine, ", 'strict_deduplication'")
+        # u_repeat: second B while level 2 already reached -> result 2,
+        # even though C@4 would have completed the chain
+        assert m["u_repeat"] == 2
+        # u_top: the chain COMPLETED at C@3 before the repeat -> 3 (CH
+        # returns events_size immediately on completion)
+        assert m["u_top"] == 3
+        assert m["u_ok"] == 3
+        # deprecated alias
+        assert self._levels(engine, ", 'strict'")["u_repeat"] == 2
+
+    def test_strict_increase_requires_later_timestamps(self, engine, wfm_view):
+        m = self._levels(engine, ", 'strict_increase'")
+        # u_tie: B shares A's timestamp -> cannot advance -> level 1
+        assert m["u_tie"] == 1
+        assert m["u_ok"] == 3 and m["u_repeat"] == 3
+
+    def test_modes_combine(self, engine, wfm_view):
+        m = self._levels(engine, ", 'strict_order', 'strict_increase'")
+        assert m["u_tie"] == 1 and m["u_inter"] == 2 and m["u_ok"] == 3
