@@ -447,6 +447,77 @@ def ddl_verbatim_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Verbatim DDL MUTATION round trip (r9): ALTER MODIFY COLUMN type widen +
+# ADD INDEX + OPTIMIZE ... DEDUPLICATE, driven end-to-end through
+# engine.sql(dialect="clickhouse") on a scratch table. Pre-MODIFY batches
+# keep their Int32 bytes and serve through the explicit widened read
+# schema; the post-MODIFY batch carries a value past int32; DEDUPLICATE
+# drops full-row duplicates at compaction (survivor identity is moot for
+# identical rows, so DISTINCT is the exact oracle). Input is the literal
+# history — identical at every sf.
+# ---------------------------------------------------------------------------
+_DDL_MUT_HISTORY: list[list[tuple[str, int]]] = [
+    [("a", 1), ("a", 1), ("a", 2), ("b", 9)],   # batch 1 (Int32 bytes)
+    [("c", 2**40), ("a", 1)],                    # batch 2 (post-widen)
+]
+
+
+def _ddl_mut_oracle() -> str:
+    vals = ", ".join(
+        f"('{k}', {v})" for batch in _DDL_MUT_HISTORY for k, v in batch
+    )
+    return f"""
+    WITH history(k, v) AS (VALUES {vals})
+    SELECT DISTINCT k, v::BIGINT AS v FROM history
+    """
+
+
+@register(
+    "ddl_mutation_roundtrip",
+    _ddl_mut_oracle(),
+    survey_ref=(
+        "S8 DDL surface (r9): ALTER MODIFY COLUMN Int32->Int64 widen "
+        "(metadata-only, scan-level upcast of old bytes) + ADD INDEX "
+        "minmax (real zone-map sidecar) + OPTIMIZE DEDUPLICATE "
+        "(full-row drop at compaction) run verbatim, value-hash oracled"
+    ),
+)
+def ddl_mutation_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EAGER like ddl_verbatim_roundtrip: building it provisions a scratch
+    table, replays the fixed history around the MODIFY, and runs the
+    maintenance ops; the returned frame is the post-OPTIMIZE snapshot."""
+    import tempfile
+
+    from binance_etl_clickhouse_spark.engine import AnalyticsEngine
+
+    eng = AnalyticsEngine(
+        spark, verbose=False, ddl_root=tempfile.mkdtemp(prefix="ddl_mut_")
+    )
+    eng.sql(
+        """CREATE TABLE mt.rows (k String, v Int32)
+        ENGINE = MergeTree ORDER BY k""",
+        dialect="clickhouse",
+    )
+    eng.sql(
+        "INSERT INTO mt.rows (k, v) VALUES",
+        args=[{"k": k, "v": v} for k, v in _DDL_MUT_HISTORY[0]],
+        dialect="clickhouse",
+    )
+    eng.sql("ALTER TABLE mt.rows MODIFY COLUMN v Int64", dialect="clickhouse")
+    eng.sql(
+        "INSERT INTO mt.rows (k, v) VALUES",
+        args=[{"k": k, "v": v} for k, v in _DDL_MUT_HISTORY[1]],
+        dialect="clickhouse",
+    )
+    eng.sql(
+        "ALTER TABLE mt.rows ADD INDEX v_idx v TYPE minmax GRANULARITY 4",
+        dialect="clickhouse",
+    )
+    eng.sql("OPTIMIZE TABLE mt.rows DEDUPLICATE", dialect="clickhouse")
+    return eng.sql("SELECT k, v FROM rows", dialect="clickhouse")
+
+
+# ---------------------------------------------------------------------------
 # Verbatim ClickHouse ASOF JOIN (r8): the dialect's point-in-time join
 # surface driven as a registered query. The ClickHouse text runs unchanged
 # through engine.sql(dialect="clickhouse") — translated into the union +
