@@ -273,7 +273,7 @@ def minhash_lsh_pairs(
     k: int = 3,
     threshold: float = 0.5,
     persist_index: bool = True,
-    band_cap: int | None = DEFAULT_BAND_CAP,
+    band_cap: "int | str | None" = DEFAULT_BAND_CAP,
     overflow: "Observation | None" = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs, verified with exact Jaccard.
@@ -301,6 +301,13 @@ def minhash_lsh_pairs(
     read ``overflow_rows`` (evicted band-doc rows), ``overflow_buckets``
     (buckets that hit the cap) and ``max_bucket`` after the action, or get
     the per-bucket report from :func:`minhash_band_overflow`.
+
+    ``band_cap="auto"`` (r9) makes the measured regime policy executable:
+    one cheap pre-pass over the band frame (a bucket-count aggregate on
+    data already computed and pinned — no extra corpus scan) measures the
+    actual ``max_bucket``, and :func:`recommended_band_cap` picks the cap
+    the storm measurements support. Costs one extra aggregation job;
+    right when the duplication regime is unknown ahead of time.
     """
     # ONE corpus text scan: the shingle frame feeds both the signatures and
     # the exact-Jaccard verify arrays (previously two independent scans
@@ -311,6 +318,11 @@ def minhash_lsh_pairs(
     )
     sig = _pin(_signatures_from_shingles(sh_sets, id_col), persist_index)
     bands = minhash_band_values(sig, id_col)
+    if band_cap == "auto":
+        # bounded driver value (one int); the band frame reads from the
+        # pinned signature frame, so this is an aggregate, not a re-scan
+        row = bands.groupBy("bv").count().agg(F.max("count").alias("m")).first()
+        band_cap = recommended_band_cap(int(row.m or 0))
     if band_cap is not None:
         ranked = bands.withColumn(
             "rnk", F.row_number().over(Window.partitionBy("bv").orderBy(id_col))

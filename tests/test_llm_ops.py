@@ -807,3 +807,36 @@ def test_recommended_band_cap_policy():
     # monotone in max_bucket over the ladder
     caps = [recommended_band_cap(m) for m in range(0, 1200, 7)]
     assert caps == sorted(caps)
+
+
+def test_minhash_auto_band_cap_widens_to_measured_regime(spark):
+    """band_cap='auto' measures the real max bucket and applies the
+    policy cap — on a storm past the default's lossless margin it widens
+    enough that NO pairs are lost vs the uncapped run."""
+    from pyspark.sql import Observation
+
+    from binance_etl_clickhouse_spark.operators.neardup import (
+        minhash_lsh_pairs,
+        recommended_band_cap,
+    )
+
+    # 150-member near-identical storm: max_bucket ~150 > 2*64, so the
+    # policy must pick 128 (150 <= 2*128)
+    storm = [
+        (i, f"the quick brown fox jumps over the lazy dog {i % 5}")
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(storm, ["doc_id", "text"])
+    assert recommended_band_cap(150) == 128
+
+    obs = Observation("auto_cap")
+    auto_pairs = minhash_lsh_pairs(
+        df, threshold=0.5, persist_index=False, band_cap="auto", overflow=obs
+    ).count()
+    uncapped = minhash_lsh_pairs(
+        df, threshold=0.5, persist_index=False, band_cap=None
+    ).count()
+    assert auto_pairs == uncapped  # lossless at the policy's chosen cap
+    # the observation reflects the WIDENED cap, not the default: with
+    # cap=128 the overflow threshold is rnk == 129
+    assert obs.get["max_bucket"] >= 128
