@@ -2485,3 +2485,202 @@ class TestWindowFunnelStrictModes:
     def test_modes_combine(self, engine, wfm_view):
         m = self._levels(engine, ", 'strict_order', 'strict_increase'")
         assert m["u_tie"] == 1 and m["u_inter"] == 2 and m["u_ok"] == 3
+
+
+# ---------------------------------------------------------------------------
+# r9 fuzz: the strict-mode funnel fold vs a line-by-line Python port of the
+# published getEventLevel (ALL branch orderings), and the sequenceMatch
+# time-gap DP vs an EXACT completion-time-set reference — which also
+# proves the extremes optimization (earliest for >/>=, latest for </<=)
+# exact on random streams, not just by argument.
+# ---------------------------------------------------------------------------
+
+
+def _ch_funnel_reference_modes(
+    events, window, ncond, s_order=False, s_dedup=False, s_inc=False
+):
+    pairs = []
+    for t, cs in events:
+        matched = False
+        for i, m in enumerate(cs, 1):
+            if m:
+                pairs.append((t, i))
+                matched = True
+        if s_order and not matched:
+            pairs.append((t, 0))
+    pairs.sort()
+    starts = [None] * ncond  # chain start per level
+    utimes = [None] * ncond  # completing event's time per level
+    first_event = False
+
+    def deepest():
+        for i in range(ncond - 1, -1, -1):
+            if starts[i] is not None:
+                return i + 1
+        return 0
+
+    for t, idx in pairs:
+        if s_order and idx == 0:
+            if first_event:
+                break
+            continue
+        if idx == 1:
+            starts[0], utimes[0] = t, t
+            first_event = True
+            continue
+        if s_dedup and starts[idx - 1] is not None:
+            return idx
+        if s_order and first_event and starts[idx - 2] is None:
+            for e in range(ncond):
+                if starts[e] is None:
+                    return e
+        if (
+            starts[idx - 2] is not None
+            and t <= starts[idx - 2] + window
+            and (not s_inc or t > utimes[idx - 2])
+        ):
+            starts[idx - 1] = starts[idx - 2]
+            utimes[idx - 1] = t
+            if idx == ncond:
+                return ncond
+    return deepest()
+
+
+def _run_funnel_modes(engine, events, window, ncond, modes):
+    vals = ", ".join(
+        f"({t}, {', '.join('true' if m else 'false' for m in cs)})"
+        for t, cs in events
+    )
+    cols = ", ".join(f"c{i}" for i in range(1, ncond + 1))
+    mode_args = "".join(f", '{m}'" for m in modes)
+    return engine.sql(
+        f"SELECT windowFunnel({window}{mode_args})(t, {cols}) AS lvl "
+        f"FROM (SELECT * FROM VALUES {vals} AS v(t, {cols})) GROUP BY 1 = 1",
+        dialect="clickhouse",
+    ).first().lvl
+
+
+def test_window_funnel_strict_modes_match_algorithm_port(engine):
+    import itertools
+    import random
+
+    rng = random.Random(99)
+    mode_sets = [
+        ("strict_order",),
+        ("strict_deduplication",),
+        ("strict_increase",),
+        ("strict_order", "strict_increase"),
+        ("strict_deduplication", "strict_increase"),
+    ]
+    cases = 0
+    for trial in range(30):
+        ncond = rng.choice([2, 3, 4])
+        events = [
+            (rng.randint(0, 9), [rng.random() < 0.4 for _ in range(ncond)])
+            for _ in range(rng.randint(1, 7))
+        ]
+        window = rng.choice([0, 2, 5, 100])
+        modes = mode_sets[trial % len(mode_sets)]
+        want = _ch_funnel_reference_modes(
+            events,
+            window,
+            ncond,
+            s_order="strict_order" in modes,
+            s_dedup="strict_deduplication" in modes,
+            s_inc="strict_increase" in modes,
+        )
+        got = _run_funnel_modes(engine, events, window, ncond, modes)
+        assert got == want, (events, window, ncond, modes, got, want)
+        cases += 1
+    assert cases == 30
+
+
+def _ch_seq_reference_sets(steps, rows, count=False):
+    """Exact-set twin of _sequence_match_expr's DP: full completion-time
+    SETS for every prefix (a superset of the engine's extremes), points
+    ordered by (t, condition flags) like the fold's array_sort."""
+    pts = sorted(
+        (t, tuple(cs)) for t, cs in rows if any(cs)
+    )
+    k = len(steps)
+    A = [False] * k
+    S = [[] for _ in range(k)]
+    n_matches = 0
+    for t, flags in pts:
+        new_a = []
+        for p, (cidx, gap) in enumerate(steps, 1):
+            f = flags[cidx - 1]
+            if p == 1:
+                a = f
+            elif gap == "adj":
+                a = f and A[p - 2]
+            elif gap == "star":
+                a = f and bool(S[p - 2])
+            else:
+                a = f and any(
+                    all(
+                        (t - c) == float(v)
+                        if op == "=="
+                        else (t - c) > float(v)
+                        if op == ">"
+                        else (t - c) >= float(v)
+                        if op == ">="
+                        else (t - c) < float(v)
+                        if op == "<"
+                        else (t - c) <= float(v)
+                        for op, v in gap
+                    )
+                    for c in S[p - 2]
+                )
+            new_a.append(a)
+        if count and new_a[-1]:
+            n_matches += 1
+            A = [False] * k
+            S = [[] for _ in range(k)]
+            continue
+        for p in range(k):
+            if new_a[p]:
+                S[p].append(t)
+        A = new_a
+    if count:
+        return n_matches
+    return 1 if S[k - 1] else 0
+
+
+def test_sequence_match_time_gaps_match_exact_set_reference(engine):
+    import random
+
+    from binance_etl_clickhouse_spark.dialect import _parse_sequence_pattern
+
+    rng = random.Random(17)
+    gap_pool = [
+        "", ".*", "(?t>2)", "(?t>=3)", "(?t<4)", "(?t<=5)", "(?t==3)",
+        "(?t>1)(?t<6)", "(?t>=2)(?t<=4)",
+    ]
+    for trial in range(30):
+        ncond = rng.choice([2, 3])
+        n_steps = rng.choice([2, 3])
+        pat = f"(?{rng.randint(1, ncond)})"
+        for _ in range(n_steps - 1):
+            pat += rng.choice(gap_pool) + f"(?{rng.randint(1, ncond)})"
+        rows = [
+            (rng.randint(0, 9), [rng.random() < 0.5 for _ in range(ncond)])
+            for _ in range(rng.randint(1, 7))
+        ]
+        steps = _parse_sequence_pattern(pat)
+        want = _ch_seq_reference_sets(steps, rows)
+        got = _run_seqmatch(engine, pat, rows, ncond)
+        assert got == want, (pat, rows, got, want)
+        # sequenceCount against the same reference with resets
+        want_n = _ch_seq_reference_sets(steps, rows, count=True)
+        vals = ", ".join(
+            f"({t}, {', '.join('true' if m else 'false' for m in cs)})"
+            for t, cs in rows
+        )
+        cols = ", ".join(f"c{i}" for i in range(1, ncond + 1))
+        got_n = engine.sql(
+            f"SELECT sequenceCount('{pat}')(t, {cols}) AS n "
+            f"FROM (SELECT * FROM VALUES {vals} AS v(t, {cols})) GROUP BY 1 = 1",
+            dialect="clickhouse",
+        ).first().n
+        assert got_n == want_n, (pat, rows, got_n, want_n)
