@@ -1893,15 +1893,20 @@ def _rewrite_array_join(sql: str) -> str:
 # * original rows are ALWAYS kept (full outer), on or off the spine grid
 # * the fill column moves to the end of the row (column-ORDER divergence
 #   only, like the unaliased ARRAY JOIN item)
-# * supported shape: single bare-identifier ASC sort key; DESC fill,
-#   multiple WITH FILL keys, sort expressions, and `INTERPOLATE (c AS
-#   expr)` (iteratively compounding, not window-expressible) are refused
-#   loudly. STEP defaults to Spark's sequence default (1 for numbers, 1
-#   day for dates) — give an explicit INTERVAL step for DateTime columns
-#   (CH's default there is 1 second)
-# * the INTERPOLATE window is unpartitioned — WITH FILL is inherently a
-#   single-stream pass over the FINAL sorted result (post-aggregation,
-#   bounded), in ClickHouse too
+# * supported shape: [bare prefix keys,] single bare-identifier ASC fill
+#   key. r9: leading sort keys form the SORTING PREFIX — each prefix
+#   group fills independently (CH use_with_fill_by_sorting_prefix,
+#   default-on): the windows partition by them and generated rows carry
+#   them. DESC fill, a second WITH FILL key, trailing plain sort keys,
+#   sort expressions, and `INTERPOLATE (c AS expr)` (iteratively
+#   compounding, not window-expressible) are refused loudly. STEP
+#   defaults to Spark's sequence default (1 for numbers, 1 day for
+#   dates) — give an explicit INTERVAL step for DateTime columns (CH's
+#   default there is 1 second)
+# * without prefix keys WITH FILL is inherently a single-stream pass over
+#   the FINAL sorted result (post-aggregation, bounded — in ClickHouse
+#   too); WITH prefix keys the whole rewrite is per-group windowed, which
+#   IS the scale path (the per-key gap-fill operator's shape)
 # ---------------------------------------------------------------------------
 
 #: leftover detection requires a preceding ORDER BY — a CTE or table named
@@ -1942,15 +1947,39 @@ def _rewrite_with_fill(sql: str) -> str:
     if order_idx is None:
         return sql
     by_end = toks[order_idx + 1][1]
-    sort_item = sql[by_end : toks[hit][0]].strip()
-    m = re.fullmatch(r"([A-Za-z_]\w*)(?:\s+ASC)?", sort_item, re.IGNORECASE)
+    sort_span = sql[by_end : toks[hit][0]].strip()
+    # r9: leading sort keys form the SORTING PREFIX — rows with different
+    # prefix values fill independently (ClickHouse's
+    # use_with_fill_by_sorting_prefix semantics, default-on since 23.5):
+    # every window below partitions by them and generated rows CARRY them.
+    # The LAST item is the fill column (bare ASC only, as before).
+    sort_items = _split_args(sort_span)
+    leading: list[tuple[str, str]] = []  # (col, dir) prefix keys
+    for item in sort_items[:-1]:
+        lm = re.fullmatch(
+            r"([A-Za-z_]\w*)(?:\s+(ASC|DESC))?", item.strip(), re.IGNORECASE
+        )
+        if lm is None:
+            raise ValueError(
+                "WITH FILL: sorting-prefix keys must be bare columns, got "
+                f"{item.strip()!r} (expressions are not translated)"
+            )
+        leading.append((lm.group(1), (lm.group(2) or "ASC").upper()))
+    m = re.fullmatch(
+        r"([A-Za-z_]\w*)(?:\s+ASC)?", sort_items[-1].strip(), re.IGNORECASE
+    )
     if m is None:
         raise ValueError(
-            "WITH FILL: only a single bare-column ASC sort key is supported, "
-            f"got ORDER BY {sort_item!r} (DESC fill, expressions and "
-            "multiple fill keys are not translated)"
+            "WITH FILL: the fill key must be a single bare-column ASC sort "
+            f"key, got {sort_items[-1].strip()!r} (DESC fill and "
+            "expressions are not translated)"
         )
     xcol = m.group(1)
+    if any(g == xcol for g, _ in leading):
+        raise ValueError(
+            f"WITH FILL: {xcol!r} appears both as a sorting-prefix key and "
+            "the fill key"
+        )
     select_part = sql[: toks[order_idx][0]].strip()
     # ---- FROM / TO / STEP / INTERPOLATE tail ----
     pos = toks[hit + 1][1]  # past FILL
@@ -2026,8 +2055,10 @@ def _rewrite_with_fill(sql: str) -> str:
     tail = sql[tail_start:].strip().rstrip(";")
     if tail and not re.match(r"(?i)LIMIT\b", tail):
         raise ValueError(
-            f"WITH FILL: unsupported trailing clause {tail!r} (multiple "
-            "fill keys / OFFSET tails are not translated)"
+            f"WITH FILL: unsupported trailing clause {tail!r} (a second "
+            "WITH FILL key, plain sort keys AFTER the fill column, and "
+            "OFFSET tails are not translated; sort keys BEFORE the fill "
+            "column — the sorting prefix — are supported)"
         )
     # ---- per-row fill arrays (CH re-anchors the step at EVERY original
     # row — FillingTransform sets the running fill value from each row it
@@ -2056,9 +2087,13 @@ def _rewrite_with_fill(sql: str) -> str:
         eb_col = ""
         internal = ["__wf_next", "__wf_rn", "__wf_gb", "__wf_fills"]
     # NULLS LAST everywhere: rn=1 is the smallest NON-NULL fill value (the
-    # FROM-edge anchor) and the last non-null row's lead skips to NULL so
-    # least() falls through to the TO bound for the trailing fill
-    win = f"OVER (ORDER BY {xcol} ASC NULLS LAST)"
+    # FROM-edge anchor — per sorting-prefix group when one exists) and the
+    # last non-null row's lead skips to NULL so least() falls through to
+    # the TO bound for the trailing fill
+    part = (
+        f"PARTITION BY {', '.join(g for g, _ in leading)} " if leading else ""
+    )
+    win = f"OVER ({part}ORDER BY {xcol} ASC NULLS LAST)"
     # ---- projection: the explode prepends one typed-NULL element per row
     # (the original row itself; fill values are never NULL), so original
     # rows are __wf_fx IS NULL. Generated rows blank every non-carried
@@ -2072,10 +2107,15 @@ def _rewrite_with_fill(sql: str) -> str:
         f"{pack} AS __wf_p",
         f"coalesce(__wf_fx, __wf_r.{xcol}) AS __wf_ax",
     ]
+    lead_cols = [g for g, _ in leading]
+    clash = set(lead_cols) & set(interp_cols)
+    if clash:
+        raise ValueError(
+            f"WITH FILL: INTERPOLATE column(s) {sorted(clash)} are also "
+            "sorting-prefix keys (prefix keys already carry into fill rows)"
+        )
     l2 = [
-        f"__wf_p.* EXCEPT ({', '.join([xcol, *interp_cols])})"
-        if interp_cols
-        else f"__wf_p.* EXCEPT ({xcol})",
+        f"__wf_p.* EXCEPT ({', '.join([xcol, *interp_cols, *lead_cols])})",
         f"__wf_ax AS {xcol}",
     ]
     for idx, c in enumerate(interp_cols):
@@ -2087,6 +2127,15 @@ def _rewrite_with_fill(sql: str) -> str:
             f"THEN __wf_r.{c} END AS __wf_c{idx}"
         )
         l2.append(f"__wf_c{idx} AS {c}")
+    for idx, g in enumerate(lead_cols):
+        # sorting-prefix keys CARRY into generated rows unconditionally —
+        # a fill row belongs to its group (CH fills each prefix group
+        # independently; a NULL key would eject it from the group)
+        l1.append(f"__wf_r.{g} AS __wf_g{idx}")
+        l2.append(f"__wf_g{idx} AS {g}")
+    final_order = ", ".join(
+        [*(f"{g} {d}" for g, d in leading), xcol]
+    )
     out = (
         f"SELECT {', '.join(l2)} FROM ("
         f"SELECT {', '.join(l1)} FROM ("
@@ -2099,7 +2148,7 @@ def _rewrite_with_fill(sql: str) -> str:
         f") __wf_r "
         f"LATERAL VIEW explode(concat(array(IF(true, NULL, __wf_r.{xcol})), "
         f"__wf_r.__wf_fills)) __wf AS __wf_fx"
-        f") __wf_l ORDER BY {xcol}"
+        f") __wf_l ORDER BY {final_order}"
     )
     if tail:
         out += f" {tail}"
@@ -2916,7 +2965,7 @@ def translate_clickhouse_sql(sql: str) -> str:
     if _WITH_FILL_LEFTOVER_RE.search(blanked):
         raise ValueError(
             "WITH FILL could not be translated in this position; supported "
-            "shape: a top-level ORDER BY <column> WITH FILL [FROM f] [TO t] "
-            "[STEP s] [INTERPOLATE (bare columns)]"
+            "shape: a top-level ORDER BY [prefix keys,] <column> WITH FILL "
+            "[FROM f] [TO t] [STEP s] [INTERPOLATE (bare columns)]"
         )
     return result

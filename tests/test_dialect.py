@@ -1764,10 +1764,18 @@ class TestWithFill:
                 "SELECT x FROM t ORDER BY x DESC WITH FILL"
             )
 
-    def test_multi_key_refused(self):
-        with pytest.raises(ValueError, match="WITH FILL"):
+    def test_expression_prefix_key_refused(self):
+        # r9: leading sort keys are SUPPORTED as the sorting prefix —
+        # bare columns only; expressions still refuse loudly
+        with pytest.raises(ValueError, match="bare columns"):
             translate_clickhouse_sql(
-                "SELECT x, y FROM t ORDER BY x, y WITH FILL"
+                "SELECT x, y FROM t ORDER BY x + 1, y WITH FILL"
+            )
+
+    def test_fill_key_equal_to_prefix_key_refused(self):
+        with pytest.raises(ValueError, match="both"):
+            translate_clickhouse_sql(
+                "SELECT x FROM t ORDER BY x, x WITH FILL"
             )
 
     def test_interpolate_expression_refused(self):
@@ -2684,3 +2692,104 @@ def test_sequence_match_time_gaps_match_exact_set_reference(engine):
             dialect="clickhouse",
         ).first().n
         assert got_n == want_n, (pat, rows, got_n, want_n)
+
+
+# ---------------------------------------------------------------------------
+# WITH FILL sorting prefix (r9): ORDER BY g, x WITH FILL fills each g
+# group INDEPENDENTLY (ClickHouse use_with_fill_by_sorting_prefix
+# semantics, default-on) — partitioned windows, prefix keys carried into
+# generated rows.
+# ---------------------------------------------------------------------------
+
+
+class TestWithFillSortingPrefix:
+    @pytest.fixture(scope="class")
+    def wfp_view(self, spark):
+        spark.sql(
+            """SELECT * FROM VALUES
+             ('a', 1, 10.0), ('a', 4, 40.0),
+             ('b', 10, 100.0), ('b', 12, 120.0)
+             AS t(g, x, v)"""
+        ).createOrReplaceTempView("wfp_t")
+        return "wfp_t"
+
+    def _rows(self, engine, sql):
+        return [
+            (r.g, r.x, r.v)
+            for r in engine.sql(sql, dialect="clickhouse").collect()
+        ]
+
+    def test_per_prefix_gap_fill(self, engine, wfp_view):
+        got = self._rows(
+            engine, "SELECT g, x, v FROM wfp_t ORDER BY g, x WITH FILL"
+        )
+        # group a fills 2,3; group b fills 11 — INDEPENDENTLY (a global
+        # fill would bridge 4..10); prefix keys carried into fill rows
+        assert got == [
+            ("a", 1, 10.0), ("a", 2, None), ("a", 3, None), ("a", 4, 40.0),
+            ("b", 10, 100.0), ("b", 11, None), ("b", 12, 120.0),
+        ]
+
+    def test_per_prefix_step(self, engine, wfp_view):
+        got = self._rows(
+            engine, "SELECT g, x, v FROM wfp_t ORDER BY g, x WITH FILL STEP 2"
+        )
+        assert got == [
+            ("a", 1, 10.0), ("a", 3, None), ("a", 4, 40.0),
+            ("b", 10, 100.0), ("b", 12, 120.0),
+        ]
+
+    def test_per_prefix_from_to(self, engine, spark):
+        spark.sql(
+            """SELECT * FROM VALUES
+             ('a', 1, 10.0), ('a', 3, 30.0), ('b', 2, 20.0)
+             AS t(g, x, v)"""
+        ).createOrReplaceTempView("wfp2_t")
+        got = self._rows(
+            engine,
+            "SELECT g, x, v FROM wfp2_t ORDER BY g, x WITH FILL FROM 1 TO 4",
+        )
+        # each group gets its own FROM edge and TO tail
+        assert got == [
+            ("a", 1, 10.0), ("a", 2, None), ("a", 3, 30.0),
+            ("b", 1, None), ("b", 2, 20.0), ("b", 3, None),
+        ]
+
+    def test_per_prefix_interpolate_locf(self, engine, wfp_view):
+        got = self._rows(
+            engine,
+            "SELECT g, x, v FROM wfp_t ORDER BY g, x WITH FILL "
+            "INTERPOLATE (v)",
+        )
+        # LOCF carries within the group only (b's 11 carries 100, not 40)
+        assert got == [
+            ("a", 1, 10.0), ("a", 2, 10.0), ("a", 3, 10.0), ("a", 4, 40.0),
+            ("b", 10, 100.0), ("b", 11, 100.0), ("b", 12, 120.0),
+        ]
+
+    def test_two_prefix_keys_and_desc_prefix(self, engine, spark):
+        spark.sql(
+            """SELECT * FROM VALUES
+             ('a', 'p', 1, 1.0), ('a', 'p', 3, 3.0), ('a', 'q', 7, 7.0),
+             ('b', 'p', 1, 1.0)
+             AS t(g1, g2, x, v)"""
+        ).createOrReplaceTempView("wfp3_t")
+        got = [
+            (r.g1, r.g2, r.x)
+            for r in engine.sql(
+                "SELECT g1, g2, x, v FROM wfp3_t "
+                "ORDER BY g1 DESC, g2, x WITH FILL",
+                dialect="clickhouse",
+            ).collect()
+        ]
+        assert got == [
+            ("b", "p", 1),
+            ("a", "p", 1), ("a", "p", 2), ("a", "p", 3),
+            ("a", "q", 7),
+        ]
+
+    def test_interpolating_a_prefix_key_refused(self):
+        with pytest.raises(ValueError, match="sorting-prefix"):
+            translate_clickhouse_sql(
+                "SELECT g, x FROM t ORDER BY g, x WITH FILL INTERPOLATE (g)"
+            )
