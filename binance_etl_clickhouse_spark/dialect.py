@@ -488,7 +488,30 @@ _NAME_MAP = {
     "groupBitAnd": "bit_and",
     "groupBitOr": "bit_or",
     "groupBitXor": "bit_xor",
+    # r9 widening: pure renames with identical argument order and
+    # semantics. reverseUTF8 maps (Spark's reverse is character-wise —
+    # exactly the UTF8 form); plain CH reverse is BYTE-wise and stays
+    # unmapped (identical on ASCII, where it resolves to the builtin).
+    "mapKeys": "map_keys",
+    "mapValues": "map_values",
+    "mapContains": "map_contains_key",
+    "toLastDayOfMonth": "last_day",
+    "reverseUTF8": "reverse",
+    "bitCount": "bit_count",
 }
+
+#: toInterval*(n) -> make_interval positional slot (years, months, weeks,
+#: days, hours, mins, secs); quarters become 3 months like ClickHouse
+_TO_INTERVAL = {
+    "toIntervalYear": 0,
+    "toIntervalMonth": 1,
+    "toIntervalWeek": 2,
+    "toIntervalDay": 3,
+    "toIntervalHour": 4,
+    "toIntervalMinute": 5,
+    "toIntervalSecond": 6,
+}
+
 
 #: ClickHouse spells arithmetic as functions; Spark's operators carry the
 #: SAME semantics on each pair: % keeps the dividend's sign like modulo,
@@ -2461,6 +2484,31 @@ def translate_clickhouse_sql(sql: str) -> str:
                     continue
                 if name in _CASTS and len(args) == 1:
                     out.append(f"CAST({args[0]} AS {_CASTS[name]})")
+                elif (
+                    name.endswith("OrNull")
+                    and name[:-6] in _CASTS
+                    and len(args) == 1
+                ):
+                    # toInt64OrNull etc.: NULL instead of an error on
+                    # unparseable input — exactly Spark's try_cast
+                    out.append(f"try_cast({args[0]} AS {_CASTS[name[:-6]]})")
+                elif (
+                    name.endswith("OrZero")
+                    and name[:-6] in _CASTS
+                    and len(args) == 1
+                ):
+                    # toInt64OrZero etc.: the type's zero on unparseable
+                    # input (CH's default-value fallback; DATE zero is the
+                    # epoch, like ClickHouse's 1970-01-01)
+                    t_ = _CASTS[name[:-6]]
+                    zero = (
+                        "DATE '1970-01-01'"
+                        if t_ == "DATE"
+                        else "''" if t_ == "STRING" else f"CAST(0 AS {t_})"
+                    )
+                    out.append(
+                        f"coalesce(try_cast({args[0]} AS {t_}), {zero})"
+                    )
                 elif name in _IF_COMBINATORS and len(args) >= 2:
                     # last argument is the condition; every value argument
                     # wraps (a FALSE condition yields NULLs, which Spark
@@ -2693,6 +2741,89 @@ def translate_clickhouse_sql(sql: str) -> str:
                         f"try_element_at({a}, 1)) "
                         f"* cast(1 as decimal(38, 0)), 0), "
                         f"(acc, x) -> acc + x)"
+                    )
+                elif name == "arrayAvg" and len(args) == 1:
+                    # Float64 mean over non-NULL elements; empty/all-NULL
+                    # -> NaN (CH's 0.0/0 Float64 division)
+                    a = args[0]
+                    nn = f"filter({a}, __ne -> __ne IS NOT NULL)"
+                    out.append(
+                        f"coalesce(try_divide(aggregate({nn}, "
+                        f"CAST(0 AS DOUBLE), (__aa, __ax) -> __aa + __ax), "
+                        f"size({nn})), cast('NaN' as double))"
+                    )
+                elif name == "arrayProduct" and len(args) == 1:
+                    # Float64 product over non-NULL elements; empty -> 1.0
+                    # (the multiplicative identity, like ClickHouse)
+                    a = args[0]
+                    out.append(
+                        f"aggregate(filter({a}, __ne -> __ne IS NOT NULL), "
+                        f"CAST(1 AS DOUBLE), (__pa, __px) -> __pa * __px)"
+                    )
+                elif name == "yesterday" and not args:
+                    out.append("date_sub(current_date(), 1)")
+                elif (
+                    name == "toDateTime"
+                    and len(args) == 1
+                    and _string_literal(args[0]) is not None
+                ):
+                    # CH toDateTime accepts BOTH epoch seconds and
+                    # 'YYYY-MM-DD hh:mm:ss' strings; the engine shim covers
+                    # the BIGINT form, so the dialect routes literal
+                    # strings to a plain timestamp cast (non-literal args
+                    # keep the shim — a string COLUMN through it fails
+                    # loudly rather than silently misparsing)
+                    out.append(f"CAST({args[0]} AS TIMESTAMP)")
+                elif name == "toMonday" and len(args) == 1:
+                    # Date of the Monday of x's week (Spark's week truncs
+                    # to Monday, like ClickHouse)
+                    out.append(f"CAST(date_trunc('week', {args[0]}) AS DATE)")
+                elif name == "isFinite" and len(args) == 1:
+                    # NaN sorts ABOVE Infinity in Spark comparisons, so one
+                    # strict compare covers both non-finite cases; NULL in
+                    # -> NULL out, like ClickHouse's Nullable propagation
+                    out.append(
+                        f"(abs({args[0]}) < CAST('Infinity' AS DOUBLE))"
+                    )
+                elif name == "isInfinite" and len(args) == 1:
+                    out.append(
+                        f"(abs({args[0]}) = CAST('Infinity' AS DOUBLE))"
+                    )
+                elif name == "countSubstrings" and len(args) == 2:
+                    # non-overlapping occurrence count: replace() removes
+                    # exactly the disjoint left-to-right matches CH counts
+                    # (arguments repeat — the module's side-effect-free
+                    # contract); empty needle -> 0 like ClickHouse
+                    s_, n_ = args
+                    out.append(
+                        f"coalesce((length({s_}) - "
+                        f"length(replace({s_}, {n_}, ''))) "
+                        f"DIV nullif(length({n_}), 0), 0)"
+                    )
+                elif name == "timeSlot" and len(args) == 1:
+                    # round down to the half-hour (CH's fixed 1800 s slot)
+                    out.append(
+                        f"timestamp_seconds((unix_timestamp({args[0]}) "
+                        f"div 1800) * 1800)"
+                    )
+                elif name in _TO_INTERVAL and len(args) == 1:
+                    pos_args = ["0"] * 7
+                    pos_args[_TO_INTERVAL[name]] = f"({args[0]})"
+                    out.append(f"make_interval({', '.join(pos_args)})")
+                elif name == "toIntervalQuarter" and len(args) == 1:
+                    out.append(
+                        f"make_interval(0, 3 * ({args[0]}), 0, 0, 0, 0, 0)"
+                    )
+                elif (
+                    name in ("toDecimal32", "toDecimal64", "toDecimal128")
+                    and len(args) == 2
+                    and args[1].strip().isdigit()
+                ):
+                    prec = {"toDecimal32": 9, "toDecimal64": 18, "toDecimal128": 38}[
+                        name
+                    ]
+                    out.append(
+                        f"CAST({args[0]} AS DECIMAL({prec}, {args[1].strip()}))"
                     )
                 elif name == "arraySlice" and len(args) in (2, 3):
                     # ClickHouse's 2-arg form is open-ended (slice to the

@@ -2793,3 +2793,89 @@ class TestWithFillSortingPrefix:
             translate_clickhouse_sql(
                 "SELECT g, x FROM t ORDER BY g, x WITH FILL INTERPOLATE (g)"
             )
+
+
+# ---------------------------------------------------------------------------
+# r9 scalar widening: OrNull/OrZero cast forms, interval constructors, map
+# functions, and the misc date/float/string family — end to end.
+# ---------------------------------------------------------------------------
+
+
+def test_r9_cast_fallback_forms(engine):
+    row = engine.sql(
+        """
+        SELECT toInt64OrNull('42') AS a, toInt64OrNull('nope') AS b,
+               toFloat64OrNull('2.5') AS c, toInt32OrZero('7') AS d,
+               toInt32OrZero('xx') AS e, toDateOrNull('2024-02-03') AS f,
+               toDateOrNull('junk') AS g, toDateOrZero('junk') AS h
+        """,
+        dialect="clickhouse",
+    ).first()
+    import datetime
+
+    assert row.a == 42 and row.b is None
+    assert row.c == 2.5
+    assert row.d == 7 and row.e == 0
+    assert row.f == datetime.date(2024, 2, 3) and row.g is None
+    assert row.h == datetime.date(1970, 1, 1)
+
+
+def test_r9_scalar_family_end_to_end(engine):
+    row = engine.sql(
+        """
+        SELECT toMonday(toDateTime('2024-02-15 13:00:00')) AS mon,
+               toLastDayOfMonth(toDateTime('2024-02-15 13:00:00')) AS eom,
+               isFinite(1.5) AS fin,
+               isFinite(toFloat64('Infinity')) AS fin_inf,
+               isInfinite(toFloat64('-Infinity')) AS inf_neg,
+               isInfinite(2.0) AS inf_no,
+               isFinite(toFloat64('NaN')) AS fin_nan,
+               countSubstrings('ababab', 'ab') AS n_ab,
+               countSubstrings('aaa', 'aa') AS n_aa,
+               countSubstrings('abc', '') AS n_empty,
+               bitCount(7) AS bits,
+               mapContains(map('k', 1), 'k') AS has_k,
+               map_keys(map('k', 1)) AS mk,
+               timeSlot(toDateTime('2024-01-01 10:44:55')) AS slot,
+               yesterday() <= today() AS y_ok,
+               reverseUTF8('héllo') AS rev,
+               arrayAvg(array(1, NULL, 3)) AS aavg,
+               arrayProduct(array(2.0, 3.0)) AS aprod,
+               toDecimal64(1.5, 2) AS dec64
+        """,
+        dialect="clickhouse",
+    ).first()
+    import datetime
+    from decimal import Decimal
+
+    assert row.mon == datetime.date(2024, 2, 12)  # the Monday of that week
+    assert row.eom == datetime.date(2024, 2, 29)
+    assert row.fin and not row.fin_inf and not row.fin_nan
+    assert row.inf_neg and not row.inf_no
+    assert row.n_ab == 3 and row.n_aa == 1 and row.n_empty == 0
+    assert row.bits == 3
+    assert row.has_k and row.mk == ["k"]
+    assert row.slot == datetime.datetime(2024, 1, 1, 10, 30, 0)
+    assert row.y_ok
+    assert row.rev == "olléh"
+    assert float(row.aavg) == 2.0  # NULL element skipped
+    assert float(row.aprod) == 6.0
+    assert row.dec64 == Decimal("1.50")
+
+
+def test_r9_interval_constructors(engine):
+    row = engine.sql(
+        """
+        SELECT toDateTime('2024-01-31 00:00:00') + toIntervalDay(2) AS d,
+               toDateTime('2024-01-31 00:00:00') + toIntervalMonth(1) AS m,
+               toDateTime('2024-01-01 00:00:00') + toIntervalQuarter(2) AS q,
+               toDateTime('2024-01-01 00:00:00') + toIntervalHour(25) AS h
+        """,
+        dialect="clickhouse",
+    ).first()
+    import datetime
+
+    assert row.d == datetime.datetime(2024, 2, 2)
+    assert row.m == datetime.datetime(2024, 2, 29)  # month-end clamp
+    assert row.q == datetime.datetime(2024, 7, 1)
+    assert row.h == datetime.datetime(2024, 1, 2, 1, 0, 0)
