@@ -511,3 +511,70 @@ def url_function_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         dialect="clickhouse",
     )
+
+
+# ---------------------------------------------------------------------------
+# r9 scalar widening as a driver-checkable query: the OrNull/OrZero cast
+# fallbacks, interval constructors, week/month date helpers, substring
+# counting, bit counting and float classification run VERBATIM through
+# the ClickHouse dialect over `orders`, value-hash oracled against the
+# equivalent DuckDB expressions (try_cast exists in both engines with the
+# same NULL-on-malformed contract; both clamp month adds at month end;
+# both anchor date_trunc('week') on Monday).
+# ---------------------------------------------------------------------------
+_SCALAR_FB_CH_SQL = """
+SELECT o_orderkey,
+       toInt64OrNull(o_orderpriority) AS prio_num,
+       toInt32OrZero(substring(o_orderpriority, 1, 1)) AS prio_digit,
+       toStartOfDay(toDateOrNull(o_orderstatus)) AS status_date,
+       toStartOfDay(toDateOrZero(o_orderstatus)) AS status_date0,
+       toStartOfDay(toMonday(o_orderdate)) AS week_monday,
+       toStartOfDay(toLastDayOfMonth(o_orderdate)) AS month_end,
+       o_orderdate + toIntervalDay(10) AS plus_10d,
+       o_orderdate + toIntervalMonth(1) AS plus_1m,
+       timeSlot(o_orderdate + toIntervalMinute(44)) AS slot,
+       toInt64(countSubstrings(o_orderpriority, 'E')) AS n_e,
+       toInt32(bitCount(o_orderkey)) AS bits,
+       toInt8(isFinite(o_totalprice)) AS fin
+FROM orders
+"""
+
+_SCALAR_FB_ORACLE = """
+SELECT o_orderkey,
+       try_cast(o_orderpriority AS BIGINT) AS prio_num,
+       CAST(coalesce(try_cast(substring(o_orderpriority, 1, 1) AS INTEGER),
+                     0) AS INTEGER) AS prio_digit,
+       CAST(try_cast(o_orderstatus AS DATE) AS TIMESTAMP) AS status_date,
+       CAST(coalesce(try_cast(o_orderstatus AS DATE), DATE '1970-01-01')
+            AS TIMESTAMP) AS status_date0,
+       date_trunc('week', o_orderdate) AS week_monday,
+       CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+       o_orderdate + INTERVAL 10 DAY AS plus_10d,
+       o_orderdate + INTERVAL 1 MONTH AS plus_1m,
+       o_orderdate + INTERVAL 30 MINUTE AS slot,
+       CAST(length(o_orderpriority)
+            - length(replace(o_orderpriority, 'E', '')) AS BIGINT) AS n_e,
+       CAST(bit_count(o_orderkey) AS INTEGER) AS bits,
+       CAST(isfinite(o_totalprice) AS TINYINT) AS fin
+FROM orders
+"""
+
+
+@register(
+    "scalar_fallback_family",
+    _SCALAR_FB_ORACLE,
+    survey_ref=(
+        "S8 dialect (r9): OrNull/OrZero cast fallbacks, toInterval* "
+        "constructors, toMonday/toLastDayOfMonth/timeSlot, "
+        "countSubstrings, bitCount and isFinite run verbatim, value-hash "
+        "oracled against the equivalent DuckDB expressions"
+    ),
+)
+def scalar_fallback_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_clickhouse_spark.engine import AnalyticsEngine
+    from binance_etl_clickhouse_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    eng = AnalyticsEngine(spark, verbose=False)
+    eng.register_clickhouse_compat()
+    return eng.sql(_SCALAR_FB_CH_SQL, dialect="clickhouse")
