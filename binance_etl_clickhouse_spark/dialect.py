@@ -498,6 +498,7 @@ _NAME_MAP = {
     "toLastDayOfMonth": "last_day",
     "reverseUTF8": "reverse",
     "bitCount": "bit_count",
+    "generateUUIDv4": "uuid",
 }
 
 #: toInterval*(n) -> make_interval positional slot (years, months, weeks,
@@ -2762,6 +2763,17 @@ def translate_clickhouse_sql(sql: str) -> str:
                     )
                 elif name == "yesterday" and not args:
                     out.append("date_sub(current_date(), 1)")
+                elif name == "base64Encode" and len(args) == 1:
+                    # CH encodes the string's UTF-8 bytes; Spark's base64
+                    # takes BINARY — the cast is exactly those bytes
+                    out.append(f"base64(CAST({args[0]} AS BINARY))")
+                elif name in ("base64Decode", "tryBase64Decode") and len(args) == 1:
+                    # unbase64 -> BINARY -> STRING; Spark's unbase64 is
+                    # lenient on malformed input where CH's base64Decode
+                    # throws — the try* form's semantics for both (the
+                    # strict form's throw has no expression-level twin;
+                    # documented leniency divergence)
+                    out.append(f"CAST(unbase64({args[0]}) AS STRING)")
                 elif (
                     name == "toDateTime"
                     and len(args) == 1

@@ -2879,3 +2879,21 @@ def test_r9_interval_constructors(engine):
     assert row.m == datetime.datetime(2024, 2, 29)  # month-end clamp
     assert row.q == datetime.datetime(2024, 7, 1)
     assert row.h == datetime.datetime(2024, 1, 2, 1, 0, 0)
+
+
+def test_r9_base64_and_uuid(engine):
+    row = engine.sql(
+        """
+        SELECT base64Encode('héllo') AS enc,
+               base64Decode(base64Encode('héllo')) AS roundtrip,
+               tryBase64Decode('aGk=') AS hi,
+               length(generateUUIDv4()) AS uuid_len
+        """,
+        dialect="clickhouse",
+    ).first()
+    import base64
+
+    assert row.enc == base64.b64encode("héllo".encode()).decode()
+    assert row.roundtrip == "héllo"
+    assert row.hi == "hi"
+    assert row.uuid_len == 36
