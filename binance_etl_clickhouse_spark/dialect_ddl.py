@@ -21,6 +21,14 @@ CREATE DATABASE [IF NOT EXISTS] db    recorded namespace (tables land under
 ENGINE = ReplacingMergeTree([ver])    keep-last-per-key dedup on read
                                       (``ver`` orders before arrival order)
 ENGINE = MergeTree()                  plain append table (no dedup on read)
+ENGINE = Null                         stores nothing, serves empty; INSERTs
+                                      still fire materialized views (the
+                                      MV staging idiom). No ORDER BY
+SHOW CREATE TABLE t                   the catalog entry reconstructed as a
+                                      runnable CREATE (Spark type names —
+                                      DESCRIBE's documented divergence —
+                                      so it round-trips through THIS
+                                      engine)
 ORDER BY (cols)                       ServingTable.keys + physical sort —
                                       the dedup identity AND the layout
 PRIMARY KEY (cols)                    must be a prefix of ORDER BY (same
@@ -148,6 +156,17 @@ _SIMPLE_TYPES: dict[str, str] = {
     "uint8": "smallint",
     "uint16": "int",
     "uint32": "bigint",
+    # Spark's own simple names map onto themselves, making the function
+    # IDEMPOTENT: SHOW CREATE TABLE / DESCRIBE print Spark type names
+    # (documented divergence), and their output must re-run through this
+    # engine's CREATE path
+    "timestamp": "timestamp",
+    "double": "double",
+    "float": "float",
+    "tinyint": "tinyint",
+    "smallint": "smallint",
+    "int": "int",
+    "bigint": "bigint",
 }
 
 
@@ -226,7 +245,7 @@ _DDL_RE = re.compile(
     r"|DROP\s+(TABLE|VIEW|DICTIONARY)"
     r"|TRUNCATE\s+TABLE|OPTIMIZE\s+TABLE|ALTER\s+TABLE"
     r"|RENAME\s+TABLE|EXCHANGE\s+TABLES|EXISTS\s+TABLE|SHOW\s+TABLES"
-    r"|DESCRIBE\s+TABLE|DESC\s+TABLE)\b",
+    r"|SHOW\s+CREATE\s+TABLE|DESCRIBE\s+TABLE|DESC\s+TABLE)\b",
     re.I,
 )
 
@@ -549,10 +568,12 @@ def parse_clickhouse_ddl(sql: str) -> ParsedDDL:
         "replacingmergetree",
         "mergetree",
         "summingmergetree",
+        "null",
     ):
         raise ValueError(
             f"ENGINE = {out.engine} has no native equivalent here "
-            "(supported: ReplacingMergeTree, MergeTree, SummingMergeTree)"
+            "(supported: ReplacingMergeTree, MergeTree, SummingMergeTree, "
+            "Null)"
         )
     engargs = (m.group("engargs") or "").strip()
     if engargs:
@@ -576,7 +597,7 @@ def parse_clickhouse_ddl(sql: str) -> ParsedDDL:
         )
 
     _apply_tail_clauses(out, m.group("tail"))
-    if not out.order_by:
+    if not out.order_by and out.engine.lower() != "null":
         raise ValueError("MergeTree-family DDL requires ORDER BY")
     if out.primary_key and out.order_by[: len(out.primary_key)] != out.primary_key:
         # same constraint ClickHouse enforces — a non-prefix PK is invalid DDL
@@ -669,6 +690,13 @@ class CatalogEntry:
         return self.ddl.engine.lower() == "replacingmergetree"
 
     @property
+    def null_engine(self) -> bool:
+        """``ENGINE = Null``: stores nothing, serves empty, but INSERTs
+        still fire materialized views — ClickHouse's MV staging idiom
+        (raw stream -> Null table -> per-block MV aggregation)."""
+        return self.ddl.engine.lower() == "null"
+
+    @property
     def summing(self) -> bool:
         return self.ddl.engine.lower() == "summingmergetree"
 
@@ -724,6 +752,7 @@ class DdlCatalog:
             self._rename,
             self._exchange,
             self._exists,
+            self._show_create,
             self._show_tables,
             self._describe,
         ):
@@ -1480,6 +1509,11 @@ class DdlCatalog:
                 # default (''/0/epoch/false/[]), not NULL — match CH
                 cols.append(fill.alias(cname))
         conformed = df.select(*cols)
+        if entry.null_engine:
+            # ENGINE = Null: nothing lands, the block still triggers MVs
+            if _fire:
+                self._fire_materialized_views(entry.ddl.name, conformed)
+            return int(n)
         if entry.dedup:
             # within one insert block ReplacingMergeTree keeps the LAST row
             # in insert order; ServingTable's contract expects the writer to
@@ -1841,6 +1875,41 @@ class DdlCatalog:
         return self.spark.createDataFrame(
             rows, "name string, type string, default_expression string"
         )
+
+    def _show_create(self, sql: str) -> DataFrame | None:
+        """``SHOW CREATE TABLE t`` — the catalog entry reconstructed as a
+        runnable CREATE statement (one row, ``statement`` column). Column
+        types print as the SPARK names the DDL mapped to — the same
+        documented divergence as DESCRIBE — so the output round-trips
+        through this engine (ch_type_to_spark maps them onto themselves),
+        though not necessarily through ClickHouse."""
+        m = re.match(
+            r"^\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*$", sql.strip(), re.I
+        )
+        if m is None:
+            return None
+        bare = self._bare(m.group(1))
+        if bare not in self.tables:
+            raise KeyError(f"unknown table {m.group(1)!r}")
+        ddl = self.tables[bare].ddl
+        cols = ", ".join(
+            f"`{n}` {t}" + (f" DEFAULT {d}" if d is not None else "")
+            for n, t, d in ddl.columns
+        )
+        eng = ddl.engine
+        if ddl.version_col:
+            eng += f"({ddl.version_col})"
+        elif ddl.sum_cols:
+            eng += f"({', '.join(ddl.sum_cols)})"
+        qual = f"{ddl.database}." if ddl.database else ""
+        stmt = f"CREATE TABLE {qual}{ddl.name} ({cols}) ENGINE = {eng}"
+        if ddl.partition_time_col:
+            stmt += f" PARTITION BY toYYYYMM({ddl.partition_time_col})"
+        if ddl.primary_key:
+            stmt += f" PRIMARY KEY ({', '.join(ddl.primary_key)})"
+        if ddl.order_by:
+            stmt += f" ORDER BY ({', '.join(ddl.order_by)})"
+        return self.spark.createDataFrame([(stmt,)], "statement string")
 
     # -- dictGet / dictHas ------------------------------------------------
 

@@ -2030,3 +2030,100 @@ class TestModifyColumnDefault:
             "ALTER TABLE df.t MODIFY COLUMN IF EXISTS nope DEFAULT 1",
             dialect="clickhouse",
         )
+
+
+# ---------------------------------------------------------------------------
+# ENGINE = Null + SHOW CREATE TABLE (r9)
+# ---------------------------------------------------------------------------
+
+
+class TestNullEngineAndShowCreate:
+    def test_null_engine_feeds_mvs_stores_nothing(self, spark, tmp_path):
+        eng = AnalyticsEngine(
+            spark, verbose=False, ddl_root=str(tmp_path / "nulleng")
+        )
+        eng.sql(
+            "CREATE TABLE st.raw (k String, v Int64) ENGINE = Null",
+            dialect="clickhouse",
+        )
+        eng.sql(
+            """CREATE MATERIALIZED VIEW st.sums
+            ENGINE = SummingMergeTree ORDER BY (k)
+            AS SELECT k, sum(v) AS v FROM st.raw GROUP BY k""",
+            dialect="clickhouse",
+        )
+        eng.sql(
+            "INSERT INTO st.raw (k, v) VALUES",
+            args=[{"k": "a", "v": 1}, {"k": "a", "v": 2}, {"k": "b", "v": 5}],
+            dialect="clickhouse",
+        )
+        eng.sql(
+            "INSERT INTO st.raw (k, v) VALUES",
+            args=[{"k": "a", "v": 10}],
+            dialect="clickhouse",
+        )
+        # the Null table serves EMPTY — nothing landed
+        assert eng.sql("SELECT count(*) AS c FROM raw", dialect="clickhouse").collect()[0].c == 0
+        # ...but the MV aggregated every inserted block
+        got = sorted(
+            (r.k, int(r.v))
+            for r in eng.sql("SELECT k, v FROM sums", dialect="clickhouse").collect()
+        )
+        assert got == [("a", 13), ("b", 5)]
+
+    def test_null_engine_rejects_engine_args_and_allows_no_order_by(
+        self, spark, tmp_path
+    ):
+        eng = AnalyticsEngine(
+            spark, verbose=False, ddl_root=str(tmp_path / "nulleng2")
+        )
+        with pytest.raises(ValueError, match="engine arguments"):
+            eng.sql(
+                "CREATE TABLE st.bad (k String) ENGINE = Null(x) ORDER BY k",
+                dialect="clickhouse",
+            )
+
+    def test_show_create_round_trips(self, spark, tmp_path):
+        eng = AnalyticsEngine(
+            spark, verbose=False, ddl_root=str(tmp_path / "showcr")
+        )
+        eng.sql(
+            """CREATE TABLE sc.kl (
+                symbol String, ts DateTime, close Float64 DEFAULT 0.0,
+                ver Int64
+            ) ENGINE = ReplacingMergeTree(ver)
+            PARTITION BY toYYYYMM(ts)
+            PRIMARY KEY (symbol)
+            ORDER BY (symbol, ts)""",
+            dialect="clickhouse",
+        )
+        stmt = eng.sql(
+            "SHOW CREATE TABLE sc.kl", dialect="clickhouse"
+        ).collect()[0].statement
+        assert "ReplacingMergeTree(ver)" in stmt
+        assert "PARTITION BY toYYYYMM(ts)" in stmt
+        assert "ORDER BY (symbol, ts)" in stmt
+        assert "PRIMARY KEY (symbol)" in stmt
+        assert "DEFAULT 0.0" in stmt
+        # the statement ROUND-TRIPS through this engine: re-create under a
+        # fresh catalog from the emitted text and insert
+        eng2 = AnalyticsEngine(
+            spark, verbose=False, ddl_root=str(tmp_path / "showcr2")
+        )
+        eng2.sql(stmt.replace("sc.kl", "sc2.kl2"), dialect="clickhouse")
+        eng2.sql(
+            "INSERT INTO sc2.kl2 (symbol, ts, close, ver) VALUES",
+            args=[{"symbol": "X", "ts": "2024-01-01 00:00:00",
+                   "close": 1.0, "ver": 1}],
+            dialect="clickhouse",
+        )
+        assert eng2.sql(
+            "SELECT count(*) AS c FROM kl2", dialect="clickhouse"
+        ).collect()[0].c == 1
+
+    def test_show_create_unknown_table(self, spark, tmp_path):
+        eng = AnalyticsEngine(
+            spark, verbose=False, ddl_root=str(tmp_path / "showcr3")
+        )
+        with pytest.raises(KeyError, match="unknown table"):
+            eng.sql("SHOW CREATE TABLE nope", dialect="clickhouse")
