@@ -836,36 +836,85 @@ def _top_level_keyword_spans(sql: str) -> list[tuple[int, int, str]]:
     return out
 
 
-def _rewrite_limit_by(sql: str) -> str:
-    """``... [ORDER BY o] LIMIT n BY c1, c2 [LIMIT m]`` -> a row_number
-    window per (c1, c2) keeping the first ``n`` rows (following the ORDER
-    BY when present, like ClickHouse; arbitrary-but-deterministic by the
-    group columns otherwise), with the outer ORDER BY / LIMIT re-applied on
-    top. Only applies to text that IS a query (first token SELECT/WITH):
-    the recursive translator also feeds this function comma-split call
-    arguments and subquery fragments, and rewriting a fragment like
-    ``price FROM t ... LIMIT 1 BY sym`` (the tail of a multi-column select
-    list) would wrap a non-query in a subselect and garble the statement.
-    Non-query fragments pass through and a nested LIMIT BY then fails
-    loudly in Spark's analyzer rather than silently misbehaving."""
+def _rewrite_limit_offset(sql: str) -> str:
+    """Global ``LIMIT m, n`` (ClickHouse/MySQL offset-first spelling) ->
+    ``LIMIT n OFFSET m`` (the form Spark parses). Top-level only and only
+    when NOT followed by BY (the per-group form is _rewrite_limit_by's);
+    runs after it, so a statement can carry both."""
     toks = _top_level_keyword_spans(sql)
     if not toks or toks[0][2] not in ("SELECT", "WITH"):
         return sql
-    # find LIMIT <int> BY
-    hit = None
     for idx in range(len(toks) - 2):
         if (
             toks[idx][2] == "LIMIT"
             and sql[toks[idx][1] : toks[idx + 1][0]].strip() == ""
             and toks[idx + 1][2].isdigit()
-            and toks[idx + 2][2] == "BY"
+            and toks[idx + 2][2].isdigit()
+            and sql[toks[idx + 1][1] : toks[idx + 2][0]].strip() == ","
+            and (idx + 3 >= len(toks) or toks[idx + 3][2] != "BY")
         ):
-            hit = idx
+            m_, n_ = toks[idx + 1][2], toks[idx + 2][2]
+            return (
+                f"{sql[: toks[idx][0]]}LIMIT {n_} OFFSET {m_}"
+                f"{sql[toks[idx + 2][1] :]}"
+            )
+    return sql
+
+
+def _rewrite_limit_by(sql: str) -> str:
+    """``... [ORDER BY o] LIMIT [m,] n [OFFSET m] BY c1, c2 [LIMIT k]`` ->
+    a row_number window per (c1, c2) keeping rows m+1..m+n (following the
+    ORDER BY when present, like ClickHouse; arbitrary-but-deterministic by
+    the group columns otherwise), with the outer ORDER BY / LIMIT
+    re-applied on top. Both per-group OFFSET spellings run (r9):
+    ``LIMIT 2, 3 BY c`` and ``LIMIT 3 OFFSET 2 BY c``. Only applies to
+    text that IS a query (first token SELECT/WITH): the recursive
+    translator also feeds this function comma-split call arguments and
+    subquery fragments, and rewriting a fragment like ``price FROM t ...
+    LIMIT 1 BY sym`` (the tail of a multi-column select list) would wrap
+    a non-query in a subselect and garble the statement. Non-query
+    fragments pass through and a nested LIMIT BY then fails loudly in
+    Spark's analyzer rather than silently misbehaving."""
+    toks = _top_level_keyword_spans(sql)
+    if not toks or toks[0][2] not in ("SELECT", "WITH"):
+        return sql
+    # find LIMIT <int> [, <int> | OFFSET <int>] BY
+    hit = None
+    n_rows = offset = 0
+    by_idx = -1
+    for idx in range(len(toks) - 2):
+        if not (
+            toks[idx][2] == "LIMIT"
+            and sql[toks[idx][1] : toks[idx + 1][0]].strip() == ""
+            and toks[idx + 1][2].isdigit()
+        ):
+            continue
+        if toks[idx + 2][2] == "BY":
+            hit, by_idx = idx, idx + 2
+            n_rows, offset = int(toks[idx + 1][2]), 0
+            break
+        if (
+            idx + 4 < len(toks)
+            and toks[idx + 2][2].isdigit()
+            and sql[toks[idx + 1][1] : toks[idx + 2][0]].strip() == ","
+            and toks[idx + 3][2] == "BY"
+        ):
+            # ClickHouse's LIMIT offset, n BY
+            hit, by_idx = idx, idx + 3
+            offset, n_rows = int(toks[idx + 1][2]), int(toks[idx + 2][2])
+            break
+        if (
+            idx + 4 < len(toks)
+            and toks[idx + 2][2] == "OFFSET"
+            and toks[idx + 3][2].isdigit()
+            and toks[idx + 4][2] == "BY"
+        ):
+            hit, by_idx = idx, idx + 4
+            n_rows, offset = int(toks[idx + 1][2]), int(toks[idx + 3][2])
             break
     if hit is None:
         return sql
-    n_rows = int(toks[hit + 1][2])
-    cols_start = toks[hit + 2][1]
+    cols_start = toks[by_idx][1]
     # group columns run until the next top-level ORDER/LIMIT or end
     tail_kw = None
     for t in toks:
@@ -887,10 +936,15 @@ def _rewrite_limit_by(sql: str) -> str:
             order_exprs = sql[nxt[1] : toks[hit][0]].strip()
             prefix = sql[: o[0]].rstrip()
     win_order = order_exprs if order_exprs else cols
+    keep = (
+        f"__lb_rn <= {n_rows}"
+        if offset == 0
+        else f"__lb_rn > {offset} AND __lb_rn <= {offset + n_rows}"
+    )
     out = (
         f"SELECT * EXCEPT (__lb_rn) FROM ("
         f"SELECT *, row_number() OVER (PARTITION BY {cols} ORDER BY {win_order}) "
-        f"AS __lb_rn FROM ({prefix}) __lb_src) __lb WHERE __lb_rn <= {n_rows}"
+        f"AS __lb_rn FROM ({prefix}) __lb_src) __lb WHERE {keep}"
     )
     if order_exprs:
         out += f" ORDER BY {order_exprs}"
@@ -2320,6 +2374,7 @@ def translate_clickhouse_sql(sql: str) -> str:
     sql = _rewrite_with_fill(sql)
     sql = _rewrite_with_totals(sql)
     sql = _rewrite_limit_by(sql)
+    sql = _rewrite_limit_offset(sql)
     out: list[str] = []
     i = 0
     n = len(sql)
@@ -2768,11 +2823,12 @@ def translate_clickhouse_sql(sql: str) -> str:
                     # takes BINARY — the cast is exactly those bytes
                     out.append(f"base64(CAST({args[0]} AS BINARY))")
                 elif name in ("base64Decode", "tryBase64Decode") and len(args) == 1:
-                    # unbase64 -> BINARY -> STRING; Spark's unbase64 is
-                    # lenient on malformed input where CH's base64Decode
-                    # throws — the try* form's semantics for both (the
-                    # strict form's throw has no expression-level twin;
-                    # documented leniency divergence)
+                    # unbase64 -> BINARY -> STRING. Exact on VALID input
+                    # for both forms; on malformed input Spark's unbase64
+                    # is lenient (best-effort bytes) where CH base64Decode
+                    # throws and tryBase64Decode returns '' — documented
+                    # divergence confined to garbage inputs (the strict
+                    # throw has no expression-level twin)
                     out.append(f"CAST(unbase64({args[0]}) AS STRING)")
                 elif (
                     name == "toDateTime"

@@ -2897,3 +2897,88 @@ def test_r9_base64_and_uuid(engine):
     assert row.roundtrip == "héllo"
     assert row.hi == "hi"
     assert row.uuid_len == 36
+
+
+# ---------------------------------------------------------------------------
+# LIMIT offset forms (r9): per-group 'LIMIT m, n BY' / 'LIMIT n OFFSET m
+# BY' and the global 'LIMIT m, n' spelling.
+# ---------------------------------------------------------------------------
+
+
+class TestLimitOffsetForms:
+    @pytest.fixture(scope="class")
+    def lb_view(self, spark):
+        spark.sql(
+            """SELECT * FROM VALUES
+             ('a', 1), ('a', 2), ('a', 3), ('a', 4),
+             ('b', 10), ('b', 20)
+             AS t(g, v)"""
+        ).createOrReplaceTempView("lbo_t")
+        return "lbo_t"
+
+    def _rows(self, engine, sql):
+        return sorted(
+            (r.g, r.v)
+            for r in engine.sql(sql, dialect="clickhouse").collect()
+        )
+
+    def test_limit_comma_by(self, engine, lb_view):
+        got = self._rows(
+            engine,
+            "SELECT g, v FROM lbo_t ORDER BY v LIMIT 1, 2 BY g",
+        )
+        # skip 1, keep 2 per group (ordered by v)
+        assert got == [("a", 2), ("a", 3), ("b", 20)]
+
+    def test_limit_offset_by(self, engine, lb_view):
+        got = self._rows(
+            engine,
+            "SELECT g, v FROM lbo_t ORDER BY v LIMIT 2 OFFSET 2 BY g",
+        )
+        assert got == [("a", 3), ("a", 4)]
+
+    def test_plain_limit_by_unchanged(self, engine, lb_view):
+        got = self._rows(
+            engine, "SELECT g, v FROM lbo_t ORDER BY v LIMIT 1 BY g"
+        )
+        assert got == [("a", 1), ("b", 10)]
+
+    def test_global_limit_comma(self, engine, lb_view):
+        got = [
+            (r.g, r.v)
+            for r in engine.sql(
+                "SELECT g, v FROM lbo_t ORDER BY v LIMIT 2, 3",
+                dialect="clickhouse",
+            ).collect()
+        ]
+        # offset 2, take 3 of the globally ordered rows
+        assert got == [("a", 3), ("a", 4), ("b", 10)]
+
+    def test_global_and_per_group_compose(self, engine, lb_view):
+        # the CH clause order: [ORDER BY] LIMIT m, n BY cols [LIMIT m, n]
+        got = [
+            (r.g, r.v)
+            for r in engine.sql(
+                "SELECT g, v FROM lbo_t ORDER BY v LIMIT 1, 2 BY g "
+                "LIMIT 1, 2",
+                dialect="clickhouse",
+            ).collect()
+        ]
+        # per-group: a->(2,3), b->(20); then global offset 1 take 2 of
+        # (2, 3, 20)
+        assert got == [("a", 3), ("b", 20)]
+
+    def test_string_shapes(self):
+        t = translate_clickhouse_sql
+        assert "__lb_rn > 1 AND __lb_rn <= 3" in t(
+            "SELECT v FROM t LIMIT 1, 2 BY g"
+        )
+        assert "__lb_rn > 2 AND __lb_rn <= 4" in t(
+            "SELECT v FROM t LIMIT 2 OFFSET 2 BY g"
+        )
+        assert t("SELECT v FROM t ORDER BY v LIMIT 3, 5") == (
+            "SELECT v FROM t ORDER BY v LIMIT 5 OFFSET 3"
+        )
+        # a literal '2, 3' inside a string survives
+        q = "SELECT 'LIMIT 2, 3' AS s FROM t"
+        assert t(q) == q
