@@ -186,10 +186,13 @@ WITH FILL [FROM f]  STEP RE-ANCHORED at every original row (CH
                     (struct-pack blanking) except INTERPOLATE columns,
                     which carry the anchor row's value (LOCF — CH's
                     default compounding; `c AS expr` refused loudly).
-                    Single bare-column ASC key only; integral /
-                    date / timestamp fill columns (sequence()'s types —
-                    give an INTERVAL STEP for DateTime; CH's default
-                    there is 1 second, Spark dates default 1 day)
+                    r9: leading bare sort keys = the SORTING PREFIX,
+                    each group filling independently (partitioned
+                    windows, keys carried into fill rows). Fill key:
+                    single bare column ASC; integral / date / timestamp
+                    fill columns (sequence()'s types — give an INTERVAL
+                    STEP for DateTime; CH's default there is 1 second,
+                    Spark dates default 1 day)
 range(n)/range(a,b) guarded sequence slice (empty when n<=0 / b<=a,
                     matching ClickHouse; bare sequence would descend)
 toFloat64/toInt64/  CAST(x AS DOUBLE/BIGINT/INT/SMALLINT/TINYINT/STRING/
@@ -230,11 +233,12 @@ FROM t SAMPLE 0.1   FROM t TABLESAMPLE (10 PERCENT)   [k<=1 is a fraction
                                          (SAMPLE 1 = all data), k>1 ->
                                          (k ROWS); Bernoulli, not
                                          key-deterministic]
-LIMIT n BY c1, c2   row_number() window per (c1, c2) keeping the first n
-                    rows (ordered by the query's ORDER BY when present),
-                    outer ORDER BY / LIMIT re-applied on top; top-level
-                    clause only — plans as WindowGroupLimit, the per-group
-                    partial top-n pushdown
+LIMIT [m,] n        row_number() window per (c1, c2) keeping rows
+[OFFSET m] BY c1,c2 m+1..m+n (ordered by the query's ORDER BY when
+                    present), outer ORDER BY / LIMIT re-applied on top;
+                    top-level clause only — plans as WindowGroupLimit,
+                    the per-group partial top-n pushdown. Global
+                    ``LIMIT m, n`` also rewrites to LIMIT n OFFSET m
 L la ASOF [LEFT]    union-tag + ONE window per equality key + last(right
 JOIN R ra ON        row-struct, ignorenulls) derived table — a single
 k-eqs AND           shuffle, never a range/nested-loop join. Each side is
