@@ -1087,3 +1087,55 @@ def sequencematch_time_verbatim_sql(
     eng = AnalyticsEngine(spark, verbose=False)
     eng.register_clickhouse_compat()  # toStartOfHour shim
     return eng.sql(_SEQ_TIME_CH_SQL, dialect="clickhouse")
+
+
+# ---------------------------------------------------------------------------
+# Verbatim WITH FILL with a SORTING PREFIX (r9): per-group independent
+# gap fill — ClickHouse's use_with_fill_by_sorting_prefix semantics — as
+# a registered query. Per order-priority, the month-index series of order
+# counts fills its gaps with NULL-count rows; each priority group fills
+# between ITS OWN min and max month only (a global fill would bridge
+# group boundaries). Oracle: per-group generate_series spine LEFT JOINed
+# back — the direct relational statement of the same semantics.
+# ---------------------------------------------------------------------------
+_WFP_CH_SQL = """
+SELECT prio, mi, cnt FROM (
+  SELECT o_orderpriority AS prio,
+         toInt64(toYear(o_orderdate) * 12 + toMonth(o_orderdate)) AS mi,
+         count() AS cnt
+  FROM orders GROUP BY prio, mi
+) ORDER BY prio, mi WITH FILL
+"""
+
+_WFP_ORACLE = """
+WITH base AS (
+  SELECT o_orderpriority AS prio,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mi,
+         count(*)::BIGINT AS cnt
+  FROM orders GROUP BY 1, 2
+),
+bounds AS (SELECT prio, min(mi) AS lo, max(mi) AS hi FROM base GROUP BY prio),
+spine AS (SELECT prio, unnest(range(lo, hi + 1)) AS mi FROM bounds)
+SELECT s.prio AS prio, CAST(s.mi AS BIGINT) AS mi, b.cnt AS cnt
+FROM spine s LEFT JOIN base b ON s.prio = b.prio AND s.mi = b.mi
+"""
+
+
+@register(
+    "with_fill_prefix_verbatim_sql",
+    _WFP_ORACLE,
+    survey_ref=(
+        "S8 dialect (r9): ORDER BY <prefix>, x WITH FILL runs verbatim — "
+        "per-sorting-prefix independent gap fill (partitioned windows, "
+        "prefix keys carried into generated rows), oracled against the "
+        "per-group generate_series spine"
+    ),
+)
+def with_fill_prefix_verbatim_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_clickhouse_spark.engine import AnalyticsEngine
+    from binance_etl_clickhouse_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    eng = AnalyticsEngine(spark, verbose=False)
+    eng.register_clickhouse_compat()
+    return eng.sql(_WFP_CH_SQL, dialect="clickhouse")
