@@ -29,6 +29,12 @@ SHOW CREATE TABLE t                   the catalog entry reconstructed as a
                                       DESCRIBE's documented divergence —
                                       so it round-trips through THIS
                                       engine)
+CREATE [OR REPLACE] VIEW v AS SELECT  plain view (query-time macro, no
+                                      storage): re-analyzed after every
+                                      catalog refresh so it always reads
+                                      current state; dropping a source
+                                      makes reads fail loudly; DROP
+                                      VIEW/TABLE both remove it
 ORDER BY (cols)                       ServingTable.keys + physical sort —
                                       the dedup identity AND the layout
 PRIMARY KEY (cols)                    must be a prefix of ORDER BY (same
@@ -241,7 +247,8 @@ class ParsedDDL:
 
 
 _DDL_RE = re.compile(
-    r"^\s*(CREATE\s+(DATABASE|TABLE|MATERIALIZED\s+VIEW|DICTIONARY)"
+    r"^\s*(CREATE\s+(DATABASE|TABLE|MATERIALIZED\s+VIEW|DICTIONARY"
+    r"|(OR\s+REPLACE\s+)?VIEW)"
     r"|DROP\s+(TABLE|VIEW|DICTIONARY)"
     r"|TRUNCATE\s+TABLE|OPTIMIZE\s+TABLE|ALTER\s+TABLE"
     r"|RENAME\s+TABLE|EXCHANGE\s+TABLES|EXISTS\s+TABLE|SHOW\s+TABLES"
@@ -734,6 +741,12 @@ class DdlCatalog:
         #: materialized views: name -> (source table, translated SELECT,
         #: storage table name, whether this catalog owns that storage)
         self.views: dict[str, MvEntry] = {}
+        #: plain (non-materialized) views: name -> (database, translated
+        #: SELECT). ClickHouse plain views are query-time macros; here
+        #: each is a registered temp view whose plan RE-ANALYZES after
+        #: every catalog refresh (creation order, so views over views
+        #: work), so it always reads the CURRENT state of its sources
+        self.plain_views: dict[str, tuple[str | None, str]] = {}
         #: dictionaries: name -> metadata; read through dictGet()/dictHas()
         #: via :meth:`rewrite_dict_functions`
         self.dictionaries: dict[str, DictionaryDDL] = {}
@@ -744,6 +757,7 @@ class DdlCatalog:
         for handler in (
             self._create_dictionary,
             self._create_materialized_view,
+            self._create_view,
             self._create_table_as_select,
             self._drop,
             self._truncate,
@@ -767,6 +781,8 @@ class DdlCatalog:
             if not ddl.if_not_exists:
                 raise ValueError(f"table {ddl.name} already exists")
             return self.spark.createDataFrame([], self.tables[ddl.name].ddl.spark_schema)
+        if ddl.name in self.plain_views or ddl.name in self.views:
+            raise ValueError(f"{ddl.name!r} already exists as a view")
         if ddl.database:
             self.databases.add(ddl.database)
         path = os.path.join(self.root, ddl.database or "_default", ddl.name)
@@ -968,6 +984,63 @@ class DdlCatalog:
         self.insert(name, self.spark.sql(select), _fire=False)
         return self.spark.createDataFrame([], ddl.spark_schema)
 
+    def _create_view(self, sql: str) -> DataFrame | None:
+        """``CREATE [OR REPLACE] VIEW [IF NOT EXISTS] [db.]name AS
+        SELECT ...`` — ClickHouse's plain view (a query-time macro, no
+        storage, no trigger). Registered as a temp view over the
+        translated SELECT and RE-REGISTERED after every catalog refresh,
+        so it always serves the current state of its sources — a stale
+        captured plan would silently serve pre-insert data."""
+        m = re.match(
+            r"^\s*CREATE\s+(?P<repl>OR\s+REPLACE\s+)?VIEW\s+"
+            r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?:(?P<db>\w+)\.)?(?P<name>\w+)"
+            r"\s+AS\s+(?P<select>(?:SELECT|WITH)\b.+)$",
+            sql.strip(),
+            re.I | re.S,
+        )
+        if m is None:
+            return None
+        from binance_etl_clickhouse_spark.dialect import translate_clickhouse_sql
+
+        name = m.group("name")
+        if name in self.tables or name in self.views:
+            raise ValueError(
+                f"{name!r} already exists as a table/materialized view"
+            )
+        if name in self.plain_views and not m.group("repl"):
+            if m.group("ine"):
+                return self.spark.createDataFrame([], T.StructType([]))
+            raise ValueError(f"view {name!r} already exists")
+        if m.group("db"):
+            self.databases.add(m.group("db"))
+        select = self.resolve_qualified(
+            translate_clickhouse_sql(m.group("select"))
+        )
+        select = self.rewrite_dict_functions(select)
+        # analyze NOW (plan-only): a broken SELECT must fail at CREATE,
+        # like ClickHouse, not at first read
+        self.spark.sql(select).createOrReplaceTempView(name)
+        self.plain_views[name] = (m.group("db"), select)
+        # OR REPLACE: dependents captured the OLD definition — re-analyze
+        # every view so views-over-views see the replacement
+        self._refresh_plain_views()
+        return self.spark.createDataFrame([], T.StructType([]))
+
+    def _refresh_plain_views(self) -> None:
+        """Re-analyze every plain view in creation order (views over views
+        resolve left to right). A view whose source vanished drops its
+        registration so reads fail loudly (TABLE_NOT_FOUND) instead of
+        serving the stale captured plan — ClickHouse's own behavior when
+        a view's base table is gone."""
+        for name, (_db, select) in self.plain_views.items():
+            try:
+                self.spark.sql(select).createOrReplaceTempView(name)
+            except Exception:
+                try:
+                    self.spark.catalog.dropTempView(name)
+                except Exception:
+                    pass
+
     def _drop(self, sql: str) -> DataFrame | None:
         m = re.match(
             r"^\s*DROP\s+(TABLE|VIEW|DICTIONARY)\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$",
@@ -991,6 +1064,12 @@ class DdlCatalog:
                 entry = self.tables.pop(bare)
                 self._rm_data(entry)
             self.spark.catalog.dropTempView(bare)
+            return self.spark.createDataFrame([], T.StructType([]))
+        if bare in self.plain_views:
+            # plain views drop via either kind (like ClickHouse)
+            del self.plain_views[bare]
+            self.spark.catalog.dropTempView(bare)
+            self._refresh_plain_views()  # a view over it now fails loudly
             return self.spark.createDataFrame([], T.StructType([]))
         if kind == "VIEW":
             # ClickHouse rejects DROP VIEW on a plain table; silently
@@ -1743,6 +1822,8 @@ class DdlCatalog:
         for name, mv in self.views.items():
             if not mv.owns_storage and mv.target == entry.ddl.name:
                 self.snapshot(mv.target).createOrReplaceTempView(name)
+        # plain views re-analyze so they read the refreshed state
+        self._refresh_plain_views()
 
     # -- query-side name resolution ----------------------------------------
 
@@ -1817,7 +1898,11 @@ class DdlCatalog:
         if m is None:
             return None
         bare = self._bare(m.group(1))
-        found = bare in self.tables or bare in self.views
+        found = (
+            bare in self.tables
+            or bare in self.views
+            or bare in self.plain_views
+        )
         return self.spark.createDataFrame(
             [(1 if found else 0,)], "result int"
         )
@@ -1832,14 +1917,18 @@ class DdlCatalog:
             return None
         # an ENGINE-form MV registers BOTH a view entry and its storage
         # table under the same name — list it once
-        names = sorted(set(self.tables) | set(self.views))
+        names = sorted(
+            set(self.tables) | set(self.views) | set(self.plain_views)
+        )
         if m.group(1):
             db = m.group(1)
 
             def _db_of(n: str) -> str:
                 if n in self.tables:
                     return self.tables[n].ddl.database or "_default"
-                return self.views[n].database or "_default"
+                if n in self.views:
+                    return self.views[n].database or "_default"
+                return self.plain_views[n][0] or "_default"
 
             names = [n for n in names if _db_of(n) == db]
         if m.group(2):
@@ -1859,6 +1948,13 @@ class DdlCatalog:
         if m is None:
             return None
         bare = self._bare(m.group(1))
+        if bare in self.plain_views:
+            # a plain view describes its RESULT columns (no storage)
+            schema = self.spark.table(bare).schema
+            return self.spark.createDataFrame(
+                [(f.name, f.dataType.simpleString(), "") for f in schema.fields],
+                "name string, type string, default_expression string",
+            )
         if bare in self.views:
             # a materialized view describes its storage (the TO target or
             # its own ENGINE-form table), like ClickHouse
@@ -1889,6 +1985,13 @@ class DdlCatalog:
         if m is None:
             return None
         bare = self._bare(m.group(1))
+        if bare in self.plain_views:
+            db, select = self.plain_views[bare]
+            qual = f"{db}." if db else ""
+            return self.spark.createDataFrame(
+                [(f"CREATE VIEW {qual}{bare} AS {select.strip()}",)],
+                "statement string",
+            )
         if bare not in self.tables:
             raise KeyError(f"unknown table {m.group(1)!r}")
         ddl = self.tables[bare].ddl

@@ -2127,3 +2127,102 @@ class TestNullEngineAndShowCreate:
         )
         with pytest.raises(KeyError, match="unknown table"):
             eng.sql("SHOW CREATE TABLE nope", dialect="clickhouse")
+
+
+# ---------------------------------------------------------------------------
+# Plain (non-materialized) CREATE VIEW (r9): query-time macro over the
+# catalog — always reads CURRENT state, never a stale captured plan.
+# ---------------------------------------------------------------------------
+
+
+class TestPlainViews:
+    @pytest.fixture()
+    def pv_engine(self, spark, tmp_path):
+        eng = AnalyticsEngine(
+            spark, verbose=False, ddl_root=str(tmp_path / "plainv")
+        )
+        eng.sql(
+            "CREATE TABLE pv.t (k String, v Int64) ENGINE = MergeTree ORDER BY k",
+            dialect="clickhouse",
+        )
+        eng.sql(
+            "INSERT INTO pv.t (k, v) VALUES",
+            args=[{"k": "a", "v": 1}, {"k": "b", "v": 2}],
+            dialect="clickhouse",
+        )
+        eng.sql(
+            "CREATE VIEW pv.big AS SELECT k, v * 10 AS v10 FROM pv.t WHERE v > 1",
+            dialect="clickhouse",
+        )
+        return eng
+
+    def test_view_reads_current_state(self, pv_engine):
+        got = [
+            (r.k, r.v10)
+            for r in pv_engine.sql("SELECT * FROM big", dialect="clickhouse").collect()
+        ]
+        assert got == [("b", 20)]
+        # an insert AFTER the CREATE VIEW is visible (no stale plan)
+        pv_engine.sql(
+            "INSERT INTO pv.t (k, v) VALUES",
+            args=[{"k": "c", "v": 3}],
+            dialect="clickhouse",
+        )
+        got = sorted(
+            (r.k, r.v10)
+            for r in pv_engine.sql("SELECT * FROM big", dialect="clickhouse").collect()
+        )
+        assert got == [("b", 20), ("c", 30)]
+
+    def test_view_over_view_and_or_replace(self, pv_engine):
+        pv_engine.sql(
+            "CREATE VIEW pv.bigger AS SELECT k FROM big WHERE v10 >= 20",
+            dialect="clickhouse",
+        )
+        assert [r.k for r in pv_engine.sql("SELECT * FROM bigger", dialect="clickhouse").collect()] == ["b"]
+        pv_engine.sql(
+            "CREATE OR REPLACE VIEW pv.big AS SELECT k, v * 100 AS v10 FROM pv.t",
+            dialect="clickhouse",
+        )
+        got = sorted(
+            r.k for r in pv_engine.sql("SELECT * FROM bigger", dialect="clickhouse").collect()
+        )
+        assert got == ["a", "b"]  # the dependent view re-analyzed
+
+    def test_introspection_and_guards(self, pv_engine):
+        assert pv_engine.sql("EXISTS TABLE big", dialect="clickhouse").collect()[0].result == 1
+        names = [r.name for r in pv_engine.sql("SHOW TABLES FROM pv", dialect="clickhouse").collect()]
+        assert names == ["big", "t"]
+        d = {r.name: r.type for r in pv_engine.sql("DESCRIBE TABLE big", dialect="clickhouse").collect()}
+        assert d == {"k": "string", "v10": "bigint"}
+        stmt = pv_engine.sql("SHOW CREATE TABLE big", dialect="clickhouse").collect()[0].statement
+        assert stmt.startswith("CREATE VIEW pv.big AS SELECT")
+        with pytest.raises(ValueError, match="already exists"):
+            pv_engine.sql(
+                "CREATE VIEW pv.big AS SELECT 1 AS x", dialect="clickhouse"
+            )
+        with pytest.raises(ValueError, match="already exists as a view"):
+            pv_engine.sql(
+                "CREATE TABLE pv.big (x Int64) ENGINE = MergeTree ORDER BY x",
+                dialect="clickhouse",
+            )
+        # broken SELECT fails at CREATE, like ClickHouse
+        with pytest.raises(Exception):
+            pv_engine.sql(
+                "CREATE VIEW pv.broken AS SELECT nope FROM pv.t",
+                dialect="clickhouse",
+            )
+
+    def test_drop_source_breaks_view_loudly(self, pv_engine):
+        pv_engine.sql("DROP TABLE pv.t", dialect="clickhouse")
+        with pytest.raises(Exception):
+            pv_engine.sql("SELECT * FROM big", dialect="clickhouse").collect()
+        # DROP VIEW removes it; a second drop errors, IF EXISTS tolerates
+        pv_engine.sql("DROP VIEW pv.big", dialect="clickhouse")
+        with pytest.raises(KeyError):
+            pv_engine.sql("DROP VIEW pv.big", dialect="clickhouse")
+        pv_engine.sql("DROP VIEW IF EXISTS pv.big", dialect="clickhouse")
+
+    def test_drop_table_also_removes_plain_view(self, pv_engine):
+        pv_engine.sql("DROP TABLE pv.big", dialect="clickhouse")
+        assert pv_engine.sql("EXISTS TABLE big", dialect="clickhouse").collect()[0].result == 0
