@@ -1139,3 +1139,54 @@ def with_fill_prefix_verbatim_sql(spark: SparkSession, sf_dir: str) -> DataFrame
     eng = AnalyticsEngine(spark, verbose=False)
     eng.register_clickhouse_compat()
     return eng.sql(_WFP_CH_SQL, dialect="clickhouse")
+
+
+# ---------------------------------------------------------------------------
+# Verbatim plain CREATE VIEW (r9): the query-time macro view surface as a
+# registered query — create a view over `orders` through the dialect,
+# then read THROUGH the view (the returned frame selects from the view
+# name, so the driver hash covers registration + re-analysis + read).
+# ---------------------------------------------------------------------------
+_PLAIN_VIEW_ORACLE = """
+SELECT o_orderpriority AS prio,
+       count(*)::BIGINT AS n,
+       round(avg(o_totalprice), 4) AS avg_price
+FROM orders WHERE o_orderstatus = 'F'
+GROUP BY prio
+"""
+
+
+@register(
+    "plain_view_verbatim_sql",
+    _PLAIN_VIEW_ORACLE,
+    survey_ref=(
+        "S8 DDL surface (r9): plain CREATE VIEW runs verbatim — "
+        "query-time macro registered and read through the dialect, "
+        "value-hash oracled against the inlined SELECT"
+    ),
+)
+def plain_view_verbatim_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EAGER like the other DDL round trips: building it creates the view
+    in a scratch catalog; the returned frame reads THROUGH it."""
+    import tempfile
+
+    from binance_etl_clickhouse_spark.engine import AnalyticsEngine
+    from binance_etl_clickhouse_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    eng = AnalyticsEngine(
+        spark, verbose=False, ddl_root=tempfile.mkdtemp(prefix="pview_rt_")
+    )
+    eng.register_clickhouse_compat()
+    eng.sql(
+        """CREATE OR REPLACE VIEW finished_orders AS
+        SELECT o_orderpriority AS prio, o_totalprice
+        FROM orders WHERE o_orderstatus = 'F'""",
+        dialect="clickhouse",
+    )
+    return eng.sql(
+        """SELECT prio, count() AS n,
+                  round(avg(o_totalprice), 4) AS avg_price
+        FROM finished_orders GROUP BY prio""",
+        dialect="clickhouse",
+    )
