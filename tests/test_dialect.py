@@ -2982,3 +2982,92 @@ class TestLimitOffsetForms:
         # a literal '2, 3' inside a string survives
         q = "SELECT 'LIMIT 2, 3' AS s FROM t"
         assert t(q) == q
+
+
+# ---------------------------------------------------------------------------
+# r9 fuzz: WITH FILL (incl. sorting prefix, FROM/TO/STEP) vs a direct
+# Python simulation of the documented FillingTransform semantics —
+# per-gap fills re-anchored at every original row, per-group FROM edge
+# and TO tail, fills strictly between bounds.
+# ---------------------------------------------------------------------------
+
+
+def _fill_reference(rows, frm, to, step):
+    """rows: list[(g, x)] originals. Returns sorted [(g, x, is_fill)]."""
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for g, x in rows:
+        groups[g].append(x)
+    out = []
+    for g, xs in groups.items():
+        xs.sort()
+        # FROM edge off the group's first row
+        if frm is not None:
+            eb = min(xs[0], to) if to is not None else xs[0]
+            if frm <= eb:
+                v = frm
+                while v < eb:
+                    out.append((g, v, True))
+                    v += step
+        for i, x in enumerate(xs):
+            out.append((g, x, False))
+            nxt = xs[i + 1] if i + 1 < len(xs) else None
+            if nxt is None:
+                gb = to
+            elif to is not None:
+                gb = min(nxt, to)
+            else:
+                gb = nxt
+            if gb is not None and x <= gb:
+                v = x + step
+                while v < gb:
+                    out.append((g, v, True))
+                    v += step
+    return sorted(out)
+
+
+def test_with_fill_matches_filling_transform_simulation(engine, spark):
+    import random
+
+    rng = random.Random(23)
+    for trial in range(18):
+        n_groups = rng.choice([1, 2, 3])
+        gs = ["g%d" % i for i in range(n_groups)]
+        rows = sorted(
+            {
+                (rng.choice(gs), rng.randint(0, 14))
+                for _ in range(rng.randint(2, 9))
+            }
+        )
+        step = rng.choice([1, 1, 2, 3])
+        frm = rng.choice([None, None, 0, 2])
+        to = rng.choice([None, None, 10, 16])
+        vals = ", ".join(f"('{g}', {x}, {x * 100})" for g, x in rows)
+        spark.sql(
+            f"SELECT * FROM VALUES {vals} AS t(g, x, v)"
+        ).createOrReplaceTempView("wff_t")
+        clause = "WITH FILL"
+        if frm is not None:
+            clause += f" FROM {frm}"
+        if to is not None:
+            clause += f" TO {to}"
+        if step != 1:
+            clause += f" STEP {step}"
+        prefix = "g, " if n_groups > 1 or rng.random() < 0.5 else ""
+        sql = f"SELECT g, x, v FROM wff_t ORDER BY {prefix}x {clause}"
+        if not prefix:
+            # no sorting prefix: restrict the data to ONE group so the
+            # global fill and the per-group reference agree
+            if n_groups > 1:
+                continue
+        only_g = gs[0] if not prefix else None
+        got = sorted(
+            # without a sorting prefix, g is a REGULAR column and blanks
+            # to NULL on fill rows (single-group data keeps the reference
+            # comparable by restoring the group's name)
+            (r.g if r.g is not None else only_g, r.x, r.v is None)
+            for r in engine.sql(sql, dialect="clickhouse").collect()
+        )
+        want = _fill_reference(rows, frm, to, step)
+        assert got == want, (sql, rows, got, want)
