@@ -107,6 +107,13 @@ DRIVER_WINDOW = [
 # anything else unknown still fails loudly, so a typo in an existing query
 # name cannot silently shrink the verification window. Empty = every
 # round-9 registration has landed.
+#
+# Round-10 rotation heads-up: the four r9 registrations outside this
+# window (`ddl_mutation_roundtrip`, `scalar_fallback_family`,
+# `with_fill_prefix_verbatim_sql`, `plain_view_verbatim_sql` — each
+# oracle-parity green at sf0.001 and sf0.01 in pytest) plus the 35
+# remaining r5-era proofs and the stalest r6 cohort are the natural next
+# window.
 PLANNED_NEW: set[str] = set()
 
 
