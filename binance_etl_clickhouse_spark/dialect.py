@@ -443,6 +443,32 @@ _CASTS = {
     "toDate": "DATE",
 }
 
+#: clause keywords that are never function calls: a following "(" opens
+#: an expression/tuple/grouping-set, which the flat scan must walk into
+#: verbatim (whitespace preserved, no top-level comma split). Keywords
+#: whose parens can carry a SUBQUERY/CTE body that benefits from the
+#: unit-descent path are deliberately ABSENT: FROM / IN / EXISTS /
+#: VALUES / AS (CTE bodies) / UNION / INTERSECT / EXCEPT / ALL /
+#: DISTINCT (set-op operands, quantified comparisons).
+_NON_CALL_KEYWORDS = {
+    "SELECT",
+    "WHERE",
+    "PREWHERE",
+    "HAVING",
+    "AND",
+    "OR",
+    "NOT",
+    "WHEN",
+    "THEN",
+    "ELSE",
+    "ON",
+    "BY",
+    "CASE",
+    "BETWEEN",
+    "LIKE",
+    "ILIKE",
+}
+
 _NAME_MAP = {
     "argMax": "max_by",
     "argMin": "min_by",
@@ -2398,6 +2424,17 @@ def translate_clickhouse_sql(sql: str) -> str:
             k = j
             while k < n and sql[k].isspace():
                 k += 1
+            if k < n and sql[k] == "(" and name.upper() in _NON_CALL_KEYWORDS:
+                # a clause keyword before a parenthesized expression is
+                # NOT a call: consuming the parens as an argument list
+                # would re-join them without the original whitespace
+                # (SELECT (a) -> SELECT(a)) and comma-split tuple
+                # expressions. Emit the keyword and let the flat scan
+                # walk into the parens. (FROM/IN/EXISTS stay on the call
+                # path — that is how parenthesized subqueries descend.)
+                out.append(_KEYWORDS.get(name.upper(), name))
+                i = j
+                continue
             if k < n and sql[k] == "(":
                 close = _find_close(sql, k)
                 inner_text = sql[k + 1 : close]

@@ -161,6 +161,27 @@ def _ch_and_spark(draw, depth=0):
         ),
         (f"ifNull({a_ch}, {b_ch})", f"coalesce({a_sp}, {b_sp})"),
         (f"some_udf({a_ch}, {b_ch})", f"some_udf({a_sp}, {b_sp})"),
+        # r9 widening: each output must itself be a translation fixpoint
+        (f"toInt64OrNull({a_ch})", f"try_cast({a_sp} AS BIGINT)"),
+        (
+            f"toInt32OrZero({a_ch})",
+            f"coalesce(try_cast({a_sp} AS INT), CAST(0 AS INT))",
+        ),
+        (f"bitCount({a_ch})", f"bit_count({a_sp})"),
+        (f"mapKeys({a_ch})", f"map_keys({a_sp})"),
+        (
+            f"toIntervalDay({a_ch})",
+            f"make_interval(0, 0, 0, ({a_sp}), 0, 0, 0)",
+        ),
+        (
+            f"toMonday({a_ch})",
+            f"CAST(date_trunc('week', {a_sp}) AS DATE)",
+        ),
+        (f"base64Encode({a_ch})", f"base64(CAST({a_sp} AS BINARY))"),
+        (
+            f"isFinite({a_ch})",
+            f"(abs({a_sp}) < CAST('Infinity' AS DOUBLE))",
+        ),
     ]
     return draw(st.sampled_from(forms))
 
