@@ -924,7 +924,12 @@ def _rewrite_limit_by(sql: str) -> str:
             n_rows, offset = int(toks[idx + 1][2]), 0
             break
         if (
-            idx + 4 < len(toks)
+            # only toks[idx+3] is read, so idx+3 is the real bound — a
+            # stricter idx+4 guard dropped `LIMIT 2, 3 BY (sym)` (the
+            # parenthesized BY list emits no keyword token after BY; the
+            # column text is located from the SQL after the BY span, same
+            # as the plain-form path) — r9 advice
+            idx + 3 < len(toks)
             and toks[idx + 2][2].isdigit()
             and sql[toks[idx + 1][1] : toks[idx + 2][0]].strip() == ","
             and toks[idx + 3][2] == "BY"

@@ -35,70 +35,67 @@ from binance_etl_clickhouse_spark.queries import quality  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 # Driver verification window. The correctness driver checks the FIRST 50
 # registered queries per round, so registration order is a verification
-# budget. Round-9 window (per the round-8 verdict, item #1): the 14
-# round-8 verbatim-surface registrations that have never been
-# driver-checked (local sf0.001 pytest parity only), this round's new
-# registration (the traced-budget BPE encode, converting another rows-only
-# carve-out into a fully hash-oracled query), ALL 28 queries whose last
-# driver proof is round 4, and the 7 stalest round-5 proofs. After this
-# rotation every registered query has been driver-proven at least once.
+# budget. Round-10 window (per the round-9 verdict, item #1): the 4
+# round-9 registrations that have never been driver-checked (local
+# sf0.001/sf0.01 pytest parity only), ALL 35 queries whose last driver
+# proof is round 5, and the 11 stalest round-6 proofs (first-checked in
+# CORRECTNESS_r06 order). After this rotation no registered query has a
+# driver proof older than round 6.
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW = [
-    # --- round-8 registrations, never driver-checked (lead the window) ---
-    "asof_join_verbatim_sql",
-    "any_join_verbatim_sql",
-    "windowfunnel_verbatim_sql",
-    "sequencematch_verbatim_sql",
-    "sequencematch_time_verbatim_sql",
-    "with_totals_verbatim_sql",
-    "ddl_verbatim_roundtrip",
-    "mv_verbatim_roundtrip",
-    "array_join_verbatim_sql",
-    "with_fill_verbatim_sql",
-    "dictionary_verbatim_sql",
-    "url_function_family",
-    "pii_detect_redact",
-    "ann_ivf_filtered_topk",
-    # --- new round-9 registration: trained-model BPE encode pinned to the
-    # traced 8-merge budget (r8 verdict item 5 — rows-only carve-outs 5->4) ---
-    "bpe_token_counts_traced",
-    # --- round-4-era: every query last driver-checked in CORRECTNESS_r04 ---
-    "ab_conversion_ztest",
-    "assoc_rules_copurchase",
-    "attribution_last_touch",
-    "attribution_linear",
-    "bloom_decontaminate",
-    "cdc_chunk_dedup",
-    "chi2_event_cohort_independence",
-    "contrastive_negative_sample",
-    "curriculum_interleave",
-    "cusum_changepoint_daily",
-    "event_sequence_trigrams",
-    "graph_degree_stats",
-    "graph_triangle_count",
-    "hits_hub_authority",
-    "keyword_tag_docs",
-    "minimizer_fingerprints",
-    "normalize_dedup_docs",
-    "pagerank_copurchase",
-    "personalized_pagerank_seeded",
-    "pmi_cooccurrence_pairs",
-    "profile_lineitem_columns",
-    "rfm_customer_segments",
-    "score_calibration_bins",
-    "seasonal_hourly_anomaly",
-    "source_budget_waterfill",
-    "unigram_lm_train",
-    "unigram_seed_piece_stats",
-    "zipf_vocab_stats",
-    # --- round-5-era fills: 7 of the 42 CORRECTNESS_r05-stale proofs ---
-    "ann_batch_topk",
-    "asof_nearest_purchase_click",
-    "bm25_topk_docs",
-    "cohort_retention_daily",
-    "dq_expectations_lineitem",
-    "funnel_signup_click_purchase",
-    "gopher_quality_filters",
+    # --- round-9 registrations, never driver-checked (lead the window) ---
+    "ddl_mutation_roundtrip",
+    "scalar_fallback_family",
+    "with_fill_prefix_verbatim_sql",
+    "plain_view_verbatim_sql",
+    # --- round-5-era: every query last driver-checked in CORRECTNESS_r05 ---
+    "ann_ivf_batch_topk",
+    "ann_ivf_range_search",
+    "asof_forward_purchase_click",
+    "bigram_logprob_quality",
+    "bm25_index_topk",
+    "bpe_pair_stats",
+    "ccnet_perplexity_buckets",
+    "chunk_sliding_windows",
+    "cohort_retention_weekly",
+    "conditional_agg_priority_mix",
+    "dq_freshness_event_types",
+    "dq_referential_orphans",
+    "dq_uniqueness_keys",
+    "embedding_centroid_per_label",
+    "embedding_decontamination",
+    "entity_cluster_rollup",
+    "entity_match_pairs",
+    "equi_depth_histogram",
+    "funnel_conversion_lags",
+    "hybrid_rrf_exact_search",
+    "interval_overlap_pairs",
+    "length_bucket_batches",
+    "mad_outlier_per_type",
+    "nb_lang_classifier",
+    "ngram_novelty_scores",
+    "pii_redaction",
+    "price_histogram_fixed_bins",
+    "rolling_corr_click_purchase",
+    "tfidf_cosine_pairs",
+    "tfidf_top_terms",
+    "tpch_q12_shipmode_priority",
+    "training_shuffle_shards",
+    "unigram_logprob_quality",
+    "variant_extract_agg",
+    "winsorize_per_type",
+    # --- round-6-era fills: the 11 stalest r6 proofs (CORRECTNESS_r06 order) ---
+    "quality_quantile_filter",
+    "weighted_sample_per_source",
+    "hopping_window_counts",
+    "graph_bfs_levels",
+    "graph_assortativity",
+    "graph_clustering_coefficients",
+    "graph_kcore_vertices",
+    "graph_link_prediction_scores",
+    "pagerank_weighted_copurchase",
+    "textrank_keywords",
+    "kaplan_meier_click_to_purchase",
 ]
 
 
@@ -106,14 +103,10 @@ DRIVER_WINDOW = [
 # here (a window may name planned registrations before they land);
 # anything else unknown still fails loudly, so a typo in an existing query
 # name cannot silently shrink the verification window. Empty = every
-# round-9 registration has landed.
+# round-10 registration has landed.
 #
-# Round-10 rotation heads-up: the four r9 registrations outside this
-# window (`ddl_mutation_roundtrip`, `scalar_fallback_family`,
-# `with_fill_prefix_verbatim_sql`, `plain_view_verbatim_sql` — each
-# oracle-parity green at sf0.001 and sf0.01 in pytest) plus the 35
-# remaining r5-era proofs and the stalest r6 cohort are the natural next
-# window.
+# Round-11 rotation heads-up: any r10 registrations outside this window
+# plus the 38 remaining r6-era proofs are the natural next window.
 PLANNED_NEW: set[str] = set()
 
 

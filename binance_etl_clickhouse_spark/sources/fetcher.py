@@ -57,6 +57,38 @@ RAW_FETCH_SCHEMA = (
 # page_fn(symbol, start_ms, end_ms, limit) -> list of 12-element kline rows
 PageFn = Callable[[str, int, int, int], list[list]]
 
+# per-source predicate: does this exception mean "benign end-of-data"?
+BenignFn = Callable[[Exception], bool]
+
+
+def binance_error_code(e: Exception) -> int | None:
+    """Structurally extract the Binance API error code from an exception.
+
+    Prefers the parsed ``binance_code`` attribute that
+    :func:`binance_rest_page_fn` attaches from the JSON error body; falls
+    back to locating a ``"code": N`` JSON field in the exception text.
+    Never matches a bare number in free-form message text, so an unrelated
+    error whose *message* happens to mention ``-1102`` is not misread.
+    """
+    code = getattr(e, "binance_code", None)
+    if code is not None:
+        try:
+            return int(code)
+        except (TypeError, ValueError):
+            return None
+    import re
+
+    m = re.search(r'"code"\s*:\s*(-?\d+)', str(e))
+    return int(m.group(1)) if m else None
+
+
+def margin_rate_benign_error(e: Exception) -> bool:
+    """Margin-interest-rate scope ONLY (reference additional_data.py:164-165):
+    the endpoint answers -1102 for assets it doesn't carry — benign
+    end-of-data, not a failure. Every other source treats -1102 as the
+    generic 'mandatory parameter empty/malformed' client error it is."""
+    return binance_error_code(e) == -1102
+
 
 @dataclass
 class FetchConfig:
@@ -67,6 +99,11 @@ class FetchConfig:
     budget_period_s: float = 60.0
     max_retries: int = 3  # reference @retry(stop_after_attempt(3))
     backoff_base_s: float = 0.5
+    # per-source benign-error predicate: exception -> True means "treat as
+    # empty page / end-of-data" (no retries, no sentinel). None (default)
+    # = every error is a real failure. The margin-rate source passes
+    # margin_rate_benign_error; nothing else maps errors to empty.
+    benign_empty: BenignFn | None = None
 
 
 def paginate_symbol(
@@ -114,10 +151,10 @@ def _with_retry(page_fn: PageFn, symbol: str, start: int, end: int, cfg: FetchCo
         try:
             return page_fn(symbol, start, end, cfg.page_limit)
         except Exception as e:  # noqa: BLE001 — source-edge tolerance
-            if "-1102" in str(e):
-                # unsupported asset (reference additional_data.py:164-165:
-                # margin-rate history for an asset the endpoint doesn't
-                # carry) — BENIGN empty result, not a failure: no retries,
+            if cfg.benign_empty is not None and cfg.benign_empty(e):
+                # source-scoped benign error (e.g. margin-rate -1102
+                # unsupported asset, reference additional_data.py:164-165)
+                # — BENIGN empty result, not a failure: no retries,
                 # no sentinel; the pagination loop sees end-of-data
                 return []
             err = e
@@ -316,10 +353,14 @@ def binance_rest_page_fn(
                 )
                 time.sleep(min(wait_s, 300.0))
             else:
-                # surface the Binance error body (the reference's client
-                # embeds codes like -1102 in the exception text; the
-                # retry loop's benign-empty check reads str(e))
+                # surface the Binance error body in the message for humans
+                # AND attach the parsed code structurally so benign-error
+                # predicates never have to substring-match free text
                 e.msg = f"{e.msg or ''} {body[:200]}".strip()
+                try:
+                    e.binance_code = json.loads(body).get("code")
+                except (ValueError, AttributeError):
+                    pass
             raise
 
     return page

@@ -2989,11 +2989,32 @@ class TestLimitOffsetForms:
         # (2, 3, 20)
         assert got == [("a", 3), ("b", 20)]
 
+    def test_limit_comma_by_parenthesized_group_list(self, engine, lb_view):
+        # r10 (r9 advice): a parenthesized BY list emits no keyword token
+        # after BY, so the comma-form guard must only require toks[idx+3]
+        # (the BY itself) — `LIMIT 1, 2 BY (g)` rewrites like the bare form
+        got = self._rows(
+            engine,
+            "SELECT g, v FROM lbo_t ORDER BY v LIMIT 1, 2 BY (g)",
+        )
+        assert got == [("a", 2), ("a", 3), ("b", 20)]
+
+    def test_limit_offset_by_parenthesized_group_list(self, engine, lb_view):
+        got = self._rows(
+            engine,
+            "SELECT g, v FROM lbo_t ORDER BY v LIMIT 2 OFFSET 2 BY (g)",
+        )
+        assert got == [("a", 3), ("a", 4)]
+
     def test_string_shapes(self):
         t = translate_clickhouse_sql
         assert "__lb_rn > 1 AND __lb_rn <= 3" in t(
             "SELECT v FROM t LIMIT 1, 2 BY g"
         )
+        # parenthesized BY list, comma form (r10 regression — fell through)
+        got_paren = t("SELECT v FROM t LIMIT 1, 2 BY (g)")
+        assert "__lb_rn > 1 AND __lb_rn <= 3" in got_paren
+        assert "PARTITION BY (g)" in got_paren
         assert "__lb_rn > 2 AND __lb_rn <= 4" in t(
             "SELECT v FROM t LIMIT 2 OFFSET 2 BY g"
         )

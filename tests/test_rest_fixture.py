@@ -18,6 +18,7 @@ import pytest
 from binance_etl_clickhouse_spark.sources.fetcher import (
     FetchConfig,
     binance_rest_page_fn,
+    margin_rate_benign_error,
     paginate_symbol,
 )
 
@@ -146,29 +147,64 @@ def test_rest_persistent_failure_raises_after_retries(scripted_server, recorded_
 
 
 def test_rest_1102_unsupported_asset_is_benign_empty(scripted_server, recorded_sleeps):
-    """r9 (r8 verdict item 6, reference additional_data.py:164-165): a
-    -1102 'asset not supported' error is END-OF-DATA for the symbol —
-    empty result, no retries, no fetch_error sentinel."""
+    """r9 item, r10 scoping (reference additional_data.py:164-165): on the
+    MARGIN-RATE source — the only endpoint that opts in via
+    ``benign_empty=margin_rate_benign_error`` — a -1102 'asset not
+    supported' error is END-OF-DATA for the symbol: empty result, no
+    retries, no fetch_error sentinel."""
     url, script, seen = scripted_server
     script += [
         (400, json.dumps({"code": -1102, "msg": "Mandatory parameter asset "
                           "was not sent, was empty/null, or malformed."})),
     ]
     page_fn = binance_rest_page_fn(base_url=url)
-    cfg = FetchConfig(page_limit=5, max_retries=3, backoff_base_s=0.1)
+    cfg = FetchConfig(page_limit=5, max_retries=3, backoff_base_s=0.1,
+                      benign_empty=margin_rate_benign_error)
     pages = list(paginate_symbol("NOPEUSDT", T0, T0 + H, page_fn, cfg))
     assert pages == []          # benign empty, not an exception
     assert len(seen) == 1       # and NOT retried three times
     assert recorded_sleeps == []  # no backoff sleeps for the benign path
 
 
+def test_rest_1102_on_unscoped_source_still_fails(scripted_server, recorded_sleeps):
+    """r10 (r9 advice): -1102 is Binance's generic 'mandatory parameter
+    empty/malformed' client error. A source that did NOT opt into the
+    margin-rate benign mapping must surface it as a real failure — NOT
+    silently truncate to end-of-data."""
+    url, script, seen = scripted_server
+    script += [(400, json.dumps({"code": -1102, "msg": "Mandatory parameter "
+                                 "'symbol' was not sent."}))] * 3
+    page_fn = binance_rest_page_fn(base_url=url)
+    cfg = FetchConfig(page_limit=5, max_retries=3, backoff_base_s=0.1)  # default: no benign map
+    with pytest.raises(RuntimeError, match="after 3 tries"):
+        list(paginate_symbol("KLINEUSDT", T0, T0 + H, page_fn, cfg))
+    assert len(seen) == 3
+
+
+def test_rest_1102_match_is_structural_not_substring(scripted_server, recorded_sleeps):
+    """r10 (r9 advice): the benign predicate reads the parsed JSON ``code``
+    field, so an unrelated error whose free-text merely mentions '-1102'
+    must NOT be swallowed — even on the margin-rate source."""
+    url, script, seen = scripted_server
+    script += [(400, json.dumps({"code": -1121,
+                                 "msg": "Invalid symbol (see docs re -1102)."}))] * 3
+    page_fn = binance_rest_page_fn(base_url=url)
+    cfg = FetchConfig(page_limit=5, max_retries=3, backoff_base_s=0.1,
+                      benign_empty=margin_rate_benign_error)
+    with pytest.raises(RuntimeError, match="after 3 tries"):
+        list(paginate_symbol("BADUSDT", T0, T0 + H, page_fn, cfg))
+    assert len(seen) == 3
+
+
 def test_rest_other_400_errors_still_fail(scripted_server, recorded_sleeps):
-    """Only -1102 maps to benign-empty; any other client error keeps the
-    per-symbol failure semantics (retry then sentinel upstream)."""
+    """Only margin-scoped -1102 maps to benign-empty; any other client
+    error keeps the per-symbol failure semantics (retry then sentinel
+    upstream)."""
     url, script, seen = scripted_server
     script += [(400, json.dumps({"code": -1121, "msg": "Invalid symbol."}))] * 3
     page_fn = binance_rest_page_fn(base_url=url)
-    cfg = FetchConfig(page_limit=5, max_retries=3, backoff_base_s=0.1)
+    cfg = FetchConfig(page_limit=5, max_retries=3, backoff_base_s=0.1,
+                      benign_empty=margin_rate_benign_error)
     with pytest.raises(RuntimeError, match="after 3 tries"):
         list(paginate_symbol("BADUSDT", T0, T0 + H, page_fn, cfg))
     assert len(seen) == 3
