@@ -4,6 +4,11 @@ JSON line: {"metric", "value", "unit", "queries", "sf"}.
 
 Each query is materialized with the noop sink (full plan execution, no
 driver collect). Per-query time = best of N_RUNS to damp JIT/IO noise.
+
+Load-robust (r10): a /proc/stat busy-cores sentinel brackets every tier;
+a loaded bracket triggers one re-sweep (per-query best of both passes)
+and the artifact carries {"loaded": bool, "sentinel": {...}} so a
+timings file taken on a busy machine is self-describing.
 """
 
 from __future__ import annotations
@@ -177,6 +182,80 @@ DIALECT_TIER = [
 def _sf_from_dir(d: str) -> float:
     m = re.search(r"sf([0-9.]+)", d)
     return float(m.group(1)) if m else -1.0
+
+
+# ---------------------------------------------------------------------------
+# Load sentinel (r9 verdict item 2). The r9 driver artifact was taken on a
+# loaded machine: every headline query — including untouched pure-SQL
+# shapes — came out uniformly 1.3-2.8x slower than the idle run of the
+# identical code, which is uninterpretable without cross-referencing git.
+# The fix is measured, not asserted. A Spark probe job was tried first and
+# rejected by measurement: on local[32] a concurrent full-width Spark job
+# only inflates a probe's wall ~1.3x (median 0.50 s vs 0.37 s idle,
+# overlapping single-shot ranges) — too weak to classify. What separates
+# cleanly is MACHINE BUSY CORES read from /proc/stat while this process
+# sleeps: idle floor 0.0-0.02 cores; a single concurrent sf0.01 query
+# sweep shows 1.6-5.4 cores over 1-second samples (measured r10, this
+# machine). The sentinel samples busy cores over a 3 s window (long
+# enough to average over a concurrent job's inter-query gaps) before and
+# after each query tier; any bracket over the envelope triggers ONE
+# re-sweep of the headline+dialect tiers (per-query best across both
+# passes — "best-of-2-under-load"), and the artifact is stamped
+# loaded=true only if EVERY sample exceeded the envelope (load persisted
+# through every pass, so even the best-of timings are suspect).
+# ---------------------------------------------------------------------------
+
+#: idle envelope, busy cores. Calibrated r10 on the target machine
+#: (local[32]): idle 0.0-0.02, lightest real interference >=1.6 — 1.0
+#: sits between with >=50x margin to the floor. Override per-machine with
+#: BENCH_SENTINEL_ENVELOPE_CORES.
+SENTINEL_ENVELOPE_CORES = float(
+    os.environ.get("BENCH_SENTINEL_ENVELOPE_CORES", "1.0")
+)
+
+
+def _run_sentinel(sample_s: float = 3.0) -> float:
+    """Busy CPU cores machine-wide over a ``sample_s`` sleep window
+    (/proc/stat busy-jiffies delta x core count). Our own JVM is between
+    jobs while we sleep, so its contribution is daemon-thread noise
+    (<0.1 core); anything above the envelope is concurrent work. Returns
+    -1.0 where /proc/stat is unreadable (non-Linux) — recorded as
+    'unknown', never counted as load."""
+
+    def read():
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+        return sum(vals), idle
+
+    try:
+        t0, i0 = read()
+        time.sleep(sample_s)
+        t1, i1 = read()
+    except OSError:
+        return -1.0
+    dt, di = t1 - t0, i1 - i0
+    if dt <= 0:
+        return -1.0
+    return round((1.0 - di / dt) * (os.cpu_count() or 1), 2)
+
+
+def sentinel_policy(samples: list[float], envelope_cores: float) -> dict:
+    """Pure policy: given busy-core samples and the idle envelope, decide
+    (a) whether the query tiers need one re-sweep and (b) whether the
+    artifact must be stamped loaded. Re-sweep as soon as ANY bracket saw
+    load; stamp loaded only if EVERY valid sample saw load (a single
+    clean sample means at least one pass ran idle, and per-query best-of
+    keeps that pass's timings). Negative samples = sensor unavailable:
+    never treated as load."""
+    valid = [s for s in samples if s >= 0]
+    over = [s > envelope_cores for s in valid]
+    return {
+        "envelope_cores": envelope_cores,
+        "samples_busy_cores": list(samples),
+        "resweep": any(over),
+        "loaded": bool(over) and all(over),
+    }
 
 
 #: corpus-family ops measured at 1x AND a synthesized 10x corpus each round
@@ -395,8 +474,25 @@ def main() -> None:
             out[name] = round(best, 4)
         return out
 
+    # sentinel bracket around the query tiers (r9 verdict item 2)
+    sentinel_samples = [_run_sentinel()]
     timings = _sweep(HEADLINE)
     dialect_timings = _sweep(DIALECT_TIER)
+    sentinel_samples.append(_run_sentinel())
+    if sentinel_policy(sentinel_samples, SENTINEL_ENVELOPE_CORES)["resweep"]:
+        # a bracket saw load: one full re-sweep, per-query best of the two
+        re_timings = _sweep(HEADLINE)
+        re_dialect = _sweep(DIALECT_TIER)
+        timings = {k: min(timings[k], re_timings[k]) for k in timings}
+        dialect_timings = {
+            k: min(dialect_timings[k], re_dialect[k]) for k in dialect_timings
+        }
+        sentinel_samples.append(_run_sentinel())
+    # the corpus-scale tier is bracketed too (one sample after it); its
+    # timings are single-tier so they get the loaded stamp, not a re-sweep
+    corpus_scale = _bench_corpus_scale(spark)
+    sentinel_samples.append(_run_sentinel())
+    sentinel = sentinel_policy(sentinel_samples, SENTINEL_ENVELOPE_CORES)
 
     total = round(sum(timings.values()), 4)
     payload = {
@@ -405,11 +501,13 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
+        "loaded": sentinel["loaded"],
+        "sentinel": sentinel,
         "dialect": {
             "total": round(sum(dialect_timings.values()), 4),
             "queries": dialect_timings,
         },
-        "corpus_scale": _bench_corpus_scale(spark),
+        "corpus_scale": corpus_scale,
     }
     line = json.dumps(payload)
     # The driver captures only the tail of stdout, which has truncated the
@@ -436,6 +534,7 @@ def main() -> None:
         "queries": slowest,
         "sf": payload["sf"],
         "n": len(timings),
+        "loaded": sentinel["loaded"],
         "full": str(out_path),
     }
     print(json.dumps(compact))
