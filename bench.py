@@ -50,6 +50,12 @@ ITERATIVE_FAMILIES = {
     # reproduces 1.31 s, and the r8 neardup.py diff was comment-only):
     # best-of-3 is the stable statistic (r8 verdict item 2)
     "doc_containment_pairs",
+    # same class (r9 verdict item 3): the two r9 idle movers. Code
+    # unchanged either round; measured r10 idle, 10-run series swing
+    # 0.41-0.92 s (hopping) and 0.88-1.52 s (q2) — ~2x run-to-run on
+    # sub-second walls, which best-of-2 samples as a fake ±35% move.
+    "hopping_window_counts",
+    "tpch_q2_min_cost_supplier",
 }
 
 #: headline set — one per operator family (agg, join, window-dedup, top-k,
