@@ -176,6 +176,56 @@ _SIMPLE_TYPES: dict[str, str] = {
 }
 
 
+def parse_enum_type(ch_type: str) -> tuple[int, dict[str, int]] | None:
+    """``Enum8('a' = 1, 'b' = 2)`` / ``Enum16(...)`` / ``Enum(...)`` →
+    ``(width_bits, {name: code})``; ``None`` when the type isn't an Enum.
+
+    ClickHouse's own rules enforced at parse time: codes must fit the
+    declared width (Enum8 −128..127, Enum16 −32768..32767; bare Enum is
+    Enum16-wide, matching CH's alias), names and codes must be unique, and
+    a value list without explicit codes numbers from 1 upward
+    (``Enum('a','b')`` ≡ ``Enum('a' = 1, 'b' = 2)``).
+    """
+    m = re.fullmatch(
+        r"enum(8|16)?\s*\((?P<body>.*)\)", ch_type.strip(), re.I | re.S
+    )
+    if m is None:
+        return None
+    width = int(m.group(1) or 16)
+    lo, hi = (-128, 127) if width == 8 else (-32768, 32767)
+    values: dict[str, int] = {}
+    next_code = 1
+    for item in _split_top_level(m.group("body")):
+        em = re.fullmatch(
+            r"'(?P<name>[^']*)'\s*(?:=\s*(?P<code>-?\d+))?", item.strip()
+        )
+        if em is None:
+            raise ValueError(f"malformed Enum value {item!r} in {ch_type!r}")
+        code = int(em.group("code")) if em.group("code") is not None else next_code
+        name = em.group("name")
+        if name in values:
+            raise ValueError(f"duplicate Enum name {name!r} in {ch_type!r}")
+        if code in values.values():
+            raise ValueError(f"duplicate Enum code {code} in {ch_type!r}")
+        if not (lo <= code <= hi):
+            raise ValueError(
+                f"Enum{width} code {code} out of range [{lo}, {hi}] in {ch_type!r}"
+            )
+        values[name] = code
+        next_code = code + 1
+    if not values:
+        raise ValueError(f"Enum needs at least one value: {ch_type!r}")
+    return width, values
+
+
+def enum_type_text(width: int, values: dict[str, int]) -> str:
+    """Reconstruct the ClickHouse Enum type text (SHOW CREATE / DESCRIBE
+    fidelity: unlike the plain-type columns, an enum's Spark name 'string'
+    would drop the declared value set from the round-trip)."""
+    body = ", ".join(f"'{n}' = {c}" for n, c in values.items())
+    return f"Enum{width}({body})"
+
+
 def ch_type_to_spark(ch_type: str) -> str:
     """ClickHouse column type → Spark SQL type string. Loud on anything
     without an exact-or-wider Spark twin (UInt64, Int128/256, AggregateFunction...)."""
@@ -191,6 +241,27 @@ def ch_type_to_spark(ch_type: str) -> str:
     m = re.fullmatch(r"fixedstring\s*\(\s*\d+\s*\)", low)
     if m:
         return "string"
+    if parse_enum_type(t) is not None:
+        # Enum8/Enum16: stored and served as the NAME (string); the declared
+        # value set is validated on INSERT by the catalog (r9 verdict item 4)
+        return "string"
+    m = re.fullmatch(r"map\s*\((.*)\)", t.strip(), re.S | re.I)
+    if m:
+        kv = _split_top_level(m.group(1))
+        if len(kv) != 2:
+            raise ValueError(f"Map needs exactly (key, value) types: {ch_type!r}")
+        return f"map<{ch_type_to_spark(kv[0])},{ch_type_to_spark(kv[1])}>"
+    # Spark's own generic spellings map onto themselves (idempotency: SHOW
+    # CREATE / DESCRIBE print Spark names and must re-run through CREATE)
+    m = re.fullmatch(r"array\s*<(.*)>", t.strip(), re.S | re.I)
+    if m:
+        return f"array<{ch_type_to_spark(m.group(1))}>"
+    m = re.fullmatch(r"map\s*<(.*)>", t.strip(), re.S | re.I)
+    if m:
+        kv = _split_top_level(m.group(1))
+        if len(kv) != 2:
+            raise ValueError(f"map needs exactly <key,value> types: {ch_type!r}")
+        return f"map<{ch_type_to_spark(kv[0])},{ch_type_to_spark(kv[1])}>"
     m = re.fullmatch(r"datetime64\s*\(\s*\d+\s*(?:,\s*'[^']*'\s*)?\)", low)
     if m:
         return "timestamp"
@@ -238,6 +309,13 @@ class ParsedDDL:
     #: SummingMergeTree: the columns its merges sum (empty = every numeric
     #: non-key column, ClickHouse's default)
     sum_cols: list[str] = field(default_factory=list)
+    #: Enum8/Enum16 columns: name -> (width_bits, {value_name: code}).
+    #: Storage/serving type is string (the NAME); the set gates INSERTs —
+    #: out-of-set values are refused like ClickHouse's "Unknown element",
+    #: integer code inserts map to their names (r9 verdict item 4)
+    enum_cols: dict[str, tuple[int, dict[str, int]]] = field(
+        default_factory=dict
+    )
 
     @property
     def spark_schema(self) -> T.StructType:
@@ -261,17 +339,48 @@ def is_clickhouse_ddl(sql: str) -> bool:
     return _DDL_RE.match(sql) is not None
 
 
+def _match_generic_run(s: str, start: int) -> int:
+    """``s[start] == '<'``: return the index one past the BALANCED closing
+    ``>`` if the bracket run contains only type-ish characters (a generic
+    type spelling like ``map<string,array<bigint>>``), else -1 — a bare
+    comparison (``DEFAULT x < 1``) stays an ordinary character."""
+    depth = 0
+    for i in range(start, len(s)):
+        ch = s[i]
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        elif not (ch.isalnum() or ch in "_,() \t\n"):
+            return -1
+    return -1
+
+
 def _split_top_level(s: str) -> list[str]:
-    """Split on commas at paren depth 0 (types/defaults contain parens)."""
+    """Split on commas at paren depth 0 (types/defaults contain parens;
+    Spark generic spellings like ``map<string,bigint>`` carry top-level
+    commas inside ``<...>`` and are skipped as a unit)."""
     parts, depth, cur, quote = [], 0, [], None
-    for ch in s:
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
         if quote:
             cur.append(ch)
             if ch == quote:
                 quote = None
+            i += 1
             continue
         if ch in "'\"`":
             quote = ch
+            cur.append(ch)
+        elif ch == "<" and cur and (cur[-1].isalnum() or cur[-1] == "_"):
+            end = _match_generic_run(s, i)
+            if end > 0:  # swallow the whole generic run, commas and all
+                cur.append(s[i:end])
+                i = end
+                continue
             cur.append(ch)
         elif ch == "(":
             depth += 1
@@ -284,6 +393,7 @@ def _split_top_level(s: str) -> list[str]:
             cur = []
         else:
             cur.append(ch)
+        i += 1
     tail = "".join(cur).strip()
     if tail:
         parts.append(tail)
@@ -593,7 +703,8 @@ def parse_clickhouse_ddl(sql: str) -> ParsedDDL:
 
     for coldef in _split_top_level(m.group("cols")):
         cm = re.match(
-            r"^`?(\w+)`?\s+(?P<type>[\w()\s',]+?)(?:\s+DEFAULT\s+(?P<dflt>.+))?$",
+            r"^`?(\w+)`?\s+(?P<type>[\w()<>\s'=,-]+?)"
+            r"(?:\s+DEFAULT\s+(?P<dflt>.+))?$",
             coldef.strip(),
             re.I | re.S,
         )
@@ -602,6 +713,9 @@ def parse_clickhouse_ddl(sql: str) -> ParsedDDL:
         out.columns.append(
             (cm.group(1), ch_type_to_spark(cm.group("type")), cm.group("dflt"))
         )
+        enum = parse_enum_type(cm.group("type"))
+        if enum is not None:
+            out.enum_cols[cm.group(1)] = enum
 
     _apply_tail_clauses(out, m.group("tail"))
     if not out.order_by and out.engine.lower() != "null":
@@ -639,7 +753,16 @@ def _type_default(spark_type: str) -> F.Column:
         return F.lit(False)
     if t.startswith("array<"):
         return F.array().cast(spark_type)
+    if t.startswith("map<"):
+        return F.expr("map()").cast(spark_type)
     return F.lit(0).cast(spark_type)
+
+
+def _enum_default(values: dict[str, int]) -> F.Column:
+    """ClickHouse's implicit default for an Enum column: the FIRST declared
+    value (the type's defaultValueOfTypeName) — never '' which is outside
+    the declared set."""
+    return F.lit(next(iter(values)))
 
 
 #: ALTER MODIFY COLUMN: declared-type changes servable METADATA-ONLY over
@@ -1330,7 +1453,7 @@ class DdlCatalog:
             return self.spark.createDataFrame([], entry.ddl.spark_schema)
         mc = re.match(
             r"^MODIFY\s+COLUMN\s+(IF\s+EXISTS\s+)?`?(\w+)`?\s+"
-            r"(?P<type>[\w()\s',]+?)\s*$",
+            r"(?P<type>[\w()<>\s'=,-]+?)\s*$",
             rest,
             re.I,
         )
@@ -1345,6 +1468,10 @@ class DdlCatalog:
                 raise KeyError(f"column {cname!r} does not exist")
             new_t = ch_type_to_spark(mc.group("type")).lower()
             old_t = cur[1].lower()
+            new_enum = parse_enum_type(mc.group("type"))
+            old_enum = entry.ddl.enum_cols.get(cname)
+            if new_enum is not None or old_enum is not None:
+                return self._modify_enum(entry, cname, old_enum, new_enum, new_t, old_t)
             if new_t == old_t:
                 return self.spark.createDataFrame([], entry.ddl.spark_schema)
             self._guard_structural_column(entry, cname, "MODIFY")
@@ -1368,7 +1495,7 @@ class DdlCatalog:
             return self.spark.createDataFrame([], entry.ddl.spark_schema)
         am = re.match(
             r"^ADD\s+COLUMN\s+(IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s+"
-            r"(?P<type>[\w()\s',]+?)(?:\s+DEFAULT\s+(?P<dflt>.+))?$",
+            r"(?P<type>[\w()<>\s'=,-]+?)(?:\s+DEFAULT\s+(?P<dflt>.+))?$",
             rest,
             re.I | re.S,
         )
@@ -1393,9 +1520,56 @@ class DdlCatalog:
         entry.ddl.columns.append(
             (cname, ch_type_to_spark(am.group("type")), am.group("dflt"))
         )
+        enum = parse_enum_type(am.group("type"))
+        if enum is not None:
+            entry.ddl.enum_cols[cname] = enum
         self._sync_read_transform(entry)
         self._refresh_view(entry)
         return self.spark.createDataFrame([], entry.ddl.spark_schema)
+
+    def _modify_enum(
+        self,
+        entry: CatalogEntry,
+        cname: str,
+        old_enum: tuple[int, dict[str, int]] | None,
+        new_enum: tuple[int, dict[str, int]] | None,
+        new_t: str,
+        old_t: str,
+    ) -> DataFrame:
+        """MODIFY COLUMN where either side is an Enum. Metadata-only moves,
+        matching ClickHouse's cheap-mutation rules:
+
+        - Enum -> Enum EXTENDING the value set (every existing name keeps
+          its code; the stored names stay valid) — CH serves this without
+          rewriting parts;
+        - Enum -> String: the stored names ARE the string values;
+        - narrowing the set, re-coding a name, or String -> Enum would need
+          a full validation/rewrite of existing data — refused loudly, same
+          contract as the lossy type-narrow refusal.
+        """
+        if old_enum is not None and new_enum is not None:
+            ow, ovals = old_enum
+            nw, nvals = new_enum
+            changed = {
+                n: (c, nvals.get(n)) for n, c in ovals.items() if nvals.get(n) != c
+            }
+            if changed:
+                raise ValueError(
+                    f"MODIFY COLUMN {cname!r}: Enum values may only be "
+                    f"ADDED; these existing names change or lose their "
+                    f"code: {sorted(changed)} — CREATE a new table and "
+                    "INSERT ... SELECT instead"
+                )
+            entry.ddl.enum_cols[cname] = (nw, dict(nvals))
+            return self.spark.createDataFrame([], entry.ddl.spark_schema)
+        if old_enum is not None and new_t == "string":
+            del entry.ddl.enum_cols[cname]  # names are already the strings
+            return self.spark.createDataFrame([], entry.ddl.spark_schema)
+        raise ValueError(
+            f"MODIFY COLUMN {cname!r} {old_t} -> Enum needs a full "
+            "validation pass over existing data — CREATE a new table "
+            "with the Enum column and INSERT ... SELECT instead"
+        )
 
     #: ClickHouse skip-index types with a REAL sidecar here; everything
     #: else (set(N), minmax over expressions) is recorded metadata-only —
@@ -1562,30 +1736,55 @@ class DdlCatalog:
             pdf = rows if isinstance(rows, pd.DataFrame) else pd.DataFrame(list(rows))
             if pdf.empty:
                 return 0
+            for c in pdf.columns[pdf.dtypes == object]:
+                # dict-rows with a key absent in SOME rows surface as NaN
+                # in an object column (e.g. a Map column): NaN can't merge
+                # with dict/str inference — normalize to None (the absent
+                # value), leaving container values untouched
+                pdf[c] = pdf[c].map(
+                    lambda v: None
+                    if not isinstance(v, (dict, list, tuple, set)) and pd.isna(v)
+                    else v
+                )
             df = self.spark.createDataFrame(pdf)
         else:
             df = rows
         n = df.count()
         if n == 0:
             return 0
+        df = self._check_enum_values(entry, df)
         cols = []
         present = set(df.columns)
         for cname, ctype, dflt in entry.ddl.columns:
+            enum = entry.ddl.enum_cols.get(cname)
             fill = (
                 self._default_col(dflt, ctype)
                 if dflt is not None
-                else _type_default(ctype)
+                else (_enum_default(enum[1]) if enum else _type_default(ctype))
             )
             if cname in present:
+                if enum:
+                    base = self._enum_normalize(F.col(cname), enum[1])
+                elif ctype.startswith("map<") and isinstance(
+                    df.schema[cname].dataType, T.StructType
+                ):
+                    # dict-valued rows arrive through pandas as a STRUCT of
+                    # the union of keys (absent keys null) — rebuild the
+                    # declared map through JSON (null fields drop out, so
+                    # each row keeps exactly its own keys)
+                    base = F.from_json(F.to_json(F.col(cname)), ctype)
+                else:
+                    base = F.col(cname).cast(ctype)
                 # ClickHouse non-Nullable columns turn inserted NULLs into
                 # the default (input_format_null_as_default). Materializing
                 # that HERE keeps the at-rest data NULL-free, so reads can
                 # serve original columns raw — no coalesce wrapper blocking
                 # predicate pushdown / partition pruning.
-                cols.append(F.coalesce(F.col(cname).cast(ctype), fill).alias(cname))
+                cols.append(F.coalesce(base, fill).alias(cname))
             else:
                 # absent insert columns take DEFAULT expr or the TYPE
-                # default (''/0/epoch/false/[]), not NULL — match CH
+                # default (''/0/epoch/false/[]; first enum value), not
+                # NULL — match CH
                 cols.append(fill.alias(cname))
         conformed = df.select(*cols)
         if entry.null_engine:
@@ -1611,6 +1810,58 @@ class DdlCatalog:
         if _fire:
             self._fire_materialized_views(entry.ddl.name, conformed)
         return int(n)
+
+    @staticmethod
+    def _enum_normalize(col: F.Column, values: dict[str, int]) -> F.Column:
+        """An inserted enum value normalized to its NAME: a declared name
+        passes through; a declared integer code maps to its name (CH
+        accepts either spelling on insert); anything else becomes NULL —
+        _check_enum_values has already refused blocks containing those, so
+        the NULL branch only ever feeds the enum default fill for actual
+        NULL inputs."""
+        raw = col.cast("string")
+        code_to_name = F.create_map(
+            *[x for nm, cd in values.items() for x in (F.lit(str(cd)), F.lit(nm))]
+        )
+        return F.when(raw.isin(*values.keys()), raw).otherwise(code_to_name[raw])
+
+    def _check_enum_values(self, entry: CatalogEntry, df: DataFrame) -> DataFrame:
+        """ClickHouse refuses INSERTs carrying values outside an Enum's
+        declared set ("Unknown element ... for enum") — match that, as one
+        validation job over the block (only on tables that declare enums).
+        Accepted spellings per column: the declared names and the declared
+        integer codes."""
+        checks = [
+            (cname, spec)
+            for cname, spec in entry.ddl.enum_cols.items()
+            if cname in df.columns
+        ]
+        if not checks:
+            return df
+        bad_conds = []
+        for cname, (_, values) in checks:
+            raw = F.col(cname).cast("string")
+            ok = raw.isin(*values.keys()) | raw.isin(
+                *[str(c) for c in values.values()]
+            )
+            bad_conds.append(raw.isNotNull() & ~ok)
+        import functools
+        import operator
+
+        bad = df.filter(functools.reduce(operator.or_, bad_conds))
+        offender = bad.select(
+            *[c for c, _ in checks]
+        ).limit(1).collect()  # one tiny job, only on enum tables
+        if offender:
+            row = offender[0].asDict()
+            raise ValueError(
+                f"unknown Enum element(s) {row} for table "
+                f"{entry.ddl.name!r} — declared sets: "
+                + ", ".join(
+                    f"{c}={list(v[1])}" for c, v in entry.ddl.enum_cols.items()
+                )
+            )
+        return df
 
     def _fire_materialized_views(self, src: str, block: DataFrame) -> None:
         """ClickHouse's insert-trigger semantics: each view's SELECT runs
@@ -1711,10 +1962,11 @@ class DdlCatalog:
             # default, ClickHouse's lazy-materialization semantics. These
             # can never be key/partition columns (CREATE declares those),
             # so pruning is unaffected.
+            enum = entry.ddl.enum_cols.get(cname)
             fill = (
                 self._default_col(dflt, ctype)
                 if dflt is not None
-                else _type_default(ctype)
+                else (_enum_default(enum[1]) if enum else _type_default(ctype))
             )
             cols.append(F.coalesce(base.cast(ctype), fill).alias(cname))
         return cols
@@ -1963,14 +2215,21 @@ class DdlCatalog:
             raise KeyError(f"unknown table {m.group(1)!r}")
         ddl = self.tables[bare].ddl
         rows = [
-            (n, t, d if d is not None else "")
+            (n, self._print_type(ddl, n, t), d if d is not None else "")
             for n, t, d in ddl.columns
         ]
         # Spark type names, not ClickHouse ones — the DDL already mapped
-        # them (documented; the default expression column mirrors CH's)
+        # them (documented; the default expression column mirrors CH's).
+        # Enums are the exception: their Spark name 'string' would drop
+        # the declared value set, so they print as Enum8/16(...)
         return self.spark.createDataFrame(
             rows, "name string, type string, default_expression string"
         )
+
+    @staticmethod
+    def _print_type(ddl: ParsedDDL, cname: str, spark_t: str) -> str:
+        enum = ddl.enum_cols.get(cname)
+        return enum_type_text(*enum) if enum else spark_t
 
     def _show_create(self, sql: str) -> DataFrame | None:
         """``SHOW CREATE TABLE t`` — the catalog entry reconstructed as a
@@ -1996,7 +2255,8 @@ class DdlCatalog:
             raise KeyError(f"unknown table {m.group(1)!r}")
         ddl = self.tables[bare].ddl
         cols = ", ".join(
-            f"`{n}` {t}" + (f" DEFAULT {d}" if d is not None else "")
+            f"`{n}` {self._print_type(ddl, n, t)}"
+            + (f" DEFAULT {d}" if d is not None else "")
             for n, t, d in ddl.columns
         )
         eng = ddl.engine

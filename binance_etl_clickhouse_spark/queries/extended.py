@@ -518,6 +518,106 @@ def ddl_mutation_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Verbatim Enum8 + Map(K,V) column types (r10, r9 verdict items 4+5): a
+# scratch table declares an Enum8 market column and a Map(String, Int64)
+# feature column; the insert history exercises every coercion rule — enum
+# names, integer enum codes (map to their names), NULL/absent enum (first
+# declared value), dict-valued map inserts, absent map (empty). The read
+# query extracts scalars (m[key] access, sorted-key concat) so the hash
+# compares plain columns; the oracle recomputes every rule independently
+# in DuckDB (CASE for the code->name table, native MAP extraction).
+# ---------------------------------------------------------------------------
+#: (doc_id, market_input_or_None, counts_dict_or_None)
+_ENUM_MAP_HISTORY: list[tuple[int, object, dict | None]] = [
+    (1, "spot", {"a": 3, "b": 1}),
+    (2, 2, {"a": 7}),          # integer code -> 'perp'
+    (3, "margin", {}),
+    (4, None, None),           # enum default 'spot', map default {}
+    (5, 5, {"b": -2, "c": 0}),  # code -> 'margin'
+]
+
+
+def _enum_map_oracle() -> str:
+    def _m(c):
+        if c is None:
+            return "NULL"
+        if not c:
+            return "MAP {}::MAP(VARCHAR, BIGINT)"
+        body = ", ".join(f"'{k}': {v}" for k, v in c.items())
+        return f"MAP {{{body}}}"
+
+    vals = ", ".join(
+        f"({i}, {'NULL' if mk is None else repr(str(mk))}, {_m(c)})"
+        for i, mk, c in _ENUM_MAP_HISTORY
+    )
+    return f"""
+    WITH history(doc_id, market_raw, m) AS (VALUES {vals}),
+    filled AS (
+      SELECT doc_id,
+             coalesce(m, MAP {{}}::MAP(VARCHAR, BIGINT)) AS m,
+             CASE WHEN market_raw IS NULL THEN 'spot'
+                  WHEN market_raw = '1' THEN 'spot'
+                  WHEN market_raw = '2' THEN 'perp'
+                  WHEN market_raw = '5' THEN 'margin'
+                  ELSE market_raw END AS market
+      FROM history
+    )
+    SELECT doc_id, market,
+           m['a'][1]::BIGINT AS a,
+           m['b'][1]::BIGINT AS b,
+           coalesce(array_to_string(list_sort(map_keys(m)), ','), '') AS keys_csv
+    FROM filled
+    """
+
+
+@register(
+    "enum_map_ddl_roundtrip",
+    _enum_map_oracle(),
+    survey_ref=(
+        "S8 DDL surface (r10): Enum8 (name/code inserts, out-of-set "
+        "refusal, first-value default) + Map(String, Int64) (dict inserts, "
+        "m[key] access, empty default) declared in verbatim CREATE TABLE, "
+        "value-hash oracled"
+    ),
+)
+def enum_map_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EAGER like ddl_verbatim_roundtrip: building it provisions a scratch
+    table through the verbatim-DDL path and replays the fixed insert
+    history. Input is the literal history — identical at every sf."""
+    import tempfile
+
+    from binance_etl_clickhouse_spark.engine import AnalyticsEngine
+
+    eng = AnalyticsEngine(
+        spark, verbose=False, ddl_root=tempfile.mkdtemp(prefix="ddl_em_")
+    )
+    eng.sql(
+        """CREATE TABLE em.feats (
+            doc_id Int64,
+            market Enum8('spot' = 1, 'perp' = 2, 'margin' = 5),
+            counts Map(String, Int64)
+        ) ENGINE = MergeTree ORDER BY (doc_id)""",
+        dialect="clickhouse",
+    )
+    rows = []
+    for doc_id, market, counts in _ENUM_MAP_HISTORY:
+        r: dict = {"doc_id": doc_id}
+        if market is not None:
+            r["market"] = market
+        if counts is not None:
+            r["counts"] = counts
+        rows.append(r)
+    eng.sql("INSERT INTO em.feats VALUES", args=rows, dialect="clickhouse")
+    return eng.sql(
+        """SELECT doc_id, market,
+                  counts['a'] AS a, counts['b'] AS b,
+                  arrayStringConcat(arraySort(mapKeys(counts)), ',') AS keys_csv
+           FROM em.feats""",
+        dialect="clickhouse",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Verbatim ClickHouse ASOF JOIN (r8): the dialect's point-in-time join
 # surface driven as a registered query. The ClickHouse text runs unchanged
 # through engine.sql(dialect="clickhouse") — translated into the union +
