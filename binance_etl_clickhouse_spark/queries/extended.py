@@ -518,6 +518,167 @@ def ddl_mutation_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SHOW CREATE TABLE round trip (r10, r9 verdict item 6): the reconstructed
+# CREATE statement is not just text — it must re-provision a table with
+# IDENTICAL engine semantics. A ReplacingMergeTree(ver) table with the
+# full clause surface (version column, month partition, PK prefix, a
+# DEFAULT) is created, SHOW CREATE is re-run through a second catalog,
+# and the SAME insert history replays against the re-provisioned table;
+# the served snapshot is hashed. If the reconstruction dropped the
+# version column, the keep-MAX-version semantics would break and the
+# hash would catch it.
+# ---------------------------------------------------------------------------
+#: (symbol, ts, close, ver) — versions unique per key, so the served
+#: winner is exactly max(ver) regardless of insert order
+_SHOWCR_HISTORY: list[tuple[str, str, float, int]] = [
+    ("BTCUSDT", "2024-01-01 00:00:00", 100.0, 3),
+    ("BTCUSDT", "2024-01-01 00:00:00", 101.0, 7),  # higher ver: wins
+    ("BTCUSDT", "2024-01-01 00:00:00", 99.0, 5),   # lower ver, LATER insert: loses
+    ("ETHUSDT", "2024-01-01 00:00:00", 10.0, 1),
+    ("ETHUSDT", "2024-02-01 00:00:00", 11.0, 2),   # second month dir
+]
+
+
+def _showcr_oracle() -> str:
+    vals = ", ".join(
+        f"('{s}', TIMESTAMP '{t}', {c}, {v})" for s, t, c, v in _SHOWCR_HISTORY
+    )
+    return f"""
+    WITH history(symbol, ts, close, ver) AS (VALUES {vals})
+    SELECT symbol, ts, close, ver FROM (
+      SELECT *, row_number() OVER (PARTITION BY symbol, ts
+                                   ORDER BY ver DESC) AS rn
+      FROM history
+    ) WHERE rn = 1
+    """
+
+
+@register(
+    "show_create_verbatim_roundtrip",
+    _showcr_oracle(),
+    survey_ref=(
+        "S8 DDL surface (r10): SHOW CREATE TABLE reconstruction "
+        "re-provisions through a second catalog with identical "
+        "ReplacingMergeTree(ver) semantics — the replayed history serves "
+        "the same max-version snapshot, value-hash oracled"
+    ),
+)
+def show_create_verbatim_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EAGER like ddl_verbatim_roundtrip: provisions a scratch table, runs
+    SHOW CREATE, re-provisions a SECOND scratch catalog from the emitted
+    statement, and replays the fixed history there. Input is the literal
+    history — identical at every sf."""
+    import tempfile
+
+    from binance_etl_clickhouse_spark.engine import AnalyticsEngine
+
+    eng = AnalyticsEngine(
+        spark, verbose=False, ddl_root=tempfile.mkdtemp(prefix="ddl_sc1_")
+    )
+    eng.sql(
+        """CREATE TABLE sc.kl (
+            symbol String,
+            ts DateTime,
+            close Float64 DEFAULT 0.0,
+            ver Int64
+        ) ENGINE = ReplacingMergeTree(ver)
+        PARTITION BY toYYYYMM(ts)
+        PRIMARY KEY (symbol)
+        ORDER BY (symbol, ts)""",
+        dialect="clickhouse",
+    )
+    stmt = eng.sql("SHOW CREATE TABLE sc.kl", dialect="clickhouse").collect()[
+        0
+    ].statement
+    eng2 = AnalyticsEngine(
+        spark, verbose=False, ddl_root=tempfile.mkdtemp(prefix="ddl_sc2_")
+    )
+    eng2.sql(stmt.replace("sc.kl", "sc2.kl2"), dialect="clickhouse")
+    eng2.sql(
+        "INSERT INTO sc2.kl2 (symbol, ts, close, ver) VALUES",
+        args=[
+            {"symbol": s, "ts": pd.Timestamp(t), "close": c, "ver": v}
+            for s, t, c, v in _SHOWCR_HISTORY
+        ],
+        dialect="clickhouse",
+    )
+    return eng2.sql(
+        "SELECT symbol, ts, close, ver FROM kl2", dialect="clickhouse"
+    )
+
+
+# ---------------------------------------------------------------------------
+# ENGINE = Null -> MV staging flow (r10, r9 verdict item 6): ClickHouse's
+# canonical streaming-aggregation idiom — a Null staging table stores
+# nothing, but every inserted block fires the SummingMergeTree MV, which
+# accumulates per-block partial sums merged on read. The result frame is
+# the MV's served state UNION the (empty) staging table's row count as a
+# sentinel row, so the hash pins BOTH halves of the contract.
+# ---------------------------------------------------------------------------
+_NULLMV_BLOCKS: list[list[tuple[str, int]]] = [
+    [("a", 1), ("a", 2), ("b", 5)],
+    [("a", 10)],
+    [("b", -3), ("c", 7)],
+]
+
+
+def _nullmv_oracle() -> str:
+    vals = ", ".join(
+        f"('{k}', {v})" for block in _NULLMV_BLOCKS for k, v in block
+    )
+    return f"""
+    WITH history(k, v) AS (VALUES {vals})
+    SELECT k, SUM(v)::BIGINT AS v FROM history GROUP BY k
+    UNION ALL
+    SELECT '__raw_rows__' AS k, 0::BIGINT AS v
+    """
+
+
+@register(
+    "null_engine_mv_staging",
+    _nullmv_oracle(),
+    survey_ref=(
+        "S8 DDL surface (r10): ENGINE = Null staging -> SummingMergeTree "
+        "MV — per-block insert triggers aggregate while the staging table "
+        "serves empty; both halves value-hash oracled"
+    ),
+)
+def null_engine_mv_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EAGER like ddl_verbatim_roundtrip: provisions the Null table + MV
+    and replays the fixed blocks. Input is the literal history —
+    identical at every sf."""
+    import tempfile
+
+    from binance_etl_clickhouse_spark.engine import AnalyticsEngine
+
+    eng = AnalyticsEngine(
+        spark, verbose=False, ddl_root=tempfile.mkdtemp(prefix="ddl_nmv_")
+    )
+    eng.sql(
+        "CREATE TABLE st.raw (k String, v Int64) ENGINE = Null",
+        dialect="clickhouse",
+    )
+    eng.sql(
+        """CREATE MATERIALIZED VIEW st.sums
+        ENGINE = SummingMergeTree ORDER BY (k)
+        AS SELECT k, sum(v) AS v FROM st.raw GROUP BY k""",
+        dialect="clickhouse",
+    )
+    for block in _NULLMV_BLOCKS:
+        eng.sql(
+            "INSERT INTO st.raw (k, v) VALUES",
+            args=[{"k": k, "v": v} for k, v in block],
+            dialect="clickhouse",
+        )
+    return eng.sql(
+        """SELECT k, v FROM sums
+           UNION ALL
+           SELECT '__raw_rows__' AS k, count(*) AS v FROM raw""",
+        dialect="clickhouse",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Verbatim Enum8 + Map(K,V) column types (r10, r9 verdict items 4+5): a
 # scratch table declares an Enum8 market column and a Map(String, Int64)
 # feature column; the insert history exercises every coercion rule — enum
