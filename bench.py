@@ -450,6 +450,151 @@ def _bench_corpus_scale(spark) -> dict:
     }
 
 
+#: sf1-shape replication factor for the storage (skip-index) tier
+_STORAGE_REPLICAS = int(os.environ.get("BENCH_STORAGE_REPLICAS", "10"))
+
+
+def _bench_storage(spark) -> dict:
+    """Skip-index pruning, measured not asserted (r9 verdict item 7): at
+    an sf1-shape table (events x replicas, range-written so files are
+    time-sliced; documents x replicas, doc-sliced), report files-pruned /
+    files-total and the pruned-vs-full scan wall for (a) a minmax
+    zone-map on timestamp and (b) a token-bloom on the text column. The
+    local wall ratio UNDERSTATES the value at 100 TB (parquet row-group
+    stats already cheapen the local full scan; on object storage every
+    skipped file is a skipped request), so the files ratio is the
+    headline number."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from binance_etl_clickhouse_spark.storage import tokenbloom, zonemap
+    from binance_etl_clickhouse_spark.tables import load_table
+
+    scratch = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_bench_storage_{os.getpid()}"
+    )
+    out: dict = {"replicas": _STORAGE_REPLICAS}
+
+    def _timed(fn):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        fn()
+        return round(time.perf_counter() - t0, 4)
+
+    # -- minmax zone map on events.ts ------------------------------------
+    ev_path = os.path.join(scratch, "events_sliced")
+    ev = load_table(spark, SF_DIR, "events").select("ts", "user_id", "value")
+    reps = [ev]
+    for i in range(1, _STORAGE_REPLICAS):
+        reps.append(ev.withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {i * 91} DAYS")))
+    big_ev = reps[0]
+    for r in reps[1:]:
+        big_ev = big_ev.unionByName(r)
+    n_files = 8 * _STORAGE_REPLICAS
+    big_ev.repartitionByRange(n_files, "ts").write.mode("overwrite").parquet(ev_path)
+    zm = zonemap.build_zonemap(ev_path, ["ts"])
+    lo, hi = "2024-02-01 00:00:00", "2024-02-03 00:00:00"
+    kept = zonemap.prune_files(
+        zm, ev_path, {"ts": ("between", pd.Timestamp(lo), pd.Timestamp(hi))}
+    )
+    total = len(zonemap.data_files(ev_path))
+    pred = (F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi))
+
+    def _scan(paths):
+        df = spark.read.parquet(*paths) if paths else spark.read.parquet(ev_path)
+        df.filter(pred).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+        ).write.format("noop").mode("overwrite").save()
+
+    wall_full = min(_timed(lambda: _scan(None)) for _ in range(N_RUNS))
+    wall_pruned = min(_timed(lambda: _scan(kept)) for _ in range(N_RUNS))
+    out["minmax"] = {
+        "files_total": total,
+        "files_kept": len(kept) if kept is not None else total,
+        "pruned_frac": round(1 - (len(kept) if kept is not None else total) / total, 4),
+        "wall_full_s": wall_full,
+        "wall_pruned_s": wall_pruned,
+    }
+
+    # -- token bloom on documents.text -----------------------------------
+    # Two layouts, because a skip index's value IS a layout property (CH's
+    # own docs say the same: skip indexes need ORDER BY locality):
+    #  * scattered — docs written in doc_id order; the probe token appears
+    #    in ~every file, so the bloom correctly keeps everything (the
+    #    fail-safe floor, and the probe's overhead is the measured cost);
+    #  * clustered — docs range-written with token-presence as the leading
+    #    sort key (the locality a production ORDER BY / materialized
+    #    clustering gives); the same probe now prunes most files.
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    # probe token: the globally LEAST-frequent token (ties broken
+    # lexicographically — deterministic per dataset)
+    rare = (
+        docs.select(F.explode(tokenbloom.tokens("text")).alias("t"), "doc_id")
+        .groupBy("t")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.length("t") >= 3)
+        .orderBy(F.col("df").asc(), F.col("t").asc())
+        .limit(1)
+        .collect()[0]
+        .t
+    )
+    dreps = [docs]
+    for i in range(1, _STORAGE_REPLICAS):
+        dreps.append(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+        )
+    big_docs = dreps[0]
+    for r in dreps[1:]:
+        big_docs = big_docs.unionByName(r)
+    d_files = 4 * _STORAGE_REPLICAS
+
+    def _doc_scan(path: str, pruned: bool):
+        if pruned:
+            df = tokenbloom.read_containing(spark, path, rare, "text")
+        else:
+            df = spark.read.parquet(path).filter(
+                F.array_contains(tokenbloom.tokens("text"), rare)
+            )
+        df.agg(F.count(F.lit(1)).alias("n")).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    out["token_bloom"] = {"probe_token": rare}
+    has_tok = F.array_contains(tokenbloom.tokens("text"), rare).cast("int")
+    for layout, frame in (
+        ("scattered", big_docs.repartitionByRange(d_files, "doc_id")),
+        (
+            "clustered",
+            big_docs.withColumn("__tk", has_tok).repartitionByRange(
+                d_files, "__tk", "doc_id"
+            ).drop("__tk"),
+        ),
+    ):
+        path = os.path.join(scratch, f"docs_{layout}")
+        frame.write.mode("overwrite").parquet(path)
+        tokenbloom.build_token_bloom(spark, path, "text")
+        idx = tokenbloom.read_token_bloom(path)
+        dkept = tokenbloom.prune_files_with_token(idx, path, rare)
+        dtotal = len(zonemap.data_files(path))
+        n_kept = len(dkept) if dkept is not None else dtotal
+        out["token_bloom"][layout] = {
+            "files_total": dtotal,
+            "files_kept": n_kept,
+            "pruned_frac": round(1 - n_kept / dtotal, 4),
+            "wall_full_s": min(
+                _timed(lambda: _doc_scan(path, False)) for _ in range(N_RUNS)
+            ),
+            "wall_pruned_s": min(
+                _timed(lambda: _doc_scan(path, True)) for _ in range(N_RUNS)
+            ),
+        }
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     # shuffle partitions sized to the bench scale, not the core count: at
     # sf<=1 the inputs are tens of MB, so 8 initial partitions (AQE coalesces
@@ -494,9 +639,11 @@ def main() -> None:
             k: min(dialect_timings[k], re_dialect[k]) for k in dialect_timings
         }
         sentinel_samples.append(_run_sentinel())
-    # the corpus-scale tier is bracketed too (one sample after it); its
-    # timings are single-tier so they get the loaded stamp, not a re-sweep
+    # the corpus-scale and storage tiers are bracketed too (one sample
+    # after each); their timings are single-tier so they get the loaded
+    # stamp, not a re-sweep
     corpus_scale = _bench_corpus_scale(spark)
+    storage = _bench_storage(spark)
     sentinel_samples.append(_run_sentinel())
     sentinel = sentinel_policy(sentinel_samples, SENTINEL_ENVELOPE_CORES)
 
@@ -514,6 +661,7 @@ def main() -> None:
             "queries": dialect_timings,
         },
         "corpus_scale": corpus_scale,
+        "storage": storage,
     }
     line = json.dumps(payload)
     # The driver captures only the tail of stdout, which has truncated the

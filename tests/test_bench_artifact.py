@@ -86,6 +86,7 @@ class TestArtifactShape:
             bench, "_run_sentinel", lambda sample_s=3.0: next(samples)
         )
         monkeypatch.setattr(bench, "_bench_corpus_scale", lambda spark: {"stub": 1})
+        monkeypatch.setattr(bench, "_bench_storage", lambda spark: {"stub": 2})
 
         class _Spark:
             class read:  # noqa: N801 — mimic spark.read.parquet(...).count()
@@ -156,3 +157,4 @@ class TestArtifactShape:
         assert s["envelope_cores"] == bench.SENTINEL_ENVELOPE_CORES
         assert set(payload["queries"]) == set(fake_q)
         assert payload["corpus_scale"] == {"stub": 1}
+        assert payload["storage"] == {"stub": 2}
