@@ -386,6 +386,41 @@ class AnalyticsEngine:
                 return self.spark.range(n).select(
                     F.lit(n).alias("rows_written")
                 ).limit(1)
+            ins_lit = re.match(
+                r"^\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\)\s*)?"
+                r"VALUES\s*(?P<rows>\(.+?)\s*;?\s*$",
+                query,
+                re.I | re.S,
+            )
+            if ins_lit is not None:
+                # the inline-literal idiom: INSERT INTO t VALUES ('a', 1),
+                # ('b', 2) — the rows evaluate through Spark's native
+                # VALUES clause (after the scalar dialect, so ClickHouse
+                # expressions like toDateTime('...') work inside literals),
+                # then append through the catalog like every other insert
+                df = self.sql(
+                    f"SELECT * FROM VALUES {ins_lit.group('rows')}",
+                    dialect="clickhouse",
+                )
+                cols = ins_lit.group(2)
+                if cols:
+                    names = [c.strip().strip("`") for c in cols.split(",")]
+                else:
+                    entry = self.ddl_catalog.tables.get(
+                        self.ddl_catalog._bare(ins_lit.group(1))
+                    )
+                    if entry is None:
+                        raise KeyError(
+                            f"unknown table {ins_lit.group(1)!r} (CREATE it first)"
+                        )
+                    names = [c for c, _, _ in entry.ddl.columns]
+                if len(names) != len(df.columns):
+                    raise ValueError(
+                        f"INSERT target columns {names} do not match the "
+                        f"VALUES rows' {len(df.columns)} fields"
+                    )
+                n = self.insert(ins_lit.group(1), df.toDF(*names))
+                return self.spark.range(1).select(F.lit(n).alias("rows_written"))
             ins_sel = re.match(
                 r"^\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\)\s*)?"
                 r"(SELECT\b.*|WITH\b.*)$",

@@ -2517,3 +2517,96 @@ class TestMapColumns:
             "SELECT m['xs'] AS xs FROM nested", dialect="clickhouse"
         ).collect()[0]
         assert list(r.xs) == [1, 2, 3]
+
+
+class TestInsertInlineValues:
+    """r10: the inline-literal insert idiom — INSERT INTO t VALUES
+    ('a', 1), ('b', 2) — runs verbatim. Rows evaluate through Spark's
+    native VALUES clause AFTER the scalar dialect, so ClickHouse
+    expressions (toDateTime, ...) work inside the literals; the block
+    then takes the same catalog path as every insert (defaults,
+    keep-last, MV triggers, enum gates)."""
+
+    @pytest.fixture()
+    def eng(self, spark, tmp_path):
+        eng = AnalyticsEngine(
+            spark, verbose=False, ddl_root=str(tmp_path / "ddl_inl")
+        )
+        eng.sql(
+            """CREATE TABLE kv (
+                k String, v Int64, ts DateTime
+            ) ENGINE = ReplacingMergeTree()
+            ORDER BY (k)""",
+            dialect="clickhouse",
+        )
+        return eng
+
+    def test_plain_literals(self, eng):
+        out = eng.sql(
+            "INSERT INTO kv (k, v, ts) VALUES "
+            "('a', 1, toDateTime('2024-01-01 00:00:00')), "
+            "('b', 2, toDateTime('2024-01-02 00:00:00'))",
+            dialect="clickhouse",
+        )
+        assert out.collect()[0].rows_written == 2
+        got = sorted(
+            (r.k, r.v) for r in eng.sql("SELECT k, v FROM kv").collect()
+        )
+        assert got == [("a", 1), ("b", 2)]
+
+    def test_no_column_list_uses_declared_order(self, eng):
+        eng.sql(
+            "INSERT INTO kv VALUES ('x', 9, toDateTime('2024-03-01 00:00:00'));",
+            dialect="clickhouse",
+        )
+        r = eng.sql("SELECT k, v FROM kv").collect()[0]
+        assert (r.k, r.v) == ("x", 9)
+
+    def test_strings_with_commas_and_parens(self, eng):
+        eng.sql(
+            "INSERT INTO kv (k, v, ts) VALUES "
+            "('a,b (c)', 1, toDateTime('2024-01-01 00:00:00'))",
+            dialect="clickhouse",
+        )
+        assert eng.sql("SELECT k FROM kv").collect()[0].k == "a,b (c)"
+
+    def test_keep_last_applies_within_literal_block(self, eng):
+        eng.sql(
+            "INSERT INTO kv (k, v, ts) VALUES "
+            "('a', 1, toDateTime('2024-01-01 00:00:00')), "
+            "('a', 2, toDateTime('2024-01-01 00:00:00'))",
+            dialect="clickhouse",
+        )
+        rows = eng.sql("SELECT k, v FROM kv").collect()
+        assert [(r.k, r.v) for r in rows] == [("a", 2)]  # last in block wins
+
+    def test_arity_mismatch_refused(self, eng):
+        with pytest.raises(ValueError, match="do not match"):
+            eng.sql("INSERT INTO kv (k, v) VALUES ('a', 1, 2)", dialect="clickhouse")
+
+    def test_enum_gate_applies_to_literal_inserts(self, spark, tmp_path):
+        eng = AnalyticsEngine(
+            spark, verbose=False, ddl_root=str(tmp_path / "ddl_inl_e")
+        )
+        eng.sql(
+            "CREATE TABLE me (k String, m Enum8('x' = 1, 'y' = 2)) "
+            "ENGINE = MergeTree ORDER BY (k)",
+            dialect="clickhouse",
+        )
+        # one spelling per block: Spark's inline table requires a single
+        # type per VALUES column (mixing 'y' and 1 in one block is refused
+        # at parse — use two inserts, as below; documented divergence)
+        eng.sql("INSERT INTO me VALUES ('a', 'y')", dialect="clickhouse")
+        eng.sql("INSERT INTO me VALUES ('b', 1)", dialect="clickhouse")
+        got = sorted((r.k, r.m) for r in eng.sql("SELECT k, m FROM me").collect())
+        assert got == [("a", "y"), ("b", "x")]
+        with pytest.raises(ValueError, match="unknown Enum element"):
+            eng.sql("INSERT INTO me VALUES ('c', 'nope')", dialect="clickhouse")
+
+    def test_driver_args_idiom_still_works(self, eng):
+        out = eng.sql(
+            "INSERT INTO kv (k, v, ts) VALUES",
+            args=[{"k": "z", "v": 5, "ts": "2024-01-01 00:00:00"}],
+            dialect="clickhouse",
+        )
+        assert out.collect()[0].rows_written == 1
