@@ -36,8 +36,16 @@ COLLECT_WHITELIST = {
     "operators/sketches.py": "kilobyte-scale sketch states (CMS merge)",
     "operators/unigram.py": "vocab-sized piece-count tables per EM step (pieces, not rows)",
     "pipeline.py": "failed-symbol report list (per-run, symbols not rows)",
+    "dialect_ddl.py": (
+        "limit(1) enum-gate offender probe — at most ONE row, and only on "
+        "INSERT blocks into tables that declare Enum columns"
+    ),
     "queries/llm.py": "fitted centroid literals for the oracle SQL twin",
     "queries/corpus.py": "|HYBRID_QUERY_IDS|=3 query vectors for the dense probe",
+    "queries/extended.py": (
+        "SHOW CREATE statement text (one metadata row) for the round-trip "
+        "re-provisioning query"
+    ),
     "storage/rollup.py": "touched (month, seq) pairs (months, not rows)",
     "storage/table.py": "per-MONTH counts / kept-month set for delete_where/update_where pruning (months, not rows)",
     "storage/tokenbloom.py": "m/64 bloom longs per FILE (files, not rows)",
