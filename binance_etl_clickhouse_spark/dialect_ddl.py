@@ -2253,7 +2253,12 @@ class DdlCatalog:
             )
         if bare not in self.tables:
             raise KeyError(f"unknown table {m.group(1)!r}")
-        ddl = self.tables[bare].ddl
+        stmt = self._create_statement(self.tables[bare].ddl)
+        return self.spark.createDataFrame([(stmt,)], "statement string")
+
+    def _create_statement(self, ddl: ParsedDDL) -> str:
+        """The catalog entry reconstructed as a runnable CREATE (shared by
+        SHOW CREATE TABLE and system.tables.create_table_query)."""
         cols = ", ".join(
             f"`{n}` {self._print_type(ddl, n, t)}"
             + (f" DEFAULT {d}" if d is not None else "")
@@ -2272,7 +2277,7 @@ class DdlCatalog:
             stmt += f" PRIMARY KEY ({', '.join(ddl.primary_key)})"
         if ddl.order_by:
             stmt += f" ORDER BY ({', '.join(ddl.order_by)})"
-        return self.spark.createDataFrame([(stmt,)], "statement string")
+        return stmt
 
     # -- dictGet / dictHas ------------------------------------------------
 
@@ -2455,7 +2460,10 @@ class DdlCatalog:
         """Strip created-database qualifiers from table references
         (``SELECT ... FROM binance_v2.bn_spot_symbols`` → the bare view) —
         the reference's client connects to a database, so its queries mix
-        qualified and bare names freely. String literals are left alone."""
+        qualified and bare names freely. String literals are left alone.
+        ``system.*`` references materialize their introspection views from
+        CURRENT catalog state first (r10)."""
+        query = self._materialize_system_views(query)
         if not self.databases:
             return query
         pattern = re.compile(
@@ -2464,4 +2472,153 @@ class DdlCatalog:
         parts = re.split(r"('(?:[^']|'')*')", query)  # keep quoted literals
         return "".join(
             p if i % 2 else pattern.sub("", p) for i, p in enumerate(parts)
+        )
+
+    # -- system.* introspection tables (r10) -------------------------------
+
+    #: the ClickHouse system tables served here; each is rebuilt from the
+    #: catalog's CURRENT state at query time (CH's are live views too)
+    _SYSTEM_TABLES = ("databases", "tables", "columns", "parts")
+
+    def _materialize_system_views(self, query: str) -> str:
+        """``FROM system.tables`` etc. → a temp view ``__system_tables``
+        refreshed from the catalog NOW, with the reference rewritten
+        (Spark temp views can't carry a db qualifier). Only the referenced
+        system tables are built — a query that never touches system.* pays
+        nothing."""
+        from binance_etl_clickhouse_spark.dialect import _blank_quoted
+
+        refs = {
+            m.group(1).lower()
+            for m in re.finditer(
+                r"(?<![\w.`])system\.(\w+)", _blank_quoted(query), re.I
+            )
+        }
+        hit = refs & set(self._SYSTEM_TABLES)
+        unknown = refs - hit
+        if unknown:
+            raise KeyError(
+                f"unsupported system table(s) {sorted(unknown)} — available: "
+                f"{list(self._SYSTEM_TABLES)}"
+            )
+        if not hit:
+            return query
+        for name in sorted(hit):
+            getattr(self, f"_system_{name}")().createOrReplaceTempView(
+                f"__system_{name}"
+            )
+        parts = re.split(r"('(?:[^']|'')*')", query)
+        pat = re.compile(r"(?<![\w.`])system\.(\w+)", re.I)
+        return "".join(
+            p if i % 2 else pat.sub(lambda m: f"__system_{m.group(1).lower()}", p)
+            for i, p in enumerate(parts)
+        )
+
+    def _system_databases(self) -> DataFrame:
+        rows = sorted({*self.databases, "system"})
+        return self.spark.createDataFrame([(d,) for d in rows], "name string")
+
+    def _system_tables(self) -> DataFrame:
+        """database / name / engine / partition_key / sorting_key /
+        primary_key / create_table_query — the introspection columns the
+        reference-style tooling actually reads. MVs report engine
+        'MaterializedView' and plain views 'View', like ClickHouse."""
+        rows = []
+        for bare, entry in self.tables.items():
+            ddl = entry.ddl
+            if bare in self.views and self.views[bare].owns_storage:
+                continue  # listed below as the MV, not as its storage twin
+            rows.append(
+                (
+                    ddl.database or "default",
+                    bare,
+                    ddl.engine,
+                    f"toYYYYMM({ddl.partition_time_col})"
+                    if ddl.partition_time_col
+                    else "",
+                    ", ".join(ddl.order_by),
+                    ", ".join(ddl.primary_key or ddl.order_by),
+                    self._create_statement(ddl),
+                )
+            )
+        for name, mv in self.views.items():
+            rows.append(
+                (mv.database or "default", name, "MaterializedView", "", "", "", "")
+            )
+        for name, (db, select) in self.plain_views.items():
+            rows.append(
+                (
+                    db or "default",
+                    name,
+                    "View",
+                    "",
+                    "",
+                    "",
+                    f"CREATE VIEW {name} AS {select.strip()}",
+                )
+            )
+        return self.spark.createDataFrame(
+            sorted(rows),
+            "database string, name string, engine string, partition_key string, "
+            "sorting_key string, primary_key string, create_table_query string",
+        )
+
+    def _system_columns(self) -> DataFrame:
+        rows = []
+        for bare, entry in self.tables.items():
+            ddl = entry.ddl
+            for pos, (n, t, d) in enumerate(ddl.columns, start=1):
+                rows.append(
+                    (
+                        ddl.database or "default",
+                        bare,
+                        n,
+                        self._print_type(ddl, n, t),
+                        pos,
+                        d if d is not None else "",
+                    )
+                )
+        return self.spark.createDataFrame(
+            sorted(rows),
+            "database string, table string, name string, type string, "
+            "position int, default_expression string",
+        )
+
+    def _system_parts(self) -> DataFrame:
+        """One row per parquet data file (the part analogue): partition id
+        (the month dir, or 'all'), rows from the parquet FOOTER (O(files)
+        metadata reads, no scan — same cost class as CH's parts metadata),
+        bytes on disk."""
+        import pyarrow.parquet as pq
+
+        from binance_etl_clickhouse_spark.storage.zonemap import data_files
+
+        rows = []
+        for bare, entry in self.tables.items():
+            ddl = entry.ddl
+            root = entry.table.path
+            if not os.path.isdir(root):
+                continue
+            for rel in data_files(root):
+                full = os.path.join(root, rel)
+                pm = re.search(r"month=(\d+)", rel)
+                try:
+                    n_rows = pq.ParquetFile(full).metadata.num_rows
+                except Exception:
+                    n_rows = -1
+                rows.append(
+                    (
+                        ddl.database or "default",
+                        bare,
+                        pm.group(1) if pm else "all",
+                        rel,
+                        n_rows,
+                        os.path.getsize(full),
+                        1,
+                    )
+                )
+        return self.spark.createDataFrame(
+            sorted(rows),
+            "database string, table string, partition string, name string, "
+            "rows bigint, bytes_on_disk bigint, active int",
         )

@@ -117,6 +117,7 @@ NEXT_WINDOW = [
     "show_create_verbatim_roundtrip",
     "null_engine_mv_staging",
     "enum_map_ddl_roundtrip",
+    "system_tables_introspection",
 ]
 
 

@@ -679,6 +679,89 @@ def null_engine_mv_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# system.* introspection (r10): system.tables / system.columns /
+# system.parts queried VERBATIM over a scratch catalog with a fixed DDL
+# history (two engines, a TO-form MV, a plain view, one two-month insert).
+# The oracle is the independently-derived expectation: engines from the
+# DDL, column counts from the declared schemas, part rows from the insert
+# block (per-month split for the partitioned table; the MV trigger's
+# per-key partials for its SummingMergeTree target).
+# ---------------------------------------------------------------------------
+
+
+def _sys_introspect_oracle() -> str:
+    return """
+    SELECT * FROM (VALUES
+      ('kl',  'ReplacingMergeTree', 4::BIGINT, 2::BIGINT),
+      ('agg', 'SummingMergeTree',   2::BIGINT, 2::BIGINT),
+      ('mv',  'MaterializedView',   0::BIGINT, 0::BIGINT),
+      ('v',   'View',               0::BIGINT, 0::BIGINT)
+    ) AS t(name, engine, n_cols, part_rows)
+    """
+
+
+@register(
+    "system_tables_introspection",
+    _sys_introspect_oracle(),
+    survey_ref=(
+        "S8 introspection (r10): system.tables/columns/parts served as "
+        "live catalog views (parts rows from parquet footers, O(files) "
+        "metadata), joined verbatim and value-hash oracled"
+    ),
+)
+def system_tables_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EAGER like ddl_verbatim_roundtrip: provisions a scratch catalog and
+    reads its system tables back. Input is the literal DDL history —
+    identical at every sf."""
+    import tempfile
+
+    from binance_etl_clickhouse_spark.engine import AnalyticsEngine
+
+    eng = AnalyticsEngine(
+        spark, verbose=False, ddl_root=tempfile.mkdtemp(prefix="ddl_sys_")
+    )
+    eng.sql("CREATE DATABASE IF NOT EXISTS db1", dialect="clickhouse")
+    eng.sql(
+        """CREATE TABLE db1.kl (
+            symbol String, ts DateTime, close Float64, ver Int64
+        ) ENGINE = ReplacingMergeTree(ver)
+        PARTITION BY toYYYYMM(ts)
+        PRIMARY KEY (symbol) ORDER BY (symbol, ts)""",
+        dialect="clickhouse",
+    )
+    eng.sql(
+        "CREATE TABLE db1.agg (k String, v Int64) "
+        "ENGINE = SummingMergeTree ORDER BY (k)",
+        dialect="clickhouse",
+    )
+    eng.sql(
+        "CREATE MATERIALIZED VIEW db1.mv TO db1.agg AS "
+        "SELECT symbol AS k, toInt64(close) AS v FROM db1.kl",
+        dialect="clickhouse",
+    )
+    eng.sql("CREATE VIEW db1.v AS SELECT symbol FROM db1.kl", dialect="clickhouse")
+    eng.sql(
+        "INSERT INTO db1.kl VALUES "
+        "('BTC', toDateTime('2024-01-01 00:00:00'), 10.5, 1), "
+        "('ETH', toDateTime('2024-02-01 00:00:00'), 2.5, 1)",
+        dialect="clickhouse",
+    )
+    return eng.sql(
+        """SELECT t.name AS name, t.engine AS engine,
+                  coalesce(c.n_cols, 0) AS n_cols,
+                  coalesce(p.part_rows, 0) AS part_rows
+           FROM system.tables t
+           LEFT JOIN (SELECT table, count(*) AS n_cols
+                      FROM system.columns GROUP BY table) c
+             ON t.name = c.table
+           LEFT JOIN (SELECT table, sum(rows) AS part_rows
+                      FROM system.parts GROUP BY table) p
+             ON t.name = p.table""",
+        dialect="clickhouse",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Verbatim Enum8 + Map(K,V) column types (r10, r9 verdict items 4+5): a
 # scratch table declares an Enum8 market column and a Map(String, Int64)
 # feature column; the insert history exercises every coercion rule — enum

@@ -2610,3 +2610,116 @@ class TestInsertInlineValues:
             dialect="clickhouse",
         )
         assert out.collect()[0].rows_written == 1
+
+
+class TestSystemTables:
+    """r10: the system.* introspection tables — live views over the
+    catalog's CURRENT state (ClickHouse semantics), rebuilt at query time
+    and only when referenced."""
+
+    @pytest.fixture()
+    def eng(self, spark, tmp_path):
+        eng = AnalyticsEngine(
+            spark, verbose=False, ddl_root=str(tmp_path / "ddl_sys")
+        )
+        eng.sql("CREATE DATABASE IF NOT EXISTS db1", dialect="clickhouse")
+        eng.sql(
+            """CREATE TABLE db1.kl (
+                symbol String, ts DateTime, close Float64, ver Int64
+            ) ENGINE = ReplacingMergeTree(ver)
+            PARTITION BY toYYYYMM(ts)
+            PRIMARY KEY (symbol) ORDER BY (symbol, ts)""",
+            dialect="clickhouse",
+        )
+        eng.sql(
+            "CREATE TABLE db1.agg (k String, v Int64) "
+            "ENGINE = SummingMergeTree ORDER BY (k)",
+            dialect="clickhouse",
+        )
+        eng.sql(
+            "CREATE MATERIALIZED VIEW db1.mv TO db1.agg AS "
+            "SELECT symbol AS k, toInt64(close) AS v FROM db1.kl",
+            dialect="clickhouse",
+        )
+        eng.sql(
+            "CREATE VIEW db1.v AS SELECT symbol FROM db1.kl",
+            dialect="clickhouse",
+        )
+        return eng
+
+    def test_databases_and_tables(self, eng):
+        dbs = {r.name for r in eng.sql(
+            "SELECT name FROM system.databases", dialect="clickhouse"
+        ).collect()}
+        assert dbs == {"db1", "system"}
+        rows = {
+            r.name: r.engine
+            for r in eng.sql(
+                "SELECT name, engine FROM system.tables", dialect="clickhouse"
+            ).collect()
+        }
+        assert rows == {
+            "kl": "ReplacingMergeTree",
+            "agg": "SummingMergeTree",
+            "mv": "MaterializedView",
+            "v": "View",
+        }
+
+    def test_tables_keys_and_create_query(self, eng):
+        r = eng.sql(
+            "SELECT partition_key, sorting_key, primary_key, "
+            "create_table_query FROM system.tables WHERE name = 'kl'",
+            dialect="clickhouse",
+        ).collect()[0]
+        assert r.partition_key == "toYYYYMM(ts)"
+        assert r.sorting_key == "symbol, ts"
+        assert r.primary_key == "symbol"
+        assert r.create_table_query.startswith("CREATE TABLE db1.kl")
+
+    def test_columns_reflect_alters_live(self, eng):
+        q = (
+            "SELECT name, type, position FROM system.columns "
+            "WHERE table = 'kl' ORDER BY position"
+        )
+        before = [(r.name, r.position) for r in eng.sql(q, dialect="clickhouse").collect()]
+        assert before == [("symbol", 1), ("ts", 2), ("close", 3), ("ver", 4)]
+        eng.sql(
+            "ALTER TABLE db1.kl ADD COLUMN venue Enum8('cex' = 1)",
+            dialect="clickhouse",
+        )
+        after = {r.name: r.type for r in eng.sql(q, dialect="clickhouse").collect()}
+        assert after["venue"] == "Enum8('cex' = 1)"  # live state, enum-typed
+
+    def test_parts_footer_metadata(self, eng):
+        eng.sql(
+            "INSERT INTO db1.kl VALUES "
+            "('BTC', toDateTime('2024-01-01 00:00:00'), 10.5, 1), "
+            "('ETH', toDateTime('2024-02-01 00:00:00'), 2.5, 1)",
+            dialect="clickhouse",
+        )
+        rows = eng.sql(
+            "SELECT table, partition, rows, active FROM system.parts "
+            "WHERE table = 'kl' ORDER BY partition",
+            dialect="clickhouse",
+        ).collect()
+        assert [(r.partition, r.rows, r.active) for r in rows] == [
+            ("202401", 1, 1),
+            ("202402", 1, 1),
+        ]
+        # MV target: no partition col -> 'all'; the per-block trigger wrote
+        # the block's 2 per-key partials
+        agg = eng.sql(
+            "SELECT partition, rows FROM system.parts WHERE table = 'agg'",
+            dialect="clickhouse",
+        ).collect()
+        assert [(r.partition, r.rows) for r in agg] == [("all", 2)]
+
+    def test_unknown_system_table_raises(self, eng):
+        with pytest.raises(KeyError, match="unsupported system table"):
+            eng.sql("SELECT * FROM system.nope", dialect="clickhouse")
+
+    def test_string_literal_untouched(self, eng):
+        r = eng.sql(
+            "SELECT 'system.tables' AS s", dialect="clickhouse"
+        ).collect()[0]
+        assert r.s == "system.tables"
