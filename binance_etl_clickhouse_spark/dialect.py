@@ -529,6 +529,12 @@ _NAME_MAP = {
     "reverseUTF8": "reverse",
     "bitCount": "bit_count",
     "generateUUIDv4": "uuid",
+    # r10 widening: pure renames with identical argument order. dateTrunc
+    # value-matches date_trunc (CH types day+ units as Date, Spark always
+    # TIMESTAMP — a declared-type nuance, not a value one); toISOWeek ==
+    # weekofyear (Spark's is the ISO week number).
+    "dateTrunc": "date_trunc",
+    "toISOWeek": "weekofyear",
 }
 
 #: toInterval*(n) -> make_interval positional slot (years, months, weeks,
@@ -697,6 +703,23 @@ _DATEDIFF_UNITS = {
     "month": "((year({b}) * 12 + month({b})) - (year({a}) * 12 + month({a})))",
     "quarter": "((year({b}) * 4 + quarter({b})) - (year({a}) * 4 + quarter({a})))",
     "year": "(year({b}) - year({a}))",
+}
+
+#: emptyArray<T>() -> a typed empty array literal (r10); the unsigned
+#: widths follow the same next-signed-type rule as the DDL type map
+_EMPTY_ARRAY_TYPES = {
+    "String": "STRING",
+    "Int8": "TINYINT",
+    "Int16": "SMALLINT",
+    "Int32": "INT",
+    "Int64": "BIGINT",
+    "UInt8": "SMALLINT",
+    "UInt16": "INT",
+    "UInt32": "BIGINT",
+    "Float32": "FLOAT",
+    "Float64": "DOUBLE",
+    "Date": "DATE",
+    "DateTime": "TIMESTAMP",
 }
 
 #: <agg>If(args..., cond) — ClickHouse's If combinator attaches to ANY
@@ -2819,6 +2842,37 @@ def translate_clickhouse_sql(sql: str) -> str:
                     unit = args[0].strip().lower().strip("'\"")
                     a, b = args[1], args[2]
                     out.append(_DATEDIFF_UNITS[unit].format(a=a, b=b))
+                elif (
+                    name == "age"
+                    and len(args) == 3
+                    and args[0].strip().lower().strip("'\"") in _DATEDIFF_UNITS
+                ):
+                    # ClickHouse age counts COMPLETE units (the complement
+                    # of dateDiff's boundary crossings) — exactly Spark's
+                    # duration-based timestampdiff. One documented edge:
+                    # CH clamps month-end arithmetic (age('month', Jan 31,
+                    # Feb 29) = 1 via Jan31+1mo==Feb29), Spark's months
+                    # arithmetic does not (returns 0 there). Literal units
+                    # only, like dateDiff.
+                    unit = args[0].strip().lower().strip("'\"")
+                    out.append(
+                        f"timestampdiff({unit.upper()}, {args[1]}, {args[2]})"
+                    )
+                elif name == "monthName" and len(args) == 1:
+                    out.append(f"date_format({args[0]}, 'MMMM')")
+                elif name == "timestampAdd" and len(args) == 2:
+                    # timestampAdd(ts, INTERVAL n unit) — plain interval
+                    # addition once the dialect has the pieces
+                    out.append(f"({args[0]} + {args[1]})")
+                elif name == "timestampSub" and len(args) == 2:
+                    out.append(f"({args[0]} - {args[1]})")
+                elif (
+                    name.startswith("emptyArray")
+                    and not args
+                    and name[len("emptyArray"):] in _EMPTY_ARRAY_TYPES
+                ):
+                    t_ = _EMPTY_ARRAY_TYPES[name[len("emptyArray"):]]
+                    out.append(f"CAST(array() AS ARRAY<{t_}>)")
                 elif name == "arraySum" and len(args) == 1:
                     # Type-adaptive zero: ``a[1] - a[1]`` has the ELEMENT
                     # type and equals 0; ``* cast(1 as decimal(38,0))``

@@ -118,6 +118,7 @@ NEXT_WINDOW = [
     "null_engine_mv_staging",
     "enum_map_ddl_roundtrip",
     "system_tables_introspection",
+    "scalar_r10_family",
 ]
 
 

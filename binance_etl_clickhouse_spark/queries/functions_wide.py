@@ -578,3 +578,66 @@ def scalar_fallback_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = AnalyticsEngine(spark, verbose=False)
     eng.register_clickhouse_compat()
     return eng.sql(_SCALAR_FB_CH_SQL, dialect="clickhouse")
+
+
+# ---------------------------------------------------------------------------
+# r10 scalar widening as a driver-checkable query: dateTrunc, toISOWeek,
+# monthName, age (complete units — the complement of dateDiff's boundary
+# crossings), timestampAdd/Sub and the emptyArray<T> constructors run
+# VERBATIM over `orders`, value-hash oracled against the equivalent
+# DuckDB expressions (isoweek/monthname exist natively there; complete
+# days recompute from epoch seconds). age is probed on 'day'/'hour'
+# units, which are duration-exact in both engines — the month unit's CH
+# month-end clamp edge is a documented divergence (dialect.py).
+# ---------------------------------------------------------------------------
+_SCALAR_R10_CH_SQL = """
+SELECT o_orderkey,
+       dateTrunc('month', o_orderdate) AS mon_start,
+       toInt32(toISOWeek(o_orderdate)) AS iso_wk,
+       monthName(o_orderdate) AS mon_name,
+       toInt64(age('day', o_orderdate,
+                   o_orderdate + toIntervalHour(o_orderkey % 100))) AS age_d,
+       toInt64(age('hour', o_orderdate,
+                   o_orderdate + toIntervalMinute(o_orderkey % 500))) AS age_h,
+       timestampAdd(o_orderdate, INTERVAL 3 DAY) AS plus3d,
+       timestampSub(o_orderdate, INTERVAL 2 HOUR) AS minus2h,
+       arrayStringConcat(emptyArrayString(), ',') AS ea
+FROM orders
+"""
+
+_SCALAR_R10_ORACLE = """
+SELECT o_orderkey,
+       date_trunc('month', o_orderdate) AS mon_start,
+       CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_wk,
+       monthname(o_orderdate) AS mon_name,
+       CAST(date_diff('second', o_orderdate,
+                      o_orderdate + to_hours(o_orderkey % 100))
+            // 86400 AS BIGINT) AS age_d,
+       CAST(date_diff('second', o_orderdate,
+                      o_orderdate + to_minutes(o_orderkey % 500))
+            // 3600 AS BIGINT) AS age_h,
+       o_orderdate + INTERVAL 3 DAY AS plus3d,
+       o_orderdate - INTERVAL 2 HOUR AS minus2h,
+       '' AS ea
+FROM orders
+"""
+
+
+@register(
+    "scalar_r10_family",
+    _SCALAR_R10_ORACLE,
+    survey_ref=(
+        "S8 dialect (r10): dateTrunc, toISOWeek, monthName, age "
+        "(complete-unit diff), timestampAdd/Sub, emptyArray<T> run "
+        "verbatim, value-hash oracled against the equivalent DuckDB "
+        "expressions"
+    ),
+)
+def scalar_r10_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_clickhouse_spark.engine import AnalyticsEngine
+    from binance_etl_clickhouse_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    eng = AnalyticsEngine(spark, verbose=False)
+    eng.register_clickhouse_compat()
+    return eng.sql(_SCALAR_R10_CH_SQL, dialect="clickhouse")

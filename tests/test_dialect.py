@@ -3113,3 +3113,43 @@ def test_with_fill_matches_filling_transform_simulation(engine, spark):
         )
         want = _fill_reference(rows, frm, to, step)
         assert got == want, (sql, rows, got, want)
+
+
+def test_r10_scalar_batch_translations():
+    """r10 widening: dateTrunc/toISOWeek/monthName/age/timestampAdd/
+    timestampSub/emptyArray<T> — string shapes plus idempotence."""
+    t = translate_clickhouse_sql
+    assert t("SELECT dateTrunc('hour', ts) FROM t") == (
+        "SELECT date_trunc('hour', ts) FROM t"
+    )
+    assert t("SELECT toISOWeek(ts) FROM t") == "SELECT weekofyear(ts) FROM t"
+    assert t("SELECT monthName(ts) FROM t") == (
+        "SELECT date_format(ts, 'MMMM') FROM t"
+    )
+    assert t("SELECT age('day', a, b) FROM t") == (
+        "SELECT timestampdiff(DAY, a, b) FROM t"
+    )
+    # non-literal / unknown unit passes through (fails loudly downstream)
+    assert t("SELECT age(u, a, b) FROM t") == "SELECT age(u, a, b) FROM t"
+    assert t("SELECT timestampAdd(ts, INTERVAL 1 DAY) FROM t") == (
+        "SELECT (ts + INTERVAL 1 DAY) FROM t"
+    )
+    assert t("SELECT timestampSub(ts, INTERVAL 2 HOUR) FROM t") == (
+        "SELECT (ts - INTERVAL 2 HOUR) FROM t"
+    )
+    assert t("SELECT emptyArrayString() FROM t") == (
+        "SELECT CAST(array() AS ARRAY<STRING>) FROM t"
+    )
+    assert t("SELECT emptyArrayUInt32() FROM t") == (
+        "SELECT CAST(array() AS ARRAY<BIGINT>) FROM t"
+    )
+    # unsupported element type passes through untouched
+    assert t("SELECT emptyArrayNope() FROM t") == "SELECT emptyArrayNope() FROM t"
+    # idempotence of every rewrite above
+    for q in (
+        "SELECT dateTrunc('hour', ts), toISOWeek(ts), monthName(ts), "
+        "age('day', a, b), timestampAdd(ts, INTERVAL 1 DAY), "
+        "emptyArrayInt64() FROM t",
+    ):
+        once = t(q)
+        assert t(once) == once
