@@ -2492,6 +2492,7 @@ def translate_clickhouse_sql(sql: str) -> str:
                         "sequenceCount",
                         "uniqUpTo",
                         "topK",
+                        "topKWeighted",
                     )
                 ):
                     # parameterized combinator: fn(params)(x)
@@ -2572,6 +2573,41 @@ def translate_clickhouse_sql(sql: str) -> str:
                                 f"array_distinct({cl}), __tv -> struct("
                                 f"-size(filter({cl}, __te -> __te <=> __tv)) "
                                 f"AS __tc, __tv AS __tval))), "
+                                f"__ts -> __ts.__tval), 1, {args[0]})"
+                            )
+                        elif name == "topKWeighted" and len(args) != 1:
+                            raise ValueError(
+                                "topKWeighted: only the 1-parameter "
+                                "topKWeighted(k)(x, weight) form is "
+                                f"supported, got {len(args)} parameters"
+                            )
+                        elif name == "topKWeighted" and len(args) == 1:
+                            # EXACT weighted top-k (descending total
+                            # weight) where ClickHouse sketches; one
+                            # struct-packed collect_list so value/weight
+                            # pairing survives aggregation order; BIGINT
+                            # weight accumulator (CH weight is UInt64).
+                            # Ties break ascending by value, like topK.
+                            if len(inner) != 2:
+                                raise ValueError(
+                                    "topKWeighted(k) takes (x, weight)"
+                                )
+                            x, w = inner
+                            cl = (
+                                f"collect_list(struct({x} AS __tx, "
+                                f"{w} AS __tw))"
+                            )
+                            wsum = (
+                                f"aggregate(filter({cl}, __te -> "
+                                f"__te.__tx <=> __tv), CAST(0 AS BIGINT), "
+                                f"(__ta, __te) -> __ta + "
+                                f"CAST(__te.__tw AS BIGINT))"
+                            )
+                            out.append(
+                                f"slice(transform(array_sort(transform("
+                                f"array_distinct(transform({cl}, "
+                                f"__te -> __te.__tx)), __tv -> struct("
+                                f"-{wsum} AS __tc, __tv AS __tval))), "
                                 f"__ts -> __ts.__tval), 1, {args[0]})"
                             )
                         elif name == "uniqUpTo" and len(args) == 1:

@@ -3153,3 +3153,35 @@ def test_r10_scalar_batch_translations():
     ):
         once = t(q)
         assert t(once) == once
+
+
+def test_topk_weighted_exact(engine):
+    """r10: topKWeighted(k)(x, w) — EXACT weighted top-k by descending
+    total weight (CH sketches); ties ascending by value; struct-packed
+    single collect so value/weight pairing is aggregation-order-proof."""
+    engine.spark.sql(
+        "CREATE OR REPLACE TEMP VIEW tkw AS SELECT * FROM VALUES "
+        "('a', 1), ('a', 1), ('b', 5), ('c', 3), ('c', 1), ('d', 4) AS t(x, w)"
+    )
+    r = engine.sql(
+        "SELECT topKWeighted(3)(x, w) AS top FROM tkw", dialect="clickhouse"
+    ).collect()[0]
+    assert list(r.top) == ["b", "c", "d"]  # weights 5, 4, 4 -> tie c<d
+    # per-group form
+    engine.spark.sql(
+        "CREATE OR REPLACE TEMP VIEW tkw2 AS SELECT * FROM VALUES "
+        "('g1', 'x', 10), ('g1', 'y', 1), ('g2', 'z', 2) AS t(g, x, w)"
+    )
+    rows = engine.sql(
+        "SELECT g, topKWeighted(1)(x, w) AS top FROM tkw2 GROUP BY g "
+        "ORDER BY g",
+        dialect="clickhouse",
+    ).collect()
+    assert [(r.g, list(r.top)) for r in rows] == [("g1", ["x"]), ("g2", ["z"])]
+    # unsupported parameter counts fail loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="topKWeighted"):
+        engine.sql(
+            "SELECT topKWeighted(3, 10)(x, w) FROM tkw", dialect="clickhouse"
+        )
