@@ -1936,6 +1936,60 @@ class DdlCatalog:
         # view; planned time scans use ServingTable.read_pruned for that.)
         return raw.drop(INGEST_SEQ)
 
+    def read_containing(self, name: str, token: str) -> DataFrame:
+        """The skip-index READ path for token predicates: serve the table's
+        snapshot restricted to rows whose text contains ``token``, pruning
+        whole FILES through the token-bloom sidecar a declared
+        ``tokenbf_v1``/``ngrambf_v1``/``bloom_filter`` index maintains
+        (ClickHouse's hasToken + skip-index scan shape). Correct in every
+        state: bloom hits are a superset of true matches (the exact filter
+        re-applies), a stale/missing sidecar falls back to the full scan,
+        and keep-last/summing/reshape semantics are identical to
+        :meth:`snapshot` — pruning drops whole files, which can never
+        split a key's version history across kept and dropped files only
+        when the filter ran FIRST; so for ReplacingMergeTree tables the
+        exact token filter applies AFTER the keep-last resolution, exactly
+        like ``WHERE hasToken(...)`` over the served snapshot."""
+        from binance_etl_clickhouse_spark.storage import tokenbloom as _tb
+
+        entry = self.tables.get(self._bare(name))
+        if entry is None:
+            raise KeyError(f"unknown table {name!r} (CREATE it first)")
+        text_cols = [
+            col
+            for (col, itype, _owned) in entry.indexes.values()
+            if itype in self._BLOOM_INDEX_TYPES
+        ]
+        if not text_cols:
+            raise ValueError(
+                f"table {name!r} declares no token-bloom skip index "
+                "(ALTER TABLE ... ADD INDEX ... TYPE tokenbf_v1 first)"
+            )
+        text_col = text_cols[0]
+        exact = F.array_contains(_tb.tokens(text_col), token)
+        if entry.dedup or entry.summing or entry.table.read_transform:
+            # version resolution / collapse / reshape must see EVERY file
+            # of a key's history — filter the SERVED state instead (the
+            # bloom can't prune here without risking a resurrected older
+            # version; correctness ahead of pruning)
+            return self.snapshot(name).filter(exact)
+        idx = _tb.read_token_bloom(entry.table.path)
+        pruned = (
+            _tb.prune_files_with_token(idx, entry.table.path, token)
+            if idx is not None and idx.get("text_col") == text_col
+            else None
+        )
+        if pruned is None:
+            return self.snapshot(name).filter(exact)
+        if not pruned:
+            return self.spark.createDataFrame([], entry.ddl.spark_schema)
+        df = (
+            self.spark.read.option("basePath", entry.table.path)
+            .parquet(*pruned)
+            .filter(exact)
+        )
+        return df.select(*[n for n, _, _ in entry.ddl.columns])
+
     def _declared_projection(self, entry: CatalogEntry, present: set[str]):
         """Columns projecting a union-schema raw frame onto the DECLARED
         schema: rename histories coalesce (each batch carries the name

@@ -2723,3 +2723,115 @@ class TestSystemTables:
             "SELECT 'system.tables' AS s", dialect="clickhouse"
         ).collect()[0]
         assert r.s == "system.tables"
+
+
+class TestTokenBloomReadPath:
+    """r10: the skip-index READ path — read_containing serves hasToken-
+    style lookups through the token-bloom sidecar a declared tokenbf_v1
+    index maintains, pruning whole files; correct in every fallback."""
+
+    @pytest.fixture()
+    def eng(self, spark, tmp_path):
+        eng = AnalyticsEngine(
+            spark, verbose=False, ddl_root=str(tmp_path / "ddl_tb")
+        )
+        eng.sql(
+            "CREATE TABLE docs (doc_id Int64, body String, ts DateTime) "
+            "ENGINE = MergeTree ORDER BY (doc_id) PARTITION BY toYYYYMM(ts)",
+            dialect="clickhouse",
+        )
+        eng.insert(
+            "docs",
+            [
+                {"doc_id": 1, "body": "alpha beta gamma",
+                 "ts": "2024-01-01 00:00:00"},
+                {"doc_id": 2, "body": "beta delta",
+                 "ts": "2024-02-01 00:00:00"},
+                {"doc_id": 3, "body": "epsilon zeta",
+                 "ts": "2024-03-01 00:00:00"},
+            ],
+        )
+        eng.sql(
+            "ALTER TABLE docs ADD INDEX body_tokens body TYPE tokenbf_v1 "
+            "GRANULARITY 4",
+            dialect="clickhouse",
+        )
+        return eng
+
+    def test_prunes_and_matches_exact_filter(self, eng):
+        got = eng.ddl_catalog.read_containing("docs", "alpha")
+        assert [r.doc_id for r in got.collect()] == [1]
+        # the pruned read schedules ONLY the surviving file's month dir
+        files = got.inputFiles()
+        assert len(files) == 1 and "month=202401" in files[0]
+        # a token in two files keeps both
+        two = eng.ddl_catalog.read_containing("docs", "beta")
+        assert sorted(r.doc_id for r in two.collect()) == [1, 2]
+        # a token nowhere: empty, zero files
+        none = eng.ddl_catalog.read_containing("docs", "nosuchtoken")
+        assert none.count() == 0
+
+    def test_result_equals_served_filter(self, eng):
+        from binance_etl_clickhouse_spark.storage.tokenbloom import tokens
+        from pyspark.sql import functions as F
+
+        want = sorted(
+            r.doc_id
+            for r in eng.ddl_catalog.snapshot("docs")
+            .filter(F.array_contains(tokens("body"), "beta"))
+            .collect()
+        )
+        got = sorted(
+            r.doc_id
+            for r in eng.ddl_catalog.read_containing("docs", "beta").collect()
+        )
+        assert got == want == [1, 2]
+
+    def test_stale_sidecar_falls_back_full_scan(self, eng):
+        # an append AFTER the index build leaves new files outside the
+        # bloom: pruning must disable, never lose the new rows
+        eng.insert(
+            "docs",
+            [{"doc_id": 4, "body": "alpha omega", "ts": "2024-04-01 00:00:00"}],
+        )
+        got = sorted(
+            r.doc_id
+            for r in eng.ddl_catalog.read_containing("docs", "alpha").collect()
+        )
+        assert got == [1, 4]
+
+    def test_no_index_raises(self, spark, tmp_path):
+        eng = AnalyticsEngine(
+            spark, verbose=False, ddl_root=str(tmp_path / "ddl_tb2")
+        )
+        eng.sql(
+            "CREATE TABLE plain (k Int64, s String) ENGINE = MergeTree "
+            "ORDER BY (k)",
+            dialect="clickhouse",
+        )
+        with pytest.raises(ValueError, match="no token-bloom skip index"):
+            eng.ddl_catalog.read_containing("plain", "x")
+
+    def test_dedup_table_filters_served_state(self, spark, tmp_path):
+        # ReplacingMergeTree: the filter must apply AFTER keep-last, so a
+        # superseded old version containing the token must NOT resurrect
+        eng = AnalyticsEngine(
+            spark, verbose=False, ddl_root=str(tmp_path / "ddl_tb3")
+        )
+        eng.sql(
+            "CREATE TABLE rdocs (k Int64, body String) "
+            "ENGINE = ReplacingMergeTree() ORDER BY (k)",
+            dialect="clickhouse",
+        )
+        eng.insert("rdocs", [{"k": 1, "body": "alpha old"}])
+        eng.sql(
+            "ALTER TABLE rdocs ADD INDEX bt body TYPE tokenbf_v1",
+            dialect="clickhouse",
+        )
+        eng.insert("rdocs", [{"k": 1, "body": "fresh body"}])  # supersedes
+        got = eng.ddl_catalog.read_containing("rdocs", "alpha").collect()
+        assert got == []  # the old version is dead, token and all
+        got2 = [
+            r.k for r in eng.ddl_catalog.read_containing("rdocs", "fresh").collect()
+        ]
+        assert got2 == [1]
