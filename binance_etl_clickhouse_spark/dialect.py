@@ -452,6 +452,7 @@ _CASTS = {
 #: DISTINCT (set-op operands, quantified comparisons).
 _NON_CALL_KEYWORDS = {
     "SELECT",
+    "DISTINCT",
     "WHERE",
     "PREWHERE",
     "HAVING",
@@ -887,6 +888,82 @@ def _top_level_keyword_spans(sql: str) -> list[tuple[int, int, str]]:
             continue
         i += 1
     return out
+
+
+#: clause keywords that END a PREWHERE or WHERE predicate at top level.
+#: SELECT/INTO guard compound statements; a second PREWHERE ends the scan
+#: too (invalid CH, but the merge must not jump across it).
+_PREDICATE_STOP = {
+    "GROUP",
+    "HAVING",
+    "ORDER",
+    "LIMIT",
+    "WINDOW",
+    "QUALIFY",
+    "UNION",
+    "INTERSECT",
+    "EXCEPT",
+    "SETTINGS",
+    "FORMAT",
+    "SELECT",
+    "INTO",
+    "PREWHERE",
+    "WHERE",
+}
+
+
+def _merge_prewhere_where(sql: str) -> str:
+    """``PREWHERE p WHERE w`` (valid ClickHouse: PREWHERE is a scan-order
+    hint whose condition simply ANDs with WHERE —
+    clickhouse.com/docs/sql-reference/statements/select/prewhere) ->
+    ``WHERE (p) AND (w)``. Without this merge the bare keyword map
+    (PREWHERE -> WHERE) emitted the invalid double-WHERE. Top-level
+    per-scope only: subqueries recurse through translate_clickhouse_sql,
+    so each SELECT scope sees its own clause pair; the stop-keyword set
+    keeps the merge from reaching across UNION/INTERSECT boundaries."""
+    while True:
+        toks = _top_level_keyword_spans(sql)
+        merged = False
+        for idx, (i, j, up) in enumerate(toks):
+            if up != "PREWHERE":
+                continue
+            nxt = next(
+                (
+                    t
+                    for t in toks[idx + 1 :]
+                    if t[2] in _PREDICATE_STOP
+                ),
+                None,
+            )
+            if nxt is None or nxt[2] != "WHERE":
+                continue
+            i2, j2, _ = nxt
+            stop2 = next(
+                (
+                    t
+                    for t in toks
+                    if t[0] > j2 and t[2] in _PREDICATE_STOP
+                ),
+                None,
+            )
+            wend = stop2[0] if stop2 is not None else len(sql)
+            pred = sql[j:i2].strip()
+            where = sql[j2:wend]
+            tail = where.rstrip()
+            semi = ""
+            if tail.endswith(";"):
+                semi = ";"
+                tail = tail[:-1].rstrip()
+            sep = " " if wend < len(sql) else ""
+            sql = (
+                sql[:i]
+                + f"WHERE ({pred}) AND ({tail.strip()}){semi}{sep}"
+                + sql[wend:]
+            )
+            merged = True
+            break
+        if not merged:
+            return sql
 
 
 def _rewrite_limit_offset(sql: str) -> str:
@@ -2418,6 +2495,10 @@ def translate_clickhouse_sql(sql: str) -> str:
     # "FROM x FINAL" inside a string — not worth a second scanner)
     sql = _FINAL_RE.sub(r"\1", sql)
     sql = _SAMPLE_RE.sub(_sample_sub, sql)
+    # PREWHERE p WHERE w -> WHERE (p) AND (w): must run before the bare
+    # keyword map turns PREWHERE into a second WHERE (invalid SQL). After
+    # the FINAL/SAMPLE strips so `FROM t FINAL PREWHERE p WHERE w` merges.
+    sql = _merge_prewhere_where(sql)
     # FORMAT strips first: the grammar is ... [SETTINGS ...] [FORMAT ...],
     # so SETTINGS is only end-anchored once FORMAT is gone
     sql = _TRAILING_FORMAT_RE.sub(r"\1", sql)

@@ -35,67 +35,67 @@ from binance_etl_clickhouse_spark.queries import quality  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 # Driver verification window. The correctness driver checks the FIRST 50
 # registered queries per round, so registration order is a verification
-# budget. Round-10 window (per the round-9 verdict, item #1): the 4
-# round-9 registrations that have never been driver-checked (local
-# sf0.001/sf0.01 pytest parity only), ALL 35 queries whose last driver
-# proof is round 5, and the 11 stalest round-6 proofs (first-checked in
-# CORRECTNESS_r06 order). After this rotation no registered query has a
-# driver proof older than round 6.
+# budget. Round-11 window (per the round-10 verdict, item #3): the 5
+# round-10 registrations that have never been driver-checked (local
+# sf0.001/sf0.01 pytest parity only), ALL 38 queries whose last driver
+# proof is round 6, and the 7 stalest round-7 proofs (first-checked in
+# CORRECTNESS_r07 order). After this rotation no registered query has a
+# driver proof older than round 7.
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW = [
-    # --- round-9 registrations, never driver-checked (lead the window) ---
-    "ddl_mutation_roundtrip",
-    "scalar_fallback_family",
-    "with_fill_prefix_verbatim_sql",
-    "plain_view_verbatim_sql",
-    # --- round-5-era: every query last driver-checked in CORRECTNESS_r05 ---
-    "ann_ivf_batch_topk",
-    "ann_ivf_range_search",
-    "asof_forward_purchase_click",
-    "bigram_logprob_quality",
-    "bm25_index_topk",
-    "bpe_pair_stats",
-    "ccnet_perplexity_buckets",
-    "chunk_sliding_windows",
-    "cohort_retention_weekly",
-    "conditional_agg_priority_mix",
-    "dq_freshness_event_types",
-    "dq_referential_orphans",
-    "dq_uniqueness_keys",
-    "embedding_centroid_per_label",
-    "embedding_decontamination",
-    "entity_cluster_rollup",
-    "entity_match_pairs",
-    "equi_depth_histogram",
-    "funnel_conversion_lags",
-    "hybrid_rrf_exact_search",
-    "interval_overlap_pairs",
-    "length_bucket_batches",
-    "mad_outlier_per_type",
-    "nb_lang_classifier",
-    "ngram_novelty_scores",
-    "pii_redaction",
-    "price_histogram_fixed_bins",
-    "rolling_corr_click_purchase",
-    "tfidf_cosine_pairs",
-    "tfidf_top_terms",
-    "tpch_q12_shipmode_priority",
-    "training_shuffle_shards",
-    "unigram_logprob_quality",
-    "variant_extract_agg",
-    "winsorize_per_type",
-    # --- round-6-era fills: the 11 stalest r6 proofs (CORRECTNESS_r06 order) ---
-    "quality_quantile_filter",
-    "weighted_sample_per_source",
-    "hopping_window_counts",
-    "graph_bfs_levels",
-    "graph_assortativity",
-    "graph_clustering_coefficients",
-    "graph_kcore_vertices",
-    "graph_link_prediction_scores",
-    "pagerank_weighted_copurchase",
-    "textrank_keywords",
-    "kaplan_meier_click_to_purchase",
+    # --- round-10 registrations, never driver-checked (lead the window) ---
+    "show_create_verbatim_roundtrip",
+    "null_engine_mv_staging",
+    "enum_map_ddl_roundtrip",
+    "system_tables_introspection",
+    "scalar_r10_family",
+    # --- round-6-era: every query last driver-checked in CORRECTNESS_r06 ---
+    "mann_whitney_click_vs_purchase",
+    "logrank_cohort_survival",
+    "profile_numeric_correlations",
+    "fuzzy_snippet_pairs",
+    "bpe_train_merges",
+    "unigram_em_trace",
+    "entity_resolution_converged",
+    "minhash_pairs_capped",
+    "cc_large_star_small_star",
+    "tokenizer_apply_bpe",
+    "doc_containment_pairs",
+    "ngram_lm_kneser_ney",
+    "stratified_kfold_assign",
+    "salted_skew_agg",
+    "ann_recall_at_k",
+    "psi_source_drift",
+    "minhash_estimator_calibration",
+    "training_data_prep_pipeline_v2",
+    "substring_dedup_corpus",
+    "ann_ivf_pq_topk",
+    "minhash_lsh_neardup",
+    "neardup_clusters",
+    "entity_resolution_parts",
+    "graph_connected_components",
+    "hybrid_rrf_search",
+    "embedding_pca_project",
+    "logreg_quality_classifier",
+    "tpch_q8_market_share",
+    "training_data_prep_pipeline",
+    "semdedup_prune",
+    "ann_ivf_topk",
+    "bpe_merge_trace",
+    "unigram_lm_token_counts",
+    "dsir_importance_select",
+    "source_mixture_sample",
+    "mmr_diversified_topk",
+    "span_dedup_corpus",
+    "asof_join_purchase_click",
+    # --- round-7-era fills: the 7 stalest r7 proofs (CORRECTNESS_r07 order) ---
+    "training_data_prep_pipeline_v3",
+    "tokenizer_apply_unigram",
+    "dup_rate_by_source",
+    "project_literals",
+    "filter_eq_project",
+    "filter_range_ts",
+    "filter_in_list",
 ]
 
 
@@ -105,20 +105,16 @@ DRIVER_WINDOW = [
 # name cannot silently shrink the verification window. Empty = every
 # round-10 registration has landed.
 #
-# Round-11 rotation heads-up: NEXT_WINDOW below (the r10 registrations,
-# each oracle-parity green at sf0.001 and sf0.01 in pytest) plus the 38
-# remaining r6-era proofs are the natural next window.
+# Round-12 rotation heads-up: NEXT_WINDOW below (the r11 registrations,
+# each oracle-parity green at sf0.001 and sf0.01 in pytest) plus the 43
+# remaining r7-era proofs are the natural next window.
 PLANNED_NEW: set[str] = set()
 
-# The r10 registrations, placed in registration order IMMEDIATELY behind
-# the 50-query verification window (r9 verdict item 6): first in line for
-# the r11 rotation, and visible to the judge at stable positions 51-53.
+# This round's (r11) registrations, placed in registration order
+# IMMEDIATELY behind the 50-query verification window (r9 verdict item 6):
+# first in line for the r12 rotation, and visible to the judge at stable
+# positions 51+.
 NEXT_WINDOW = [
-    "show_create_verbatim_roundtrip",
-    "null_engine_mv_staging",
-    "enum_map_ddl_roundtrip",
-    "system_tables_introspection",
-    "scalar_r10_family",
 ]
 
 

@@ -3185,3 +3185,93 @@ def test_topk_weighted_exact(engine):
         engine.sql(
             "SELECT topKWeighted(3, 10)(x, w) FROM tkw", dialect="clickhouse"
         )
+
+
+# -- round-11 fixes: translator idempotence + PREWHERE/WHERE merge -----------
+
+
+def test_distinct_paren_idempotent_deterministic():
+    """r10 verdict item 1: the uniqExact/uniqUpTo rewrites emit
+    ``count(DISTINCT (expr))``; the call scanner must NOT collapse the
+    keyword-space-paren on a second pass (DISTINCT is a keyword, not a
+    call head) — the translator's published invariant is an exact fixed
+    point after one pass."""
+    t = translate_clickhouse_sql
+    for q in [
+        "SELECT argMax(uniqExact(isFinite(x)), x) FROM t",
+        "SELECT count(DISTINCT (x)) FROM t",
+        "SELECT count(DISTINCT (a), b) FROM t",
+        "SELECT uniqUpTo(3)(isFinite(x)) FROM t",
+        "SELECT DISTINCT (a) FROM t",
+    ]:
+        once = t(q)
+        assert t(once) == once, q
+
+
+def test_prewhere_where_merges_into_single_where():
+    """``PREWHERE p WHERE w`` is valid ClickHouse (the conditions AND
+    together); the translator must emit ONE WHERE, not the invalid
+    ``WHERE p WHERE w``."""
+    t = translate_clickhouse_sql
+    assert (
+        t("SELECT x FROM e PREWHERE a > 1 WHERE b < 2")
+        == "SELECT x FROM e WHERE (a > 1) AND (b < 2)"
+    )
+    # after FINAL, with trailing clauses
+    assert (
+        t("SELECT x FROM e FINAL PREWHERE a > 1 WHERE b < 2 GROUP BY x")
+        == "SELECT x FROM e WHERE (a > 1) AND (b < 2) GROUP BY x"
+    )
+    # inside a subquery scope, independent of the outer WHERE
+    assert (
+        t(
+            "SELECT x FROM (SELECT x, a, b FROM e PREWHERE a > 1 "
+            "WHERE b < 2) q WHERE x > 0"
+        )
+        == "SELECT x FROM(SELECT x, a, b FROM e WHERE (a > 1) AND (b < 2))"
+        " q WHERE x > 0"
+    )
+    # the merge must NOT reach across a set-op boundary
+    assert (
+        t("SELECT a FROM t PREWHERE p = 1 UNION ALL SELECT b FROM u WHERE w = 2")
+        == "SELECT a FROM t WHERE p = 1 UNION ALL SELECT b FROM u WHERE w = 2"
+    )
+    # a subquery inside the PREWHERE predicate does not confuse the scan
+    got = t("SELECT x FROM e PREWHERE a IN (SELECT k FROM d WHERE v = 1) WHERE b < 2")
+    assert got.count("WHERE (a IN") == 1 and "AND (b < 2)" in got
+
+
+def test_prewhere_where_runs_and_matches_plain_and(engine):
+    got = engine.sql(
+        "SELECT count(*) AS n FROM orders FINAL "
+        "PREWHERE o_totalprice > 1000 WHERE o_orderpriority = '1-URGENT'",
+        dialect="clickhouse",
+    ).first()
+    want = engine.spark.sql(
+        "SELECT count(*) AS n FROM orders "
+        "WHERE o_totalprice > 1000 AND o_orderpriority = '1-URGENT'"
+    ).first()
+    assert got.n == want.n and got.n > 0
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        "SELECT x FROM e PREWHERE a > 1 WHERE b < 2",
+        "SELECT x FROM e FINAL PREWHERE a > 1 WHERE b < 2 ORDER BY x LIMIT 3",
+        "SELECT x, count(*) AS n FROM e PREWHERE a > 1 WHERE b < 2 "
+        "GROUP BY x HAVING count(*) > 1",
+        "SELECT x FROM e PREWHERE has(tags, 'k') WHERE b < 2 SETTINGS max_threads = 4",
+        "SELECT x FROM (SELECT * FROM e PREWHERE a = 1 WHERE b = 2) q "
+        "PREWHERE x > 0 WHERE x < 10",
+    ],
+)
+def test_prewhere_where_fixed_point_fuzz(q):
+    once = translate_clickhouse_sql(q)
+    assert "PREWHERE" not in once.upper()
+    # each PREWHERE merged INTO its WHERE: the WHERE count drops by the
+    # PREWHERE count (count("WHERE") also matches the WHERE inside each
+    # PREWHERE token, hence the 2x)
+    n_pre = q.upper().count("PREWHERE")
+    assert once.upper().count("WHERE") == q.upper().count("WHERE") - 2 * n_pre + n_pre
+    assert translate_clickhouse_sql(once) == once
