@@ -262,6 +262,17 @@ def ch_type_to_spark(ch_type: str) -> str:
         if len(kv) != 2:
             raise ValueError(f"map needs exactly <key,value> types: {ch_type!r}")
         return f"map<{ch_type_to_spark(kv[0])},{ch_type_to_spark(kv[1])}>"
+    m = re.fullmatch(r"struct\s*<(.*)>", t.strip(), re.S | re.I)
+    if m:
+        fields = []
+        for fdef in _split_top_level(m.group(1)):
+            fname, sep, ftype = fdef.partition(":")
+            if not sep or not fname.strip() or not ftype.strip():
+                raise ValueError(
+                    f"struct needs <name:type, ...> fields: {ch_type!r}"
+                )
+            fields.append(f"{fname.strip()}:{ch_type_to_spark(ftype.strip())}")
+        return "struct<" + ",".join(fields) + ">"
     m = re.fullmatch(r"datetime64\s*\(\s*\d+\s*(?:,\s*'[^']*'\s*)?\)", low)
     if m:
         return "timestamp"
@@ -353,9 +364,32 @@ def _match_generic_run(s: str, start: int) -> int:
             depth -= 1
             if depth == 0:
                 return i + 1
-        elif not (ch.isalnum() or ch in "_,() \t\n"):
+        elif not (ch.isalnum() or ch in "_,():` \t\n"):
+            # ':' for struct<name:type> fields — safe now that runs only
+            # start after a known container head (array/map/struct)
             return -1
     return -1
+
+
+#: identifiers that head a Spark generic type spelling — the ONLY context
+#: where `<...>` is a type run. Requiring a known head (r10 ADVICE) keeps a
+#: pair of unquoted comparisons in DEFAULT expressions
+#: (``a Int8 DEFAULT x<y, b Int8 DEFAULT u>v``) from being swallowed as one
+#: balanced run across the top-level comma.
+_GENERIC_HEADS = frozenset({"array", "map", "struct"})
+
+
+def _generic_head(cur: list[str]) -> str | None:
+    """The identifier immediately preceding a ``<`` (no whitespace between),
+    if it is a known generic container head; else None."""
+    j = len(cur) - 1
+    # cur holds single chars and swallowed runs; walk back over ident chars
+    ident: list[str] = []
+    while j >= 0 and len(cur[j]) == 1 and (cur[j].isalnum() or cur[j] == "_"):
+        ident.append(cur[j])
+        j -= 1
+    head = "".join(reversed(ident)).lower()
+    return head if head in _GENERIC_HEADS else None
 
 
 def _split_top_level(s: str) -> list[str]:
@@ -375,7 +409,7 @@ def _split_top_level(s: str) -> list[str]:
         if ch in "'\"`":
             quote = ch
             cur.append(ch)
-        elif ch == "<" and cur and (cur[-1].isalnum() or cur[-1] == "_"):
+        elif ch == "<" and cur and _generic_head(cur) is not None:
             end = _match_generic_run(s, i)
             if end > 0:  # swallow the whole generic run, commas and all
                 cur.append(s[i:end])
@@ -703,7 +737,7 @@ def parse_clickhouse_ddl(sql: str) -> ParsedDDL:
 
     for coldef in _split_top_level(m.group("cols")):
         cm = re.match(
-            r"^`?(\w+)`?\s+(?P<type>[\w()<>\s'=,-]+?)"
+            r"^`?(\w+)`?\s+(?P<type>[\w()<>:\s'=,-]+?)"
             r"(?:\s+DEFAULT\s+(?P<dflt>.+))?$",
             coldef.strip(),
             re.I | re.S,
@@ -1746,6 +1780,22 @@ class DdlCatalog:
                     if not isinstance(v, (dict, list, tuple, set)) and pd.isna(v)
                     else v
                 )
+            for c in pdf.columns:
+                # integer enum codes mixed with NULL/absent rows arrive
+                # float-coerced from pandas (code 2 -> 2.0); restore the
+                # int spelling (and NaN -> None) so the enum gate compares
+                # '2', not '2.0' — ClickHouse accepts this insert
+                # (code -> name, NULL -> default)
+                if c in entry.ddl.enum_cols and pdf[c].dtype.kind == "f":
+                    vals = pdf[c]
+                    if vals.dropna().map(float.is_integer).all():
+                        # dtype=object up front: a map()-built Series of
+                        # ints + None would coerce straight back to float64
+                        pdf[c] = pd.Series(
+                            [None if pd.isna(v) else int(v) for v in vals],
+                            index=pdf.index,
+                            dtype=object,
+                        )
             df = self.spark.createDataFrame(pdf)
         else:
             df = rows
@@ -1812,14 +1862,34 @@ class DdlCatalog:
         return int(n)
 
     @staticmethod
-    def _enum_normalize(col: F.Column, values: dict[str, int]) -> F.Column:
+    def _enum_code_string(col: F.Column, values: dict[str, int]) -> F.Column:
+        """The enum-comparison spelling of an inserted value: a declared
+        NAME passes through verbatim (checked first, so a name that looks
+        numeric is never mangled); an integral NUMERIC is canonicalized to
+        its integer spelling — a block that mixes integer codes with
+        NULL/absent rows arrives float-coerced from pandas (code 2 ->
+        2.0 -> string '2.0'), and ClickHouse accepts that insert, so the
+        gate must compare '2', not '2.0'; everything else is the plain
+        string cast."""
+        s = col.cast("string")
+        d = col.try_cast("double")  # try_: ANSI mode errors on 'spot'->double
+        i = col.try_cast("bigint")  # try_: ANSI mode overflows on NaN->bigint
+        return (
+            F.when(s.isin(*values.keys()), s)
+            .when(i.isNotNull() & (i.cast("double") == d), i.cast("string"))
+            .otherwise(s)
+        )
+
+    @classmethod
+    def _enum_normalize(cls, col: F.Column, values: dict[str, int]) -> F.Column:
         """An inserted enum value normalized to its NAME: a declared name
-        passes through; a declared integer code maps to its name (CH
-        accepts either spelling on insert); anything else becomes NULL —
-        _check_enum_values has already refused blocks containing those, so
-        the NULL branch only ever feeds the enum default fill for actual
-        NULL inputs."""
-        raw = col.cast("string")
+        passes through; a declared integer code (including the
+        float-coerced spelling a pandas block with NULLs produces) maps to
+        its name (CH accepts either spelling on insert); anything else
+        becomes NULL — _check_enum_values has already refused blocks
+        containing those, so the NULL branch only ever feeds the enum
+        default fill for actual NULL inputs."""
+        raw = cls._enum_code_string(col, values)
         code_to_name = F.create_map(
             *[x for nm, cd in values.items() for x in (F.lit(str(cd)), F.lit(nm))]
         )
@@ -1840,7 +1910,7 @@ class DdlCatalog:
             return df
         bad_conds = []
         for cname, (_, values) in checks:
-            raw = F.col(cname).cast("string")
+            raw = self._enum_code_string(F.col(cname), values)
             ok = raw.isin(*values.keys()) | raw.isin(
                 *[str(c) for c in values.values()]
             )
@@ -2532,7 +2602,14 @@ class DdlCatalog:
 
     #: the ClickHouse system tables served here; each is rebuilt from the
     #: catalog's CURRENT state at query time (CH's are live views too)
-    _SYSTEM_TABLES = ("databases", "tables", "columns", "parts")
+    _SYSTEM_TABLES = (
+        "databases",
+        "tables",
+        "columns",
+        "parts",
+        "one",
+        "numbers",
+    )
 
     def _materialize_system_views(self, query: str) -> str:
         """``FROM system.tables`` etc. → a temp view ``__system_tables``
@@ -2542,14 +2619,24 @@ class DdlCatalog:
         nothing."""
         from binance_etl_clickhouse_spark.dialect import _blank_quoted
 
+        blanked = _blank_quoted(query)
         refs = {
             m.group(1).lower()
-            for m in re.finditer(
-                r"(?<![\w.`])system\.(\w+)", _blank_quoted(query), re.I
-            )
+            for m in re.finditer(r"(?<![\w.`])system\.(\w+)", blanked, re.I)
         }
         hit = refs & set(self._SYSTEM_TABLES)
-        unknown = refs - hit
+        # Only a system.* reference in TABLE POSITION (after FROM/JOIN) is
+        # ours to serve; an unknown name anywhere else (a string the
+        # _blank_quoted pass missed, an identifier that merely looks
+        # qualified) passes through to fail — or work — downstream
+        # (r10 ADVICE item 3).
+        table_pos = {
+            m.group(1).lower()
+            for m in re.finditer(
+                r"\b(?:FROM|JOIN)\s+system\.(\w+)", blanked, re.I
+            )
+        }
+        unknown = table_pos - hit
         if unknown:
             raise KeyError(
                 f"unsupported system table(s) {sorted(unknown)} — available: "
@@ -2563,10 +2650,28 @@ class DdlCatalog:
             )
         parts = re.split(r"('(?:[^']|'')*')", query)
         pat = re.compile(r"(?<![\w.`])system\.(\w+)", re.I)
+
+        def _sub(m: re.Match) -> str:
+            nm = m.group(1).lower()
+            # unknown names outside table position pass through verbatim
+            return f"__system_{nm}" if nm in hit else m.group(0)
+
         return "".join(
-            p if i % 2 else pat.sub(lambda m: f"__system_{m.group(1).lower()}", p)
-            for i, p in enumerate(parts)
+            p if i % 2 else pat.sub(_sub, p) for i, p in enumerate(parts)
         )
+
+    def _system_one(self) -> DataFrame:
+        """``system.one``: exactly one row, one UInt8 column ``dummy`` = 0 —
+        ClickHouse's scalar-SELECT base table (what a FROM-less SELECT
+        reads). One literal row, no jobs."""
+        return self.spark.createDataFrame([(0,)], "dummy int")
+
+    def _system_numbers(self) -> DataFrame:
+        """``system.numbers``: the natural numbers, column ``number``.
+        ClickHouse streams it unboundedly and callers LIMIT it; Spark needs
+        a bound — range() is lazy and per-partition, so a LIMIT n on top
+        reads only the partitions it needs, never the full 2^32."""
+        return self.spark.range(2**32).toDF("number")
 
     def _system_databases(self) -> DataFrame:
         rows = sorted({*self.databases, "system"})

@@ -458,13 +458,17 @@ class AnalyticsEngine:
                 n = self.insert(ins_sel.group(1), df.toDF(*names))
                 return self.spark.range(1).select(F.lit(n).alias("rows_written"))
             query = translate_clickhouse_sql(query)
-            if self._ddl_catalog is not None:
+            if self._ddl_catalog is not None or re.search(
+                r"(?<![\w.`])system\.\w", query
+            ):
                 # qualified refs to DDL-created tables (db.tbl) resolve to
-                # their bare serving views
-                query = self._ddl_catalog.resolve_qualified(query)
+                # their bare serving views; a system.* reference forces the
+                # (lazily-created) catalog so system.one/system.numbers
+                # work before any DDL has run
+                query = self.ddl_catalog.resolve_qualified(query)
                 # dictGet/dictHas over CREATE DICTIONARY entries become
                 # correlated lookup subqueries (broadcast-joinable)
-                query = self._ddl_catalog.rewrite_dict_functions(query)
+                query = self.ddl_catalog.rewrite_dict_functions(query)
         elif dialect is not None:
             raise ValueError(f"unknown dialect: {dialect!r}")
         t0 = time.perf_counter()

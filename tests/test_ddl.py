@@ -2429,6 +2429,49 @@ class TestEnumColumns:
         eng.insert("impl", [{"k": "a", "e": 2}])
         assert eng.sql("SELECT e FROM impl").collect()[0].e == "hi"
 
+    def test_float_coerced_codes_with_nulls_accepted(self, eng):
+        """r10 ADVICE (medium): a dict block mixing integer enum codes with
+        NULL/absent rows arrives float-coerced from pandas (code 2 -> 2.0);
+        ClickHouse accepts it (code -> name, NULL -> default) — the gate
+        must too, without tripping ANSI NaN->bigint overflow."""
+        n = eng.insert(
+            "mkt",
+            [
+                {"symbol": "A", "market": 2, "ts": "2024-01-01 00:00:00"},
+                {"symbol": "B", "market": None, "ts": "2024-01-01 01:00:00"},
+            ],
+        )
+        assert n == 2
+        got = dict(
+            (r.symbol, r.market)
+            for r in eng.sql("SELECT symbol, market FROM mkt").collect()
+        )
+        assert got == {"A": "perp", "B": "spot"}
+        # an unknown code in the same float-coerced shape is still refused
+        with pytest.raises(ValueError, match="unknown Enum element"):
+            eng.insert(
+                "mkt",
+                [
+                    {"symbol": "C", "market": 7, "ts": "2024-01-01 00:00:00"},
+                    {"symbol": "D", "market": None, "ts": "2024-01-01 00:00:00"},
+                ],
+            )
+        # a non-integral float is never a code
+        with pytest.raises(ValueError, match="unknown Enum element"):
+            eng.insert(
+                "mkt", [{"symbol": "C", "market": 2.5, "ts": "2024-01-01 00:00:00"}]
+            )
+
+    def test_spark_dataframe_float_column_codes_accepted(self, eng, spark):
+        # the Spark-DataFrame insert path (no pandas loop) with a DOUBLE
+        # column of integral codes goes through the same canonicalization
+        sdf = spark.createDataFrame(
+            [("E", 2.0, "2024-01-01 00:00:00")],
+            "symbol string, market double, ts string",
+        )
+        assert eng.insert("mkt", sdf) == 1
+        assert eng.sql("SELECT market FROM mkt").collect()[0].market == "perp"
+
 
 class TestMapColumns:
     """r10 (r9 verdict item 5): Map(K, V) column type. Maps to Spark
@@ -2517,6 +2560,41 @@ class TestMapColumns:
             "SELECT m['xs'] AS xs FROM nested", dialect="clickhouse"
         ).collect()[0]
         assert list(r.xs) == [1, 2, 3]
+
+
+class TestGenericTypeRunHeuristic:
+    """r10 ADVICE item 2: `<...>` is a generic TYPE run only after a known
+    container head (array/map/struct); a pair of unquoted comparisons in
+    DEFAULT expressions must not be swallowed as one token across the
+    top-level comma."""
+
+    def test_default_comparisons_do_not_merge_columns(self, spark, tmp_path):
+        eng = AnalyticsEngine(
+            spark, verbose=False, ddl_root=str(tmp_path / "ddl_gen")
+        )
+        eng.sql(
+            "CREATE TABLE gdef (a Int8 DEFAULT 1<2, b Int8 DEFAULT 3>2, "
+            "k String) ENGINE = MergeTree ORDER BY (k)",
+            dialect="clickhouse",
+        )
+        assert [c for c, _, _ in eng.ddl_catalog.tables["gdef"].ddl.columns] == [
+            "a",
+            "b",
+            "k",
+        ]
+
+    def test_spark_generic_spellings_still_one_token(self, spark, tmp_path):
+        eng = AnalyticsEngine(
+            spark, verbose=False, ddl_root=str(tmp_path / "ddl_gen2")
+        )
+        eng.sql(
+            "CREATE TABLE gmap (k String, m map<string,array<bigint>>, "
+            "s struct<a:bigint,b:string>) ENGINE = MergeTree ORDER BY (k)",
+            dialect="clickhouse",
+        )
+        cols = {c: t for c, t, _ in eng.ddl_catalog.tables["gmap"].ddl.columns}
+        assert cols["m"] == "map<string,array<bigint>>"
+        assert cols["s"] == "struct<a:bigint,b:string>"
 
 
 class TestInsertInlineValues:
@@ -2717,6 +2795,42 @@ class TestSystemTables:
     def test_unknown_system_table_raises(self, eng):
         with pytest.raises(KeyError, match="unsupported system table"):
             eng.sql("SELECT * FROM system.nope", dialect="clickhouse")
+
+    def test_unknown_system_ref_outside_table_position_passes_through(self, eng):
+        """r10 ADVICE item 3: only a system.* reference in TABLE position
+        (after FROM/JOIN) is gated; a mere identifier spelling elsewhere is
+        not this layer's to refuse."""
+        r = eng.sql(
+            "SELECT 1 AS x FROM system.one WHERE 'a' != 'system.zzz'",
+            dialect="clickhouse",
+        ).collect()
+        assert r[0].x == 1
+
+    def test_system_one_and_numbers(self, eng):
+        """``system.one`` (one row, dummy=0) and ``system.numbers``
+        (LIMIT-bounded natural numbers) — the two most common ClickHouse
+        idioms outside the introspection four."""
+        assert [r.dummy for r in eng.sql(
+            "SELECT * FROM system.one", dialect="clickhouse"
+        ).collect()] == [0]
+        assert [r.number for r in eng.sql(
+            "SELECT number FROM system.numbers LIMIT 5", dialect="clickhouse"
+        ).collect()] == [0, 1, 2, 3, 4]
+        # expressions + predicates over numbers stay lazy (range + limit)
+        assert [r.n2 for r in eng.sql(
+            "SELECT number * 2 AS n2 FROM system.numbers WHERE number > 1 "
+            "LIMIT 3",
+            dialect="clickhouse",
+        ).collect()] == [4, 6, 8]
+
+    def test_system_tables_work_before_any_ddl(self, spark, tmp_path):
+        # a fresh engine with NO ddl yet still serves system.one/numbers
+        eng = AnalyticsEngine(
+            spark, verbose=False, ddl_root=str(tmp_path / "ddl_sysfresh")
+        )
+        assert eng.sql(
+            "SELECT count(*) AS c FROM system.one", dialect="clickhouse"
+        ).collect()[0].c == 1
 
     def test_string_literal_untouched(self, eng):
         r = eng.sql(
