@@ -134,6 +134,13 @@ def read_token_bloom(table_path: str) -> dict | None:
         return None
 
 
+#: prune-benefit bail-out (r10 verdict item 5): when the bloom keeps more
+#: than this fraction of the files, the explicit per-file read plan costs
+#: more than it saves (measured r10: scattered layout, 0% pruned, +0.09 s
+#: vs the plain directory scan) — fall back to the full scan instead.
+PRUNE_BAILOUT_KEEP_FRAC = 0.9
+
+
 def prune_files_with_token(
     idx: dict, table_path: str, token: str
 ) -> list[str] | None:
@@ -141,7 +148,9 @@ def prune_files_with_token(
 
     Returns ``None`` — "fall back to the full scan" — when the sidecar is
     stale (any data file on disk is missing from it), so out-of-band writes
-    can never lose rows to pruning.
+    can never lose rows to pruning. Pure prune decision: the READ paths
+    apply :func:`prune_worth_it` on top before switching to the explicit
+    file-list plan.
     """
     on_disk = data_files(table_path)
     known = idx["files"]
@@ -156,6 +165,17 @@ def prune_files_with_token(
     return keep
 
 
+def prune_worth_it(pruned: list[str] | None, table_path: str) -> bool:
+    """Whether the explicit per-file read plan beats the plain directory
+    scan: False when pruning kept more than ``PRUNE_BAILOUT_KEEP_FRAC`` of
+    the files — a scattered token layout, where the file-list plan only
+    adds listing overhead (measured r10: 0% pruned, +0.09 s)."""
+    if pruned is None:
+        return False
+    total = len(data_files(table_path))
+    return total == 0 or len(pruned) <= PRUNE_BAILOUT_KEEP_FRAC * total
+
+
 def read_containing(
     spark: SparkSession, table_path: str, token: str, text_col: str = "text"
 ) -> DataFrame:
@@ -166,7 +186,7 @@ def read_containing(
     pruned = None
     if idx is not None and idx.get("text_col") == text_col:
         pruned = prune_files_with_token(idx, table_path, token)
-    if pruned is None:
+    if not prune_worth_it(pruned, table_path):
         df = spark.read.parquet(table_path)
     elif not pruned:
         df = spark.read.parquet(table_path).limit(0)

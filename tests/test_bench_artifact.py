@@ -59,6 +59,55 @@ class TestSentinelPolicy:
         assert mixed["resweep"] is True and mixed["loaded"] is True
 
 
+class TestCpuProbePolicy:
+    """r10 verdict item 4: the busy-cores sentinel cannot see
+    throughput-degrading machine STATE (frequency/cache) — r10 saw 84.3 s
+    vs 65.2 s on identical idle code, both sentinel-clean. A fixed
+    single-core pure-Python probe with a committed idle envelope closes
+    that blind spot: slow probe + idle busy-cores => same re-sweep."""
+
+    def test_slow_probe_with_idle_cores_triggers_resweep(self):
+        p = bench.sentinel_policy(
+            [0.02, 0.01],
+            envelope_cores=1.0,
+            probe_samples=[0.55, 0.02],
+            probe_envelope_s=0.30,
+        )
+        assert p["resweep"] is True
+        assert p["loaded"] is False  # second probe bracket was clean
+
+    def test_persistently_slow_probe_stamps_loaded(self):
+        p = bench.sentinel_policy(
+            [0.02, 0.01, 0.02],
+            envelope_cores=1.0,
+            probe_samples=[0.55, 0.48, 0.61],
+            probe_envelope_s=0.30,
+        )
+        assert p["resweep"] is True
+        assert p["loaded"] is True
+
+    def test_idle_probe_and_cores_stay_clean(self):
+        p = bench.sentinel_policy(
+            [0.02, 0.01],
+            envelope_cores=1.0,
+            probe_samples=[0.22, 0.24],
+            probe_envelope_s=0.30,
+        )
+        assert p["resweep"] is False and p["loaded"] is False
+        assert p["samples_probe_s"] == [0.22, 0.24]
+        assert p["probe_envelope_s"] == 0.30
+
+    def test_probe_unavailable_never_counts(self):
+        p = bench.sentinel_policy(
+            [0.02], envelope_cores=1.0, probe_samples=[-1.0], probe_envelope_s=0.30
+        )
+        assert p["resweep"] is False and p["loaded"] is False
+
+    def test_probe_sensor_runs_and_is_positive(self):
+        v = bench._run_cpu_probe(iters=50_000, runs=1)
+        assert 0.0 < v < 5.0
+
+
 class TestSentinelSensor:
     def test_busy_cores_reads_this_machine(self):
         # short window to keep the suite fast; just pin the contract:
@@ -84,6 +133,10 @@ class TestArtifactShape:
         samples = iter([4.0, 2.1, 0.03, 0.03])
         monkeypatch.setattr(
             bench, "_run_sentinel", lambda sample_s=3.0: next(samples)
+        )
+        probes = iter([0.21, 0.22, 0.23, 0.22])
+        monkeypatch.setattr(
+            bench, "_run_cpu_probe", lambda iters=0, runs=0: next(probes)
         )
         monkeypatch.setattr(bench, "_bench_corpus_scale", lambda spark: {"stub": 1})
         monkeypatch.setattr(bench, "_bench_storage", lambda spark: {"stub": 2})
@@ -155,6 +208,9 @@ class TestArtifactShape:
         assert s["resweep"] is True
         assert s["samples_busy_cores"] == [4.0, 2.1, 0.03, 0.03]
         assert s["envelope_cores"] == bench.SENTINEL_ENVELOPE_CORES
+        # r11: the CPU micro-probe readings ride along
+        assert s["samples_probe_s"] == [0.21, 0.22, 0.23, 0.22]
+        assert s["probe_envelope_s"] == bench.CPU_PROBE_ENVELOPE_S
         assert set(payload["queries"]) == set(fake_q)
         assert payload["corpus_scale"] == {"stub": 1}
         assert payload["storage"] == {"stub": 2}

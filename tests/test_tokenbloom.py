@@ -108,3 +108,56 @@ def test_token_bloom_adversarial_tokens_never_false_negative(spark, tmp_path):
         assert pruned, f"false negative for token {t!r}"
         got = tb.read_containing(spark, path, t)
         assert got.count() >= 1, f"read lost token {t!r}"
+
+
+def test_prune_worth_it_bails_out_on_scattered_layout(spark, tmp_path):
+    """r10 verdict item 5: a token present in ~every file (scattered
+    layout) keeps ~every file — the explicit file-list plan only adds
+    listing overhead (+0.09 s measured r10), so the read path must fall
+    back to the plain directory scan. The pruner itself stays pure (its
+    kept-list is the stats/telemetry surface)."""
+    rows = [(i, f"common filler w{i % 5}") for i in range(160)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "scattered")
+    df.repartition(8).write.parquet(path)  # round-robin: no empty files
+    idx = tb.build_token_bloom(spark, path)
+    pruned = tb.prune_files_with_token(idx, path, "common")
+    assert pruned is not None  # pruner unchanged: reports the kept set
+    assert len(pruned) == 8
+    assert not tb.prune_worth_it(pruned, path)
+    # stale fallback (None) is never "worth it"
+    assert not tb.prune_worth_it(None, path)
+    # empty kept list (absent token) IS worth it: reads nothing
+    assert tb.prune_worth_it([], path)
+    # a clustered corpus pruning 7 of 8 files IS worth it
+    cpath = _corpus(spark, tmp_path)
+    cidx = tb.build_token_bloom(spark, cpath)
+    assert tb.prune_worth_it(
+        tb.prune_files_with_token(cidx, cpath, "rare3"), cpath
+    )
+    # and the read path stays correct through the bail-out
+    got = tb.read_containing(spark, path, "common")
+    assert got.count() == 160
+
+
+def test_ddl_read_containing_bails_out_but_stays_correct(spark, tmp_path):
+    from binance_etl_clickhouse_spark.engine import AnalyticsEngine
+
+    eng = AnalyticsEngine(
+        spark, verbose=False, ddl_root=str(tmp_path / "ddl_bail")
+    )
+    eng.sql(
+        "CREATE TABLE bt (doc_id Int64, text String) "
+        "ENGINE = MergeTree ORDER BY (doc_id)",
+        dialect="clickhouse",
+    )
+    eng.insert(
+        "bt",
+        [{"doc_id": i, "text": f"common filler rare{i % 2} w{i}"} for i in range(40)],
+    )
+    eng.sql(
+        "ALTER TABLE bt ADD INDEX t_bf text TYPE tokenbf_v1(256, 3, 0)",
+        dialect="clickhouse",
+    )
+    got = eng.ddl_catalog.read_containing("bt", "common")
+    assert got.count() == 40
