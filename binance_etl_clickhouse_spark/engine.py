@@ -386,6 +386,33 @@ class AnalyticsEngine:
                 return self.spark.range(n).select(
                     F.lit(n).alias("rows_written")
                 ).limit(1)
+            ins_fmt = re.match(
+                r"^\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\)\s*)?"
+                r"FORMAT\s+(\w+)",
+                query,
+                re.I | re.S,
+            )
+            if ins_fmt is not None:
+                # INSERT INTO t FORMAT CSV/JSONEachRow/... carries its rows
+                # OUT OF BAND (the client streams them after the statement)
+                # — there is nothing to execute here, and silently stripping
+                # FORMAT would "insert" zero rows. Refuse loudly with the
+                # supported alternatives (r10 verdict item 7).
+                fmt = ins_fmt.group(3)
+                if fmt.lower() != "values":
+                    raise ValueError(
+                        f"INSERT INTO {ins_fmt.group(1)} FORMAT {fmt} is a "
+                        "client-streamed form (rows arrive out of band) and "
+                        "cannot run as a standalone statement here. Use "
+                        "INSERT INTO ... VALUES (...), INSERT INTO ... "
+                        "SELECT ..., or engine.insert(table, rows) with a "
+                        "DataFrame/list of dicts."
+                    )
+                # FORMAT Values (...) is the inline form: rewrite to the
+                # plain VALUES spelling and fall through to ins_lit
+                query = re.sub(
+                    r"FORMAT\s+Values", "VALUES", query, count=1, flags=re.I
+                )
             ins_lit = re.match(
                 r"^\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\)\s*)?"
                 r"VALUES\s*(?P<rows>\(.+?)\s*;?\s*$",

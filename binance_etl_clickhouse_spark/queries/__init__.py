@@ -115,6 +115,8 @@ PLANNED_NEW: set[str] = set()
 # first in line for the r12 rotation, and visible to the judge at stable
 # positions 51+.
 NEXT_WINDOW = [
+    "prewhere_where_verbatim_sql",
+    "cte_settings_verbatim_sql",
 ]
 
 

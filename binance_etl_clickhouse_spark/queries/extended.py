@@ -1534,3 +1534,102 @@ def plain_view_verbatim_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM finished_orders GROUP BY prio""",
         dialect="clickhouse",
     )
+
+
+# ---------------------------------------------------------------------------
+# Verbatim PREWHERE + WHERE (r11, r10 verdict item 2): ClickHouse's most
+# common hand-optimization — PREWHERE p WHERE w, conditions ANDed — runs
+# verbatim through the dialect (merged into ONE WHERE; previously emitted
+# the invalid double-WHERE). FINAL + GROUP BY ride along so the merge is
+# exercised in its real clause neighborhood.
+# Reference anchor: the delegated SQL surface (app/src/utils_clickhouse.py:
+# 36-43) accepts arbitrary hand-written ClickHouse queries.
+# ---------------------------------------------------------------------------
+_PREWHERE_WHERE_ORACLE = """
+SELECT o_orderpriority AS prio,
+       count(*)::BIGINT AS n,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+WHERE o_totalprice > 1000 AND o_orderstatus = 'F'
+GROUP BY prio
+"""
+
+
+@register(
+    "prewhere_where_verbatim_sql",
+    _PREWHERE_WHERE_ORACLE,
+    survey_ref=(
+        "S8 dialect (r11): PREWHERE p WHERE w (valid ClickHouse — the "
+        "conditions AND together) runs verbatim, merged into one WHERE "
+        "per SELECT scope; with FINAL and GROUP BY in the same statement"
+    ),
+)
+def prewhere_where_verbatim_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_clickhouse_spark.engine import AnalyticsEngine
+    from binance_etl_clickhouse_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    eng = AnalyticsEngine(spark, verbose=False)
+    eng.register_clickhouse_compat()
+    return eng.sql(
+        """SELECT o_orderpriority AS prio, count() AS n,
+                  round(sum(o_totalprice), 2) AS total_price
+        FROM orders FINAL
+        PREWHERE o_totalprice > 1000
+        WHERE o_orderstatus = 'F'
+        GROUP BY prio""",
+        dialect="clickhouse",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Verbatim CTE + nested SETTINGS (r11, r10 verdict item 7): the next
+# highest-frequency real-migration shape after PREWHERE — WITH ... AS
+# (SELECT ... SETTINGS ...) with a trailing statement-level SETTINGS,
+# PREWHERE inside the CTE body, and a dim join on the outer SELECT. The
+# SETTINGS tails strip per scope (each parenthesized subquery recurses
+# through the translator), never eating a join or group key.
+# ---------------------------------------------------------------------------
+_CTE_SETTINGS_ORACLE = """
+SELECT c_mktsegment AS seg,
+       count(*)::BIGINT AS n,
+       round(avg(o_totalprice), 4) AS avg_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderstatus = 'O'
+GROUP BY seg
+"""
+
+
+@register(
+    "cte_settings_verbatim_sql",
+    _CTE_SETTINGS_ORACLE,
+    survey_ref=(
+        "S8 dialect (r11): WITH <name> AS (SELECT ... SETTINGS ...) CTE "
+        "+ statement-level SETTINGS tail + PREWHERE inside the CTE body "
+        "run verbatim — per-scope clause strips through subquery "
+        "recursion"
+    ),
+)
+def cte_settings_verbatim_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_clickhouse_spark.engine import AnalyticsEngine
+    from binance_etl_clickhouse_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    eng = AnalyticsEngine(spark, verbose=False)
+    eng.register_clickhouse_compat()
+    return eng.sql(
+        """WITH open_orders AS (
+            SELECT o_custkey, o_totalprice
+            FROM orders
+            PREWHERE o_orderstatus = 'O'
+            SETTINGS max_threads = 8
+        )
+        SELECT c.c_mktsegment AS seg, count() AS n,
+               round(avg(f.o_totalprice), 4) AS avg_price
+        FROM open_orders f
+        INNER JOIN customer c ON f.o_custkey = c.c_custkey
+        GROUP BY seg
+        SETTINGS max_memory_usage = 100000000""",
+        dialect="clickhouse",
+    )

@@ -2619,6 +2619,30 @@ class TestInsertInlineValues:
         )
         return eng
 
+    def test_insert_format_streamed_forms_refused_loudly(self, eng):
+        """r10 verdict item 7: INSERT INTO t FORMAT CSV/JSONEachRow/... is
+        a client-streamed form (rows arrive out of band) — refuse with a
+        clear message instead of a parser error or a silent zero-row
+        insert."""
+        for q in (
+            "INSERT INTO kv FORMAT CSV",
+            "INSERT INTO kv (k, v) FORMAT JSONEachRow",
+            "INSERT INTO kv FORMAT TabSeparated",
+        ):
+            with pytest.raises(ValueError, match="client-streamed"):
+                eng.sql(q, dialect="clickhouse")
+
+    def test_insert_format_values_inline_runs(self, eng):
+        # FORMAT Values with inline rows IS executable: same path as the
+        # plain VALUES spelling
+        out = eng.sql(
+            "INSERT INTO kv (k, v, ts) FORMAT Values "
+            "('a', 1, toDateTime('2024-01-01 00:00:00'))",
+            dialect="clickhouse",
+        )
+        assert out.collect()[0].rows_written == 1
+        assert eng.sql("SELECT v FROM kv").collect()[0].v == 1
+
     def test_plain_literals(self, eng):
         out = eng.sql(
             "INSERT INTO kv (k, v, ts) VALUES "
