@@ -470,9 +470,56 @@ _NON_CALL_KEYWORDS = {
     "ILIKE",
 }
 
+#: ClickHouse type-name spellings accepted by accurateCastOrNull(x, 'T')
+#: (exact-or-wider Spark targets; UInt64 widens to DECIMAL(20,0))
+_CH_CAST_TYPES = {
+    "Int8": "TINYINT",
+    "Int16": "SMALLINT",
+    "Int32": "INT",
+    "Int64": "BIGINT",
+    "UInt8": "SMALLINT",
+    "UInt16": "INT",
+    "UInt32": "BIGINT",
+    "UInt64": "DECIMAL(20,0)",
+    "Float32": "FLOAT",
+    "Float64": "DOUBLE",
+    "String": "STRING",
+    "Date": "DATE",
+    "DateTime": "TIMESTAMP",
+    "Bool": "BOOLEAN",
+}
+
+#: toRelative*Num — whole units elapsed since the epoch (CH contract)
+_RELATIVE_NUMS = {
+    "toRelativeSecondNum": "unix_timestamp({ts})",
+    "toRelativeMinuteNum": "CAST(floor(unix_timestamp({ts}) / 60) AS BIGINT)",
+    "toRelativeHourNum": "CAST(floor(unix_timestamp({ts}) / 3600) AS BIGINT)",
+    "toRelativeDayNum": "datediff({ts}, DATE'1970-01-01')",
+    "toRelativeMonthNum": "(year({ts}) * 12 + month({ts}))",
+    "toRelativeYearNum": "year({ts})",
+}
+
 _NAME_MAP = {
     "argMax": "max_by",
     "argMin": "min_by",
+    # r11 widening: window-frame variants, moment statistics, regex match
+    "lagInFrame": "lag",
+    "leadInFrame": "lead",
+    "covarPop": "covar_pop",
+    "covarSamp": "covar_samp",
+    "stddevSamp": "stddev_samp",
+    "stddevPop": "stddev_pop",
+    "varSamp": "var_samp",
+    "varPop": "var_pop",
+    # Spark skewness is the population (g1) formula, same as CH skewPop
+    "skewPop": "skewness",
+    # re2 partial-match -> Java regex partial-match (regexp_like); the
+    # dialects' regex syntaxes agree on the common core
+    "match": "regexp_like",
+    # a STABLE 64-bit hash, not CityHash: hash VALUES differ from
+    # ClickHouse (both are engine-internal; use for bucketing/sampling,
+    # not cross-engine joins) — documented divergence
+    "cityHash64": "xxhash64",
     "uniq": "approx_count_distinct",
     "anyLast": "any_value",
     "any": "any_value",
@@ -789,6 +836,166 @@ def _skip_string(s: str, i: int) -> int:
             return j + 1
         j += 1
     return n
+
+
+#: an identifier directly before ``[`` that means the bracket STARTS a
+#: fresh expression (array literal), not a subscript on that identifier —
+#: clause keywords and operators, ``x IN [1, 2]`` being the archetype.
+_BRACKET_LITERAL_PRECEDERS = frozenset(
+    {
+        "SELECT",
+        "DISTINCT",
+        "WHERE",
+        "PREWHERE",
+        "HAVING",
+        "AND",
+        "OR",
+        "NOT",
+        "WHEN",
+        "THEN",
+        "ELSE",
+        "ON",
+        "BY",
+        "CASE",
+        "BETWEEN",
+        "LIKE",
+        "ILIKE",
+        "IN",
+        "AS",
+        "ALL",
+        "ANY",
+        "SOME",
+        "FROM",
+        "JOIN",
+        "UNION",
+        "EXCEPT",
+        "INTERSECT",
+        "VALUES",
+        "IS",
+        "RETURN",
+        "LIMIT",
+        "OFFSET",
+        "USING",
+        "SET",
+        "INTERVAL",
+        "END",
+    }
+)
+
+
+def _find_close_bracket(s: str, open_idx: int) -> int:
+    """Index of the ``]`` matching ``s[open_idx] == '['`` (quote-aware;
+    parens and nested brackets both tracked). -1 if unbalanced."""
+    depth, i = 0, open_idx
+    while i < len(s):
+        ch = s[i]
+        if ch in _QUOTES:
+            i = _skip_string(s, i)
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    return -1
+
+
+def _rewrite_brackets(sql: str) -> str:
+    """ClickHouse bracket syntax -> Spark spellings:
+
+    - expression-position ``[a, b, c]`` (array literal) -> ``array(a, b,
+      c)`` — Spark's parser has no bracket literal;
+    - postfix ``base[i]`` (subscript) -> ``try_element_at(base, i)`` —
+      ClickHouse array subscripts are 1-BASED with negative-from-end and a
+      NULL-ish out-of-range, where Spark's native ``a[i]`` is 0-based:
+      passing the bracket through returned the WRONG ELEMENT silently
+      (found r11). Maps go through the same call (key lookup; missing key
+      reads NULL — the engine's documented Map divergence).
+
+    Forward scan tracking the start of the last complete postfix
+    expression in the output; a bracket after an identifier / ``)`` /
+    ``]`` / quoted token is a subscript on it unless the identifier is a
+    clause keyword (``x IN [1, 2]``). Chains (``m['a'][2]``) wrap
+    left-to-right; inner content recurses. Runs as a pre-pass on the raw
+    text, so the emitted calls flow through the normal translator and the
+    output (bracket-free) is a fixed point."""
+    out = ""
+    primary_start: int | None = None  # index into out
+    prev_kw: str | None = None  # keyword immediately before, if any
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in _QUOTES:
+            j = _skip_string(sql, i)
+            primary_start = len(out)
+            prev_kw = None
+            out += sql[i:j]
+            i = j
+            continue
+        if ch in _IDENT:
+            j = i
+            while j < n and sql[j] in _IDENT:
+                j += 1
+            word = sql[i:j]
+            if word.upper() in _BRACKET_LITERAL_PRECEDERS:
+                primary_start = None
+                prev_kw = word.upper()
+            else:
+                primary_start = len(out)
+                prev_kw = None
+            out += word
+            # a dotted chain (db.tbl.col) is one primary
+            while j < n and sql[j] == "." and j + 1 < n and sql[j + 1] in _IDENT:
+                out += "."
+                j += 1
+                k = j
+                while k < n and sql[k] in _IDENT:
+                    k += 1
+                out += sql[j:k]
+                j = k
+            i = j
+            continue
+        if ch == "(":
+            close = _find_close(sql, i)  # raises on unbalanced (loud)
+            inner = _rewrite_brackets(sql[i + 1 : close])
+            group_start = len(out)
+            out += f"({inner})"
+            if primary_start is None:
+                # a bare group IS the primary ((expr)[1] subscripts the
+                # group); a call keeps the callee's primary start — the
+                # callee identifier set it just before
+                primary_start = group_start
+            prev_kw = None
+            i = close + 1
+            continue
+        if ch == "[":
+            close = _find_close_bracket(sql, i)
+            if close < 0:  # unbalanced: leave verbatim
+                out += sql[i:]
+                break
+            inner = _rewrite_brackets(sql[i + 1 : close])
+            if primary_start is not None:
+                base = out[primary_start:].rstrip()
+                out = out[:primary_start] + f"try_element_at({base}, {inner})"
+                # the wrap is the new primary (subscript chains)
+            elif prev_kw == "IN":
+                # ``x IN [1, 2]`` is list membership: Spark's IN wants a
+                # parenthesized list, not an array value
+                primary_start = len(out)
+                out += f"({inner})"
+            else:
+                primary_start = len(out)
+                out += f"array({inner})"
+            i = close + 1
+            continue
+        out += ch
+        if not ch.isspace():
+            primary_start = None
+            prev_kw = None
+        i += 1
+    return out
 
 
 def _strip_comments(s: str) -> str:
@@ -1927,7 +2134,7 @@ def _rewrite_any_join(sql: str) -> str:
 # alias so every outer reference resolves unchanged:
 #
 #   FROM T t ARRAY JOIN e1 AS x, e2 AS y WHERE ...
-#   -> FROM (SELECT t.*, __aj_e0 AS x, (e2)[__aj_pos] AS y
+#   -> FROM (SELECT t.*, __aj_e0 AS x, try_element_at(e2, __aj_pos + 1) AS y
 #            FROM T AS t LATERAL VIEW posexplode(e1) __aj AS __aj_pos,
 #            __aj_e0) AS t WHERE ...
 #
@@ -2066,7 +2273,14 @@ def _rewrite_array_join(sql: str) -> str:
             f"AS __aj_pos, __aj_e0"
         )
     sel = [f"__aj_e0 AS {drive_name}"]
-    sel += [f"({expr})[__aj_pos] AS {nm}" for expr, nm, _ in parsed[1:]]
+    # try_element_at (1-based, NULL out-of-range) instead of a bracket
+    # subscript: emitted text must stay bracket-free so a re-translation
+    # (nested subquery units, idempotence) can't reinterpret it through
+    # the CH 1-based bracket pass (r11)
+    sel += [
+        f"try_element_at({expr}, __aj_pos + 1) AS {nm}"
+        for expr, nm, _ in parsed[1:]
+    ]
     derived = (
         f"(SELECT {al}.*{except_clause}, {', '.join(sel)} "
         f"FROM {term} AS {al} {lv}) AS {al}"
@@ -2490,6 +2704,11 @@ def translate_clickhouse_sql(sql: str) -> str:
     # scalar WITH inlining first: aliases may appear inside any later
     # clause, so every other rewrite should see the resolved text
     sql = _rewrite_scalar_with(sql)
+    # bracket syntax next: [a, b] literals -> array(), base[i] subscripts
+    # -> try_element_at (1-based, the ClickHouse contract — Spark's native
+    # a[i] is 0-based and returned the WRONG element silently). The output
+    # is bracket-free, so every scanner below sees plain calls.
+    sql = _rewrite_brackets(sql)
     # FROM-position FINAL strip (regex pre-pass: the pattern is anchored on
     # the FROM keyword, so the only false positive would be the literal text
     # "FROM x FINAL" inside a string — not worth a second scanner)
@@ -2776,7 +2995,7 @@ def translate_clickhouse_sql(sql: str) -> str:
                     cond = args[-1]
                     wrapped = [f"CASE WHEN {cond} THEN {a} END" for a in args[:-1]]
                     out.append(f"count(DISTINCT {', '.join(wrapped)})")
-                elif name == "uniqExact":
+                elif name in ("uniqExact", "countDistinct"):
                     out.append(f"count(DISTINCT {', '.join(args)})")
                 elif name in _ARRAY_COMBINATORS and len(args) == 1:
                     # -Array combinator: aggregate over every ELEMENT of
@@ -3340,6 +3559,238 @@ def translate_clickhouse_sql(sql: str) -> str:
                         for p in range(0, len(args) - 1, 2)
                     )
                     out.append(f"CASE {clauses} ELSE {args[-1]} END")
+                elif name == "kurtPop" and len(args) == 1:
+                    # CH kurtPop is the NON-excess (Pearson) kurtosis
+                    # m4/m2^2; Spark's kurtosis is the excess form (-3)
+                    out.append(f"(kurtosis({args[0]}) + 3)")
+                elif name in ("empty", "notEmpty") and len(args) == 1:
+                    # array/map form (size); STRING inputs fail loudly in
+                    # the analyzer — use s = '' there (no polymorphic
+                    # dispatch in a text rewrite)
+                    op = "=" if name == "empty" else "!="
+                    out.append(f"(size({args[0]}) {op} 0)")
+                elif name == "transform" and len(args) in (3, 4):
+                    # CH value-mapping transform(x, from, to[, default]) —
+                    # NOT Spark's array lambda (always 2 args, untouched).
+                    # try_element_at: missing key -> NULL -> default/x
+                    x, src_a, dst_a = args[0], args[1], args[2]
+                    dflt = args[3] if len(args) == 4 else x
+                    out.append(
+                        f"coalesce(try_element_at(map_from_arrays("
+                        f"{src_a}, {dst_a}), {x}), {dflt})"
+                    )
+                elif name == "accurateCastOrNull" and len(args) == 2:
+                    lit = _string_literal(args[1])
+                    t_sp = _CH_CAST_TYPES.get(lit or "")
+                    if t_sp is None:
+                        raise ValueError(
+                            f"accurateCastOrNull: unsupported type "
+                            f"{args[1]} (supported: "
+                            f"{sorted(_CH_CAST_TYPES)})"
+                        )
+                    out.append(f"try_cast({args[0]} AS {t_sp})")
+                elif name == "tuple" and args:
+                    # CH unnamed tuple -> struct with FIXED field names
+                    # col1..colN (Spark's struct() would name fields after
+                    # their source columns), so tupleElement's positional
+                    # form reads back exactly
+                    fields = ", ".join(
+                        f"'col{k + 1}', {a}" for k, a in enumerate(args)
+                    )
+                    out.append(f"named_struct({fields})")
+                elif name == "untuple" and len(args) == 1:
+                    # select-list struct expansion: Spark has no .* on an
+                    # arbitrary expression — the inline() generator
+                    # expands a one-element struct array to columns
+                    out.append(f"inline(array({args[0]}))")
+                elif name == "tupleElement" and len(args) == 2:
+                    lit = _string_literal(args[1])
+                    if lit is not None:
+                        out.append(f"{args[0]}.{lit}")
+                    elif re.fullmatch(r"\d+", args[1]):
+                        # positional (1-based) over tuple()->struct()'s
+                        # default field names col1..colN
+                        out.append(f"{args[0]}.col{args[1]}")
+                    else:
+                        raise ValueError(
+                            "tupleElement needs a literal field name or "
+                            f"1-based index, got {args[1]!r}"
+                        )
+                elif name == "simpleLinearRegression" and len(args) == 2:
+                    # CH returns tuple (k, b) = (slope, intercept); note
+                    # Spark's regr_* take (y, x) — CH takes (x, y)
+                    x, y = args
+                    out.append(
+                        f"named_struct('k', regr_slope({y}, {x}), "
+                        f"'b', regr_intercept({y}, {x}))"
+                    )
+                elif (
+                    name in ("arraySort", "arrayReverseSort")
+                    and len(args) == 2
+                    and "->" in args[0]
+                ):
+                    # CH 2-arg form sorts arr by KEY FUNCTION f(x) (stable);
+                    # decorate-sort-undecorate: struct(key, value) arrays
+                    # compare field-by-field, so array_sort orders by key
+                    lam_var, _, lam_body = args[0].partition("->")
+                    lam_var = lam_var.strip().lstrip("(").rstrip(")").strip()
+                    sorted_expr = (
+                        f"transform(array_sort(transform({args[1]}, "
+                        f"{lam_var} -> struct(({lam_body.strip()}) AS __ask, "
+                        f"{lam_var} AS __asv))), __ase -> __ase.__asv)"
+                    )
+                    if name == "arrayReverseSort":
+                        sorted_expr = f"reverse({sorted_expr})"
+                    out.append(sorted_expr)
+                elif name == "numbers" and len(args) in (1, 2):
+                    # table function: numbers(N) / numbers(offset, N) ->
+                    # a range() subquery (lazy, LIMIT-prunable)
+                    if len(args) == 1:
+                        rng = f"range({args[0]})"
+                    else:
+                        rng = f"range({args[0]}, ({args[0]}) + ({args[1]}))"
+                    out.append(f"(SELECT id AS number FROM {rng})")
+                elif name == "now64" and len(args) <= 2:
+                    # precision/tz args are display concerns; Spark
+                    # timestamps are microsecond anyway
+                    out.append("now()")
+                elif name == "toDateTime64" and len(args) in (2, 3):
+                    # (x, precision[, tz]) — sub-second precision is
+                    # capped at Spark's native microseconds; tz rides the
+                    # session zone (documented divergence)
+                    out.append(f"CAST({args[0]} AS TIMESTAMP)")
+                elif name == "halfMD5" and len(args) == 1:
+                    # first 8 bytes of md5, big-endian as UInt64 == the
+                    # first 16 hex chars as a number — exact for one arg
+                    out.append(
+                        f"CAST(conv(substring(md5(CAST({args[0]} AS "
+                        f"STRING)), 1, 16), 16, 10) AS DECIMAL(20,0))"
+                    )
+                elif (
+                    name in ("arrayFirst", "arrayFirstIndex")
+                    and len(args) == 2
+                ):
+                    # first element satisfying the predicate. CH returns
+                    # the element-type default when none matches; Spark
+                    # reads NULL (the engine's documented default-vs-NULL
+                    # divergence). The index form is 1-based, 0 when none
+                    # — array_position of the first match is exact for
+                    # pure value predicates (an earlier equal element
+                    # would itself satisfy the predicate).
+                    first = f"try_element_at(filter({args[1]}, {args[0]}), 1)"
+                    if name == "arrayFirst":
+                        out.append(first)
+                    else:
+                        out.append(
+                            f"coalesce(array_position({args[1]}, {first}), 0)"
+                        )
+                elif name == "greatCircleDistance" and len(args) == 4:
+                    # haversine, meters, mean Earth radius 6371 km (CH uses
+                    # a WGS-84-derived metric; agreement is within ~0.5%)
+                    lon1, lat1, lon2, lat2 = args
+                    out.append(
+                        f"(2 * 6371000 * asin(sqrt("
+                        f"pow(sin(radians(({lat2}) - ({lat1})) / 2), 2) + "
+                        f"cos(radians({lat1})) * cos(radians({lat2})) * "
+                        f"pow(sin(radians(({lon2}) - ({lon1})) / 2), 2))))"
+                    )
+                elif name == "dateName" and len(args) == 2:
+                    unit = (_string_literal(args[0]) or "").lower()
+                    ts_ = args[1]
+                    forms = {
+                        "year": f"CAST(year({ts_}) AS STRING)",
+                        "quarter": f"CAST(quarter({ts_}) AS STRING)",
+                        "month": f"date_format({ts_}, 'MMMM')",
+                        "week": f"CAST(weekofyear({ts_}) AS STRING)",
+                        "day": f"CAST(day({ts_}) AS STRING)",
+                        "weekday": f"date_format({ts_}, 'EEEE')",
+                        "hour": f"CAST(hour({ts_}) AS STRING)",
+                        "minute": f"CAST(minute({ts_}) AS STRING)",
+                        "second": f"CAST(second({ts_}) AS STRING)",
+                    }
+                    if unit not in forms:
+                        raise ValueError(
+                            f"dateName: unsupported unit {args[0]} "
+                            f"(supported: {sorted(forms)})"
+                        )
+                    out.append(forms[unit])
+                elif name == "toWeek" and len(args) == 1:
+                    # CH default mode 0: Sunday-start weeks, week 1 begins
+                    # at the year's first Sunday, earlier days are week 0
+                    ts_ = args[0]
+                    fs = (
+                        f"(((8 - dayofweek(date_trunc('year', {ts_}))) % 7)"
+                        f" + 1)"
+                    )
+                    out.append(
+                        f"(CASE WHEN dayofyear({ts_}) >= {fs} THEN "
+                        f"CAST(floor((dayofyear({ts_}) - {fs}) / 7) AS INT)"
+                        f" + 1 ELSE 0 END)"
+                    )
+                elif name in _RELATIVE_NUMS and len(args) == 1:
+                    out.append(_RELATIVE_NUMS[name].format(ts=args[0]))
+                elif name == "ifNotFinite" and len(args) == 2:
+                    x_, y_ = args
+                    out.append(
+                        f"(CASE WHEN isnan({x_}) OR abs({x_}) = "
+                        f"CAST('Infinity' AS DOUBLE) THEN {y_} "
+                        f"ELSE {x_} END)"
+                    )
+                elif name == "bar" and len(args) == 4:
+                    # full-block approximation of CH's eighth-block bars
+                    v_, lo_, hi_, w_ = args
+                    out.append(
+                        f"repeat('\u2588', CAST(greatest(0, least(({w_}),"
+                        f" round((({v_}) - ({lo_})) / (({hi_}) - ({lo_})) "
+                        f"* ({w_})))) AS INT))"
+                    )
+                elif name == "formatReadableSize" and len(args) == 1:
+                    b_ = f"CAST({args[0]} AS DOUBLE)"
+                    out.append(
+                        f"(CASE "
+                        f"WHEN {b_} < 1024 THEN concat(format_string('%.2f', {b_}), ' B') "
+                        f"WHEN {b_} < 1048576 THEN concat(format_string('%.2f', {b_} / 1024), ' KiB') "
+                        f"WHEN {b_} < 1073741824 THEN concat(format_string('%.2f', {b_} / 1048576), ' MiB') "
+                        f"WHEN {b_} < 1099511627776 THEN concat(format_string('%.2f', {b_} / 1073741824), ' GiB') "
+                        f"ELSE concat(format_string('%.2f', {b_} / 1099511627776), ' TiB') END)"
+                    )
+                elif name == "formatReadableQuantity" and len(args) == 1:
+                    n_ = f"CAST({args[0]} AS DOUBLE)"
+                    out.append(
+                        f"(CASE "
+                        f"WHEN abs({n_}) < 1000 THEN format_string('%.2f', {n_}) "
+                        f"WHEN abs({n_}) < 1000000 THEN concat(format_string('%.2f', {n_} / 1000), ' thousand') "
+                        f"WHEN abs({n_}) < 1000000000 THEN concat(format_string('%.2f', {n_} / 1000000), ' million') "
+                        f"WHEN abs({n_}) < 1000000000000 THEN concat(format_string('%.2f', {n_} / 1000000000), ' billion') "
+                        f"ELSE concat(format_string('%.2f', {n_} / 1000000000000), ' trillion') END)"
+                    )
+                elif name in ("sumMap", "minMap", "maxMap") and len(args) == 1:
+                    # key-wise map combination across the group's rows:
+                    # union the keys, fold each key's values. Exact
+                    # composition of builtins (collect_list -> flatten ->
+                    # per-key fold); keys come back SORTED like ClickHouse.
+                    # sumMap folds in DOUBLE (documented: CH sums in the
+                    # value type); min/max preserve the element type.
+                    m_ = args[0]
+                    ents = f"flatten(collect_list(map_entries({m_})))"
+                    keys = (
+                        f"array_sort(array_distinct(transform({ents}, "
+                        f"__me -> __me.key)))"
+                    )
+                    vals = f"filter({ents}, __me -> __me.key <=> __mk)"
+                    if name == "sumMap":
+                        fold = (
+                            f"aggregate({vals}, CAST(0 AS DOUBLE), "
+                            f"(__ma, __me) -> __ma + __me.value)"
+                        )
+                    elif name == "minMap":
+                        fold = f"array_min(transform({vals}, __me -> __me.value))"
+                    else:
+                        fold = f"array_max(transform({vals}, __me -> __me.value))"
+                    out.append(
+                        f"map_from_entries(transform({keys}, "
+                        f"__mk -> struct(__mk, {fold})))"
+                    )
                 elif name in _UNWRAP and len(args) == 1:
                     out.append(args[0])
                 elif name in _NAME_MAP:
@@ -3359,6 +3810,11 @@ def translate_clickhouse_sql(sql: str) -> str:
     # would silently parse as an alias plus a plain INNER join with the
     # ordering condition folded into the join predicate
     blanked = _blank_quoted(result)
+    if re.search(r"\bLIMIT\s+\S+\s+WITH\s+TIES\b", blanked, re.I):
+        raise ValueError(
+            "LIMIT ... WITH TIES has no Spark equivalent; use a rank() "
+            "window — e.g. QUALIFY rank() OVER (ORDER BY <sort>) <= n"
+        )
     if _ASOF_LEFTOVER_RE.search(blanked):
         raise ValueError(
             "ASOF JOIN could not be translated in this position; supported "

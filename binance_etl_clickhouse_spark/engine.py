@@ -114,6 +114,13 @@ CLICKHOUSE_COMPAT_FUNCTIONS: dict[str, str] = {
     "addYears": "(ts TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN timestampadd(YEAR, n, ts)",
     "subtractDays": "(ts TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN timestampadd(DAY, -n, ts)",
     "subtractHours": "(ts TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN timestampadd(HOUR, -n, ts)",
+    # r11: the rest of the add/subtract family
+    "addWeeks": "(ts TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN timestampadd(WEEK, n, ts)",
+    "subtractWeeks": "(ts TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN timestampadd(WEEK, -n, ts)",
+    "subtractMinutes": "(ts TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN timestampadd(MINUTE, -n, ts)",
+    "subtractSeconds": "(ts TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN timestampadd(SECOND, -n, ts)",
+    "subtractMonths": "(ts TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN timestampadd(MONTH, -n, ts)",
+    "subtractYears": "(ts TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN timestampadd(YEAR, -n, ts)",
     # NOTE: dateDiff cannot be a SQL-UDF shim — the name collides with
     # Spark's builtin datediff (function names are case-insensitive and
     # builtins cannot be replaced); the dialect rewriter translates it

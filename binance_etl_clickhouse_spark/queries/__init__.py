@@ -117,6 +117,7 @@ PLANNED_NEW: set[str] = set()
 NEXT_WINDOW = [
     "prewhere_where_verbatim_sql",
     "cte_settings_verbatim_sql",
+    "bracket_subscript_verbatim_sql",
 ]
 
 

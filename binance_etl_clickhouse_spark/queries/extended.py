@@ -1633,3 +1633,46 @@ def cte_settings_verbatim_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         SETTINGS max_memory_usage = 100000000""",
         dialect="clickhouse",
     )
+
+
+# ---------------------------------------------------------------------------
+# Verbatim bracket subscripts (r11): ClickHouse array subscripts are
+# 1-BASED with negative-from-end — Spark's native a[i] is 0-based, so the
+# dialect rewrites base[i] -> try_element_at(base, i) (and [a, b]
+# literals -> array()). Before this pass the bracket passed through and
+# returned the WRONG ELEMENT silently. DuckDB's list indexing is 1-based
+# with negative-from-end too, so the oracle spells the same brackets.
+# ---------------------------------------------------------------------------
+_BRACKET_ORACLE = """
+SELECT vec_id,
+       round(embedding[1]::DOUBLE, 6) AS e_first,
+       round(embedding[-1]::DOUBLE, 6) AS e_last
+FROM embeddings
+WHERE (vec_id % 20) = 0
+"""
+
+
+@register(
+    "bracket_subscript_verbatim_sql",
+    _BRACKET_ORACLE,
+    survey_ref=(
+        "S8 dialect (r11): bracket array subscripts run verbatim with the "
+        "ClickHouse 1-based/negative-from-end contract (base[i] -> "
+        "try_element_at) — previously Spark's 0-based subscript returned "
+        "the wrong element silently"
+    ),
+)
+def bracket_subscript_verbatim_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from binance_etl_clickhouse_spark.engine import AnalyticsEngine
+    from binance_etl_clickhouse_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    eng = AnalyticsEngine(spark, verbose=False)
+    eng.register_clickhouse_compat()
+    return eng.sql(
+        """SELECT vec_id,
+                  round(toFloat64(embedding[1]), 6) AS e_first,
+                  round(toFloat64(embedding[-1]), 6) AS e_last
+        FROM embeddings WHERE (vec_id % 20) = 0""",
+        dialect="clickhouse",
+    )

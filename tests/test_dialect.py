@@ -2233,7 +2233,10 @@ class TestArrayCombinators:
         ("arrayElement(array(10, 20), 2)", 20),
         ("arrayElement(array(10, 20), -1)", 20),
         ("arrayElement(array(10, 20), 5)", None),
-        ("arrayZip(array(1, 2), array('a', 'b'))[0]", {"0": 1, "1": "a"}),
+        # 1-BASED subscript, the ClickHouse contract (the old form [0]
+        # pinned Spark's 0-based passthrough — fixed r11: brackets now
+        # rewrite to try_element_at)
+        ("arrayZip(array(1, 2), array('a', 'b'))[1]", {"0": 1, "1": "a"}),
     ],
 )
 def test_array_function_widening(engine, expr, want):
@@ -3275,3 +3278,241 @@ def test_prewhere_where_fixed_point_fuzz(q):
     n_pre = q.upper().count("PREWHERE")
     assert once.upper().count("WHERE") == q.upper().count("WHERE") - 2 * n_pre + n_pre
     assert translate_clickhouse_sql(once) == once
+
+
+# -- round-11 function wave: brackets, stats, tuples, table functions --------
+
+
+class TestBracketSyntax:
+    """CH bracket syntax: [a, b] literals -> array(); base[i] subscripts
+    -> try_element_at (1-BASED — Spark's native a[i] is 0-based and
+    silently returned the wrong element before r11)."""
+
+    def test_subscript_is_one_based(self, engine):
+        engine.spark.sql(
+            "CREATE OR REPLACE TEMP VIEW brk AS SELECT array(10, 20, 30) AS arr"
+        )
+        r = engine.sql(
+            "SELECT arr[1] AS first, arr[3] AS last, arr[4] AS oob, "
+            "arr[-1] AS neg FROM brk",
+            dialect="clickhouse",
+        ).collect()[0]
+        assert (r.first, r.last, r.oob, r.neg) == (10, 30, None, 30)
+
+    def test_array_literals_and_in_list(self, engine):
+        r = engine.sql(
+            "SELECT [1, 2, 3] AS a, [] AS e, [[1], [2, 3]] AS nested",
+            dialect="clickhouse",
+        ).collect()[0]
+        assert list(r.a) == [1, 2, 3] and list(r.e) == []
+        assert [list(x) for x in r.nested] == [[1], [2, 3]]
+        rows = engine.sql(
+            "SELECT x FROM (SELECT explode(array(1, 5, 9)) AS x) "
+            "WHERE x IN [1, 9]",
+            dialect="clickhouse",
+        ).collect()
+        assert sorted(r.x for r in rows) == [1, 9]
+
+    def test_subscript_chains_and_postfix_bases(self, engine):
+        engine.spark.sql(
+            "CREATE OR REPLACE TEMP VIEW brk2 AS SELECT "
+            "map('a', array(7, 8)) AS m, array(1, 2) AS arr"
+        )
+        r = engine.sql(
+            "SELECT m['a'][2] AS chained, "
+            "(arrayMap(x -> x * 10, arr))[1] AS grouped, "
+            "splitByChar(',', 'p,q')[2] AS call FROM brk2",
+            dialect="clickhouse",
+        ).collect()[0]
+        assert (r.chained, r.grouped, r.call) == (8, 10, "q")
+
+    def test_string_literal_brackets_untouched(self, engine):
+        r = engine.sql(
+            "SELECT 'lit[1]' AS s", dialect="clickhouse"
+        ).collect()[0]
+        assert r.s == "lit[1]"
+
+    def test_fixed_point(self):
+        for q in [
+            "SELECT arr[1] FROM t",
+            "SELECT [1, 2] AS a FROM t WHERE x IN [3, 4]",
+            "SELECT m['k'][2] FROM t",
+        ]:
+            once = translate_clickhouse_sql(q)
+            assert "[" not in once.replace("['", "xx")  # bracket-free
+            assert translate_clickhouse_sql(once) == once
+
+
+class TestR11FunctionWave:
+    @pytest.fixture()
+    def feng(self, engine):
+        engine.spark.sql(
+            "CREATE OR REPLACE TEMP VIEW fw AS SELECT * FROM VALUES "
+            "(1.5, 'abc,def', 2, 3, TIMESTAMP'2024-01-05 10:00:00', "
+            "array(3, 1, 2), 10, 1), "
+            "(2.5, 'xyz', 4, 5, TIMESTAMP'2024-02-05 10:00:00', "
+            "array(6, 4), 20, 2) "
+            "AS fw(x, s, a, b, ts, arr, v, code)"
+        )
+        return engine
+
+    def test_value_mapping_transform(self, feng):
+        rows = feng.sql(
+            "SELECT transform(code, [1, 2], ['one', 'two'], 'other') AS r "
+            "FROM fw ORDER BY code",
+            dialect="clickhouse",
+        ).collect()
+        assert [r.r for r in rows] == ["one", "two"]
+        # 3-arg form: unmatched keeps x
+        rows = feng.sql(
+            "SELECT transform(code, [1], [100]) AS r FROM fw ORDER BY code",
+            dialect="clickhouse",
+        ).collect()
+        assert [r.r for r in rows] == [100, 2]
+
+    def test_match_empty_numbers(self, feng):
+        assert (
+            len(
+                feng.sql(
+                    "SELECT x FROM fw WHERE match(s, '^abc')",
+                    dialect="clickhouse",
+                ).collect()
+            )
+            == 1
+        )
+        r = feng.sql(
+            "SELECT empty(arr) AS e, notEmpty(arr) AS ne FROM fw LIMIT 1",
+            dialect="clickhouse",
+        ).collect()[0]
+        assert (r.e, r.ne) == (False, True)
+        assert [
+            r.number
+            for r in feng.sql(
+                "SELECT number FROM numbers(5, 3)", dialect="clickhouse"
+            ).collect()
+        ] == [5, 6, 7]
+
+    def test_array_sort_by_key_function(self, feng):
+        r = feng.sql(
+            "SELECT arraySort(x -> -x, arr) AS d, "
+            "arrayReverseSort(x -> x, arr) AS rv FROM fw LIMIT 1",
+            dialect="clickhouse",
+        ).collect()[0]
+        assert list(r.d) == [3, 2, 1] and list(r.rv) == [3, 2, 1]
+
+    def test_moment_stats_and_regression(self, feng):
+        r = feng.sql(
+            "SELECT covarPop(a, b) AS c, stddevSamp(a) AS sd, "
+            "skewPop(x) AS sk, kurtPop(x) AS k, "
+            "simpleLinearRegression(a, b) AS reg FROM fw",
+            dialect="clickhouse",
+        ).collect()[0]
+        assert r.c == 1.0
+        assert abs(r.reg.k - 1.0) < 1e-9 and abs(r.reg.b - 1.0) < 1e-9
+        # kurtPop = Pearson (non-excess): for a 2-point sample it is 1.0
+        assert abs(r.k - 1.0) < 1e-9
+
+    def test_tuple_positional_roundtrip(self, feng):
+        r = feng.sql(
+            "SELECT tupleElement(tuple(a, s), 1) AS p1, "
+            "tupleElement(tuple(a, s), 2) AS p2, "
+            "tupleElement(named_struct('f', a), 'f') AS byname "
+            "FROM fw LIMIT 1",
+            dialect="clickhouse",
+        ).collect()[0]
+        assert (r.p1, r.p2, r.byname) == (2, "abc,def", 2)
+        u = feng.sql(
+            "SELECT untuple(tuple(a, b)) FROM fw LIMIT 1",
+            dialect="clickhouse",
+        ).collect()[0]
+        assert tuple(u) == (2, 3)
+
+    def test_casts_window_variants_time(self, feng):
+        r = feng.sql(
+            "SELECT accurateCastOrNull(s, 'Int64') AS bad, "
+            "accurateCastOrNull('42', 'Int64') AS good, "
+            "toDateTime64(ts, 3) AS td, "
+            "subtractMonths(ts, 1) AS sm FROM fw LIMIT 1",
+            dialect="clickhouse",
+        ).collect()[0]
+        assert r.bad is None and r.good == 42
+        assert str(r.td).startswith("2024-01-05")
+        assert str(r.sm).startswith("2023-12-05")
+        lags = feng.sql(
+            "SELECT lagInFrame(v) OVER (ORDER BY ts) AS l FROM fw",
+            dialect="clickhouse",
+        ).collect()
+        assert [r.l for r in lags] == [None, 10]
+        # halfMD5 single-arg: exact CH contract (first 16 hex of md5)
+        h = feng.sql("SELECT halfMD5('abc') AS h", dialect="clickhouse").collect()[0].h
+        assert int(h) == int("900150983cd24fb0", 16)
+
+    def test_limit_with_ties_fails_loudly(self, feng):
+        with pytest.raises(ValueError, match="WITH TIES"):
+            feng.sql(
+                "SELECT x FROM fw ORDER BY x LIMIT 2 WITH TIES",
+                dialect="clickhouse",
+            )
+
+    def test_map_combining_aggregates(self, engine):
+        engine.spark.sql(
+            "CREATE OR REPLACE TEMP VIEW mm AS SELECT * FROM VALUES "
+            "('g1', map('a', 1, 'b', 2)), ('g1', map('b', 10, 'c', 3)), "
+            "('g2', map('z', 5)) AS mm(g, m)"
+        )
+        rows = engine.sql(
+            "SELECT g, sumMap(m) AS s, minMap(m) AS mn, maxMap(m) AS mx "
+            "FROM mm GROUP BY g ORDER BY g",
+            dialect="clickhouse",
+        ).collect()
+        assert dict(rows[0].s) == {"a": 1.0, "b": 12.0, "c": 3.0}
+        assert dict(rows[0].mn) == {"a": 1, "b": 2, "c": 3}
+        assert dict(rows[0].mx) == {"a": 1, "b": 10, "c": 3}
+        assert dict(rows[1].s) == {"z": 5.0}
+        # keys come back sorted, like ClickHouse
+        assert list(rows[0].s.keys()) == ["a", "b", "c"]
+
+    def test_third_batch_scalars(self, engine):
+        engine.spark.sql(
+            "CREATE OR REPLACE TEMP VIEW tb AS SELECT 1.5 AS x, "
+            "TIMESTAMP'2024-01-05 10:00:00' AS ts, array(1, 2, 3) AS arr, "
+            "42 AS v, 'ok' AS status"
+        )
+        r = engine.sql(
+            "SELECT arrayFirst(e -> e > 1, arr) AS af, "
+            "arrayFirstIndex(e -> e > 1, arr) AS afi, "
+            "arrayFirstIndex(e -> e > 9, arr) AS afi0, "
+            "dateName('month', ts) AS mn, dateName('weekday', ts) AS wd, "
+            "toRelativeDayNum(ts) AS rd, "
+            "toRelativeMonthNum(ts) AS rm, "
+            "ifNotFinite(x, -1.0) AS inf_ok, "
+            "bar(v, 0, 100, 10) AS b FROM tb",
+            dialect="clickhouse",
+        ).collect()[0]
+        assert (r.af, r.afi, r.afi0) == (2, 2, 0)
+        cd = engine.sql(
+            "SELECT countDistinct(status) AS cd FROM tb",
+            dialect="clickhouse",
+        ).collect()[0].cd
+        assert cd == 1
+        assert (r.mn, r.wd) == ("January", "Friday")
+        assert r.rd == 19727 and r.rm == 2024 * 12 + 1
+        assert r.inf_ok == 1.5
+        assert r.b == "█" * 4
+
+    def test_third_batch_constants(self, engine):
+        r = engine.sql(
+            "SELECT round(greatCircleDistance(0.0, 0.0, 0.0, 1.0)) AS gc, "
+            "toWeek(TIMESTAMP'2024-01-05 00:00:00') AS w0, "
+            "toWeek(TIMESTAMP'2024-01-07 00:00:00') AS w1, "
+            "formatReadableSize(123456) AS fs, "
+            "formatReadableQuantity(1234567) AS fq, "
+            "ifNotFinite(CAST('Infinity' AS DOUBLE), -1.0) AS infi",
+            dialect="clickhouse",
+        ).collect()[0]
+        # one degree of latitude ~ 111.2 km (CH uses a WGS-84-derived
+        # metric; agreement within ~0.5%)
+        assert abs(r.gc - 111195) < 600
+        assert (r.w0, r.w1) == (0, 1)
+        assert r.fs == "120.56 KiB" and r.fq == "1.23 million"
+        assert r.infi == -1.0

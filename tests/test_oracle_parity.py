@@ -81,12 +81,17 @@ def test_driver_window_is_the_verification_budget():
     # bpe_pair_stats / bpe_merge_trace / bpe_train_merges_traced /
     # bpe_token_counts_traced / unigram_seed_piece_stats);
     # approx_aggregates is the sketch carve-out (no cross-engine exact
-    # twin), driver rows-only-proven in r8. The round-9 window refreshes
-    # the whole r4-stale cohort, which includes the unbounded unigram
-    # trainer — the one rows-only entry in an otherwise fully hash-oracled
-    # window (its seed statistics and fixed-vocab encode ARE hash-oracled
-    # via unigram_seed_piece_stats / tokenizer_apply_unigram).
-    assert set(rows_only_in_window) <= {"unigram_lm_train"}
+    # twin), driver rows-only-proven in r8. The round-11 window rotates
+    # the whole r6-stale cohort, which includes two of the documented
+    # carve-outs (their rotation proof is exactly as due as every other
+    # stale proof) — the allowed set below is the full documented
+    # carve-out list, so any NEW rows-only registration still fails here.
+    assert set(rows_only_in_window) <= {
+        "unigram_lm_train",
+        "bpe_train_merges",
+        "unigram_lm_token_counts",
+        "approx_aggregates",
+    }
 
 
 def test_raw_builders_leave_external_caches_alone(spark):
