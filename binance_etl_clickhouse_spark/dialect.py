@@ -489,6 +489,39 @@ _CH_CAST_TYPES = {
     "Bool": "BOOLEAN",
 }
 
+#: -State / -Merge combinators (the AggregatingMergeTree idiom): State
+#: produces a mergeable PARTIAL, Merge folds partials to the final value.
+#: Spark re-expression: the partial is a plain value (sum/min/max/count),
+#: a (sum, count) struct (avg), or a collected array (uniqExact /
+#: groupArray) — transparent columns instead of CH's opaque blobs, so the
+#: partials are themselves queryable. Write-side with GROUP BY, read-side
+#: re-aggregates: exactly CH's two-stage contract.
+_STATE_FUNCS = {
+    "sumState": "sum({x})",
+    "countState": "count({x})",
+    "minState": "min({x})",
+    "maxState": "max({x})",
+    "avgState": "named_struct('sum', sum({x}), 'count', count({x}))",
+    "uniqExactState": "collect_set({x})",
+    "uniqState": "collect_set({x})",
+    "groupArrayState": "collect_list({x})",
+}
+
+_MERGE_FUNCS = {
+    "sumMerge": "sum({s})",
+    "countMerge": "sum({s})",
+    "minMerge": "min({s})",
+    "maxMerge": "max({s})",
+    "avgMerge": "(sum({s}.sum) / sum({s}.count))",
+    "uniqExactMerge": (
+        "CAST(size(array_distinct(flatten(collect_list({s})))) AS BIGINT)"
+    ),
+    "uniqMerge": (
+        "CAST(size(array_distinct(flatten(collect_list({s})))) AS BIGINT)"
+    ),
+    "groupArrayMerge": "flatten(collect_list({s}))",
+}
+
 #: toRelative*Num — whole units elapsed since the epoch (CH contract)
 _RELATIVE_NUMS = {
     "toRelativeSecondNum": "unix_timestamp({ts})",
@@ -516,6 +549,8 @@ _NAME_MAP = {
     # re2 partial-match -> Java regex partial-match (regexp_like); the
     # dialects' regex syntaxes agree on the common core
     "match": "regexp_like",
+    # another sketch alias: Theta -> Spark's HLL++ approx sketch
+    "uniqTheta": "approx_count_distinct",
     # a STABLE 64-bit hash, not CityHash: hash VALUES differ from
     # ClickHouse (both are engine-internal; use for bucketing/sampling,
     # not cross-engine joins) — documented divergence
@@ -3763,6 +3798,39 @@ def translate_clickhouse_sql(sql: str) -> str:
                         f"WHEN abs({n_}) < 1000000000 THEN concat(format_string('%.2f', {n_} / 1000000), ' million') "
                         f"WHEN abs({n_}) < 1000000000000 THEN concat(format_string('%.2f', {n_} / 1000000000), ' billion') "
                         f"ELSE concat(format_string('%.2f', {n_} / 1000000000000), ' trillion') END)"
+                    )
+                elif name in _STATE_FUNCS and len(args) == 1:
+                    out.append(_STATE_FUNCS[name].format(x=args[0]))
+                elif name in _MERGE_FUNCS and len(args) == 1:
+                    out.append(_MERGE_FUNCS[name].format(s=args[0]))
+                elif name == "entropy" and len(args) == 1:
+                    # Shannon entropy (log2) of the value distribution —
+                    # exact composition over the group's collected values
+                    # (O(distinct x n) per group; CH streams a hash map)
+                    lst = f"collect_list({args[0]})"
+                    tot = f"CAST(size({lst}) AS DOUBLE)"
+                    counts = (
+                        f"transform(array_distinct({lst}), __ev -> "
+                        f"CAST(size(filter({lst}, __ee -> __ee <=> __ev)) "
+                        f"AS DOUBLE))"
+                    )
+                    out.append(
+                        f"aggregate({counts}, CAST(0 AS DOUBLE), "
+                        f"(__ea, __ec) -> __ea - (__ec / {tot}) * "
+                        f"log2(__ec / {tot}))"
+                    )
+                elif name == "sumCount" and len(args) == 1:
+                    out.append(
+                        f"named_struct('col1', sum({args[0]}), "
+                        f"'col2', count({args[0]}))"
+                    )
+                elif name == "boundingRatio" and len(args) == 2:
+                    # slope between the leftmost and rightmost points:
+                    # (y at max x - y at min x) / (max x - min x)
+                    x_, y_ = args
+                    out.append(
+                        f"((max_by({y_}, {x_}) - min_by({y_}, {x_})) / "
+                        f"(max({x_}) - min({x_})))"
                     )
                 elif name in ("sumMap", "minMap", "maxMap") and len(args) == 1:
                     # key-wise map combination across the group's rows:

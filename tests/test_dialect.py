@@ -3516,3 +3516,47 @@ class TestR11FunctionWave:
         assert (r.w0, r.w1) == (0, 1)
         assert r.fs == "120.56 KiB" and r.fq == "1.23 million"
         assert r.infi == -1.0
+
+    def test_state_merge_two_stage_aggregation(self, engine):
+        """-State/-Merge (the AggregatingMergeTree idiom): per-block
+        partials re-aggregate to the exact one-shot result. Partials here
+        are transparent columns (value / (sum,count) struct / collected
+        array), not CH's opaque blobs — same two-stage contract."""
+        engine.spark.sql(
+            "CREATE OR REPLACE TEMP VIEW sm AS SELECT * FROM VALUES "
+            "('a', 1, 1), ('a', 2, 1), ('b', 5, 2), ('b', 5, 2) "
+            "AS sm(k, v, blk)"
+        )
+        rows = engine.sql(
+            """
+            SELECT k, sumMerge(s) AS sv, countMerge(c) AS cv,
+                   avgMerge(a) AS av, uniqExactMerge(u) AS uv,
+                   minMerge(mn) AS mv, groupArrayMerge(g) AS gv
+            FROM (
+              SELECT k, blk, sumState(v) AS s, countState(v) AS c,
+                     avgState(v) AS a, uniqExactState(v) AS u,
+                     minState(v) AS mn, groupArrayState(v) AS g
+              FROM sm GROUP BY k, blk
+            ) GROUP BY k ORDER BY k
+            """,
+            dialect="clickhouse",
+        ).collect()
+        assert [(r.k, r.sv, r.cv, r.av, r.uv, r.mv, sorted(r.gv)) for r in rows] == [
+            ("a", 3, 2, 1.5, 2, 1, [1, 2]),
+            ("b", 10, 2, 5.0, 1, 5, [5, 5]),
+        ]
+
+    def test_entropy_sumcount_boundingratio(self, engine):
+        engine.spark.sql(
+            "CREATE OR REPLACE TEMP VIEW eb AS SELECT * FROM VALUES "
+            "('a', 1), ('a', 2), ('b', 5), ('b', 13) AS eb(k, v)"
+        )
+        r = engine.sql(
+            "SELECT entropy(k) AS e, sumCount(v) AS sc, "
+            "boundingRatio(v, v * 2) AS br, uniqTheta(k) AS u FROM eb",
+            dialect="clickhouse",
+        ).collect()[0]
+        assert r.e == 1.0  # two equiprobable values = 1 bit
+        assert (r.sc.col1, r.sc.col2) == (21, 4)
+        assert r.br == 2.0
+        assert r.u == 2
