@@ -176,6 +176,70 @@ _SIMPLE_TYPES: dict[str, str] = {
 }
 
 
+#: -State functions whose partials this engine can store and merge
+_AGG_STATE_SUPPORTED = (
+    "sum",
+    "count",
+    "min",
+    "max",
+    "avg",
+    "uniq",
+    "uniqExact",
+    "groupArray",
+)
+
+
+def _sum_widen(spark_t: str) -> str:
+    """The type a running sum of ``spark_t`` accumulates in (Spark's own
+    sum() widening, spelled statically for the declared schema)."""
+    tl = spark_t.lower()
+    if tl in ("tinyint", "smallint", "int", "bigint"):
+        return "bigint"
+    if tl in ("float", "double"):
+        return "double"
+    dm = re.fullmatch(r"decimal\((\d+),(\d+)\)", tl)
+    if dm:
+        return f"decimal(38,{dm.group(2)})"
+    raise ValueError(f"AggregateFunction over non-numeric type {spark_t!r}")
+
+
+def _agg_state_storage(func: str, inner_ch: str) -> str:
+    """The Spark storage type of an ``AggregateFunction(func, T)`` column —
+    the TRANSPARENT partial the dialect's -State functions emit."""
+    fl = func.lower()
+    if fl not in {f.lower() for f in _AGG_STATE_SUPPORTED}:
+        raise ValueError(
+            f"AggregateFunction({func}, ...) is not supported "
+            f"(supported state functions: {list(_AGG_STATE_SUPPORTED)})"
+        )
+    if fl == "count":
+        return "bigint"
+    if not inner_ch:
+        raise ValueError(f"AggregateFunction({func}) needs a value type")
+    inner = ch_type_to_spark(inner_ch)
+    if fl in ("min", "max"):
+        return inner
+    if fl == "sum":
+        return _sum_widen(inner)
+    if fl == "avg":
+        return f"struct<sum:{_sum_widen(inner)},count:bigint>"
+    return f"array<{inner}>"  # uniq / uniqExact / groupArray
+
+
+def parse_aggfunc_type(ch_type: str) -> tuple[str, str] | None:
+    """``AggregateFunction(f, T)`` -> (state function, original type text);
+    None when the spelling is not an AggregateFunction."""
+    m = re.fullmatch(
+        r"aggregatefunction\s*\(\s*(\w+)\s*(?:,\s*(.+))?\)",
+        ch_type.strip(),
+        re.S | re.I,
+    )
+    if m is None:
+        return None
+    _agg_state_storage(m.group(1), (m.group(2) or "").strip())  # validates
+    return (m.group(1), ch_type.strip())
+
+
 def parse_enum_type(ch_type: str) -> tuple[int, dict[str, int]] | None:
     """``Enum8('a' = 1, 'b' = 2)`` / ``Enum16(...)`` / ``Enum(...)`` →
     ``(width_bits, {name: code})``; ``None`` when the type isn't an Enum.
@@ -262,6 +326,13 @@ def ch_type_to_spark(ch_type: str) -> str:
         if len(kv) != 2:
             raise ValueError(f"map needs exactly <key,value> types: {ch_type!r}")
         return f"map<{ch_type_to_spark(kv[0])},{ch_type_to_spark(kv[1])}>"
+    m = re.fullmatch(
+        r"aggregatefunction\s*\(\s*(\w+)\s*(?:,\s*(.+))?\)",
+        t.strip(),
+        re.S | re.I,
+    )
+    if m:
+        return _agg_state_storage(m.group(1), (m.group(2) or "").strip())
     m = re.fullmatch(r"struct\s*<(.*)>", t.strip(), re.S | re.I)
     if m:
         fields = []
@@ -327,6 +398,13 @@ class ParsedDDL:
     enum_cols: dict[str, tuple[int, dict[str, int]]] = field(
         default_factory=dict
     )
+    #: AggregatingMergeTree AggregateFunction(f, T) columns:
+    #: name -> (state_func, original CH type text). Storage is the
+    #: TRANSPARENT partial the dialect's -State functions emit (a plain
+    #: value, an avg (sum, count) struct, or a collected array) — the
+    #: read-side collapse merges partials per ORDER BY key, and -Merge
+    #: queries fold them to finals (r11)
+    agg_cols: dict[str, tuple[str, str]] = field(default_factory=dict)
 
     @property
     def spark_schema(self) -> T.StructType:
@@ -661,12 +739,12 @@ def parse_materialized_view(sql: str) -> MaterializedViewDDL | None:
             "summingmergetree",
             "mergetree",
             "replacingmergetree",
+            "aggregatingmergetree",
         ):
             raise ValueError(
                 f"materialized view ENGINE = {out.engine} is not supported "
-                "(SummingMergeTree, MergeTree, ReplacingMergeTree; "
-                "AggregatingMergeTree's AggregateFunction states have no "
-                "portable storage here)"
+                "(SummingMergeTree, MergeTree, ReplacingMergeTree, "
+                "AggregatingMergeTree)"
             )
         if (m.group("engargs") or "").strip():
             if out.engine.lower() != "summingmergetree":
@@ -719,12 +797,13 @@ def parse_clickhouse_ddl(sql: str) -> ParsedDDL:
         "replacingmergetree",
         "mergetree",
         "summingmergetree",
+        "aggregatingmergetree",
         "null",
     ):
         raise ValueError(
             f"ENGINE = {out.engine} has no native equivalent here "
             "(supported: ReplacingMergeTree, MergeTree, SummingMergeTree, "
-            "Null)"
+            "AggregatingMergeTree, Null)"
         )
     engargs = (m.group("engargs") or "").strip()
     if engargs:
@@ -750,6 +829,14 @@ def parse_clickhouse_ddl(sql: str) -> ParsedDDL:
         enum = parse_enum_type(cm.group("type"))
         if enum is not None:
             out.enum_cols[cm.group(1)] = enum
+        agg = parse_aggfunc_type(cm.group("type"))
+        if agg is not None:
+            if out.engine.lower() != "aggregatingmergetree":
+                raise ValueError(
+                    "AggregateFunction columns require "
+                    "ENGINE = AggregatingMergeTree"
+                )
+            out.agg_cols[cm.group(1)] = agg
 
     _apply_tail_clauses(out, m.group("tail"))
     if not out.order_by and out.engine.lower() != "null":
@@ -789,6 +876,9 @@ def _type_default(spark_type: str) -> F.Column:
         return F.array().cast(spark_type)
     if t.startswith("map<"):
         return F.expr("map()").cast(spark_type)
+    if t.startswith("struct<"):
+        # an empty aggregate state (the avg partial): zero-filled fields
+        return F.from_json(F.lit("{}"), spark_type)
     return F.lit(0).cast(spark_type)
 
 
@@ -863,6 +953,10 @@ class CatalogEntry:
     @property
     def summing(self) -> bool:
         return self.ddl.engine.lower() == "summingmergetree"
+
+    @property
+    def aggregating(self) -> bool:
+        return self.ddl.engine.lower() == "aggregatingmergetree"
 
 
 @dataclass
@@ -1711,9 +1805,10 @@ class DdlCatalog:
             raise ValueError(f"cannot {verb} partition column {cname!r}")
         if cname == ddl.version_col:
             raise ValueError(f"cannot {verb} version column {cname!r}")
-        if entry.summing:
+        if entry.summing or entry.aggregating:
             raise ValueError(
-                f"cannot {verb} columns of a SummingMergeTree table "
+                f"cannot {verb} columns of a "
+                f"{entry.ddl.engine} table "
                 "(the read-time collapse binds the declared schema to "
                 "storage names)"
             )
@@ -1998,6 +2093,14 @@ class DdlCatalog:
             # min() — deterministic where ClickHouse keeps an arbitrary
             # survivor.
             return self._summing_collapse(entry, raw)
+        if entry.aggregating and entry.ddl.agg_cols:
+            # AggregatingMergeTree fully merged at read time: one row per
+            # ORDER BY key, each AggregateFunction column folded with its
+            # state's merge. (Without declared AggregateFunction columns —
+            # an MV's derived storage — rows serve UNCOLLAPSED: states
+            # merge at unspecified times in ClickHouse too, and -Merge
+            # queries fold them exactly either way.)
+            return self._aggregating_collapse(entry, raw)
         # raw is already in the DECLARED shape (the common, un-reshaped
         # path passes storage columns through untouched, so predicates
         # reach the parquet scan — PushedFilters + per-file footer stats.
@@ -2037,7 +2140,12 @@ class DdlCatalog:
             )
         text_col = text_cols[0]
         exact = F.array_contains(_tb.tokens(text_col), token)
-        if entry.dedup or entry.summing or entry.table.read_transform:
+        if (
+            entry.dedup
+            or entry.summing
+            or entry.aggregating
+            or entry.table.read_transform
+        ):
             # version resolution / collapse / reshape must see EVERY file
             # of a key's history — filter the SERVED state instead (the
             # bloom can't prune here without risking a resurrected older
@@ -2179,6 +2287,50 @@ class DdlCatalog:
             else:
                 aggs.append(F.min(cname).alias(cname))
         if not aggs:  # every declared column is a key: one row per key
+            return raw.drop(INGEST_SEQ).distinct()
+        out = raw.drop(INGEST_SEQ).groupBy(*keys).agg(*aggs)
+        return out.select(*[n for n, _, _ in entry.ddl.columns])
+
+    def _aggregating_collapse(
+        self, entry: CatalogEntry, raw: DataFrame
+    ) -> DataFrame:
+        """One row per ORDER BY key with every AggregateFunction column
+        folded by its state's MERGE (sum/count -> sum, min/max -> min/max,
+        avg -> field-wise sums, uniq* -> distinct-union, groupArray ->
+        concat). Non-state non-key columns take min() — deterministic
+        where ClickHouse keeps an arbitrary survivor. Exactly the result
+        -Merge queries produce, precomputed per key."""
+        keys = list(entry.table.keys)
+        aggs = []
+        for cname, ctype, _ in entry.ddl.columns:
+            if cname in keys:
+                continue
+            spec = entry.ddl.agg_cols.get(cname)
+            if spec is None:
+                aggs.append(F.min(cname).alias(cname))
+                continue
+            fl = spec[0].lower()
+            if fl in ("sum", "count"):
+                aggs.append(F.sum(cname).cast(ctype).alias(cname))
+            elif fl == "min":
+                aggs.append(F.min(cname).alias(cname))
+            elif fl == "max":
+                aggs.append(F.max(cname).alias(cname))
+            elif fl == "avg":
+                merged = F.struct(
+                    F.sum(F.col(cname)["sum"]).alias("sum"),
+                    F.sum(F.col(cname)["count"]).alias("count"),
+                )
+                aggs.append(merged.cast(ctype).alias(cname))
+            elif fl in ("uniq", "uniqexact"):
+                aggs.append(
+                    F.array_distinct(
+                        F.flatten(F.collect_list(cname))
+                    ).alias(cname)
+                )
+            else:  # groupArray
+                aggs.append(F.flatten(F.collect_list(cname)).alias(cname))
+        if not aggs:
             return raw.drop(INGEST_SEQ).distinct()
         out = raw.drop(INGEST_SEQ).groupBy(*keys).agg(*aggs)
         return out.select(*[n for n, _, _ in entry.ddl.columns])
@@ -2355,7 +2507,10 @@ class DdlCatalog:
     @staticmethod
     def _print_type(ddl: ParsedDDL, cname: str, spark_t: str) -> str:
         enum = ddl.enum_cols.get(cname)
-        return enum_type_text(*enum) if enum else spark_t
+        if enum:
+            return enum_type_text(*enum)
+        agg = ddl.agg_cols.get(cname)
+        return agg[1] if agg else spark_t
 
     def _show_create(self, sql: str) -> DataFrame | None:
         """``SHOW CREATE TABLE t`` — the catalog entry reconstructed as a
@@ -2494,15 +2649,25 @@ class DdlCatalog:
         if len(d.key_cols) == 1:
             exprs = [key_arg]
         else:
-            inner = key_arg.strip()
-            m = re.fullmatch(r"tuple\s*\((.*)\)", inner, re.I | re.S)
-            if m is not None:
-                inner = m.group(1)
-            elif inner.startswith("(") and inner.endswith(")"):
-                inner = inner[1:-1]
             from binance_etl_clickhouse_spark import dialect as _d
 
-            exprs = _d._split_args(inner)
+            inner = key_arg.strip()
+            m = re.fullmatch(r"tuple\s*\((.*)\)", inner, re.I | re.S)
+            ns = re.fullmatch(
+                r"named_struct\s*\((.*)\)", inner, re.I | re.S
+            )
+            if m is not None:
+                exprs = _d._split_args(m.group(1))
+            elif ns is not None:
+                # the scalar dialect rewrites tuple(a, b) to
+                # named_struct('col1', a, 'col2', b) before this layer
+                # sees it: the VALUES are the even-position args
+                parts = _d._split_args(ns.group(1))
+                exprs = parts[1::2]
+            else:
+                if inner.startswith("(") and inner.endswith(")"):
+                    inner = inner[1:-1]
+                exprs = _d._split_args(inner)
             if len(exprs) != len(d.key_cols):
                 raise ValueError(
                     f"dictionary {d.name} has a {len(d.key_cols)}-part key "

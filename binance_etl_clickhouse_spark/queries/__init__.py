@@ -118,6 +118,7 @@ NEXT_WINDOW = [
     "prewhere_where_verbatim_sql",
     "cte_settings_verbatim_sql",
     "bracket_subscript_verbatim_sql",
+    "aggregating_mt_roundtrip",
 ]
 
 

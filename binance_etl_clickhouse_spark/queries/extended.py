@@ -1676,3 +1676,69 @@ def bracket_subscript_verbatim_sql(spark: SparkSession, sf_dir: str) -> DataFram
         FROM embeddings WHERE (vec_id % 20) = 0""",
         dialect="clickhouse",
     )
+
+
+# ---------------------------------------------------------------------------
+# AggregatingMergeTree round trip (r11): the classic CH two-stage pattern —
+# AggregateFunction(f, T) columns, partial-state blocks via INSERT SELECT
+# ... fooState(...) GROUP BY, finals via fooMerge(...) GROUP BY. States are
+# transparent partials here (value / (sum,count) struct / array), the
+# read-side collapse merges per key, and the -Merge read must equal the
+# oracle's ONE-SHOT aggregation over the same rows.
+# ---------------------------------------------------------------------------
+_AGG_MT_ORACLE = """
+SELECT o_orderpriority AS prio,
+       count(*)::BIGINT AS n,
+       round(sum(o_totalprice), 2) AS total,
+       round(avg(o_totalprice), 4) AS avg_price
+FROM orders
+GROUP BY prio
+"""
+
+
+@register(
+    "aggregating_mt_roundtrip",
+    _AGG_MT_ORACLE,
+    survey_ref=(
+        "K5/S8 (r11): ENGINE = AggregatingMergeTree + AggregateFunction "
+        "columns — two partial-state INSERT SELECT blocks, -Merge read "
+        "equals the one-shot aggregation (driver hash-checked)"
+    ),
+)
+def aggregating_mt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from binance_etl_clickhouse_spark.engine import AnalyticsEngine
+    from binance_etl_clickhouse_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    eng = AnalyticsEngine(
+        spark, verbose=False, ddl_root=tempfile.mkdtemp(prefix="aggmt_rt_")
+    )
+    eng.register_clickhouse_compat()
+    eng.sql(
+        """CREATE TABLE agg_prio (
+            prio String,
+            n AggregateFunction(count, UInt64),
+            total AggregateFunction(sum, Float64),
+            avg_price AggregateFunction(avg, Float64)
+        ) ENGINE = AggregatingMergeTree ORDER BY (prio)""",
+        dialect="clickhouse",
+    )
+    for pred in ("o_orderkey % 2 = 0", "o_orderkey % 2 = 1"):
+        eng.sql(
+            f"""INSERT INTO agg_prio
+            SELECT o_orderpriority AS prio,
+                   countState(o_totalprice) AS n,
+                   sumState(o_totalprice) AS total,
+                   avgState(o_totalprice) AS avg_price
+            FROM orders WHERE {pred} GROUP BY prio""",
+            dialect="clickhouse",
+        )
+    return eng.sql(
+        """SELECT prio, countMerge(n) AS n,
+                  round(sumMerge(total), 2) AS total,
+                  round(avgMerge(avg_price), 4) AS avg_price
+        FROM agg_prio GROUP BY prio""",
+        dialect="clickhouse",
+    )

@@ -643,10 +643,13 @@ def test_materialized_view_to_target_and_populate(engine):
 @pytest.mark.parametrize(
     "ddl,msg",
     [
+        # (AggregatingMergeTree MVs are SUPPORTED since r11 — the
+        # transparent -State partials gave the states portable storage;
+        # see TestAggregatingMergeTree::test_mv_into_aggregating_engine)
         (
-            "CREATE MATERIALIZED VIEW m.x ENGINE = AggregatingMergeTree "
+            "CREATE MATERIALIZED VIEW m.x ENGINE = GraphiteMergeTree "
             "ORDER BY k AS SELECT k FROM m.klines",
-            "AggregatingMergeTree",
+            "GraphiteMergeTree",
         ),
         (
             "CREATE MATERIALIZED VIEW m.x TO m.t ENGINE = MergeTree "
@@ -2973,3 +2976,134 @@ class TestTokenBloomReadPath:
             r.k for r in eng.ddl_catalog.read_containing("rdocs", "fresh").collect()
         ]
         assert got2 == [1]
+
+
+class TestAggregatingMergeTree:
+    """r11: ENGINE = AggregatingMergeTree with AggregateFunction(f, T)
+    columns. States are TRANSPARENT partials (plain value / (sum,count)
+    struct / collected array) instead of CH's opaque blobs; the read-side
+    collapse merges per ORDER BY key; -Merge queries fold to finals —
+    the classic two-stage MV pattern runs verbatim."""
+
+    @pytest.fixture()
+    def eng(self, spark, tmp_path):
+        eng = AnalyticsEngine(
+            spark, verbose=False, ddl_root=str(tmp_path / "ddl_aggmt")
+        )
+        eng.sql(
+            """
+            CREATE TABLE agg_daily (
+                sym String,
+                trades AggregateFunction(count, UInt64),
+                volume AggregateFunction(sum, Float64),
+                avg_px AggregateFunction(avg, Float64),
+                users AggregateFunction(uniqExact, String)
+            ) ENGINE = AggregatingMergeTree ORDER BY (sym)
+            """,
+            dialect="clickhouse",
+        )
+        eng.spark.sql(
+            "CREATE OR REPLACE TEMP VIEW agg_src1 AS SELECT * FROM VALUES "
+            "('BTC', 10.0, 'u1'), ('BTC', 20.0, 'u2'), ('ETH', 5.0, 'u1') "
+            "AS s(sym, px, u)"
+        )
+        eng.spark.sql(
+            "CREATE OR REPLACE TEMP VIEW agg_src2 AS SELECT * FROM VALUES "
+            "('BTC', 30.0, 'u2'), ('ETH', 15.0, 'u3') AS s(sym, px, u)"
+        )
+        for v in ("agg_src1", "agg_src2"):
+            eng.sql(
+                f"INSERT INTO agg_daily SELECT sym, countState(px) AS trades,"
+                f" sumState(px) AS volume, avgState(px) AS avg_px, "
+                f"uniqExactState(u) AS users FROM {v} GROUP BY sym",
+                dialect="clickhouse",
+            )
+        return eng
+
+    def test_snapshot_collapses_states_per_key(self, eng):
+        rows = eng.sql(
+            "SELECT sym, trades, volume, avg_px, sort_array(users) AS users "
+            "FROM agg_daily ORDER BY sym",
+            dialect="clickhouse",
+        ).collect()
+        assert [(r.sym, r.trades, r.volume) for r in rows] == [
+            ("BTC", 3, 60.0),
+            ("ETH", 2, 20.0),
+        ]
+        # index access: Row.count is the method name
+        assert (rows[0].avg_px[0], rows[0].avg_px[1]) == (60.0, 3)
+        assert list(rows[0].users) == ["u1", "u2"]
+
+    def test_merge_queries_fold_to_finals(self, eng):
+        rows = eng.sql(
+            "SELECT sym, countMerge(trades) AS n, sumMerge(volume) AS vol, "
+            "avgMerge(avg_px) AS apx, uniqExactMerge(users) AS uu "
+            "FROM agg_daily GROUP BY sym ORDER BY sym",
+            dialect="clickhouse",
+        ).collect()
+        assert [(r.sym, r.n, r.vol, r.apx, r.uu) for r in rows] == [
+            ("BTC", 3, 60.0, 20.0, 2),
+            ("ETH", 2, 20.0, 10.0, 2),
+        ]
+
+    def test_show_create_roundtrips(self, eng, spark, tmp_path):
+        stmt = eng.sql(
+            "SHOW CREATE TABLE agg_daily", dialect="clickhouse"
+        ).collect()[0].statement
+        assert "AggregateFunction(avg, Float64)" in stmt
+        eng2 = AnalyticsEngine(
+            spark, verbose=False, ddl_root=str(tmp_path / "ddl_aggmt2")
+        )
+        eng2.sql(stmt.replace("agg_daily", "agg2"), dialect="clickhouse")
+        assert eng2.ddl_catalog.tables["agg2"].ddl.agg_cols["avg_px"] == (
+            "avg",
+            "AggregateFunction(avg, Float64)",
+        )
+
+    def test_mv_into_aggregating_engine(self, eng):
+        eng.sql(
+            "CREATE TABLE raw_tr (sym String, px Float64) "
+            "ENGINE = MergeTree ORDER BY (sym)",
+            dialect="clickhouse",
+        )
+        eng.sql(
+            "CREATE MATERIALIZED VIEW mv_agg "
+            "ENGINE = AggregatingMergeTree ORDER BY (sym) AS "
+            "SELECT sym, avgState(px) AS apx, countState(px) AS n "
+            "FROM raw_tr GROUP BY sym",
+            dialect="clickhouse",
+        )
+        eng.insert("raw_tr", [{"sym": "BTC", "px": 10.0}, {"sym": "BTC", "px": 30.0}])
+        eng.insert("raw_tr", [{"sym": "BTC", "px": 50.0}])
+        r = eng.sql(
+            "SELECT sym, avgMerge(apx) AS apx, countMerge(n) AS n "
+            "FROM mv_agg GROUP BY sym",
+            dialect="clickhouse",
+        ).collect()[0]
+        assert (r.sym, r.apx, r.n) == ("BTC", 30.0, 3)
+
+    def test_guards(self, eng, spark, tmp_path):
+        # AggregateFunction columns demand the aggregating engine
+        eng3 = AnalyticsEngine(
+            spark, verbose=False, ddl_root=str(tmp_path / "ddl_aggmt3")
+        )
+        with pytest.raises(ValueError, match="AggregatingMergeTree"):
+            eng3.sql(
+                "CREATE TABLE bad (k String, s AggregateFunction(sum, Int64))"
+                " ENGINE = MergeTree ORDER BY (k)",
+                dialect="clickhouse",
+            )
+        # unsupported state function refused loudly
+        with pytest.raises(ValueError, match="not supported"):
+            eng3.sql(
+                "CREATE TABLE bad2 (k String, "
+                "s AggregateFunction(quantileTDigest, Float64)) "
+                "ENGINE = AggregatingMergeTree ORDER BY (k)",
+                dialect="clickhouse",
+            )
+        # column mutations refused (collapse binds schema to storage)
+        with pytest.raises(ValueError, match="read-time collapse"):
+            eng.sql(
+                "ALTER TABLE agg_daily DROP COLUMN users",
+                dialect="clickhouse",
+            )
