@@ -551,10 +551,17 @@ _NAME_MAP = {
     "match": "regexp_like",
     # another sketch alias: Theta -> Spark's HLL++ approx sketch
     "uniqTheta": "approx_count_distinct",
-    # a STABLE 64-bit hash, not CityHash: hash VALUES differ from
-    # ClickHouse (both are engine-internal; use for bucketing/sampling,
-    # not cross-engine joins) — documented divergence
+    # banker's rounding is Spark's bround, exactly
+    "roundBankers": "bround",
+    "toTypeName": "typeof",
+    "randCanonical": "rand",
+    # a STABLE 64-bit hash, not CityHash/SipHash/FarmHash: hash VALUES
+    # differ from ClickHouse (both are engine-internal; use for
+    # bucketing/sampling, not cross-engine joins) — documented divergence
     "cityHash64": "xxhash64",
+    "sipHash64": "xxhash64",
+    "farmHash64": "xxhash64",
+    "farmFingerprint64": "xxhash64",
     "uniq": "approx_count_distinct",
     "anyLast": "any_value",
     "any": "any_value",
@@ -653,6 +660,7 @@ _UNWRAP = {"assumeNotNull", "toNullable"}
 #: (arrayMap(x -> e, arr)), Spark puts it LAST (transform(arr, x -> e));
 #: the ``x -> expr`` lambda syntax itself is identical in both dialects
 _HOF_SWAP = {
+    "arrayWithConstant": "array_repeat",
     "arrayMap": "transform",
     "arrayFilter": "filter",
     "arrayExists": "exists",
@@ -3831,6 +3839,132 @@ def translate_clickhouse_sql(sql: str) -> str:
                     out.append(
                         f"((max_by({y_}, {x_}) - min_by({y_}, {x_})) / "
                         f"(max({x_}) - min({x_})))"
+                    )
+                elif name == "arrayResize" and len(args) in (2, 3):
+                    a_, n_ = args[0], args[1]
+                    fill = (
+                        args[2]
+                        if len(args) == 3
+                        # type-adaptive zero of the element type (empty
+                        # input pads NULL — documented divergence from
+                        # CH's type default)
+                        else f"(try_element_at({a_}, 1) - "
+                        f"try_element_at({a_}, 1))"
+                    )
+                    out.append(
+                        f"concat(slice({a_}, 1, least(size({a_}), {n_})), "
+                        f"array_repeat({fill}, "
+                        f"greatest(0, ({n_}) - size({a_}))))"
+                    )
+                elif name == "arrayJaccardIndex" and len(args) == 2:
+                    a_, b_ = args
+                    out.append(
+                        f"(CAST(size(array_intersect({a_}, {b_})) AS DOUBLE)"
+                        f" / size(array_union({a_}, {b_})))"
+                    )
+                elif (
+                    name in ("arrayRotateLeft", "arrayRotateRight")
+                    and len(args) == 2
+                ):
+                    a_, n_ = args
+                    shift = n_ if name == "arrayRotateLeft" else f"-({n_})"
+                    k = f"pmod({shift}, size({a_}))"
+                    out.append(
+                        f"(CASE WHEN size({a_}) = 0 THEN {a_} ELSE "
+                        f"concat(slice({a_}, {k} + 1, size({a_})), "
+                        f"slice({a_}, 1, {k})) END)"
+                    )
+                elif name == "arrayReduce" and len(args) == 2:
+                    agg = (_string_literal(args[0]) or "").lower()
+                    a_ = args[1]
+                    nn = f"filter({a_}, __rx -> __rx IS NOT NULL)"
+                    forms = {
+                        "min": f"array_min({a_})",
+                        "max": f"array_max({a_})",
+                        "count": f"size({nn})",
+                        "uniqexact": f"size(array_distinct({nn}))",
+                        "sum": (
+                            f"aggregate({nn}, CAST(0 AS DOUBLE), "
+                            f"(__ra, __rx) -> __ra + __rx)"
+                        ),
+                        "avg": (
+                            f"(aggregate({nn}, CAST(0 AS DOUBLE), "
+                            f"(__ra, __rx) -> __ra + __rx) / size({nn}))"
+                        ),
+                    }
+                    if agg not in forms:
+                        raise ValueError(
+                            f"arrayReduce: unsupported aggregate {args[0]} "
+                            f"(supported: {sorted(forms)})"
+                        )
+                    out.append(forms[agg])
+                elif name == "bitTest" and len(args) == 2:
+                    out.append(
+                        f"CAST((shiftright(CAST({args[0]} AS BIGINT), "
+                        f"{args[1]}) & 1) AS SMALLINT)"
+                    )
+                elif name in ("bitTestAll", "bitTestAny") and len(args) >= 2:
+                    op = " AND " if name == "bitTestAll" else " OR "
+                    conds = op.join(
+                        f"(shiftright(CAST({args[0]} AS BIGINT), {p}) & 1"
+                        f" = 1)"
+                        for p in args[1:]
+                    )
+                    out.append(f"CAST(({conds}) AS SMALLINT)")
+                elif name == "roundToExp2" and len(args) == 1:
+                    x_ = args[0]
+                    out.append(
+                        f"(CASE WHEN ({x_}) < 1 THEN 0 ELSE "
+                        f"CAST(pow(2, floor(log2(CAST({x_} AS DOUBLE)))) "
+                        f"AS BIGINT) END)"
+                    )
+                elif name == "roundDown" and len(args) == 2:
+                    x_, arr_ = args
+                    out.append(
+                        f"coalesce(array_max(filter({arr_}, "
+                        f"__rd -> __rd <= ({x_}))), "
+                        f"try_element_at({arr_}, 1))"
+                    )
+                elif name in ("SHA1", "SHA224", "SHA256", "SHA384", "SHA512") and len(args) == 1:
+                    # hex STRING where CH returns FixedString bytes —
+                    # unhex() recovers the byte form
+                    bits = name[3:]
+                    if name == "SHA1":
+                        out.append(f"sha1({args[0]})")
+                    else:
+                        out.append(f"sha2({args[0]}, {bits})")
+                elif name == "defaultValueOfTypeName" and len(args) == 1:
+                    lit = _string_literal(args[0])
+                    t_sp = _CH_CAST_TYPES.get(lit or "")
+                    if t_sp is None:
+                        raise ValueError(
+                            f"defaultValueOfTypeName: unsupported type "
+                            f"{args[0]} (supported: {sorted(_CH_CAST_TYPES)})"
+                        )
+                    if t_sp == "STRING":
+                        out.append("''")
+                    elif t_sp == "DATE":
+                        out.append("DATE '1970-01-01'")
+                    elif t_sp == "TIMESTAMP":
+                        out.append("TIMESTAMP '1970-01-01 00:00:00'")
+                    elif t_sp == "BOOLEAN":
+                        out.append("false")
+                    else:
+                        out.append(f"CAST(0 AS {t_sp})")
+                elif name == "rand" and not args:
+                    # CH rand() is a random UInt32, not a [0,1) double
+                    out.append("CAST(floor(rand() * 4294967296) AS BIGINT)")
+                elif name == "rand64" and not args:
+                    # non-negative 63-bit sample (CH spans the full UInt64
+                    # range — documented divergence)
+                    out.append(
+                        "CAST(floor(rand() * 9223372036854775807) AS BIGINT)"
+                    )
+                elif name == "toFixedString" and len(args) == 2:
+                    # pad with NUL bytes like CH; longer inputs TRUNCATE
+                    # where CH errors (documented divergence)
+                    out.append(
+                        f"rpad({args[0]}, {args[1]}, chr(0))"
                     )
                 elif name in ("sumMap", "minMap", "maxMap") and len(args) == 1:
                     # key-wise map combination across the group's rows:

@@ -3560,3 +3560,47 @@ class TestR11FunctionWave:
         assert (r.sc.col1, r.sc.col2) == (21, 4)
         assert r.br == 2.0
         assert r.u == 2
+
+    def test_fourth_batch_array_and_bit_utils(self, engine):
+        engine.spark.sql(
+            "CREATE OR REPLACE TEMP VIEW fb AS SELECT 'ab' AS s, "
+            "array(1, 2, 3) AS arr, 5 AS v"
+        )
+        r = engine.sql(
+            "SELECT arrayResize(arr, 5) AS rz, arrayResize(arr, 2) AS rs, "
+            "arrayResize(arr, 5, 9) AS rf, arrayWithConstant(3, 'x') AS wc, "
+            "arrayJaccardIndex(arr, [2, 3, 4]) AS jc, "
+            "arrayRotateLeft(arr, 1) AS rl, arrayRotateRight(arr, 1) AS rr, "
+            "arrayReduce('sum', arr) AS rsum, arrayReduce('max', arr) AS rmax, "
+            "bitTest(v, 0) AS b0, bitTest(v, 1) AS b1, "
+            "bitTestAll(v, 0, 2) AS ball, bitTestAny(v, 1, 3) AS bany "
+            "FROM fb",
+            dialect="clickhouse",
+        ).collect()[0]
+        assert list(r.rz) == [1, 2, 3, 0, 0] and list(r.rs) == [1, 2]
+        assert list(r.rf) == [1, 2, 3, 9, 9]
+        assert list(r.wc) == ["x", "x", "x"]
+        assert abs(r.jc - 0.5) < 1e-9
+        assert list(r.rl) == [2, 3, 1] and list(r.rr) == [3, 1, 2]
+        assert (r.rsum, r.rmax) == (6.0, 3)
+        assert (r.b0, r.b1, r.ball, r.bany) == (1, 0, 1, 0)
+
+    def test_fourth_batch_rounding_hashes_rand(self, engine):
+        r = engine.sql(
+            "SELECT roundBankers(2.5) AS b2, roundBankers(3.5) AS b3, "
+            "roundToExp2(100) AS e2, roundToExp2(0) AS e0, "
+            "roundDown(7.3, [5, 10]) AS rd, roundDown(2, [5, 10]) AS rd2, "
+            "length(SHA256('ab')) AS sh, toTypeName(1) AS tn, "
+            "defaultValueOfTypeName('Int64') AS dv, "
+            "rand() AS rnd, randCanonical() AS rc, "
+            "length(toFixedString('ab', 5)) AS fx",
+            dialect="clickhouse",
+        ).collect()[0]
+        assert (r.b2, r.b3) == (2.0, 4.0)
+        assert (r.e2, r.e0) == (64, 0)
+        assert (r.rd, r.rd2) == (5, 5)
+        assert r.sh == 64 and r.tn == "int" and r.dv == 0
+        # CH rand() is a UInt32 sample, not [0,1)
+        assert 0 <= r.rnd < 4294967296 and isinstance(r.rnd, int)
+        assert 0 <= r.rc < 1.0
+        assert r.fx == 5
