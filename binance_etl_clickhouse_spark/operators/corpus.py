@@ -670,20 +670,23 @@ def tfidf_cosine_pairs(
     idf = F.log(
         F.lit(float(n_docs + 1)) / (F.col("df_count") + F.lit(1.0))
     ) + F.lit(1.0)
-    wts = _pin_counts(
-        tf.join(dfreq.filter(F.col("df_count") <= df_cap), "term").select(
-            F.col(id_col), F.col("term"), (F.col("tf") * idf).alias("wt")
-        ),
-        persist,
+    # single consumer (the normalized frame below) — no pin needed here;
+    # the pinned wn materialization computes this chain exactly once
+    wts = tf.join(dfreq.filter(F.col("df_count") <= df_cap), "term").select(
+        F.col(id_col), F.col("term"), (F.col("tf") * idf).alias("wt")
     )
-    norms = wts.groupBy(id_col).agg(
-        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+    # L2 norm via a window over the SAME doc key instead of a groupBy +
+    # join-back: one doc-keyed exchange instead of two plus a join
+    # (guide §2.4 — a window partitioned like the preceding shuffle needs
+    # no second exchange). Same sum terms, order-insensitive at 6 dp.
+    nrm = F.sqrt(
+        F.sum(F.col("wt") * F.col("wt")).over(Window.partitionBy(id_col))
     )
     # wn feeds BOTH sides of the self-join — pin it or the whole
     # tokenize+explode+aggregate chain runs twice (see _pin_counts)
     wn = _pin_counts(
-        wts.join(norms, id_col).select(
-            F.col(id_col), F.col("term"), (F.col("wt") / F.col("nrm")).alias("wn")
+        wts.select(
+            F.col(id_col), F.col("term"), (F.col("wt") / nrm).alias("wn")
         ),
         persist,
     )
@@ -846,7 +849,12 @@ def kneser_ney_logprob(
     identical to :func:`bigram_logprob`.
     """
     bf = _pin_counts(bigram_frequencies(df, id_col, text_col), persist)
-    big_cnt = bf.groupBy("prev", "cur").agg(F.sum("tf").alias("c_big"))
+    # four consumers (prev_stats, cont, the type count, the scored join) —
+    # pin the bigram-type counts too, or each consumer re-aggregates the
+    # pinned bf frame (4 identical shuffles instead of 1)
+    big_cnt = _pin_counts(
+        bf.groupBy("prev", "cur").agg(F.sum("tf").alias("c_big")), persist
+    )
     prev_stats = big_cnt.groupBy("prev").agg(
         F.sum("c_big").alias("c_prev"),
         F.count(F.lit(1)).alias("n1_prev"),
@@ -988,25 +996,45 @@ def logreg_fit_scores(
     training run is a deterministic map both engines replay (the oracle
     unrolls the steps in SQL; no fitted literals cross engines).
 
-    Scale shape per step: one per-doc score aggregation (weights ride the
-    plan as a broadcast literal array — element_at, no join) and one
-    per-bucket gradient aggregation (map-side partial, ``n_buckets``
-    groups); the only driver traffic is the ``n_buckets``-double gradient
-    vector. Full-batch GD means ``steps`` corpus passes — at 100 TB you
-    fit on a sample or switch to mini-batches; the per-step plan is
-    unchanged. Features are L1-normalized counts (x = cnt / doc_total),
-    keeping scores O(|w|) and the sigmoid off its saturated tails.
+    Scale shape per step: the corpus is collapsed ONCE to one row per
+    document carrying its sparse feature array (bucket, x) — after that,
+    per-doc scoring is a pure projection (``aggregate`` over the array
+    with the weights riding the plan as a broadcast literal — no shuffle,
+    no join), and the gradient is a single ``n_buckets``-group aggregation
+    (map-side partial) whose only driver traffic is the
+    ``n_buckets``-double gradient vector. Full-batch GD means ``steps``
+    passes over the pinned per-doc frame — at 100 TB you fit on a sample
+    or switch to mini-batches; the per-step plan is unchanged. Features
+    are L1-normalized counts (x = cnt / doc_total), keeping scores O(|w|)
+    and the sigmoid off its saturated tails.
     """
-    feats = hashed_feature_counts(df, n_buckets, id_col, text_col)
-    tot = feats.groupBy(id_col).agg(F.sum("cnt").alias("tot"))
+    lab = df.select(
+        F.col(id_col), F.col(text_col), label.cast("double").alias("y")
+    )
+    feats = hashed_feature_counts(lab, n_buckets, id_col, text_col, carry_cols=("y",))
+    # one row per doc: sparse (bucket, x) feature array — every later pass
+    # (3 GD steps + final scoring) is a projection or one tiny bucket agg
     xy = _pin_counts(
-        feats.join(tot, id_col)
+        feats.groupBy(id_col, "y")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("bucket").cast("int").alias("b"),
+                    F.col("cnt").cast("double").alias("c"),
+                )
+            ).alias("fs"),
+            F.sum("cnt").cast("double").alias("tot"),
+        )
         .select(
             F.col(id_col),
-            F.col("bucket"),
-            (F.col("cnt") / F.col("tot")).alias("x"),
-        )
-        .join(df.select(F.col(id_col), label.cast("double").alias("y")), id_col),
+            F.col("y"),
+            F.transform(
+                "fs",
+                lambda f: F.struct(
+                    f["b"].alias("b"), (f["c"] / F.col("tot")).alias("x")
+                ),
+            ).alias("fs"),
+        ),
         persist,
     )
     n = float(df.count())
@@ -1014,30 +1042,31 @@ def logreg_fit_scores(
 
     def score_expr(weights: list[float]):
         warr = F.array(*[F.lit(float(v)) for v in weights])
-        return F.sum(
-            F.element_at(warr, (F.col("bucket") + 1).cast("int")) * F.col("x")
+        return F.aggregate(
+            F.col("fs"),
+            F.lit(0.0),
+            lambda acc, f: acc + F.element_at(warr, f["b"] + 1) * f["x"],
         )
 
     for _ in range(steps):
-        per_doc = xy.groupBy(id_col, "y").agg(score_expr(w).alias("s"))
-        resid = per_doc.select(
-            F.col(id_col),
-            (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("s"))) - F.col("y")).alias("r"),
-        )
+        resid = (
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-score_expr(w))) - F.col("y")
+        ).alias("r")
         grads = {
-            r.bucket: r.g
-            for r in xy.join(resid, id_col)
-            .groupBy("bucket")
-            .agg((F.sum(F.col("r") * F.col("x")) / F.lit(n)).alias("g"))
+            r.b: r.g
+            for r in xy.select(resid, F.col("fs"))
+            .select("r", F.explode("fs").alias("f"))
+            .groupBy(F.col("f.b").alias("b"))
+            .agg((F.sum(F.col("r") * F.col("f.x")) / F.lit(n)).alias("g"))
             .collect()  # n_buckets doubles — the only driver traffic
         }
         w = [w[b] - lr * grads.get(b, 0.0) for b in range(n_buckets)]
-    final = xy.groupBy(id_col, "y").agg(score_expr(w).alias("s"))
-    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("s")))
-    return final.select(
+    s = score_expr(w)
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-s))
+    return xy.select(
         F.col(id_col),
         F.col("y").cast("int").alias("label"),
-        F.round("s", 6).alias("score"),
+        F.round(s, 6).alias("score"),
         F.round(prob, 6).alias("prob"),
         (prob >= 0.5).alias("pred"),
     )

@@ -40,16 +40,35 @@ DAMPING = 0.85
 
 
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
-    """Undirected co-purchase edges ``(src < dst, w = #shared orders)``."""
-    items = lineitem.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    return (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
-        .agg(F.count("*").cast("long").alias("w"))
+    """Undirected co-purchase edges ``(src < dst, w = #shared orders)``.
+
+    Pair generation happens INSIDE each order's sorted part array (a
+    projection over the per-order groupBy output) instead of a
+    (orderkey)-keyed self-join of the item list: one shuffle on orderkey
+    plus one on the pair key, where the self-join form shuffled the item
+    list twice and the pair stream once (guide §2.4 — remove shuffles
+    outright). Order size is bounded (TPC-H <= 7 items, real carts
+    similar), so the per-row array work is O(cart_size^2) with no
+    skew hazard.
+    """
+    per_order = lineitem.groupBy(F.col("l_orderkey").alias("o")).agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = per_order.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ps",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ps"), i + 2, F.size("ps") - i - 1),
+                        lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                    ),
+                )
+            )
+        ).alias("pr")
+    )
+    return pairs.groupBy(F.col("pr.src").alias("src"), F.col("pr.dst").alias("dst")).agg(
+        F.count("*").cast("long").alias("w")
     )
 
 
@@ -104,19 +123,20 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             F.when(lo_first, F.col("dd")).otherwise(F.col("ds")).alias("hid"),
         )
     )
-    e = compact_persist(e)  # oriented edges: intersection probe + two adjacency builds
     # Each triangle {r1<r2<r3} is counted exactly once, at its lowest edge
     # (r1->r2), as a common OUT-neighbor of both endpoints. Intersecting
     # per-vertex out-neighbor arrays does the wedge+closing work inside a
     # projection — same O(sum d_out^2) arithmetic, but no wedge-sized
-    # shuffle ever materializes (measured 3x faster than the explicit
-    # wedge join at sf0.1; the adjacency frame is |V| rows and broadcasts
-    # at test scale, shuffles as a plain equi-join beyond).
-    adj = e.groupBy("lo").agg(F.collect_list("hi").alias("nbrs"))
-    a_lo = adj.select(F.col("lo"), F.col("nbrs").alias("n_lo"))
+    # shuffle ever materializes. The edge stream itself is recovered by
+    # EXPLODING the adjacency frame (each oriented edge appears exactly
+    # once in its head vertex's out-list), so the old 3-way
+    # (e ⋈ adj ⋈ adj) collapses to adj-explode ⋈ adj — one join and one
+    # pass over e instead of two (guide §2.4); the oriented edge frame is
+    # consumed once, so it no longer needs its own persist.
+    adj = compact_persist(e.groupBy("lo").agg(F.collect_list("hi").alias("nbrs")))
     a_hi = adj.select(F.col("lo").alias("hi"), F.col("nbrs").alias("n_hi"))
     per_edge = (
-        e.join(a_lo, "lo")
+        adj.select(F.col("nbrs").alias("n_lo"), F.explode("nbrs").alias("hi"))
         .join(a_hi, "hi")  # inner: an edge whose head has no out-edges closes nothing
         .select(F.size(F.array_intersect("n_lo", "n_hi")).alias("t"))
     )
@@ -139,7 +159,15 @@ def pagerank(
     (part_key, pagerank) rounded to 6 dp for the cross-engine hash.
     """
     # und/deg are re-read every iteration — persist them (memory bounded by
-    # the edge list; at real scale this is the frame you'd also checkpoint)
+    # the edge list; at real scale this is the frame you'd also checkpoint).
+    # MEASURED (r11): a pre-partitioned+sorted edges-with-degree layout
+    # that lets every iteration's sort-merge join stream the big side was
+    # tried and is +26% WALL locally — AQE already broadcasts the |V|-row
+    # rank frame each iteration, so the edge side is never shuffled here,
+    # and the upfront exchange+sort is pure cost at 3 iterations. On a
+    # cluster where the rank frame outgrows broadcast, that layout
+    # (edges ⋈ degree, hash-clustered and sorted by source) is the right
+    # shape — revisit when iters ~ 10+ or |V| rows exceed the broadcast cap.
     und = compact_persist(
         undirected(edges).select("u", "v", "w")
         if weighted
@@ -225,14 +253,22 @@ def connected_components(edges: DataFrame, iters: int = 4) -> DataFrame:
     :func:`connected_components_lsss` (large-star/small-star contraction,
     the real-scale default — O(log^2 n) rounds on any diameter).
     """
+    rel = _resolve_reliable(edges, None)
     und = compact_persist(undirected(edges).select("u", "v"))
     labels = und.select("u").distinct().withColumn("lbl", F.col("u"))
     for _ in range(iters):
-        # each round references `labels` TWICE (neighbor-min + rejoin);
-        # left unpersisted that doubles the plan subtree per round —
-        # 2^iters copies of round 0 — so every round is staged. At real
-        # scale you'd checkpoint every few rounds for the same reason.
-        labels = compact_persist(labels)
+        # each round references `labels` TWICE (neighbor-min + rejoin), so
+        # the LOGICAL plan doubles per round — 2^iters copies of round 0.
+        # persist() alone reuses the blocks at execution but leaves the
+        # exponential tree for the analyzer/optimizer to chew through
+        # every round (the 4-round plan printed at 29k lines and driver
+        # planning dominated the wall) — truncate the lineage instead,
+        # exactly like the converged/LSSS variants (guide §3.3/§7.3).
+        labels = (
+            _truncate_lineage(labels, rel)
+            if rel
+            else labels.localCheckpoint(eager=False)
+        )
         nb = (
             und.join(labels.withColumnRenamed("u", "v").withColumnRenamed("lbl", "nlbl"), "v")
             .groupBy("u")
@@ -406,12 +442,14 @@ def connected_components_lsss(
     all_nodes = compact_persist(
         und.select("u").union(und.select(F.col("v").alias("u"))).distinct()
     )
-    cur = _truncate_lineage(
+    cur0 = (
         und.filter(F.col("u") != F.col("v"))
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-        .distinct(),
-        rel,
+        .distinct()
     )
+    # lazy localCheckpoint in local mode: the seed count materializes the
+    # blocks and returns the count in one job (see the round loop below)
+    cur = _truncate_lineage(cur0, rel) if rel else cur0.localCheckpoint(eager=False)
     converged = False
     cur_n = cur.count()  # carried across rounds: each round counts only nxt
     try:
@@ -426,12 +464,16 @@ def connected_components_lsss(
                 .agg(F.min("v").alias("mv"))
                 .select("u", F.least("mv", F.col("u")).alias("m"))
             )
+            # NOT distinct'd: duplicate (v, m) rows (several smaller
+            # neighbors of v sharing one m) only add map-side-combinable
+            # rows to the m2 aggregate and join fan-in below — the final
+            # ``small`` distinct collapses them — so skipping the dedup
+            # here removes one full Exchange per round (guide §2.4).
             large = (
                 sym.join(m, "u")
                 .filter(F.col("v") > F.col("u"))
                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
                 .filter(F.col("u") != F.col("v"))
-                .distinct()
             )
             # ---- small-star: over (big -> small) edges, connect u and all
             # its smaller neighbors to m(u) = min of the small neighborhood
@@ -444,7 +486,16 @@ def connected_components_lsss(
                 .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
                 .distinct()
             )
-            nxt = _truncate_lineage(small, rel)
+            # local mode: LAZY localCheckpoint, so the convergence count
+            # below both materializes the checkpoint blocks and returns
+            # the count in ONE job per round (eager + count was two).
+            # Reliable mode keeps the eager write — the count must read
+            # the durable copy, not race the job that produces it.
+            nxt = (
+                _truncate_lineage(small, rel)
+                if rel
+                else small.localCheckpoint(eager=False)
+            )
             # convergence check, cheapest-first and EXACT: unequal counts
             # (one agg over the just-checkpointed frame; the previous
             # round's count is carried, not recomputed) prove non-
@@ -497,23 +548,26 @@ def hits_bipartite(edges: DataFrame, iters: int = 2) -> DataFrame:
     1-row L2-norm anchor broadcast after each push — the same
     fixed-iteration, broadcast-scalar envelope as :func:`pagerank`.
     """
+    rel = _resolve_reliable(edges, None)
+
+    def _stage(df: DataFrame) -> DataFrame:
+        # every push is referenced twice (L2-norm agg + normalize join) —
+        # truncate the LINEAGE per half-round, not just the execution:
+        # persist() reused blocks but left a 2^(2*iters)-copy logical tree
+        # for the analyzer (the 2-iteration plan printed at 33k lines and
+        # driver planning dominated the wall; guide §3.3/§7.3)
+        return _truncate_lineage(df, rel) if rel else df.localCheckpoint(eager=False)
+
     e = compact_persist(edges.select("hub", "auth"))
     h = e.select("hub").distinct().withColumn("s", F.lit(1.0))
     a = None
     for _ in range(iters):
-        # every push references its input twice (L2-norm agg + normalize
-        # join) — stage each half-round or the plan doubles per reference
-        # (2^(2*iters) copies of the seed frame)
-        a = compact_persist(
-            e.join(h, "hub").groupBy("auth").agg(F.sum("s").alias("s"))
-        )
+        a = _stage(e.join(h, "hub").groupBy("auth").agg(F.sum("s").alias("s")))
         na = a.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("nrm"))
         a = a.crossJoin(F.broadcast(na)).select(
             "auth", (F.col("s") / F.col("nrm")).alias("s")
         )
-        h = compact_persist(
-            e.join(a, "auth").groupBy("hub").agg(F.sum("s").alias("s"))
-        )
+        h = _stage(e.join(a, "auth").groupBy("hub").agg(F.sum("s").alias("s")))
         nh = h.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("nrm"))
         h = h.crossJoin(F.broadcast(nh)).select(
             "hub", (F.col("s") / F.col("nrm")).alias("s")
@@ -541,10 +595,18 @@ def bfs_levels(edges: DataFrame, seeds: DataFrame, max_hops: int = 4) -> DataFra
     :func:`connected_components`; the frontier frame is monotone growing
     and bounded by |V|.
     """
+    rel = _resolve_reliable(edges, None)
     und = compact_persist(undirected(edges).select("u", "v"))
     dist = seeds.select("u").distinct().withColumn("hop", F.lit(0))
     for _ in range(max_hops):
-        dist = compact_persist(dist)
+        # per-round lineage truncation, not persist: the frontier is
+        # referenced twice per round and the plan doubles otherwise (see
+        # connected_components)
+        dist = (
+            _truncate_lineage(dist, rel)
+            if rel
+            else dist.localCheckpoint(eager=False)
+        )
         nb = (
             und.join(dist.withColumnRenamed("u", "v").withColumnRenamed("hop", "nhop"), "v")
             .groupBy("u")

@@ -38,17 +38,38 @@ from pyspark.sql import functions as F
 
 
 def moments(df: DataFrame, dim: int, vec_col: str = "embedding"):
-    """(means: list[d], second_moment: list[d][d]) from one aggregation."""
+    """(means: list[d], second_moment: list[d][d]) from one aggregation.
+
+    The moment matrix is symmetric and x_i * x_j is the same IEEE product
+    either side of the diagonal, so only the upper triangle is aggregated
+    — d + d(d+1)/2 groups instead of d + d², halving the posexplode
+    fan-out — and the full matrix is mirrored on the driver. Bitwise
+    identical to the full-matrix form (same products, same per-group row
+    sets).
+    """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    pairs = F.flatten(F.transform(v, lambda xi: F.transform(v, lambda xj: xi * xj)))
+    tri = F.flatten(
+        F.transform(
+            v,
+            lambda xi, i: F.transform(
+                F.slice(v, i + 1, F.lit(dim) - i), lambda xj: xi * xj
+            ),
+        )
+    )
     agg = (
-        df.select(F.posexplode(F.concat(v, pairs)).alias("idx", "x"))
+        df.select(F.posexplode(F.concat(v, tri)).alias("idx", "x"))
         .groupBy("idx")
         .agg(F.avg("x").alias("m"))
     )
-    rows = {r.idx: r.m for r in agg.collect()}  # d + d*d scalars, driver-tiny
+    rows = {r.idx: r.m for r in agg.collect()}  # d + d(d+1)/2 scalars
     means = [rows[i] for i in range(dim)]
-    second = [[rows[dim + i * dim + j] for j in range(dim)] for i in range(dim)]
+    # upper-triangle row-major offset of (i, j<-i..d-1): sum of the i
+    # previous row lengths d, d-1, ... = i*d - i(i-1)/2
+    second = [[0.0] * dim for _ in range(dim)]
+    for i in range(dim):
+        base = dim + i * dim - i * (i - 1) // 2
+        for j in range(i, dim):
+            second[i][j] = second[j][i] = rows[base + (j - i)]
     return means, second
 
 

@@ -136,17 +136,20 @@ def simhash_wide(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
 
     tok = ensure_min_parallelism(df).select(id_col, F.explode(tokens(text_col)).alias("tok"))
     h = tok.withColumn("h", hash60("tok"))
+    # branchless form of the ±1 bit-sum: per bit, sum the raw bit S_b and
+    # the token count n once; the classic signed sum is 2*S_b - n, so the
+    # sign test "sum > 0" is exactly "2*S_b > n" — 60 integer adds per row
+    # instead of 60 CASE WHENs, same integers, same signature.
     bit_sums = h.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n"),
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{b}")
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
             for b in range(SIMHASH_WIDE_BITS)
-        ]
+        ],
     )
     val = None
     for b in range(SIMHASH_WIDE_BITS):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        term = F.when(F.col(f"b{b}") * 2 > F.col("n"), F.lit(1 << b)).otherwise(F.lit(0))
         val = term if val is None else val + term
     return bit_sums.select(id_col, val.cast("long").alias("simhash"))
 

@@ -232,6 +232,8 @@ def bloom_flags(docs: DataFrame, eval_docs: DataFrame, k: int = 4) -> DataFrame:
     of its positions are lit.
     """
     sh = shingles("text", k)
+    # the lit-bit set feeds one broadcast build per hash function below —
+    # pin it so the eval-side explode+distinct runs once, not BLOOM_K times
     bits = (
         eval_docs.select(F.explode(sh).alias("sh"))
         .distinct()
@@ -241,21 +243,24 @@ def bloom_flags(docs: DataFrame, eval_docs: DataFrame, k: int = 4) -> DataFrame:
             ).alias("bit")
         )
         .distinct()
+        .persist()
     )
-    probe = docs.select("doc_id", F.explode(sh).alias("sh")).select(
-        "doc_id",
-        "sh",
-        F.posexplode(
-            F.array(*[_bloom_pos(F.col("sh"), j) for j in range(BLOOM_K)])
-        ).alias("j", "bit"),
-    )
-    flagged = (
-        probe.join(F.broadcast(bits), "bit")
-        .groupBy("doc_id", "sh")
-        .agg(F.count_distinct("j").alias("m"))
-        .filter(F.col("m") == BLOOM_K)
-        .groupBy("doc_id")
-        .agg(F.count("*").cast("long").alias("n_flagged"))
+    # A shingle is flagged iff ALL of its BLOOM_K positions are lit: chain
+    # one broadcast LEFT SEMI join per hash function instead of
+    # posexploding BLOOM_K bit rows per shingle and re-aggregating them
+    # back with a (doc, shingle)-keyed count_distinct — the semi-join
+    # chain is BLOOM_K hash probes inside one codegen stage, no Generate
+    # fan-out and no intermediate shuffle (shingles are distinct per doc,
+    # so the surviving rows are exactly the flagged (doc, shingle) pairs).
+    probe = docs.select("doc_id", F.explode(sh).alias("sh"))
+    for j in range(BLOOM_K):
+        probe = probe.withColumn(f"__b{j}", _bloom_pos(F.col("sh"), j)).join(
+            F.broadcast(bits.withColumnRenamed("bit", f"__b{j}")),
+            f"__b{j}",
+            "semi",
+        )
+    flagged = probe.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_flagged")
     )
     per_doc = docs.select("doc_id", F.size(sh).cast("long").alias("n_shingles"))
     return (
