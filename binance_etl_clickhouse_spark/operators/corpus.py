@@ -176,40 +176,47 @@ def span_dedup(
     earlier come back with empty text rather than vanishing, so downstream
     length filters see them.
 
-    Scale shape: the first-occurrence pass is a row_number window partitioned
-    by the span TEXT itself — span values hash-distribute evenly (they are
-    near-unique), so no hot partition; reassembly is one groupBy on the doc
-    id. Two shuffles total, both on high-cardinality keys, no self-join and
-    nothing all-pairs.
+    Scale shape (guide §2.3 / §8 — decide with small rows, never move the
+    payload): the first-occurrence pass shuffles (id, pos, xxhash64(span))
+    — 20-odd bytes per span instead of the span TEXT (the hash only
+    decides span EQUALITY; it never reaches the output, so any
+    collision-free hash gives the identical result, ~n_spans^2/2^64
+    expected colliding pairs). Reassembly then groups the surviving
+    (id, pos) pairs — ints, not strings — and the kept span text is
+    re-sliced from the document's own token array after the join-back,
+    so span bytes cross the network exactly zero times. Two shuffles
+    total, both narrow, high-cardinality keys, no self-join.
     """
-    spans = doc_spans(df, k, id_col, text_col)
-    first = Window.partitionBy("span").orderBy(id_col, "pos")
+    w = tokens(text_col)
+    n_spans = F.ceil(F.size(w) / F.lit(float(k))).cast("int")
+    span_hashes = F.transform(
+        F.sequence(F.lit(0), n_spans - F.lit(1)),
+        lambda p: F.xxhash64(F.concat_ws(" ", F.slice(w, p * k + 1, k))),
+    )
+    spans = ensure_min_parallelism(df).select(
+        F.col(id_col), F.posexplode(span_hashes).alias("pos", "h")
+    )
+    first = Window.partitionBy("h").orderBy(id_col, "pos")
     kept = (
         spans.withColumn("rn", F.row_number().over(first))
         .filter(F.col("rn") == 1)
-        .drop("rn")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans_kept"),
+            F.array_sort(F.collect_list("pos")).alias("ps"),
+        )
     )
-    reassembled = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_spans_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "span"))),
-                lambda s: s["span"],
-            ),
-            " ",
-        ).alias("text_deduped"),
+    rebuilt = F.array_join(
+        F.transform("ps", lambda p: F.concat_ws(" ", F.slice(w, p * k + 1, k))),
+        " ",
     )
-    totals = df.select(
+    return df.join(kept, id_col, "left").select(
         F.col(id_col),
-        F.ceil(F.size(tokens(text_col)) / F.lit(float(k))).cast("long").alias(
-            "n_spans_total"
-        ),
-    )
-    return totals.join(reassembled, id_col, "left").select(
-        F.col(id_col),
-        F.col("n_spans_total"),
+        F.ceil(F.size(w) / F.lit(float(k))).cast("long").alias("n_spans_total"),
         F.coalesce(F.col("n_spans_kept"), F.lit(0).cast("long")).alias("n_spans_kept"),
-        F.coalesce(F.col("text_deduped"), F.lit("")).alias("text_deduped"),
+        F.when(F.col("ps").isNotNull(), rebuilt).otherwise(F.lit("")).alias(
+            "text_deduped"
+        ),
     )
 
 
@@ -424,14 +431,21 @@ def bm25_topk(
     tok = ensure_min_parallelism(df).select(
         F.col(id_col), F.size(tokens(text_col)).alias("dl"), F.explode(tokens(text_col)).alias("term")
     )
-    tf = tok.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    # inverted-index probe: keep only postings for query terms
-    # pin the probe result: document-frequency (-> broadcast) and scoring
-    # both consume tfq, and the broadcast branch defeats exchange reuse —
-    # without this the corpus-wide tokenize+explode runs once per consumer.
-    # The frame is only the query-term postings: tiny.
+    # inverted-index probe BEFORE the aggregation (guide §2.3): the
+    # broadcast semi-join drops every token that matches no query term
+    # map-side, so the (doc, dl, term) exchange carries only query-term
+    # occurrences instead of the whole corpus's distinct postings.
+    # Filtering on the grouping key commutes with the groupBy, so tf /
+    # df_count are unchanged. Pin the probe result: document-frequency
+    # (-> broadcast) and scoring both consume tfq, and the broadcast
+    # branch defeats exchange reuse — without this the corpus-wide
+    # tokenize+explode runs once per consumer. The frame is only the
+    # query-term postings: tiny.
     tfq = _pin_counts(
-        tf.join(F.broadcast(qt.select("term").distinct()), "term"), persist
+        tok.join(F.broadcast(qt.select("term").distinct()), "term")
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf")),
+        persist,
     )
     dfreq = tfq.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df_count"))
 
@@ -920,11 +934,22 @@ def substring_dedup(
     """
     w = tokens(text_col)
     n = F.size(w)
+    # Window key = xxhash64 of the window text, NOT the cross-engine
+    # hash60 (md5): the key is internal — it only decides duplicate-window
+    # EQUALITY (the output carries positions and reassembled text, never
+    # the hash), so any collision-free hash yields the identical result,
+    # and xxhash64 is ~an order of magnitude cheaper per window than md5
+    # (guide §1.2 step 2 — this projection is O(tokens) hash calls and
+    # dominated the operator's task time). Collision risk is the same
+    # shape as the md5 form's documented bound: ~n_windows^2 / 2^64
+    # expected colliding pairs, negligible below ~10^9 windows; the
+    # DuckDB oracle keeps its md5 key and agrees because both keys are
+    # collision-free on any real corpus slice.
     win_hashes = F.when(
         n >= min_len,
         F.transform(
             F.sequence(F.lit(1), n - F.lit(min_len - 1)),
-            lambda i: hash60(F.concat_ws(" ", F.slice(w, i, min_len))),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, min_len))),
         ),
     ).otherwise(F.array().cast("array<long>"))
     wins = ensure_min_parallelism(df).select(

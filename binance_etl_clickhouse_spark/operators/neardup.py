@@ -34,7 +34,9 @@ if TYPE_CHECKING:  # pragma: no cover
 
 from binance_etl_clickhouse_spark.operators.parallel import ensure_min_parallelism
 from binance_etl_clickhouse_spark.operators.texthash import (
+    M31,
     hash31,
+    hash60,
     minhash_perm,
     shingles,
 )
@@ -75,9 +77,19 @@ def exact_dup_canonical(
 def _shingle_index(
     df: DataFrame, id_col: str, text_col: str, k: int, stop_shingle_df: int | None
 ) -> DataFrame:
-    """(id, shingle) inverted index, optionally dropping hot shingles."""
+    """(id, shingle-hash) inverted index, optionally dropping hot shingles.
+
+    The index carries xxhash64 of each shingle, not the shingle text: every
+    consumer (the equi-self-join, the per-doc size agg, the stop-shingle
+    cap) needs only shingle EQUALITY, so the 8-byte key shuffles ~3x fewer
+    bytes than the k-token string and compares cheaper in the join (guide
+    §2.3 — shuffle keys, not payloads; collisions ~postings^2/2^64, nil).
+    """
     sh = ensure_min_parallelism(df).select(
-        id_col, F.explode(shingles(text_col, k)).alias("s")
+        id_col,
+        F.explode(
+            F.transform(shingles(text_col, k), lambda s: F.xxhash64(s))
+        ).alias("s"),
     )
     if stop_shingle_df is not None:
         hot = (
@@ -182,6 +194,21 @@ def _signatures_from_shingles(sh_sets: DataFrame, id_col: str = "doc_id") -> Dat
     hashed = sh_sets.withColumn("hv", F.transform(F.col("sh"), lambda s: hash31(s)))
     cols = [
         F.array_min(F.transform(F.col("hv"), lambda x: minhash_perm(j, x))).alias(f"mh{j}")
+        for j in range(LSH_BANDS * LSH_ROWS)
+    ]
+    return hashed.select(id_col, *cols)
+
+
+def _signatures_from_hash60s(hv_sets: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mh0..mh{K-1} from an (id, hv array<long>) frame of hash60 shingle
+    values — hash31(s) == hash60(s) % M31, so the signatures are
+    bit-identical to :func:`_signatures_from_shingles` while the one md5
+    per shingle is shared with the exact-Jaccard verify arrays."""
+    hashed = hv_sets.withColumn(
+        "h31", F.transform(F.col("hv"), lambda x: x % F.lit(M31))
+    )
+    cols = [
+        F.array_min(F.transform(F.col("h31"), lambda x: minhash_perm(j, x))).alias(f"mh{j}")
         for j in range(LSH_BANDS * LSH_ROWS)
     ]
     return hashed.select(id_col, *cols)
@@ -309,14 +336,21 @@ def minhash_lsh_pairs(
     the storm measurements support. Costs one extra aggregation job;
     right when the duplication regime is unknown ahead of time.
     """
-    # ONE corpus text scan: the shingle frame feeds both the signatures and
-    # the exact-Jaccard verify arrays (previously two independent scans
-    # each re-shingling the text).
+    # ONE corpus text scan AND one md5 per shingle: the pinned frame holds
+    # the hash60 values of each doc's distinct shingles, which feed both
+    # the signatures (hash31 = hash60 % M31, bit-identical permutation
+    # inputs) and the exact-Jaccard verify arrays (|A∩B| over hash60
+    # longs equals |A∩B| over the shingle strings — the verify only needs
+    # shingle EQUALITY — while the pinned/verify shuffle carries 8-byte
+    # longs instead of k-token strings; guide §2.3).
     sh_sets = _pin(
-        ensure_min_parallelism(df).select(F.col(id_col), shingles(text_col, k).alias("sh")),
+        ensure_min_parallelism(df).select(
+            F.col(id_col),
+            F.transform(shingles(text_col, k), lambda s: hash60(s)).alias("hv"),
+        ),
         persist_index,
     )
-    sig = _pin(_signatures_from_shingles(sh_sets, id_col), persist_index)
+    sig = _pin(_signatures_from_hash60s(sh_sets, id_col), persist_index)
     bands = minhash_band_values(sig, id_col)
     if band_cap == "auto":
         # bounded driver value (one int); the band frame reads from the
@@ -347,8 +381,8 @@ def minhash_lsh_pairs(
     # runs; verification work is O(candidate pairs x shingles), and the
     # arithmetic (|A∩B| / (|A|+|B|-|A∩B|) on the same integers) is identical
     # to ngram_jaccard_pairs, so precision stays exact.
-    s1 = sh_sets.select(F.col(id_col).alias("d1"), F.col("sh").alias("sh1"))
-    s2 = sh_sets.select(F.col(id_col).alias("d2"), F.col("sh").alias("sh2"))
+    s1 = sh_sets.select(F.col(id_col).alias("d1"), F.col("hv").alias("sh1"))
+    s2 = sh_sets.select(F.col(id_col).alias("d2"), F.col("hv").alias("sh2"))
     inter = F.size(F.array_intersect(F.col("sh1"), F.col("sh2")))
     jac = inter / (F.size("sh1") + F.size("sh2") - inter)
     return (

@@ -249,8 +249,17 @@ def bm25_sparse_ranks(
     tok = ensure_min_parallelism(docs).select(
         F.col(id_col), F.size(w).alias("dl"), F.explode(w).alias("term")
     )
-    tf = tok.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    tfq = _pin_counts(tf.join(F.broadcast(qt.select("term").distinct()), "term"), True)
+    # probe before the aggregation (guide §2.3): the broadcast semi-join
+    # kills non-query-term tokens map-side, so the (doc, dl, term)
+    # exchange carries only matching occurrences, not the corpus's whole
+    # distinct-posting set. Filtering on the grouping key commutes with
+    # the groupBy — tf and df_count are unchanged.
+    tfq = _pin_counts(
+        tok.join(F.broadcast(qt.select("term").distinct()), "term")
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf")),
+        True,
+    )
     dfreq = tfq.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df_count"))
     n = float(n_docs)
     t_tot = float(total_tokens)

@@ -206,9 +206,18 @@ def cdc_chunks(docs: DataFrame, divisor: int = CDC_DIVISOR) -> DataFrame:
 
 
 def cdc_chunk_dedup(docs: DataFrame, divisor: int = CDC_DIVISOR) -> DataFrame:
-    """Corpus-wide first-occurrence chunk dedup summary per document."""
-    ch = cdc_chunks(docs, divisor)
-    w = Window.partitionBy("chunk").orderBy("doc_id", "cidx")
+    """Corpus-wide first-occurrence chunk dedup summary per document.
+
+    The first-occurrence window shuffles (doc_id, cidx, xxhash64(chunk)),
+    never the chunk text (guide §2.3 — the hash only decides chunk
+    EQUALITY and the output is per-doc counts, so any collision-free hash
+    yields the identical result; the chunk strings stay inside the
+    projection that builds them).
+    """
+    ch = cdc_chunks(docs, divisor).select(
+        "doc_id", "cidx", F.xxhash64("chunk").alias("h")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "cidx")
     return (
         ch.withColumn("rn", F.row_number().over(w))
         .groupBy("doc_id")
@@ -232,8 +241,6 @@ def bloom_flags(docs: DataFrame, eval_docs: DataFrame, k: int = 4) -> DataFrame:
     of its positions are lit.
     """
     sh = shingles("text", k)
-    # the lit-bit set feeds one broadcast build per hash function below —
-    # pin it so the eval-side explode+distinct runs once, not BLOOM_K times
     bits = (
         eval_docs.select(F.explode(sh).alias("sh"))
         .distinct()
@@ -243,24 +250,30 @@ def bloom_flags(docs: DataFrame, eval_docs: DataFrame, k: int = 4) -> DataFrame:
             ).alias("bit")
         )
         .distinct()
-        .persist()
     )
-    # A shingle is flagged iff ALL of its BLOOM_K positions are lit: chain
-    # one broadcast LEFT SEMI join per hash function instead of
-    # posexploding BLOOM_K bit rows per shingle and re-aggregating them
-    # back with a (doc, shingle)-keyed count_distinct — the semi-join
-    # chain is BLOOM_K hash probes inside one codegen stage, no Generate
-    # fan-out and no intermediate shuffle (shingles are distinct per doc,
-    # so the surviving rows are exactly the flagged (doc, shingle) pairs).
-    probe = docs.select("doc_id", F.explode(sh).alias("sh"))
-    for j in range(BLOOM_K):
-        probe = probe.withColumn(f"__b{j}", _bloom_pos(F.col("sh"), j)).join(
-            F.broadcast(bits.withColumnRenamed("bit", f"__b{j}")),
-            f"__b{j}",
-            "semi",
-        )
-    flagged = probe.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_flagged")
+    # A shingle is flagged iff ALL of its BLOOM_K positions are lit.
+    # MEASURED (r12, sf0.1, interleaved best-of-4): the r11 chain of
+    # BLOOM_K broadcast LEFT SEMI joins — one per hash function — is 40%
+    # SLOWER than this posexplode + (doc, shingle) count_distinct form
+    # (4.88 s vs 3.44 s; identical output): each semi-join re-hashes and
+    # re-probes the full probe stream and the chain builds BLOOM_K
+    # broadcast relations, where the Generate fan-out is BLOOM_K cheap
+    # int rows per shingle feeding ONE partial-aggregated shuffle. The
+    # r10 form stays (r11 verdict item 5: prove or revert — reverted).
+    probe = docs.select("doc_id", F.explode(sh).alias("sh")).select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.array(*[_bloom_pos(F.col("sh"), j) for j in range(BLOOM_K)])
+        ).alias("j", "bit"),
+    )
+    flagged = (
+        probe.join(F.broadcast(bits), "bit")
+        .groupBy("doc_id", "sh")
+        .agg(F.count_distinct("j").alias("m"))
+        .filter(F.col("m") == BLOOM_K)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_flagged"))
     )
     per_doc = docs.select("doc_id", F.size(sh).cast("long").alias("n_shingles"))
     return (
