@@ -25,6 +25,9 @@ if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
 from binance_etl_clickhouse_spark.queries import QUERIES  # noqa: E402
+from binance_etl_clickhouse_spark.queries.registry import (  # noqa: E402
+    clear_rdd_blocks,
+)
 from binance_etl_clickhouse_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -384,6 +387,7 @@ def _bench_corpus_scale(spark) -> dict:
             best = float("inf")
             for _ in range(1 if tag == "warmup" else N_RUNS):
                 spark.catalog.clearCache()  # cold-cache per run, like HEADLINE
+                clear_rdd_blocks(spark)
                 t0 = time.perf_counter()
                 op(df).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
@@ -522,6 +526,7 @@ def _bench_storage(spark) -> dict:
 
     def _timed(fn):
         spark.catalog.clearCache()
+        clear_rdd_blocks(spark)
         t0 = time.perf_counter()
         fn()
         return round(time.perf_counter() - t0, 4)
@@ -657,8 +662,11 @@ def main() -> None:
                 # the registry builders are unwrapped, so the sweep harness
                 # owns the cache hygiene — every run pays its own persist()
                 # cost, and stale CacheManager entries can't NPE the
-                # 50-query session.
+                # 50-query session. r12: ALSO drop orphaned RDD-layer
+                # blocks (localCheckpoint leftovers clearCache can't see) —
+                # they are never reused across runs, only hold memory.
                 spark.catalog.clearCache()
+                clear_rdd_blocks(spark)
                 t0 = time.perf_counter()
                 entry.spark(spark, SF_DIR).write.format("noop").mode(
                     "overwrite"

@@ -39,7 +39,28 @@ from binance_etl_clickhouse_spark.operators.parallel import compact_persist
 DAMPING = 0.85
 
 
-def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+#: per-order pair fan-out guard: carts with more than this many distinct
+#: parts route through the chunked pair generator below, so one mega-order
+#: can never put a quadratic array in a single row/task (guide §2.5 skew).
+#: 256² = 65k pair structs per generated row — bounded task memory — while
+#: TPC-H carts (<= 7) and real carts never leave the inline path.
+CART_CAP = 256
+
+
+def _inline_pairs(ps):
+    """Ordered (src < dst) pair structs from one sorted item array."""
+    return F.flatten(
+        F.transform(
+            ps,
+            lambda x, i: F.transform(
+                F.slice(ps, i + 2, F.size(ps) - i - 1),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
+
+
+def copurchase_edges(lineitem: DataFrame, cart_cap: int = CART_CAP) -> DataFrame:
     """Undirected co-purchase edges ``(src < dst, w = #shared orders)``.
 
     Pair generation happens INSIDE each order's sorted part array (a
@@ -47,28 +68,83 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     (orderkey)-keyed self-join of the item list: one shuffle on orderkey
     plus one on the pair key, where the self-join form shuffled the item
     list twice and the pair stream once (guide §2.4 — remove shuffles
-    outright). Order size is bounded (TPC-H <= 7 items, real carts
-    similar), so the per-row array work is O(cart_size^2) with no
-    skew hazard.
+    outright).
+
+    The orderkey exchange is an EXPLICIT repartition at cluster
+    parallelism, which the groupBy reuses (same key — no extra shuffle,
+    guide §2.4): the pair fan-out inflates rows ~cart_size/2 x AFTER the
+    exchange, which AQE's byte-based coalescing cannot see — at bench
+    scale it folded the whole collect_set + pair-generation stage onto
+    ONE task (map output ~10 MB < the 64 MB advisory size), serializing
+    the most compute-heavy stage of every graph query. MEASURED (r12,
+    sf0.1, interleaved best-of-3): 1.61 s -> 1.01 s warm, 5.4 s -> 2.4 s
+    cold, identical rows; pinning the (src, dst) aggregation exchange too
+    was slower (1.18 s) — the merge there is cheap, the extra exchange
+    is not.
+
+    ``cart_cap`` guards the power-law tail (guide §2.5): an order with
+    more than ``cart_cap`` distinct parts would otherwise materialize a
+    O(cart²) pair array inside one row (a 10k-item cart is a ~50M-struct
+    array in a single task). Oversized carts instead split their sorted
+    item array into ``cart_cap``-sized chunks and emit one row per chunk
+    PAIR (within-chunk ordered pairs, cross-chunk full products — the
+    array is sorted, so chunk i's items all precede chunk j's and every
+    pair appears exactly once, already (src < dst)-canonical), spread
+    round-robin across the cluster before expansion so no task holds more
+    than cart_cap² pair structs. The inline path is unchanged for every
+    real cart; equivalence is property-tested with a 10k-item order.
     """
-    per_order = lineitem.groupBy(F.col("l_orderkey").alias("o")).agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    n_parts = lineitem.sparkSession.sparkContext.defaultParallelism
+    per_order = (
+        lineitem.repartition(n_parts, "l_orderkey")
+        .groupBy(F.col("l_orderkey").alias("o"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
     )
-    pairs = per_order.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "ps",
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ps"), i + 2, F.size("ps") - i - 1),
-                        lambda y: F.struct(x.alias("src"), y.alias("dst")),
-                    ),
+    small = per_order.filter(F.size("ps") <= cart_cap).select(
+        F.explode(_inline_pairs(F.col("ps"))).alias("pr")
+    )
+    # chunked path for mega-carts: C(n_chunks+1, 2) small rows per order,
+    # each carrying two <= cart_cap slices; repartition() spreads them
+    # before the quadratic expansion so the biggest task is cart_cap²
+    n_chunks = F.ceil(F.size("ps") / F.lit(float(cart_cap))).cast("int")
+    chunk_pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - F.lit(1)),
+            lambda i: F.transform(
+                F.sequence(i, n_chunks - F.lit(1)),
+                lambda j: F.struct(i.alias("i"), j.alias("j")),
+            ),
+        )
+    )
+    big = (
+        per_order.filter(F.size("ps") > cart_cap)
+        .select(F.col("ps"), F.explode(chunk_pairs).alias("cp"))
+        .select(
+            (F.col("cp.i") == F.col("cp.j")).alias("same"),
+            F.slice("ps", F.col("cp.i") * cart_cap + 1, cart_cap).alias("ai"),
+            F.slice("ps", F.col("cp.j") * cart_cap + 1, cart_cap).alias("aj"),
+        )
+        .repartition(n_parts)
+        .select(
+            F.explode(
+                F.when(F.col("same"), _inline_pairs(F.col("ai"))).otherwise(
+                    F.flatten(
+                        F.transform(
+                            "ai",
+                            lambda x: F.transform(
+                                "aj",
+                                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                            ),
+                        )
+                    )
                 )
-            )
-        ).alias("pr")
+            ).alias("pr")
+        )
     )
-    return pairs.groupBy(F.col("pr.src").alias("src"), F.col("pr.dst").alias("dst")).agg(
-        F.count("*").cast("long").alias("w")
+    return (
+        small.unionAll(big)
+        .groupBy(F.col("pr.src").alias("src"), F.col("pr.dst").alias("dst"))
+        .agg(F.count("*").cast("long").alias("w"))
     )
 
 
@@ -239,7 +315,9 @@ def personalized_pagerank(
     return pr.select(F.col("u").alias("part_key"), F.round("pr", 8).alias("ppr"))
 
 
-def connected_components(edges: DataFrame, iters: int = 4) -> DataFrame:
+def connected_components(
+    edges: DataFrame, iters: int = 4, reliable: bool | None = None
+) -> DataFrame:
     """Fixed-iteration min-label propagation: after k rounds every vertex
     carries the smallest vertex id within k hops — the k-bounded connected
     component label (exact components once k >= graph diameter).
@@ -252,8 +330,13 @@ def connected_components(edges: DataFrame, iters: int = 4) -> DataFrame:
     :func:`connected_components_converged` (fixpoint + loud failure) or
     :func:`connected_components_lsss` (large-star/small-star contraction,
     the real-scale default — O(log^2 n) rounds on any diameter).
+
+    ``reliable`` mirrors the converged/LSSS switch (r11 ADVICE item 3):
+    ``None`` auto-detects from ``sc.getCheckpointDir()``; ``False`` keeps
+    localCheckpoint even when a checkpoint dir was set for some other
+    operator, so this loop does not silently pay a durable write per round.
     """
-    rel = _resolve_reliable(edges, None)
+    rel = _resolve_reliable(edges, reliable)
     und = compact_persist(undirected(edges).select("u", "v"))
     labels = und.select("u").distinct().withColumn("lbl", F.col("u"))
     for _ in range(iters):
@@ -301,6 +384,26 @@ def _resolve_reliable(df: DataFrame, reliable: bool | None) -> bool:
             "blocks live on executors and do not survive executor loss"
         )
     return reliable
+
+
+def _release_local_blocks(df: DataFrame) -> None:
+    """Free a SUPERSEDED round's localCheckpoint blocks (local mode only).
+
+    A contraction loop keeps only the last two rounds live; without this,
+    every round's blocks sit on the executor until the driver GC +
+    ContextCleaner get around to them (r11 ADVICE item 2). Only call on a
+    frame that will NEVER be read again — the checkpoint cut its lineage,
+    so a freed block cannot be recomputed (re-reading raises
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). Best-effort: reaches through the
+    LogicalRDD plan node, so any API drift degrades to the old
+    GC-eventually behavior rather than failing the query.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — cleanup must never kill the loop
+        pass
 
 
 def _truncate_lineage(df: DataFrame, reliable: bool) -> DataFrame:
@@ -381,6 +484,10 @@ def connected_components_converged(
                 .limit(1)
                 .count()
             )
+            # the changed-check was the old label frame's last reader —
+            # free its blocks now (see _release_local_blocks)
+            if not rel:
+                _release_local_blocks(labels)
             labels = new_labels
             if changed == 0:
                 converged = True
@@ -434,16 +541,28 @@ def connected_components_lsss(
     # references the previous edge frame several times (symmetrize, min,
     # join, diff), so the plan grows exponentially in rounds otherwise
     # (see connected_components_converged).
-    und = _truncate_lineage(undirected(edges).select("u", "v"), rel)
+    #
+    # Seed WITHOUT the symmetrized frame (r12, guide §2.4): the loop never
+    # touches `und` — its only consumers were the vertex set and the
+    # canonical edge seed, and both are derivable from the RAW edge frame
+    # at half the rows: u∪v over (src, dst) is the same vertex set as u
+    # over both directions, and greatest/least+distinct canonicalizes
+    # direction-insensitively. The old seed checkpointed a 2|E|-row frame
+    # (one full write + read) only to throw it away after round 0 —
+    # measured 4.0 s of cc_large_star_small_star's 7.7 s at sf0.1.
+    e0_raw = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    # lazy in local mode like the round frames: the seed count below
+    # materializes the blocks and returns the count in one job
+    e0 = _truncate_lineage(e0_raw, rel) if rel else e0_raw.localCheckpoint(eager=False)
     # vertex coverage matches the other two component variants: nodes come
     # from the PRE-self-loop-filter edge set, so a vertex whose only
     # incident edges are self-loops still labels itself (self-loops are
     # then dropped from the contraction — they carry no connectivity).
     all_nodes = compact_persist(
-        und.select("u").union(und.select(F.col("v").alias("u"))).distinct()
+        e0.select("u").union(e0.select(F.col("v").alias("u"))).distinct()
     )
     cur0 = (
-        und.filter(F.col("u") != F.col("v"))
+        e0.filter(F.col("u") != F.col("v"))
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .distinct()
     )
@@ -504,6 +623,11 @@ def connected_components_lsss(
             # alone cannot prove edge-set equality).
             nxt_n = nxt.count()
             if nxt_n != cur_n:
+                # the superseded round's blocks are dead once nxt's count
+                # materialized its checkpoint — free them now instead of
+                # waiting for driver GC (bounds residency to two rounds)
+                if not rel:
+                    _release_local_blocks(cur)
                 cur, cur_n = nxt, nxt_n
                 continue
             diff = (
@@ -512,6 +636,8 @@ def connected_components_lsss(
                 .limit(1)
                 .count()
             )
+            if not rel:
+                _release_local_blocks(cur)
             cur, cur_n = nxt, nxt_n
             if diff == 0:
                 converged = True
@@ -536,7 +662,9 @@ def connected_components_lsss(
         all_nodes.unpersist()
 
 
-def hits_bipartite(edges: DataFrame, iters: int = 2) -> DataFrame:
+def hits_bipartite(
+    edges: DataFrame, iters: int = 2, reliable: bool | None = None
+) -> DataFrame:
     """HITS over a bipartite hub->authority edge list ``(hub, auth)``.
 
     Hubs start at 1.0; each round pushes hub mass to authorities, L2-
@@ -547,8 +675,9 @@ def hits_bipartite(edges: DataFrame, iters: int = 2) -> DataFrame:
     Scale shape: two shuffles per round (groupBy auth, groupBy hub) plus a
     1-row L2-norm anchor broadcast after each push — the same
     fixed-iteration, broadcast-scalar envelope as :func:`pagerank`.
+    ``reliable`` as in :func:`connected_components`.
     """
-    rel = _resolve_reliable(edges, None)
+    rel = _resolve_reliable(edges, reliable)
 
     def _stage(df: DataFrame) -> DataFrame:
         # every push is referenced twice (L2-norm agg + normalize join) —
@@ -585,7 +714,12 @@ def hits_bipartite(edges: DataFrame, iters: int = 2) -> DataFrame:
     )
 
 
-def bfs_levels(edges: DataFrame, seeds: DataFrame, max_hops: int = 4) -> DataFrame:
+def bfs_levels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    reliable: bool | None = None,
+) -> DataFrame:
     """Hop distance (<= ``max_hops``) from a seed vertex set ``(u)``:
     k rounds of min-hop propagation — round i labels every vertex whose
     shortest seed distance is i. Unreached vertices are absent (their
@@ -593,9 +727,9 @@ def bfs_levels(edges: DataFrame, seeds: DataFrame, max_hops: int = 4) -> DataFra
 
     Same staged one-shuffle-per-round envelope as
     :func:`connected_components`; the frontier frame is monotone growing
-    and bounded by |V|.
+    and bounded by |V|. ``reliable`` as in :func:`connected_components`.
     """
-    rel = _resolve_reliable(edges, None)
+    rel = _resolve_reliable(edges, reliable)
     und = compact_persist(undirected(edges).select("u", "v"))
     dist = seeds.select("u").distinct().withColumn("hop", F.lit(0))
     for _ in range(max_hops):

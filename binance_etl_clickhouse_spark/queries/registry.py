@@ -38,6 +38,15 @@ def with_cache_hygiene(fn: SparkQuery) -> SparkQuery:
     already materialized) and touches only SQL cache entries —
     localCheckpoint storage lives at the RDD layer and is unaffected.
 
+    Since r12 the wipe also unpersists leftover RDD-LAYER blocks
+    (``sc.getPersistentRDDs``): the iterative loops truncate lineage with
+    ``localCheckpoint``, whose blocks are NOT CacheManager entries —
+    ``clearCache()`` never touches them, so a 50-query sweep accretes
+    every prior query's round blocks until the driver GC + ContextCleaner
+    catch up (r11 ADVICE item 2). Safe under the same sweep contract:
+    the previous query's result was fully materialized before this build
+    starts, so no freed block is ever re-read.
+
     The wipe is session-global, so it is applied ONLY at the driver/bench
     boundary (``queries_map(cache_hygiene=True)``, used by
     ``__spark_entry__.queries()``) — never inside ``register`` — a
@@ -50,9 +59,23 @@ def with_cache_hygiene(fn: SparkQuery) -> SparkQuery:
             spark.catalog.clearCache()
         except Exception:  # noqa: BLE001 — cache hygiene is best-effort
             pass
+        clear_rdd_blocks(spark)
         return fn(spark, sf_dir)
 
     return wrapped
+
+
+def clear_rdd_blocks(spark: SparkSession) -> None:
+    """Unpersist every RDD-layer block left by previous queries (the
+    localCheckpoint leftovers ``clearCache()`` cannot see). Best-effort:
+    only valid at a sweep boundary where every earlier result has been
+    fully materialized."""
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rdd in jmap.values():
+            rdd.unpersist(False)
+    except Exception:  # noqa: BLE001 — cache hygiene is best-effort
+        pass
 
 
 def register(name: str, oracle: str | None, survey_ref: str):

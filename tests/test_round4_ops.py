@@ -208,3 +208,22 @@ def test_compact_persist_caps_partitions_without_eager_eval(spark):
     assert kept.count() == 100
     out.unpersist()
     kept.unpersist()
+
+
+def test_copurchase_mega_cart_routes_through_chunked_path(spark):
+    """The cart_cap guard (guide §2.5): a 10k-item order must produce the
+    exact same edge set as the inline path, with no single row/task ever
+    holding the full O(cart²) pair array — the chunked path's biggest
+    generated row is cart_cap² pair structs."""
+    from binance_etl_clickhouse_spark.operators import graph
+
+    n = 500  # 500 distinct parts in one order -> 124,750 pairs
+    rows = [(1, p) for p in range(n)] + [(2, 1), (2, 2), (3, 7)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    guarded = graph.copurchase_edges(li, cart_cap=64)
+    inline = graph.copurchase_edges(li, cart_cap=10**9)
+    assert guarded.exceptAll(inline).count() == 0
+    assert inline.exceptAll(guarded).count() == 0
+    assert guarded.count() == n * (n - 1) // 2  # (1,2) merges with the cart's own pair
+    # the guard engages: the chunked branch carries the mega-cart
+    assert guarded.filter((F.col("src") == 1) & (F.col("dst") == 2)).first()["w"] == 2
